@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparrow_spark import registry
+from sparrow_spark.session import get_spark
+
+# Headline set: the relational spine + scale-path pipeline operators.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q_join_left_outer",
+    "q_window_topk_per_group",
+    "q_count_distinct",
+    "q_time_bucket_rollup",
+    "q_sessionize",
+    "q_asof_join",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_similarity_topk",
+    "q_text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry.load_all()
+    spark = get_spark("sparrow-bench")
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not session startup.
+    registry.QUERIES["q6_forecast_revenue"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count() if name != "q1_pricing_summary" else len(df.collect())
+        _ = n
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

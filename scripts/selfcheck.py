@@ -1,0 +1,110 @@
+"""Differential self-check: run every registered query on Spark and its
+DuckDB oracle, compare row count, column names, and order-insensitive
+values. Mirrors the driver's CORRECTNESS gate so mismatches are caught
+locally first.
+
+Usage: python scripts/selfcheck.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from sparrow_spark import registry
+from sparrow_spark.session import get_spark
+from sparrow_spark.sources import TABLES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def rowset(rows):
+    return sorted(",".join(canon(v) for v in row) for row in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    registry.load_all()
+    spark = get_spark("sparrow-selfcheck")
+    con = duck_connect(sf_dir)
+    failures = []
+    for name, fn in registry.QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        oracle = registry.ORACLES.get(name)
+        if oracle is None:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            if not srows:
+                failures.append(name)
+                print(f"FAIL {name}: 0 rows from rows-only query")
+            continue
+        try:
+            res = con.execute(oracle)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        status = []
+        if len(srows) != len(drows):
+            status.append(f"rowcount {len(srows)} vs {len(drows)}")
+        if [c.lower() for c in scols] != [c.lower() for c in dcols]:
+            status.append(f"columns {scols} vs {dcols}")
+        else:
+            order = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+            sset = rowset([tuple(r[i] for i in order) for r in srows])
+            dset = rowset([tuple(r[i] for i in order) for r in drows])
+            if sset != dset:
+                diff_a = [r for r in sset if r not in set(dset)][:3]
+                diff_b = [r for r in dset if r not in set(sset)][:3]
+                status.append(f"values differ; spark-only={diff_a} duck-only={diff_b}")
+        if status:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(status)}")
+        else:
+            print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{len(registry.QUERIES) - len(failures)}/{len(registry.QUERIES)} pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,265 @@
+"""Deduplication operators for training-data pipelines: exact
+(hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard. All are
+composed from built-in DataFrame ops (explode/groupBy/join/window) —
+no Python in the hot path — and every hash is deterministic (md5-based)
+so the DuckDB oracle reproduces them bit-for-bit.
+
+Scale design:
+- exact dedup: one shuffle on the fingerprint — embarrassingly parallel.
+- MinHash LSH: shingles explode ~O(tokens) rows, signatures reduce to
+  O(docs x seeds), band buckets equi-join candidates — never the O(n^2)
+  pairwise comparison. This is the 100 TB path.
+- SimHash: one explode + one groupBy per doc; near-dup search then
+  buckets by signature prefix (here: exact-signature groups + a bounded
+  pairwise pass within lang groups at test scale).
+- n-gram Jaccard: exact verification over LSH candidates (or bounded
+  groups) via array_intersect/array_union sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparrow_spark.operators.text import fingerprint, tokens
+from sparrow_spark.registry import query
+from sparrow_spark.rounding import rnd
+from sparrow_spark.sources import load_table
+
+N_MINHASHES = 8
+BAND_SIZE = 2  # 4 bands of 2 hashes
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Array of k-word shingles from lowercased whitespace tokens.
+    Caller must ensure at least k tokens (filter n_tokens >= k)."""
+    w = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.size(w) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Mark exact duplicates by normalized-text fingerprint; keeper is
+    the minimum id per group (deterministic)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .withColumn("keeper_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("is_dup", F.col(id_col) != F.col("keeper_id"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, seed, minhash) — minhash = lexicographic min of
+    md5(seed || ':' || shingle) over the document's shingle set.
+    Deterministic and engine-portable (md5 is identical everywhere)."""
+    seeds = F.array(*[F.lit(i) for i in range(n_hashes)])
+    shingled = (
+        df.filter(F.size(tokens(F.col(text_col))) >= shingle_k)
+        .select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"))
+        .select(id_col, "shingle", F.explode(seeds).alias("seed"))
+        .withColumn(
+            "h", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+        )
+    )
+    return shingled.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    band_size: int = BAND_SIZE,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a_id < b_id) that collide in at
+    least one LSH band. Never compares all pairs: bucket join only."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    band = F.floor(F.col("seed") / band_size).cast("int")
+    # Band signature: ordered concat of the band's minhashes (band_size=2
+    # -> even-seed slot then odd-seed slot).
+    bands = (
+        sigs.withColumn("band", band)
+        .groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                *[
+                    F.max(F.when(F.col("seed") % band_size == slot, F.col("minhash")))
+                    for slot in range(band_size)
+                ],
+            ).alias("band_sig")
+        )
+    )
+    a = bands.select(F.col(id_col).alias("a_id"), "band", "band_sig")
+    b = bands.select(F.col(id_col).alias("b_id"), "band", "band_sig")
+    return (
+        a.join(b, on=["band", "band_sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """16-bit SimHash over whitespace tokens (with multiplicity).
+    Bit j is the sign of sum over tokens of (+1 if the j-th hex nibble
+    of md5(token) >= 8 else -1). Returned as a '0'/'1' string so the
+    oracle SQL can reproduce it exactly."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("th", F.md5("tok"))
+    contribs = [
+        F.sum(
+            F.when(
+                F.instr(F.lit("89abcdef"), F.substring("th", j + 1, 1)) > 0, 1
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*contribs)
+    sig = F.concat(
+        *[F.when(F.col(f"b{j}") >= 0, "1").otherwise("0") for j in range(bits)]
+    )
+    return agg.select(id_col, sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard over candidate pairs within group_col
+    (at scale, group_col = LSH band bucket; here any blocking key)."""
+    t = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("g"),
+        F.array_distinct(tokens(F.col(text_col))).alias("tset"),
+    )
+    a = t.select(F.col(id_col).alias("a_id"), "g", F.col("tset").alias("a_set"))
+    b = t.select(F.col(id_col).alias("b_id"), "g", F.col("tset").alias("b_set"))
+    pairs = a.join(b, on="g").filter(F.col("a_id") < F.col("b_id"))
+    jac = F.size(F.array_intersect("a_set", "b_set")) / F.size(
+        F.array_union("a_set", "b_set")
+    ).cast("double")
+    return (
+        pairs.withColumn("jaccard", rnd(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Registered queries + DuckDB oracles
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT doc_id, fp,
+           min(doc_id) OVER (PARTITION BY fp) AS keeper_id,
+           count(*) OVER (PARTITION BY fp) AS group_size,
+           (doc_id <> min(doc_id) OVER (PARTITION BY fp)) AS is_dup
+    FROM fp
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "fp", "keeper_id", "group_size", "is_dup")
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), sh AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)]) AS shingle
+      FROM tok
+    ), hashed AS (
+      SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+      FROM sh CROSS JOIN (SELECT unnest(range({N_MINHASHES})) AS seed)
+    ), sigs AS (
+      SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, CAST(seed // {BAND_SIZE} AS INTEGER) AS band,
+             max(CASE WHEN seed % 2 = 0 THEN minhash END) || '|' ||
+             max(CASE WHEN seed % 2 = 1 THEN minhash END) AS band_sig
+      FROM sigs GROUP BY doc_id, seed // {BAND_SIZE}
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs)
+
+
+@query(
+    "q_dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS th
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN strpos('89abcdef', substr(th, j + 1, 1)) > 0
+                      THEN 1 ELSE -1 END) AS s
+      FROM tok CROSS JOIN (SELECT unnest(range(16)) AS j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+             AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs)
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS tset
+      FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.tset, b.tset)) /
+                 CAST(len(list_distinct(list_concat(a.tset, b.tset))) AS DOUBLE),
+                 4) AS jaccard
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.tset, b.tset)) /
+          CAST(len(list_distinct(list_concat(a.tset, b.tset))) AS DOUBLE) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, group_col="lang", threshold=0.5)

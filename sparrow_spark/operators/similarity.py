@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>):
+brute-force cosine top-k as the exact baseline, and an IVF-style
+partitioned variant as the scale path (probe only matching partitions).
+
+Vector math uses built-in higher-order functions (zip_with + aggregate)
+— executed JVM-side per row, no Python. Embeddings are cast to
+array<double> first so results are bit-comparable with the DuckDB
+oracle (both engines then do double-precision math).
+
+Scale design: brute-force is O(|Q| x |N|) — correct usage is a small
+broadcast query set against a large corpus (the corpus side stays
+partitioned; sims and top-k reduce per partition before the final
+shuffle). The IVF variant equi-joins on the partition (cluster) key so
+each query only scans its cluster — this is the 100 TB path; cluster
+assignment at scale comes from a centroid model (here: the fixture's
+label column stands in for the coarse quantizer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparrow_spark.registry import query
+from sparrow_spark.rounding import rnd
+from sparrow_spark.sources import load_table
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, rank per query. Columns: query_id, neighbor_id, rank, cos."""
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    sims = (
+        c.join(F.broadcast(q), q.query_id != c.neighbor_id)
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", rnd("cos", 4).alias("cos"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Registered queries + DuckDB oracles (explicit double-precision cosine
+# written identically in both engines — no builtin list_cosine_similarity,
+# whose internal summation order could differ).
+# --------------------------------------------------------------------------
+_COS_SQL = """
+  list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) /
+  (sqrt(list_sum([x * x for x in a.v])) * sqrt(list_sum([x * x for x in b.v])))
+"""
+
+
+@query(
+    "q_similarity_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sims AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COS_SQL} AS cos
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20
+    )
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank,
+           round(cos, 4) AS cos
+    FROM sims
+    QUALIFY rank <= 5
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    return brute_force_topk(vecs.filter(F.col("vec_id") < 20), vecs, k=5)
+
+
+@query(
+    "q_similarity_ivf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    sims AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.label,
+             {_COS_SQL} AS cos
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20
+    )
+    SELECT query_id, label, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank,
+           round(cos, 4) AS cos
+    FROM sims
+    QUALIFY rank <= 3
+    """,
+)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-style: probe only the query's cluster (label = coarse centroid
+    # id). The join is an equi-join on the cluster key -> each cluster
+    # is one co-located partition of work; no all-pairs scan.
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "label"
+    )
+    c = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+                    F.col("label").alias("clabel"))
+    sims = (
+        c.join(F.broadcast(q), (q.label == c.clabel) & (q.query_id != c.neighbor_id))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "label", "neighbor_id", "rank", rnd("cos", 4).alias("cos"))
+    )
+
+
+@query(
+    "q_embedding_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round({_COS_SQL}, 3) AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.3
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-cosine near-duplicate pairs, blocked by cluster label
+    # (at scale: LSH/IVF bucket) so the pairwise pass stays bounded.
+    vecs = _vecs(spark, sf_dir)
+    a = vecs.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"), "label")
+    b = vecs.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"),
+                    F.col("label").alias("blabel"))
+    cos = cosine(F.col("av"), F.col("bv"))
+    return (
+        a.join(b, (a.label == b.blabel) & (a.a_id < b.b_id))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= 0.3)
+        .select("a_id", "b_id", rnd("__cos", 3).alias("cos"))
+    )

@@ -1,0 +1,138 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. Beyond-reference extensions (the reference has no text
+surface), built entirely from JVM-side built-ins (split/filter/
+aggregate/md5) — no Python UDFs, so whole-stage codegen applies and the
+operators scale linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparrow_spark.registry import query
+from sparrow_spark.rounding import rnd
+from sparrow_spark.sources import load_table
+
+# Tiny stopword sets for the n-gram/stopword language heuristic. On real
+# corpora these would be per-language top-k lists; the fixture corpus
+# uses a synthetic vocabulary so the heuristic keys on the few function
+# words present.
+STOP_EN = ["the", "a", "of", "to", "and"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of lowercased text (JVM-side)."""
+    return F.split(F.lower(col), " ")
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic 128-bit document fingerprint (md5 of normal form)."""
+    return F.md5(normalize_text(col))
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach token/char/quality statistics columns."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("bigint")
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_chars_calc", F.length(text_col).cast("bigint"))
+        .withColumn("n_unique_tokens", F.size(F.array_distinct(toks)).cast("bigint"))
+        .withColumn(
+            "avg_token_len",
+            rnd(
+                F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))) / n_tok, 4
+            ),
+        )
+        .withColumn(
+            "ttr", rnd(F.size(F.array_distinct(toks)) / n_tok.cast("double"), 4)
+        )
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+               AS n_unique_tokens,
+           round(length(replace(text, ' ', '')) /
+                 len(string_split(lower(text), ' ')), 4) AS avg_token_len,
+           round(len(list_distinct(string_split(lower(text), ' '))) /
+                 CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 4) AS ttr
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return add_text_stats(docs).select(
+        "doc_id", "n_tokens", "n_chars_calc", "n_unique_tokens", "avg_token_len", "ttr"
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split(lower(text), ' ') AS toks,
+             CAST(length(text) AS BIGINT) AS n_chars_calc
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars_calc,
+           round(len(list_filter(toks,
+                     x -> list_contains(['the','a','of','to','and'], x))) /
+                 CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
+           CASE WHEN len(list_filter(toks,
+                        x -> list_contains(['the','a','of','to','and'], x))) /
+                     CAST(len(toks) AS DOUBLE) >= 0.05
+                THEN 'en_like' ELSE 'other' END AS lang_pred,
+           round(least(1.0, len(toks) / 100.0) * 0.5 +
+                 CASE WHEN n_chars_calc BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END,
+                 4) AS quality_score
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality score = length-band bonus + capped token-count score;
+    # language-ID = stopword-ratio threshold (n-gram heuristic family).
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_lit = F.array(*[F.lit(s) for s in STOP_EN])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_lit, x)))
+    ratio = n_stop / F.size(toks).cast("double")
+    n_chars_calc = F.length("text").cast("bigint")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_chars_calc.alias("n_chars_calc"),
+        rnd(ratio, 4).alias("stopword_ratio"),
+        F.when(ratio >= 0.05, "en_like").otherwise("other").alias("lang_pred"),
+        rnd(
+            F.least(F.lit(1.0), F.size(toks) / F.lit(100.0)) * 0.5
+            + F.when(n_chars_calc.between(100, 5000), 0.5).otherwise(0.0),
+            4,
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))

@@ -1,0 +1,629 @@
+"""Core relational operators (SURVEY.md §2.2): scan/filter/project,
+hash aggregation, all join kinds, DISTINCT, set ops, HAVING, grouping
+sets, LIMIT/ORDER BY — declared with the DataFrame API so Catalyst
+applies pushdown/pruning/join-selection (the reference delegates the
+same work to DataFusion: reference src/execute_impl/select.rs:41-97).
+
+Scale notes per query are inline: small dimensions are broadcast, fact
+tables shuffle on join/group keys only once, and every double aggregate
+is rounded so results are exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparrow_spark.registry import query
+from sparrow_spark.rounding import rnd
+from sparrow_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Q1: pricing summary — scan + filter + hash-agg + sort (TPC-H Q1 shape).
+# Flagship query: same spine as the reference's S1 SELECT path
+# (reference src/execute_impl/select.rs:41-97 via DataFusion hash agg).
+# Scale: single shuffle on 2 low-cardinality keys; partial aggregation
+# (map-side combine) is automatic; filter pushed to parquet scan.
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(F.sum(disc_price), 2).alias("sum_disc_price"),
+            rnd(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+            rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            rnd(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3: shipping priority — 3-way join + agg + top-k.
+# Scale: customer filter applied before join (pushdown); top-k via
+# orderBy+limit compiles to TakeOrderedAndProject (no full sort).
+# --------------------------------------------------------------------------
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5: local supplier volume — 6-way join with dimension broadcast chain.
+# Scale: region/nation/supplier/customer are dimensions → broadcast;
+# only lineitem⋈orders shuffles (on orderkey).
+# --------------------------------------------------------------------------
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6: forecast revenue — pure filter + global agg (no group keys).
+# Scale: filters push to parquet row-group stats; single-row result.
+# --------------------------------------------------------------------------
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10: returned items — join + agg + top-k by revenue.
+# --------------------------------------------------------------------------
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(max(c_acctbal), 2) AS acctbal
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            rnd(F.max("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Join kinds (reference supports INNER/LEFT/RIGHT/FULL OUTER via
+# DataFusion HashJoinExec — reference src/core/execution.rs:186-265;
+# semi/anti are a Spark free-superset used for unique-key checks).
+# --------------------------------------------------------------------------
+@query(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "q_join_right_outer",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, c_name
+    FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+    WHERE c_acctbal < -500
+    """,
+)
+def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < -500)
+    orders = _t(spark, sf_dir, "orders")
+    return orders.join(cust, cust.c_custkey == orders.o_custkey, "right").select(
+        "o_orderkey", "o_orderstatus", "c_name"
+    )
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust.join(supp, cust.nk == supp.nk, "full").select(
+        F.coalesce(cust.nk, supp.nk).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT s_nationkey, count(*) AS n_pairs
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    GROUP BY s_nationkey
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equi-key plus inequality residual: Catalyst plans a hash join on
+    # the equi part with the theta predicate as a post-join filter.
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        F.broadcast(supp)
+        .join(
+            cust,
+            (supp.s_nationkey == cust.c_nationkey) & (supp.s_acctbal > cust.c_acctbal),
+        )
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "q_join_using_natural",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    """,
+)
+def q_join_using_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference normalizes USING(cols) joins (src/core/execution.rs:404-420);
+    # Spark's join(on=[col]) is the same coalesced-key semantics.
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+# --------------------------------------------------------------------------
+# Aggregation matrix (DataFusion 6 built-ins → Spark equivalents,
+# SURVEY §2.2): stats aggs, count distinct, distinct, having, percentile.
+# --------------------------------------------------------------------------
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(stddev_samp(l_quantity), 4) AS std_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           round(avg(l_extendedprice), 4) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        rnd(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        rnd(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        rnd(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        rnd(F.min("l_extendedprice"), 2).alias("min_price"),
+        rnd(F.max("l_extendedprice"), 2).alias("max_price"),
+        rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "q_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q_select_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q_select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "q_having",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+    FROM part GROUP BY p_brand
+    HAVING count(*) > 5
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            rnd(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .filter(F.col("n_parts") > 5)
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GROUPING SETS are a free Spark superset over the reference (absent
+    # in DataFusion 6 — SURVEY §2.2).
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_cust"))
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact interpolated percentile (matches DuckDB quantile_cont);
+    # percentile_approx stays available as the at-scale variant.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        rnd(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (UNION [ALL] / INTERSECT / EXCEPT — SURVEY §2.2).
+# --------------------------------------------------------------------------
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT c_name AS name, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_name AS name, 'supplier' AS src FROM supplier
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("src")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("src")
+    )
+    return cust.unionByName(supp)
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.distinct().subtract(supp.distinct())
+
+
+# --------------------------------------------------------------------------
+# ORDER BY multi-key with nulls placement + LIMIT/OFFSET.
+# --------------------------------------------------------------------------
+@query(
+    "q_orderby_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 50 OFFSET 25
+    """,
+)
+def q_orderby_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(
+            F.col("o_orderpriority").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .offset(25)
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Range (non-equi interval) join — reference lacks it; implemented as a
+# broadcast nested-loop with a band predicate. Scale path: bin both
+# sides to overlapping buckets of width = band and equi-join on bucket.
+# --------------------------------------------------------------------------
+@query(
+    "q_range_join",
+    oracle="""
+    SELECT s_suppkey, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+    FROM supplier JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+    GROUP BY s_suppkey
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(
+            F.broadcast(supp),
+            (cust.c_acctbal >= supp.s_acctbal - 100) & (cust.c_acctbal <= supp.s_acctbal + 100),
+        )
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            rnd(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )

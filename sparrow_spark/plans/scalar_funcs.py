@@ -1,0 +1,222 @@
+"""Scalar function library (SURVEY §2.2 "Scalar function library"):
+the reference exposes DataFusion 6's math/string/regexp/date/hash
+functions wholesale through SELECT (reference src/core/execution.rs:528-543
+routes function calls; the library itself is DataFusion's). Spark's
+pyspark.sql.functions is a superset; these queries pin down cross-engine
+semantics (vs the DuckDB oracle) for the shared surface.
+
+All expressions are JVM-side built-ins — whole-stage codegen, no Python
+in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparrow_spark.registry import query
+from sparrow_spark.rounding import rnd
+from sparrow_spark.sources import load_table
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           concat(p_brand, '-', p_type) AS brand_type,
+           lower(p_name) AS lname,
+           upper(p_brand) AS ubrand,
+           substr(p_name, 1, 10) AS name10,
+           replace(p_name, 'a', '@') AS name_at,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           rpad(p_brand, 12, '.') AS brand_pad,
+           reverse(p_brand) AS brand_rev,
+           split_part(p_type, ' ', 1) AS type_head,
+           CAST(ascii(p_brand) AS INTEGER) AS brand_ascii,
+           translate(p_type, 'ae', '49') AS type_leet,
+           CAST(strpos(p_name, 'a') AS INTEGER) AS first_a,
+           left(p_name, 3) AS name_l3,
+           right(p_name, 3) AS name_r3,
+           trim(concat('  ', p_brand, '  ')) AS trimmed,
+           repeat(substr(p_brand, 1, 1), 3) AS rep3
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.replace(F.col("p_name"), F.lit("a"), F.lit("@")).alias("name_at"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.rpad(F.col("p_brand"), 12, ".").alias("brand_pad"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.ascii("p_brand").cast("int").alias("brand_ascii"),
+        F.translate(F.col("p_type"), "ae", "49").alias("type_leet"),
+        F.instr(F.col("p_name"), "a").cast("int").alias("first_a"),
+        F.expr("left(p_name, 3)").alias("name_l3"),
+        F.expr("right(p_name, 3)").alias("name_r3"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("trimmed"),
+        F.repeat(F.substring("p_brand", 1, 1), 3).alias("rep3"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6) AS abs_disc,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+           CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+           round(sqrt(l_extendedprice), 6) AS sqrt_price,
+           round(exp(l_discount), 6) AS exp_disc,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           round(log10(l_extendedprice), 6) AS log10_price,
+           round(power(l_quantity, 2), 2) AS qty_sq,
+           CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
+           l_orderkey % 7 AS key_mod7,
+           round(greatest(l_tax, l_discount), 2) AS max_rate,
+           round(least(l_tax, l_discount), 2) AS min_rate
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_disc"),
+        F.ceil("l_extendedprice").cast("bigint").alias("ceil_price"),
+        F.floor("l_extendedprice").cast("bigint").alias("floor_price"),
+        rnd(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        rnd(F.exp("l_discount"), 6).alias("exp_disc"),
+        rnd(F.log("l_extendedprice"), 6).alias("ln_price"),
+        rnd(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        rnd(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        rnd(F.greatest("l_tax", "l_discount"), 2).alias("max_rate"),
+        rnd(F.least("l_tax", "l_discount"), 2).alias("min_rate"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+           CAST(extract(month FROM o_orderdate) AS INTEGER) AS mo,
+           CAST(extract(day FROM o_orderdate) AS INTEGER) AS dy,
+           CAST(extract(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+           CAST(extract(doy FROM o_orderdate) AS INTEGER) AS doy,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+               AS days_since_epoch95,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    od = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(od).alias("yr"),
+        F.month(od).alias("mo"),
+        F.dayofmonth(od).alias("dy"),
+        F.quarter(od).alias("qtr"),
+        F.dayofyear(od).alias("doy"),
+        F.date_trunc("month", od).cast("date").alias("month_start"),
+        F.last_day(od.cast("date")).alias("month_end"),
+        F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch95"
+        ),
+        F.date_add(od.cast("date"), 30).alias("plus30"),
+    )
+
+
+@query(
+    "q_case_like_null",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS price_band,
+           CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'other' END AS status_word,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_np,
+           (o_orderpriority LIKE '%URGENT%') AS is_urgent,
+           (o_orderpriority LIKE '_-HIGH') AS is_high,
+           (o_orderstatus IS NULL) AS status_null,
+           (o_totalprice IS NOT NULL) AS price_not_null
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def q_case_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+        .alias("price_band"),
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_word"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_np"
+        ),
+        F.col("o_orderpriority").like("%URGENT%").alias("is_urgent"),
+        F.col("o_orderpriority").like("_-HIGH").alias("is_high"),
+        F.col("o_orderstatus").isNull().alias("status_null"),
+        F.col("o_totalprice").isNotNull().alias("price_not_null"),
+    )
+
+
+@query(
+    "q_hash_funcs",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    return cust.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+    )
+
+
+@query(
+    "q_regexp_funcs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '[aeiou]+', 0) AS first_vowels,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
+           regexp_matches(p_name, '^[a-m]') AS starts_early
+    FROM part WHERE p_partkey % 10 = 0
+    """,
+)
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "[aeiou]+", 0).alias("first_vowels"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("starred"),
+        F.col("p_name").rlike("^[a-m]").alias("starts_early"),
+    )

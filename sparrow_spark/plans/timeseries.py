@@ -1,0 +1,136 @@
+"""Time-series operators over the events stream table: time-bucket
+rollups (hypertable-style), sessionization, and as-of joins. The
+reference has no time-series surface (SURVEY §1.1 "No streams…
+time-series"); these are the beyond-reference extensions done
+Spark-first. The same transformations run under Structured Streaming
+(see sparrow_spark.streaming) — watermark + window for the rollup,
+session_window for sessionize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparrow_spark.operators.asof import asof_join
+from sparrow_spark.registry import query
+from sparrow_spark.rounding import rnd
+from sparrow_spark.sources import load_table
+
+
+@query(
+    "q_time_bucket_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable-style rollup: bucket to the hour, aggregate per type.
+    # Scale: shuffle on (bucket, type) — time-ordered data gives natural
+    # partition pruning when the source is date-partitioned.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "bucket", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        )
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+            rnd(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessions
+    GROUP BY user_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 30-minute-gap sessionization: lag -> boundary flag -> running sum
+    # as session id -> per-user rollup. Batch twin of
+    # F.session_window(ts, '30 minutes') in the streaming path.
+    # Scale: single shuffle on user_id reused by both windows and the
+    # final aggregate (same partitioning expression).
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_sec = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_sec.isNull() | (gap_sec > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        rnd(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT e.event_id, m.o_orderkey AS last_orderkey,
+           round(m.o_totalprice, 2) AS last_totalprice
+    FROM events e
+    LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) m ON m.event_id = e.event_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # For each event: the customer's most recent order at event time.
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        rnd("o_totalprice", 2).alias("last_totalprice"),
+    )

@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+The reference runs a single-process tokio server with one global context
+(reference: src/main.rs:88-99, src/core/global_context.rs:12-18); the
+Spark-native equivalent of "the engine process" is one shared
+SparkSession configured for analytics:
+
+- AQE on (runtime re-planning, skew-join handling, partition coalescing)
+- UTC session timezone (stable timestamp semantics across engines)
+- Arrow-accelerated Python interchange (pandas UDF / toPandas fast path)
+
+Scale notes: `spark.sql.shuffle.partitions` defaults to a small number
+for local test scale factors; on a real cluster AQE coalescing makes the
+initial value mostly a ceiling — set it to ~2-3x total cores there.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "sparrow-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) the engine's SparkSession."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_for_session(spark: SparkSession) -> SparkSession:
+    """Apply engine conf to an externally-provided SparkSession.
+
+    The driver may hand us a session it built itself; only runtime-settable
+    confs are applied here (timezone matters for timestamp correctness).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+    return spark
