@@ -1,0 +1,888 @@
+"""The engine: MySQL-flavored session + catalog + DML semantics over
+Spark SQL.
+
+This is the Spark-native reimplementation of the reference's own code
+(everything it does NOT delegate to its query engine): the statement
+dispatcher (reference src/core/execution.rs:894-1280), DDL against a
+self-hosted catalog (src/execute_impl/create_table.rs, drop_table.rs,
+add_column.rs, drop_column.rs), INSERT with unique-key enforcement
+(src/execute_impl/insert.rs:195-221), UPDATE/DELETE as query-then-
+mutate (src/execute_impl/update.rs, delete.rs, via the rewrites in
+src/core/core_util.rs:502-581), SHOW statements
+(src/execute_impl/show_*.rs), session variables (src/variable/*), and
+prepared statements (src/execute_impl/com_stmt_prepare.rs).
+
+Design decisions vs the reference:
+- Name resolution is delegated to Spark's session catalog (databases +
+  external parquet tables) instead of a hand-rolled `fix_statement`
+  qualifier — Spark's analyzer already resolves case-insensitively.
+- Storage is columnar parquet per table (vectorized scans, partition
+  parallelism) instead of cell-per-key KV (O(rows x cols) point gets,
+  single partition — BASELINE.md).
+- UPDATE/DELETE are copy-on-write rewrites (filter/union/overwrite +
+  atomic-ish directory swap): the same "SELECT rowid then mutate" shape
+  as the reference (SURVEY §3.3), done set-at-a-time. Non-transactional,
+  like the reference (COMMIT is a no-op there:
+  src/core/execution.rs:1265-1267).
+- Every table carries a hidden `rowid` column (uuid at insert,
+  reference src/physical_plan/insert.rs:33) stored in parquet but
+  excluded from the logical schema.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparrow_spark.catalog import (
+    MYSQL_TO_SPARK,
+    ROWID,
+    ColumnDef,
+    EngineCatalog,
+    TableDef,
+    check_ident,
+)
+from sparrow_spark.dialect import (
+    first_words,
+    like_to_regex,
+    split_top_level,
+    strip_comments,
+    strip_dual,
+    substitute_variables,
+)
+
+
+class SparrowError(Exception):
+    """Engine error with a MySQL-compatible code (the reference maps
+    unsupported statements to 1105 and duplicate keys to 1062)."""
+
+    def __init__(self, code: int, message: str):
+        super().__init__(message)
+        self.code = code
+
+
+@dataclass
+class Result:
+    kind: str  # 'resultset' | 'ok'
+    df: DataFrame | None = None
+    affected_rows: int = 0
+
+    def rows(self):
+        return self.df.collect() if self.df is not None else []
+
+
+DEFAULT_SYSTEM_VARS = {
+    # Shape mirrors the reference's performance_schema.global_variables
+    # bootstrap (src/meta/initial.rs); values are this engine's own.
+    "version": "8.0.26-sparrow-spark-0.1",
+    "version_comment": "sparrow_spark PySpark engine",
+    "autocommit": "ON",
+    "auto_increment_increment": "1",
+    "character_set_client": "utf8mb4",
+    "character_set_connection": "utf8mb4",
+    "character_set_results": "utf8mb4",
+    "collation_connection": "utf8mb4_general_ci",
+    "max_allowed_packet": "67108864",
+    "sql_mode": "ANSI",
+    "transaction_isolation": "READ-COMMITTED",
+    "lower_case_table_names": "1",
+    "wait_timeout": "28800",
+}
+
+_INFO_SCHEMA_RE = re.compile(r"\binformation_schema\.([A-Za-z_]+)", re.I)
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.catalog = EngineCatalog(warehouse_dir)
+        self.system_vars = dict(DEFAULT_SYSTEM_VARS)
+        self.user_vars: dict[str, str] = {}
+        self._stmt_cache: dict[int, str] = {}
+        self._next_stmt_id = 1
+        # database() UDF, mirroring the reference's only custom UDF
+        # (src/core/execution.rs:135-156). The closure is pickled to the
+        # workers at registration time, so it must capture a plain value
+        # (not the engine — it holds the SparkContext) and be
+        # re-registered whenever USE changes the current schema.
+        self._session_state = {"db": None}
+        self._register_database_udf()
+        # `dual` as a real 1-row relation (reference: 1-row MemTable,
+        # src/datafusion_impl/catalog/information_schema.rs:117-133).
+        spark.sql("SELECT 1 AS dummy").createOrReplaceTempView("dual")
+        # Re-register any tables persisted by a previous engine instance.
+        for schema in self.catalog.schemas():
+            self._spark_create_db(schema)
+            for table in self.catalog.tables(schema):
+                self._register_spark_table(self.catalog.load(schema, table))
+
+    @property
+    def current_schema(self) -> str | None:
+        return self._session_state["db"]
+
+    @current_schema.setter
+    def current_schema(self, value: str | None) -> None:
+        self._session_state["db"] = value
+        self._register_database_udf()
+
+    def _register_database_udf(self) -> None:
+        db_val = self._session_state["db"]
+        self.spark.udf.register("database", lambda: db_val)
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def sql(self, text: str) -> Result:
+        """Execute one statement (the COM_QUERY path, SURVEY §3.1)."""
+        stmt = strip_comments(text)
+        if not stmt:
+            return Result("ok")
+        words = first_words(stmt)
+        head = words[0] if words else ""
+        two = " ".join(words[:2])
+
+        if head in ("SELECT", "WITH", "VALUES", "TABLE"):
+            return self._query(stmt)
+        if head == "EXPLAIN":
+            return self._explain(stmt)
+        if head == "SHOW":
+            return self._show(stmt)
+        if head == "USE":
+            return self._use(stmt)
+        if head == "SET":
+            return self._set(stmt)
+        if two in ("CREATE DATABASE", "CREATE SCHEMA"):
+            return self._create_schema(stmt)
+        if two in ("DROP DATABASE", "DROP SCHEMA"):
+            return self._drop_schema(stmt)
+        if two == "CREATE TABLE":
+            return self._create_table(stmt)
+        if two == "DROP TABLE":
+            return self._drop_table(stmt)
+        if two == "ALTER TABLE":
+            return self._alter_table(stmt)
+        if head == "INSERT":
+            return self._insert(stmt)
+        if head == "UPDATE":
+            return self._update(stmt)
+        if head == "DELETE":
+            return self._delete(stmt)
+        if head in ("COMMIT", "ROLLBACK", "BEGIN") or two == "START TRANSACTION":
+            return Result("ok")  # no transactions, like the reference
+        raise SparrowError(1105, f"Unknown error: unsupported statement: {stmt[:80]}")
+
+    # -- prepared statements (S23) --------------------------------------
+    def prepare(self, sql: str) -> tuple[int, int]:
+        """Cache a statement with ? placeholders; returns (stmt_id,
+        n_params) — reference src/execute_impl/com_stmt_prepare.rs:42-95."""
+        n_params = 0
+        depth_quote = None
+        for ch in sql:
+            if depth_quote:
+                if ch == depth_quote:
+                    depth_quote = None
+            elif ch in ("'", '"'):
+                depth_quote = ch
+            elif ch == "?":
+                n_params += 1
+        stmt_id = self._next_stmt_id
+        self._next_stmt_id += 1
+        self._stmt_cache[stmt_id] = sql
+        return stmt_id, n_params
+
+    def execute_prepared(self, stmt_id: int, params: list) -> Result:
+        """Bind positional params and run (reference substitutes values
+        into the cached AST: src/core/core_util.rs:32-101)."""
+        if stmt_id not in self._stmt_cache:
+            raise SparrowError(1243, f"Unknown prepared statement handler ({stmt_id})")
+        sql = self._stmt_cache[stmt_id]
+        out: list[str] = []
+        it = iter(params)
+        quote = None
+        for ch in sql:
+            if quote:
+                if ch == quote:
+                    quote = None
+                out.append(ch)
+            elif ch in ("'", '"'):
+                quote = ch
+                out.append(ch)
+            elif ch == "?":
+                out.append(self._render_literal(next(it)))
+            else:
+                out.append(ch)
+        return self.sql("".join(out))
+
+    def close_prepared(self, stmt_id: int) -> None:
+        self._stmt_cache.pop(stmt_id, None)
+
+    @staticmethod
+    def _render_literal(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    # ------------------------------------------------------------------
+    # queries
+    # ------------------------------------------------------------------
+    def _query(self, stmt: str) -> Result:
+        sql = substitute_variables(stmt, self.system_vars, self.user_vars)
+        sql = strip_dual(sql)
+        sql = self._rewrite_information_schema(sql)
+        try:
+            return Result("resultset", self.spark.sql(sql))
+        except Exception as e:  # noqa: BLE001 — analyzer errors → MySQL-ish codes
+            msg = str(e)
+            code = 1146 if "TABLE_OR_VIEW_NOT_FOUND" in msg else 1105
+            raise SparrowError(code, msg) from e
+
+    def _explain(self, stmt: str) -> Result:
+        # EXPLAIN [ANALYZE|VERBOSE] <query> rendered as a result set
+        # (reference src/execute_impl/explain.rs:41-101).
+        m = re.match(r"EXPLAIN\s+(ANALYZE\s+|VERBOSE\s+)?(.*)", stmt, re.I | re.S)
+        mode = (m.group(1) or "").strip().upper()
+        inner = m.group(2)
+        spark_mode = {"ANALYZE": "FORMATTED", "VERBOSE": "EXTENDED", "": ""}[mode]
+        inner = substitute_variables(inner, self.system_vars, self.user_vars)
+        inner = self._rewrite_information_schema(strip_dual(inner))
+        return Result("resultset", self.spark.sql(f"EXPLAIN {spark_mode} {inner}"))
+
+    # ------------------------------------------------------------------
+    # session / schema statements
+    # ------------------------------------------------------------------
+    def _use(self, stmt: str) -> Result:
+        db = check_ident(stmt.split(None, 1)[1])
+        if not self.catalog.has_schema(db):
+            raise SparrowError(1049, f"Unknown database '{db}'")
+        self.current_schema = db
+        self.spark.catalog.setCurrentDatabase(db)
+        return Result("ok")
+
+    def _create_schema(self, stmt: str) -> Result:
+        m = re.match(
+            r"CREATE\s+(?:DATABASE|SCHEMA)\s+(IF\s+NOT\s+EXISTS\s+)?(\S+)", stmt, re.I
+        )
+        if not m:
+            raise SparrowError(1064, f"syntax error: {stmt}")
+        db = check_ident(m.group(2))
+        if self.catalog.has_schema(db):
+            if m.group(1):
+                return Result("ok")
+            raise SparrowError(1007, f"Can't create database '{db}'; database exists")
+        self.catalog.create_schema(db)
+        self._spark_create_db(db)
+        return Result("ok", affected_rows=1)
+
+    def _drop_schema(self, stmt: str) -> Result:
+        m = re.match(r"DROP\s+(?:DATABASE|SCHEMA)\s+(IF\s+EXISTS\s+)?(\S+)", stmt, re.I)
+        if not m:
+            raise SparrowError(1064, f"syntax error: {stmt}")
+        db = check_ident(m.group(2))
+        if not self.catalog.has_schema(db):
+            if m.group(1):
+                return Result("ok")
+            raise SparrowError(1008, f"Can't drop database '{db}'; database doesn't exist")
+        for t in self.catalog.tables(db):
+            self.spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{t}`")
+        self.catalog.drop_schema(db)
+        if self.current_schema == db:
+            self.current_schema = None
+            self.spark.catalog.setCurrentDatabase("default")
+        self.spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
+        return Result("ok")
+
+    # ------------------------------------------------------------------
+    # DDL
+    # ------------------------------------------------------------------
+    def _resolve_table_name(self, raw: str) -> tuple[str, str]:
+        parts = [p.strip().strip("`") for p in raw.strip().split(".")]
+        if len(parts) == 2:
+            return check_ident(parts[0]), check_ident(parts[1])
+        if self.current_schema is None:
+            raise SparrowError(1046, "No database selected")
+        return self.current_schema, check_ident(parts[0])
+
+    def _create_table(self, stmt: str) -> Result:
+        m = re.match(
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_`.][\w`.]*)\s*\((.*)\)\s*(.*)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise SparrowError(1064, f"syntax error in CREATE TABLE: {stmt[:80]}")
+        if_not_exists, name_raw, body, tail = m.groups()
+        schema, table = self._resolve_table_name(name_raw)
+        if not self.catalog.has_schema(schema):
+            raise SparrowError(1049, f"Unknown database '{schema}'")
+        if self.catalog.has_table(schema, table):
+            if if_not_exists:
+                return Result("ok")
+            raise SparrowError(1050, f"Table '{table}' already exists")
+
+        tdef = TableDef(schema=schema, name=table)
+        engine_m = re.search(r"ENGINE\s*=\s*(\w+)", tail or "", re.I)
+        if engine_m:
+            tdef.engine = engine_m.group(1).lower()
+
+        for item in split_top_level(body):
+            up = item.upper()
+            if up.startswith("PRIMARY KEY"):
+                cols = re.search(r"\((.*)\)", item, re.S).group(1)
+                tdef.primary_key = [check_ident(c) for c in split_top_level(cols)]
+            elif up.startswith("UNIQUE"):
+                cols = re.search(r"\((.*)\)", item, re.S).group(1)
+                tdef.uniques.append([check_ident(c) for c in split_top_level(cols)])
+            elif up.startswith(("KEY ", "INDEX ", "CONSTRAINT ")):
+                # secondary indexes beyond uniqueness are not a thing in
+                # the reference either (SURVEY §1.1) — accept and ignore
+                continue
+            else:
+                tdef.columns.append(self._parse_column_def(item, tdef))
+        if not tdef.columns:
+            raise SparrowError(1113, "A table must have at least 1 column")
+        for col in tdef.primary_key:
+            cdef = tdef.column(col)
+            if cdef is None:
+                raise SparrowError(1072, f"Key column '{col}' doesn't exist in table")
+            cdef.nullable = False
+        self.catalog.save(tdef)
+        self._register_spark_table(tdef)
+        return Result("ok")
+
+    def _parse_column_def(self, item: str, tdef: TableDef) -> ColumnDef:
+        m = re.match(r"[`\"]?(\w+)[`\"]?\s+([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)(.*)$",
+                     item.strip(), re.S)
+        if not m:
+            raise SparrowError(1064, f"cannot parse column definition: {item!r}")
+        name, sql_type, rest = m.groups()
+        name = check_ident(name)
+        base = sql_type.split("(")[0].strip().lower()
+        if base in MYSQL_TO_SPARK:
+            spark_type = MYSQL_TO_SPARK[base]
+        elif base in ("decimal", "numeric"):
+            spark_type = "decimal" + (
+                "(" + sql_type.split("(", 1)[1] if "(" in sql_type else "(10,0)"
+            )
+        else:
+            # Reference errors on unknown types (src/meta/meta_util.rs:553-561)
+            raise SparrowError(1064, f"unsupported column type: {sql_type}")
+        nullable = not re.search(r"NOT\s+NULL", rest, re.I)
+        if re.search(r"PRIMARY\s+KEY", rest, re.I):
+            tdef.primary_key = [name]
+            nullable = False
+        cdef = ColumnDef(
+            name=name,
+            spark_type=spark_type,
+            sql_type=sql_type.strip().upper(),
+            nullable=nullable,
+            store_id=tdef.next_store_id,
+            ordinal_position=len(tdef.columns) + 1,
+        )
+        tdef.next_store_id += 1
+        return cdef
+
+    def _drop_table(self, stmt: str) -> Result:
+        m = re.match(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(.+)$", stmt, re.I)
+        if_exists, names = m.groups()
+        # Validate every name before dropping any, so a typo in a
+        # multi-table DROP doesn't leave partial effects.
+        resolved = []
+        for raw in split_top_level(names):
+            schema, table = self._resolve_table_name(raw)
+            if not self.catalog.has_table(schema, table):
+                if if_exists:
+                    continue
+                raise SparrowError(1051, f"Unknown table '{schema}.{table}'")
+            resolved.append((schema, table))
+        for schema, table in resolved:
+            self.catalog.drop_table(schema, table)
+            self.spark.sql(f"DROP TABLE IF EXISTS `{schema}`.`{table}`")
+        return Result("ok")
+
+    def _alter_table(self, stmt: str) -> Result:
+        m = re.match(
+            r"ALTER\s+TABLE\s+(\S+)\s+(ADD|DROP)\s+(?:COLUMN\s+)?(.*)$", stmt, re.I | re.S
+        )
+        if not m:
+            raise SparrowError(1064, f"syntax error in ALTER TABLE: {stmt[:80]}")
+        name_raw, action, rest = m.groups()
+        schema, table = self._resolve_table_name(name_raw)
+        tdef = self.catalog.load(schema, table)
+        if action.upper() == "ADD":
+            cdef = self._parse_column_def(rest, tdef)
+            if tdef.column(cdef.name):
+                raise SparrowError(1060, f"Duplicate column name '{cdef.name}'")
+            tdef.columns.append(cdef)
+            self.catalog.save(tdef)
+            # parquet schema evolution: old files simply lack the column
+            self.spark.sql(
+                f"ALTER TABLE `{schema}`.`{table}` ADD COLUMNS (`{cdef.name}` {cdef.spark_type})"
+            )
+            return Result("ok")
+        # DROP COLUMN: rewrite data without the column (the reference
+        # rewrites catalog ordinals instead — src/execute_impl/drop_column.rs)
+        col = check_ident(rest)
+        if not tdef.column(col):
+            raise SparrowError(1091, f"Can't DROP '{col}'; check that column exists")
+        data = self._read_physical(schema, table, tdef)
+        remaining = [c for c in tdef.columns if c.name != col]
+        new_data = data.select(ROWID, *[F.col(c.name) for c in remaining])
+        self._overwrite_data(schema, table, new_data)
+        tdef.columns = remaining
+        for i, c in enumerate(tdef.columns):
+            c.ordinal_position = i + 1
+        tdef.primary_key = [c for c in tdef.primary_key if c != col]
+        tdef.uniques = [u for u in (
+            [c for c in u if c != col] for u in tdef.uniques
+        ) if u]
+        self.catalog.save(tdef)
+        self._recreate_spark_table(tdef)
+        return Result("ok")
+
+    # ------------------------------------------------------------------
+    # DML
+    # ------------------------------------------------------------------
+    def _insert(self, stmt: str) -> Result:
+        m = re.match(
+            r"INSERT\s+INTO\s+([\w`.]+)\s*(\(([^)]*)\))?\s*VALUES\s*(.+)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise SparrowError(1064, f"syntax error in INSERT: {stmt[:80]}")
+        name_raw, _, collist, values_part = m.groups()
+        schema, table = self._resolve_table_name(name_raw)
+        tdef = self.catalog.load(schema, table)
+        target_cols = (
+            [check_ident(c) for c in split_top_level(collist)]
+            if collist
+            else [c.name for c in tdef.columns]
+        )
+        for c in target_cols:
+            if not tdef.column(c):
+                raise SparrowError(1054, f"Unknown column '{c}' in 'field list'")
+
+        tuples = split_top_level(values_part)
+        n_rows = len(tuples)
+        # Evaluate VALUES expressions with the full Spark expression
+        # library (the reference evaluates each against an empty batch:
+        # src/execute_impl/insert.rs:118-168 — same idea, set-at-a-time).
+        values_sql = ",".join(tuples)
+        aliases = ",".join(f"c{i}" for i in range(len(target_cols)))
+        try:
+            raw = self.spark.sql(f"SELECT * FROM (VALUES {values_sql}) AS v({aliases})")
+        except Exception as e:  # noqa: BLE001
+            raise SparrowError(1064, f"bad VALUES clause: {e}") from e
+        exprs = []
+        for i, cname in enumerate(target_cols):
+            cdef = tdef.column(cname)
+            exprs.append(F.col(f"c{i}").cast(cdef.spark_type).alias(cname))
+        new_rows = raw.select(*exprs)
+        # columns not in the target list are NULL
+        for c in tdef.columns:
+            if c.name not in target_cols:
+                if not c.nullable:
+                    raise SparrowError(
+                        1364, f"Field '{c.name}' doesn't have a default value"
+                    )
+                new_rows = new_rows.withColumn(c.name, F.lit(None).cast(c.spark_type))
+        new_rows = new_rows.select(*[c.name for c in tdef.columns])
+
+        self._check_unique(tdef, new_rows)
+
+        # assign rowids (reference: uuid per row, src/physical_plan/insert.rs:33)
+        with_rowid = new_rows.select(F.expr("uuid()").alias(ROWID), "*")
+        with_rowid.write.mode("append").parquet(self.catalog.data_path(schema, table))
+        self.spark.sql(f"REFRESH TABLE `{schema}`.`{table}`")
+        return Result("ok", affected_rows=n_rows)
+
+    def _check_unique(self, tdef: TableDef, new_rows: DataFrame) -> None:
+        """Duplicate-key probe before insert — the reference probes its
+        index keys per row (src/execute_impl/insert.rs:195-221); the
+        set-based equivalent is an intra-batch group count plus a
+        semi-join against the stored table."""
+        key_sets = tdef.key_sets()
+        if not key_sets:
+            return
+        existing = self._read_physical(tdef.schema, tdef.name, tdef)
+        for index_name, cols in key_sets:
+            batch_dup = (
+                new_rows.groupBy(*cols).count().filter(F.col("count") > 1).limit(1).collect()
+            )
+            if batch_dup:
+                key = "-".join(str(batch_dup[0][c]) for c in cols)
+                raise SparrowError(
+                    1062, f"Duplicate entry '{key}' for key '{index_name}'"
+                )
+            clash = (
+                new_rows.join(existing.select(*cols), on=cols, how="left_semi")
+                .limit(1)
+                .collect()
+            )
+            if clash:
+                key = "-".join(str(clash[0][c]) for c in cols)
+                raise SparrowError(
+                    1062, f"Duplicate entry '{key}' for key '{index_name}'"
+                )
+
+    def _update(self, stmt: str) -> Result:
+        m = re.match(
+            r"UPDATE\s+([\w`.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", stmt, re.I | re.S
+        )
+        if not m:
+            raise SparrowError(1064, f"syntax error in UPDATE: {stmt[:80]}")
+        name_raw, set_part, where = m.groups()
+        schema, table = self._resolve_table_name(name_raw)
+        tdef = self.catalog.load(schema, table)
+        assignments: list[tuple[str, str]] = []
+        for a in split_top_level(set_part):
+            col, expr = a.split("=", 1)
+            col = check_ident(col)
+            if not tdef.column(col):
+                raise SparrowError(1054, f"Unknown column '{col}' in 'field list'")
+            assignments.append((col, expr.strip()))
+
+        data = self._read_physical(schema, table, tdef)
+        pred = F.expr(substitute_variables(where, self.system_vars, self.user_vars)) if where else F.lit(True)
+        affected = data.filter(pred).count()
+        # Copy-on-write: apply assignments only where pred holds — the
+        # set-based twin of the reference's per-rowid put_key loop
+        # (src/execute_impl/update.rs:104-288).
+        updated = data
+        for col, expr in assignments:
+            cdef = tdef.column(col)
+            updated = updated.withColumn(
+                col,
+                F.when(pred, F.expr(expr).cast(cdef.spark_type)).otherwise(F.col(col)),
+            )
+        self._overwrite_data(schema, table, updated)
+        return Result("ok", affected_rows=affected)
+
+    def _delete(self, stmt: str) -> Result:
+        m = re.match(r"DELETE\s+FROM\s+([\w`.]+)(?:\s+WHERE\s+(.*))?$", stmt, re.I | re.S)
+        if not m:
+            raise SparrowError(1064, f"syntax error in DELETE: {stmt[:80]}")
+        name_raw, where = m.groups()
+        schema, table = self._resolve_table_name(name_raw)
+        tdef = self.catalog.load(schema, table)
+        data = self._read_physical(schema, table, tdef)
+        total = data.count()
+        if where:
+            pred = F.expr(substitute_variables(where, self.system_vars, self.user_vars))
+            keep = data.filter(~pred | pred.isNull())
+        else:
+            keep = data.limit(0)
+        kept = keep.count()
+        self._overwrite_data(schema, table, keep)
+        return Result("ok", affected_rows=total - kept)
+
+    # ------------------------------------------------------------------
+    # physical helpers
+    # ------------------------------------------------------------------
+    def _read_physical(self, schema: str, table: str, tdef: TableDef) -> DataFrame:
+        """Table data including the hidden rowid column."""
+        path = self.catalog.data_path(schema, table)
+        fields = [f"`{ROWID}` string"] + [
+            f"`{c.name}` {c.spark_type}" for c in tdef.columns
+        ]
+        reader_schema = ", ".join(fields)
+        try:
+            return self.spark.read.schema(reader_schema).parquet(path)
+        except Exception:
+            return self.spark.createDataFrame([], reader_schema)
+
+    def _overwrite_data(self, schema: str, table: str, new_data: DataFrame) -> None:
+        """Copy-on-write swap: write to a staging dir, then replace the
+        data dir. Matches the reference's non-transactional guarantees
+        (its KV mutations aren't atomic across keys either)."""
+        data_dir = self.catalog.data_path(schema, table)
+        staging = os.path.join(
+            self.catalog.table_path(schema, table), f".staging-{uuid.uuid4().hex}"
+        )
+        new_data.write.mode("overwrite").parquet(staging)
+        old = data_dir + f".old-{uuid.uuid4().hex}"
+        os.rename(data_dir, old)
+        os.rename(staging, data_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        self.spark.sql(f"REFRESH TABLE `{schema}`.`{table}`")
+
+    def _spark_create_db(self, schema: str) -> None:
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{schema}`")
+
+    def _register_spark_table(self, tdef: TableDef) -> None:
+        # Drop any stale registration first: the Spark session catalog
+        # outlives engine instances (e.g. a previous engine with a
+        # different warehouse), and OUR catalog is the source of truth.
+        cols = ", ".join(f"`{c.name}` {c.spark_type}" for c in tdef.columns)
+        path = self.catalog.data_path(tdef.schema, tdef.name)
+        self.spark.sql(f"DROP TABLE IF EXISTS `{tdef.schema}`.`{tdef.name}`")
+        self.spark.sql(
+            f"CREATE TABLE `{tdef.schema}`.`{tdef.name}` ({cols}) "
+            f"USING PARQUET LOCATION '{path}'"
+        )
+
+    def _recreate_spark_table(self, tdef: TableDef) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS `{tdef.schema}`.`{tdef.name}`")
+        self._register_spark_table(tdef)
+
+    # ------------------------------------------------------------------
+    # SHOW family + information_schema (S14-S20)
+    # ------------------------------------------------------------------
+    def _show(self, stmt: str) -> Result:
+        up = stmt.upper()
+        if up.startswith("SHOW DATABASES"):
+            return self._show_databases()
+        if re.match(r"SHOW\s+(FULL\s+)?TABLES", stmt, re.I):
+            return self._show_tables(stmt)
+        if re.match(r"SHOW\s+(FULL\s+)?COLUMNS\s+FROM", stmt, re.I) or up.startswith(
+            "SHOW FIELDS"
+        ):
+            return self._show_columns(stmt)
+        if up.startswith("SHOW CREATE TABLE"):
+            return self._show_create_table(stmt)
+        if up.startswith("SHOW VARIABLES") or re.match(
+            r"SHOW\s+(SESSION|GLOBAL)\s+VARIABLES", stmt, re.I
+        ):
+            return self._show_variables(stmt)
+        if up.startswith("SHOW ENGINES"):
+            return self._const_df(
+                ["Engine", "Support", "Comment", "Transactions", "XA", "Savepoints"],
+                [("PARQUET", "DEFAULT", "Columnar parquet storage via Spark", "NO", "NO", "NO")],
+            )
+        if up.startswith("SHOW CHARSET") or up.startswith("SHOW CHARACTER SET"):
+            return self._const_df(
+                ["Charset", "Description", "Default collation", "Maxlen"],
+                [("utf8mb4", "UTF-8 Unicode", "utf8mb4_general_ci", 4)],
+            )
+        if up.startswith("SHOW COLLATION"):
+            return self._const_df(
+                ["Collation", "Charset", "Id", "Default", "Compiled", "Sortlen"],
+                [("utf8mb4_general_ci", "utf8mb4", 45, "Yes", "Yes", 1)],
+            )
+        if up.startswith("SHOW GRANTS"):
+            return self._const_df(
+                ["Grants"], [("GRANT ALL PRIVILEGES ON *.* TO 'root'@'%'",)]
+            )
+        if up.startswith("SHOW PRIVILEGES"):
+            return self._const_df(
+                ["Privilege", "Context", "Comment"],
+                [("Select", "Tables", "To retrieve rows from table"),
+                 ("Insert", "Tables", "To insert data into tables"),
+                 ("Update", "Tables", "To update existing rows"),
+                 ("Delete", "Tables", "To delete existing rows")],
+            )
+        if up.startswith("SHOW TABLE STATUS"):
+            return self._show_table_status(stmt)
+        raise SparrowError(1105, f"unsupported SHOW statement: {stmt[:80]}")
+
+    def _const_df(self, cols: list[str], rows: list[tuple]) -> Result:
+        df = self.spark.createDataFrame(rows, schema=cols)
+        return Result("resultset", df)
+
+    def _show_databases(self) -> Result:
+        rows = [(s,) for s in self.catalog.schemas()]
+        df = self.spark.createDataFrame(rows or [("",)], schema=["Database"])
+        if not rows:
+            df = df.limit(0)
+        return Result("resultset", df)
+
+    def _show_tables(self, stmt: str) -> Result:
+        m = re.match(
+            r"SHOW\s+(FULL\s+)?TABLES(?:\s+(?:FROM|IN)\s+(\w+))?(?:\s+LIKE\s+'([^']*)')?",
+            stmt,
+            re.I,
+        )
+        full, db, like = m.groups()
+        db = check_ident(db) if db else self.current_schema
+        if db is None:
+            raise SparrowError(1046, "No database selected")
+        if not self.catalog.has_schema(db):
+            raise SparrowError(1049, f"Unknown database '{db}'")
+        names = self.catalog.tables(db)
+        if like:
+            rx = re.compile(like_to_regex(like))
+            names = [n for n in names if rx.match(n)]
+        colname = f"Tables_in_{db}"  # reference shape: show_tables.rs:94-99
+        if full:
+            rows = [(n, "BASE TABLE") for n in names]
+            df = self.spark.createDataFrame(
+                rows or [("", "")], schema=[colname, "Table_type"]
+            )
+        else:
+            rows = [(n,) for n in names]
+            df = self.spark.createDataFrame(rows or [("",)], schema=[colname])
+        if not rows:
+            df = df.limit(0)
+        return Result("resultset", df)
+
+    def _show_columns(self, stmt: str) -> Result:
+        m = re.match(
+            r"SHOW\s+(?:FULL\s+)?(?:COLUMNS|FIELDS)\s+FROM\s+([\w`.]+)(?:\s+(?:FROM|IN)\s+(\w+))?",
+            stmt,
+            re.I,
+        )
+        name_raw, db = m.groups()
+        if db:
+            schema, table = check_ident(db), check_ident(name_raw)
+        else:
+            schema, table = self._resolve_table_name(name_raw)
+        tdef = self.catalog.load(schema, table)
+        uniq_firsts = {u[0] for u in tdef.uniques}
+        rows = []
+        for c in tdef.columns:
+            key = (
+                "PRI"
+                if c.name in tdef.primary_key
+                else ("UNI" if c.name in uniq_firsts else "")
+            )
+            rows.append(
+                (c.name, c.sql_type.lower(), "YES" if c.nullable else "NO", key, None, "")
+            )
+        df = self.spark.createDataFrame(
+            rows, schema="Field string, Type string, Null string, Key string, "
+            "Default string, Extra string"
+        )
+        return Result("resultset", df)
+
+    def _show_create_table(self, stmt: str) -> Result:
+        name_raw = re.match(r"SHOW\s+CREATE\s+TABLE\s+([\w`.]+)", stmt, re.I).group(1)
+        schema, table = self._resolve_table_name(name_raw)
+        tdef = self.catalog.load(schema, table)
+        lines = [
+            f"  `{c.name}` {c.sql_type.lower()}{'' if c.nullable else ' NOT NULL'}"
+            for c in tdef.columns
+        ]
+        if tdef.primary_key:
+            lines.append(
+                "  PRIMARY KEY (" + ", ".join(f"`{c}`" for c in tdef.primary_key) + ")"
+            )
+        for u in tdef.uniques:
+            lines.append("  UNIQUE KEY (" + ", ".join(f"`{c}`" for c in u) + ")")
+        ddl = (
+            f"CREATE TABLE `{table}` (\n" + ",\n".join(lines) + f"\n) ENGINE={tdef.engine.upper()}"
+        )
+        df = self.spark.createDataFrame(
+            [(table, ddl)], schema=["Table", "Create Table"]
+        )
+        return Result("resultset", df)
+
+    def _show_variables(self, stmt: str) -> Result:
+        m = re.search(r"LIKE\s+'([^']*)'", stmt, re.I)
+        items = sorted(self.system_vars.items())
+        if m:
+            rx = re.compile(like_to_regex(m.group(1)))
+            items = [(k, v) for k, v in items if rx.match(k)]
+        df = self.spark.createDataFrame(
+            items or [("", "")], schema=["Variable_name", "Value"]
+        )
+        if not items:
+            df = df.limit(0)
+        return Result("resultset", df)
+
+    def _show_table_status(self, stmt: str) -> Result:
+        m = re.search(r"(?:FROM|IN)\s+(\w+)", stmt, re.I)
+        db = check_ident(m.group(1)) if m else self.current_schema
+        if db is None:
+            raise SparrowError(1046, "No database selected")
+        rows = []
+        for t in self.catalog.tables(db):
+            tdef = self.catalog.load(db, t)
+            rows.append((t, tdef.engine, "Dynamic"))
+        df = self.spark.createDataFrame(
+            rows or [("", "", "")], schema=["Name", "Engine", "Row_format"]
+        )
+        if not rows:
+            df = df.limit(0)
+        return Result("resultset", df)
+
+    # -- SET ------------------------------------------------------------
+    def _set(self, stmt: str) -> Result:
+        body = stmt[3:].strip()
+        if re.match(r"NAMES\b", body, re.I):
+            return Result("ok")  # accepted and ignored, like the reference
+        for assign in split_top_level(body):
+            m = re.match(
+                r"(?:(SESSION|GLOBAL)\s+)?(@{0,2})([A-Za-z_][\w.]*)\s*=\s*(.*)$",
+                assign.strip(),
+                re.I | re.S,
+            )
+            if not m:
+                raise SparrowError(1064, f"syntax error in SET: {assign!r}")
+            _scope, ats, name, value = m.groups()
+            name = name.lower().removeprefix("session.").removeprefix("global.")
+            val = value.strip().strip("'\"")
+            if ats == "@":
+                self.user_vars[name] = val
+            else:
+                self.system_vars[name] = val
+        return Result("ok")
+
+    # -- information_schema as queryable views (S14-S16 substrate) ------
+    def _rewrite_information_schema(self, sql: str) -> str:
+        names = {m.group(1).lower() for m in _INFO_SCHEMA_RE.finditer(sql)}
+        for n in names:
+            self._register_info_view(n)
+        return _INFO_SCHEMA_RE.sub(lambda m: f"information_schema_{m.group(1).lower()}", sql)
+
+    def _register_info_view(self, name: str) -> None:
+        # Recomputed on read from the engine catalog (cheap) instead of
+        # the reference's write-through system rows (SURVEY §7 risk 5).
+        if name == "schemata":
+            rows = [("def", s, "utf8mb4", "utf8mb4_general_ci") for s in self.catalog.schemas()]
+            schema = (
+                "catalog_name string, schema_name string, "
+                "default_character_set_name string, default_collation_name string"
+            )
+        elif name == "tables":
+            rows = []
+            for s in self.catalog.schemas():
+                for t in self.catalog.tables(s):
+                    tdef = self.catalog.load(s, t)
+                    rows.append(("def", s, t, "BASE TABLE", tdef.engine))
+            schema = (
+                "table_catalog string, table_schema string, table_name string, "
+                "table_type string, engine string"
+            )
+        elif name == "columns":
+            rows = []
+            for s in self.catalog.schemas():
+                for t in self.catalog.tables(s):
+                    tdef = self.catalog.load(s, t)
+                    for c in tdef.columns:
+                        rows.append(
+                            ("def", s, t, c.name, c.ordinal_position,
+                             "YES" if c.nullable else "NO", c.sql_type.lower())
+                        )
+            schema = (
+                "table_catalog string, table_schema string, table_name string, "
+                "column_name string, ordinal_position long, is_nullable string, "
+                "data_type string"
+            )
+        elif name == "statistics":
+            rows = []
+            for s in self.catalog.schemas():
+                for t in self.catalog.tables(s):
+                    tdef = self.catalog.load(s, t)
+                    for index_name, cols in tdef.key_sets():
+                        for seq, c in enumerate(cols, start=1):
+                            rows.append(("def", s, t, 0, index_name, seq, c))
+            schema = (
+                "table_catalog string, table_schema string, table_name string, "
+                "non_unique long, index_name string, seq_in_index long, column_name string"
+            )
+        else:
+            raise SparrowError(1109, f"Unknown table '{name}' in information_schema")
+        df = self.spark.createDataFrame(rows, schema=schema) if rows else (
+            self.spark.createDataFrame([], schema=schema)
+        )
+        df.createOrReplaceTempView(f"information_schema_{name}")

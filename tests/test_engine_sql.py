@@ -1,0 +1,240 @@
+"""Golden end-to-end engine tests, mirroring the reference's test suite
+(src/test/base_sql.rs): build an engine against a throwaway warehouse,
+issue SQL strings, assert on result rows. Scenario coverage matches the
+reference's tests (show_databases, show_tables, insert_into,
+delete_from, show_create_table) and extends to the rest of SURVEY §2.1.
+"""
+
+import pytest
+
+from sparrow_spark.engine import SparrowError
+
+# Canonical fixture from the reference (src/test/base_sql.rs:255):
+USER_DDL = "CREATE TABLE user (id INT, name CHAR, stature FLOAT, PRIMARY KEY (id, name))"
+
+
+def boot(engine, db="test_db"):
+    engine.sql(f"CREATE SCHEMA {db}")
+    engine.sql(f"USE {db}")
+    return engine
+
+
+def test_show_databases(engine):
+    engine.sql("CREATE SCHEMA db_b")
+    engine.sql("CREATE SCHEMA db_a")
+    rows = engine.sql("SHOW DATABASES").rows()
+    assert [r["Database"] for r in rows] == ["db_a", "db_b"]
+
+
+def test_show_tables(engine):
+    # mirrors base_sql.rs:36-93: create schema, use, 2 tables, show
+    boot(engine)
+    engine.sql(USER_DDL)
+    engine.sql("CREATE TABLE user1 (id INT, name CHAR, stature FLOAT)")
+    rows = engine.sql("SHOW TABLES").rows()
+    assert [r["Tables_in_test_db"] for r in rows] == ["user", "user1"]
+    full = engine.sql("SHOW FULL TABLES").rows()
+    assert full[0]["Table_type"] == "BASE TABLE"
+
+
+def test_insert_select(engine):
+    boot(engine)
+    engine.sql(USER_DDL)
+    r = engine.sql("INSERT INTO user VALUES (1, 'lucy', 160.0)")
+    assert r.affected_rows == 1
+    r = engine.sql("INSERT INTO user (id, name) VALUES (2, 'tom'), (3, 'bob')")
+    assert r.affected_rows == 2
+    rows = engine.sql("SELECT id, name, stature FROM user ORDER BY id").rows()
+    assert [(r.id, r.name, r.stature) for r in rows] == [
+        (1, "lucy", 160.0),
+        (2, "tom", None),
+        (3, "bob", None),
+    ]
+
+
+def test_insert_duplicate_key_errors(engine):
+    # reference: MySQL error 1062 (src/execute_impl/insert.rs:204-218)
+    boot(engine)
+    engine.sql(USER_DDL)
+    engine.sql("INSERT INTO user VALUES (1, 'lucy', 160.0)")
+    with pytest.raises(SparrowError) as e:
+        engine.sql("INSERT INTO user VALUES (1, 'lucy', 175.0)")
+    assert e.value.code == 1062
+    # same id, different name → composite key is fine
+    engine.sql("INSERT INTO user VALUES (1, 'lily', 155.0)")
+    # intra-batch duplicate also rejected
+    with pytest.raises(SparrowError):
+        engine.sql("INSERT INTO user VALUES (7, 'x', 1.0), (7, 'x', 2.0)")
+
+
+def test_delete_from(engine):
+    # mirrors base_sql.rs:153-234 incl. COUNT(*) == 0 after delete
+    boot(engine)
+    engine.sql(USER_DDL)
+    engine.sql("INSERT INTO user VALUES (1,'lucy',160.0), (2,'tom',170.0), (3,'bob',180.0)")
+    r = engine.sql("DELETE FROM user WHERE id = 2")
+    assert r.affected_rows == 1
+    assert engine.sql("SELECT count(*) AS n FROM user").rows()[0]["n"] == 2
+    r = engine.sql("DELETE FROM user")
+    assert r.affected_rows == 2
+    assert engine.sql("SELECT count(*) AS n FROM user").rows()[0]["n"] == 0
+
+
+def test_update(engine):
+    boot(engine)
+    engine.sql(USER_DDL)
+    engine.sql("INSERT INTO user VALUES (1,'lucy',160.0), (2,'tom',170.0)")
+    r = engine.sql("UPDATE user SET stature = stature + 5 WHERE id = 1")
+    assert r.affected_rows == 1
+    rows = engine.sql("SELECT id, stature FROM user ORDER BY id").rows()
+    assert [(r.id, r.stature) for r in rows] == [(1, 165.0), (2, 170.0)]
+    # multi-assignment, no WHERE
+    r = engine.sql("UPDATE user SET stature = 0.0, name = upper(name)")
+    assert r.affected_rows == 2
+    rows = engine.sql("SELECT name, stature FROM user ORDER BY id").rows()
+    assert [(r.name, r.stature) for r in rows] == [("LUCY", 0.0), ("TOM", 0.0)]
+
+
+def test_show_create_table(engine):
+    # mirrors base_sql.rs:236-280
+    boot(engine)
+    engine.sql(USER_DDL)
+    rows = engine.sql("SHOW CREATE TABLE user").rows()
+    assert rows[0]["Table"] == "user"
+    ddl = rows[0]["Create Table"]
+    assert "`id` int" in ddl and "`stature` float" in ddl
+    assert "PRIMARY KEY (`id`, `name`)" in ddl
+
+
+def test_show_columns(engine):
+    boot(engine)
+    engine.sql(USER_DDL)
+    rows = engine.sql("SHOW COLUMNS FROM user").rows()
+    assert [(r.Field, r.Type, r.Null, r.Key) for r in rows] == [
+        ("id", "int", "NO", "PRI"),
+        ("name", "char", "NO", "PRI"),
+        ("stature", "float", "YES", ""),
+    ]
+
+
+def test_alter_table_add_drop_column(engine):
+    boot(engine)
+    engine.sql("CREATE TABLE t (id INT)")
+    engine.sql("INSERT INTO t VALUES (1)")
+    engine.sql("ALTER TABLE t ADD COLUMN note CHAR")
+    rows = engine.sql("SELECT id, note FROM t").rows()
+    assert [(r.id, r.note) for r in rows] == [(1, None)]
+    engine.sql("INSERT INTO t VALUES (2, 'hi')")
+    engine.sql("ALTER TABLE t DROP COLUMN note")
+    rows = engine.sql("SELECT * FROM t ORDER BY id").rows()
+    assert [tuple(r) for r in rows] == [(1,), (2,)]
+    cols = engine.sql("SHOW COLUMNS FROM t").rows()
+    assert [r.Field for r in cols] == ["id"]
+
+
+def test_drop_table_and_schema(engine):
+    boot(engine)
+    engine.sql("CREATE TABLE t (id INT)")
+    engine.sql("DROP TABLE t")
+    with pytest.raises(SparrowError) as e:
+        engine.sql("SELECT * FROM t")
+    assert e.value is not None
+    engine.sql("DROP SCHEMA test_db")
+    assert engine.sql("SHOW DATABASES").rows() == []
+
+
+def test_unknown_database_errors(engine):
+    with pytest.raises(SparrowError) as e:
+        engine.sql("USE nope")
+    assert e.value.code == 1049
+    with pytest.raises(SparrowError) as e:
+        engine.sql("SELECT 1").df.collect() and engine.sql("CREATE TABLE t (id INT)")
+    assert e.value.code == 1046  # no database selected
+
+
+def test_variables_and_dual(engine):
+    # @@vars and user vars substituted like the reference's VarProvider
+    rows = engine.sql("SELECT @@version AS v, @@session.autocommit AS ac FROM dual").rows()
+    assert "sparrow-spark" in rows[0]["v"]
+    assert rows[0]["ac"] == "ON"
+    engine.sql("SET @x = 42")
+    assert engine.sql("SELECT @x AS x").rows()[0]["x"] == 42
+    engine.sql("SET NAMES utf8mb4")  # accepted and ignored
+    engine.sql("SET sql_mode = 'STRICT'")
+    assert engine.system_vars["sql_mode"] == "STRICT"
+    rows = engine.sql("SHOW VARIABLES LIKE 'vers%'").rows()
+    assert {r.Variable_name for r in rows} == {"version", "version_comment"}
+
+
+def test_database_function(engine):
+    boot(engine, "mydb")
+    rows = engine.sql("SELECT database() AS db").rows()
+    assert rows[0]["db"] == "mydb"
+
+
+def test_explain_as_resultset(engine):
+    boot(engine)
+    engine.sql("CREATE TABLE t (id INT)")
+    rows = engine.sql("EXPLAIN SELECT * FROM t WHERE id > 1").rows()
+    assert len(rows) >= 1 and "Physical Plan" in rows[0][0] or "Scan" in rows[0][0]
+
+
+def test_commit_noop(engine):
+    assert engine.sql("COMMIT").kind == "ok"
+
+
+def test_information_schema(engine):
+    boot(engine)
+    engine.sql(USER_DDL)
+    rows = engine.sql(
+        "SELECT table_name FROM information_schema.tables WHERE table_schema = 'test_db'"
+    ).rows()
+    assert [r.table_name for r in rows] == ["user"]
+    cols = engine.sql(
+        "SELECT column_name, ordinal_position FROM information_schema.columns "
+        "WHERE table_name = 'user' ORDER BY ordinal_position"
+    ).rows()
+    assert [r.column_name for r in cols] == ["id", "name", "stature"]
+    stats = engine.sql(
+        "SELECT index_name, seq_in_index, column_name FROM information_schema.statistics "
+        "WHERE table_name = 'user' ORDER BY seq_in_index"
+    ).rows()
+    assert [(r.index_name, r.column_name) for r in stats] == [
+        ("PRIMARY", "id"),
+        ("PRIMARY", "name"),
+    ]
+
+
+def test_prepared_statements(engine):
+    boot(engine)
+    engine.sql(USER_DDL)
+    stmt_id, n = engine.prepare("INSERT INTO user VALUES (?, ?, ?)")
+    assert n == 3
+    r = engine.execute_prepared(stmt_id, [5, "sue", 150.5])
+    assert r.affected_rows == 1
+    qid, qn = engine.prepare("SELECT name FROM user WHERE id = ?")
+    assert qn == 1
+    rows = engine.execute_prepared(qid, [5]).rows()
+    assert rows[0]["name"] == "sue"
+    engine.close_prepared(stmt_id)
+    with pytest.raises(SparrowError):
+        engine.execute_prepared(stmt_id, [1, "a", 2.0])
+
+
+def test_cross_table_join_via_engine(engine):
+    boot(engine)
+    engine.sql("CREATE TABLE dept (did INT, dname CHAR, PRIMARY KEY (did))")
+    engine.sql("CREATE TABLE emp (eid INT, did INT, ename CHAR)")
+    engine.sql("INSERT INTO dept VALUES (1,'eng'), (2,'ops')")
+    engine.sql("INSERT INTO emp VALUES (10,1,'a'), (11,1,'b'), (12,2,'c')")
+    rows = engine.sql(
+        "SELECT d.dname AS dname, count(*) AS n FROM emp e JOIN dept d ON e.did = d.did "
+        "GROUP BY d.dname ORDER BY dname"
+    ).rows()
+    assert [(r.dname, r.n) for r in rows] == [("eng", 2), ("ops", 1)]
+
+
+def test_unsupported_statement_errors(engine):
+    with pytest.raises(SparrowError) as e:
+        engine.sql("GRANT ALL ON *.* TO root")
+    assert e.value.code == 1105
