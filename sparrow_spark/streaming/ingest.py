@@ -1,0 +1,97 @@
+"""Structured Streaming ingestion and stateful operators over the
+events stream. The reference is batch-only (SURVEY §2.2: "Streaming —
+absent entirely"); this module is the beyond-reference extension, built
+on readStream → transform → writeStream with watermarks for late data.
+
+Each streaming transform has a batch twin in plans/timeseries.py
+(time-bucket rollup ↔ windowed counts; sessionize ↔ session_window),
+and the tests assert stream(availableNow) == batch on the same data —
+the standard way to validate streaming logic without a live source.
+
+Scale notes: file/Kafka sources shard across executors; the watermark
+bounds state size (late rows beyond it are dropped); session_window
+state is per key and evicted on window close.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over events parquet. The fixture stores ts as
+    TIMESTAMP(NANOS) which Spark reads as long under nanosAsLong —
+    converted with integer div (see sources.tables.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(path):
+        # The file source requires a directory; expose a single-file
+        # fixture through a symlink dir (read-only, nothing copied).
+        d = tempfile.mkdtemp(prefix="events-stream-")
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+        path = d
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-(window, event_type) counts with late-data watermark — the
+    streaming twin of q_time_bucket_rollup."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap — the
+    streaming twin of q_sessionize (which computes the same sessions
+    with lag + running sum in batch)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain a bounded stream into an in-memory table (availableNow
+    trigger) and return the finished query. Used by tests; production
+    sinks are parquet/Delta/Kafka via the same writeStream API."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q

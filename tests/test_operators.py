@@ -1,0 +1,90 @@
+"""Unit-level behavior of the pipeline operators beyond the oracle
+checks: as-of join edge semantics, multimodal Arrow plumbing, dedup
+library invariants, similarity math."""
+
+import pyspark.sql.functions as F
+
+from sparrow_spark.operators.asof import asof_join
+from sparrow_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+from sparrow_spark.operators.multimodal import DECODED_SCHEMA, decode_media_batches
+from sparrow_spark.operators.similarity import brute_force_topk
+
+
+def test_asof_join_semantics(spark):
+    trades = spark.createDataFrame(
+        [(1, 10, "t1"), (1, 20, "t2"), (2, 15, "t3")], "key long, t long, tag string"
+    )
+    quotes = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 10, 101.0), (1, 19, 102.0), (2, 30, 103.0)],
+        "key long, t long, px double",
+    )
+    out = asof_join(
+        trades, quotes, left_on="key", right_on="key", left_time="t", right_time="t",
+        payload_cols=["px"], tiebreak="px",
+    )
+    got = {r.tag: r.px for r in out.collect()}
+    # t=10 matches the equal-time quote (inclusive); t=20 takes latest
+    # earlier; key 2 has no quote at/before 15 -> NULL (left join).
+    assert got == {"t1": 101.0, "t2": 102.0, "t3": None}
+
+
+def test_asof_tiebreak_deterministic(spark):
+    left = spark.createDataFrame([(1, 100)], "key long, t long")
+    right = spark.createDataFrame(
+        [(1, 100, 7), (1, 100, 9), (1, 100, 8)], "key long, t long, v long"
+    )
+    out = asof_join(left, right, "key", "key", "t", "t", ["v"], tiebreak="v")
+    assert out.collect()[0].v == 9  # greatest tiebreak wins, always
+
+
+def test_multimodal_arrow_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 100)), (2, bytearray(b"y" * 645))],
+        "doc_id long, blob binary",
+    )
+    out = {r.doc_id: r for r in df.mapInPandas(decode_media_batches, DECODED_SCHEMA).collect()}
+    assert out[1].n_bytes == 100 and out[1].width == 101 and out[1].height == (700 % 480) + 1
+    assert out[2].n_bytes == 645 and out[2].width == 6  # 645 % 640 + 1
+    assert out[2].media_kind == "image"
+
+
+def test_exact_dedup_keeper(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello  world"), (2, "Hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in exact_dedup(docs).collect()}
+    # normalization collapses whitespace + case -> 1 and 2 are the same
+    assert out[1].keeper_id == 1 and not out[1].is_dup
+    assert out[2].keeper_id == 1 and out[2].is_dup
+    assert out[3].keeper_id == 3 and not out[3].is_dup
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    text = "a b c d e f g h i j k l m n o p"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "z y x w v u t s r q p o n m l k")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs)
+    rows = {r.doc_id: tuple(r)[1:] for r in sigs.collect()}
+    assert rows[1] == rows[2] != rows[3]
+    pairs = {(r.a_id, r.b_id) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_brute_force_topk_self_excluded(spark):
+    vecs = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id long, v array<double>",
+    )
+    out = brute_force_topk(vecs.filter(F.col("vec_id") == 0), vecs, k=3)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r.neighbor_id != 0 for r in rows)
+    # orthogonal unit vectors: all cosines 0, rank by neighbor_id
+    assert [r.neighbor_id for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
