@@ -1,0 +1,64 @@
+"""Plan audit: print each headline query's physical plan and flag the
+scale-relevant properties — parquet filter pushdown (PushedFilters),
+column pruning (ReadSchema), join strategy (Broadcast vs SortMerge),
+and whole-stage codegen coverage. Run after changing any plan.
+
+Usage: python scripts/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from sparrow_spark import registry
+from sparrow_spark.session import get_spark
+
+AUDIT = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q_join_left_outer",
+    "q_window_topk_per_group",
+    "q_asof_join",
+    "q_dedup_minhash_lsh",
+    "q_similarity_topk",
+    "q_time_bucket_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or AUDIT
+    registry.load_all()
+    spark = get_spark("sparrow-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        df = registry.QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        scans = len(re.findall(r"Scan parquet", plan))
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        bcast = len(re.findall(r"BroadcastHashJoin", plan))
+        smj = len(re.findall(r"SortMergeJoin", plan))
+        shj = len(re.findall(r"ShuffledHashJoin", plan))
+        bnl = len(re.findall(r"BroadcastNestedLoopJoin", plan))
+        exch = len(re.findall(r"Exchange", plan))
+        wsc = len(re.findall(r"WholeStageCodegen", plan))
+        print(f"\n=== {name} ===")
+        print(
+            f"scans={scans} broadcastJoins={bcast} sortMerge={smj} shuffledHash={shj} "
+            f"nestedLoop={bnl} exchanges={exch} codegenSpans={wsc}"
+        )
+        nonempty = [p for p in pushed if p.strip()]
+        print(f"pushedFilterSets={len(nonempty)}: {nonempty[:3]}")
+        if "--full" in sys.argv:
+            print(plan)
+
+
+if __name__ == "__main__":
+    main()

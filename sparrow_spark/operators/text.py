@@ -136,3 +136,70 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+ROLLING_HASH_MOD = 1_000_000_007
+ROLLING_HASH_BASE = 31
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def rolling_hash(col: Column) -> Column:
+    """Polynomial rolling hash over the normalized text's characters
+    (h = h*31 + ascii(c) mod 1e9+7) — a deterministic integer document
+    fingerprint computed entirely JVM-side via higher-order functions."""
+    norm = normalize_text(col)
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm)),
+            lambda i: F.ascii(norm.substr(i, F.lit(1))).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, b: (a * ROLLING_HASH_BASE + b) % ROLLING_HASH_MOD,
+    )
+
+
+@query(
+    "q_token_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws_tokens,
+           round(100.0 * len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                 / length(text), 4) AS tokens_per_100_chars
+    FROM documents
+    """,
+)
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex
+    (letter-runs / digit-runs / single punctuation) — the standard cheap
+    proxy for subword token counts in corpus sizing."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+        rnd(F.lit(100.0) * F.size(bpe) / F.length("text"), 4).alias(
+            "tokens_per_100_chars"
+        ),
+    )
+
+
+@query(
+    "q_rolling_hash",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(s[i]) AS BIGINT) for i in range(1, length(s) + 1)]),
+               (a, b) -> (a * {ROLLING_HASH_BASE} + b) % {ROLLING_HASH_MOD}) AS rhash
+    FROM n
+    """,
+)
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash(F.col("text")).alias("rhash"))

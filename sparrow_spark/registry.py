@@ -36,6 +36,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import sparrow_spark.plans.relational  # noqa: F401
+    import sparrow_spark.plans.subqueries  # noqa: F401
     import sparrow_spark.plans.windows  # noqa: F401
     import sparrow_spark.plans.scalar_funcs  # noqa: F401
     import sparrow_spark.plans.timeseries  # noqa: F401
