@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from sparrow_spark.operators.text import fingerprint, tokens
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
-from sparrow_spark.sources import load_table
+from sparrow_spark.sources import load_table, widen
 
 N_MINHASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 hashes
@@ -62,24 +62,32 @@ def minhash_signatures(
     shingle_k: int = 3,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """(id, h0..h{n-1}) — minhash i = lexicographic min of
-    hash(i || ':' || shingle) over the document's shingle set.
+    """(id, h0..h{n-1}) — n_hashes independent minhashes per document.
 
     hash_fn='md5' (default) is deterministic AND engine-portable (the
-    DuckDB oracle reproduces it bit-for-bit). hash_fn='xxhash64' is the
-    production path at scale — same JVM-side shape, ~5x cheaper per
-    shingle, not SQL-oracle-reproducible.
+    DuckDB oracle reproduces it bit-for-bit): each group of four
+    minhashes is derived from ONE md5 digest split into four 32-bit hex
+    chunks (min over 8-hex-char strings == min over unsigned 32-bit
+    values), so 8 minhashes cost 2 md5 calls per shingle instead of 8.
+    hash_fn='xxhash64' is the pure-JVM production path at scale — same
+    shape, cheaper per shingle, not SQL-oracle-reproducible.
 
     Scale shape: ONE explode to shingle rows, then n_hashes parallel
     min-aggregates in a single groupBy(id) — one shuffle keyed on the
     doc id with map-side partial aggregation. (A per-(doc,seed) shuffle
-    of n_hashes x shingles rows benchmarked ~2x slower at sf0.1.)"""
-    shingled = df.filter(F.size(tokens(F.col(text_col))) >= shingle_k).select(
+    of n_hashes x shingles rows benchmarked ~2x slower at sf0.1.)
+    Input is widen()ed first: shingling+hashing is compute-bound and
+    must not inherit a single-row-group scan's serial partitioning."""
+    shingled = widen(df).filter(F.size(tokens(F.col(text_col))) >= shingle_k).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
     )
     if hash_fn == "md5":
-        hashed = [F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))) for i in range(n_hashes)]
+        digests = [
+            F.md5(F.concat(F.lit(f"{chr(ord('a') + d)}:"), F.col("shingle")))
+            for d in range((n_hashes + 3) // 4)
+        ]
+        hashed = [F.substring(digests[i // 4], 1 + 8 * (i % 4), 8) for i in range(n_hashes)]
     elif hash_fn == "xxhash64":
         hashed = [
             F.lpad(
@@ -136,7 +144,7 @@ def simhash_signatures(
     Bit j is the sign of sum over tokens of (+1 if the j-th hex nibble
     of md5(token) >= 8 else -1). Returned as a '0'/'1' string so the
     oracle SQL can reproduce it exactly."""
-    tok = df.select(
+    tok = widen(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("th", F.md5("tok"))
     contribs = [
@@ -216,15 +224,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                      for i in range(1, len(w) - 1)]) AS shingle
       FROM tok
     ), hashed AS (
-      SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
-      FROM sh CROSS JOIN (SELECT unnest(range({N_MINHASHES})) AS seed)
+      SELECT doc_id, md5('a:' || shingle) AS da, md5('b:' || shingle) AS db
+      FROM sh
     ), sigs AS (
-      SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY doc_id, seed
+      SELECT doc_id,
+             min(substr(da, 1, 8)) AS h0, min(substr(da, 9, 8)) AS h1,
+             min(substr(da, 17, 8)) AS h2, min(substr(da, 25, 8)) AS h3,
+             min(substr(db, 1, 8)) AS h4, min(substr(db, 9, 8)) AS h5,
+             min(substr(db, 17, 8)) AS h6, min(substr(db, 25, 8)) AS h7
+      FROM hashed GROUP BY doc_id
     ), bands AS (
-      SELECT doc_id, CAST(seed // {BAND_SIZE} AS INTEGER) AS band,
-             max(CASE WHEN seed % 2 = 0 THEN minhash END) || '|' ||
-             max(CASE WHEN seed % 2 = 1 THEN minhash END) AS band_sig
-      FROM sigs GROUP BY doc_id, seed // {BAND_SIZE}
+      SELECT doc_id,
+             unnest([struct_pack(band := 0, band_sig := h0 || '|' || h1),
+                     struct_pack(band := 1, band_sig := h2 || '|' || h3),
+                     struct_pack(band := 2, band_sig := h4 || '|' || h5),
+                     struct_pack(band := 3, band_sig := h6 || '|' || h7)],
+                    recursive := true)
+      FROM sigs
     )
     SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
     FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig

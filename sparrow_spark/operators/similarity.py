@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
-from sparrow_spark.sources import load_table
+from sparrow_spark.sources import load_table, widen
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -41,7 +41,9 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
+    # widen(): per-row vector math is compute-bound and must not inherit
+    # a single-row-group scan's serial partitioning (no-op at scale).
+    return widen(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
 

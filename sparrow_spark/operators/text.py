@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
-from sparrow_spark.sources import load_table
+from sparrow_spark.sources import load_table, widen
 
 # Tiny stopword sets for the n-gram/stopword language heuristic. On real
 # corpora these would be per-language top-k lists; the fixture corpus
@@ -73,7 +73,7 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen(load_table(spark, sf_dir, "documents"))
     return add_text_stats(docs).select(
         "doc_id", "n_tokens", "n_chars_calc", "n_unique_tokens", "avg_token_len", "ttr"
     )
@@ -105,7 +105,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Quality score = length-band bonus + capped token-count score;
     # language-ID = stopword-ratio threshold (n-gram heuristic family).
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     stop_lit = F.array(*[F.lit(s) for s in STOP_EN])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_lit, x)))
@@ -134,7 +134,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
@@ -174,7 +174,7 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace and a BPE-ish regex
     (letter-runs / digit-runs / single punctuation) — the standard cheap
     proxy for subword token counts in corpus sizing."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen(load_table(spark, sf_dir, "documents"))
     bpe = F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH_PATTERN), 0)
     return docs.select(
         "doc_id",
@@ -201,5 +201,5 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", rolling_hash(F.col("text")).alias("rhash"))

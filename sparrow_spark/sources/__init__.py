@@ -1,3 +1,9 @@
-from sparrow_spark.sources.tables import TABLES, load_table, load_tables, register_views
+from sparrow_spark.sources.tables import (
+    TABLES,
+    load_table,
+    load_tables,
+    register_views,
+    widen,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+__all__ = ["TABLES", "load_table", "load_tables", "register_views", "widen"]

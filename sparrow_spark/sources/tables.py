@@ -63,6 +63,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure a DataFrame has at least `min_partitions` (default: the
+    cluster's defaultParallelism) before a compute-bound stage.
+
+    Rationale: a parquet source with fewer row groups than cores (e.g.
+    the single-row-group fixture files) yields a scan that cannot be
+    split, serializing everything downstream of it. A round-robin
+    repartition ahead of compute-heavy work (hashing, shingling,
+    vector math) restores parallelism. At production scale the source
+    has far more splits than cores, the condition is false, and this
+    is a no-op — no extra shuffle is ever introduced on a well-split
+    source. The reference's scan is *always* one partition
+    (src/datafusion_impl/physical_plan/sled.rs:89-91); this is the
+    Spark-side fix for the same bottleneck.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:
