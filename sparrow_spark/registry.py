@@ -37,6 +37,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import sparrow_spark.plans.relational  # noqa: F401
     import sparrow_spark.plans.subqueries  # noqa: F401
+    import sparrow_spark.plans.tpch_extra  # noqa: F401
     import sparrow_spark.plans.windows  # noqa: F401
     import sparrow_spark.plans.scalar_funcs  # noqa: F401
     import sparrow_spark.plans.timeseries  # noqa: F401
