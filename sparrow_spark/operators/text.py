@@ -138,6 +138,99 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def char_bigrams(col: Column) -> Column:
+    """Array of character bigrams of the normalized text (JVM-side)."""
+    norm = normalize_text(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.length(norm) - 1), lambda i: norm.substr(i, F.lit(2))
+    )
+
+
+def langid_ngram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    top_n: int = 40,
+) -> DataFrame:
+    """N-gram-profile language ID (Cavnar–Trenkle family): build per-
+    language character-bigram profiles (top_n bigrams by corpus
+    frequency), then predict each document's language as the profile
+    with the largest bigram-set overlap. Ties broken deterministically
+    (count DESC, bigram ASC for profiles; overlap DESC, lang ASC for
+    prediction).
+
+    Scale: profiles are tiny (langs x top_n) -> built with one
+    explode+groupBy pass and broadcast back; the per-doc scoring join
+    is bigram-keyed against the broadcast profile, no shuffle of the
+    corpus. On this synthetic fixture every language shares one
+    vocabulary, so the prediction exercises the mechanics, not accuracy.
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col), F.col(label_col), F.explode(char_bigrams(F.col(text_col))).alias("bg")
+    )
+    w_prof = Window.partitionBy(label_col).orderBy(F.col("c").desc(), F.col("bg"))
+    profiles = (
+        ex.groupBy(label_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("r", F.row_number().over(w_prof))
+        .filter(F.col("r") <= top_n)
+        .select(F.col(label_col).alias("cand_lang"), "bg")
+    )
+    doc_bigrams = df.select(
+        F.col(id_col), F.explode(F.array_distinct(char_bigrams(F.col(text_col)))).alias("bg")
+    )
+    w_pred = Window.partitionBy(id_col).orderBy(
+        F.col("n_match").desc(), F.col("cand_lang")
+    )
+    return (
+        doc_bigrams.join(F.broadcast(profiles), "bg")
+        .groupBy(id_col, "cand_lang")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .withColumn("rnk", F.row_number().over(w_pred))
+        .filter(F.col("rnk") == 1)
+        .select(id_col, F.col("cand_lang").alias("lang_pred"), F.col("n_match"))
+    )
+
+
+@query(
+    "q_langid_ngram",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, lang,
+             unnest([s[i:i+1] for i in range(1, length(s))]) AS bg
+      FROM norm
+    ), prof AS (
+      SELECT lang AS cand_lang, bg FROM (
+        SELECT lang, bg, count(*) AS c,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, bg) AS r
+        FROM ex GROUP BY lang, bg
+      ) WHERE r <= 40
+    ), doc_bg AS (
+      SELECT DISTINCT doc_id, bg FROM ex
+    ), scored AS (
+      SELECT doc_id, cand_lang, count(*) AS n_match,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY count(*) DESC, cand_lang) AS rnk
+      FROM doc_bg JOIN prof USING (bg)
+      GROUP BY doc_id, cand_lang
+    )
+    SELECT doc_id, cand_lang AS lang_pred, n_match
+    FROM scored WHERE rnk = 1
+    """,
+)
+def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    return langid_ngram(docs)
+
+
 ROLLING_HASH_MOD = 1_000_000_007
 ROLLING_HASH_BASE = 31
 BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"

@@ -95,3 +95,55 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.awaitTermination(120)
     return q
+
+
+# --------------------------------------------------------------------------
+# Driver-contract entries: bounded drains of the streaming operators.
+# The windowed rollup is SQL-expressible on the bounded fixture, so it
+# gets a full DuckDB oracle; the stateful sessionizer emits only
+# watermark-closed sessions (inherently non-SQL), so it registers as a
+# rows-only check.
+# --------------------------------------------------------------------------
+from sparrow_spark.registry import query  # noqa: E402
+
+
+@query(
+    "q_stream_window_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly rollup drained bounded (availableNow, complete
+    mode) — must equal the batch aggregation of the same data."""
+    import uuid
+
+    name = f"strm_rollup_{uuid.uuid4().hex[:8]}"
+    stream = windowed_event_counts(
+        read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    )
+    run_to_memory(stream, name, output_mode="complete")
+    return spark.table(name)
+
+
+@query("q_stream_sessionize_stateful")  # rows-only: emits closed sessions
+def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState sessionizer drained bounded. Emits the
+    sessions closed by a later event in-stream (each user's last open
+    session stays in state when the bounded drain ends — matching real
+    streaming semantics, where open sessions haven't emitted yet)."""
+    import uuid
+
+    from sparrow_spark.streaming.stateful import stateful_sessionize
+
+    name = f"strm_sess_{uuid.uuid4().hex[:8]}"
+    stream = stateful_sessionize(
+        read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    )
+    run_to_memory(stream, name, output_mode="append")
+    return spark.table(name)

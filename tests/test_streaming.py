@@ -70,3 +70,97 @@ def test_sessionize_matches_batch(spark, sf_dir, events_path):
     )
     want_map = {r.user_id: (r.n_sessions, r.n_events) for r in want.collect()}
     assert got_map == want_map and len(got_map) > 0
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer: split the fixture into two
+    time-ordered files and stream them one per microbatch, so the
+    watermark advances between batches and event-time timeouts fire.
+    Every emitted session must exactly match a batch-twin session, and
+    all mid-stream-closed sessions (every session but each user's last)
+    must be emitted."""
+    from pyspark.sql import Window
+
+    from sparrow_spark.streaming.ingest import EVENTS_SCHEMA
+    from sparrow_spark.streaming.stateful import stateful_sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    # Two time-ordered halves -> two microbatches (maxFilesPerTrigger=1).
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "src")
+    ev_raw = ev.withColumn("ts", F.unix_micros("ts") * 1000)  # long ns like fixture
+    ev_raw.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(f"{src}/a")
+    ev_raw.filter(F.col("event_id") > mid).coalesce(1).write.parquet(f"{src}/b")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    stream = stateful_sessionize(
+        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    run_to_memory(stream, "stateful_sessions", output_mode="append")
+    got = spark.table("stateful_sessions")
+
+    # Batch twin: lag/gap/running-sum sessionization, 30-min gap,
+    # session_end = last_ts + gap (session_window convention).
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = 1800
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > gap)
+            ).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr(f"INTERVAL {gap} SECONDS")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in sess.collect()
+    }
+    got_rows = got.withColumn("sum_value", F.round("sum_value", 6)).collect()
+    assert len(got_rows) > 0
+    for r in got_rows:
+        key = (r.user_id, r.session_start, r.session_end)
+        assert key in want, f"emitted session not in batch twin: {r}"
+        assert want[key] == (r.n_events, r.sum_value), (r, want[key])
+    # Completeness: all but each user's last session must have emitted.
+    n_users = sess.select("user_id").distinct().count()
+    assert len(got_rows) >= sess.count() - n_users
+
+
+def test_stream_dedup(spark, sf_dir, events_path, tmp_path):
+    """dropDuplicatesWithinWatermark suppresses duplicate event_ids:
+    stream the fixture twice (two identical files) and assert the
+    drained output matches the distinct batch count."""
+    import os
+
+    from sparrow_spark.streaming.ingest import EVENTS_SCHEMA
+    from sparrow_spark.streaming.stateful import stream_dedup
+
+    src = str(tmp_path / "dupsrc")
+    os.makedirs(src)
+    os.symlink(events_path, f"{src}/events1.parquet")
+    os.symlink(events_path, f"{src}/events2.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    stream = stream_dedup(
+        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    run_to_memory(stream, "deduped_events", output_mode="append")
+    got = spark.table("deduped_events").count()
+    want = load_table(spark, sf_dir, "events").count()
+    assert got == want
