@@ -41,14 +41,22 @@ def main() -> None:
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
-        scans = len(re.findall(r"Scan parquet", plan))
+        # AQE appends an "== Initial Plan ==" copy — audit the final only.
+        plan = plan.split("== Initial Plan ==")[0]
+        # Formatted mode lists each node in the tree AND a details
+        # section; count unique node ids instead of raw mentions.
+        scans = len(set(re.findall(r"\((\d+)\) Scan parquet", plan)))
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-        bcast = len(re.findall(r"BroadcastHashJoin", plan))
-        smj = len(re.findall(r"SortMergeJoin", plan))
-        shj = len(re.findall(r"ShuffledHashJoin", plan))
-        bnl = len(re.findall(r"BroadcastNestedLoopJoin", plan))
-        exch = len(re.findall(r"Exchange", plan))
-        wsc = len(re.findall(r"WholeStageCodegen", plan))
+        bcast = len(set(re.findall(r"\((\d+)\) BroadcastHashJoin", plan)))
+        smj = len(set(re.findall(r"\((\d+)\) SortMergeJoin", plan)))
+        shj = len(set(re.findall(r"\((\d+)\) ShuffledHashJoin", plan)))
+        bnl = len(set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan)))
+        exch = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+        # Codegen spans only exist in the executed (AQE-final) plan —
+        # and only for THIS QueryExecution (count() would make a new one).
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        wsc = len(set(re.findall(r"\*\((\d+)\)", final)))
         print(f"\n=== {name} ===")
         print(
             f"scans={scans} broadcastJoins={bcast} sortMerge={smj} shuffledHash={shj} "
