@@ -439,6 +439,34 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_exact,
+           true AS approx_within_10pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the at-scale cardinality
+    path (reference: DF 6 approx_distinct, SURVEY §2.2). Engines'
+    sketches differ bit-for-bit, so the oracle contract is the exact
+    count plus a bounded-relative-error assertion on the sketch (HLL++
+    at rsd=0.02 is far inside 10% at any cardinality)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.02)
+                - F.countDistinct("o_custkey")
+            )
+            <= 0.10 * F.countDistinct("o_custkey")
+        ).alias("approx_within_10pct"),
+    )
+
+
+@query(
     "q_select_distinct",
     oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
 )
