@@ -98,6 +98,135 @@ def with_binary_column(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("blob", F.col(text_col).cast(BinaryType()))
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_width", LongType()),
+        StructField("out_height", LongType()),
+        StructField("out_bytes", LongType()),
+    ]
+)
+
+FEATURES_SCHEMA = "doc_id bigint, features array<double>"
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_offset", LongType()),
+    ]
+)
+
+TARGET_W, TARGET_H = 224, 224
+N_FEATURES = 8
+FRAME_STRIDE_BYTES = 100
+FRAME_SAMPLE_EVERY = 4
+
+
+def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for image resize. Real path: decode, resample
+    to (TARGET_W, TARGET_H), re-encode (PIL, absent here). The stub
+    emits the deterministic output geometry + the RGB buffer size the
+    real resize would produce; the Spark-side batch shape is identical."""
+    for pdf in batches:
+        if HAVE_PIL:  # pragma: no cover
+            raise NotImplementedError("real resize path requires PIL wiring")
+        n = pdf["blob"].map(len).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "out_width": TARGET_W,
+                "out_height": TARGET_H,
+                # 3 bytes/pixel RGB + a length-dependent header stub.
+                "out_bytes": TARGET_W * TARGET_H * 3 + (n % 64),
+            }
+        )
+
+
+def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for feature extraction (image/audio embedding).
+    Real path: a vision/audio encoder over the decoded tensor. The stub
+    derives an 8-dim deterministic vector from byte length so the
+    Arrow array<double> round-trip is oracle-checkable."""
+    for pdf in batches:
+        n = pdf["blob"].map(len).astype("int64")
+        feats = [
+            [float(((int(nb) * (i + 3)) % 97) / 97.0) for i in range(N_FEATURES)]
+            for nb in n
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+
+def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for video frame sampling — a 1→N row expansion
+    inside the Python batch (each blob yields every FRAME_SAMPLE_EVERY-th
+    frame). Real path: container demux + keyframe decode (ffmpeg)."""
+    for pdf in batches:
+        ids, idxs, offs = [], [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            n_frames = len(blob) // FRAME_STRIDE_BYTES + 1
+            for fi in range(0, n_frames, FRAME_SAMPLE_EVERY):
+                ids.append(doc_id)
+                idxs.append(fi)
+                offs.append(fi * FRAME_STRIDE_BYTES)
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": idxs, "frame_offset": offs}
+        )
+
+
+@query(
+    "q_multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({TARGET_W} AS BIGINT) AS out_width,
+           CAST({TARGET_H} AS BIGINT) AS out_height,
+           CAST({TARGET_W * TARGET_H * 3} + octet_length(encode(text)) % 64
+                AS BIGINT) AS out_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_column(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "blob").mapInPandas(
+        resize_batches, schema=RESIZED_SCHEMA
+    )
+
+
+@query(
+    "q_multimodal_features",
+    oracle=f"""
+    SELECT doc_id,
+           [CAST((octet_length(encode(text)) * (i + 3)) % 97 AS DOUBLE) / 97.0
+            for i in range(0, {N_FEATURES})] AS features
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_column(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "blob").mapInPandas(
+        feature_batches, schema=FEATURES_SCHEMA
+    )
+
+
+@query(
+    "q_multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(unnest(range(0, octet_length(encode(text)) // {FRAME_STRIDE_BYTES} + 1,
+                             {FRAME_SAMPLE_EVERY})) AS BIGINT) AS frame_idx,
+           CAST(unnest(range(0, octet_length(encode(text)) // {FRAME_STRIDE_BYTES} + 1,
+                             {FRAME_SAMPLE_EVERY})) * {FRAME_STRIDE_BYTES} AS BIGINT)
+               AS frame_offset
+    FROM documents
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_column(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "blob").mapInPandas(
+        frame_sample_batches, schema=FRAMES_SCHEMA
+    )
+
+
 @query(
     "q_multimodal_decode",
     oracle="""
