@@ -33,6 +33,11 @@ BENCH_QUERIES = [
     "q_dedup_minhash_lsh",
     "q_similarity_topk",
     "q_text_quality",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q21_suppliers_waiting",
+    "q_langid_ngram",
+    "q_multimodal_features",
 ]
 
 

@@ -152,6 +152,7 @@ def langid_ngram(
     id_col: str = "doc_id",
     label_col: str = "lang",
     top_n: int = 40,
+    profile_sample_mod: int = 10,
 ) -> DataFrame:
     """N-gram-profile language ID (Cavnar–Trenkle family): build per-
     language character-bigram profiles (top_n bigrams by corpus
@@ -160,15 +161,17 @@ def langid_ngram(
     (count DESC, bigram ASC for profiles; overlap DESC, lang ASC for
     prediction).
 
-    Scale: profiles are tiny (langs x top_n) -> built with one
-    explode+groupBy pass and broadcast back; the per-doc scoring join
-    is bigram-keyed against the broadcast profile, no shuffle of the
+    Scale: profiles are a MODEL — built from a deterministic 1-in-
+    profile_sample_mod sample of labeled docs (n-gram frequency ranks
+    stabilize quickly; a full-corpus pass per query is waste), tiny
+    (langs x top_n), and broadcast back. The per-doc scoring join is
+    bigram-keyed against the broadcast profile: no shuffle of the
     corpus. On this synthetic fixture every language shares one
     vocabulary, so the prediction exercises the mechanics, not accuracy.
     """
     from pyspark.sql import Window
 
-    ex = df.select(
+    ex = df.filter(F.col(id_col) % profile_sample_mod == 0).select(
         F.col(id_col), F.col(label_col), F.explode(char_bigrams(F.col(text_col))).alias("bg")
     )
     w_prof = Window.partitionBy(label_col).orderBy(F.col("c").desc(), F.col("bg"))
@@ -205,7 +208,7 @@ def langid_ngram(
     ), ex AS (
       SELECT doc_id, lang,
              unnest([s[i:i+1] for i in range(1, length(s))]) AS bg
-      FROM norm
+      FROM norm WHERE doc_id % 10 = 0
     ), prof AS (
       SELECT lang AS cand_lang, bg FROM (
         SELECT lang, bg, count(*) AS c,
@@ -214,7 +217,9 @@ def langid_ngram(
         FROM ex GROUP BY lang, bg
       ) WHERE r <= 40
     ), doc_bg AS (
-      SELECT DISTINCT doc_id, bg FROM ex
+      SELECT DISTINCT doc_id,
+             unnest([s[i:i+1] for i in range(1, length(s))]) AS bg
+      FROM norm
     ), scored AS (
       SELECT doc_id, cand_lang, count(*) AS n_match,
              row_number() OVER (PARTITION BY doc_id
