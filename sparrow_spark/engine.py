@@ -173,6 +173,13 @@ class Engine:
             return self._update(stmt)
         if head == "DELETE":
             return self._delete(stmt)
+        if two == "DROP VIEW" or re.match(
+            r"CREATE(\s+OR\s+REPLACE)?(\s+TEMPORARY)?\s+VIEW", stmt, re.I
+        ):
+            # Views: absent in the reference (SURVEY §2.1 "notable
+            # absences"), a free superset on Spark — delegate after the
+            # same dialect preprocessing as queries.
+            return self._view_ddl(stmt)
         if head in ("COMMIT", "ROLLBACK", "BEGIN") or two == "START TRANSACTION":
             return Result("ok")  # no transactions, like the reference
         raise SparrowError(1105, f"Unknown error: unsupported statement: {stmt[:80]}")
@@ -235,6 +242,16 @@ class Engine:
     # ------------------------------------------------------------------
     # queries
     # ------------------------------------------------------------------
+    def _view_ddl(self, stmt: str) -> Result:
+        sql = substitute_variables(stmt, self.system_vars, self.user_vars)
+        sql = strip_dual(sql)
+        sql = self._rewrite_information_schema(sql)
+        try:
+            self.spark.sql(sql)
+        except Exception as e:  # noqa: BLE001
+            raise SparrowError(1064, f"view DDL failed: {e}") from e
+        return Result("ok")
+
     def _query(self, stmt: str) -> Result:
         sql = substitute_variables(stmt, self.system_vars, self.user_vars)
         sql = strip_dual(sql)

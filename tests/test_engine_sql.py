@@ -238,3 +238,21 @@ def test_unsupported_statement_errors(engine):
     with pytest.raises(SparrowError) as e:
         engine.sql("GRANT ALL ON *.* TO root")
     assert e.value.code == 1105
+
+
+def test_views(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS viewdb")
+    engine.sql("USE viewdb")
+    engine.sql("CREATE TABLE v_src (id INT, name CHAR, PRIMARY KEY(id))")
+    engine.sql("INSERT INTO v_src VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    engine.sql("CREATE OR REPLACE TEMPORARY VIEW v_big AS SELECT * FROM v_src WHERE id >= 2")
+    rows = engine.sql("SELECT name FROM v_big ORDER BY id").df.collect()
+    assert [r.name for r in rows] == ["b", "c"]
+    engine.sql("DROP VIEW v_big")
+    import pytest as _pytest
+
+    from sparrow_spark.engine import SparrowError
+
+    with _pytest.raises(SparrowError):
+        engine.sql("SELECT * FROM v_big")
+    engine.sql("DROP TABLE v_src")
