@@ -220,3 +220,64 @@ def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("p_name", "[aeiou]", "*").alias("starred"),
         F.col("p_name").rlike("^[a-m]").alias("starts_early"),
     )
+
+
+@query(
+    "q_trig_funcs",
+    oracle="""
+    SELECT p_partkey,
+           round(sin(p_retailprice / 100.0) + 1e-9, 6) AS sin_p,
+           round(cos(p_retailprice / 100.0) + 1e-9, 6) AS cos_p,
+           round(atan(p_retailprice / 1000.0) + 1e-9, 6) AS atan_p,
+           round(ln(p_retailprice + 1.0) + 1e-9, 6) AS ln_p,
+           round(degrees(atan2(CAST(p_size AS DOUBLE), 10.0)) + 1e-9, 4) AS angle_deg,
+           CAST(floor(p_retailprice) AS BIGINT) AS trunc_p
+    FROM part WHERE p_partkey % 20 = 0
+    """,
+)
+def q_trig_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric/log scalar family (reference exposes DF 6's
+    trig/ln/trunc through SELECT — SURVEY §2.2 scalar library row)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    p100 = F.col("p_retailprice") / 100.0
+    return part.select(
+        "p_partkey",
+        rnd(F.sin(p100), 6).alias("sin_p"),
+        rnd(F.cos(p100), 6).alias("cos_p"),
+        rnd(F.atan(F.col("p_retailprice") / 1000.0), 6).alias("atan_p"),
+        rnd(F.log(F.col("p_retailprice") + 1.0), 6).alias("ln_p"),
+        rnd(F.degrees(F.atan2(F.col("p_size").cast("double"), F.lit(10.0))), 4).alias(
+            "angle_deg"
+        ),
+        F.floor("p_retailprice").cast("bigint").alias("trunc_p"),
+    )
+
+
+@query(
+    "q_string_extra",
+    oracle="""
+    SELECT s_suppkey,
+           upper(s_name[1:1]) || lower(s_name[2:]) AS name_title,
+           left(s_name, 4) AS name_left,
+           right(s_name, 3) AS name_right,
+           chr(65 + CAST(s_suppkey % 26 AS INTEGER)) AS letter,
+           CAST(bit_length(s_name) AS BIGINT) AS name_bits,
+           lower(to_hex(s_suppkey)) AS key_hex,
+           strpos(s_name, '#') AS hash_pos
+    FROM supplier WHERE s_suppkey % 5 = 0
+    """,
+)
+def q_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining DF 6 string builtins: initcap/left/right/chr/
+    bit_length/to_hex/strpos (SURVEY §2.2 scalar library row)."""
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 5 == 0)
+    return supp.select(
+        "s_suppkey",
+        F.initcap(F.lower("s_name")).alias("name_title"),
+        F.substring("s_name", 1, 4).alias("name_left"),
+        F.expr("right(s_name, 3)").alias("name_right"),
+        F.chr(F.lit(65) + (F.col("s_suppkey") % 26)).alias("letter"),
+        F.bit_length("s_name").cast("bigint").alias("name_bits"),
+        F.lower(F.hex(F.col("s_suppkey"))).alias("key_hex"),
+        F.instr("s_name", "#").alias("hash_pos"),
+    )
