@@ -301,3 +301,113 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", rolling_hash(F.col("text")).alias("rhash"))
+
+
+@query(
+    "q_vocab_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ), counts AS (
+      SELECT tok, count(*) AS n FROM tok GROUP BY tok
+    ), total AS (SELECT sum(n) AS t FROM counts)
+    SELECT tok, n, round(n / (SELECT t FROM total) + 1e-9, 6) AS freq
+    FROM counts
+    WHERE n >= 0.01 * (SELECT t FROM total)
+    ORDER BY n DESC, tok
+    """,
+)
+def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters (tokens >= 1% of all tokens) —
+    the exact counterpart of count-min/frequent-items sketches; at
+    corpus scale the same plan holds (one explode, one keyed shuffle
+    with map-side combine, a 1-row broadcast total)."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("n") >= 0.01 * F.col("t"))
+        .select("tok", "n", rnd(F.col("n") / F.col("t"), 6).alias("freq"))
+        .orderBy(F.col("n").desc(), "tok")
+    )
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok
+    ), df_t AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+    ), n_docs AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, tok,
+           round(tf * ln((SELECT n FROM n_docs) / CAST(df AS DOUBLE)) + 1e-9, 6)
+               AS tfidf
+    FROM tf JOIN df_t USING (tok)
+    WHERE tf * ln((SELECT n FROM n_docs) / CAST(df AS DOUBLE)) > 2.0
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, token), thresholded to salient terms. Scale:
+    one explode feeds both the tf agg (keyed on doc,tok) and the df agg
+    (keyed on tok, distinct-doc count); the idf side is tiny after
+    aggregation -> broadcast join back."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tok.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+    return (
+        tf.join(F.broadcast(df_t), "tok")
+        .filter(tfidf > 2.0)
+        .select("doc_id", "tok", rnd(tfidf, 6).alias("tfidf"))
+    )
+
+
+@query(
+    "q_corpus_stats_by_lang",
+    oracle="""
+    WITH t AS (
+      SELECT lang, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(avg(n_tok) + 1e-9, 4) AS avg_tokens,
+           CAST(min(n_tok) AS BIGINT) AS min_tokens,
+           CAST(max(n_tok) AS BIGINT) AS max_tokens,
+           round(quantile_cont(n_tok, 0.5) + 1e-9, 4) AS median_tokens,
+           round(quantile_cont(n_tok, 0.95) + 1e-9, 4) AS p95_tokens
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def q_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus sizing report (docs, tokens, length
+    distribution) — the first query any training-data curation run
+    issues. percentile() here is exact-interpolated to match
+    quantile_cont; percentile_approx is the at-scale variant."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(tokens(F.col("text"))).cast("bigint")
+    return (
+        docs.select("lang", n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            rnd(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+            rnd(F.expr("percentile(n_tok, 0.5)"), 4).alias("median_tokens"),
+            rnd(F.expr("percentile(n_tok, 0.95)"), 4).alias("p95_tokens"),
+        )
+        .orderBy("lang")
+    )
