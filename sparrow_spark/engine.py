@@ -329,7 +329,56 @@ class Engine:
             raise SparrowError(1046, "No database selected")
         return self.current_schema, check_ident(parts[0])
 
+    def _create_table_as(self, m: "re.Match[str]") -> Result:
+        """CTAS — absent in the reference's surface, free on Spark: run
+        the query through the normal dialect path, derive the table
+        schema from the result, write data + catalog + registration.
+        Data is written before the catalog entry so a failed query
+        leaves no half-created table."""
+        if_not_exists, name_raw, query_sql = m.group(1), m.group(2), m.group(3)
+        schema, table = self._resolve_table_name(name_raw)
+        if not self.catalog.has_schema(schema):
+            raise SparrowError(1049, f"Unknown database '{schema}'")
+        if self.catalog.has_table(schema, table):
+            if if_not_exists:
+                return Result("ok")
+            raise SparrowError(1050, f"Table '{table}' already exists")
+        df = self._query(query_sql).df
+        bad = [f.name for f in df.schema.fields if re.search(r"[ ,;{}()\n\t=]", f.name)]
+        if bad:
+            raise SparrowError(
+                1064, f"CTAS result columns need aliases (invalid names: {bad})"
+            )
+        tdef = TableDef(schema=schema, name=table)
+        for i, f in enumerate(df.schema.fields):
+            tdef.columns.append(
+                ColumnDef(
+                    name=f.name,
+                    spark_type=f.dataType.simpleString(),
+                    sql_type=f.dataType.simpleString().upper(),
+                    nullable=f.nullable,
+                    store_id=tdef.next_store_id,
+                    ordinal_position=i + 1,
+                )
+            )
+            tdef.next_store_id += 1
+        with_rowid = df.select(F.expr("uuid()").alias(ROWID), "*")
+        with_rowid.write.mode("overwrite").parquet(
+            self.catalog.data_path(schema, table)
+        )
+        self.catalog.save(tdef)
+        self._register_spark_table(tdef)
+        return Result("ok")
+
     def _create_table(self, stmt: str) -> Result:
+        ctas = re.match(
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w`.]+)\s+AS\s+"
+            r"((?:SELECT|WITH|VALUES|TABLE)\b.*)$",
+            stmt,
+            re.I | re.S,
+        )
+        if ctas:
+            return self._create_table_as(ctas)
         m = re.match(
             r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_`.][\w`.]*)\s*\((.*)\)\s*(.*)$",
             stmt,

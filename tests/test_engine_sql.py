@@ -256,3 +256,34 @@ def test_views(engine):
     with _pytest.raises(SparrowError):
         engine.sql("SELECT * FROM v_big")
     engine.sql("DROP TABLE v_src")
+
+
+def test_ctas(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS ctasdb")
+    engine.sql("USE ctasdb")
+    engine.sql("CREATE TABLE src (id INT, grp CHAR, amt FLOAT, PRIMARY KEY(id))")
+    engine.sql(
+        "INSERT INTO src VALUES (1,'a',10.0), (2,'a',20.0), (3,'b',5.0), (4,'b',15.0)"
+    )
+    engine.sql(
+        "CREATE TABLE grp_totals AS "
+        "SELECT grp, sum(amt) AS total, count(*) AS n FROM src GROUP BY grp"
+    )
+    rows = engine.sql("SELECT * FROM grp_totals ORDER BY grp").df.collect()
+    assert [(r.grp, r.total, r.n) for r in rows] == [("a", 30.0, 2), ("b", 20.0, 2)]
+    # persists in catalog: SHOW CREATE reflects derived schema
+    ddl = engine.sql("SHOW CREATE TABLE grp_totals").df.collect()[0][1]
+    assert "total" in ddl and "n" in ddl
+    import pytest as _pytest
+
+    from sparrow_spark.engine import SparrowError
+
+    # duplicate CTAS errors; IF NOT EXISTS is a no-op
+    with _pytest.raises(SparrowError):
+        engine.sql("CREATE TABLE grp_totals AS SELECT 1 AS one")
+    engine.sql("CREATE TABLE IF NOT EXISTS grp_totals AS SELECT 1 AS one")
+    # unaliased expression columns are rejected with a clear error
+    with _pytest.raises(SparrowError, match="aliases"):
+        engine.sql("CREATE TABLE bad_cols AS SELECT count(*) FROM src")
+    engine.sql("DROP TABLE grp_totals")
+    engine.sql("DROP TABLE src")
