@@ -518,7 +518,54 @@ class Engine:
     # ------------------------------------------------------------------
     # DML
     # ------------------------------------------------------------------
+    def _insert_select(self, m: "re.Match[str]") -> Result:
+        """INSERT INTO t [cols] SELECT … — superset of the reference's
+        VALUES-only surface, same unique-key enforcement and rowid
+        assignment as the VALUES path."""
+        name_raw, _, collist, query_sql = m.groups()
+        schema, table = self._resolve_table_name(name_raw)
+        tdef = self.catalog.load(schema, table)
+        target_cols = (
+            [check_ident(c) for c in split_top_level(collist)]
+            if collist
+            else [c.name for c in tdef.columns]
+        )
+        for c in target_cols:
+            if not tdef.column(c):
+                raise SparrowError(1054, f"Unknown column '{c}' in 'field list'")
+        src = self._query(query_sql).df
+        if len(src.columns) != len(target_cols):
+            raise SparrowError(1136, "Column count doesn't match value count")
+        new_rows = src.select(
+            *[
+                F.col(src.columns[i]).cast(tdef.column(c).spark_type).alias(c)
+                for i, c in enumerate(target_cols)
+            ]
+        )
+        for c in tdef.columns:
+            if c.name not in target_cols:
+                if not c.nullable:
+                    raise SparrowError(
+                        1364, f"Field '{c.name}' doesn't have a default value"
+                    )
+                new_rows = new_rows.withColumn(c.name, F.lit(None).cast(c.spark_type))
+        new_rows = new_rows.select(*[c.name for c in tdef.columns])
+        self._check_unique(tdef, new_rows)
+        with_rowid = new_rows.select(F.expr("uuid()").alias(ROWID), "*")
+        n_rows = with_rowid.count()
+        with_rowid.write.mode("append").parquet(self.catalog.data_path(schema, table))
+        self.spark.sql(f"REFRESH TABLE `{schema}`.`{table}`")
+        return Result("ok", affected_rows=n_rows)
+
     def _insert(self, stmt: str) -> Result:
+        sel = re.match(
+            r"INSERT\s+INTO\s+([\w`.]+)\s*(\(([^)]*)\))?\s*"
+            r"((?:SELECT|WITH|TABLE)\b.*)$",
+            stmt,
+            re.I | re.S,
+        )
+        if sel:
+            return self._insert_select(sel)
         m = re.match(
             r"INSERT\s+INTO\s+([\w`.]+)\s*(\(([^)]*)\))?\s*VALUES\s*(.+)$",
             stmt,

@@ -287,3 +287,26 @@ def test_ctas(engine):
         engine.sql("CREATE TABLE bad_cols AS SELECT count(*) FROM src")
     engine.sql("DROP TABLE grp_totals")
     engine.sql("DROP TABLE src")
+
+
+def test_insert_into_select(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS insdb")
+    engine.sql("USE insdb")
+    engine.sql("CREATE TABLE a (id INT, v FLOAT, PRIMARY KEY(id))")
+    engine.sql("CREATE TABLE b (id INT, v FLOAT, PRIMARY KEY(id))")
+    engine.sql("INSERT INTO a VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    r = engine.sql("INSERT INTO b SELECT id, v * 2 AS v2 FROM a WHERE id >= 2")
+    assert r.affected_rows == 2
+    rows = engine.sql("SELECT id, v FROM b ORDER BY id").df.collect()
+    assert [(x.id, x.v) for x in rows] == [(2, 5.0), (3, 7.0)]
+    import pytest as _pytest
+
+    from sparrow_spark.engine import SparrowError
+
+    # unique-key violation from SELECT source is rejected
+    with _pytest.raises(SparrowError, match="Duplicate entry"):
+        engine.sql("INSERT INTO b SELECT id, v FROM a WHERE id = 2")
+    # column-count mismatch
+    with _pytest.raises(SparrowError, match="Column count"):
+        engine.sql("INSERT INTO b SELECT id FROM a")
+    engine.sql("DROP TABLE a, b")
