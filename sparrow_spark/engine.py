@@ -169,6 +169,8 @@ class Engine:
             return self._alter_table(stmt)
         if head == "INSERT":
             return self._insert(stmt)
+        if head == "REPLACE":
+            return self._replace(stmt)
         if head == "UPDATE":
             return self._update(stmt)
         if head == "DELETE":
@@ -557,6 +559,40 @@ class Engine:
         self.spark.sql(f"REFRESH TABLE `{schema}`.`{table}`")
         return Result("ok", affected_rows=n_rows)
 
+    def _replace(self, stmt: str) -> Result:
+        """REPLACE INTO (MySQL upsert): delete stored rows that collide
+        with the new rows on the primary or any unique key, then insert.
+        Copy-on-write rewrite like UPDATE/DELETE (§3.3)."""
+        m = re.match(
+            r"REPLACE\s+INTO\s+([\w`.]+)\s*(\(([^)]*)\))?\s*VALUES\s*(.+)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise SparrowError(1064, f"syntax error in REPLACE: {stmt[:80]}")
+        schema, table, tdef, new_rows, n_rows = self._rows_from_values(m)
+        key_sets = tdef.key_sets()
+        if not key_sets:
+            raise SparrowError(
+                1062, "REPLACE requires a PRIMARY KEY or UNIQUE constraint"
+            )
+        # Intra-batch duplicates still error (matches INSERT semantics;
+        # MySQL would keep the last row — stricter is safer here).
+        for index_name, cols in key_sets:
+            dup = (
+                new_rows.groupBy(*cols).count().filter(F.col("count") > 1).limit(1).collect()
+            )
+            if dup:
+                key = "-".join(str(dup[0][c]) for c in cols)
+                raise SparrowError(1062, f"Duplicate entry '{key}' for key '{index_name}'")
+        existing = self._read_physical(schema, table, tdef)
+        keep = existing
+        for _, cols in key_sets:
+            keep = keep.join(new_rows.select(*cols), on=cols, how="left_anti")
+        with_rowid = new_rows.select(F.expr("uuid()").alias(ROWID), "*")
+        self._overwrite_data(schema, table, keep.unionByName(with_rowid))
+        return Result("ok", affected_rows=n_rows)
+
     def _insert(self, stmt: str) -> Result:
         sel = re.match(
             r"INSERT\s+INTO\s+([\w`.]+)\s*(\(([^)]*)\))?\s*"
@@ -573,6 +609,17 @@ class Engine:
         )
         if not m:
             raise SparrowError(1064, f"syntax error in INSERT: {stmt[:80]}")
+        schema, table, tdef, new_rows, n_rows = self._rows_from_values(m)
+        self._check_unique(tdef, new_rows)
+        # assign rowids (reference: uuid per row, src/physical_plan/insert.rs:33)
+        with_rowid = new_rows.select(F.expr("uuid()").alias(ROWID), "*")
+        with_rowid.write.mode("append").parquet(self.catalog.data_path(schema, table))
+        self.spark.sql(f"REFRESH TABLE `{schema}`.`{table}`")
+        return Result("ok", affected_rows=n_rows)
+
+    def _rows_from_values(self, m: "re.Match[str]"):
+        """Shared VALUES evaluation for INSERT/REPLACE: returns
+        (schema, table, tdef, typed new_rows, n_rows)."""
         name_raw, _, collist, values_part = m.groups()
         schema, table = self._resolve_table_name(name_raw)
         tdef = self.catalog.load(schema, table)
@@ -610,14 +657,7 @@ class Engine:
                     )
                 new_rows = new_rows.withColumn(c.name, F.lit(None).cast(c.spark_type))
         new_rows = new_rows.select(*[c.name for c in tdef.columns])
-
-        self._check_unique(tdef, new_rows)
-
-        # assign rowids (reference: uuid per row, src/physical_plan/insert.rs:33)
-        with_rowid = new_rows.select(F.expr("uuid()").alias(ROWID), "*")
-        with_rowid.write.mode("append").parquet(self.catalog.data_path(schema, table))
-        self.spark.sql(f"REFRESH TABLE `{schema}`.`{table}`")
-        return Result("ok", affected_rows=n_rows)
+        return schema, table, tdef, new_rows, n_rows
 
     def _check_unique(self, tdef: TableDef, new_rows: DataFrame) -> None:
         """Duplicate-key probe before insert — the reference probes its

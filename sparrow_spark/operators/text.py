@@ -411,3 +411,37 @@ def q_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+SAMPLE_RATES_PCT = {"en": 5, "de": 20, "es": 20, "fr": 20, "zh": 20}
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE doc_id % 100 < CASE lang
+        WHEN 'en' THEN 5 WHEN 'de' THEN 20 WHEN 'es' THEN 20
+        WHEN 'fr' THEN 20 WHEN 'zh' THEN 20 ELSE 0 END
+    ORDER BY doc_id
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic downsampling — per-language rates
+    (downsample the dominant language, keep the rest), keyed on
+    doc_id % 100 so the sample is reproducible across runs and engines
+    (df.sampleBy is RNG-seeded per partition: not cross-engine
+    checkable, and not even stable under repartitioning). At corpus
+    scale the mod test is a pushed-down filter: no shuffle, no
+    sampling pass. The standard pattern for rebalancing a training
+    mix."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for lang, pct in SAMPLE_RATES_PCT.items():
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    return (
+        docs.filter((F.col("doc_id") % 100) < rate)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

@@ -147,3 +147,13 @@ def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(stream, name, output_mode="append")
     return spark.table(name)
+
+
+def enriched_event_stream(
+    events: DataFrame, dim: DataFrame, on: str = "event_type"
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a (small) static
+    dimension. Spark broadcasts the static side into every microbatch —
+    no stream state, no shuffle of the stream. The standard pattern for
+    attaching slowly-changing reference data to a 100 TB/day stream."""
+    return events.join(F.broadcast(dim), on=on, how="left")

@@ -310,3 +310,27 @@ def test_insert_into_select(engine):
     with _pytest.raises(SparrowError, match="Column count"):
         engine.sql("INSERT INTO b SELECT id FROM a")
     engine.sql("DROP TABLE a, b")
+
+
+def test_replace_into(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS repldb")
+    engine.sql("USE repldb")
+    engine.sql("CREATE TABLE kv (k INT, v CHAR, PRIMARY KEY(k))")
+    engine.sql("INSERT INTO kv VALUES (1,'a'), (2,'b')")
+    # replace existing key 2, add new key 3
+    r = engine.sql("REPLACE INTO kv VALUES (2,'B'), (3,'c')")
+    assert r.affected_rows == 2
+    rows = engine.sql("SELECT k, v FROM kv ORDER BY k").df.collect()
+    assert [(x.k, x.v) for x in rows] == [(1, "a"), (2, "B"), (3, "c")]
+    import pytest as _pytest
+
+    from sparrow_spark.engine import SparrowError
+
+    # intra-batch duplicate still errors
+    with _pytest.raises(SparrowError, match="Duplicate entry"):
+        engine.sql("REPLACE INTO kv VALUES (5,'x'), (5,'y')")
+    # no unique key -> REPLACE rejected
+    engine.sql("CREATE TABLE nokey (a INT)")
+    with _pytest.raises(SparrowError, match="PRIMARY KEY"):
+        engine.sql("REPLACE INTO nokey VALUES (1)")
+    engine.sql("DROP TABLE kv, nokey")

@@ -164,3 +164,31 @@ def test_stream_dedup(spark, sf_dir, events_path, tmp_path):
     got = spark.table("deduped_events").count()
     want = load_table(spark, sf_dir, "events").count()
     assert got == want
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, events_path):
+    """Stream-static enrichment: drained stream join == batch join."""
+    from sparrow_spark.streaming.ingest import enriched_event_stream
+
+    batch_events = load_table(spark, sf_dir, "events")
+    dim = (
+        batch_events.select("event_type")
+        .distinct()
+        .withColumn("type_code", F.crc32("event_type") % 1000)
+    )
+    stream = enriched_event_stream(read_events_stream(spark, events_path), dim)
+    run_to_memory(
+        stream.groupBy("event_type", "type_code").count(), "enriched", "complete"
+    )
+    got = {
+        (r.event_type, r.type_code): r["count"]
+        for r in spark.table("enriched").collect()
+    }
+    want = {
+        (r.event_type, r.type_code): r["count"]
+        for r in batch_events.join(F.broadcast(dim), "event_type", "left")
+        .groupBy("event_type", "type_code")
+        .count()
+        .collect()
+    }
+    assert got == want and len(got) > 0
