@@ -153,6 +153,10 @@ class Engine:
             return self._explain(stmt)
         if head == "SHOW":
             return self._show(stmt)
+        if head in ("DESCRIBE", "DESC"):
+            # MySQL alias: DESCRIBE t == SHOW COLUMNS FROM t.
+            target = stmt.split(None, 1)[1] if len(words) > 1 else ""
+            return self._show(f"SHOW COLUMNS FROM {target}")
         if head == "USE":
             return self._use(stmt)
         if head == "SET":

@@ -295,3 +295,76 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, group_col="lang", threshold=0.5)
+
+
+@query(
+    "q_dedup_pipeline",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), sh AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)]) AS shingle
+      FROM tok
+    ), hashed AS (
+      SELECT doc_id, md5('a:' || shingle) AS da, md5('b:' || shingle) AS db
+      FROM sh
+    ), sigs AS (
+      SELECT doc_id,
+             min(substr(da, 1, 8)) AS h0, min(substr(da, 9, 8)) AS h1,
+             min(substr(da, 17, 8)) AS h2, min(substr(da, 25, 8)) AS h3,
+             min(substr(db, 1, 8)) AS h4, min(substr(db, 9, 8)) AS h5,
+             min(substr(db, 17, 8)) AS h6, min(substr(db, 25, 8)) AS h7
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id,
+             unnest([struct_pack(band := 0, band_sig := h0 || '|' || h1),
+                     struct_pack(band := 1, band_sig := h2 || '|' || h3),
+                     struct_pack(band := 2, band_sig := h4 || '|' || h5),
+                     struct_pack(band := 3, band_sig := h6 || '|' || h7)],
+                    recursive := true)
+      FROM sigs
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ), tsets AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tset
+      FROM documents
+    )
+    SELECT a_id, b_id,
+           round(len(list_intersect(ta.tset, tb.tset)) /
+                 CAST(len(list_distinct(list_concat(ta.tset, tb.tset))) AS DOUBLE),
+                 4) AS jaccard
+    FROM cands
+    JOIN tsets ta ON ta.doc_id = a_id
+    JOIN tsets tb ON tb.doc_id = b_id
+    WHERE len(list_intersect(ta.tset, tb.tset)) /
+          CAST(len(list_distinct(list_concat(ta.tset, tb.tset))) AS DOUBLE) >= 0.5
+    """,
+)
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production dedup shape: MinHash-LSH generates candidate
+    pairs (sub-quadratic), exact token-set Jaccard verifies them. Scale:
+    the verify join touches only |candidates| pairs — the corpus is
+    joined twice by doc id (broadcast-able at fixture scale; keyed
+    shuffle at corpus scale), never pairwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs(docs)
+    tsets = widen(docs).select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("tset")
+    )
+    a = tsets.select(F.col("doc_id").alias("a_id"), F.col("tset").alias("a_set"))
+    b = tsets.select(F.col("doc_id").alias("b_id"), F.col("tset").alias("b_set"))
+    jac = F.size(F.array_intersect("a_set", "b_set")) / F.size(
+        F.array_union("a_set", "b_set")
+    ).cast("double")
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("jaccard", rnd(jac, 4))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a_id", "b_id", "jaccard")
+    )

@@ -134,3 +134,64 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_orderkey"),
         rnd("o_totalprice", 2).alias("last_totalprice"),
     )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket,
+             t.event_type
+      FROM bounds, (SELECT DISTINCT event_type FROM events) t
+    ), agg AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             count(*) AS n, round(sum(value) + 1e-9, 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket, g.event_type,
+           coalesce(a.n, 0) AS n_events,
+           coalesce(a.sum_value, 0.0) AS sum_value
+    FROM grid g LEFT JOIN agg a
+      ON a.bucket = g.bucket AND a.event_type = g.event_type
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill: a dense (hour x event_type) grid with
+    zero-filled empty buckets — what monitoring/feature pipelines need
+    before windowed models. Scale: the grid is sequence()-generated from
+    a 1-row bounds aggregate (broadcast), never materialized wider than
+    hours x types; the left join shuffles only the aggregated (not raw)
+    side."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        bounds.crossJoin(types)
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket_ts"),
+            "event_type",
+        )
+    )
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.sum("value"), 2).alias("sum_value"),
+    )
+    return (
+        grid.join(agg, ["bucket_ts", "event_type"], "left")
+        .select(
+            F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        )
+    )

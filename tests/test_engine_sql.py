@@ -334,3 +334,13 @@ def test_replace_into(engine):
     with _pytest.raises(SparrowError, match="PRIMARY KEY"):
         engine.sql("REPLACE INTO nokey VALUES (1)")
     engine.sql("DROP TABLE kv, nokey")
+
+
+def test_describe_alias(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS descdb")
+    engine.sql("USE descdb")
+    engine.sql("CREATE TABLE dt (id INT, name CHAR, PRIMARY KEY(id))")
+    d1 = [tuple(r) for r in engine.sql("DESCRIBE dt").df.collect()]
+    d2 = [tuple(r) for r in engine.sql("SHOW COLUMNS FROM dt").df.collect()]
+    assert d1 == d2 and len(d1) == 2
+    engine.sql("DROP TABLE dt")
