@@ -12,6 +12,7 @@ from sparrow_spark.operators.dedup import (
 )
 from sparrow_spark.operators.multimodal import DECODED_SCHEMA, decode_media_batches
 from sparrow_spark.operators.similarity import brute_force_topk
+from sparrow_spark.sources import load_table
 
 
 def test_asof_join_semantics(spark):
@@ -88,3 +89,58 @@ def test_brute_force_topk_self_excluded(spark):
     assert all(r.neighbor_id != 0 for r in rows)
     # orthogonal unit vectors: all cosines 0, rank by neighbor_id
     assert [r.neighbor_id for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+def test_minhash_xxhash64_production_path(spark, sf_dir):
+    """The pure-JVM xxhash64 signature path (non-oracle production
+    variant) must produce the same shape and grouping behavior as the
+    md5 path, and its LSH self-consistency must hold: identical texts
+    collide in every band."""
+    from pyspark.sql import functions as F
+
+    from sparrow_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    sigs = minhash_signatures(docs, hash_fn="xxhash64")
+    assert sigs.columns == ["doc_id"] + [f"h{i}" for i in range(8)]
+    assert sigs.count() == docs.filter(
+        F.size(F.split(F.lower("text"), " ")) >= 3
+    ).count()
+    # identical text => identical signature (determinism)
+    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    sigs2 = minhash_signatures(docs.limit(1).unionByName(dup), hash_fn="xxhash64")
+    rows = sigs2.collect()
+    assert len(rows) == 2
+    assert [rows[0][f"h{i}"] for i in range(8)] == [rows[1][f"h{i}"] for i in range(8)]
+
+
+def test_real_decode_requires_pil():
+    import pytest as _pytest
+
+    from sparrow_spark.operators import multimodal
+
+    if multimodal.HAVE_PIL:
+        _pytest.skip("PIL present in this environment")
+    with _pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.real_decode(b"\x89PNG...")
+
+
+def test_python_udtf_split_words(spark):
+    """Python UDTF surface (Spark 4): a table function exploding words
+    with positions — the reference's UDTF row is 'absent' (SURVEY §2.2),
+    so this is the free-superset demonstration."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split()):
+                yield w, i
+
+    spark.udtf.register("split_words", SplitWords)
+    rows = spark.sql(
+        "SELECT word, pos FROM split_words('spark graft engine')"
+    ).collect()
+    assert [(r.word, r.pos) for r in rows] == [
+        ("spark", 0), ("graft", 1), ("engine", 2)
+    ]
