@@ -195,3 +195,39 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction: parse the JSON props column
+    JVM-side (get_json_object — no Python, codegen-friendly), filter on
+    the extracted field, aggregate. At scale prefer from_json with an
+    explicit schema once per pipeline stage (single parse, typed
+    struct); get_json_object is the ad-hoc path shown here."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
