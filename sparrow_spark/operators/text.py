@@ -445,3 +445,38 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_train_test_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by hashing the
+    stable doc id (md5 first 16 bits mod 100) — reproducible across
+    runs, engines, and repartitioning, and leakage-safe (same id always
+    lands in the same split). The standard alternative to RNG splits,
+    which silently reshuffle when partitioning changes."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint") % 100
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -231,3 +231,41 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value + 1e-9, 2) AS value,
+           round((e.value - s.mu) / s.sigma + 1e-9, 4) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mu) / s.sigma) > 3.0
+    """,
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier detection (|z| > 3): the per-group
+    stats reduce to a tiny broadcast frame; the raw stream is scanned
+    once with the normalized filter applied map-side — no window over
+    raw rows, so no per-row state at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), ev.event_type == F.col("s_type"))
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            rnd(F.col("value"), 2).alias("value"),
+            rnd(z, 4).alias("zscore"),
+        )
+    )
