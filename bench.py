@@ -49,15 +49,16 @@ def main() -> None:
     # the plan, not session startup.
     registry.QUERIES["q6_forecast_revenue"](spark, sf_dir).collect()
 
-    # Each query runs twice; we report the steady-state (second) time.
-    # The first run includes per-plan whole-stage-codegen compilation —
-    # a fixed cost that is pure noise at bench scale and fully amortized
-    # at production scale (one compile per plan vs hours of execution).
+    # Each query runs three times; we report the best (steady-state)
+    # time. The first run includes per-plan whole-stage-codegen
+    # compilation — a fixed cost that is pure noise at bench scale and
+    # fully amortized at production scale — and best-of-3 also damps
+    # co-tenant load spikes on the bench machine.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry.QUERIES[name]
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count() if name != "q1_pricing_summary" else len(df.collect())
