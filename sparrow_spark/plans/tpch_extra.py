@@ -380,34 +380,60 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    """The EXISTS/NOT-EXISTS pair decorrelates to ONE pass over
+    lineitem: for each line, 'another supplier shipped strictly later'
+    is decidable from per-order window aggregates (max shipdate over
+    OTHER suppliers, derived from the order max, the runner-up max, and
+    whether the argmax supplier is unique). One scan + one shuffle on
+    l_orderkey (the orders join keys the same column, so the window
+    reuses its partitioning) — versus the naive three lineitem scans
+    with semi+anti probes."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_0", "NATION_1")
     )
-    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
-    l2 = li.select(
-        F.col("l_orderkey").alias("x_orderkey"),
-        F.col("l_suppkey").alias("x_suppkey"),
-        F.col("l_shipdate").alias("x_shipdate"),
+    w_ord = Window.partitionBy("l_orderkey")
+    w_os = Window.partitionBy("l_orderkey", "l_suppkey")
+    lined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_semi")
+        .withColumn("s_max", F.max("l_shipdate").over(w_os))
+        .withColumn("m1", F.max("l_shipdate").over(w_ord))
+        .withColumn("n_supps", F.size(F.collect_set("l_suppkey").over(w_ord)))
+        .withColumn(
+            "n_supps_at_m1",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("s_max") == F.col("m1"), F.col("l_suppkey"))
+                ).over(w_ord)
+            ),
+        )
+        .withColumn(
+            "m2",
+            F.max(F.when(F.col("s_max") < F.col("m1"), F.col("l_shipdate"))).over(
+                w_ord
+            ),
+        )
+        .withColumn(
+            "other_max",
+            F.when(
+                (F.col("s_max") < F.col("m1")) | (F.col("n_supps_at_m1") >= 2),
+                F.col("m1"),
+            ).otherwise(F.col("m2")),
+        )
     )
-    with_other = l1.join(
-        l2,
-        (F.col("l_orderkey") == F.col("x_orderkey"))
-        & (F.col("l_suppkey") != F.col("x_suppkey")),
-        "left_semi",
-    )
-    not_latest = with_other.join(
-        l2,
-        (F.col("l_orderkey") == F.col("x_orderkey"))
-        & (F.col("l_suppkey") != F.col("x_suppkey"))
-        & (F.col("x_shipdate") > F.col("l_shipdate")),
-        "left_anti",
+    waiting = lined.filter(
+        (F.col("n_supps") >= 2) & (F.col("l_shipdate") >= F.col("other_max"))
     )
     return (
-        not_latest.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
