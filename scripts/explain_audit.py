@@ -32,7 +32,13 @@ AUDIT = [
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    names = sys.argv[2:] or AUDIT
+    args = [a for a in sys.argv[2:] if a != "--full"]
+    if args == ["--all"]:
+        registry.load_all()
+        # Streaming drains aren't explainable as one plan; skip them.
+        names = sorted(n for n in registry.QUERIES if not n.startswith("q_stream"))
+    else:
+        names = args or AUDIT
     registry.load_all()
     spark = get_spark("sparrow-audit")
     spark.sparkContext.setLogLevel("ERROR")
