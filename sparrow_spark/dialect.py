@@ -147,3 +147,27 @@ def like_to_regex(pattern: str) -> str:
         else:
             out.append(re.escape(ch))
     return "^" + "".join(out) + "$"
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split a multi-statement script on top-level semicolons
+    (quote-aware; semicolons inside string literals are preserved).
+    Empty statements are dropped."""
+    out: list[str] = []
+    buf: list[str] = []
+    for piece, is_quoted in _split_quotes(sql):
+        if is_quoted:
+            buf.append(piece)
+            continue
+        while ";" in piece:
+            head, piece = piece.split(";", 1)
+            buf.append(head)
+            stmt = "".join(buf).strip()
+            if stmt:
+                out.append(stmt)
+            buf = []
+        buf.append(piece)
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out

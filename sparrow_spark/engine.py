@@ -50,6 +50,7 @@ from sparrow_spark.catalog import (
 )
 from sparrow_spark.dialect import (
     first_words,
+    split_statements,
     like_to_regex,
     split_top_level,
     strip_comments,
@@ -138,6 +139,12 @@ class Engine:
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
+    def script(self, text: str) -> list[Result]:
+        """Execute a multi-statement script (top-level semicolons,
+        quote-aware); statements run sequentially, first error aborts —
+        matching per-statement COM_QUERY semantics."""
+        return [self.sql(stmt) for stmt in split_statements(text)]
+
     def sql(self, text: str) -> Result:
         """Execute one statement (the COM_QUERY path, SURVEY §3.1)."""
         stmt = strip_comments(text)

@@ -344,3 +344,15 @@ def test_describe_alias(engine):
     d2 = [tuple(r) for r in engine.sql("SHOW COLUMNS FROM dt").df.collect()]
     assert d1 == d2 and len(d1) == 2
     engine.sql("DROP TABLE dt")
+
+
+def test_script_multi_statement(engine):
+    results = engine.script(
+        "CREATE DATABASE IF NOT EXISTS scriptdb; USE scriptdb; "
+        "CREATE TABLE st (id INT, s CHAR, PRIMARY KEY(id)); "
+        "INSERT INTO st VALUES (1, 'a;b'); "  # semicolon inside literal
+        "SELECT s FROM st"
+    )
+    assert len(results) == 5
+    assert results[-1].df.collect()[0].s == "a;b"
+    engine.sql("DROP TABLE st")
