@@ -269,3 +269,67 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(z, 4).alias("zscore"),
         )
     )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT user_id % 100 AS user_bucket,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long -> wide): per-bucket event counts as one column per
+    type, using df.pivot with an EXPLICIT value list — at scale an
+    unlisted pivot triggers a distinct-values pre-pass over the fact
+    table; listing values makes it a single conditional aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", F.col("user_id") % 100)
+        .groupBy("user_bucket")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id % 100 AS user_bucket,
+             CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+             CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+      FROM events GROUP BY 1
+    )
+    SELECT user_bucket, kind, n FROM (
+      SELECT user_bucket, 'click' AS kind, click AS n FROM wide
+      UNION ALL
+      SELECT user_bucket, 'view' AS kind, view AS n FROM wide
+    ) WHERE n > 0
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long) via stack() — the inverse reshape, one
+    narrow pass over the wide frame (no join, no shuffle beyond the
+    producing aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.withColumn("user_bucket", F.col("user_id") % 100)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view"])
+    )
+    return wide.select(
+        "user_bucket",
+        F.expr("stack(2, 'click', click, 'view', view) AS (kind, n)"),
+    ).filter(F.col("n") > 0)
