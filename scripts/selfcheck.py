@@ -94,8 +94,9 @@ def main() -> int:
             sset = rowset([tuple(r[i] for i in order) for r in srows])
             dset = rowset([tuple(r[i] for i in order) for r in drows])
             if sset != dset:
-                diff_a = [r for r in sset if r not in set(dset)][:3]
-                diff_b = [r for r in dset if r not in set(sset)][:3]
+                dset_s, sset_s = set(dset), set(sset)
+                diff_a = [r for r in sset if r not in dset_s][:3]
+                diff_b = [r for r in dset if r not in sset_s][:3]
                 status.append(f"values differ; spark-only={diff_a} duck-only={diff_b}")
         if status:
             failures.append(name)

@@ -333,3 +333,39 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_bucket",
         F.expr("stack(2, 'click', click, 'view', view) AS (kind, n)"),
     ).filter(F.col("n") > 0)
+
+
+@query(
+    "q_rolling_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_prev_hour,
+           round(sum(value) OVER w + 1e-9, 2) AS sum_prev_hour
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user rolling 1-hour count/sum —
+    the event-time frame (not row-count) that rate limiting and
+    feature windows need. Both engines order by epoch MICROSECONDS
+    (second-truncated ordering silently shifts frame membership for
+    events within 1s of the boundary — all fixture timestamps carry
+    sub-second parts). One shuffle on user_id."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_prev_hour"),
+        rnd(F.sum("value").over(w), 2).alias("sum_prev_hour"),
+    )
