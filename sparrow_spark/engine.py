@@ -182,6 +182,8 @@ class Engine:
             return self._insert(stmt)
         if head == "REPLACE":
             return self._replace(stmt)
+        if head == "MERGE":
+            return self._merge(stmt)
         if head == "UPDATE":
             return self._update(stmt)
         if head == "DELETE":
@@ -603,6 +605,111 @@ class Engine:
         with_rowid = new_rows.select(F.expr("uuid()").alias(ROWID), "*")
         self._overwrite_data(schema, table, keep.unionByName(with_rowid))
         return Result("ok", affected_rows=n_rows)
+
+    def _merge(self, stmt: str) -> Result:
+        """MERGE INTO target USING src ON cond
+        [WHEN MATCHED THEN UPDATE SET c = expr, ... | DELETE]
+        [WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs) | INSERT *]
+
+        Copy-on-write set algebra (no per-row loop): matched target rows
+        are rewritten (or dropped), unmatched source rows appended. The
+        reference has no MERGE; this is the engine's upsert superset
+        beyond REPLACE."""
+        m = re.match(
+            r"MERGE\s+INTO\s+([\w`.]+)(?:\s+AS\s+(\w+)|\s+(\w+))?\s+"
+            r"USING\s+(\([^)]*\)|[\w`.]+)(?:\s+AS\s+(\w+)|\s+(\w+))?\s+"
+            r"ON\s+(.+?)\s+(WHEN\s+.+)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise SparrowError(1064, f"syntax error in MERGE: {stmt[:80]}")
+        tname, ta1, ta2, src_sql, sa1, sa2, on_cond, clauses_sql = m.groups()
+        t_alias = ta1 or ta2 or "t"
+        s_alias = sa1 or sa2 or "s"
+        schema, table = self._resolve_table_name(tname)
+        tdef = self.catalog.load(schema, table)
+
+        upd_m = re.search(
+            r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)(?=\s+WHEN\s+|$)",
+            clauses_sql, re.I | re.S,
+        )
+        del_m = re.search(r"WHEN\s+MATCHED\s+THEN\s+DELETE", clauses_sql, re.I)
+        ins_m = re.search(
+            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*"
+            r"(?:\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)|\*)",
+            clauses_sql, re.I | re.S,
+        )
+        if upd_m and del_m:
+            raise SparrowError(1064, "MERGE supports one WHEN MATCHED action")
+        if not (upd_m or del_m or ins_m):
+            raise SparrowError(1064, "MERGE needs at least one WHEN clause")
+
+        src = (
+            self._query(src_sql[1:-1]).df
+            if src_sql.startswith("(")
+            else self._query(f"SELECT * FROM {src_sql}").df
+        ).alias(s_alias)
+        target = self._read_physical(schema, table, tdef).alias(t_alias)
+        cond = F.expr(substitute_variables(on_cond, self.system_vars, self.user_vars))
+        tcols = [c.name for c in tdef.columns]
+
+        matched_t = target.join(src, cond, "left_semi")
+        unmatched_t = target.join(src, cond, "left_anti")
+        affected = 0
+
+        if del_m:
+            rewritten = unmatched_t
+            affected += matched_t.count()
+        elif upd_m:
+            assigns = {}
+            for item in split_top_level(upd_m.group(1)):
+                col, expr = item.split("=", 1)
+                col = check_ident(col.strip().split(".")[-1])
+                if not tdef.column(col):
+                    raise SparrowError(1054, f"Unknown column '{col}' in MERGE SET")
+                assigns[col] = expr.strip()
+            joined = target.join(src, cond, "inner")
+            updated = joined.select(
+                F.col(f"{t_alias}.{ROWID}").alias(ROWID),
+                *[
+                    (
+                        F.expr(assigns[c]).cast(tdef.column(c).spark_type)
+                        if c in assigns
+                        else F.col(f"{t_alias}.{c}")
+                    ).alias(c)
+                    for c in tcols
+                ],
+            )
+            affected += updated.count()
+            rewritten = unmatched_t.unionByName(updated)
+        else:
+            rewritten = target
+
+        if ins_m:
+            if ins_m.group(1):
+                ins_cols = [check_ident(c) for c in split_top_level(ins_m.group(1))]
+                ins_exprs = split_top_level(ins_m.group(2))
+            else:  # INSERT *
+                ins_cols, ins_exprs = tcols, [f"{s_alias}.{c}" for c in tcols]
+            new_src = src.join(target, cond, "left_anti")
+            sel = []
+            for c in tcols:
+                if c in ins_cols:
+                    e = ins_exprs[ins_cols.index(c)]
+                    sel.append(F.expr(e).cast(tdef.column(c).spark_type).alias(c))
+                elif not tdef.column(c).nullable:
+                    raise SparrowError(1364, f"Field '{c}' doesn't have a default value")
+                else:
+                    sel.append(F.lit(None).cast(tdef.column(c).spark_type).alias(c))
+            inserted = new_src.select(*sel).select(
+                F.expr("uuid()").alias(ROWID), "*"
+            )
+            affected += inserted.count()
+            rewritten = rewritten.select(ROWID, *tcols).unionByName(inserted)
+
+        self._overwrite_data(schema, table, rewritten.select(ROWID, *tcols))
+        return Result("ok", affected_rows=affected)
 
     def _insert(self, stmt: str) -> Result:
         sel = re.match(

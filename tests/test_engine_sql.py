@@ -356,3 +356,34 @@ def test_script_multi_statement(engine):
     assert len(results) == 5
     assert results[-1].df.collect()[0].s == "a;b"
     engine.sql("DROP TABLE st")
+
+
+def test_merge_into(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS mergedb")
+    engine.sql("USE mergedb")
+    engine.sql("CREATE TABLE tgt (id INT, v FLOAT, PRIMARY KEY(id))")
+    engine.sql("CREATE TABLE src (id INT, v FLOAT, PRIMARY KEY(id))")
+    engine.sql("INSERT INTO tgt VALUES (1, 10.0), (2, 20.0)")
+    engine.sql("INSERT INTO src VALUES (2, 99.0), (3, 30.0)")
+    r = engine.sql(
+        "MERGE INTO tgt t USING src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v + 1 "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"
+    )
+    assert r.affected_rows == 2
+    rows = engine.sql("SELECT id, v FROM tgt ORDER BY id").df.collect()
+    assert [(x.id, x.v) for x in rows] == [(1, 10.0), (2, 100.0), (3, 30.0)]
+    # WHEN MATCHED DELETE
+    engine.sql(
+        "MERGE INTO tgt t USING (SELECT 1 AS id) s ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE"
+    )
+    rows = engine.sql("SELECT id FROM tgt ORDER BY id").df.collect()
+    assert [x.id for x in rows] == [2, 3]
+    import pytest as _pytest
+
+    from sparrow_spark.engine import SparrowError
+
+    with _pytest.raises(SparrowError, match="MERGE"):
+        engine.sql("MERGE INTO tgt t USING src s ON t.id = s.id")
+    engine.sql("DROP TABLE tgt, src")
