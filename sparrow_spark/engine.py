@@ -954,6 +954,22 @@ class Engine:
             )
         if up.startswith("SHOW TABLE STATUS"):
             return self._show_table_status(stmt)
+        if re.match(r"SHOW\s+(INDEX|INDEXES|KEYS)\s+(FROM|IN)\s+", stmt, re.I):
+            # MySQL SHOW INDEX shape from the engine's constraint
+            # metadata (the reference persists the same rows in
+            # information_schema.statistics, src/meta/meta_util.rs:591-678).
+            name_raw = re.split(r"\s+(?:FROM|IN)\s+", stmt, flags=re.I)[1].strip()
+            schema, table = self._resolve_table_name(name_raw)
+            tdef = self.catalog.load(schema, table)
+            rows = []
+            for index_name, cols in tdef.key_sets():
+                for seq, c in enumerate(cols, start=1):
+                    rows.append((table, 0, index_name, seq, c, "BTREE"))
+            return self._const_df(
+                ["Table", "Non_unique", "Key_name", "Seq_in_index",
+                 "Column_name", "Index_type"],
+                rows or [(table, 1, "", 0, "", "")],
+            )
         raise SparrowError(1105, f"unsupported SHOW statement: {stmt[:80]}")
 
     def _const_df(self, cols: list[str], rows: list[tuple]) -> Result:

@@ -387,3 +387,17 @@ def test_merge_into(engine):
     with _pytest.raises(SparrowError, match="MERGE"):
         engine.sql("MERGE INTO tgt t USING src s ON t.id = s.id")
     engine.sql("DROP TABLE tgt, src")
+
+
+def test_show_index(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS idxdb")
+    engine.sql("USE idxdb")
+    engine.sql(
+        "CREATE TABLE it (id INT, name CHAR, email CHAR, "
+        "PRIMARY KEY(id, name), UNIQUE(email))"
+    )
+    rows = engine.sql("SHOW INDEX FROM it").df.collect()
+    got = [(r.Key_name, r.Seq_in_index, r.Column_name) for r in rows]
+    assert ("PRIMARY", 1, "id") in got and ("PRIMARY", 2, "name") in got
+    assert any(k != "PRIMARY" and c == "email" for k, _, c in got)
+    engine.sql("DROP TABLE it")
