@@ -165,3 +165,70 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__cos") >= 0.3)
         .select("a_id", "b_id", rnd("__cos", 3).alias("cos"))
     )
+
+
+N_HYPERPLANES = 8
+
+
+def _hyperplane(j: int, dim: int = 64) -> list[float]:
+    """Deterministic pseudo-random hyperplane j (integer lattice form,
+    reproducible in SQL — a seeded Gaussian would not be engine-portable).
+    Values in [-6, 6], varying with both i and j."""
+    return [float(((i * (j + 3) + 7 * j + i * i) % 13) - 6) for i in range(dim)]
+
+
+def hyperplane_bucket(v: Column, n_planes: int = N_HYPERPLANES) -> Column:
+    """Sign-pattern LSH bucket: bit j = 1 iff dot(v, h_j) >= 0.
+    Cosine-similar vectors agree on most signs -> same bucket with
+    high probability (random-hyperplane LSH, Charikar 2002)."""
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(x) for x in _hyperplane(j)])) >= 0, "1").otherwise("0")
+        for j in range(n_planes)
+    ]
+    return F.concat(*bits)
+
+
+@query(
+    "q_similarity_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      SELECT vec_id, v, CASE WHEN list_sum([v[i+1] * (((i * (0 + 3) + 7 * 0 + i * i) % 13) - 6) for i in range(0, 64)]) >= 0 THEN '1' ELSE '0' END || CASE WHEN list_sum([v[i+1] * (((i * (1 + 3) + 7 * 1 + i * i) % 13) - 6) for i in range(0, 64)]) >= 0 THEN '1' ELSE '0' END || CASE WHEN list_sum([v[i+1] * (((i * (2 + 3) + 7 * 2 + i * i) % 13) - 6) for i in range(0, 64)]) >= 0 THEN '1' ELSE '0' END || CASE WHEN list_sum([v[i+1] * (((i * (3 + 3) + 7 * 3 + i * i) % 13) - 6) for i in range(0, 64)]) >= 0 THEN '1' ELSE '0' END || CASE WHEN list_sum([v[i+1] * (((i * (4 + 3) + 7 * 4 + i * i) % 13) - 6) for i in range(0, 64)]) >= 0 THEN '1' ELSE '0' END || CASE WHEN list_sum([v[i+1] * (((i * (5 + 3) + 7 * 5 + i * i) % 13) - 6) for i in range(0, 64)]) >= 0 THEN '1' ELSE '0' END || CASE WHEN list_sum([v[i+1] * (((i * (6 + 3) + 7 * 6 + i * i) % 13) - 6) for i in range(0, 64)]) >= 0 THEN '1' ELSE '0' END || CASE WHEN list_sum([v[i+1] * (((i * (7 + 3) + 7 * 7 + i * i) % 13) - 6) for i in range(0, 64)]) >= 0 THEN '1' ELSE '0' END AS bucket
+      FROM e
+    ), sims AS (
+      SELECT a.vec_id AS query_id, b2.vec_id AS neighbor_id, a.bucket,
+             {_COS_SQL.replace('b.v', 'b2.v')} AS cos
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+      WHERE a.vec_id < 20
+    )
+    SELECT query_id, bucket, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank,
+           round(cos, 4) AS cos
+    FROM sims
+    QUALIFY rank <= 3
+    """,
+)
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (random-hyperplane signatures): each vector
+    hashes to an 8-bit sign pattern; queries probe only their bucket.
+    The third member of the similarity family — brute force (exact),
+    IVF (cluster-probed), LSH (signature-bucketed). Scale: the bucket
+    join is an equi-join on the signature — the candidate set per query
+    is |bucket|, not |corpus|; signatures cost one pass, no training."""
+    vecs = _vecs(spark, sf_dir)
+    b = vecs.select("vec_id", "v", hyperplane_bucket(F.col("v")).alias("bucket"))
+    q = b.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = b.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+                 F.col("bucket").alias("cbucket"))
+    sims = c.join(
+        F.broadcast(q), (q.bucket == c.cbucket) & (q.query_id != c.neighbor_id)
+    ).withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "bucket", "neighbor_id", "rank", rnd("cos", 4).alias("cos"))
+    )
