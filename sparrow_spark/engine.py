@@ -615,16 +615,40 @@ class Engine:
         are rewritten (or dropped), unmatched source rows appended. The
         reference has no MERGE; this is the engine's upsert superset
         beyond REPLACE."""
-        m = re.match(
-            r"MERGE\s+INTO\s+([\w`.]+)(?:\s+AS\s+(\w+)|\s+(\w+))?\s+"
-            r"USING\s+(\([^)]*\)|[\w`.]+)(?:\s+AS\s+(\w+)|\s+(\w+))?\s+"
-            r"ON\s+(.+?)\s+(WHEN\s+.+)$",
+        head_m = re.match(
+            r"MERGE\s+INTO\s+([\w`.]+)(?:\s+AS\s+(\w+)|\s+(\w+))?\s+USING\s+",
             stmt,
             re.I | re.S,
         )
-        if not m:
+        if not head_m:
             raise SparrowError(1064, f"syntax error in MERGE: {stmt[:80]}")
-        tname, ta1, ta2, src_sql, sa1, sa2, on_cond, clauses_sql = m.groups()
+        tname, ta1, ta2 = head_m.groups()
+        rest = stmt[head_m.end():]
+        # The USING source may be a parenthesized subquery with nested
+        # parens (CAST(...), function calls) — match by depth, not regex.
+        if rest.startswith("("):
+            depth, i = 0, 0
+            for i, ch in enumerate(rest):
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth == 0:
+                    break
+            if depth != 0:
+                raise SparrowError(1064, "unbalanced parens in MERGE USING")
+            src_sql, rest = rest[: i + 1], rest[i + 1:]
+        else:
+            sm = re.match(r"([\w`.]+)", rest)
+            if not sm:
+                raise SparrowError(1064, f"syntax error in MERGE: {stmt[:80]}")
+            src_sql, rest = sm.group(1), rest[sm.end():]
+        tail_m = re.match(
+            r"(?:\s+AS\s+(\w+)|\s+(?!ON\b)(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+)$",
+            rest,
+            re.I | re.S,
+        )
+        if not tail_m:
+            raise SparrowError(1064, f"syntax error in MERGE: {stmt[:80]}")
+        sa1, sa2, on_cond, clauses_sql = tail_m.groups()
         t_alias = ta1 or ta2 or "t"
         s_alias = sa1 or sa2 or "s"
         schema, table = self._resolve_table_name(tname)
