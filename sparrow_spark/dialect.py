@@ -18,7 +18,11 @@ import re
 def strip_comments(sql: str) -> str:
     sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.S)
     sql = re.sub(r"(^|\s)--[^\n]*", " ", sql)
-    return sql.strip().rstrip(";").strip()
+    # MySQL also allows # line comments (outside string literals).
+    out = []
+    for piece, quoted in _split_quotes(sql):
+        out.append(piece if quoted else re.sub(r"#[^\n]*", " ", piece))
+    return "".join(out).strip().rstrip(";").strip()
 
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:

@@ -401,3 +401,10 @@ def test_show_index(engine):
     assert ("PRIMARY", 1, "id") in got and ("PRIMARY", 2, "name") in got
     assert any(k != "PRIMARY" and c == "email" for k, _, c in got)
     engine.sql("DROP TABLE it")
+
+
+def test_hash_comments(engine):
+    r = engine.sql("SELECT 1 AS one # trailing mysql comment")
+    assert r.df.collect()[0].one == 1
+    r = engine.sql("SELECT '#notacomment' AS s")
+    assert r.df.collect()[0].s == "#notacomment"
