@@ -77,3 +77,31 @@ def test_randomized_dml_sequence_matches_model(model_engine):
         assert got == model, f"divergence at step {step} after {op}: {got} != {model}"
 
     eng.sql("DROP TABLE mt")
+
+
+def test_alter_interleaved_with_dml(model_engine):
+    """Schema evolution mid-stream: add a column, insert rows with and
+    without it, drop a column, and verify contents after each step —
+    the copy-on-write rewrites must preserve all untouched data."""
+    eng = model_engine
+    eng.sql("CREATE TABLE at (k INT, a CHAR, PRIMARY KEY(k))")
+    eng.sql("INSERT INTO at VALUES (1, 'x'), (2, 'y')")
+    eng.sql("ALTER TABLE at ADD COLUMN b FLOAT")
+    # old rows read NULL for the new column
+    rows = {r.k: (r.a, r.b) for r in eng.sql("SELECT * FROM at").df.collect()}
+    assert rows == {1: ("x", None), 2: ("y", None)}
+    eng.sql("INSERT INTO at VALUES (3, 'z', 9.5)")
+    eng.sql("UPDATE at SET b = 1.25 WHERE k = 1")
+    rows = {r.k: (r.a, r.b) for r in eng.sql("SELECT * FROM at").df.collect()}
+    assert rows == {1: ("x", 1.25), 2: ("y", None), 3: ("z", 9.5)}
+    eng.sql("ALTER TABLE at DROP COLUMN a")
+    rows = {r.k: r.b for r in eng.sql("SELECT * FROM at").df.collect()}
+    assert rows == {1: 1.25, 2: None, 3: 9.5}
+    # unique key still enforced after evolution
+    import pytest as _pytest
+
+    from sparrow_spark.engine import SparrowError
+
+    with _pytest.raises(SparrowError, match="Duplicate entry"):
+        eng.sql("INSERT INTO at VALUES (3, 4.0)")
+    eng.sql("DROP TABLE at")
