@@ -141,32 +141,6 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_embedding_neardup",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           round({_COS_SQL}, 3) AS cos
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_COS_SQL} >= 0.3
-    """,
-)
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Embedding-cosine near-duplicate pairs, blocked by cluster label
-    # (at scale: LSH/IVF bucket) so the pairwise pass stays bounded.
-    vecs = _vecs(spark, sf_dir)
-    a = vecs.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"), "label")
-    b = vecs.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"),
-                    F.col("label").alias("blabel"))
-    cos = cosine(F.col("av"), F.col("bv"))
-    return (
-        a.join(b, (a.label == b.blabel) & (a.a_id < b.b_id))
-        .withColumn("__cos", cos)
-        .filter(F.col("__cos") >= 0.3)
-        .select("a_id", "b_id", rnd("__cos", 3).alias("cos"))
-    )
-
-
 N_HYPERPLANES = 8
 
 
@@ -188,12 +162,54 @@ def hyperplane_bucket(v: Column, n_planes: int = N_HYPERPLANES) -> Column:
     return F.concat(*bits)
 
 
+# DuckDB rendering of hyperplane_bucket (same lattice planes, same sign
+# rule) so oracles reproduce the bucketing bit-for-bit.
+_BUCKET_SQL = " || ".join(
+    f"CASE WHEN list_sum([v[i+1] * (((i * ({j} + 3) + 7 * {j} + i * i) % 13) - 6) "
+    f"for i in range(0, 64)]) >= 0 THEN '1' ELSE '0' END"
+    for j in range(N_HYPERPLANES)
+)
+
+
+@query(
+    "q_embedding_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    bk AS (SELECT vec_id, v, label, {_BUCKET_SQL} AS bucket FROM e)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round({_COS_SQL}, 3) AS cos
+    FROM bk a JOIN bk b
+      ON a.bucket = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.15
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked on (hyperplane LSH
+    bucket, label). Scale: the pairwise pass runs inside equi-join
+    buckets whose size is corpus-independent in expectation — never
+    within a raw attribute block (a single label can be half the corpus
+    at 100 TB; an 8-bit sign bucket cannot)."""
+    vecs = _vecs(spark, sf_dir)
+    bk = vecs.select("vec_id", "v", "label", hyperplane_bucket(F.col("v")).alias("bucket"))
+    a = bk.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
+                  "label", "bucket")
+    b = bk.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"),
+                  F.col("label").alias("blabel"), F.col("bucket").alias("bbucket"))
+    cos = cosine(F.col("av"), F.col("bv"))
+    return (
+        a.join(b, (a.bucket == b.bbucket) & (a.label == b.blabel) & (a.a_id < b.b_id))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= 0.15)
+        .select("a_id", "b_id", rnd("__cos", 3).alias("cos"))
+    )
+
+
 @query(
     "q_similarity_lsh",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     b AS (
-      SELECT vec_id, v, CASE WHEN list_sum([v[i+1] * (((i * (0 + 3) + 7 * 0 + i * i) % 13) - 6) for i in range(0, 64)]) >= 0 THEN '1' ELSE '0' END || CASE WHEN list_sum([v[i+1] * (((i * (1 + 3) + 7 * 1 + i * i) % 13) - 6) for i in range(0, 64)]) >= 0 THEN '1' ELSE '0' END || CASE WHEN list_sum([v[i+1] * (((i * (2 + 3) + 7 * 2 + i * i) % 13) - 6) for i in range(0, 64)]) >= 0 THEN '1' ELSE '0' END || CASE WHEN list_sum([v[i+1] * (((i * (3 + 3) + 7 * 3 + i * i) % 13) - 6) for i in range(0, 64)]) >= 0 THEN '1' ELSE '0' END || CASE WHEN list_sum([v[i+1] * (((i * (4 + 3) + 7 * 4 + i * i) % 13) - 6) for i in range(0, 64)]) >= 0 THEN '1' ELSE '0' END || CASE WHEN list_sum([v[i+1] * (((i * (5 + 3) + 7 * 5 + i * i) % 13) - 6) for i in range(0, 64)]) >= 0 THEN '1' ELSE '0' END || CASE WHEN list_sum([v[i+1] * (((i * (6 + 3) + 7 * 6 + i * i) % 13) - 6) for i in range(0, 64)]) >= 0 THEN '1' ELSE '0' END || CASE WHEN list_sum([v[i+1] * (((i * (7 + 3) + 7 * 7 + i * i) % 13) - 6) for i in range(0, 64)]) >= 0 THEN '1' ELSE '0' END AS bucket
+      SELECT vec_id, v, {_BUCKET_SQL} AS bucket
       FROM e
     ), sims AS (
       SELECT a.vec_id AS query_id, b2.vec_id AS neighbor_id, a.bucket,

@@ -364,10 +364,14 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_t = tok.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+    # Corpus size stays inside the plan as a 1-row broadcast aggregate
+    # (a driver-side docs.count() would be an extra full corpus pass per
+    # invocation — the q_vocab_heavy_hitters pattern instead).
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    tfidf = F.col("tf") * F.log(F.col("n_total") / F.col("df").cast("double"))
     return (
         tf.join(F.broadcast(df_t), "tok")
+        .join(F.broadcast(n_docs))
         .filter(tfidf > 2.0)
         .select("doc_id", "tok", rnd(tfidf, 6).alias("tfidf"))
     )
