@@ -16,12 +16,57 @@ import re
 
 
 def strip_comments(sql: str) -> str:
-    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.S)
-    sql = re.sub(r"(^|\s)--[^\n]*", " ", sql)
-    # MySQL also allows # line comments (outside string literals).
-    out = []
-    for piece, quoted in _split_quotes(sql):
-        out.append(piece if quoted else re.sub(r"#[^\n]*", " ", piece))
+    """Remove /* */, -- and # comments, quote-aware for all three forms.
+
+    Single-pass scanner rather than per-form regexes: a regex pass
+    corrupts string literals containing comment markers ('a -- b',
+    '/*x*/'), and quote-segmenting first mis-lexes comments that
+    themselves contain quotes (/* don't */). MySQL rules: `--` starts a
+    comment only when followed by whitespace/EOL (so 1--2 still parses);
+    quoted strings honor doubled quotes and backslash escapes."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    quote: str | None = None
+    while i < n:
+        c = sql[i]
+        if quote:
+            out.append(c)
+            if c == "\\" and quote in ("'", '"') and i + 1 < n:
+                out.append(sql[i + 1])
+                i += 1
+            elif c == quote:
+                if i + 1 < n and sql[i + 1] == quote:
+                    out.append(sql[i + 1])
+                    i += 1
+                else:
+                    quote = None
+            i += 1
+        elif c in ("'", '"', "`"):
+            quote = c
+            out.append(c)
+            i += 1
+        elif c == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            out.append(" ")
+            i = n if j < 0 else j + 2
+        elif c == "-" and sql[i : i + 2] == "--":
+            if i + 2 >= n or sql[i + 2] in " \t\r\n":
+                j = sql.find("\n", i)
+                out.append(" ")
+                i = n if j < 0 else j
+            else:
+                # MySQL: -- without trailing whitespace is double minus
+                # (SELECT 1--2 = 3). Spark strips -- comments
+                # unconditionally, so split the pair to keep arithmetic.
+                out.append("- ")
+                i += 1
+        elif c == "#":
+            j = sql.find("\n", i)
+            out.append(" ")
+            i = n if j < 0 else j
+        else:
+            out.append(c)
+            i += 1
     return "".join(out).strip().rstrip(";").strip()
 
 
@@ -105,7 +150,10 @@ def substitute_variables(
 def _render(val: str) -> str:
     if re.match(r"^-?\d+(\.\d+)?$", val):
         return val
-    return "'" + val.replace("'", "''") + "'"
+    # Double backslashes BEFORE quotes: Spark SQL treats \ as an escape
+    # by default, so a value ending in '\' would otherwise escape the
+    # closing quote (malformed statement / injection vector).
+    return "'" + val.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _split_quotes(sql: str):

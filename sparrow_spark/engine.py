@@ -49,6 +49,7 @@ from sparrow_spark.catalog import (
     check_ident,
 )
 from sparrow_spark.dialect import (
+    _split_quotes,
     first_words,
     split_statements,
     like_to_regex,
@@ -97,6 +98,29 @@ DEFAULT_SYSTEM_VARS = {
 }
 
 _INFO_SCHEMA_RE = re.compile(r"\binformation_schema\.([A-Za-z_]+)", re.I)
+
+
+def _take_paren_block(s: str, what: str) -> tuple[str, str]:
+    """Consume a leading '(...)' group matched by depth (quote-aware);
+    return (inner_sql, remainder). Raises 1064 if absent/unbalanced."""
+    s = s.lstrip()
+    if not s.startswith("("):
+        raise SparrowError(1064, f"expected ( in {what}")
+    depth = 0
+    quote: str | None = None
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return s[1:i], s[i + 1:]
+    raise SparrowError(1064, f"unbalanced parens in {what}")
 
 
 class Engine:
@@ -252,7 +276,10 @@ class Engine:
             return "TRUE" if v else "FALSE"
         if isinstance(v, (int, float)):
             return repr(v)
-        return "'" + str(v).replace("'", "''") + "'"
+        # Backslashes first: Spark SQL strings are backslash-escaped by
+        # default, so a value ending in '\' would escape the closing
+        # quote (malformed SQL / injection through the prepared path).
+        return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
 
     # ------------------------------------------------------------------
     # queries
@@ -659,14 +686,29 @@ class Engine:
             clauses_sql, re.I | re.S,
         )
         del_m = re.search(r"WHEN\s+MATCHED\s+THEN\s+DELETE", clauses_sql, re.I)
-        ins_m = re.search(
-            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*"
-            r"(?:\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)|\*)",
-            clauses_sql, re.I | re.S,
+        # INSERT column/VALUES lists are matched by paren depth (same as
+        # the USING subquery above): [^)]* would truncate at the first
+        # ')' inside CAST(...)/f(...) expressions.
+        ins_head = re.search(
+            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*", clauses_sql, re.I | re.S
         )
+        ins_spec: tuple[str, str] | None = None  # (cols_sql, values_sql)
+        ins_star = False
+        if ins_head:
+            after = clauses_sql[ins_head.end():]
+            if after.lstrip().startswith("*"):
+                ins_star = True
+            else:
+                cols_sql, after = _take_paren_block(after, "MERGE INSERT columns")
+                vm = re.match(r"\s*VALUES\s*", after, re.I)
+                if not vm:
+                    raise SparrowError(1064, "MERGE INSERT expects VALUES (...)")
+                vals_sql, _ = _take_paren_block(after[vm.end():], "MERGE INSERT VALUES")
+                ins_spec = (cols_sql, vals_sql)
+        has_insert = ins_star or ins_spec is not None
         if upd_m and del_m:
             raise SparrowError(1064, "MERGE supports one WHEN MATCHED action")
-        if not (upd_m or del_m or ins_m):
+        if not (upd_m or del_m or has_insert):
             raise SparrowError(1064, "MERGE needs at least one WHEN clause")
 
         src = (
@@ -705,15 +747,30 @@ class Engine:
                     for c in tcols
                 ],
             )
-            affected += updated.count()
+            # Cardinality check + affected count in ONE bounded job: a
+            # target row matched by several source rows would be written
+            # back as several copies (silent table growth) — standard
+            # MERGE engines raise instead.
+            stats = updated.groupBy(ROWID).agg(
+                F.count(F.lit(1)).alias("n")
+            ).agg(
+                F.count(F.lit(1)).alias("rows"), F.max("n").alias("max_n")
+            ).collect()[0]
+            if (stats.max_n or 0) > 1:
+                raise SparrowError(
+                    1062,
+                    "MERGE: a target row matched multiple source rows "
+                    "(non-deterministic UPDATE)",
+                )
+            affected += stats.rows
             rewritten = unmatched_t.unionByName(updated)
         else:
             rewritten = target
 
-        if ins_m:
-            if ins_m.group(1):
-                ins_cols = [check_ident(c) for c in split_top_level(ins_m.group(1))]
-                ins_exprs = split_top_level(ins_m.group(2))
+        if has_insert:
+            if ins_spec is not None:
+                ins_cols = [check_ident(c) for c in split_top_level(ins_spec[0])]
+                ins_exprs = split_top_level(ins_spec[1])
             else:  # INSERT *
                 ins_cols, ins_exprs = tcols, [f"{s_alias}.{c}" for c in tcols]
             new_src = src.join(target, cond, "left_anti")
@@ -1140,10 +1197,23 @@ class Engine:
 
     # -- information_schema as queryable views (S14-S16 substrate) ------
     def _rewrite_information_schema(self, sql: str) -> str:
-        names = {m.group(1).lower() for m in _INFO_SCHEMA_RE.finditer(sql)}
+        # Quote-aware: a string literal containing
+        # 'information_schema.tables' must not be rewritten.
+        names: set[str] = set()
+        pieces: list[str] = []
+        for piece, quoted in _split_quotes(sql):
+            if quoted:
+                pieces.append(piece)
+                continue
+            names |= {m.group(1).lower() for m in _INFO_SCHEMA_RE.finditer(piece)}
+            pieces.append(
+                _INFO_SCHEMA_RE.sub(
+                    lambda m: f"information_schema_{m.group(1).lower()}", piece
+                )
+            )
         for n in names:
             self._register_info_view(n)
-        return _INFO_SCHEMA_RE.sub(lambda m: f"information_schema_{m.group(1).lower()}", sql)
+        return "".join(pieces)
 
     def _register_info_view(self, name: str) -> None:
         # Recomputed on read from the engine catalog (cheap) instead of

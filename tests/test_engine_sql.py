@@ -408,3 +408,76 @@ def test_hash_comments(engine):
     assert r.df.collect()[0].one == 1
     r = engine.sql("SELECT '#notacomment' AS s")
     assert r.df.collect()[0].s == "#notacomment"
+
+def test_comments_quote_aware(engine):
+    # string literals containing comment markers survive intact
+    r = engine.sql("SELECT 'a -- b' AS s")
+    assert r.df.collect()[0].s == "a -- b"
+    r = engine.sql("SELECT '/*x*/' AS s")
+    assert r.df.collect()[0].s == "/*x*/"
+    # a block comment containing a quote is still a comment
+    r = engine.sql("SELECT 1 AS one /* don't trip on this */")
+    assert r.df.collect()[0].one == 1
+    # -- needs trailing whitespace in MySQL: 1--2 is double negation
+    r = engine.sql("SELECT 1--2 AS x")
+    assert r.df.collect()[0].x == 3
+    # line comment before the statement end
+    r = engine.sql("SELECT 2 AS two -- trailing\n")
+    assert r.df.collect()[0].two == 2
+
+
+def test_merge_multi_match_errors(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS mmdb")
+    engine.sql("USE mmdb")
+    engine.sql("CREATE TABLE tgt (id INT, v FLOAT, PRIMARY KEY(id))")
+    engine.sql("CREATE TABLE srcm (id INT, v FLOAT)")
+    engine.sql("INSERT INTO tgt VALUES (1, 10.0)")
+    engine.sql("INSERT INTO srcm VALUES (1, 1.0), (1, 2.0)")
+    with pytest.raises(SparrowError, match="multiple source rows"):
+        engine.sql(
+            "MERGE INTO tgt t USING srcm s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v"
+        )
+    # table unchanged after the failed merge
+    rows = engine.sql("SELECT v FROM tgt").df.collect()
+    assert [x.v for x in rows] == [10.0]
+    engine.sql("DROP TABLE tgt, srcm")
+
+
+def test_merge_insert_nested_parens(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS mpdb")
+    engine.sql("USE mpdb")
+    engine.sql("CREATE TABLE tgt (id INT, v FLOAT, PRIMARY KEY(id))")
+    engine.sql("INSERT INTO tgt VALUES (1, 10.0)")
+    engine.sql(
+        "MERGE INTO tgt t USING (SELECT 7 AS a, '3.5' AS b) s ON t.id = s.a "
+        "WHEN NOT MATCHED THEN INSERT (id, v) "
+        "VALUES (CAST(s.a AS INT), CAST(s.b AS FLOAT) + round(0.0, 1))"
+    )
+    rows = engine.sql("SELECT id, v FROM tgt ORDER BY id").df.collect()
+    assert [(x.id, x.v) for x in rows] == [(1, 10.0), (7, 3.5)]
+    engine.sql("DROP TABLE tgt")
+
+
+def test_prepared_backslash_param(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS ppdb")
+    engine.sql("USE ppdb")
+    engine.sql("CREATE TABLE bs (id INT, s CHAR, PRIMARY KEY(id))")
+    sid, _ = engine.prepare("INSERT INTO bs VALUES (?, ?)")
+    engine.execute_prepared(sid, [1, "end\\"])
+    engine.execute_prepared(sid, [2, "a'b\\'c"])
+    engine.close_prepared(sid)
+    rows = engine.sql("SELECT id, s FROM bs ORDER BY id").df.collect()
+    assert [(r.id, r.s) for r in rows] == [(1, "end\\"), (2, "a'b\\'c")]
+    engine.sql("DROP TABLE bs")
+
+
+def test_information_schema_literal_untouched(engine):
+    r = engine.sql("SELECT 'information_schema.tables' AS s")
+    assert r.df.collect()[0].s == "information_schema.tables"
+    # while real references still rewrite
+    r = engine.sql(
+        "SELECT count(*) AS n FROM information_schema.schemata "
+        "WHERE schema_name = 'no_such_db'"
+    )
+    assert r.df.collect()[0].n == 0
