@@ -56,6 +56,10 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     confs are applied here (timezone matters for timestamp correctness).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Session-wide once, not per-load: TIMESTAMP(NANOS) parquet columns
+    # (events.ts) need the legacy long read path; sources.load_table
+    # relies on this being set and converts longs explicitly.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:

@@ -56,7 +56,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Session setup (session.py tune_for_session / get_spark callers)
+    # enables nanosAsLong once; set here only if this session was never
+    # tuned (e.g. a bare external session) — at most one mutation, not
+    # one per load.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
