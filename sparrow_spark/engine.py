@@ -35,6 +35,7 @@ import os
 import re
 import shutil
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -123,20 +124,59 @@ def _take_paren_block(s: str, what: str) -> tuple[str, str]:
     raise SparrowError(1064, f"unbalanced parens in {what}")
 
 
-class Engine:
-    def __init__(self, spark: SparkSession, warehouse_dir: str):
-        self.spark = spark
-        self.catalog = EngineCatalog(warehouse_dir)
+class Session:
+    """Per-connection session state over a shared Engine, mirroring the
+    reference's per-client SessionContext (src/core/session_context.rs:6-44):
+    each client owns its current schema, system/user variables and
+    prepared-statement cache, while catalog + storage + SparkSession are
+    global. Statements execute under the engine's single-threaded
+    dispatch (the reference serializes on a global mutex the same way).
+    """
+
+    def __init__(self, engine: "Engine"):
+        self._engine = engine
+        self.db: str | None = None
         self.system_vars = dict(DEFAULT_SYSTEM_VARS)
         self.user_vars: dict[str, str] = {}
         self._stmt_cache: dict[int, str] = {}
         self._next_stmt_id = 1
+
+    def sql(self, text: str) -> "Result":
+        with self._engine.activate(self):
+            return self._engine.sql(text)
+
+    def script(self, text: str) -> list["Result"]:
+        with self._engine.activate(self):
+            return self._engine.script(text)
+
+    def prepare(self, sql: str) -> tuple[int, int]:
+        with self._engine.activate(self):
+            return self._engine.prepare(sql)
+
+    def execute_prepared(self, stmt_id: int, params: list) -> "Result":
+        with self._engine.activate(self):
+            return self._engine.execute_prepared(stmt_id, params)
+
+    def close_prepared(self, stmt_id: int) -> None:
+        with self._engine.activate(self):
+            self._engine.close_prepared(stmt_id)
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.catalog = EngineCatalog(warehouse_dir)
+        # All per-connection state lives in Session objects; the engine
+        # always executes on behalf of exactly one (its default session
+        # when called directly, the activated one under Session.sql).
+        self._default_session = Session(self)
+        self._active = self._default_session
         # database() UDF, mirroring the reference's only custom UDF
         # (src/core/execution.rs:135-156). The closure is pickled to the
         # workers at registration time, so it must capture a plain value
         # (not the engine — it holds the SparkContext) and be
-        # re-registered whenever USE changes the current schema.
-        self._session_state = {"db": None}
+        # re-registered whenever USE (or session switch) changes the
+        # current schema.
         self._register_database_udf()
         # `dual` as a real 1-row relation (reference: 1-row MemTable,
         # src/datafusion_impl/catalog/information_schema.rs:117-133).
@@ -147,17 +187,67 @@ class Engine:
             for table in self.catalog.tables(schema):
                 self._register_spark_table(self.catalog.load(schema, table))
 
+    def new_session(self) -> Session:
+        """One per client connection (reference src/main.rs:88-99 spawns
+        one SessionContext per accepted socket)."""
+        return Session(self)
+
+    @contextmanager
+    def activate(self, session: Session):
+        """Run statements under `session`'s state; restores the previous
+        session (and the Spark-side current database + database() UDF)
+        afterwards."""
+        prev = self._active
+        self._active = session
+        if prev is not session:
+            self._sync_spark_session_state()
+        try:
+            yield
+        finally:
+            self._active = prev
+            if prev is not session:
+                self._sync_spark_session_state()
+
+    def _sync_spark_session_state(self) -> None:
+        self._register_database_udf()
+        db = self._active.db
+        try:
+            self.spark.catalog.setCurrentDatabase(db if db else "default")
+        except Exception:  # schema dropped since this session used it
+            self.spark.catalog.setCurrentDatabase("default")
+
+    # per-connection state, delegated to the active session ------------
+    @property
+    def system_vars(self) -> dict:
+        return self._active.system_vars
+
+    @property
+    def user_vars(self) -> dict:
+        return self._active.user_vars
+
+    @property
+    def _stmt_cache(self) -> dict:
+        return self._active._stmt_cache
+
+    @property
+    def _next_stmt_id(self) -> int:
+        return self._active._next_stmt_id
+
+    @_next_stmt_id.setter
+    def _next_stmt_id(self, value: int) -> None:
+        self._active._next_stmt_id = value
+
     @property
     def current_schema(self) -> str | None:
-        return self._session_state["db"]
+        return self._active.db
 
     @current_schema.setter
     def current_schema(self, value: str | None) -> None:
-        self._session_state["db"] = value
+        self._active.db = value
         self._register_database_udf()
 
     def _register_database_udf(self) -> None:
-        db_val = self._session_state["db"]
+        db_val = self._active.db
         self.spark.udf.register("database", lambda: db_val)
 
     # ------------------------------------------------------------------

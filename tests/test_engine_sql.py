@@ -481,3 +481,39 @@ def test_information_schema_literal_untouched(engine):
         "WHERE schema_name = 'no_such_db'"
     )
     assert r.df.collect()[0].n == 0
+
+def test_session_isolation(engine):
+    # Two interleaved "client connections" over one shared engine, each
+    # with its own USE / @vars / prepared statements — mirrors the
+    # reference's per-client SessionContext (src/core/session_context.rs).
+    s1, s2 = engine.new_session(), engine.new_session()
+    s1.sql("CREATE DATABASE IF NOT EXISTS iso_a")
+    s2.sql("CREATE DATABASE IF NOT EXISTS iso_b")
+    s1.sql("USE iso_a")
+    s2.sql("USE iso_b")
+    assert s1.sql("SELECT database() AS d").df.collect()[0].d == "iso_a"
+    assert s2.sql("SELECT database() AS d").df.collect()[0].d == "iso_b"
+    # interleaved USE does not clobber the other session
+    assert s1.sql("SELECT database() AS d").df.collect()[0].d == "iso_a"
+    # distinct user variables
+    s1.sql("SET @x = 1")
+    s2.sql("SET @x = 2")
+    assert s1.sql("SELECT @x AS x").df.collect()[0].x == 1
+    assert s2.sql("SELECT @x AS x").df.collect()[0].x == 2
+    # unqualified table names resolve in each session's schema
+    s1.sql("CREATE TABLE t (id INT, PRIMARY KEY(id))")
+    s2.sql("CREATE TABLE t (id INT, PRIMARY KEY(id))")
+    s1.sql("INSERT INTO t VALUES (1)")
+    s2.sql("INSERT INTO t VALUES (2)")
+    assert [r.id for r in s1.sql("SELECT id FROM t").df.collect()] == [1]
+    assert [r.id for r in s2.sql("SELECT id FROM t").df.collect()] == [2]
+    # per-session prepared-statement caches: same id, different statements
+    id1, _ = s1.prepare("SELECT ? AS v")
+    id2, _ = s2.prepare("SELECT ? + 100 AS v")
+    assert id1 == id2
+    assert s1.execute_prepared(id1, [5]).df.collect()[0].v == 5
+    assert s2.execute_prepared(id2, [5]).df.collect()[0].v == 105
+    # engine's own default session is untouched by either client
+    assert engine.sql("SELECT database() AS d").df.collect()[0].d is None
+    s1.sql("DROP TABLE t")
+    s2.sql("DROP TABLE t")
