@@ -99,6 +99,8 @@ DEFAULT_SYSTEM_VARS = {
 }
 
 _INFO_SCHEMA_RE = re.compile(r"\binformation_schema\.([A-Za-z_]+)", re.I)
+_PERF_SCHEMA_RE = re.compile(r"\bperformance_schema\.([A-Za-z_]+)", re.I)
+_MYSQL_SCHEMA_RE = re.compile(r"\bmysql\.(users)\b", re.I)
 
 
 def _take_paren_block(s: str, what: str) -> tuple[str, str]:
@@ -1235,17 +1237,19 @@ class Engine:
         return Result("resultset", df)
 
     def _show_variables(self, stmt: str) -> Result:
+        # Desugars to a query over performance_schema.global_variables,
+        # exactly like the reference (src/execute_impl/show_variables.rs:
+        # 49-118 builds SELECT variable_name, variable_value FROM
+        # performance_schema.global_variables [WHERE LIKE]). MySQL
+        # filters LIKE on the NAME (the reference filters on the value —
+        # a reference bug we don't reproduce).
         m = re.search(r"LIKE\s+'([^']*)'", stmt, re.I)
-        items = sorted(self.system_vars.items())
-        if m:
-            rx = re.compile(like_to_regex(m.group(1)))
-            items = [(k, v) for k, v in items if rx.match(k)]
-        df = self.spark.createDataFrame(
-            items or [("", "")], schema=["Variable_name", "Value"]
+        where = f" WHERE variable_name LIKE '{m.group(1)}'" if m else ""
+        return self._query(
+            "SELECT variable_name AS Variable_name, variable_value AS Value "
+            f"FROM performance_schema.global_variables{where} "
+            "ORDER BY variable_name"
         )
-        if not items:
-            df = df.limit(0)
-        return Result("resultset", df)
 
     def _show_table_status(self, stmt: str) -> Result:
         m = re.search(r"(?:FROM|IN)\s+(\w+)", stmt, re.I)
@@ -1285,25 +1289,77 @@ class Engine:
                 self.system_vars[name] = val
         return Result("ok")
 
-    # -- information_schema as queryable views (S14-S16 substrate) ------
+    # -- system schemas as queryable views (S14-S16 substrate) ----------
     def _rewrite_information_schema(self, sql: str) -> str:
-        # Quote-aware: a string literal containing
-        # 'information_schema.tables' must not be rewritten.
-        names: set[str] = set()
+        """Rewrite information_schema.* / performance_schema.* / mysql.*
+        references to engine-maintained temp views (quote-aware: a string
+        literal containing 'information_schema.tables' is untouched).
+        The reference hosts these as real system tables
+        (src/meta/def/{information_schema,performance_schema,mysql}.rs);
+        here they are recomputed-on-read DataFrames."""
+        info: set[str] = set()
+        perf: set[str] = set()
+        mysql: set[str] = set()
         pieces: list[str] = []
         for piece, quoted in _split_quotes(sql):
             if quoted:
                 pieces.append(piece)
                 continue
-            names |= {m.group(1).lower() for m in _INFO_SCHEMA_RE.finditer(piece)}
-            pieces.append(
-                _INFO_SCHEMA_RE.sub(
-                    lambda m: f"information_schema_{m.group(1).lower()}", piece
-                )
+            info |= {m.group(1).lower() for m in _INFO_SCHEMA_RE.finditer(piece)}
+            perf |= {m.group(1).lower() for m in _PERF_SCHEMA_RE.finditer(piece)}
+            mysql |= {m.group(1).lower() for m in _MYSQL_SCHEMA_RE.finditer(piece)}
+            piece = _INFO_SCHEMA_RE.sub(
+                lambda m: f"information_schema_{m.group(1).lower()}", piece
             )
-        for n in names:
+            piece = _PERF_SCHEMA_RE.sub(
+                lambda m: f"performance_schema_{m.group(1).lower()}", piece
+            )
+            piece = _MYSQL_SCHEMA_RE.sub(
+                lambda m: f"mysql_{m.group(1).lower()}", piece
+            )
+            pieces.append(piece)
+        for n in info:
             self._register_info_view(n)
+        for n in perf:
+            self._register_perf_view(n)
+        for n in mysql:
+            self._register_mysql_view(n)
         return "".join(pieces)
+
+    def _register_perf_view(self, name: str) -> None:
+        # reference src/meta/def/performance_schema.rs:9-31
+        # (VARIABLE_NAME CHAR PK, VARIABLE_VALUE CHAR). global_variables
+        # and session_variables both reflect the active session's vars —
+        # the reference keeps one global set; we scope per session.
+        if name not in ("global_variables", "session_variables"):
+            raise SparrowError(1109, f"Unknown table '{name}' in performance_schema")
+        rows = sorted(self.system_vars.items())
+        schema = "variable_name string, variable_value string"
+        df = (
+            self.spark.createDataFrame(rows, schema=schema)
+            if rows
+            else self.spark.createDataFrame([], schema=schema)
+        )
+        df.createOrReplaceTempView(f"performance_schema_{name}")
+
+    def _register_mysql_view(self, name: str) -> None:
+        # Minimal mysql.users (reference src/meta/def/mysql.rs:9-80 keeps
+        # the full 51-char-column MySQL grant table; only the identity
+        # and headline privilege columns are modeled here), seeded with
+        # the conventional root@% superuser.
+        if name != "users":
+            raise SparrowError(1109, f"Unknown table '{name}' in mysql")
+        schema = (
+            "Host string, User string, Select_priv string, Insert_priv string, "
+            "Update_priv string, Delete_priv string, Create_priv string, "
+            "Drop_priv string, Grant_priv string, Super_priv string, "
+            "plugin string, authentication_string string, account_locked string"
+        )
+        rows = [("%", "root", "Y", "Y", "Y", "Y", "Y", "Y", "Y", "Y",
+                 "mysql_native_password", "", "N")]
+        self.spark.createDataFrame(rows, schema=schema).createOrReplaceTempView(
+            "mysql_users"
+        )
 
     def _register_info_view(self, name: str) -> None:
         # Recomputed on read from the engine catalog (cheap) instead of

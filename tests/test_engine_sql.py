@@ -517,3 +517,37 @@ def test_session_isolation(engine):
     assert engine.sql("SELECT database() AS d").df.collect()[0].d is None
     s1.sql("DROP TABLE t")
     s2.sql("DROP TABLE t")
+
+def test_performance_schema_and_mysql_tables(engine):
+    # reference hosts these as real system tables
+    # (src/meta/def/performance_schema.rs:9, src/meta/def/mysql.rs:9);
+    # SHOW VARIABLES desugars to the same SELECT the reference builds
+    # (src/execute_impl/show_variables.rs:49-118).
+    rows = engine.sql(
+        "SELECT variable_name, variable_value "
+        "FROM performance_schema.global_variables "
+        "WHERE variable_name LIKE 'ver%' ORDER BY variable_name"
+    ).df.collect()
+    names = [r.variable_name for r in rows]
+    assert "version" in names and "version_comment" in names
+    # session-scoped: a SET is visible through the table
+    engine.sql("SET my_probe_var = 'hello'")
+    rows = engine.sql(
+        "SELECT variable_value AS v FROM performance_schema.global_variables "
+        "WHERE variable_name = 'my_probe_var'"
+    ).df.collect()
+    assert [r.v for r in rows] == ["hello"]
+    # ...and per-session isolated
+    s2 = engine.new_session()
+    assert (
+        s2.sql(
+            "SELECT count(*) AS n FROM performance_schema.global_variables "
+            "WHERE variable_name = 'my_probe_var'"
+        ).df.collect()[0].n
+        == 0
+    )
+    # minimal mysql.users grant table
+    rows = engine.sql(
+        "SELECT Host, User, Select_priv FROM mysql.users"
+    ).df.collect()
+    assert [(r.Host, r.User, r.Select_priv) for r in rows] == [("%", "root", "Y")]
