@@ -1,0 +1,270 @@
+"""MySQL wire-protocol round-trip tests: a hand-rolled protocol-41
+client (no mysql client lib in this environment) connects to
+SparrowServer and drives handshake → USE → DDL/DML → SELECT → prepared
+statements, mirroring the reference's client surface
+(src/mysql/handle.rs:63-296)."""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+import pytest
+
+from sparrow_spark.server import SparrowServer, _lenenc_int, _lenenc_str, _read_lenenc
+
+
+class MiniClient:
+    """Just enough of the MySQL client protocol to test the server."""
+
+    def __init__(self, host: str, port: int, db: str | None = None):
+        self.sock = socket.create_connection((host, port), timeout=30)
+        self.seq = 0
+        self._handshake(db)
+
+    # framing ----------------------------------------------------------
+    def _recv_exact(self, n: int) -> bytes:
+        data = b""
+        while len(data) < n:
+            chunk = self.sock.recv(n - len(data))
+            assert chunk, "server closed connection"
+            data += chunk
+        return data
+
+    def read_packet(self) -> bytes:
+        head = self._recv_exact(4)
+        length = int.from_bytes(head[:3], "little")
+        self.seq = head[3] + 1
+        return self._recv_exact(length) if length else b""
+
+    def write_packet(self, payload: bytes) -> None:
+        self.sock.sendall(
+            len(payload).to_bytes(3, "little") + bytes([self.seq & 0xFF]) + payload
+        )
+        self.seq += 1
+
+    def command(self, payload: bytes) -> None:
+        self.seq = 0
+        self.write_packet(payload)
+
+    # handshake --------------------------------------------------------
+    def _handshake(self, db: str | None) -> None:
+        greeting = self.read_packet()
+        assert greeting[0] == 10  # protocol version
+        ver_end = greeting.index(b"\x00", 1)
+        assert b"sparrow" in greeting[1:ver_end]
+        caps = 0x0200 | 0x8000  # PROTOCOL_41 | SECURE_CONNECTION
+        if db:
+            caps |= 0x0008  # CONNECT_WITH_DB
+        resp = (
+            struct.pack("<I", caps)
+            + struct.pack("<I", 1 << 24)
+            + bytes([33])
+            + b"\x00" * 23
+            + b"root\x00"
+            + b"\x00"  # empty auth response (lenenc)
+            + ((db.encode() + b"\x00") if db else b"")
+        )
+        self.write_packet(resp)
+        ok = self.read_packet()
+        assert ok[0] == 0x00, f"handshake not OK: {ok!r}"
+
+    # responses --------------------------------------------------------
+    def _read_response(self, binary: bool = False):
+        """Returns ('ok', affected) | ('err', code, msg) | (cols, rows)."""
+        pkt = self.read_packet()
+        if pkt[0] == 0x00:
+            affected, _ = _read_lenenc(pkt, 1)
+            return ("ok", affected)
+        if pkt[0] == 0xFF:
+            code = struct.unpack_from("<H", pkt, 1)[0]
+            return ("err", code, pkt[9:].decode(errors="replace"))
+        ncols, _ = _read_lenenc(pkt, 0)
+        cols = []
+        for _ in range(ncols):
+            cols.append(self._parse_column_def(self.read_packet()))
+        assert self.read_packet()[0] == 0xFE  # EOF after columns
+        rows = []
+        while True:
+            pkt = self.read_packet()
+            if pkt[0] == 0xFE and len(pkt) < 9:
+                break
+            rows.append(
+                self._parse_binary_row(pkt, ncols)
+                if binary
+                else self._parse_text_row(pkt, ncols)
+            )
+        return cols, rows
+
+    @staticmethod
+    def _parse_column_def(pkt: bytes) -> str:
+        pos = 0
+        for _ in range(4):  # catalog, schema, table, org_table
+            ln, pos = _read_lenenc(pkt, pos)
+            pos += ln
+        ln, pos = _read_lenenc(pkt, pos)
+        return pkt[pos : pos + ln].decode()
+
+    @staticmethod
+    def _parse_text_row(pkt: bytes, ncols: int) -> list:
+        vals, pos = [], 0
+        for _ in range(ncols):
+            if pkt[pos] == 0xFB:
+                vals.append(None)
+                pos += 1
+            else:
+                ln, pos = _read_lenenc(pkt, pos)
+                vals.append(pkt[pos : pos + ln].decode())
+                pos += ln
+        return vals
+
+    @staticmethod
+    def _parse_binary_row(pkt: bytes, ncols: int) -> list:
+        assert pkt[0] == 0x00
+        nbytes = (ncols + 7 + 2) // 8
+        bitmap = pkt[1 : 1 + nbytes]
+        pos = 1 + nbytes
+        vals = []
+        for i in range(ncols):
+            if bitmap[(i + 2) // 8] & (1 << ((i + 2) % 8)):
+                vals.append(None)
+            else:
+                ln, pos = _read_lenenc(pkt, pos)
+                vals.append(pkt[pos : pos + ln].decode())
+                pos += ln
+        return vals
+
+    # commands ---------------------------------------------------------
+    def query(self, sql: str):
+        self.command(b"\x03" + sql.encode())
+        return self._read_response()
+
+    def init_db(self, db: str):
+        self.command(b"\x02" + db.encode())
+        return self._read_response()
+
+    def ping(self):
+        self.command(b"\x0e")
+        return self._read_response()
+
+    def prepare(self, sql: str) -> tuple[int, int]:
+        self.command(b"\x16" + sql.encode())
+        pkt = self.read_packet()
+        assert pkt[0] == 0x00
+        stmt_id = struct.unpack_from("<I", pkt, 1)[0]
+        n_params = struct.unpack_from("<H", pkt, 7)[0]
+        for _ in range(n_params):
+            self.read_packet()  # param definitions
+        if n_params:
+            assert self.read_packet()[0] == 0xFE
+        return stmt_id, n_params
+
+    def execute(self, stmt_id: int, params: list):
+        n = len(params)
+        nullmap = bytearray((n + 7) // 8)
+        types = b""
+        body = b""
+        for i, p in enumerate(params):
+            if p is None:
+                nullmap[i // 8] |= 1 << (i % 8)
+                types += bytes([6, 0])  # MYSQL_TYPE_NULL
+            elif isinstance(p, int):
+                types += bytes([8, 0])  # LONGLONG signed
+                body += struct.pack("<q", p)
+            elif isinstance(p, float):
+                types += bytes([5, 0])  # DOUBLE
+                body += struct.pack("<d", p)
+            else:
+                types += bytes([253, 0])  # VAR_STRING
+                body += _lenenc_str(str(p).encode())
+        payload = (
+            b"\x17"
+            + struct.pack("<I", stmt_id)
+            + b"\x00"
+            + struct.pack("<I", 1)
+            + (bytes(nullmap) + b"\x01" + types + body if n else b"")
+        )
+        self.command(payload)
+        return self._read_response(binary=True)
+
+    def field_list(self, table: str) -> list[str]:
+        self.command(b"\x04" + table.encode() + b"\x00")
+        cols = []
+        while True:
+            pkt = self.read_packet()
+            if pkt[0] == 0xFE and len(pkt) < 9:
+                return cols
+            if pkt[0] == 0xFF:
+                raise AssertionError(pkt[9:].decode(errors="replace"))
+            cols.append(self._parse_column_def(pkt))
+
+    def quit(self):
+        try:
+            self.command(b"\x01")
+            self.sock.close()
+        except OSError:
+            pass
+
+
+@pytest.fixture()
+def server(engine):
+    srv = SparrowServer(engine).start()
+    yield srv
+    srv.stop()
+
+
+def test_wire_roundtrip(server):
+    c = MiniClient(server.host, server.port)
+    assert c.ping() == ("ok", 0)
+    assert c.query("CREATE DATABASE IF NOT EXISTS wiredb")[0] == "ok"
+    assert c.init_db("wiredb") == ("ok", 0)
+    assert c.query("CREATE TABLE w (id INT, name CHAR, PRIMARY KEY(id))")[0] == "ok"
+    assert c.query("INSERT INTO w VALUES (1, 'alpha'), (2, NULL)") == ("ok", 2)
+    cols, rows = c.query("SELECT id, name FROM w ORDER BY id")
+    assert cols == ["id", "name"]
+    assert rows == [["1", "alpha"], ["2", None]]
+    # database() reflects COM_INIT_DB
+    _, rows = c.query("SELECT database() AS d")
+    assert rows == [["wiredb"]]
+    # errors arrive as ERR packets with the MySQL code
+    err = c.query("INSERT INTO w VALUES (1, 'dup')")
+    assert err[0] == "err" and err[1] == 1062
+    # COM_FIELD_LIST
+    assert c.field_list("w") == ["id", "name"]
+    c.quit()
+
+
+def test_wire_prepared_binary(server):
+    c = MiniClient(server.host, server.port, db="wiredb2")
+    # CONNECT_WITH_DB on a not-yet-existing db is ignored; create now.
+    c.query("CREATE DATABASE IF NOT EXISTS wiredb2")
+    c.init_db("wiredb2")
+    c.query("CREATE TABLE p (id INT, v DOUBLE, s CHAR, PRIMARY KEY(id))")
+    stmt_id, n_params = c.prepare("INSERT INTO p VALUES (?, ?, ?)")
+    assert n_params == 3
+    assert c.execute(stmt_id, [1, 2.5, "x'y"]) == ("ok", 1)
+    assert c.execute(stmt_id, [2, None, None]) == ("ok", 1)
+    sid2, _ = c.prepare("SELECT id, v, s FROM p WHERE id = ?")
+    cols, rows = c.execute(sid2, [1])
+    assert cols == ["id", "v", "s"]
+    assert rows == [["1", "2.5", "x'y"]]
+    cols, rows = c.execute(sid2, [2])
+    assert rows == [["2", None, None]]
+    c.quit()
+
+
+def test_wire_two_sessions_isolated(server):
+    c1 = MiniClient(server.host, server.port)
+    c2 = MiniClient(server.host, server.port)
+    c1.query("CREATE DATABASE IF NOT EXISTS wa")
+    c2.query("CREATE DATABASE IF NOT EXISTS wb")
+    c1.init_db("wa")
+    c2.init_db("wb")
+    c1.query("SET @tag = 'one'")
+    c2.query("SET @tag = 'two'")
+    _, rows = c1.query("SELECT database() AS d, @tag AS t")
+    assert rows == [["wa", "one"]]
+    _, rows = c2.query("SELECT database() AS d, @tag AS t")
+    assert rows == [["wb", "two"]]
+    c1.quit()
+    c2.quit()
