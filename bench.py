@@ -61,7 +61,11 @@ def main() -> None:
         for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count() if name != "q1_pricing_summary" else len(df.collect())
+            # collect(), not count(): the driver contract collects, and
+            # count() wraps the plan in a new QueryExecution each call —
+            # re-running Catalyst analysis/optimization per iteration and
+            # defeating the registry's prepared-plan cache.
+            n = len(df.collect())
             _ = n
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)

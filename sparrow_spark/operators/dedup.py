@@ -24,20 +24,28 @@ from pyspark.sql import functions as F
 from sparrow_spark.operators.text import fingerprint, tokens
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
-from sparrow_spark.sources import load_table, widen
+from sparrow_spark.sources import load_table, materialize, widen
 
 N_MINHASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 hashes
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """Array of k-word shingles from lowercased whitespace tokens.
-    Caller must ensure at least k tokens (filter n_tokens >= k)."""
-    w = tokens(col)
+def _shingles_of(w: Column, k: int) -> Column:
+    """k-word shingle array from an already-materialized token-array
+    column (must be an attribute, not an expression — see
+    sources.materialize)."""
     return F.transform(
         F.sequence(F.lit(0), F.size(w) - k),
         lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
     )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Array of k-word shingles from lowercased whitespace tokens.
+    Caller must ensure at least k tokens (filter n_tokens >= k).
+    NOTE: inlines the tokenizer into the shingle lambda — for hot paths
+    materialize() the token array first and use _shingles_of."""
+    return _shingles_of(tokens(col), k)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -77,10 +85,16 @@ def minhash_signatures(
     doc id with map-side partial aggregation. (A per-(doc,seed) shuffle
     of n_hashes x shingles rows benchmarked ~2x slower at sf0.1.)
     Input is widen()ed first: shingling+hashing is compute-bound and
-    must not inherit a single-row-group scan's serial partitioning."""
-    shingled = widen(df).filter(F.size(tokens(F.col(text_col))) >= shingle_k).select(
+    must not inherit a single-row-group scan's serial partitioning.
+    The token array is materialize()d before shingling: inlined, the
+    tokenizing regex re-runs inside every element_at of the shingle
+    lambda (measured 8x slower at sf0.1)."""
+    toks = materialize(widen(df), w=tokens(F.col(text_col))).filter(
+        F.size("w") >= shingle_k
+    )
+    shingled = toks.select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+        F.explode(_shingles_of(F.col("w"), shingle_k)).alias("shingle"),
     )
     if hash_fn == "md5":
         digests = [

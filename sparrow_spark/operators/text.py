@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
-from sparrow_spark.sources import load_table, widen
+from sparrow_spark.sources import load_table, materialize, widen
 
 # Tiny stopword sets for the n-gram/stopword language heuristic. On real
 # corpora these would be per-language top-k lists; the fixture corpus
@@ -138,12 +138,19 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
-def char_bigrams(col: Column) -> Column:
-    """Array of character bigrams of the normalized text (JVM-side)."""
-    norm = normalize_text(col)
+def _bigrams_of(norm: Column) -> Column:
+    """Bigram array from an already-materialized normalized-text column
+    (must be an attribute — see sources.materialize)."""
     return F.transform(
         F.sequence(F.lit(1), F.length(norm) - 1), lambda i: norm.substr(i, F.lit(2))
     )
+
+
+def char_bigrams(col: Column) -> Column:
+    """Array of character bigrams of the normalized text (JVM-side).
+    NOTE: inlines the normalizer into the per-element lambda — for hot
+    paths materialize() the normalized text first and use _bigrams_of."""
+    return _bigrams_of(normalize_text(col))
 
 
 def langid_ngram(
@@ -171,8 +178,13 @@ def langid_ngram(
     """
     from pyspark.sql import Window
 
-    ex = df.filter(F.col(id_col) % profile_sample_mod == 0).select(
-        F.col(id_col), F.col(label_col), F.explode(char_bigrams(F.col(text_col))).alias("bg")
+    # Normalize ONCE per row (materialize barrier): inlined, the
+    # normalizing regex re-runs inside every substr of the bigram
+    # lambda — O(doc length) regex evaluations per document.
+    normed = materialize(df, __norm=normalize_text(F.col(text_col)))
+    bigrams = _bigrams_of(F.col("__norm"))
+    ex = normed.filter(F.col(id_col) % profile_sample_mod == 0).select(
+        F.col(id_col), F.col(label_col), F.explode(bigrams).alias("bg")
     )
     w_prof = Window.partitionBy(label_col).orderBy(F.col("c").desc(), F.col("bg"))
     profiles = (
@@ -182,8 +194,8 @@ def langid_ngram(
         .filter(F.col("r") <= top_n)
         .select(F.col(label_col).alias("cand_lang"), "bg")
     )
-    doc_bigrams = df.select(
-        F.col(id_col), F.explode(F.array_distinct(char_bigrams(F.col(text_col)))).alias("bg")
+    doc_bigrams = normed.select(
+        F.col(id_col), F.explode(F.array_distinct(bigrams)).alias("bg")
     )
     w_pred = Window.partitionBy(id_col).orderBy(
         F.col("n_match").desc(), F.col("cand_lang")
@@ -241,11 +253,9 @@ ROLLING_HASH_BASE = 31
 BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
-def rolling_hash(col: Column) -> Column:
-    """Polynomial rolling hash over the normalized text's characters
-    (h = h*31 + ascii(c) mod 1e9+7) — a deterministic integer document
-    fingerprint computed entirely JVM-side via higher-order functions."""
-    norm = normalize_text(col)
+def _rolling_hash_of(norm: Column) -> Column:
+    """Rolling hash from an already-materialized normalized-text column
+    (must be an attribute — see sources.materialize)."""
     return F.aggregate(
         F.transform(
             F.sequence(F.lit(1), F.length(norm)),
@@ -254,6 +264,16 @@ def rolling_hash(col: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda a, b: (a * ROLLING_HASH_BASE + b) % ROLLING_HASH_MOD,
     )
+
+
+def rolling_hash(col: Column) -> Column:
+    """Polynomial rolling hash over the normalized text's characters
+    (h = h*31 + ascii(c) mod 1e9+7) — a deterministic integer document
+    fingerprint computed entirely JVM-side via higher-order functions.
+    NOTE: inlines the normalizer into the per-character lambda — for hot
+    paths materialize() the normalized text first and use
+    _rolling_hash_of."""
+    return _rolling_hash_of(normalize_text(col))
 
 
 @query(
@@ -299,8 +319,11 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = widen(load_table(spark, sf_dir, "documents"))
-    return docs.select("doc_id", rolling_hash(F.col("text")).alias("rhash"))
+    docs = materialize(
+        widen(load_table(spark, sf_dir, "documents")),
+        __norm=normalize_text(F.col("text")),
+    )
+    return docs.select("doc_id", _rolling_hash_of(F.col("__norm")).alias("rhash"))
 
 
 @query(

@@ -89,6 +89,31 @@ def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def materialize(df: DataFrame, **cols) -> DataFrame:
+    """Append computed columns that are evaluated exactly ONCE per row.
+
+    A plain select/withColumn is subject to CollapseProject: Catalyst
+    inlines the defining expression into every downstream consumer —
+    including the per-element lambda bodies of higher-order functions
+    (transform/aggregate), where an "outer" subexpression is re-evaluated
+    per array element. For an expensive expression (regex normalize,
+    split) consumed inside an O(n) lambda that multiplies its cost by
+    the array length (measured 8x on the shingling path at sf0.1).
+
+    Routing the projection through a one-element explode makes the
+    values *generator output attributes*, which the optimizer cannot
+    re-inline past. Cost: one struct copy per row — no shuffle, no
+    action, shape-preserving at any scale.
+    """
+    keep = [c for c in df.columns if c not in cols]
+    packed = F.explode(
+        F.array(F.struct(*[c.alias(n) for n, c in cols.items()]))
+    )
+    return df.select(*keep, packed.alias("__m")).select(
+        *keep, *[F.col(f"__m.{n}").alias(n) for n in cols]
+    )
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:
