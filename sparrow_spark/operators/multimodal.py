@@ -67,29 +67,49 @@ def fake_decode_dims(n_bytes: pd.Series) -> tuple[pd.Series, pd.Series]:
     return (n_bytes % 640 + 1), ((n_bytes * 7) % 480 + 1)
 
 
-def decode_media_batches(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: one Arrow batch in, one metadata batch out.
-    At scale each task decodes its partition's blobs independently —
-    no shuffle, no driver involvement."""
-    for pdf in batches:
-        n_bytes = pdf["blob"].map(len).astype("int64")
-        if HAVE_PIL:  # pragma: no cover
-            dims = pdf["blob"].map(real_decode)
-            width = dims.map(lambda d: d[0]).astype("int64")
-            height = dims.map(lambda d: d[1]).astype("int64")
-        else:
-            width, height = fake_decode_dims(n_bytes)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes,
-                "width": width,
-                "height": height,
-                "media_kind": "image",
-            }
-        )
+def decode_media_batches(use_pil: bool = HAVE_PIL):
+    """Factory for the mapInPandas decode worker: one Arrow batch in,
+    one metadata batch out. At scale each task decodes its partition's
+    blobs independently — no shuffle, no driver involvement.
+
+    All worker callables in this module are built by factories returning
+    CLOSURES: cloudpickle serializes nested functions by value, so
+    executors never import sparrow_spark (module-level functions pickle
+    by reference and break when the package isn't on the worker
+    PYTHONPATH — e.g. a driver run from another cwd, or a cluster
+    without the package shipped)."""
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            n_bytes = pdf["blob"].map(len).astype("int64")
+            if use_pil:  # pragma: no cover
+                import io
+
+                import PIL.Image
+
+                def dims_of(blob):
+                    with PIL.Image.open(io.BytesIO(blob)) as im:
+                        return im.width, im.height
+
+                dims = pdf["blob"].map(dims_of)
+                width = dims.map(lambda d: d[0]).astype("int64")
+                height = dims.map(lambda d: d[1]).astype("int64")
+            else:
+                # Deterministic stand-in (oracle mirrors this arithmetic)
+                width, height = (n_bytes % 640 + 1), ((n_bytes * 7) % 480 + 1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "width": width,
+                    "height": height,
+                    "media_kind": "image",
+                }
+            )
+
+    return worker
 
 
 def with_binary_column(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -123,55 +143,76 @@ FRAME_STRIDE_BYTES = 100
 FRAME_SAMPLE_EVERY = 4
 
 
-def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker for image resize. Real path: decode, resample
-    to (TARGET_W, TARGET_H), re-encode (PIL, absent here). The stub
-    emits the deterministic output geometry + the RGB buffer size the
-    real resize would produce; the Spark-side batch shape is identical."""
-    for pdf in batches:
-        if HAVE_PIL:  # pragma: no cover
-            raise NotImplementedError("real resize path requires PIL wiring")
-        n = pdf["blob"].map(len).astype("int64")
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "out_width": TARGET_W,
-                "out_height": TARGET_H,
-                # 3 bytes/pixel RGB + a length-dependent header stub.
-                "out_bytes": TARGET_W * TARGET_H * 3 + (n % 64),
-            }
-        )
+def resize_batches(target_w: int = TARGET_W, target_h: int = TARGET_H):
+    """Factory for the image-resize mapInPandas worker (closure — see
+    decode_media_batches). Real path: decode, resample to (target_w,
+    target_h), re-encode (PIL, absent here). The stub emits the
+    deterministic output geometry + the RGB buffer size the real resize
+    would produce; the Spark-side batch shape is identical."""
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            n = pdf["blob"].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": target_w,
+                    "out_height": target_h,
+                    # 3 bytes/pixel RGB + a length-dependent header stub.
+                    "out_bytes": target_w * target_h * 3 + (n % 64),
+                }
+            )
+
+    return worker
 
 
-def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker for feature extraction (image/audio embedding).
-    Real path: a vision/audio encoder over the decoded tensor. The stub
-    derives an 8-dim deterministic vector from byte length so the
-    Arrow array<double> round-trip is oracle-checkable."""
-    for pdf in batches:
-        n = pdf["blob"].map(len).astype("int64")
-        feats = [
-            [float(((int(nb) * (i + 3)) % 97) / 97.0) for i in range(N_FEATURES)]
-            for nb in n
-        ]
-        yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+def feature_batches(n_features: int = N_FEATURES):
+    """Factory for the feature-extraction mapInPandas worker (closure —
+    see decode_media_batches). Real path: a vision/audio encoder over
+    the decoded tensor. The stub derives a deterministic n-dim vector
+    from byte length so the Arrow array<double> round-trip is
+    oracle-checkable."""
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            n = pdf["blob"].map(len).astype("int64")
+            feats = [
+                [float(((int(nb) * (i + 3)) % 97) / 97.0) for i in range(n_features)]
+                for nb in n
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return worker
 
 
-def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker for video frame sampling — a 1→N row expansion
-    inside the Python batch (each blob yields every FRAME_SAMPLE_EVERY-th
-    frame). Real path: container demux + keyframe decode (ffmpeg)."""
-    for pdf in batches:
-        ids, idxs, offs = [], [], []
-        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-            n_frames = len(blob) // FRAME_STRIDE_BYTES + 1
-            for fi in range(0, n_frames, FRAME_SAMPLE_EVERY):
-                ids.append(doc_id)
-                idxs.append(fi)
-                offs.append(fi * FRAME_STRIDE_BYTES)
-        yield pd.DataFrame(
-            {"doc_id": ids, "frame_idx": idxs, "frame_offset": offs}
-        )
+def frame_sample_batches(
+    stride: int = FRAME_STRIDE_BYTES, every: int = FRAME_SAMPLE_EVERY
+):
+    """Factory for the video frame-sampling mapInPandas worker (closure
+    — see decode_media_batches) — a 1→N row expansion inside the Python
+    batch (each blob yields every `every`-th frame). Real path:
+    container demux + keyframe decode (ffmpeg)."""
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, offs = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n_frames = len(blob) // stride + 1
+                for fi in range(0, n_frames, every):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    offs.append(fi * stride)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_offset": offs}
+            )
+
+    return worker
 
 
 @query(
@@ -188,7 +229,7 @@ def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_column(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", "blob").mapInPandas(
-        resize_batches, schema=RESIZED_SCHEMA
+        resize_batches(), schema=RESIZED_SCHEMA
     )
 
 
@@ -204,7 +245,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_column(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", "blob").mapInPandas(
-        feature_batches, schema=FEATURES_SCHEMA
+        feature_batches(), schema=FEATURES_SCHEMA
     )
 
 
@@ -223,7 +264,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_column(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", "blob").mapInPandas(
-        frame_sample_batches, schema=FRAMES_SCHEMA
+        frame_sample_batches(), schema=FRAMES_SCHEMA
     )
 
 
@@ -242,7 +283,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_column(load_table(spark, sf_dir, "documents"))
     decoded = docs.select("doc_id", "blob").mapInPandas(
-        decode_media_batches, schema=DECODED_SCHEMA
+        decode_media_batches(), schema=DECODED_SCHEMA
     )
     # Join metadata back to a JVM-side content hash: proves the Arrow
     # round-trip pairs rows correctly.

@@ -60,6 +60,17 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     # (events.ts) need the legacy long read path; sources.load_table
     # relies on this being set and converts longs explicitly.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Local-mode python workers inherit the driver env: make sure they
+    # can import this package even when the driver process was started
+    # from another cwd. (Worker callables are cloudpickled by value
+    # anyway — see operators/multimodal.py — this is belt-and-braces
+    # for user-registered UDFs.)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pythonpath = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pythonpath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pythonpath if pythonpath else "")
+        )
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:

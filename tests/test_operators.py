@@ -47,7 +47,7 @@ def test_multimodal_arrow_roundtrip(spark):
         [(1, bytearray(b"x" * 100)), (2, bytearray(b"y" * 645))],
         "doc_id long, blob binary",
     )
-    out = {r.doc_id: r for r in df.mapInPandas(decode_media_batches, DECODED_SCHEMA).collect()}
+    out = {r.doc_id: r for r in df.mapInPandas(decode_media_batches(), DECODED_SCHEMA).collect()}
     assert out[1].n_bytes == 100 and out[1].width == 101 and out[1].height == (700 % 480) + 1
     assert out[2].n_bytes == 645 and out[2].width == 6  # 645 % 640 + 1
     assert out[2].media_kind == "image"
