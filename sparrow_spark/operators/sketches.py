@@ -1,0 +1,232 @@
+"""Probabilistic sketch operators for corpus-scale approximation:
+count-min sketch (frequency estimation) and Bloom-filter join pruning
+(runtime semi-join filters). Beyond-reference extensions built from
+deterministic md5-based hash families so the DuckDB oracle reproduces
+every bucket bit-for-bit — no engine-specific hash() anywhere.
+
+Scale design:
+- count-min: the sketch is a (depth x width) table built by ONE explode
+  + ONE groupBy with map-side combine — the classic streaming sketch as
+  a batch aggregate. Estimation joins the (tiny, broadcast) sketch back
+  on bucket id: estimates never touch the corpus again.
+- bloom: the filter is a distinct set of (depth x width) bit positions
+  from the SMALL side, collapsed to one array row and broadcast; the
+  big side is pre-filtered by array membership before the exact join —
+  the manual form of the runtime bloom-filter pushdown a warehouse
+  applies to selective joins (false positives possible, false negatives
+  impossible, exact join afterwards removes FPs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparrow_spark.operators.text import tokens
+from sparrow_spark.registry import query
+from sparrow_spark.sources import load_table, widen
+
+CM_DEPTH = 4
+CM_WIDTH = 256
+BLOOM_K = 4
+BLOOM_BITS = 4096
+
+
+def _bucket(col: Column, seed: int, width: int) -> Column:
+    """Deterministic hash bucket in [0, width): the first 8 hex chars of
+    md5(seed || value), mod width — reproducible in any SQL engine."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10)
+    return (h.cast("bigint") % width).cast("bigint")
+
+
+def countmin_build(
+    items: DataFrame, item_col: str = "item", depth: int = CM_DEPTH, width: int = CM_WIDTH
+) -> DataFrame:
+    """(d, bucket, c): the count-min table. One explode to (row, d)
+    pairs, one keyed groupBy — the whole sketch is depth*width rows."""
+    rows = items.select(
+        F.col(item_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    _bucket(F.col(item_col), d, width).alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("db"),
+    ).select(item_col, F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+    return rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def countmin_estimate(
+    queries_df: DataFrame,
+    sketch: DataFrame,
+    item_col: str = "item",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point estimates: est(x) = min over d of sketch[d][bucket_d(x)].
+    The sketch is tiny -> broadcast equi-join on (d, bucket)."""
+    probes = queries_df.select(
+        F.col(item_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    _bucket(F.col(item_col), d, width).alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("db"),
+    ).select(item_col, F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("c").alias("est"))
+    )
+
+
+def _bloom_positions(col: Column, k: int = BLOOM_K, bits: int = BLOOM_BITS) -> Column:
+    """Array of k bit positions for a value (same md5 family)."""
+    return F.array(*[_bucket(col, 1000 + i, bits) for i in range(k)])
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """One row holding the sorted distinct bit positions set by all
+    keys — the Bloom filter as a broadcastable array (at BLOOM_BITS
+    positions it is bounded regardless of key count)."""
+    return (
+        keys.select(F.explode(_bloom_positions(F.col(key_col))).alias("pos"))
+        .distinct()
+        .agg(F.array_sort(F.collect_list("pos")).alias("bloom"))
+    )
+
+
+def bloom_might_contain(col: Column, bloom: Column) -> Column:
+    """True iff ALL k positions of col are set (no false negatives)."""
+    return F.forall(
+        _bloom_positions(col), lambda p: F.array_contains(bloom, p)
+    )
+
+
+# --------------------------------------------------------------------------
+# Registered queries + DuckDB oracles
+# --------------------------------------------------------------------------
+def _bucket_sql(expr: str, seed: int, width: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{seed}:' || {expr}), 1, 8))::UBIGINT "
+        f"% {width} AS BIGINT)"
+    )
+
+
+_CM_PROBE_STRUCTS = ", ".join(
+    f"struct_pack(d := {d}, bucket := " + _bucket_sql("tok", d, CM_WIDTH) + ")"
+    for d in range(CM_DEPTH)
+)
+
+
+@query(
+    "q_countmin_sketch",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ), buckets AS (
+      SELECT tok, unnest([{_CM_PROBE_STRUCTS}], recursive := true) FROM tok
+    ), sketch AS (
+      SELECT d, bucket, count(*) AS c FROM buckets GROUP BY d, bucket
+    ), exact AS (
+      SELECT tok, count(*) AS exact FROM tok GROUP BY tok
+    ), heavy AS (
+      SELECT tok, exact FROM exact
+      WHERE exact >= 0.01 * (SELECT sum(exact) FROM exact)
+    ), probe AS (
+      SELECT tok, unnest([{_CM_PROBE_STRUCTS}], recursive := true) FROM heavy
+    ), est AS (
+      SELECT p.tok, min(s.c) AS est
+      FROM probe p JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+      GROUP BY p.tok
+    )
+    SELECT h.tok, h.exact, e.est, (e.est - h.exact) AS overcount
+    FROM heavy h JOIN est e ON h.tok = e.tok
+    ORDER BY h.exact DESC, h.tok
+    """,
+)
+def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, checked against exact
+    counts for the corpus heavy hitters. CM guarantees est >= exact
+    (overcount >= 0, bounded by collisions) — both sides and the sketch
+    itself are deterministic, so the oracle matches bit-for-bit. Scale:
+    sketch build is one explode + one keyed groupBy (map-side combine);
+    estimation probes join the broadcast depth*width table."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    sketch = countmin_build(tok, "tok")
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
+    total = exact.agg(F.sum("exact").alias("t"))
+    heavy = (
+        exact.join(F.broadcast(total))
+        .filter(F.col("exact") >= 0.01 * F.col("t"))
+        .select("tok", "exact")
+    )
+    est = countmin_estimate(heavy, sketch, "tok")
+    return (
+        heavy.join(est, "tok")
+        .select(
+            "tok",
+            "exact",
+            "est",
+            (F.col("est") - F.col("exact")).alias("overcount"),
+        )
+        .orderBy(F.col("exact").desc(), "tok")
+    )
+
+
+_BLOOM_POS_SQL = ", ".join(
+    _bucket_sql("o_custkey::VARCHAR", 1000 + i, BLOOM_BITS) for i in range(BLOOM_K)
+)
+_BLOOM_KEY_POS_SQL = ", ".join(
+    _bucket_sql("c_custkey::VARCHAR", 1000 + i, BLOOM_BITS) for i in range(BLOOM_K)
+)
+
+
+@query(
+    "q_bloom_filter_semi",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), bloom AS (
+      SELECT list_sort(list_distinct(flatten(
+        list([{_BLOOM_KEY_POS_SQL}])))) AS bits
+      FROM dim
+    )
+    SELECT o.o_orderkey, o.o_custkey
+    FROM orders o, bloom b
+    WHERE len(list_filter([{_BLOOM_POS_SQL}],
+              p -> list_contains(b.bits, p))) = {BLOOM_K}
+    ORDER BY o.o_orderkey
+    """,
+)
+def q_bloom_filter_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning: build a bit-position filter from
+    the selective dimension (customers in one segment), broadcast it,
+    and keep the orders whose custkey MIGHT be in the set (false
+    positives allowed, false negatives impossible — the exact join a
+    real plan runs afterwards removes FPs). The manual form of the
+    runtime bloom pushdown warehouses inject into selective joins; at
+    100 TB this skips the fact-side shuffle for non-qualifying rows.
+    Registered output is the filter's verdict itself so the oracle
+    checks the sketch, not just the final join."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    bloom = bloom_build(cust.select(F.col("c_custkey").cast("string").alias("k")), "k")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(bloom))
+        .filter(
+            bloom_might_contain(F.col("o_custkey").cast("string"), F.col("bloom"))
+        )
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )

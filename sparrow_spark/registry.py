@@ -116,6 +116,7 @@ def load_all() -> None:
     import sparrow_spark.plans.scalar_funcs  # noqa: F401
     import sparrow_spark.plans.timeseries  # noqa: F401
     import sparrow_spark.operators.dedup  # noqa: F401
+    import sparrow_spark.operators.sketches  # noqa: F401
     import sparrow_spark.operators.similarity  # noqa: F401
     import sparrow_spark.operators.text  # noqa: F401
     import sparrow_spark.operators.multimodal  # noqa: F401

@@ -157,3 +157,76 @@ def enriched_event_stream(
     no stream state, no shuffle of the stream. The standard pattern for
     attaching slowly-changing reference data to a 100 TB/day stream."""
     return events.join(F.broadcast(dim), on=on, how="left")
+
+
+def click_purchase_join(
+    events: DataFrame, attribution: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the same
+    user's clicks within the preceding hour. Both sides carry watermarks
+    and the join has a time-range condition, so Spark bounds the
+    buffered state on each side (rows older than watermark+range are
+    evicted) — the canonical scalable shape for stream-stream joins;
+    an unbounded-condition join would grow state forever at 100 TB/day.
+    Timestamps compare as epoch MICROSECONDS (fixture events carry
+    sub-second parts; second-truncated comparisons diverge at sf0.1)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution}")),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_us,
+           epoch_us(p.ts) AS purchase_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join drained bounded (availableNow) —
+    must equal the batch time-range join of the same data."""
+    import uuid
+
+    name = f"strm_ssj_{uuid.uuid4().hex[:8]}"
+    stream = click_purchase_join(
+        read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    )
+    run_to_memory(stream, name, output_mode="append")
+    return spark.table(name)
