@@ -168,25 +168,27 @@ class _Conn:
         schema = result.df.schema
         rows = result.df.collect()
         self.write_packet(_lenenc_int(len(schema.fields)))
-        for f in schema.fields:
-            # Binary rows are encoded as lenenc strings below, so binary
-            # result columns must be declared VAR_STRING to match.
-            mt = T_VAR_STRING if binary else _SPARK_TO_MYSQL.get(
-                f.dataType.simpleString(), T_VAR_STRING
-            )
+        mysql_types = [
+            _SPARK_TO_MYSQL.get(f.dataType.simpleString(), T_VAR_STRING)
+            for f in schema.fields
+        ]
+        for f, mt in zip(schema.fields, mysql_types):
             self.send_column_def(f.name, mt)
         self.send_eof()
         ncols = len(schema.fields)
         for row in rows:
             vals = [row[i] for i in range(ncols)]
             if binary:
+                # ProtocolBinary::Resultset row: 0x00 header, NULL
+                # bitmap (offset 2), then values encoded per the
+                # DECLARED column type (mysql_util.rs:41-130 family).
                 bitmap = bytearray((ncols + 7 + 2) // 8)
                 body = b""
                 for i, v in enumerate(vals):
                     if v is None:
                         bitmap[(i + 2) // 8] |= 1 << ((i + 2) % 8)
                     else:
-                        body += _lenenc_str(_text(v))
+                        body += _binary_value(v, mysql_types[i])
                 self.write_packet(b"\x00" + bytes(bitmap) + body)
             else:
                 self.write_packet(
@@ -392,6 +394,30 @@ def _text(v) -> bytes:
     if isinstance(v, (bytes, bytearray)):
         return bytes(v)
     return str(v).encode()
+
+
+def _binary_value(v, mysql_type: int) -> bytes:
+    """Binary-protocol value for a non-NULL cell of the declared type."""
+    if mysql_type == T_TINY:
+        return struct.pack("<b", int(v))
+    if mysql_type == T_SHORT:
+        return struct.pack("<h", int(v))
+    if mysql_type == T_LONG:
+        return struct.pack("<i", int(v))
+    if mysql_type == T_LONGLONG:
+        return struct.pack("<q", int(v))
+    if mysql_type == T_FLOAT:
+        return struct.pack("<f", float(v))
+    if mysql_type == T_DOUBLE:
+        return struct.pack("<d", float(v))
+    if mysql_type == T_DATE:
+        return bytes([4]) + struct.pack("<HBB", v.year, v.month, v.day)
+    if mysql_type == T_DATETIME:
+        return bytes([11]) + struct.pack(
+            "<HBBBBBI", v.year, v.month, v.day, v.hour, v.minute, v.second,
+            v.microsecond,
+        )
+    return _lenenc_str(_text(v))
 
 
 class SparrowServer:

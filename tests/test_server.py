@@ -80,9 +80,11 @@ class MiniClient:
             code = struct.unpack_from("<H", pkt, 1)[0]
             return ("err", code, pkt[9:].decode(errors="replace"))
         ncols, _ = _read_lenenc(pkt, 0)
-        cols = []
+        cols, types = [], []
         for _ in range(ncols):
-            cols.append(self._parse_column_def(self.read_packet()))
+            name, mt = self._parse_column_def(self.read_packet())
+            cols.append(name)
+            types.append(mt)
         assert self.read_packet()[0] == 0xFE  # EOF after columns
         rows = []
         while True:
@@ -90,20 +92,25 @@ class MiniClient:
             if pkt[0] == 0xFE and len(pkt) < 9:
                 break
             rows.append(
-                self._parse_binary_row(pkt, ncols)
+                self._parse_binary_row(pkt, types)
                 if binary
                 else self._parse_text_row(pkt, ncols)
             )
         return cols, rows
 
     @staticmethod
-    def _parse_column_def(pkt: bytes) -> str:
+    def _parse_column_def(pkt: bytes) -> tuple[str, int]:
         pos = 0
         for _ in range(4):  # catalog, schema, table, org_table
             ln, pos = _read_lenenc(pkt, pos)
             pos += ln
         ln, pos = _read_lenenc(pkt, pos)
-        return pkt[pos : pos + ln].decode()
+        name = pkt[pos : pos + ln].decode()
+        pos += ln
+        ln, pos = _read_lenenc(pkt, pos)  # org_name
+        pos += ln
+        pos += 1 + 2 + 4  # 0x0c marker, charset, display length
+        return name, pkt[pos]
 
     @staticmethod
     def _parse_text_row(pkt: bytes, ncols: int) -> list:
@@ -119,15 +126,25 @@ class MiniClient:
         return vals
 
     @staticmethod
-    def _parse_binary_row(pkt: bytes, ncols: int) -> list:
+    def _parse_binary_row(pkt: bytes, types: list[int]) -> list:
         assert pkt[0] == 0x00
+        ncols = len(types)
         nbytes = (ncols + 7 + 2) // 8
         bitmap = pkt[1 : 1 + nbytes]
         pos = 1 + nbytes
+        fixed = {1: "<b", 2: "<h", 3: "<i", 8: "<q", 4: "<f", 5: "<d"}
         vals = []
-        for i in range(ncols):
+        for i, mt in enumerate(types):
             if bitmap[(i + 2) // 8] & (1 << ((i + 2) % 8)):
                 vals.append(None)
+            elif mt in fixed:
+                fmt = fixed[mt]
+                vals.append(struct.unpack_from(fmt, pkt, pos)[0])
+                pos += struct.calcsize(fmt)
+            elif mt in (10, 12):  # DATE / DATETIME: length-prefixed
+                ln = pkt[pos]
+                vals.append(pkt[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
             else:
                 ln, pos = _read_lenenc(pkt, pos)
                 vals.append(pkt[pos : pos + ln].decode())
@@ -230,7 +247,7 @@ def test_wire_roundtrip(server):
     err = c.query("INSERT INTO w VALUES (1, 'dup')")
     assert err[0] == "err" and err[1] == 1062
     # COM_FIELD_LIST
-    assert c.field_list("w") == ["id", "name"]
+    assert [n for n, _ in c.field_list("w")] == ["id", "name"]
     c.quit()
 
 
@@ -247,9 +264,11 @@ def test_wire_prepared_binary(server):
     sid2, _ = c.prepare("SELECT id, v, s FROM p WHERE id = ?")
     cols, rows = c.execute(sid2, [1])
     assert cols == ["id", "v", "s"]
-    assert rows == [["1", "2.5", "x'y"]]
+    # typed binary protocol: INT comes back as a 4-byte int, DOUBLE as
+    # an 8-byte double, CHAR as a length-encoded string
+    assert rows == [[1, 2.5, "x'y"]]
     cols, rows = c.execute(sid2, [2])
-    assert rows == [["2", None, None]]
+    assert rows == [[2, None, None]]
     c.quit()
 
 
