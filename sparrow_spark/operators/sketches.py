@@ -59,6 +59,33 @@ def countmin_build(
     return rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
 
 
+def countmin_from_counts(
+    counts: DataFrame,
+    item_col: str = "item",
+    count_col: str = "n",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Sketch from pre-aggregated (item, count) rows: sketch[d][b] =
+    sum of counts of items hashing to b — identical to counting raw
+    occurrences, but the explode runs over DISTINCT items (vocab-sized),
+    not the corpus, and the corpus aggregation is shared with any other
+    consumer of the counts (exchange reuse)."""
+    rows = counts.select(
+        F.col(count_col).alias("__n"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    _bucket(F.col(item_col), d, width).alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("db"),
+    ).select("__n", F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+    return rows.groupBy("d", "bucket").agg(F.sum("__n").cast("bigint").alias("c"))
+
+
 def countmin_estimate(
     queries_df: DataFrame,
     sketch: DataFrame,
@@ -131,12 +158,13 @@ _CM_PROBE_STRUCTS = ", ".join(
     oracle=f"""
     WITH tok AS (
       SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
-    ), buckets AS (
-      SELECT tok, unnest([{_CM_PROBE_STRUCTS}], recursive := true) FROM tok
-    ), sketch AS (
-      SELECT d, bucket, count(*) AS c FROM buckets GROUP BY d, bucket
     ), exact AS (
       SELECT tok, count(*) AS exact FROM tok GROUP BY tok
+    ), buckets AS (
+      SELECT exact, unnest([{_CM_PROBE_STRUCTS}], recursive := true) FROM exact
+    ), sketch AS (
+      SELECT d, bucket, CAST(sum(exact) AS BIGINT) AS c
+      FROM buckets GROUP BY d, bucket
     ), heavy AS (
       SELECT tok, exact FROM exact
       WHERE exact >= 0.01 * (SELECT sum(exact) FROM exact)
@@ -161,8 +189,11 @@ def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimation probes join the broadcast depth*width table."""
     docs = widen(load_table(spark, sf_dir, "documents"))
     tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
-    sketch = countmin_build(tok, "tok")
     exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
+    # ONE corpus aggregation feeds sketch, heavy hitters and estimates:
+    # the sketch sums pre-aggregated counts per bucket (identical table,
+    # vocab-sized explode instead of a second corpus pass).
+    sketch = countmin_from_counts(exact, "tok", "exact")
     total = exact.agg(F.sum("exact").alias("t"))
     heavy = (
         exact.join(F.broadcast(total))
