@@ -194,6 +194,15 @@ class Engine:
         one SessionContext per accepted socket)."""
         return Session(self)
 
+    def attach_fixture(self, sf_dir: str) -> None:
+        """Expose the analytics fixture tables (region..embeddings) as
+        read-only relations queryable through any session / wire client
+        — `SELECT ... FROM lineitem` works immediately (Spark resolves
+        temp views ahead of catalog tables, so no USE is needed)."""
+        from sparrow_spark.sources import register_views
+
+        register_views(self.spark, sf_dir)
+
     @contextmanager
     def activate(self, session: Session):
         """Run statements under `session`'s state; restores the previous

@@ -15,10 +15,11 @@ Command coverage (command ids as in handle.rs:174-241):
   0x01 COM_QUIT, 0x02 COM_INIT_DB, 0x03 COM_QUERY, 0x04 COM_FIELD_LIST,
   0x0e COM_PING, 0x16 COM_STMT_PREPARE, 0x17 COM_STMT_EXECUTE,
   0x19 COM_STMT_CLOSE.
-The binary prepared-statement parameter codec (NULL bitmap +
-MYSQL_TYPE_* values) follows src/mysql/mysql_util.rs:41-130; binary
-result rows declare every column as VAR_STRING so values are
-length-encoded strings in both text and binary protocols.
+The binary prepared-statement codec (NULL bitmap + MYSQL_TYPE_* values
+in both directions) follows src/mysql/mysql_util.rs:41-130: parameters
+decode per their type tags, result rows encode per the declared column
+type (ints little-endian, floats IEEE, temporal as length-prefixed
+component structs, strings length-encoded).
 """
 
 from __future__ import annotations
@@ -470,6 +471,9 @@ def main() -> None:  # pragma: no cover - manual entrypoint
     port = int(sys.argv[1]) if len(sys.argv) > 1 else 3307
     warehouse = os.environ.get("SPARROW_WAREHOUSE", "./spark-warehouse/sparrow")
     engine = Engine(get_spark("sparrow-server"), warehouse)
+    fixture = os.environ.get("SPARROW_FIXTURE_DIR")
+    if fixture:
+        engine.attach_fixture(fixture)
     server = SparrowServer(engine, port=port).start()
     print(f"sparrow-spark listening on {server.host}:{server.port}")
     try:

@@ -287,3 +287,16 @@ def test_wire_two_sessions_isolated(server):
     assert rows == [["wb", "two"]]
     c1.quit()
     c2.quit()
+
+
+def test_wire_query_fixture_tables(server, sf_dir):
+    # an engine user can run the analytics workload over the wire
+    server.engine.attach_fixture(sf_dir)
+    c = MiniClient(server.host, server.port)
+    cols, rows = c.query(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    assert cols == ["l_returnflag", "n"]
+    assert [r[0] for r in rows] == ["A", "N", "R"] and all(int(r[1]) > 0 for r in rows)
+    c.quit()
