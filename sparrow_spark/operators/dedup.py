@@ -405,3 +405,107 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+def minlabel_clusters(pairs: DataFrame, iterations: int = 6) -> DataFrame:
+    """Connected components over an (a_id, b_id) pair list by bounded
+    min-label propagation: every node starts as its own label; each
+    round takes the min of its own and its neighbors' labels. After k
+    rounds every node within graph distance k of its component's
+    minimum carries it — LSH duplicate components are near-cliques
+    (band collisions connect most members directly), so small k
+    converges. Scale: each round is one broadcast-able equi-join +
+    one groupBy on the PAIR list (tiny relative to the corpus); the
+    corpus itself is never touched. Pure plan — no driver-side loop
+    state, no actions; the k rounds unroll into one DAG."""
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("id"), F.col("src").alias("label")
+    )
+    for _ in range(iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+    return labels
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), sh AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)]) AS shingle
+      FROM tok
+    ), hashed AS (
+      SELECT doc_id, md5('a:' || shingle) AS da, md5('b:' || shingle) AS db
+      FROM sh
+    ), sigs AS (
+      SELECT doc_id,
+             min(substr(da, 1, 8)) AS h0, min(substr(da, 9, 8)) AS h1,
+             min(substr(da, 17, 8)) AS h2, min(substr(da, 25, 8)) AS h3,
+             min(substr(db, 1, 8)) AS h4, min(substr(db, 9, 8)) AS h5,
+             min(substr(db, 17, 8)) AS h6, min(substr(db, 25, 8)) AS h7
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id,
+             unnest([struct_pack(band := 0, band_sig := h0 || '|' || h1),
+                     struct_pack(band := 1, band_sig := h2 || '|' || h3),
+                     struct_pack(band := 2, band_sig := h4 || '|' || h5),
+                     struct_pack(band := 3, band_sig := h6 || '|' || h7)],
+                    recursive := true)
+      FROM sigs
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM cands
+      UNION
+      SELECT b_id, a_id FROM cands
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+      )
+      SELECT * FROM r
+    )
+    SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id,
+           (src <> min(dst)) AS is_dup
+    FROM reach GROUP BY src
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last stage of the production dedup pipeline: LSH candidate
+    pairs -> duplicate CLUSTERS via min-label propagation, keeping the
+    minimum doc_id as each cluster's canonical representative. The
+    oracle computes exact connected components with a recursive CTE;
+    they agree because LSH components are near-cliques (diameter well
+    under the propagation rounds)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    labels = minlabel_clusters(pairs)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+        (F.col("id") != F.col("label")).alias("is_dup"),
+    )
