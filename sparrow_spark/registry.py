@@ -85,13 +85,15 @@ _WINDOW_PRIORITY: list[str] = [
     # multimodal (4)
     "q_multimodal_resize", "q_multimodal_features",
     "q_multimodal_frame_sample", "q_multimodal_decode",
-    # streaming (2)
+    # streaming (3)
     "q_stream_window_rollup", "q_stream_sessionize_stateful",
-    # TPC-H spine representatives (7) — keep the core relational families
-    # represented inside every round's window
-    "q1_pricing_summary", "q9_product_profit", "q_join_full_outer",
-    "q_grouping_sets", "q_window_ranks", "q_subquery_correlated_exists",
-    "q21_suppliers_waiting",
+    "q_stream_stream_join",
+    # round-2 additions, never driver-verified (3)
+    "q_countmin_sketch", "q_bloom_filter_semi", "q_dedup_clusters",
+    # TPC-H spine representatives (3) — keep the core relational families
+    # represented inside every round's window (the rest were all
+    # driver-green in r1; see COVERAGE.md rotation ledger)
+    "q1_pricing_summary", "q9_product_profit", "q_window_ranks",
 ]
 
 
