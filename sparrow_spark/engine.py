@@ -1351,22 +1351,45 @@ class Engine:
         )
         df.createOrReplaceTempView(f"performance_schema_{name}")
 
+    # Full mysql.users grant-table shape (reference src/meta/def/
+    # mysql.rs:9-80: 51 CHAR columns, PRIMARY KEY (Host, User)), seeded
+    # with root@% all-privileges exactly like the reference's bootstrap
+    # (src/meta/initial.rs:1161-1380).
+    _MYSQL_USERS_PRIVS = [
+        "Select", "Insert", "Update", "Delete", "Create", "Drop", "Reload",
+        "Shutdown", "Process", "File", "Grant", "References", "Index",
+        "Alter", "Show_db", "Super", "Create_tmp_table", "Lock_tables",
+        "Execute", "Repl_slave", "Repl_client", "Create_view", "Show_view",
+        "Create_routine", "Alter_routine", "Create_user", "Event",
+        "Trigger", "Create_tablespace",
+    ]
+    _MYSQL_USERS_META = {
+        "ssl_type": "", "ssl_cipher": "", "x509_issuer": "",
+        "x509_subject": "", "max_questions": "0", "max_updates": "0",
+        "max_connections": "0", "max_user_connections": "0",
+        "plugin": "mysql_native_password", "authentication_string": "",
+        "password_expired": "N", "password_last_changed": "",
+        "password_lifetime": "", "account_locked": "N",
+        "Create_role_priv": "Y", "Drop_role_priv": "Y",
+        "Password_reuse_history": "", "Password_reuse_time": "",
+        "Password_require_current": "", "User_attributes": "",
+    }
+
     def _register_mysql_view(self, name: str) -> None:
-        # Minimal mysql.users (reference src/meta/def/mysql.rs:9-80 keeps
-        # the full 51-char-column MySQL grant table; only the identity
-        # and headline privilege columns are modeled here), seeded with
-        # the conventional root@% superuser.
         if name != "users":
             raise SparrowError(1109, f"Unknown table '{name}' in mysql")
-        schema = (
-            "Host string, User string, Select_priv string, Insert_priv string, "
-            "Update_priv string, Delete_priv string, Create_priv string, "
-            "Drop_priv string, Grant_priv string, Super_priv string, "
-            "plugin string, authentication_string string, account_locked string"
+        cols = (
+            ["Host", "User"]
+            + [f"{p}_priv" for p in self._MYSQL_USERS_PRIVS]
+            + list(self._MYSQL_USERS_META)
         )
-        rows = [("%", "root", "Y", "Y", "Y", "Y", "Y", "Y", "Y", "Y",
-                 "mysql_native_password", "", "N")]
-        self.spark.createDataFrame(rows, schema=schema).createOrReplaceTempView(
+        row = (
+            ["%", "root"]
+            + ["Y"] * len(self._MYSQL_USERS_PRIVS)
+            + list(self._MYSQL_USERS_META.values())
+        )
+        schema = ", ".join(f"`{c}` string" for c in cols)
+        self.spark.createDataFrame([tuple(row)], schema=schema).createOrReplaceTempView(
             "mysql_users"
         )
 

@@ -308,6 +308,13 @@ class _Conn:
                     stmt_id = struct.unpack_from("<I", payload, 1)[0]
                     with self.lock:
                         self.session.close_prepared(stmt_id)
+                elif cmd == 0x1A:  # COM_STMT_RESET (no long-data to drop)
+                    self.send_ok()
+                elif cmd == 0x09:  # COM_STATISTICS: raw human string
+                    self.write_packet(
+                        b"Uptime: 0  Threads: 1  Questions: 0  "
+                        b"Slow queries: 0  Opens: 0  Flush tables: 0"
+                    )
                 else:
                     self.send_err(1047, f"Unknown command 0x{cmd:02x}", "08S01")
             except SparrowError as e:

@@ -546,8 +546,11 @@ def test_performance_schema_and_mysql_tables(engine):
         ).df.collect()[0].n
         == 0
     )
-    # minimal mysql.users grant table
+    # full 51-column mysql.users grant table (reference mysql.rs shape)
     rows = engine.sql(
-        "SELECT Host, User, Select_priv FROM mysql.users"
+        "SELECT Host, User, Select_priv, Create_tablespace_priv, plugin "
+        "FROM mysql.users"
     ).df.collect()
-    assert [(r.Host, r.User, r.Select_priv) for r in rows] == [("%", "root", "Y")]
+    assert [(r.Host, r.User, r.Select_priv, r.Create_tablespace_priv, r.plugin)
+            for r in rows] == [("%", "root", "Y", "Y", "mysql_native_password")]
+    assert len(engine.sql("SELECT * FROM mysql.users").df.columns) == 51

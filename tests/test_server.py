@@ -300,3 +300,14 @@ def test_wire_query_fixture_tables(server, sf_dir):
     assert cols == ["l_returnflag", "n"]
     assert [r[0] for r in rows] == ["A", "N", "R"] and all(int(r[1]) > 0 for r in rows)
     c.quit()
+
+
+def test_wire_stmt_reset_and_statistics(server):
+    c = MiniClient(server.host, server.port)
+    sid, _ = c.prepare("SELECT ? AS v")
+    c.command(b"\x1a" + struct.pack("<I", sid))  # COM_STMT_RESET
+    assert c.read_packet()[0] == 0x00
+    assert c.execute(sid, [9])[1] == [[9]]
+    c.command(b"\x09")  # COM_STATISTICS
+    assert b"Uptime" in c.read_packet()
+    c.quit()
