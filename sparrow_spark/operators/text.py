@@ -507,3 +507,55 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS weight,
+             ('0x' || substr(md5('ws:' || doc_id), 1, 8))::UBIGINT
+                 / 4294967296.0 AS u
+      FROM documents
+    ), pri AS (
+      SELECT doc_id, lang, CAST(weight AS BIGINT) AS weight,
+             round(pow(u, 1.0 / weight) + 1e-9, 6) AS priority
+      FROM w
+    )
+    SELECT doc_id, lang, weight, priority FROM (
+      SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rnk
+      FROM pri
+    ) WHERE rnk <= 100
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    each doc draws a deterministic pseudo-uniform u from md5(doc_id) and
+    gets priority u^(1/weight); the global top-k by priority is a
+    weighted sample (here weight = token count, favoring long docs).
+    Deterministic -> reproducible across runs/engines/partitionings,
+    unlike RNG-based sampling. Scale: one linear pass + a top-k
+    (partial per partition, then a k-row final) — no full sort of the
+    corpus; priorities are rounded before ranking so the cross-engine
+    float ulp cannot flip an order (ties break on doc_id)."""
+    from pyspark.sql import Window
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    weight = F.size(tokens(F.col("text"))).cast("double")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id"))), 1, 8), 16, 10)
+        .cast("double") / F.lit(4294967296.0)
+    )
+    pri = docs.select(
+        "doc_id",
+        "lang",
+        weight.cast("bigint").alias("weight"),
+        rnd(F.pow(u, F.lit(1.0) / weight), 6).alias("priority"),
+    )
+    w_rank = Window.orderBy(F.col("priority").desc(), "doc_id")
+    return (
+        pri.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 100)
+        .select("doc_id", "lang", "weight", "priority")
+    )
