@@ -236,14 +236,34 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_multimodal_features",
     oracle=f"""
-    SELECT doc_id,
-           [CAST((octet_length(encode(text)) * (i + 3)) % 97 AS DOUBLE) / 97.0
-            for i in range(0, {N_FEATURES})] AS features
-    FROM documents
+    SELECT d.doc_id,
+           CAST(t.i AS BIGINT) AS feature_idx,
+           CAST((octet_length(encode(d.text)) * (t.i + 3)) % 97 AS DOUBLE) / 97.0
+               AS feature_value
+    FROM documents d, range(0, {N_FEATURES}) AS t(i)
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_binary_column(load_table(spark, sf_dir, "documents"))
+    # The library operator returns `features array<double>` (the shape a
+    # model-training consumer wants); the registered query posexplodes it
+    # to scalar (doc_id, feature_idx, feature_value) rows because the
+    # driver's canonicalizer sorts with pandas and cannot hash a
+    # list-typed column. Same data, scalar shape.
+    feats = multimodal_features(load_table(spark, sf_dir, "documents"))
+    return feats.select(
+        "doc_id",
+        F.posexplode("features").alias("feature_idx", "feature_value"),
+    ).select(
+        "doc_id",
+        F.col("feature_idx").cast("bigint").alias("feature_idx"),
+        "feature_value",
+    )
+
+
+def multimodal_features(docs: DataFrame) -> DataFrame:
+    """Library API: per-doc feature vector as array<double> (Arrow
+    round-trip through the mapInPandas worker)."""
+    docs = with_binary_column(docs)
     return docs.select("doc_id", "blob").mapInPandas(
         feature_batches(), schema=FEATURES_SCHEMA
     )

@@ -520,7 +520,7 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), pri AS (
       SELECT doc_id, lang, CAST(weight AS BIGINT) AS weight,
-             round(pow(u, 1.0 / weight) + 1e-9, 6) AS priority
+             round(pow(u, 1.0 / weight), 6) AS priority
       FROM w
     )
     SELECT doc_id, lang, weight, priority FROM (

@@ -131,14 +131,60 @@ def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@query("q_stream_sessionize_stateful")  # rows-only: emits closed sessions
+@query(
+    "q_stream_sessionize_stateful",
+    # The bounded drain (single-file fixture -> one data microbatch,
+    # then one no-data batch that advances the watermark) emits (a) the
+    # sessions closed by a later in-stream event and (b) each user's
+    # final session IF its event-time timeout (end = last_ts + gap, ms
+    # floor) is strictly below the final watermark (global max ts - 2 h,
+    # ms floor) — Spark fires timeouts with timeoutTimestamp <
+    # watermark. Both sets ARE SQL-expressible: gap-sessionize per user,
+    # keep non-last sessions plus timed-out last ones. Gaps compare in
+    # MICROSECONDS (the Python state machine compares epoch-us;
+    # second-truncated diffs diverge on sub-second gaps at 1800 s).
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, coalesce(value, 0.0) AS value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), agg AS (
+      SELECT user_id, session_id,
+             epoch_us(min(ts)) AS session_start_us,
+             epoch_us(max(ts)) + 1800000000 AS session_end_us,
+             count(*) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM sessions
+      GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start_us, session_end_us, n_events, sum_value
+    FROM (
+      SELECT *, max(session_id) OVER (PARTITION BY user_id) AS max_sid,
+             (SELECT max(epoch_us(ts)) FROM events) AS max_us
+      FROM agg
+    ) WHERE session_id < max_sid
+       OR session_end_us // 1000 < max_us // 1000 - 7200000
+    """,
+)
 def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState sessionizer drained bounded. Emits the
     sessions closed by a later event in-stream (each user's last open
     session stays in state when the bounded drain ends — matching real
-    streaming semantics, where open sessions haven't emitted yet)."""
+    streaming semantics, where open sessions haven't emitted yet).
+    Timestamps surface as epoch microseconds and sum_value is rounded
+    tie-stably so the DuckDB oracle can hash-match the drained rows."""
     import uuid
 
+    from sparrow_spark.rounding import rnd
     from sparrow_spark.streaming.stateful import stateful_sessionize
 
     name = f"strm_sess_{uuid.uuid4().hex[:8]}"
@@ -146,7 +192,13 @@ def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     )
     run_to_memory(stream, name, output_mode="append")
-    return spark.table(name)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        rnd(F.col("sum_value"), 2).alias("sum_value"),
+    )
 
 
 def enriched_event_stream(
