@@ -412,10 +412,64 @@ class Engine:
         m = re.match(r"EXPLAIN\s+(ANALYZE\s+|VERBOSE\s+)?(.*)", stmt, re.I | re.S)
         mode = (m.group(1) or "").strip().upper()
         inner = m.group(2)
-        spark_mode = {"ANALYZE": "FORMATTED", "VERBOSE": "EXTENDED", "": ""}[mode]
         inner = substitute_variables(inner, self.system_vars, self.user_vars)
         inner = self._rewrite_information_schema(strip_dual(inner))
+        if mode == "ANALYZE":
+            return self._explain_analyze(inner)
+        spark_mode = {"VERBOSE": "EXTENDED", "": ""}[mode]
         return Result("resultset", self.spark.sql(f"EXPLAIN {spark_mode} {inner}"))
+
+    def _explain_analyze(self, inner: str) -> Result:
+        """EXPLAIN ANALYZE: execute the query and report per-operator
+        runtime metrics (actual row counts, timings, shuffle/spill
+        sizes), like the reference's plan-with-metrics renderer
+        (src/execute_impl/explain.rs:41-101). Spark SQL has no native
+        EXPLAIN ANALYZE, so we run the plan and walk the executed
+        physical tree's SQLMetric registry."""
+        try:
+            df = self.spark.sql(inner)
+            df.collect()  # execute so metrics are populated
+            jplan = df._jdf.queryExecution().executedPlan()
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            code = 1146 if "TABLE_OR_VIEW_NOT_FOUND" in msg else 1105
+            raise SparrowError(code, msg) from e
+        rows: list[tuple[str, str]] = []
+        self._walk_executed_plan(jplan, 0, rows)
+        out = self.spark.createDataFrame(rows, "operator string, metrics string")
+        return Result("resultset", out)
+
+    @staticmethod
+    def _walk_executed_plan(node, depth: int, rows: list) -> None:
+        """Depth-first render of an executed SparkPlan with metric
+        values, unwrapping AQE wrappers (AdaptiveSparkPlanExec holds the
+        runtime-final plan; QueryStageExec wraps materialized stages)."""
+        name = node.nodeName()
+        # AQE wrappers: descend into the runtime-final subplan.
+        for unwrap in ("executedPlan", "plan"):  # Adaptive / QueryStage
+            if name in ("AdaptiveSparkPlan", "BroadcastQueryStage",
+                        "ShuffleQueryStage", "TableCacheQueryStage",
+                        "ResultQueryStage"):
+                try:
+                    inner = getattr(node, unwrap)()
+                    rows.append(("  " * depth + name, ""))
+                    Engine._walk_executed_plan(inner, depth + 1, rows)
+                    return
+                except Exception:  # noqa: BLE001 — wrapper w/o that accessor
+                    continue
+        parts = []
+        try:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                metric = kv._2()
+                parts.append(f"{kv._1()}={metric.value()}")
+        except Exception:  # noqa: BLE001 — metric-less node
+            pass
+        rows.append(("  " * depth + name, ", ".join(sorted(parts))))
+        children = node.children()
+        for i in range(children.size()):
+            Engine._walk_executed_plan(children.apply(i), depth + 1, rows)
 
     # ------------------------------------------------------------------
     # session / schema statements

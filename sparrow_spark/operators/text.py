@@ -559,3 +559,44 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 100)
         .select("doc_id", "lang", "weight", "priority")
     )
+
+
+@query(
+    "q_reservoir_sample",
+    oracle="""
+    SELECT event_id, user_id, event_type, sample_key FROM (
+      SELECT event_id, user_id, event_type,
+             ('0x' || substr(md5('rs:' || event_id), 1, 15))::BIGINT AS sample_key,
+             row_number() OVER (
+               ORDER BY ('0x' || substr(md5('rs:' || event_id), 1, 15))::BIGINT,
+                        event_id) AS rnk
+      FROM events
+    ) WHERE rnk <= 200
+    """,
+)
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-row sample without replacement as a distributed
+    bottom-k: each row draws a deterministic 60-bit key from
+    md5(event_id) and the global k smallest keys win. This is exactly
+    what single-pass reservoir sampling (Algorithm R) becomes at scale —
+    sequential reservoirs don't distribute, but bottom-k by a uniform
+    key is mergeable (per-partition top-k, then a k-row final merge) and
+    reproducible across runs/engines/partitionings. The integer key
+    avoids any float rounding concern. Catalyst rewrites the global
+    row_number + limit into TakeOrderedAndProject (no single-partition
+    full sort — same verified rewrite as q_weighted_sample)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    key = F.conv(
+        F.substring(F.md5(F.concat(F.lit("rs:"), F.col("event_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    w_rank = Window.orderBy(F.col("sample_key").asc(), "event_id")
+    return (
+        ev.select("event_id", "user_id", "event_type", key.alias("sample_key"))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 200)
+        .select("event_id", "user_id", "event_type", "sample_key")
+    )

@@ -59,41 +59,43 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # The driver's per-round correctness check covers only the FIRST 50
 # registry entries (insertion order). Round 1 verified the relational/
-# subquery/TPC-H/window block (the first 50 back then); round 2 rotates
-# the other families — scalar functions, timeseries, text, dedup,
-# similarity, multimodal, streaming — to the front, padded with TPC-H
-# spine representatives so the window always holds every family.
-# COVERAGE.md records which round each query last had a driver row.
+# subquery/TPC-H/window block; round 2 rotated the other families
+# (scalar funcs, timeseries, text, dedup, similarity, multimodal,
+# streaming, sketches) — 48/50 green. Round 3 rotates back: the 47
+# r1-family queries (driver-checked only in r1), the two queries that
+# have never had a driver row (q_weighted_sample landed past the r2
+# window; q_reservoir_sample is new this round), and a TPC-H spine
+# anchor. After r3 every registered query has a driver row within the
+# last two rounds. COVERAGE.md records the rotation ledger.
 _WINDOW_PRIORITY: list[str] = [
-    # scalar function packs (8)
-    "q_string_funcs", "q_math_funcs", "q_date_funcs", "q_case_like_null",
-    "q_hash_funcs", "q_regexp_funcs", "q_trig_funcs", "q_string_extra",
-    # timeseries (10)
-    "q_time_bucket_rollup", "q_sessionize", "q_asof_join", "q_gap_fill",
-    "q_json_extract", "q_zscore_outliers", "q_pivot", "q_unpivot",
-    "q_rolling_window",
-    # text / LLM pipeline (11)
-    "q_text_stats", "q_text_quality", "q_fingerprint", "q_langid_ngram",
-    "q_token_bpe", "q_rolling_hash", "q_vocab_heavy_hitters", "q_tfidf",
-    "q_corpus_stats_by_lang", "q_stratified_sample", "q_train_test_split",
-    # dedup (5)
-    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
-    "q_dedup_ngram_jaccard", "q_dedup_pipeline",
-    # similarity / ANN (4)
-    "q_similarity_topk", "q_similarity_ivf", "q_embedding_neardup",
-    "q_similarity_lsh",
-    # multimodal (4)
-    "q_multimodal_resize", "q_multimodal_features",
-    "q_multimodal_frame_sample", "q_multimodal_decode",
-    # streaming (3)
-    "q_stream_window_rollup", "q_stream_sessionize_stateful",
-    "q_stream_stream_join",
-    # round-2 additions, never driver-verified (3)
-    "q_countmin_sketch", "q_bloom_filter_semi", "q_dedup_clusters",
-    # TPC-H spine representatives (3) — keep the core relational families
-    # represented inside every round's window (the rest were all
-    # driver-green in r1; see COVERAGE.md rotation ledger)
-    "q1_pricing_summary", "q9_product_profit", "q_window_ranks",
+    # never driver-verified (2)
+    "q_weighted_sample", "q_reservoir_sample",
+    # TPC-H core + extensions, driver-green in r1 (16)
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q10_returned_items", "q12_shipmode",
+    "q14_promo_revenue", "q18_large_orders", "q19_disjunctive_predicates",
+    "q7_volume_shipping", "q8_market_share", "q13_customer_distribution",
+    "q15_top_supplier", "q16_parts_supplier", "q17_small_quantity",
+    "q21_suppliers_waiting", "q22_sales_opportunity",
+    # join family (8)
+    "q_join_left_outer", "q_join_right_outer", "q_join_full_outer",
+    "q_join_semi", "q_join_anti", "q_join_cross", "q_join_theta",
+    "q_join_using_natural",
+    # aggregation / set ops (12)
+    "q_agg_stats", "q_count_distinct", "q_approx_distinct",
+    "q_select_distinct", "q_having", "q_rollup", "q_cube", "q_percentiles",
+    "q_union_all", "q_intersect", "q_except", "q_union_distinct",
+    # misc relational (4)
+    "q_orderby_limit_offset", "q_range_join", "q_array_agg_sorted",
+    "q_grouping_sets",
+    # subqueries / CTEs (4)
+    "q_subquery_scalar", "q_subquery_in", "q_subquery_correlated_exists",
+    "q_cte_chain",
+    # window functions (3)
+    "q_window_topk_per_group", "q_window_running_lag_lead",
+    "q_window_frames",
+    # TPC-H spine anchor, green r1+r2 (1)
+    "q1_pricing_summary",
 ]
 
 
