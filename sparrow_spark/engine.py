@@ -1307,7 +1307,11 @@ class Engine:
         # filters LIKE on the NAME (the reference filters on the value —
         # a reference bug we don't reproduce).
         m = re.search(r"LIKE\s+'([^']*)'", stmt, re.I)
-        where = f" WHERE variable_name LIKE '{m.group(1)}'" if m else ""
+        # Escape like a literal (_render_literal convention): a pattern
+        # ending in a backslash would otherwise escape the closing quote
+        # of the generated statement.
+        pat = m.group(1).replace("\\", "\\\\").replace("'", "''") if m else None
+        where = f" WHERE variable_name LIKE '{pat}'" if m else ""
         return self._query(
             "SELECT variable_name AS Variable_name, variable_value AS Value "
             f"FROM performance_schema.global_variables{where} "

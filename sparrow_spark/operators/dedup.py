@@ -407,31 +407,69 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label round: each node takes the min of its own and its
+    neighbors' labels; `changed` marks nodes whose label shrank."""
+    neighbor_min = (
+        edges.join(labels, edges.dst == labels.id)
+        .groupBy("src")
+        .agg(F.min("label").alias("nb_label"))
+    )
+    return labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+        "id",
+        F.least(
+            F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+        ).alias("label"),
+        F.coalesce(F.col("nb_label") < F.col("label"), F.lit(False)).alias(
+            "changed"
+        ),
+    )
+
+
 def minlabel_clusters(
-    pairs: DataFrame, iterations: int = 3, partitions: int = 16
+    pairs: DataFrame,
+    iterations: int | None = 3,
+    partitions: int = 16,
+    max_rounds: int = 64,
 ) -> DataFrame:
-    """Connected components over an (a_id, b_id) pair list by bounded
-    min-label propagation: every node starts as its own label; each
-    round takes the min of its own and its neighbors' labels. After k
-    rounds every node within graph distance k of its component's
-    minimum carries it — LSH duplicate components are near-cliques
-    (band collisions connect most members directly; measured diameter
-    <= 2 at sf0.001/0.01 vs the exact recursive-CTE oracle), so small k
-    converges; raise `iterations` for corpora with chainier overlap
-    structure. Scale: each round is one broadcast-able equi-join +
-    one groupBy on the PAIR list (tiny relative to the corpus); the
-    corpus itself is never touched. No build-time actions; edges and
-    each round's labels are persist()ed (lazy) so the lineage stays
+    """Connected components over an (a_id, b_id) pair list by min-label
+    propagation: every node starts as its own label; each round takes
+    the min of its own and its neighbors' labels. After k rounds every
+    node within graph distance k of its component's minimum carries it.
+
+    Two modes:
+
+    - ``iterations=k`` (lazy, bounded): builds a PURE plan — no driver
+      action at build time, so it composes with prepared-plan caching
+      and cold 1 g drivers (corpus work runs only at execution). LSH
+      duplicate components are near-cliques (measured diameter <= 2 at
+      sf0.001/0.01 vs the exact recursive-CTE oracle), so small k
+      converges — and because a silent mis-split would be a WRONG
+      ANSWER at corpus scale, the result carries a lazy convergence
+      guard: one extra propagation round feeds assert_true, so a
+      diameter > k component fails the query loudly at execution
+      instead of returning split clusters.
+    - ``iterations=None`` (converge): iterates until a round changes no
+      labels (the check is a count() on the pair-list-sized label
+      table, far from the corpus), unpersisting each superseded round
+      and the edge list before returning. The returned final round
+      stays persisted (it was just materialized by the convergence
+      check); callers unpersist it when done. Use this mode from batch
+      jobs; the lazy mode is for registered/prepared queries.
+
+    Scale: each round is one equi-join + one groupBy on the PAIR list
+    (tiny relative to the corpus); the corpus itself is never touched.
+    Edges and each round's labels are persist()ed so the lineage stays
     LINEAR — without the cache cut, the self-referencing join doubles
     the unrolled plan per round (2^k copies of the pair pipeline: 508
     scans / 1269 exchanges at k=6, measured). The same materialize-per-
     iteration discipline every Pregel-style loop needs."""
     # The pair list is orders of magnitude smaller than the corpus;
-    # pin the iteration to a bounded partition count so k rounds of
+    # pin the iteration to a bounded partition count so the rounds of
     # persisted intermediates stay cheap on any session (a default
-    # 200-shuffle-partition session otherwise caches k x 200 blocks of
-    # near-empty partitions — measured OOM on a 1g vanilla driver).
-    # Size `partitions` to the pair-list volume at real scale.
+    # 200-shuffle-partition session otherwise caches rounds x 200
+    # blocks of near-empty partitions — measured OOM on a 1g vanilla
+    # driver). Size `partitions` to the pair-list volume at real scale.
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
@@ -442,24 +480,63 @@ def minlabel_clusters(
     labels = edges.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("label")
     )
-    for _ in range(iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nb_label"))
-        )
-        labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
-                ).alias("label"),
+
+    if iterations is not None:
+        for _ in range(iterations):
+            labels = (
+                _propagation_round(edges, labels)
+                .drop("changed")
+                .repartition(partitions, "id")
+                .persist()
             )
+        # Lazy convergence guard: one more round; any would-be change
+        # raises at execution. The guard must feed an OUTPUT column or
+        # column pruning would drop it — adding the always-NULL assert
+        # (cast to long, coalesced to 0) to the label keeps it alive
+        # without changing any value.
+        guard = F.coalesce(
+            F.assert_true(
+                ~F.col("changed"),
+                F.lit(
+                    "minlabel_clusters: component diameter exceeds "
+                    f"iterations={iterations}; raise iterations or use "
+                    "iterations=None (converge mode)"
+                ),
+            ).cast("long"),
+            F.lit(0),
+        )
+        return _propagation_round(edges, labels).select(
+            "id", (F.col("label") + guard).alias("label")
+        )
+
+    prev: DataFrame | None = None
+    for _ in range(max_rounds):
+        new = (
+            _propagation_round(edges, labels)
             .repartition(partitions, "id")
             .persist()
         )
-    return labels
+        n_changed = new.filter("changed").count()  # materializes the round
+        if prev is not None:
+            prev.unpersist()
+        prev = new
+        labels = new.drop("changed")
+        if n_changed == 0:
+            # Hand back a single self-contained cached result: persist
+            # the label-only projection, materialize it off the round's
+            # cache, then drop the round and edge caches — the caller
+            # unpersists exactly the DataFrame it received.
+            final = labels.persist()
+            final.count()
+            new.unpersist()
+            edges.unpersist()
+            return final
+    edges.unpersist()
+    if prev is not None:
+        prev.unpersist()
+    raise RuntimeError(
+        f"minlabel_clusters did not converge within {max_rounds} rounds"
+    )
 
 
 @query(

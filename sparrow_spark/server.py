@@ -91,6 +91,11 @@ class _Conn:
         self.session = session
         self.lock = lock
         self.seq = 0
+        # Per-statement parameter types from the FIRST execute: clients
+        # send new_params_bound_flag=1 once, then 0 on re-execute —
+        # servers must reuse the first execute's types (a re-execute
+        # decoded as VAR_STRING would mis-read fixed-width payloads).
+        self._stmt_types: dict[int, list[tuple[int, bool]]] = {}
 
     # -- packet framing (3-byte length + 1-byte sequence id) -----------
     def _recv_exact(self, n: int) -> bytes | None:
@@ -162,12 +167,25 @@ class _Conn:
         )
 
     # -- result delivery -----------------------------------------------
-    def send_resultset(self, result: Result, binary: bool = False) -> None:
+    @staticmethod
+    def _materialize(result: Result):
+        """Collect a resultset's rows (called under the engine lock so
+        execution cannot race another connection's in-place rewrite)."""
+        if result.kind != "resultset" or result.df is None:
+            return None
+        return result.df.schema, result.df.collect()
+
+    def send_resultset(
+        self, result: Result, binary: bool = False, materialized=None
+    ) -> None:
         if result.kind != "resultset" or result.df is None:
             self.send_ok(result.affected_rows)
             return
-        schema = result.df.schema
-        rows = result.df.collect()
+        schema, rows = (
+            materialized
+            if materialized is not None
+            else (result.df.schema, result.df.collect())
+        )
         self.write_packet(_lenenc_int(len(schema.fields)))
         mysql_types = [
             _SPARK_TO_MYSQL.get(f.dataType.simpleString(), T_VAR_STRING)
@@ -271,14 +289,22 @@ class _Conn:
                     self.send_ok()
                 elif cmd == 0x03:  # COM_QUERY
                     sql = payload[1:].decode()
+                    # Materialize rows while still holding the engine
+                    # lock: the engine rewrites table parquet in place,
+                    # so a collect racing another connection's DDL/DML
+                    # could scan half-rewritten files. Only wire
+                    # encoding happens outside the lock (the reference
+                    # serializes execution under its global mutex too).
                     with self.lock:
                         result = self.session.sql(sql)
-                    self.send_resultset(result)
+                        mat = self._materialize(result)
+                    self.send_resultset(result, materialized=mat)
                 elif cmd == 0x04:  # COM_FIELD_LIST
                     table = payload[1:].split(b"\x00")[0].decode()
                     with self.lock:
                         result = self.session.sql(f"SHOW COLUMNS FROM {table}")
-                    for row in result.rows():
+                        field_rows = result.rows()
+                    for row in field_rows:
                         self.send_column_def(row.Field, T_VAR_STRING)
                     self.send_eof()
                 elif cmd == 0x0E:  # COM_PING
@@ -303,9 +329,11 @@ class _Conn:
                     stmt_id, params = self._decode_execute(payload)
                     with self.lock:
                         result = self.session.execute_prepared(stmt_id, params)
-                    self.send_resultset(result, binary=True)
+                        mat = self._materialize(result)
+                    self.send_resultset(result, binary=True, materialized=mat)
                 elif cmd == 0x19:  # COM_STMT_CLOSE (no response)
                     stmt_id = struct.unpack_from("<I", payload, 1)[0]
+                    self._stmt_types.pop(stmt_id, None)
                     with self.lock:
                         self.session.close_prepared(stmt_id)
                 elif cmd == 0x1A:  # COM_STMT_RESET (no long-data to drop)
@@ -335,11 +363,25 @@ class _Conn:
         pos += (n_params + 7) // 8
         bound = payload[pos]
         pos += 1
-        types: list[tuple[int, bool]] = []
         if bound:
+            types: list[tuple[int, bool]] = []
             for _ in range(n_params):
                 types.append((payload[pos], bool(payload[pos + 1] & 0x80)))
                 pos += 2
+            self._stmt_types[stmt_id] = types
+        else:
+            # new_params_bound_flag=0: reuse the types from the first
+            # execute (MySQL/libmysqlclient semantics; the reference
+            # does the same). Executing without ever sending types is a
+            # malformed packet — fail loudly rather than mis-decode.
+            cached = self._stmt_types.get(stmt_id)
+            if cached is None or len(cached) != n_params:
+                raise SparrowError(
+                    1210,
+                    "Incorrect arguments to mysqld_stmt_execute: "
+                    "parameter types were never bound",
+                )
+            types = cached
         params: list = []
         for i in range(n_params):
             if nullmap[i // 8] & (1 << (i % 8)):

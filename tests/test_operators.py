@@ -144,3 +144,55 @@ def test_python_udtf_split_words(spark):
     assert [(r.word, r.pos) for r in rows] == [
         ("spark", 0), ("graft", 1), ("engine", 2)
     ]
+
+
+def _chain_pairs(spark, n=5):
+    # A path graph 1-2-3-4-5: diameter n-1 — the structure bounded
+    # min-label propagation mis-splits when iterations < diameter.
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "a_id long, b_id long"
+    )
+
+
+def test_minlabel_converge_mode_handles_long_chains(spark):
+    from sparrow_spark.operators.dedup import minlabel_clusters
+
+    labels = minlabel_clusters(_chain_pairs(spark), iterations=None, partitions=2)
+    got = {(r.id, r.label) for r in labels.collect()}
+    assert got == {(i, 1) for i in range(1, 6)}  # one component, min label
+    labels.unpersist()
+
+
+def test_minlabel_converge_mode_unpersists(spark):
+    from sparrow_spark.operators.dedup import minlabel_clusters
+
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    labels = minlabel_clusters(_chain_pairs(spark), iterations=None, partitions=2)
+    labels.collect()
+    labels.unpersist()
+    # Superseded rounds and the edge list are unpersisted inside the
+    # operator; the caller unpersists the returned final round.
+    assert jsc.getPersistentRDDs().size() <= base
+
+
+def test_minlabel_bounded_mode_raises_on_nonconvergence(spark):
+    import pytest
+
+    from sparrow_spark.operators.dedup import minlabel_clusters
+
+    labels = minlabel_clusters(_chain_pairs(spark), iterations=2, partitions=2)
+    with pytest.raises(Exception, match="diameter exceeds"):
+        labels.collect()  # guard fires at execution, not silently wrong
+
+
+def test_minlabel_bounded_mode_converged_guard_passes(spark):
+    from sparrow_spark.operators.dedup import minlabel_clusters
+
+    # Triangle + isolated pair: diameters 1 — k=3 converges, guard quiet.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11)], "a_id long, b_id long"
+    )
+    labels = minlabel_clusters(pairs, iterations=3, partitions=2)
+    got = {(r.id, r.label) for r in labels.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}

@@ -176,7 +176,7 @@ class MiniClient:
             assert self.read_packet()[0] == 0xFE
         return stmt_id, n_params
 
-    def execute(self, stmt_id: int, params: list):
+    def execute(self, stmt_id: int, params: list, bound: bool = True):
         n = len(params)
         nullmap = bytearray((n + 7) // 8)
         types = b""
@@ -199,7 +199,13 @@ class MiniClient:
             + struct.pack("<I", stmt_id)
             + b"\x00"
             + struct.pack("<I", 1)
-            + (bytes(nullmap) + b"\x01" + types + body if n else b"")
+            + (
+                bytes(nullmap)
+                + (b"\x01" + types if bound else b"\x00")
+                + body
+                if n
+                else b""
+            )
         )
         self.command(payload)
         return self._read_response(binary=True)
@@ -310,4 +316,25 @@ def test_wire_stmt_reset_and_statistics(server):
     assert c.execute(sid, [9])[1] == [[9]]
     c.command(b"\x09")  # COM_STATISTICS
     assert b"Uptime" in c.read_packet()
+    c.quit()
+
+
+def test_wire_reexecute_reuses_param_types(server):
+    # libmysqlclient sends new_params_bound_flag=1 on the first execute
+    # only; re-executes (bound=0) must reuse the first execute's types —
+    # a VAR_STRING fallback would mis-decode the fixed-width payload.
+    c = MiniClient(server.host, server.port)
+    c.query("CREATE DATABASE IF NOT EXISTS wiredb3")
+    c.init_db("wiredb3")
+    c.query("CREATE TABLE r (id INT, v DOUBLE, PRIMARY KEY(id))")
+    sid, _ = c.prepare("INSERT INTO r VALUES (?, ?)")
+    assert c.execute(sid, [1, 1.5]) == ("ok", 1)
+    assert c.execute(sid, [2, 2.5], bound=False) == ("ok", 1)
+    _, rows = c.query("SELECT id, v FROM r ORDER BY id")
+    assert rows == [["1", "1.5"], ["2", "2.5"]]
+    # bound=0 before any typed execute is a protocol error, not a
+    # silent string-decode.
+    sid2, _ = c.prepare("SELECT ? AS x")
+    err = c.execute(sid2, [7], bound=False)
+    assert err[0] == "err" and err[1] == 1210
     c.quit()
