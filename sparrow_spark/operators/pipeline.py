@@ -1,0 +1,318 @@
+"""Training-data pipeline operators beyond dedup/similarity/text:
+document chunking, sequence packing, intra-document repetition
+filtering, PII scrubbing, benchmark decontamination, and context-length
+bucketing. Beyond-reference extensions (the reference has no corpus
+surface) — each is the standard shape of the corresponding step in a
+large-scale LLM data pipeline, composed from JVM-side built-ins
+(split/slice/transform/explode/window/regexp) so whole-stage codegen
+applies and every step scales linearly with executors.
+
+Scale notes are per operator; none shuffles more than once and nothing
+touches Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparrow_spark.operators.dedup import _shingles_of
+from sparrow_spark.operators.text import tokens
+from sparrow_spark.registry import query
+from sparrow_spark.rounding import rnd
+from sparrow_spark.sources import load_table, materialize, widen
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+PACK_BUDGET = 256
+
+
+@query(
+    "q_doc_chunking",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), sized AS (
+      SELECT doc_id, w,
+             greatest(1, CAST(ceil((len(w) - {CHUNK_TOKENS - CHUNK_STRIDE})
+                                   / {CHUNK_STRIDE}.0) AS BIGINT)) AS n_chunks
+      FROM tok
+    ), idx AS (
+      SELECT doc_id, w, unnest(range(0, n_chunks)) AS chunk_idx FROM sized
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(w[chunk_idx * {CHUNK_STRIDE} + 1 :
+                      chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS BIGINT)
+               AS n_chunk_tokens,
+           md5(array_to_string(w[chunk_idx * {CHUNK_STRIDE} + 1 :
+                                 chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                               ' ')) AS chunk_hash
+    FROM idx
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 64-token chunks every 48 tokens (16
+    overlap), the standard shape for context-window packing and RAG
+    indexing. One explode per chunk — output is O(total tokens /
+    stride) rows, embarrassingly parallel, no shuffle at all. The token
+    array is materialize()d so the tokenizer runs once per document,
+    not once per chunk (CollapseProject would inline it into the slice
+    expressions)."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = materialize(docs.select("doc_id", "text"), w=tokens(F.col("text")))
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("w") - F.lit(overlap)) / F.lit(float(CHUNK_STRIDE))).cast(
+            "bigint"
+        ),
+    )
+    chunked = toks.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    chunk = F.slice(
+        F.col("w"), (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("int"), CHUNK_TOKENS
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+@query(
+    "q_sequence_packing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM tok
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % {PACK_BUDGET} AS BIGINT) AS seq_offset
+    FROM packed
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: concatenate documents in stable
+    doc_id order and cut training sequences every 256 tokens — the
+    standard pretraining packing layout (documents straddle sequence
+    boundaries; the attention mask handles joins). Packing is
+    partitioned per language shard so the running sum parallelizes —
+    one shuffle on lang, then a linear window pass per shard; a global
+    pack order would serialize the corpus through one partition at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return sized.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (start / PACK_BUDGET).cast("bigint").alias("seq_id"),
+        (start % PACK_BUDGET).cast("bigint").alias("seq_offset"),
+    )
+
+
+@query(
+    "q_repetition_filter",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), tri AS (
+      SELECT doc_id,
+             [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+              for i in range(1, len(w) - 1)] AS t
+      FROM tok WHERE len(w) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_trigrams,
+           round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4)
+               AS distinct_ratio,
+           (len(list_distinct(t)) / CAST(len(t) AS DOUBLE)) < 0.55
+               AS is_repetitive
+    FROM tri
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scoring: distinct-trigram ratio — the
+    cheap repetition heuristic used to drop boilerplate/spam before
+    training (heavily repeated n-grams => low ratio). Linear per doc,
+    no shuffle. Token array materialize()d so the tokenizer is not
+    re-inlined into the per-element trigram lambda."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = materialize(docs.select("doc_id", "text"), w=tokens(F.col("text")))
+    tri = _shingles_of(F.col("w"), 3)
+    scored = toks.filter(F.size("w") >= 3).select(
+        "doc_id", tri.alias("t")
+    )
+    ratio = F.size(F.array_distinct("t")) / F.size("t").cast("double")
+    return scored.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_trigrams"),
+        rnd(ratio, 4).alias("distinct_ratio"),
+        (ratio < 0.55).alias("is_repetitive"),
+    )
+
+
+EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+"
+PHONE_RE = r"\+[0-9][0-9-]{6,}"
+
+
+@query(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@mail.example.com or +1-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g')) AS scrub_hash
+    FROM raw
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact emails/phone numbers and count redactions.
+    The fixture corpus carries no organic PII, so the query appends a
+    deterministic contact line per document (fixture adaptation, like
+    multimodal's with_binary_column) and the operator scrubs it —
+    pattern set kept to the regex subset with identical semantics in
+    Java regex and RE2/DuckDB. Pure per-row JVM regexp work: no
+    shuffle, codegen-friendly, linear at any scale."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    t = materialize(docs.select("doc_id", "text"), t=raw)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
+@query(
+    "q_contamination",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 5
+    ), sh AS (
+      SELECT doc_id,
+             unnest([array_to_string(w[i:i+4], ' ')
+                     for i in range(1, len(w) - 3)]) AS shingle
+      FROM tok
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT s.doc_id,
+           CAST(count(DISTINCT s.shingle) AS BIGINT) AS n_shared_shingles
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    5-gram with a held-out benchmark set (here: every 97th doc). The
+    scalable shape: explode both sides to shingle rows, broadcast the
+    (small) benchmark shingle set, equi-join, count distinct overlaps
+    per training doc — at 100 TB the benchmark side stays a broadcast
+    (benchmarks are MBs) and the training side is one linear explode
+    plus one aggregation shuffle."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = materialize(docs.select("doc_id", "text"), w=tokens(F.col("text")))
+    sh = toks.filter(F.size("w") >= 5).select(
+        "doc_id", F.explode(_shingles_of(F.col("w"), 5)).alias("shingle")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
+    )
+
+
+@query(
+    "q_length_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT CASE WHEN n_tokens < 32 THEN '0-31'
+                WHEN n_tokens < 64 THEN '32-63'
+                WHEN n_tokens < 128 THEN '64-127'
+                WHEN n_tokens < 256 THEN '128-255'
+                ELSE '256+' END AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens), 2) AS avg_tokens
+    FROM tok
+    GROUP BY 1
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length bucketing: histogram of documents by token-count
+    band — the planning query behind batch-shape selection and packing
+    efficiency estimates. Explicit CASE bands (not float log2) so both
+    engines bucket identically. One aggregation shuffle over 5 groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text"))).cast("bigint")
+    sized = docs.select(n.alias("n_tokens"))
+    bucket = (
+        F.when(F.col("n_tokens") < 32, "0-31")
+        .when(F.col("n_tokens") < 64, "32-63")
+        .when(F.col("n_tokens") < 128, "64-127")
+        .when(F.col("n_tokens") < 256, "128-255")
+        .otherwise("256+")
+    )
+    return (
+        sized.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            rnd(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        )
+    )

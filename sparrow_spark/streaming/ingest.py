@@ -201,6 +201,30 @@ def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) drained
+    bounded on a coarse key with real duplicates. The registered output
+    projects only the key columns: WHICH row survives per key is
+    arrival-order dependent (legitimate streaming semantics), but the
+    kept KEY SET equals batch DISTINCT — that is the oracle-checkable
+    invariant."""
+    import uuid
+
+    from sparrow_spark.streaming.stateful import stream_dedup
+
+    name = f"strm_dedup_{uuid.uuid4().hex[:8]}"
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    deduped = stream_dedup(events, keys=["user_id", "event_type"])
+    run_to_memory(deduped.select("user_id", "event_type"), name)
+    return spark.table(name)
+
+
 def enriched_event_stream(
     events: DataFrame, dim: DataFrame, on: str = "event_type"
 ) -> DataFrame:

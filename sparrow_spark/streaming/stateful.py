@@ -116,10 +116,14 @@ def stateful_sessionize(
     )
 
 
-def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Exact-duplicate suppression keyed on event_id, state bounded by
-    the watermark — the streaming twin of operators.dedup.exact_dedup
-    for an append-only event stream."""
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exact-duplicate suppression keyed on `keys` (default: event_id),
+    state bounded by the watermark — the streaming twin of
+    operators.dedup.exact_dedup for an append-only event stream."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        ["event_id"]
+        keys or ["event_id"]
     )
