@@ -96,6 +96,10 @@ class _Conn:
         # servers must reuse the first execute's types (a re-execute
         # decoded as VAR_STRING would mis-read fixed-width payloads).
         self._stmt_types: dict[int, list[tuple[int, bool]]] = {}
+        # COM_STMT_SEND_LONG_DATA accumulator: (stmt_id, param_id) ->
+        # streamed bytes; consumed by the next execute, cleared by
+        # COM_STMT_RESET/CLOSE (MySQL long-data lifecycle).
+        self._long_data: dict[tuple[int, int], bytearray] = {}
 
     # -- packet framing (3-byte length + 1-byte sequence id) -----------
     def _recv_exact(self, n: int) -> bytes | None:
@@ -331,12 +335,21 @@ class _Conn:
                         result = self.session.execute_prepared(stmt_id, params)
                         mat = self._materialize(result)
                     self.send_resultset(result, binary=True, materialized=mat)
+                elif cmd == 0x18:  # COM_STMT_SEND_LONG_DATA (no response)
+                    stmt_id = struct.unpack_from("<I", payload, 1)[0]
+                    param_id = struct.unpack_from("<H", payload, 5)[0]
+                    self._long_data.setdefault(
+                        (stmt_id, param_id), bytearray()
+                    ).extend(payload[7:])
                 elif cmd == 0x19:  # COM_STMT_CLOSE (no response)
                     stmt_id = struct.unpack_from("<I", payload, 1)[0]
                     self._stmt_types.pop(stmt_id, None)
+                    self._drop_long_data(stmt_id)
                     with self.lock:
                         self.session.close_prepared(stmt_id)
-                elif cmd == 0x1A:  # COM_STMT_RESET (no long-data to drop)
+                elif cmd == 0x1A:  # COM_STMT_RESET: drop streamed long data
+                    stmt_id = struct.unpack_from("<I", payload, 1)[0]
+                    self._drop_long_data(stmt_id)
                     self.send_ok()
                 elif cmd == 0x09:  # COM_STATISTICS: raw human string
                     self.write_packet(
@@ -384,6 +397,13 @@ class _Conn:
             types = cached
         params: list = []
         for i in range(n_params):
+            # Long-data params were streamed via COM_STMT_SEND_LONG_DATA
+            # and are absent from the row body (MySQL: long data takes
+            # precedence over the bitmap/body value for that param).
+            ld = self._long_data.pop((stmt_id, i), None)
+            if ld is not None:
+                params.append(ld.decode())
+                continue
             if nullmap[i // 8] & (1 << (i % 8)):
                 params.append(None)
                 continue
@@ -421,6 +441,10 @@ class _Conn:
                 params.append(payload[pos : pos + ln].decode())
                 pos += ln
         return stmt_id, params
+
+    def _drop_long_data(self, stmt_id: int) -> None:
+        for k in [k for k in self._long_data if k[0] == stmt_id]:
+            del self._long_data[k]
 
     def _param_count(self, stmt_id: int) -> int:
         sql = self.session._stmt_cache.get(stmt_id, "")

@@ -338,3 +338,36 @@ def test_wire_reexecute_reuses_param_types(server):
     err = c.execute(sid2, [7], bound=False)
     assert err[0] == "err" and err[1] == 1210
     c.quit()
+
+
+def test_wire_send_long_data(server):
+    # COM_STMT_SEND_LONG_DATA streams a param in chunks before execute;
+    # the param is then absent from the execute body (MySQL long-data
+    # lifecycle; cleared on COM_STMT_RESET/CLOSE).
+    c = MiniClient(server.host, server.port)
+    c.query("CREATE DATABASE IF NOT EXISTS wiredb4")
+    c.init_db("wiredb4")
+    c.query("CREATE TABLE ld (id INT, blobtext CHAR, PRIMARY KEY(id))")
+    sid, n = c.prepare("INSERT INTO ld VALUES (?, ?)")
+    assert n == 2
+    for chunk in (b"hello ", b"long ", b"data"):
+        c.command(b"\x18" + struct.pack("<I", sid) + struct.pack("<H", 1) + chunk)
+        # no server response for 0x18
+    # execute: param 0 inline (LONGLONG), param 1 via long data — body
+    # carries only param 0; types still declare both.
+    nullmap = b"\x00"
+    types = bytes([8, 0]) + bytes([252, 0])  # LONGLONG, BLOB
+    body = struct.pack("<q", 5)
+    c.command(
+        b"\x17" + struct.pack("<I", sid) + b"\x00" + struct.pack("<I", 1)
+        + nullmap + b"\x01" + types + body
+    )
+    assert c._read_response(binary=True) == ("ok", 1)
+    _, rows = c.query("SELECT id, blobtext FROM ld")
+    assert rows == [["5", "hello long data"]]
+    # long data was consumed by the execute; the next execute binds only
+    # the body value
+    assert c.execute(sid, [6, "inline"], bound=False) == ("ok", 1)
+    _, rows = c.query("SELECT blobtext FROM ld ORDER BY id")
+    assert rows == [["hello long data"], ["inline"]]
+    c.quit()
