@@ -137,6 +137,51 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_asof_forward",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate ASC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+       AND epoch_us(o.o_orderdate) - epoch_us(e.ts) <= 2592000000000
+    )
+    SELECT e.event_id, m.o_orderkey AS next_orderkey,
+           round(m.o_totalprice, 2) AS next_totalprice
+    FROM events e
+    LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) m ON m.event_id = e.event_id
+    """,
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Forward as-of with a 30-day tolerance: for each event, the
+    # customer's NEXT order within a month. Same single-shuffle
+    # union+window algorithm as backward — only the scan direction
+    # flips (operators/asof.py).
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+        direction="forward",
+        tolerance_seconds=30 * 86400,
+    )
+    return joined.select(
+        "event_id",
+        F.col("o_orderkey").alias("next_orderkey"),
+        rnd("o_totalprice", 2).alias("next_totalprice"),
+    )
+
+
+@query(
     "q_gap_fill",
     oracle="""
     WITH bounds AS (

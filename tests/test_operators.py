@@ -196,3 +196,51 @@ def test_minlabel_bounded_mode_converged_guard_passes(spark):
     labels = minlabel_clusters(pairs, iterations=3, partitions=2)
     got = {(r.id, r.label) for r in labels.collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def _asof_frames(spark):
+    trades = spark.createDataFrame(
+        [(1, 10, "t1"), (1, 20, "t2"), (2, 15, "t3")], "key long, t long, tag string"
+    )
+    quotes = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 110.0), (1, 20, 120.0), (2, 30, 130.0)],
+        "key long, qt long, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_forward_direction(spark):
+    trades, quotes = _asof_frames(spark)
+    out = asof_join(
+        trades, quotes, "key", "key", "t", "qt",
+        payload_cols=["px"], tiebreak="px", direction="forward",
+    )
+    got = {(r.key, r.t, r.px) for r in out.collect()}
+    # t=10 -> next quote at 15; t=20 -> inclusive match at 20; t=15(key2)
+    # -> quote at 30
+    assert got == {(1, 10, 110.0), (1, 20, 120.0), (2, 15, 130.0)}
+
+
+def test_asof_nearest_direction(spark):
+    trades, quotes = _asof_frames(spark)
+    out = asof_join(
+        trades, quotes, "key", "key", "t", "qt",
+        payload_cols=["px"], tiebreak="px", direction="nearest",
+    )
+    got = {(r.key, r.t, r.px) for r in out.collect()}
+    # t=10: back gap 2 (qt=8) < fwd gap 5 (qt=15) -> 100.0
+    # t=20: exact -> 120.0; key2 t=15: only forward (qt=30) -> 130.0
+    assert got == {(1, 10, 100.0), (1, 20, 120.0), (2, 15, 130.0)}
+
+
+def test_asof_tolerance_nulls_out_far_matches(spark):
+    trades, quotes = _asof_frames(spark)
+    out = asof_join(
+        trades, quotes, "key", "key", "t", "qt",
+        payload_cols=["px"], tiebreak="px", direction="backward",
+        tolerance_seconds=3,
+    )
+    got = {(r.key, r.t, r.px) for r in out.collect()}
+    # t=10 matches qt=8 (gap 2 <= 3); t=20 exact; key2 t=15 has no
+    # backward quote at all -> NULL
+    assert got == {(1, 10, 100.0), (1, 20, 120.0), (2, 15, None)}
