@@ -1059,20 +1059,26 @@ class Engine:
                 raise SparrowError(1054, f"Unknown column '{col}' in 'field list'")
             assignments.append((col, expr.strip()))
 
-        data = self._read_physical(schema, table, tdef)
         pred = F.expr(substitute_variables(where, self.system_vars, self.user_vars)) if where else F.lit(True)
-        affected = data.filter(pred).count()
-        # Copy-on-write: apply assignments only where pred holds — the
-        # set-based twin of the reference's per-rowid put_key loop
-        # (src/execute_impl/update.rs:104-288).
-        updated = data
+        # File-level copy-on-write (Delta/Iceberg COW granularity): one
+        # pass finds which parquet files contain matched rows AND the
+        # matched count; only those files are rewritten — an UPDATE
+        # hitting one file of a many-file table leaves the rest
+        # untouched on disk. The reference rewrites per matched rowid
+        # (src/execute_impl/update.rs:104-288); whole-table rewrite
+        # would be the 100 TB anti-pattern.
+        affected, touched = self._matched_files(schema, table, tdef, pred)
+        if not touched:
+            return Result("ok", affected_rows=0)
+        sub = self._read_files(tdef, touched)
+        updated = sub
         for col, expr in assignments:
             cdef = tdef.column(col)
             updated = updated.withColumn(
                 col,
                 F.when(pred, F.expr(expr).cast(cdef.spark_type)).otherwise(F.col(col)),
             )
-        self._overwrite_data(schema, table, updated)
+        self._replace_files(schema, table, touched, updated)
         return Result("ok", affected_rows=affected)
 
     def _delete(self, stmt: str) -> Result:
@@ -1082,16 +1088,23 @@ class Engine:
         name_raw, where = m.groups()
         schema, table = self._resolve_table_name(name_raw)
         tdef = self.catalog.load(schema, table)
-        data = self._read_physical(schema, table, tdef)
-        total = data.count()
-        if where:
-            pred = F.expr(substitute_variables(where, self.system_vars, self.user_vars))
-            keep = data.filter(~pred | pred.isNull())
-        else:
-            keep = data.limit(0)
-        kept = keep.count()
-        self._overwrite_data(schema, table, keep)
-        return Result("ok", affected_rows=total - kept)
+        if not where:
+            # Unconditional DELETE = truncate: swap in an empty dir.
+            data = self._read_physical(schema, table, tdef)
+            total = data.count()
+            self._overwrite_data(schema, table, data.limit(0))
+            return Result("ok", affected_rows=total)
+        pred = F.expr(substitute_variables(where, self.system_vars, self.user_vars))
+        # File-level copy-on-write, like UPDATE: rewrite only the files
+        # that contain rows to delete (NULL predicate keeps the row,
+        # matching SQL WHERE semantics).
+        affected, touched = self._matched_files(schema, table, tdef, pred)
+        if not touched:
+            return Result("ok", affected_rows=0)
+        sub = self._read_files(tdef, touched)
+        keep = sub.filter(~pred | pred.isNull())
+        self._replace_files(schema, table, touched, keep)
+        return Result("ok", affected_rows=affected)
 
     # ------------------------------------------------------------------
     # physical helpers
@@ -1108,10 +1121,59 @@ class Engine:
         except Exception:
             return self.spark.createDataFrame([], reader_schema)
 
+    def _matched_files(self, schema, table, tdef, pred) -> tuple[int, list[str]]:
+        """One pass over the table: per-parquet-file matched-row counts
+        via input_file_name(). Returns (total matched rows, list of
+        file URIs that must be rewritten)."""
+        data = self._read_physical(schema, table, tdef)
+        per_file = (
+            data.withColumn("__file", F.input_file_name())
+            .filter(pred)
+            .groupBy("__file")
+            .count()
+            .collect()
+        )
+        return sum(r["count"] for r in per_file), [r["__file"] for r in per_file]
+
+    def _read_files(self, tdef: TableDef, files: list[str]) -> DataFrame:
+        fields = [f"`{ROWID}` string"] + [
+            f"`{c.name}` {c.spark_type}" for c in tdef.columns
+        ]
+        return self.spark.read.schema(", ".join(fields)).parquet(*files)
+
+    def _replace_files(
+        self, schema: str, table: str, old_files: list[str], new_data: DataFrame
+    ) -> None:
+        """File-level copy-on-write: stage the rewritten rows, move the
+        staged part files into the data dir (part file names carry a
+        fresh UUID — no collisions), then drop the superseded files.
+        Same non-transactional guarantees as _overwrite_data."""
+        from urllib.parse import unquote, urlparse
+
+        data_dir = self.catalog.data_path(schema, table)
+        staging = os.path.join(
+            self.catalog.table_path(schema, table), f".staging-{uuid.uuid4().hex}"
+        )
+        new_data.write.mode("overwrite").parquet(staging)
+        for fn in os.listdir(staging):
+            if fn.endswith(".parquet"):
+                os.rename(os.path.join(staging, fn), os.path.join(data_dir, fn))
+        shutil.rmtree(staging, ignore_errors=True)
+        for uri in old_files:
+            path = unquote(urlparse(uri).path)
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+        self.spark.sql(f"REFRESH TABLE `{schema}`.`{table}`")
+
     def _overwrite_data(self, schema: str, table: str, new_data: DataFrame) -> None:
         """Copy-on-write swap: write to a staging dir, then replace the
         data dir. Matches the reference's non-transactional guarantees
-        (its KV mutations aren't atomic across keys either)."""
+        (its KV mutations aren't atomic across keys either). Used for
+        whole-table rewrites (truncate, ALTER DROP COLUMN, REPLACE,
+        MERGE); UPDATE/DELETE go through the file-pruned
+        _replace_files path instead."""
         data_dir = self.catalog.data_path(schema, table)
         staging = os.path.join(
             self.catalog.table_path(schema, table), f".staging-{uuid.uuid4().hex}"

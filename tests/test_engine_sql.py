@@ -590,3 +590,50 @@ def test_performance_schema_and_mysql_tables(engine):
     assert [(r.Host, r.User, r.Select_priv, r.Create_tablespace_priv, r.plugin)
             for r in rows] == [("%", "root", "Y", "Y", "mysql_native_password")]
     assert len(engine.sql("SELECT * FROM mysql.users").df.columns) == 51
+
+
+def _data_files(engine, db, table):
+    import os
+
+    d = engine.catalog.data_path(db, table)
+    return {f for f in os.listdir(d) if f.endswith(".parquet")}
+
+
+def test_update_rewrites_only_touched_files(engine):
+    # File-level copy-on-write: separate INSERTs append separate parquet
+    # files; an UPDATE matching rows in one file must leave the other
+    # file untouched on disk (same file name still present).
+    boot(engine)
+    engine.sql("CREATE TABLE cow (id INT, v INT, PRIMARY KEY(id))")
+    engine.sql("INSERT INTO cow VALUES (1, 10), (2, 20)")
+    engine.sql("INSERT INTO cow VALUES (3, 30), (4, 40)")
+    before = _data_files(engine, "test_db", "cow")
+    assert len(before) >= 2
+    r = engine.sql("UPDATE cow SET v = 99 WHERE id = 3")
+    assert r.affected_rows == 1
+    after = _data_files(engine, "test_db", "cow")
+    # at least one original file survives verbatim; at least one was
+    # replaced by a fresh part file
+    assert before & after, "untouched file should not be rewritten"
+    assert after - before, "touched file should be replaced"
+    rows = engine.sql("SELECT id, v FROM cow ORDER BY id").rows()
+    assert [(r.id, r.v) for r in rows] == [(1, 10), (2, 20), (3, 99), (4, 40)]
+
+
+def test_delete_rewrites_only_touched_files(engine):
+    boot(engine)
+    engine.sql("CREATE TABLE cowd (id INT, v INT, PRIMARY KEY(id))")
+    engine.sql("INSERT INTO cowd VALUES (1, 10), (2, 20)")
+    engine.sql("INSERT INTO cowd VALUES (3, 30), (4, 40)")
+    before = _data_files(engine, "test_db", "cowd")
+    r = engine.sql("DELETE FROM cowd WHERE id = 2")
+    assert r.affected_rows == 1
+    after = _data_files(engine, "test_db", "cowd")
+    assert before & after
+    rows = engine.sql("SELECT id FROM cowd ORDER BY id").rows()
+    assert [r.id for r in rows] == [1, 3, 4]
+    # no-match DELETE touches nothing at all
+    mid = _data_files(engine, "test_db", "cowd")
+    r = engine.sql("DELETE FROM cowd WHERE id = 999")
+    assert r.affected_rows == 0
+    assert _data_files(engine, "test_db", "cowd") == mid
