@@ -320,6 +320,10 @@ class Engine:
             # absences"), a free superset on Spark — delegate after the
             # same dialect preprocessing as queries.
             return self._view_ddl(stmt)
+        if two == "OPTIMIZE TABLE":
+            return self._optimize_table(stmt)
+        if two == "ANALYZE TABLE":
+            return self._analyze_table(stmt)
         if head in ("COMMIT", "ROLLBACK", "BEGIN") or two == "START TRANSACTION":
             return Result("ok")  # no transactions, like the reference
         raise SparrowError(1105, f"Unknown error: unsupported statement: {stmt[:80]}")
@@ -1120,6 +1124,48 @@ class Engine:
             return self.spark.read.schema(reader_schema).parquet(path)
         except Exception:
             return self.spark.createDataFrame([], reader_schema)
+
+    def _maintenance_targets(self, stmt: str, keyword: str) -> list[tuple[str, str]]:
+        names = re.sub(rf"{keyword}\s+TABLE\s+", "", stmt, count=1, flags=re.I)
+        out = []
+        for raw in split_top_level(names):
+            schema, table = self._resolve_table_name(raw)
+            if not self.catalog.has_table(schema, table):
+                raise SparrowError(1146, f"Table '{schema}.{table}' doesn't exist")
+            out.append((schema, table))
+        return out
+
+    def _optimize_table(self, stmt: str) -> Result:
+        """OPTIMIZE TABLE (MySQL maintenance; superset — absent in the
+        reference): compact the table's accumulated data files into one
+        fresh write. The companion to append-only INSERT + file-level
+        COW — at 100 TB this is the periodic small-file compaction every
+        lakehouse table needs."""
+        rows = []
+        for schema, table in self._maintenance_targets(stmt, "OPTIMIZE"):
+            tdef = self.catalog.load(schema, table)
+            data = self._read_physical(schema, table, tdef)
+            self._overwrite_data(schema, table, data.coalesce(1))
+            rows.append((f"{schema}.{table}", "optimize", "status", "OK"))
+        df = self.spark.createDataFrame(
+            rows, schema=["Table", "Op", "Msg_type", "Msg_text"]
+        )
+        return Result("resultset", df)
+
+    def _analyze_table(self, stmt: str) -> Result:
+        """ANALYZE TABLE (MySQL maintenance; superset): compute table
+        statistics through Spark's ANALYZE so Catalyst's cost-based
+        join planning sees real row counts/sizes."""
+        rows = []
+        for schema, table in self._maintenance_targets(stmt, "ANALYZE"):
+            self.spark.sql(
+                f"ANALYZE TABLE `{schema}`.`{table}` COMPUTE STATISTICS"
+            )
+            rows.append((f"{schema}.{table}", "analyze", "status", "OK"))
+        df = self.spark.createDataFrame(
+            rows, schema=["Table", "Op", "Msg_type", "Msg_text"]
+        )
+        return Result("resultset", df)
 
     def _matched_files(self, schema, table, tdef, pred) -> tuple[int, list[str]]:
         """One pass over the table: per-parquet-file matched-row counts

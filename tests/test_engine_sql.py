@@ -637,3 +637,34 @@ def test_delete_rewrites_only_touched_files(engine):
     r = engine.sql("DELETE FROM cowd WHERE id = 999")
     assert r.affected_rows == 0
     assert _data_files(engine, "test_db", "cowd") == mid
+
+
+def test_optimize_table_compacts_files(engine):
+    # OPTIMIZE TABLE compacts the files accumulated by append-only
+    # INSERT + file-level COW into a single fresh write.
+    boot(engine)
+    engine.sql("CREATE TABLE opt (id INT, PRIMARY KEY(id))")
+    for i in range(4):
+        engine.sql(f"INSERT INTO opt VALUES ({i})")
+    assert len(_data_files(engine, "test_db", "opt")) >= 4
+    rows = engine.sql("OPTIMIZE TABLE opt").rows()
+    assert [(r.Table, r.Op, r.Msg_text) for r in rows] == [
+        ("test_db.opt", "optimize", "OK")
+    ]
+    assert len(_data_files(engine, "test_db", "opt")) == 1
+    got = engine.sql("SELECT id FROM opt ORDER BY id").rows()
+    assert [r.id for r in got] == [0, 1, 2, 3]
+
+
+def test_analyze_table(engine):
+    boot(engine)
+    engine.sql("CREATE TABLE ana (id INT)")
+    engine.sql("INSERT INTO ana VALUES (1), (2)")
+    rows = engine.sql("ANALYZE TABLE ana").rows()
+    assert [(r.Table, r.Op, r.Msg_text) for r in rows] == [
+        ("test_db.ana", "analyze", "OK")
+    ]
+    # Spark catalog now carries real row-count stats
+    stats = engine.spark.sql("DESCRIBE EXTENDED `test_db`.`ana`").collect()
+    blob = "\n".join(str(r) for r in stats)
+    assert "2 rows" in blob or "rowCount" in blob or "Statistics" in blob

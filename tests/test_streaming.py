@@ -192,3 +192,44 @@ def test_stream_static_join_matches_batch(spark, sf_dir, events_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_upsert_into_engine_table(spark, engine, sf_dir, tmp_path):
+    """End-to-end: a streaming aggregation maintains an engine table
+    (MySQL-visible) through the foreachBatch MERGE sink. Two microbatches
+    (maxFilesPerTrigger=1 over a 2-file copy of events) exercise both
+    the INSERT and the UPDATE arm of the MERGE."""
+    import pyspark.sql.functions as F
+
+    from sparrow_spark.sources import load_table
+    from sparrow_spark.streaming.sink import stream_upsert_into_engine
+
+    events = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "ev2")
+    events.select("event_id", "user_id").repartition(2).write.parquet(src_dir)
+
+    engine.sql("CREATE SCHEMA strm")
+    engine.sql("USE strm")
+    engine.sql("CREATE TABLE user_counts (user_id BIGINT, n BIGINT, PRIMARY KEY(user_id))")
+
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = stream_upsert_into_engine(
+        stream, engine, "strm", "user_counts", ["user_id"], ["n"]
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.n)
+        for r in engine.sql("SELECT user_id, n FROM user_counts").rows()
+    }
+    want = {
+        (r.user_id, r.n)
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
