@@ -334,7 +334,7 @@ def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), counts AS (
       SELECT tok, count(*) AS n FROM tok GROUP BY tok
     ), total AS (SELECT sum(n) AS t FROM counts)
-    SELECT tok, n, round(n / (SELECT t FROM total) + 1e-9, 6) AS freq
+    SELECT tok, n, round(n / (SELECT t FROM total), 6) AS freq
     FROM counts
     WHERE n >= 0.01 * (SELECT t FROM total)
     ORDER BY n DESC, tok
@@ -372,7 +372,7 @@ def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok
     ), n_docs AS (SELECT count(*) AS n FROM documents)
     SELECT doc_id, tok,
-           round(tf * ln((SELECT n FROM n_docs) / CAST(df AS DOUBLE)) + 1e-9, 6)
+           round(tf * ln((SELECT n FROM n_docs) / CAST(df AS DOUBLE)), 6)
                AS tfidf
     FROM tf JOIN df_t USING (tok)
     WHERE tf * ln((SELECT n FROM n_docs) / CAST(df AS DOUBLE)) > 2.0
@@ -409,11 +409,11 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, count(*) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-           round(avg(n_tok) + 1e-9, 4) AS avg_tokens,
+           round(avg(n_tok), 4) AS avg_tokens,
            CAST(min(n_tok) AS BIGINT) AS min_tokens,
            CAST(max(n_tok) AS BIGINT) AS max_tokens,
-           round(quantile_cont(n_tok, 0.5) + 1e-9, 4) AS median_tokens,
-           round(quantile_cont(n_tok, 0.95) + 1e-9, 4) AS p95_tokens
+           round(quantile_cont(n_tok, 0.5), 4) AS median_tokens,
+           round(quantile_cont(n_tok, 0.95), 4) AS p95_tokens
     FROM t GROUP BY lang ORDER BY lang
     """,
 )

@@ -226,11 +226,11 @@ def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_trig_funcs",
     oracle="""
     SELECT p_partkey,
-           round(sin(p_retailprice / 100.0) + 1e-9, 6) AS sin_p,
-           round(cos(p_retailprice / 100.0) + 1e-9, 6) AS cos_p,
-           round(atan(p_retailprice / 1000.0) + 1e-9, 6) AS atan_p,
-           round(ln(p_retailprice + 1.0) + 1e-9, 6) AS ln_p,
-           round(degrees(atan2(CAST(p_size AS DOUBLE), 10.0)) + 1e-9, 4) AS angle_deg,
+           round(sin(p_retailprice / 100.0), 6) AS sin_p,
+           round(cos(p_retailprice / 100.0), 6) AS cos_p,
+           round(atan(p_retailprice / 1000.0), 6) AS atan_p,
+           round(ln(p_retailprice + 1.0), 6) AS ln_p,
+           round(degrees(atan2(CAST(p_size AS DOUBLE), 10.0)), 4) AS angle_deg,
            CAST(floor(p_retailprice) AS BIGINT) AS trunc_p
     FROM part WHERE p_partkey % 20 = 0
     """,

@@ -33,7 +33,7 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         """
-        SELECT c_custkey, round(c_acctbal + 1e-9, 2) AS acctbal
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal
         FROM customer
         WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.8 FROM customer)
         """,
@@ -121,7 +121,7 @@ def q_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rank() OVER (ORDER BY spend DESC, o_custkey) AS r
           FROM big
         )
-        SELECT o_custkey, round(spend + 1e-9, 2) AS spend, r
+        SELECT o_custkey, round(spend, 2) AS spend, r
         FROM ranked WHERE r <= 15
         """,
     )
@@ -181,7 +181,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
                                        THEN l_extendedprice * (1 - l_discount)
                                        ELSE 0 END) /
-                     sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS promo_revenue
+                     sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-03-01'
           AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -208,8 +208,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         """
-        SELECT c_custkey, o_orderkey, round(o_totalprice + 1e-9, 2) AS totalprice,
-               round(sum(l_quantity) + 1e-9, 2) AS total_qty
+        SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+               round(sum(l_quantity), 2) AS total_qty
         FROM customer, orders, lineitem
         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
                              GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
@@ -240,7 +240,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                count(*) AS n
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15

@@ -193,7 +193,7 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bounds, (SELECT DISTINCT event_type FROM events) t
     ), agg AS (
       SELECT date_trunc('hour', ts) AS bucket, event_type,
-             count(*) AS n, round(sum(value) + 1e-9, 2) AS sum_value
+             count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2
     )
     SELECT strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket, g.event_type,
@@ -288,8 +288,8 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
-           round(e.value + 1e-9, 2) AS value,
-           round((e.value - s.mu) / s.sigma + 1e-9, 4) AS zscore
+           round(e.value, 2) AS value,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
     FROM events e JOIN stats s ON e.event_type = s.event_type
     WHERE abs((e.value - s.mu) / s.sigma) > 3.0
     """,
@@ -385,7 +385,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CAST(count(*) OVER w AS BIGINT) AS n_prev_hour,
-           round(sum(value) OVER w + 1e-9, 2) AS sum_prev_hour
+           round(sum(value) OVER w, 2) AS sum_prev_hour
     FROM events
     WINDOW w AS (
       PARTITION BY user_id ORDER BY epoch_us(ts)
