@@ -182,6 +182,100 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_range_join_banded",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_us,
+           epoch_us(p.ts) AS purchase_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def q_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The scalable interval join: clicks attributed to same-user
+    # purchases within the preceding hour via time-band equi-join
+    # (operators/rangejoin.py) instead of a BroadcastNestedLoopJoin
+    # theta join (q_range_join keeps the naive shape for comparison;
+    # this plan survives when neither side broadcasts). Same relation
+    # as the drained q_stream_stream_join — three implementations, one
+    # oracle relation.
+    from sparrow_spark.operators.rangejoin import banded_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("purchase_us"),
+    )
+    joined = banded_interval_join(
+        probe=purchases,
+        build=clicks,
+        key="user_id",
+        probe_time_us="purchase_us",
+        build_time_us="click_us",
+        window_us=3600 * 1_000_000,
+    )
+    return joined.select(
+        "user_id", "click_id", "purchase_id", "click_us", "purchase_us"
+    )
+
+
+@query(
+    "q_regression_stats",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             epoch_us(ts) / 1000000.0 -
+               (SELECT epoch_us(min(ts)) / 1000000.0 FROM events) AS x,
+             value AS y
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           count(*) AS n,
+           round(regr_slope(y, x) * 86400, 5) AS slope_per_day,
+           round(regr_intercept(y, x), 4) AS intercept,
+           round(regr_r2(y, x), 5) AS r2,
+           round(corr(y, x), 5) AS corr_xy
+    FROM base GROUP BY event_type
+    """,
+)
+def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-type linear trend of event value over time: the built-in
+    # regression aggregates (regr_slope/intercept/r2), JVM-side partial
+    # aggregation — what a UDAF would be, without leaving codegen.
+    # x is centered on the global min timestamp (1-row broadcast
+    # aggregate, the q_tfidf pattern) so the covariance sums stay well
+    # inside double precision at any corpus age.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    tmin = ev.agg(
+        (F.min(F.unix_micros("ts")) / 1e6).alias("__t0")
+    )
+    base = ev.crossJoin(F.broadcast(tmin)).select(
+        "event_type",
+        (F.unix_micros("ts") / 1e6 - F.col("__t0")).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.regr_slope("y", "x") * 86400, 5).alias("slope_per_day"),
+        rnd(F.regr_intercept("y", "x"), 4).alias("intercept"),
+        rnd(F.regr_r2("y", "x"), 5).alias("r2"),
+        rnd(F.corr("y", "x"), 5).alias("corr_xy"),
+    )
+
+
+@query(
     "q_gap_fill",
     oracle="""
     WITH bounds AS (

@@ -244,3 +244,16 @@ def test_asof_tolerance_nulls_out_far_matches(spark):
     # t=10 matches qt=8 (gap 2 <= 3); t=20 exact; key2 t=15 has no
     # backward quote at all -> NULL
     assert got == {(1, 10, 100.0), (1, 20, 120.0), (2, 15, None)}
+
+
+def test_banded_range_join_plans_equi_join(spark, sf_dir):
+    """The banded rewrite must never plan a nested-loop join — that is
+    its entire reason to exist (the naive theta q_range_join does)."""
+    from sparrow_spark import registry
+
+    registry.load_all()
+    df = registry.RAW_QUERIES["q_range_join_banded"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan
+    explained = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in explained
