@@ -1,0 +1,101 @@
+"""Driver-verifiable exercises of the STATEMENT-level engine surface.
+
+The external correctness driver can only check `(spark, sf_dir) ->
+DataFrame` queries, so the engine's DDL/DML/SHOW statements (SURVEY
+§2.1 S2-S23) were previously pytest-only. These registered queries
+close that gap honestly: each builds a throwaway engine warehouse,
+executes a canned statement script through the real Engine.sql path
+(the same code the MySQL wire server dispatches to), and returns the
+deterministic final state — which a literal-VALUES DuckDB oracle
+hash-verifies.
+
+NOTE: unlike every other registered query, plan-build here EXECUTES
+statements (that is the point — DML has effects, not plans). The
+scripts touch a handful of rows in a /tmp warehouse, never the
+fixture corpus, so a cold 1 g driver session builds them in
+milliseconds. Kept out of bench.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparrow_spark.registry import query
+
+
+def _fresh_engine(spark: SparkSession):
+    from sparrow_spark.engine import Engine
+
+    wh = tempfile.mkdtemp(prefix="sparrow-dml-q-")
+    eng = Engine(spark, wh)
+    schema = f"dmlx_{uuid.uuid4().hex[:8]}"
+    # Pre-create the Spark-catalog database with an explicit LOCATION in
+    # the throwaway warehouse: a driver session's default warehouse dir
+    # (cwd-relative) may not be writable.
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{schema}` LOCATION '{wh}/sparkdb'")
+    eng.script(f"CREATE SCHEMA {schema}; USE {schema}")
+    return eng
+
+
+@query(
+    "q_engine_dml",
+    oracle="""
+    SELECT id, name, CAST(bal AS DOUBLE) AS bal FROM (VALUES
+      (1, 'a',  15.0),
+      (2, 'b2', 99.0),
+      (4, 'd',  40.0),
+      (5, 'e',  50.0),
+      (6, 'm',  60.0)
+    ) t(id, name, bal)
+    """,
+)
+def q_engine_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3/S4 + REPLACE + MERGE + prepared statements end-to-end:
+    INSERT (append files), UPDATE (file-pruned COW), DELETE, REPLACE
+    upsert, MERGE with both arms, binary-path prepared INSERT — then
+    the surviving rows, hash-checked against the literal expected
+    state."""
+    eng = _fresh_engine(spark)
+    eng.script(
+        """
+        CREATE TABLE accounts (id INT, name CHAR, bal DOUBLE, PRIMARY KEY(id));
+        INSERT INTO accounts VALUES (1, 'a', 10.0), (2, 'b', 20.0), (3, 'c', 30.0);
+        UPDATE accounts SET bal = bal + 5 WHERE id <= 2;
+        DELETE FROM accounts WHERE id = 3;
+        REPLACE INTO accounts VALUES (2, 'b2', 99.0);
+        MERGE INTO accounts t USING (SELECT 2 AS id, 'x' AS name, 0.0 AS bal
+                                     UNION ALL
+                                     SELECT 6, 'm', 60.0) s
+          ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET bal = t.bal
+          WHEN NOT MATCHED THEN INSERT (id, name, bal) VALUES (s.id, s.name, s.bal);
+        """
+    )
+    stmt_id, n = eng.prepare("INSERT INTO accounts VALUES (?, ?, ?)")
+    assert n == 3
+    eng.execute_prepared(stmt_id, [4, "d", 40.0])
+    eng.execute_prepared(stmt_id, [5, "e", 50.0])
+    eng.close_prepared(stmt_id)
+    return eng.sql("SELECT id, name, bal FROM accounts ORDER BY id").df
+
+
+@query(
+    "q_engine_show",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('id',   'int',    'NO',  'PRI'),
+      ('name', 'char',   'YES', ''),
+      ('bal',  'double', 'YES', '')
+    ) t(Field, Type, "Null", Key)
+    """,
+)
+def q_engine_show(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 (SHOW COLUMNS) through the real dispatcher, hash-checked
+    against the literal MySQL-shaped metadata rows."""
+    eng = _fresh_engine(spark)
+    eng.sql("CREATE TABLE widgets (id INT PRIMARY KEY, name CHAR, bal DOUBLE)")
+    df = eng.sql("SHOW COLUMNS FROM widgets").df
+    return df.select("Field", "Type", "Null", "Key")

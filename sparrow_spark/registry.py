@@ -125,5 +125,6 @@ def load_all() -> None:
     import sparrow_spark.operators.text  # noqa: F401
     import sparrow_spark.operators.multimodal  # noqa: F401
     import sparrow_spark.operators.pipeline  # noqa: F401
+    import sparrow_spark.plans.engine_exercise  # noqa: F401
     import sparrow_spark.streaming.ingest  # noqa: F401
     _reorder_for_driver_window()
