@@ -94,8 +94,10 @@ _WINDOW_PRIORITY: list[str] = [
     # window functions (3)
     "q_window_topk_per_group", "q_window_running_lag_lead",
     "q_window_frames",
-    # TPC-H spine anchor, green r1+r2 (1)
-    "q1_pricing_summary",
+    # statement-surface exercise (new in r3): the first driver row ever
+    # for the engine DML path. (q1_pricing_summary gave up this slot —
+    # green r1+r2 and still smoke-checked every round via entry().)
+    "q_engine_dml",
 ]
 
 
