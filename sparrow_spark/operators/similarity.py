@@ -248,3 +248,66 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "bucket", "neighbor_id", "rank", rnd("cos", 4).alias("cos"))
     )
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings
+    ), stats AS (
+      SELECT dim, CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
+      FROM e GROUP BY dim
+    ), q AS (
+      SELECT e.vec_id, e.dim,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE CAST(floor((e.v - s.lo) / (s.hi - s.lo) * 255 + 0.5)
+                            AS BIGINT) END AS code,
+             CASE WHEN s.hi = s.lo THEN 0.0
+                  ELSE e.v - (s.lo +
+                       CAST(floor((e.v - s.lo) / (s.hi - s.lo) * 255 + 0.5)
+                            AS BIGINT) / 255.0 * (s.hi - s.lo)) END AS err
+      FROM e JOIN stats s USING (dim)
+    )
+    SELECT vec_id,
+           count(*) AS n_dims,
+           CAST(sum(code * (dim + 1)) AS BIGINT) AS code_checksum,
+           round(avg(abs(err)), 6) AS mean_abs_err
+    FROM q GROUP BY vec_id
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding table — the standard
+    compression step before ANN indexing at corpus scale (4x smaller
+    vectors, distance computations on codes). Per-dimension min/max is
+    a 64-row aggregate broadcast back onto the exploded values; each
+    value maps to floor((v-lo)/(hi-lo)*255+0.5). The registered output
+    hash-checks EVERY code via an exact integer checksum
+    (sum(code*(dim+1))), plus the rounded mean reconstruction error.
+    All arithmetic is float->double then IEEE ops, identical across
+    engines. Scale: one explode + one 64-group agg + one broadcast
+    join + one keyed agg — linear, no corpus shuffle beyond vec_id."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    e = vecs.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "vf")
+    ).select("vec_id", "dim", F.col("vf").cast("double").alias("v"))
+    stats = e.groupBy("dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    j = e.join(F.broadcast(stats), "dim")
+    code = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint")).otherwise(
+        F.floor((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255 + 0.5)
+    )
+    dequant = F.col("lo") + code / 255.0 * (F.col("hi") - F.col("lo"))
+    err = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+        F.col("v") - dequant
+    )
+    coded = j.select("vec_id", "dim", code.alias("code"), err.alias("err"))
+    return coded.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum(F.col("code") * (F.col("dim") + 1)).cast("bigint").alias("code_checksum"),
+        rnd(F.avg(F.abs("err")), 6).alias("mean_abs_err"),
+    )

@@ -351,6 +351,26 @@ class _Conn:
                     stmt_id = struct.unpack_from("<I", payload, 1)[0]
                     self._drop_long_data(stmt_id)
                     self.send_ok()
+                elif cmd == 0x1F:  # COM_RESET_CONNECTION (pool recycle)
+                    # Reset session state without re-auth: user vars,
+                    # prepared statements, streamed long data.
+                    with self.lock:
+                        self.session.user_vars.clear()
+                        for sid in list(self.session._stmt_cache):
+                            self.session.close_prepared(sid)
+                    self._stmt_types.clear()
+                    self._long_data.clear()
+                    self.send_ok()
+                elif cmd == 0x11:  # COM_CHANGE_USER: re-auth + full reset
+                    with self.lock:
+                        self.session.user_vars.clear()
+                        for sid in list(self.session._stmt_cache):
+                            self.session.close_prepared(sid)
+                    self._stmt_types.clear()
+                    self._long_data.clear()
+                    # credentials accepted unconditionally, like the
+                    # handshake (reference handle.rs:87-145)
+                    self.send_ok()
                 elif cmd == 0x09:  # COM_STATISTICS: raw human string
                     self.write_packet(
                         b"Uptime: 0  Threads: 1  Questions: 0  "

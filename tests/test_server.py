@@ -371,3 +371,22 @@ def test_wire_send_long_data(server):
     _, rows = c.query("SELECT blobtext FROM ld ORDER BY id")
     assert rows == [["hello long data"], ["inline"]]
     c.quit()
+
+
+def test_wire_reset_connection(server):
+    # COM_RESET_CONNECTION (0x1F): connection pools recycle sessions by
+    # resetting state without re-auth — user vars and prepared
+    # statements must be gone, the current schema preserved.
+    c = MiniClient(server.host, server.port)
+    c.query("CREATE DATABASE IF NOT EXISTS pooldb")
+    c.init_db("pooldb")
+    c.query("SET @keepme = 7")
+    sid, _ = c.prepare("SELECT ? AS v")
+    assert c.execute(sid, [1]) == (["v"], [[1]])
+    c.command(b"\x1f")
+    assert c.read_packet()[0] == 0x00  # OK
+    _, rows = c.query("SELECT @keepme AS k, database() AS d")
+    assert rows == [[None, "pooldb"]]  # vars cleared, schema kept
+    err = c.execute(sid, [1])  # stale statement handle
+    assert err[0] == "err"
+    c.quit()
