@@ -1144,8 +1144,12 @@ class Engine:
         rows = []
         for schema, table in self._maintenance_targets(stmt, "OPTIMIZE"):
             tdef = self.catalog.load(schema, table)
-            data = self._read_physical(schema, table, tdef)
-            self._overwrite_data(schema, table, data.coalesce(1))
+            data = self._read_physical(schema, table, tdef).coalesce(1)
+            if tdef.primary_key:
+                # Sort by PK for range-scan locality: parquet row-group
+                # min/max stats then prune point/range predicates.
+                data = data.sortWithinPartitions(*tdef.primary_key)
+            self._overwrite_data(schema, table, data)
             rows.append((f"{schema}.{table}", "optimize", "status", "OK"))
         df = self.spark.createDataFrame(
             rows, schema=["Table", "Op", "Msg_type", "Msg_text"]
@@ -1269,6 +1273,14 @@ class Engine:
             r"SHOW\s+(SESSION|GLOBAL)\s+VARIABLES", stmt, re.I
         ):
             return self._show_variables(stmt)
+        if up.startswith("SHOW PROCESSLIST") or up.startswith("SHOW FULL PROCESSLIST"):
+            # Single-process engine: one synthetic connection row (pools
+            # and admin UIs probe this on connect).
+            return self._const_df(
+                ["Id", "User", "Host", "db", "Command", "Time", "State", "Info"],
+                [(1, "root", "localhost", self.current_schema or "", "Query", 0,
+                  "executing", "SHOW PROCESSLIST")],
+            )
         if up.startswith("SHOW ENGINES"):
             return self._const_df(
                 ["Engine", "Support", "Comment", "Transactions", "XA", "Savepoints"],

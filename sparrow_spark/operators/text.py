@@ -600,3 +600,62 @@ def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 200)
         .select("event_id", "user_id", "event_type", "sample_key")
     )
+
+
+@query(
+    "q_perplexity_unigram",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), sample_counts AS (
+      SELECT tok, count(*) AS n FROM tok WHERE doc_id % 10 = 0 GROUP BY tok
+    ), model_stats AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS v
+      FROM sample_counts
+    ), scored AS (
+      SELECT t.doc_id,
+             -ln(coalesce((s.n + 1) / (m.total + m.v),
+                          1.0 / (m.total + m.v))) AS nll
+      FROM tok t CROSS JOIN model_stats m
+      LEFT JOIN sample_counts s ON s.tok = t.tok
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(nll), 5) AS avg_nll,
+           round(exp(avg(nll)), 3) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity scoring — the classic KenLM-style quality
+    gate, reduced to its distributed essentials: train add-one-smoothed
+    unigram probabilities on a deterministic 1-in-10 document sample
+    (the MODEL — tiny, broadcast), then score every document as
+    exp(avg -ln p(token)) via a broadcast join on the exploded tokens.
+    High perplexity = far from the corpus distribution = filter
+    candidate. Scale: model fits memory at any corpus size (it's a
+    vocab table); scoring is one explode + broadcast join + keyed agg —
+    no corpus shuffle except the per-doc rollup."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    sample_counts = (
+        toks.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = sample_counts.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    denom = F.col("total") + F.col("v")
+    p = F.coalesce((F.col("n") + 1) / denom, F.lit(1.0) / denom)
+    scored = (
+        toks.crossJoin(F.broadcast(stats))
+        .join(F.broadcast(sample_counts), "tok", "left")
+        .select("doc_id", (-F.log(p)).alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        rnd(F.avg("nll"), 5).alias("avg_nll"),
+        rnd(F.exp(F.avg("nll")), 3).alias("ppl"),
+    )

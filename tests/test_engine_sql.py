@@ -668,3 +668,25 @@ def test_analyze_table(engine):
     stats = engine.spark.sql("DESCRIBE EXTENDED `test_db`.`ana`").collect()
     blob = "\n".join(str(r) for r in stats)
     assert "2 rows" in blob or "rowCount" in blob or "Statistics" in blob
+
+
+def test_show_processlist(engine):
+    rows = engine.sql("SHOW PROCESSLIST").rows()
+    assert len(rows) == 1 and rows[0]["Command"] == "Query"
+
+
+def test_optimize_sorts_by_primary_key(engine):
+    import pyarrow.parquet as pq
+
+    boot(engine)
+    engine.sql("CREATE TABLE srt (id INT, v INT, PRIMARY KEY(id))")
+    engine.sql("INSERT INTO srt VALUES (5, 1), (3, 1)")
+    engine.sql("INSERT INTO srt VALUES (9, 1), (1, 1)")
+    engine.sql("OPTIMIZE TABLE srt")
+    files = sorted(_data_files(engine, "test_db", "srt"))
+    assert len(files) == 1
+    import os
+
+    path = os.path.join(engine.catalog.data_path("test_db", "srt"), files[0])
+    ids = pq.read_table(path, columns=["id"]).column("id").to_pylist()
+    assert ids == sorted(ids) == [1, 3, 5, 9]
