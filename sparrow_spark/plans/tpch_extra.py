@@ -494,3 +494,39 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "q_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice
+             FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 2) t
+    WHERE c.c_custkey <= 50
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (the
+    top-2 orders of each of the first 50 customers) — the SQL:2016
+    lateral-join surface (Spark 4 native; DuckDB identical). Catalyst
+    de-correlates it to a ranked join, so the executed plan is the same
+    shape as the window top-k — no per-row re-execution."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"__lat_{t}")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               round(t.o_totalprice + 1e-9, 2) AS totalprice
+        FROM __lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice
+                 FROM __lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2) t
+        WHERE c.c_custkey <= 50
+        """
+    )
