@@ -508,3 +508,64 @@ def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_prev_hour"),
         rnd(F.sum("value").over(w), 2).alias("sum_prev_hour"),
     )
+
+
+def _ewma_worker(alpha: float):
+    """Factory for the per-user EWMA applyInPandas worker. CLOSURE, not
+    a module-level function: cloudpickle serializes it by value, so
+    executors never import sparrow_spark (see operators/multimodal.py).
+    """
+
+    def fn(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        acc = None
+        for v in pdf["value"].fillna(0.0):
+            acc = float(v) if acc is None else alpha * float(v) + (1 - alpha) * acc
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma": [acc],
+            }
+        )
+
+    return fn
+
+
+@query(
+    "q_group_ewma",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             CAST(list(coalesce(value, 0.0) ORDER BY ts, event_id)
+                  AS DOUBLE[]) AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_events,
+           round(list_reduce(vs, (acc, x) -> 0.1 * x + 0.9 * acc), 6) AS ewma
+    FROM ordered
+    """,
+)
+def q_group_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values —
+    an inherently SEQUENTIAL per-key fold that SQL window frames cannot
+    express, implemented with the batch grouped-map tier
+    (groupBy().applyInPandas): Arrow ships each user's rows to one
+    Python worker, the fold runs in order (ts, event_id), one row comes
+    back per user. This completes the custom-operator ladder:
+    mapInPandas (multimodal, row-wise), applyInPandas (this, per-group
+    sequential), applyInPandasWithState (streaming sessionizer). The
+    oracle reproduces the exact same IEEE fold with DuckDB's
+    list_reduce over the identically-ordered value list. Scale: state
+    is one float per group; groups shard across executors on the
+    user_id shuffle — the same shape as any Pregel/foldByKey pass."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = ev.groupBy("user_id").applyInPandas(
+        _ewma_worker(0.1), schema="user_id bigint, n_events bigint, ewma double"
+    )
+    return out.select("user_id", "n_events", rnd(F.col("ewma"), 6).alias("ewma"))
