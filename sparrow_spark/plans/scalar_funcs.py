@@ -11,7 +11,7 @@ in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparrow_spark.registry import query
@@ -280,4 +280,80 @@ def q_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_length("s_name").cast("bigint").alias("name_bits"),
         F.lower(F.hex(F.col("s_suppkey"))).alias("key_hex"),
         F.instr("s_name", "#").alias("hash_pos"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+           md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS sorted_fp,
+           md5(array_to_string(list_reverse(w), ' ')) AS rev_fp,
+           array_to_string(w[1:3], ' ') AS first3,
+           list_contains(w, 'the') AS has_the,
+           CAST(len(list_filter(w, x -> length(x) > 4)) AS BIGINT) AS n_long
+    FROM t
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order-function pack: sort, distinct, reverse,
+    slice, contains, lambda filter — the collection surface the
+    pipeline operators build on, hash-checked element-for-element via
+    order-sensitive fingerprints (md5 of the joined arrays)."""
+    from sparrow_spark.operators.text import tokens
+    from sparrow_spark.sources import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = materialize(docs.select("doc_id", "text"), w=tokens(F.col("text")))
+    return t.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n"),
+        F.size(F.array_distinct("w")).cast("bigint").alias("n_distinct"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("w")))).alias("sorted_fp"),
+        F.md5(F.concat_ws(" ", F.reverse("w"))).alias("rev_fp"),
+        F.concat_ws(" ", F.slice("w", 1, 3)).alias("first3"),
+        F.array_contains("w", "the").alias("has_the"),
+        F.size(F.filter("w", lambda x: F.length(x) > 4)).cast("bigint").alias("n_long"),
+    )
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    SELECT n_name, closest, CAST(lev AS BIGINT) AS lev FROM (
+      SELECT a.n_name, b.n_name AS closest,
+             levenshtein(a.n_name, b.n_name) AS lev,
+             row_number() OVER (PARTITION BY a.n_name
+                                ORDER BY levenshtein(a.n_name, b.n_name),
+                                         b.n_name) AS rn
+      FROM nation a JOIN nation b ON a.n_name <> b.n_name
+    ) WHERE rn = 1
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: each nation's closest other nation
+    name by levenshtein (ties break alphabetically) — the classic
+    fuzzy-join primitive behind entity resolution. The 25x24 cross pair
+    set is inherent to all-pairs edit distance at dimension-table size;
+    corpus-scale fuzzy joins block on cheap keys first (length band,
+    first-char, q-gram LSH) exactly like the dedup family."""
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    a = nation.select(F.col("n_name"))
+    b = nation.select(F.col("n_name").alias("b_name"))
+    pairs = a.crossJoin(b).filter(F.col("n_name") != F.col("b_name"))
+    lev = F.levenshtein("n_name", "b_name")
+    w = Window.partitionBy("n_name").orderBy(lev, "b_name")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "n_name",
+            F.col("b_name").alias("closest"),
+            lev.cast("bigint").alias("lev"),
+        )
     )

@@ -132,3 +132,35 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.last("o_totalprice").over(wall), 2).alias("last_price"),
         rnd(F.nth_value("o_totalprice", 2).over(wall), 2).alias("second_price"),
     )
+
+
+@query(
+    "q_window_nth",
+    oracle="""
+    SELECT event_id, user_id,
+           round(nth_value(value, 3) OVER wf, 2) AS third_value,
+           round(first_value(value) OVER wr, 2) AS first_seen,
+           round(last_value(value IGNORE NULLS) OVER wr, 2) AS last_nonnull
+    FROM events
+    WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window pack 2: nth_value over the full-partition frame,
+    first_value over the running frame, last_value with IGNORE NULLS —
+    the navigation functions beyond the rank/lag family. Single shuffle
+    on user_id shared by both frames (same partitioning/order)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wr = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        rnd(F.nth_value("value", 3).over(wf), 2).alias("third_value"),
+        rnd(F.first("value").over(wr), 2).alias("first_seen"),
+        rnd(F.last("value", ignorenulls=True).over(wr), 2).alias("last_nonnull"),
+    )
