@@ -390,3 +390,54 @@ def test_wire_reset_connection(server):
     err = c.execute(sid, [1])  # stale statement handle
     assert err[0] == "err"
     c.quit()
+
+
+def test_wire_concurrent_dml_and_select(server):
+    # Regression for the collect-under-lock fix: one connection streams
+    # INSERTs (each appends a parquet file) while another runs SELECTs.
+    # Before the fix, the reader's collect ran outside the engine lock
+    # and could scan a half-rewritten table; now every SELECT must see
+    # a consistent prefix and never error.
+    import threading
+
+    c_setup = MiniClient(server.host, server.port)
+    c_setup.query("CREATE DATABASE IF NOT EXISTS racedb")
+    c_setup.init_db("racedb")
+    c_setup.query("CREATE TABLE race (id INT, PRIMARY KEY(id))")
+    c_setup.quit()
+
+    errors: list[str] = []
+    counts: list[int] = []
+
+    def writer():
+        c = MiniClient(server.host, server.port)
+        c.init_db("racedb")
+        for i in range(12):
+            r = c.query(f"INSERT INTO race VALUES ({i})")
+            if r[0] != "ok":
+                errors.append(f"insert: {r}")
+        # one in-place rewrite in the mix
+        r = c.query("UPDATE race SET id = id WHERE id = 5")
+        if r[0] != "ok":
+            errors.append(f"update: {r}")
+        c.quit()
+
+    def reader():
+        c = MiniClient(server.host, server.port)
+        c.init_db("racedb")
+        for _ in range(12):
+            r = c.query("SELECT count(*) AS n FROM race")
+            if isinstance(r, tuple) and r[0] == "err":
+                errors.append(f"select: {r}")
+            else:
+                counts.append(int(r[1][0][0]))
+        c.quit()
+
+    tw, tr = threading.Thread(target=writer), threading.Thread(target=reader)
+    tw.start(); tr.start(); tw.join(120); tr.join(120)
+    assert not errors, errors
+    assert counts == sorted(counts), "reader saw a non-monotonic count"
+    c = MiniClient(server.host, server.port)
+    c.init_db("racedb")
+    assert c.query("SELECT count(*) AS n FROM race")[1] == [["12"]]
+    c.quit()
