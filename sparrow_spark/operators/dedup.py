@@ -604,3 +604,79 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("cluster_id"),
         (F.col("id") != F.col("label")).alias("is_dup"),
     )
+
+
+@query(
+    "q_dedup_simhash_hamming",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS th
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN strpos('89abcdef', substr(th, j + 1, 1)) > 0
+                      THEN 1 ELSE -1 END) AS s
+      FROM tok CROSS JOIN (SELECT unnest(range(16)) AS j)
+      GROUP BY doc_id, j
+    ), sig AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+               AS s
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_near
+    FROM sig a JOIN sig b ON a.doc_id <> b.doc_id
+    WHERE a.doc_id < 100
+      AND len([i for i in range(1, 17) if a.s[i] <> b.s[i]]) <= 1
+    GROUP BY a.doc_id
+    """,
+)
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup search done the production way: split the
+    16-bit signature into 4 bands of 4 bits; by pigeonhole, any pair
+    within hamming distance 3 shares at least one band exactly, so a
+    band equi-join yields a complete candidate set and the cheap
+    per-pair hamming check (here <= 1) verifies — never the O(n^2)
+    all-pairs scan the oracle can afford at fixture scale. Output is
+    each probe doc's near-duplicate degree. Scale: band join cost is
+    sum over band values of |bucket|^2 on 4-bit slices of a
+    (at corpus scale) 64/128-bit signature — sub-quadratic exactly
+    like the MinHash LSH path."""
+    sig = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    banded = sig.select(
+        "doc_id",
+        F.col("simhash").alias("s"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.substring("simhash", b * 4 + 1, 4).alias("val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bd"),
+    ).select("doc_id", "s", F.col("bd.band").alias("band"), F.col("bd.val").alias("val"))
+    probe = banded.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("a_id"), F.col("s").alias("sa"), "band", "val"
+    )
+    build = banded.select(
+        F.col("doc_id").alias("b_id"), F.col("s").alias("sb"), "band", "val"
+    )
+    cands = (
+        probe.join(build, on=["band", "val"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "sa", "b_id", "sb")
+        .distinct()
+    )
+    ham = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.col("sa").substr(i, F.lit(1)) != F.col("sb").substr(i, F.lit(1)),
+        )
+    )
+    return (
+        cands.filter(ham <= 1)
+        .groupBy(F.col("a_id").alias("doc_id"))
+        .agg(F.countDistinct("b_id").alias("n_near"))
+    )
