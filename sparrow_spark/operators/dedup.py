@@ -680,3 +680,116 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a_id").alias("doc_id"))
         .agg(F.countDistinct("b_id").alias("n_near"))
     )
+
+
+# DuckDB side of the clustering family, reused by q_dedup_keeper:
+# exact connected components over the same MinHash-LSH candidate edges
+# via a recursive CTE (mirrors the q_dedup_clusters oracle).
+_CLUSTER_REACH_CTE = """
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), sh AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)]) AS shingle
+      FROM tok
+    ), hashed AS (
+      SELECT doc_id, md5('a:' || shingle) AS da, md5('b:' || shingle) AS db
+      FROM sh
+    ), sigs AS (
+      SELECT doc_id,
+             min(substr(da, 1, 8)) AS h0, min(substr(da, 9, 8)) AS h1,
+             min(substr(da, 17, 8)) AS h2, min(substr(da, 25, 8)) AS h3,
+             min(substr(db, 1, 8)) AS h4, min(substr(db, 9, 8)) AS h5,
+             min(substr(db, 17, 8)) AS h6, min(substr(db, 25, 8)) AS h7
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id,
+             unnest([struct_pack(band := 0, band_sig := h0 || '|' || h1),
+                     struct_pack(band := 1, band_sig := h2 || '|' || h3),
+                     struct_pack(band := 2, band_sig := h4 || '|' || h5),
+                     struct_pack(band := 3, band_sig := h6 || '|' || h7)],
+                    recursive := true)
+      FROM sigs
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM cands
+      UNION
+      SELECT b_id, a_id FROM cands
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+      )
+      SELECT * FROM r
+    )
+"""
+
+
+@query(
+    "q_dedup_keeper",
+    oracle=_CLUSTER_REACH_CTE
+    + """
+    , labels AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    ), quality AS (
+      SELECT doc_id,
+             round(least(1.0, len(string_split(lower(text), ' ')) / 100.0) * 0.5 +
+                   CASE WHEN length(text) BETWEEN 100 AND 5000
+                        THEN 0.5 ELSE 0.0 END, 4) AS q
+      FROM documents
+    ), ranked AS (
+      SELECT l.cluster_id, l.doc_id, qu.q,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY qu.q DESC, l.doc_id) AS rn,
+             count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+      FROM labels l JOIN quality qu ON qu.doc_id = l.doc_id
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(doc_id AS BIGINT) AS keeper_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           q AS keeper_quality
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the final step of the production
+    dedup pipeline: for every near-duplicate cluster keep the HIGHEST-
+    QUALITY member (quality = the q_text_quality score, rounded before
+    ranking so cross-engine float ulps cannot flip the argmax; ties
+    break on doc_id), not merely the minimum id. Scale: clusters join
+    quality on doc_id (one keyed shuffle of the pair-list-sized label
+    table against the corpus projection) and the keeper window runs per
+    cluster — no corpus-wide sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    labels = minlabel_clusters(pairs)
+    n_tok = F.size(tokens(F.col("text")))
+    quality = docs.select(
+        "doc_id",
+        rnd(
+            F.least(F.lit(1.0), n_tok / F.lit(100.0)) * 0.5
+            + F.when(F.length("text").between(100, 5000), 0.5).otherwise(0.0),
+            4,
+        ).alias("q"),
+    )
+    joined = labels.join(quality, labels.id == quality.doc_id)
+    w = Window.partitionBy("label").orderBy(F.col("q").desc(), "id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("label")))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("label").cast("bigint").alias("cluster_id"),
+            F.col("id").cast("bigint").alias("keeper_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("q").alias("keeper_quality"),
+        )
+    )
