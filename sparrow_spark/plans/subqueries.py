@@ -12,12 +12,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from sparrow_spark.registry import query
+from sparrow_spark.rounding import nudge_rounds_sql
 from sparrow_spark.sources import register_views
 
 
 def _sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Run a SQL body with the SAME tie-stable round() rewrite the oracle
+    side gets in ``registry.query`` — both engines apply exactly one
+    +1e-9 nudge, so HALF_UP-vs-binary rounding ties cannot diverge."""
     register_views(spark, sf_dir)
-    return spark.sql(sql)
+    return spark.sql(nudge_rounds_sql(sql))
 
 
 @query(

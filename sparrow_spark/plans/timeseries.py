@@ -520,9 +520,17 @@ def _ewma_worker(alpha: float):
         import pandas as pd
 
         pdf = pdf.sort_values(["ts", "event_id"])
-        acc = None
-        for v in pdf["value"].fillna(0.0):
-            acc = float(v) if acc is None else alpha * float(v) + (1 - alpha) * acc
+        # Vectorized recurrence: ewm(adjust=False) computes exactly
+        # y0 = x0; y_t = alpha*x_t + (1-alpha)*y_{t-1} in C — identical
+        # IEEE fold to the interpreted loop it replaces, but a hot key
+        # with millions of events stays O(n) native instead of O(n)
+        # bytecode dispatch (tests/test_operators.py pins loop==ewm).
+        vs = pdf["value"].fillna(0.0).astype("float64")
+        acc = (
+            vs.ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+            if len(vs)
+            else None
+        )
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],

@@ -257,3 +257,35 @@ def test_banded_range_join_plans_equi_join(spark, sf_dir):
     assert "Join" in plan
     explained = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in explained
+
+
+def test_ewma_vectorized_matches_reference_loop():
+    # The applyInPandas worker uses pandas ewm(adjust=False); pin its
+    # equality with the definitional sequential fold on a seeded series
+    # (including NaN -> 0.0 fill and single-element groups).
+    import numpy as np
+    import pandas as pd
+
+    from sparrow_spark.plans.timeseries import _ewma_worker
+
+    rng = np.random.default_rng(42)
+    for n in (1, 2, 7, 500):
+        vals = rng.normal(100.0, 25.0, size=n)
+        vals[rng.random(n) < 0.1] = np.nan
+        pdf = pd.DataFrame(
+            {
+                "user_id": [7] * n,
+                "event_id": rng.permutation(n),
+                "ts": pd.to_datetime(
+                    rng.integers(1_600_000_000, 1_700_000_000, size=n), unit="s"
+                ),
+                "value": vals,
+            }
+        )
+        out = _ewma_worker(0.1)(pdf.copy())
+        ordered = pdf.sort_values(["ts", "event_id"])
+        acc = None
+        for v in ordered["value"].fillna(0.0):
+            acc = float(v) if acc is None else 0.1 * float(v) + 0.9 * acc
+        assert out["n_events"].iloc[0] == n
+        assert abs(out["ewma"].iloc[0] - acc) < 1e-9, (n, out["ewma"].iloc[0], acc)
