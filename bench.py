@@ -38,6 +38,15 @@ BENCH_QUERIES = [
     "q21_suppliers_waiting",
     "q_langid_ngram",
     "q_multimodal_features",
+    # r3 operator families (added r4 so BENCH_r*.json tracks them
+    # round-over-round — a regression here was previously invisible):
+    "q_dedup_clusters",
+    "q_dedup_keeper",
+    "q_group_ewma",
+    "q_group_ewma_arrow",
+    "q_range_join_banded",
+    "q_perplexity_unigram",
+    "q_contamination",
 ]
 
 

@@ -42,6 +42,11 @@ MYSQL_TO_SPARK = {
     "date": "date",
     "timestamp": "timestamp",
     "binary": "binary",
+    "varbinary": "binary",
+    "blob": "binary",
+    "tinyblob": "binary",
+    "mediumblob": "binary",
+    "longblob": "binary",
 }
 
 ROWID = "rowid"  # implicit row identity column (reference src/meta/meta_const.rs:59)
@@ -66,6 +71,10 @@ class TableDef:
     uniques: list[list[str]] = field(default_factory=list)
     engine: str = "parquet"
     next_store_id: int = 1
+    # Hive-style partition columns (PARTITIONED BY): data files land in
+    # <data>/<col>=<val>/ dirs, so partition-predicate DML and scans
+    # touch only matching directories.
+    partition_by: list[str] = field(default_factory=list)
 
     @property
     def qualified(self) -> str:
@@ -95,6 +104,7 @@ class TableDef:
             "uniques": self.uniques,
             "engine": self.engine,
             "next_store_id": self.next_store_id,
+            "partition_by": self.partition_by,
         }
 
     @staticmethod
@@ -106,6 +116,7 @@ class TableDef:
             uniques=d["uniques"],
             engine=d.get("engine", "parquet"),
             next_store_id=d.get("next_store_id", 1),
+            partition_by=d.get("partition_by", []),
         )
         t.columns = [ColumnDef(**c) for c in d["columns"]]
         return t

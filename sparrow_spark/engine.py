@@ -381,6 +381,10 @@ class Engine:
             return "TRUE" if v else "FALSE"
         if isinstance(v, (int, float)):
             return repr(v)
+        if isinstance(v, (bytes, bytearray)):
+            # Binary parameter (e.g. streamed via SEND_LONG_DATA):
+            # render as a hex literal, never a lossy text decode.
+            return "X'" + bytes(v).hex() + "'"
         # Backslashes first: Spark SQL strings are backslash-escaped by
         # default, so a value ending in '\' would escape the closing
         # quote (malformed SQL / injection through the prepared path).
@@ -581,13 +585,26 @@ class Engine:
         if ctas:
             return self._create_table_as(ctas)
         m = re.match(
-            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_`.][\w`.]*)\s*\((.*)\)\s*(.*)$",
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_`.][\w`.]*)\s*\(",
             stmt,
             re.I | re.S,
         )
         if not m:
             raise SparrowError(1064, f"syntax error in CREATE TABLE: {stmt[:80]}")
-        if_not_exists, name_raw, body, tail = m.groups()
+        if_not_exists, name_raw = m.groups()
+        # Split column body from tail clauses (ENGINE=, PARTITIONED BY)
+        # by paren depth — a greedy regex would swallow a parenthesized
+        # tail clause into the body.
+        depth, i = 1, m.end()
+        while i < len(stmt) and depth:
+            if stmt[i] == "(":
+                depth += 1
+            elif stmt[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise SparrowError(1064, f"syntax error in CREATE TABLE: {stmt[:80]}")
+        body, tail = stmt[m.end() : i - 1], stmt[i:].strip()
         schema, table = self._resolve_table_name(name_raw)
         if not self.catalog.has_schema(schema):
             raise SparrowError(1049, f"Unknown database '{schema}'")
@@ -600,6 +617,13 @@ class Engine:
         engine_m = re.search(r"ENGINE\s*=\s*(\w+)", tail or "", re.I)
         if engine_m:
             tdef.engine = engine_m.group(1).lower()
+        part_m = re.search(
+            r"PARTITION(?:ED)?\s+BY\s*\(([^)]*)\)", tail or "", re.I
+        )
+        if part_m:
+            tdef.partition_by = [
+                check_ident(c) for c in split_top_level(part_m.group(1))
+            ]
 
         for item in split_top_level(body):
             up = item.upper()
@@ -622,6 +646,11 @@ class Engine:
             if cdef is None:
                 raise SparrowError(1072, f"Key column '{col}' doesn't exist in table")
             cdef.nullable = False
+        for col in tdef.partition_by:
+            if tdef.column(col) is None:
+                raise SparrowError(
+                    1072, f"Key column '{col}' doesn't exist in table"
+                )
         self.catalog.save(tdef)
         self._register_spark_table(tdef)
         return Result("ok")
@@ -701,6 +730,14 @@ class Engine:
         col = check_ident(rest)
         if not tdef.column(col):
             raise SparrowError(1091, f"Can't DROP '{col}'; check that column exists")
+        if col in tdef.partition_by:
+            # The column IS the directory layout; dropping it would
+            # orphan every <col>=<val>/ path (MySQL: error 3855).
+            raise SparrowError(
+                3855,
+                f"Column '{col}' has a partitioning function dependency "
+                "and cannot be dropped",
+            )
         data = self._read_physical(schema, table, tdef)
         remaining = [c for c in tdef.columns if c.name != col]
         new_data = data.select(ROWID, *[F.col(c.name) for c in remaining])
@@ -754,8 +791,10 @@ class Engine:
         self._check_unique(tdef, new_rows)
         with_rowid = new_rows.select(F.expr("uuid()").alias(ROWID), "*")
         n_rows = with_rowid.count()
-        with_rowid.write.mode("append").parquet(self.catalog.data_path(schema, table))
-        self.spark.sql(f"REFRESH TABLE `{schema}`.`{table}`")
+        self._partitioned_writer(tdef, with_rowid, "append").parquet(
+            self.catalog.data_path(schema, table)
+        )
+        self._sync_partitions(schema, table, tdef)
         return Result("ok", affected_rows=n_rows)
 
     def _replace(self, stmt: str) -> Result:
@@ -971,8 +1010,10 @@ class Engine:
         self._check_unique(tdef, new_rows)
         # assign rowids (reference: uuid per row, src/physical_plan/insert.rs:33)
         with_rowid = new_rows.select(F.expr("uuid()").alias(ROWID), "*")
-        with_rowid.write.mode("append").parquet(self.catalog.data_path(schema, table))
-        self.spark.sql(f"REFRESH TABLE `{schema}`.`{table}`")
+        self._partitioned_writer(tdef, with_rowid, "append").parquet(
+            self.catalog.data_path(schema, table)
+        )
+        self._sync_partitions(schema, table, tdef)
         return Result("ok", affected_rows=n_rows)
 
     def _rows_from_values(self, m: "re.Match[str]"):
@@ -1171,10 +1212,35 @@ class Engine:
         )
         return Result("resultset", df)
 
+    def _partitioned_writer(self, tdef, df, mode: str):
+        """Writer with the table's hive partition layout applied.
+        Partition-column values become <col>=<val>/ directories, so a
+        predicate on them prunes at directory level for BOTH the
+        engine's own DML file discovery (_matched_files) and any scan."""
+        w = df.write.mode(mode)
+        if tdef.partition_by:
+            w = w.partitionBy(*tdef.partition_by)
+        return w
+
+    def _sync_partitions(self, schema: str, table: str, tdef=None) -> None:
+        """Refresh the Spark-catalog registration after a write. For
+        partitioned tables the session catalog tracks partitions
+        explicitly (REFRESH alone does not discover new directories —
+        verified against the in-memory catalog), so recover them; at
+        warehouse scale a metastore with partition management amortizes
+        this to a per-partition upsert."""
+        self.spark.sql(f"REFRESH TABLE `{schema}`.`{table}`")
+        tdef = tdef or self.catalog.load(schema, table)
+        if tdef.partition_by:
+            self.spark.sql(f"MSCK REPAIR TABLE `{schema}`.`{table}`")
+
     def _matched_files(self, schema, table, tdef, pred) -> tuple[int, list[str]]:
         """One pass over the table: per-parquet-file matched-row counts
         via input_file_name(). Returns (total matched rows, list of
-        file URIs that must be rewritten)."""
+        file URIs that must be rewritten). On a partitioned table a
+        partition predicate prunes this discovery scan to matching
+        directories (PartitionFilters — asserted in
+        tests/test_engine_sql.py::test_partitioned_table_pruned_cow)."""
         data = self._read_physical(schema, table, tdef)
         per_file = (
             data.withColumn("__file", F.input_file_name())
@@ -1189,7 +1255,16 @@ class Engine:
         fields = [f"`{ROWID}` string"] + [
             f"`{c.name}` {c.spark_type}" for c in tdef.columns
         ]
-        return self.spark.read.schema(", ".join(fields)).parquet(*files)
+        reader = self.spark.read.schema(", ".join(fields))
+        if tdef.partition_by:
+            # Reading leaf files directly skips partition discovery —
+            # without basePath the <col>=<val>/ values would come back
+            # NULL (and a COW rewrite would relocate every row to the
+            # default partition).
+            reader = reader.option(
+                "basePath", self.catalog.data_path(tdef.schema, tdef.name)
+            )
+        return reader.parquet(*files)
 
     def _replace_files(
         self, schema: str, table: str, old_files: list[str], new_data: DataFrame
@@ -1201,13 +1276,24 @@ class Engine:
         from urllib.parse import unquote, urlparse
 
         data_dir = self.catalog.data_path(schema, table)
+        tdef = self.catalog.load(schema, table)
         staging = os.path.join(
             self.catalog.table_path(schema, table), f".staging-{uuid.uuid4().hex}"
         )
-        new_data.write.mode("overwrite").parquet(staging)
-        for fn in os.listdir(staging):
-            if fn.endswith(".parquet"):
-                os.rename(os.path.join(staging, fn), os.path.join(data_dir, fn))
+        self._partitioned_writer(tdef, new_data, "overwrite").parquet(staging)
+        # Move staged part files preserving any <col>=<val>/ partition
+        # subdirectories (an UPDATE that changes a partition-column
+        # value relocates the row's file to the new directory).
+        for root, _dirs, files in os.walk(staging):
+            rel = os.path.relpath(root, staging)
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                dest_dir = (
+                    data_dir if rel == "." else os.path.join(data_dir, rel)
+                )
+                os.makedirs(dest_dir, exist_ok=True)
+                os.rename(os.path.join(root, fn), os.path.join(dest_dir, fn))
         shutil.rmtree(staging, ignore_errors=True)
         for uri in old_files:
             path = unquote(urlparse(uri).path)
@@ -1215,7 +1301,7 @@ class Engine:
                 os.remove(path)
             except FileNotFoundError:
                 pass
-        self.spark.sql(f"REFRESH TABLE `{schema}`.`{table}`")
+        self._sync_partitions(schema, table, tdef)
 
     def _overwrite_data(self, schema: str, table: str, new_data: DataFrame) -> None:
         """Copy-on-write swap: write to a staging dir, then replace the
@@ -1225,14 +1311,16 @@ class Engine:
         MERGE); UPDATE/DELETE go through the file-pruned
         _replace_files path instead."""
         data_dir = self.catalog.data_path(schema, table)
+        tdef = self.catalog.load(schema, table)
         staging = os.path.join(
             self.catalog.table_path(schema, table), f".staging-{uuid.uuid4().hex}"
         )
-        new_data.write.mode("overwrite").parquet(staging)
+        self._partitioned_writer(tdef, new_data, "overwrite").parquet(staging)
         old = data_dir + f".old-{uuid.uuid4().hex}"
         os.rename(data_dir, old)
         os.rename(staging, data_dir)
         shutil.rmtree(old, ignore_errors=True)
+        self._sync_partitions(schema, table, tdef)
         self.spark.sql(f"REFRESH TABLE `{schema}`.`{table}`")
 
     def _spark_create_db(self, schema: str) -> None:
@@ -1245,10 +1333,24 @@ class Engine:
         cols = ", ".join(f"`{c.name}` {c.spark_type}" for c in tdef.columns)
         path = self.catalog.data_path(tdef.schema, tdef.name)
         self.spark.sql(f"DROP TABLE IF EXISTS `{tdef.schema}`.`{tdef.name}`")
+        part = ""
+        if tdef.partition_by:
+            part = (
+                " PARTITIONED BY ("
+                + ", ".join(f"`{c}`" for c in tdef.partition_by)
+                + ")"
+            )
         self.spark.sql(
             f"CREATE TABLE `{tdef.schema}`.`{tdef.name}` ({cols}) "
-            f"USING PARQUET LOCATION '{path}'"
+            f"USING PARQUET{part} LOCATION '{path}'"
         )
+        if tdef.partition_by:
+            # The session catalog tracks partitions of a datasource
+            # table explicitly; recover any directories already on disk
+            # (engine restart over an existing warehouse).
+            self.spark.sql(
+                f"MSCK REPAIR TABLE `{tdef.schema}`.`{tdef.name}`"
+            )
 
     def _recreate_spark_table(self, tdef: TableDef) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS `{tdef.schema}`.`{tdef.name}`")
@@ -1414,6 +1516,12 @@ class Engine:
         ddl = (
             f"CREATE TABLE `{table}` (\n" + ",\n".join(lines) + f"\n) ENGINE={tdef.engine.upper()}"
         )
+        if tdef.partition_by:
+            ddl += (
+                " PARTITIONED BY ("
+                + ", ".join(f"`{c}`" for c in tdef.partition_by)
+                + ")"
+            )
         df = self.spark.createDataFrame(
             [(table, ddl)], schema=["Table", "Create Table"]
         )

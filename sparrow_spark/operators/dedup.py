@@ -606,9 +606,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_simhash_hamming",
-    oracle="""
+# Oracle template for the SimHash hamming near-dup family: DuckDB can
+# afford the O(n^2) all-pairs scan at fixture scale; {probe_pred}
+# restricts the probe side ('a.doc_id < 100' or the always-true 'true'
+# for probe = corpus).
+_SIMHASH_HAMMING_ORACLE = """
     WITH tok AS (
       SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS th
       FROM documents
@@ -627,12 +629,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id,
            CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_near
     FROM sig a JOIN sig b ON a.doc_id <> b.doc_id
-    WHERE a.doc_id < 100
+    WHERE {probe_pred}
       AND len([i for i in range(1, 17) if a.s[i] <> b.s[i]]) <= 1
     GROUP BY a.doc_id
-    """,
-)
-def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _simhash_hamming_neardup(
+    spark: SparkSession, sf_dir: str, probe_bound: int | None
+) -> DataFrame:
     """SimHash near-dup search done the production way: split the
     16-bit signature into 4 bands of 4 bits; by pigeonhole, any pair
     within hamming distance 3 shares at least one band exactly, so a
@@ -657,7 +662,10 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("bd"),
     ).select("doc_id", "s", F.col("bd.band").alias("band"), F.col("bd.val").alias("val"))
-    probe = banded.filter(F.col("doc_id") < 100).select(
+    probe = banded if probe_bound is None else banded.filter(
+        F.col("doc_id") < probe_bound
+    )
+    probe = probe.select(
         F.col("doc_id").alias("a_id"), F.col("s").alias("sa"), "band", "val"
     )
     build = banded.select(
@@ -680,6 +688,30 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a_id").alias("doc_id"))
         .agg(F.countDistinct("b_id").alias("n_near"))
     )
+
+
+@query(
+    "q_dedup_simhash_hamming",
+    oracle=_SIMHASH_HAMMING_ORACLE.format(probe_pred="a.doc_id < 100"),
+)
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-probe SimHash near-dup with a bounded probe set (doc_id <
+    100) — demonstrates the asymmetric probe-vs-corpus shape (new docs
+    against an existing index). See _simhash_hamming_neardup."""
+    return _simhash_hamming_neardup(spark, sf_dir, probe_bound=100)
+
+
+@query(
+    "q_dedup_simhash_hamming_full",
+    oracle=_SIMHASH_HAMMING_ORACLE.format(probe_pred="true"),
+)
+def q_dedup_simhash_hamming_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-probe SimHash near-dup with probe = the ENTIRE corpus — the
+    symmetric full-dedup shape. The plan is identical to the bounded
+    variant (band equi-join + hamming verify, no all-pairs term); only
+    the probe-side filter is dropped, so the sub-quadratic claim is
+    exercised with no bound to hide behind."""
+    return _simhash_hamming_neardup(spark, sf_dir, probe_bound=None)
 
 
 # DuckDB side of the clustering family, reused by q_dedup_keeper:

@@ -18,6 +18,7 @@ milliseconds. Kept out of bench.py.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -37,7 +38,23 @@ def _fresh_engine(spark: SparkSession):
     # (cwd-relative) may not be writable.
     spark.sql(f"CREATE DATABASE IF NOT EXISTS `{schema}` LOCATION '{wh}/sparkdb'")
     eng.script(f"CREATE SCHEMA {schema}; USE {schema}")
-    return eng
+    return eng, schema, wh
+
+
+def _freeze_and_cleanup(
+    spark: SparkSession, df: DataFrame, schema: str, wh: str
+) -> DataFrame:
+    """Materialize the (handful of) result rows into a LocalRelation,
+    then drop the throwaway catalog database and rmtree the tempdir
+    warehouse. Without this every plan build leaked a /tmp directory
+    and a permanent Spark-catalog database (driver/selfcheck runs
+    multiply it). The returned DataFrame no longer references the
+    warehouse, so the registry's plan cache stays valid after cleanup."""
+    rows = df.collect()
+    out = spark.createDataFrame(rows, df.schema)
+    spark.sql(f"DROP DATABASE IF EXISTS `{schema}` CASCADE")
+    shutil.rmtree(wh, ignore_errors=True)
+    return out
 
 
 @query(
@@ -58,7 +75,7 @@ def q_engine_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert, MERGE with both arms, binary-path prepared INSERT — then
     the surviving rows, hash-checked against the literal expected
     state."""
-    eng = _fresh_engine(spark)
+    eng, schema, wh = _fresh_engine(spark)
     eng.script(
         """
         CREATE TABLE accounts (id INT, name CHAR, bal DOUBLE, PRIMARY KEY(id));
@@ -79,7 +96,8 @@ def q_engine_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.execute_prepared(stmt_id, [4, "d", 40.0])
     eng.execute_prepared(stmt_id, [5, "e", 50.0])
     eng.close_prepared(stmt_id)
-    return eng.sql("SELECT id, name, bal FROM accounts ORDER BY id").df
+    final = eng.sql("SELECT id, name, bal FROM accounts ORDER BY id").df
+    return _freeze_and_cleanup(spark, final, schema, wh)
 
 
 @query(
@@ -95,7 +113,9 @@ def q_engine_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_engine_show(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S16 (SHOW COLUMNS) through the real dispatcher, hash-checked
     against the literal MySQL-shaped metadata rows."""
-    eng = _fresh_engine(spark)
+    eng, schema, wh = _fresh_engine(spark)
     eng.sql("CREATE TABLE widgets (id INT PRIMARY KEY, name CHAR, bal DOUBLE)")
     df = eng.sql("SHOW COLUMNS FROM widgets").df
-    return df.select("Field", "Type", "Null", "Key")
+    return _freeze_and_cleanup(
+        spark, df.select("Field", "Type", "Null", "Key"), schema, wh
+    )

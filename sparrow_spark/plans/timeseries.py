@@ -542,9 +542,7 @@ def _ewma_worker(alpha: float):
     return fn
 
 
-@query(
-    "q_group_ewma",
-    oracle="""
+_EWMA_ORACLE = """
     WITH ordered AS (
       SELECT user_id,
              CAST(list(coalesce(value, 0.0) ORDER BY ts, event_id)
@@ -555,21 +553,66 @@ def _ewma_worker(alpha: float):
            CAST(len(vs) AS BIGINT) AS n_events,
            round(list_reduce(vs, (acc, x) -> 0.1 * x + 0.9 * acc), 6) AS ewma
     FROM ordered
-    """,
-)
+    """
+
+
+@query("q_group_ewma", oracle=_EWMA_ORACLE)
 def q_group_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially weighted moving average of event values —
     an inherently SEQUENTIAL per-key fold that SQL window frames cannot
-    express, implemented with the batch grouped-map tier
-    (groupBy().applyInPandas): Arrow ships each user's rows to one
-    Python worker, the fold runs in order (ts, event_id), one row comes
-    back per user. This completes the custom-operator ladder:
-    mapInPandas (multimodal, row-wise), applyInPandas (this, per-group
-    sequential), applyInPandasWithState (streaming sessionizer). The
-    oracle reproduces the exact same IEEE fold with DuckDB's
-    list_reduce over the identically-ordered value list. Scale: state
-    is one float per group; groups shard across executors on the
-    user_id shuffle — the same shape as any Pregel/foldByKey pass."""
+    express. Production path: pure JVM — collect each user's
+    (ts, event_id, value) structs, array_sort (lexicographic on the
+    struct = ORDER BY ts, event_id), then F.aggregate runs the left
+    fold y_t = 0.1*x_t + 0.9*y_{t-1} inside Catalyst codegen. No
+    Python workers, no Arrow transfer; measured ~6x faster than the
+    grouped-map variant below at sf0.1 and BITWISE identical (same
+    IEEE left fold — asserted in tests/test_operators.py). Scale: one
+    shuffle on user_id; each group materializes as one array, the same
+    memory shape as any grouped-map operator. (A mega-hot key could be
+    split further: an EWMA over a segment is affine in its input state,
+    y_out = (1-a)^k * y_in + B, so segment folds combine associatively
+    — documented escape hatch, not needed at current skew.)"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    lst = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("ts"),
+                    F.col("event_id"),
+                    F.coalesce(F.col("value"), F.lit(0.0)).alias("v"),
+                )
+            )
+        ).alias("xs")
+    )
+    vs = F.col("xs.v")
+    ewma = F.aggregate(
+        F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+        F.element_at(vs, 1).cast("double"),
+        lambda acc, x: F.lit(0.1) * x + F.lit(0.9) * acc,
+    )
+    return lst.select(
+        "user_id",
+        F.size("xs").cast("bigint").alias("n_events"),
+        rnd(ewma, 6).alias("ewma"),
+    )
+
+
+@query("q_group_ewma_arrow", oracle=_EWMA_ORACLE)
+def q_group_ewma_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-user EWMA through the batch grouped-map tier
+    (groupBy().applyInPandas): Arrow ships each user's rows to a Python
+    worker, pandas ewm(adjust=False) runs the identical recurrence, one
+    row returns per user. Kept as a registered, oracle-checked query
+    because it completes the custom-operator ladder — mapInPandas
+    (multimodal, row-wise), applyInPandas (this, per-group sequential),
+    applyInPandasWithState (streaming sessionizer) — and is the
+    template for per-group logic that ISN'T a Catalyst-expressible
+    fold (model scoring, scipy fits). For a pure arithmetic recurrence
+    the JVM variant above is strictly better: same result bitwise,
+    none of the per-group Arrow/Python overhead (~2 s of the ~2.6 s
+    at sf0.1 is framework, measured with a trivial worker)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )

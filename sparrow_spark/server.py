@@ -58,6 +58,40 @@ _SPARK_TO_MYSQL = {
 }
 
 
+def _change_user_schema(payload: bytes) -> str:
+    """Extract the database name from a COM_CHANGE_USER packet:
+    cmd(1), user NUL-terminated, auth response (1-byte length-prefixed
+    under CLIENT_SECURE_CONNECTION — what our handshake advertises —
+    else NUL-terminated), then schema NUL-terminated. Returns '' when
+    absent or malformed (schema switch is then skipped)."""
+    try:
+        pos = payload.index(b"\x00", 1) + 1  # skip cmd + user
+        if pos >= len(payload):
+            return ""
+        auth_len = payload[pos]
+        secure_end = pos + 1 + auth_len
+        if secure_end <= len(payload):
+            pos = secure_end  # length-prefixed auth (secure connection)
+        else:
+            pos = payload.index(b"\x00", pos) + 1  # legacy NUL-terminated
+        end = payload.find(b"\x00", pos)
+        raw = payload[pos:] if end == -1 else payload[pos:end]
+        return raw.decode("utf-8", errors="replace")
+    except (ValueError, IndexError):
+        return ""
+
+
+def _bytes_or_str(b: bytes):
+    """Decode a wire parameter as UTF-8 text when it is text, else keep
+    raw bytes (BLOB semantics) for the engine to render as a hex
+    literal. MySQL's wire format does not distinguish — the declared
+    type does, but clients routinely send blobs as VAR_STRING."""
+    try:
+        return b.decode()
+    except UnicodeDecodeError:
+        return b
+
+
 def _lenenc_int(n: int) -> bytes:
     if n < 251:
         return bytes([n])
@@ -369,7 +403,14 @@ class _Conn:
                     self._stmt_types.clear()
                     self._long_data.clear()
                     # credentials accepted unconditionally, like the
-                    # handshake (reference handle.rs:87-145)
+                    # handshake (reference handle.rs:87-145) — but the
+                    # schema field DOES matter: MySQL switches the
+                    # default database to the one in the packet, and a
+                    # pool that recycles via change-user relies on it.
+                    db = _change_user_schema(payload)
+                    if db:
+                        with self.lock:
+                            self.session.sql(f"USE {db}")
                     self.send_ok()
                 elif cmd == 0x09:  # COM_STATISTICS: raw human string
                     self.write_packet(
@@ -422,7 +463,12 @@ class _Conn:
             # precedence over the bitmap/body value for that param).
             ld = self._long_data.pop((stmt_id, i), None)
             if ld is not None:
-                params.append(ld.decode())
+                # Long data is the protocol's BLOB-streaming mechanism:
+                # non-UTF-8 payloads are legitimate (images, pickles).
+                # Keep them as bytes — the engine renders bytes as a
+                # hex literal — instead of a strict decode that would
+                # raise UnicodeDecodeError and kill the thread.
+                params.append(_bytes_or_str(bytes(ld)))
                 continue
             if nullmap[i // 8] & (1 << (i % 8)):
                 params.append(None)
@@ -458,7 +504,7 @@ class _Conn:
                 pos += 8
             else:  # strings, decimals, blobs: length-encoded bytes
                 ln, pos = _read_lenenc(payload, pos)
-                params.append(payload[pos : pos + ln].decode())
+                params.append(_bytes_or_str(payload[pos : pos + ln]))
                 pos += ln
         return stmt_id, params
 

@@ -690,3 +690,90 @@ def test_optimize_sorts_by_primary_key(engine):
     path = os.path.join(engine.catalog.data_path("test_db", "srt"), files[0])
     ids = pq.read_table(path, columns=["id"]).column("id").to_pylist()
     assert ids == sorted(ids) == [1, 3, 5, 9]
+
+
+def test_partitioned_table_pruned_cow(engine):
+    # CREATE TABLE ... PARTITIONED BY composes with file-level COW:
+    # the touched-file discovery scan carries a PartitionFilters entry
+    # for a partition predicate, _matched_files returns only files in
+    # the matching directory, and files of other partitions are
+    # physically untouched by the UPDATE.
+    import os
+
+    from pyspark.sql import functions as F
+
+    boot(engine, "partdb")
+    engine.sql(
+        "CREATE TABLE ev (id INT, region CHAR, val DOUBLE, PRIMARY KEY(id)) "
+        "PARTITIONED BY (region)"
+    )
+    for r in ("eu", "us", "ap"):
+        vals = ", ".join(
+            f"({i}, '{r}', {i}.0)" for i in range({"eu": 0, "us": 100, "ap": 200}[r], {"eu": 0, "us": 100, "ap": 200}[r] + 5)
+        )
+        engine.sql(f"INSERT INTO ev VALUES {vals}")
+    data_dir = engine.catalog.data_path("partdb", "ev")
+    assert sorted(
+        d for d in os.listdir(data_dir) if d.startswith("region=")
+    ) == ["region=ap", "region=eu", "region=us"]
+
+    tdef = engine.catalog.load("partdb", "ev")
+    assert tdef.partition_by == ["region"]
+    pred = F.expr("region = 'us'")
+
+    # 1) the discovery scan prunes at directory level
+    scan = engine._read_physical("partdb", "ev", tdef).filter(pred)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "region" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+
+    # 2) _matched_files returns only files under the matching partition
+    n, files = engine._matched_files("partdb", "ev", tdef, pred)
+    assert n == 5
+    assert files and all("region=us" in f for f in files)
+
+    # 3) other partitions' files are byte-identical after the UPDATE
+    def snapshot(part):
+        d = os.path.join(data_dir, part)
+        return {
+            fn: os.stat(os.path.join(d, fn)).st_mtime_ns
+            for fn in os.listdir(d)
+            if fn.endswith(".parquet")
+        }
+
+    eu_before, ap_before = snapshot("region=eu"), snapshot("region=ap")
+    res = engine.sql("UPDATE ev SET val = val + 1000 WHERE region = 'us'")
+    assert res.affected_rows == 5
+    assert snapshot("region=eu") == eu_before
+    assert snapshot("region=ap") == ap_before
+
+    # 4) correctness through the registered Spark table (SELECT path)
+    rows = engine.sql(
+        "SELECT region, count(*) AS n, min(val) AS lo FROM ev "
+        "GROUP BY region ORDER BY region"
+    ).rows()
+    got = {r["region"]: (r["n"], r["lo"]) for r in rows}
+    assert got == {"eu": (5, 0.0), "us": (5, 1100.0), "ap": (5, 200.0)}
+
+    # 5) UPDATE that MOVES a row across partitions relocates its file
+    engine.sql("UPDATE ev SET region = 'eu' WHERE id = 200")
+    rows = engine.sql(
+        "SELECT region, count(*) AS n FROM ev GROUP BY region ORDER BY region"
+    ).rows()
+    assert {r["region"]: r["n"] for r in rows} == {"eu": 6, "us": 5, "ap": 4}
+
+    # 6) partition column cannot be dropped
+    with pytest.raises(SparrowError) as ei:
+        engine.sql("ALTER TABLE ev DROP COLUMN region")
+    assert ei.value.code == 3855
+
+    # 7) SHOW CREATE TABLE surfaces the clause
+    ddl = engine.sql("SHOW CREATE TABLE ev").rows()[0]["Create Table"]
+    assert "PARTITIONED BY (`region`)" in ddl
+
+    # 8) DELETE with a partition predicate also prunes + works
+    res = engine.sql("DELETE FROM ev WHERE region = 'ap'")
+    assert res.affected_rows == 4
+    rows = engine.sql("SELECT count(*) AS n FROM ev").rows()
+    assert rows[0]["n"] == 11

@@ -289,3 +289,21 @@ def test_ewma_vectorized_matches_reference_loop():
             acc = float(v) if acc is None else 0.1 * float(v) + 0.9 * acc
         assert out["n_events"].iloc[0] == n
         assert abs(out["ewma"].iloc[0] - acc) < 1e-9, (n, out["ewma"].iloc[0], acc)
+
+
+def test_ewma_jvm_fold_bitwise_matches_arrow_tier(spark, sf_dir):
+    # q_group_ewma (Catalyst F.aggregate left fold) and
+    # q_group_ewma_arrow (applyInPandas + pandas ewm) must agree
+    # BITWISE: both run y_t = 0.1*x_t + 0.9*y_{t-1} over the same
+    # (ts, event_id)-ordered doubles.
+    from sparrow_spark.plans.timeseries import q_group_ewma, q_group_ewma_arrow
+
+    jvm = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in q_group_ewma(spark, sf_dir).collect()
+    }
+    arrow = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in q_group_ewma_arrow(spark, sf_dir).collect()
+    }
+    assert jvm == arrow

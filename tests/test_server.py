@@ -441,3 +441,51 @@ def test_wire_concurrent_dml_and_select(server):
     c.init_db("racedb")
     assert c.query("SELECT count(*) AS n FROM race")[1] == [["12"]]
     c.quit()
+
+def test_wire_send_long_data_binary_bytes(server):
+    # Long data is the protocol's BLOB-streaming path: non-UTF-8 bytes
+    # must survive (rendered as a hex literal into a BINARY column),
+    # never raise UnicodeDecodeError and kill the connection thread.
+    c = MiniClient(server.host, server.port)
+    c.query("CREATE DATABASE IF NOT EXISTS wiredb5")
+    c.init_db("wiredb5")
+    c.query("CREATE TABLE lb (id INT, payload BLOB, PRIMARY KEY(id))")
+    sid, n = c.prepare("INSERT INTO lb VALUES (?, ?)")
+    assert n == 2
+    raw = b"\xff\xfe\x00\x01PNG\x89"  # not valid UTF-8
+    c.command(b"\x18" + struct.pack("<I", sid) + struct.pack("<H", 1) + raw)
+    nullmap = b"\x00"
+    types = bytes([8, 0]) + bytes([252, 0])  # LONGLONG, BLOB
+    body = struct.pack("<q", 1)
+    c.command(
+        b"\x17" + struct.pack("<I", sid) + b"\x00" + struct.pack("<I", 1)
+        + nullmap + b"\x01" + types + body
+    )
+    assert c._read_response(binary=True) == ("ok", 1)
+    # connection alive and the bytes round-tripped exactly
+    _, rows = c.query("SELECT id, hex(payload) AS h FROM lb")
+    assert rows == [["1", raw.hex().upper()]]
+    c.quit()
+
+
+def test_wire_change_user_switches_schema(server):
+    # COM_CHANGE_USER carries a database name; MySQL switches the
+    # default schema to it (a pool recycling via change-user relies on
+    # this — keeping the old schema leaks state across logical users).
+    c = MiniClient(server.host, server.port)
+    c.query("CREATE DATABASE IF NOT EXISTS cu_old")
+    c.query("CREATE DATABASE IF NOT EXISTS cu_new")
+    c.init_db("cu_old")
+    c.query("SET @stale = 1")
+    _, rows = c.query("SELECT database() AS d")
+    assert rows == [["cu_old"]]
+    # cmd, user NUL, 1-byte auth len + auth, schema NUL, charset
+    payload = (
+        b"\x11" + b"someone\x00" + bytes([4]) + b"\x01\x02\x03\x04"
+        + b"cu_new\x00" + struct.pack("<H", 33)
+    )
+    c.command(payload)
+    assert c.read_packet()[0] == 0x00  # OK
+    _, rows = c.query("SELECT database() AS d, @stale AS s")
+    assert rows == [["cu_new", None]]  # schema switched, vars cleared
+    c.quit()
