@@ -117,7 +117,7 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -125,8 +125,10 @@ def minhash_lsh_pairs(
     band_size: int = BAND_SIZE,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (a_id < b_id) that collide in at
-    least one LSH band. Never compares all pairs: bucket join only."""
+    """(id, band, band_sig) — each document exploded to its LSH band
+    keys. The shared building block for symmetric pair generation
+    (minhash_lsh_pairs) and asymmetric probe-vs-index lookups
+    (q_minhash_probe)."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     n_bands = n_hashes // band_size
     band_structs = [
@@ -138,9 +140,26 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    bands = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    ).select(
+        id_col,
+        F.col("bs.band").alias("band"),
+        F.col("bs.band_sig").alias("band_sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    band_size: int = BAND_SIZE,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a_id < b_id) that collide in at
+    least one LSH band. Never compares all pairs: bucket join only."""
+    bands = minhash_bands(df, text_col, id_col, n_hashes, band_size, shingle_k)
     a = bands.select(F.col(id_col).alias("a_id"), "band", "band_sig")
     b = bands.select(F.col(id_col).alias("b_id"), "band", "band_sig")
     return (
@@ -824,4 +843,74 @@ def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("bigint").alias("n_members"),
             F.col("q").alias("keeper_quality"),
         )
+    )
+
+
+# Shared band-construction SQL for the MinHash oracle family (mirrors
+# minhash_signatures/minhash_bands: 3-shingles, 2 md5 digests split
+# into 8 32-bit-hex minhashes, 4 bands of 2).
+_MINHASH_BANDS_CTE = """
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), sh AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)]) AS shingle
+      FROM tok
+    ), hashed AS (
+      SELECT doc_id, md5('a:' || shingle) AS da, md5('b:' || shingle) AS db
+      FROM sh
+    ), sigs AS (
+      SELECT doc_id,
+             min(substr(da, 1, 8)) AS h0, min(substr(da, 9, 8)) AS h1,
+             min(substr(da, 17, 8)) AS h2, min(substr(da, 25, 8)) AS h3,
+             min(substr(db, 1, 8)) AS h4, min(substr(db, 9, 8)) AS h5,
+             min(substr(db, 17, 8)) AS h6, min(substr(db, 25, 8)) AS h7
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id,
+             unnest([struct_pack(band := 0, band_sig := h0 || '|' || h1),
+                     struct_pack(band := 1, band_sig := h2 || '|' || h3),
+                     struct_pack(band := 2, band_sig := h4 || '|' || h5),
+                     struct_pack(band := 3, band_sig := h6 || '|' || h7)],
+                    recursive := true)
+      FROM sigs
+    )
+"""
+
+
+@query(
+    "q_minhash_probe",
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    SELECT p.doc_id, CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_index_matches
+    FROM bands p JOIN bands b
+      ON p.band = b.band AND p.band_sig = b.band_sig
+    WHERE p.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+    GROUP BY p.doc_id
+    """,
+)
+def q_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: probe a NEW batch of documents (here doc_id %
+    5 = 0 stands in for today's crawl) against the EXISTING corpus
+    index (the rest) via MinHash LSH bands — the production shape for
+    continuous ingestion, where re-deduplicating the full corpus per
+    batch would be quadratic over time. Emits each new doc that
+    collides with >= 1 index doc and its collision count. Scale: the
+    index's band table is computed once and reused across batches (here
+    rebuilt because the fixture has no persisted index); the join is
+    band-bucketed, probe-side-small, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = minhash_bands(docs)
+    probe = bands.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("p_id"), "band", "band_sig"
+    )
+    index = bands.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("b_id"), "band", "band_sig"
+    )
+    return (
+        probe.join(index, on=["band", "band_sig"])
+        .groupBy(F.col("p_id").alias("doc_id"))
+        .agg(F.countDistinct("b_id").alias("n_index_matches"))
     )

@@ -316,3 +316,133 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.avg("n_tokens"), 2).alias("avg_tokens"),
         )
     )
+
+
+STOPWORDS = ["the", "a", "of", "to", "and"]
+
+
+@query(
+    "q_source_quality",
+    oracle="""
+    WITH t AS (
+      SELECT source, string_split(lower(text), ' ') AS toks,
+             CAST(length(text) AS BIGINT) AS nc
+      FROM documents
+    ), scored AS (
+      SELECT source, len(toks) AS n_tokens,
+             least(1.0, len(toks) / 100.0) * 0.5 +
+             CASE WHEN nc BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END AS q
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(q), 4) AS avg_quality,
+           round(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE),
+                 4) AS corpus_share,
+           avg(q) >= 0.6 AS keep_source
+    FROM scored GROUP BY source
+    """,
+)
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation: roll document quality up to the SOURCE
+    (site/domain/dump) and decide keep/drop per source — the pipeline
+    stage that cuts spam domains wholesale before any per-document
+    work. Quality is the same composite q_text_quality scores per doc
+    (length saturation + chars-in-range), so both stages agree. Scale:
+    one aggregation shuffle keyed by source (domains ~ millions, not
+    billions); the corpus-total denominator is a 1-row broadcast —
+    no second pass over the data."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    q = F.least(F.lit(1.0), F.size(toks) / F.lit(100.0)) * 0.5 + F.when(
+        F.length("text").between(100, 5000), 0.5
+    ).otherwise(0.0)
+    scored = docs.select(
+        "source", F.size(toks).cast("bigint").alias("n_tokens"), q.alias("q")
+    )
+    total = docs.select(F.count(F.lit(1)).alias("n_total"))
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.avg("q").alias("avg_q"),
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        rnd(F.col("avg_q"), 4).alias("avg_quality"),
+        rnd(F.col("n_docs") / F.col("n_total").cast("double"), 4).alias(
+            "corpus_share"
+        ),
+        (F.col("avg_q") >= 0.6).alias("keep_source"),
+    )
+
+
+@query(
+    "q_column_profile",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           round(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS null_ratio,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT)
+    FROM orders
+    """,
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema/data profiling — the validation gate a pipeline runs
+    before training ingestion: per-column row count, null count, null
+    ratio, and exact distinct cardinality. ONE aggregation pass
+    computes every column's stats (Catalyst expands the multi-distinct
+    into a single Expand + two-level aggregate, not one scan per
+    column — the oracle's UNION ALL of per-column scans is the
+    fixture-scale equivalent), then an unpivot emits one row per
+    column. Scale: distinct-heavy profiling of wide tables would swap
+    count(DISTINCT) for approx_count_distinct per the
+    q_approx_distinct pattern."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderpriority", "o_totalprice"]
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+            for c in cols
+        ],
+        *[F.countDistinct(c).alias(f"dist_{c}") for c in cols],
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack({n}, {args}) AS (column_name, n_rows, n_nulls, n_distinct)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', n_rows, null_{c}, dist_{c}" for c in cols
+                ),
+            )
+        )
+    )
+    return stacked.select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        rnd(F.col("n_nulls") / F.col("n_rows").cast("double"), 6).alias(
+            "null_ratio"
+        ),
+        "n_distinct",
+    ).select("column_name", "n_rows", "n_nulls", "null_ratio", "n_distinct")

@@ -311,3 +311,76 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("code") * (F.col("dim") + 1)).cast("bigint").alias("code_checksum"),
         rnd(F.avg(F.abs("err")), 6).alias("mean_abs_err"),
     )
+
+
+@query(
+    "q_ann_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    exact AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20
+      QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                 ORDER BY {_COS_SQL} DESC, b.vec_id) <= 3
+    ), bk AS (
+      SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e
+    ), approx AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20
+      QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                 ORDER BY {_COS_SQL} DESC, b.vec_id) <= 3
+    )
+    SELECT x.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) / 3.0, 4) AS recall_at_3
+    FROM exact x
+    LEFT JOIN approx a
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measuring ANN quality: recall@3 of the LSH-bucketed index
+    against exact brute-force cosine top-3, per query — the evaluation
+    every production ANN deployment runs before trusting an index (and
+    re-runs as the corpus drifts). Both rankings use the identical
+    (cos DESC, neighbor_id) tiebreak, so the comparison is exact, not
+    statistical. Scale: exact top-k on a SAMPLED query set (here the
+    probe set) against the full corpus is the standard methodology —
+    the exact side is |sample| x |corpus|, not |corpus|^2."""
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(queries, vecs, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    b = vecs.select("vec_id", "v", hyperplane_bucket(F.col("v")).alias("bucket"))
+    q = b.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("bucket").alias("cbucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    approx = (
+        c.join(F.broadcast(q), (q.bucket == c.cbucket) & (q.query_id != c.neighbor_id))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", F.col("neighbor_id").alias("a_neighbor_id"))
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.a_neighbor_id),
+        "left",
+    ).select(exact.query_id, approx.a_neighbor_id)
+    return hits.groupBy("query_id").agg(
+        F.count("a_neighbor_id").alias("n_hits"),
+        rnd(F.count("a_neighbor_id") / F.lit(3.0), 4).alias("recall_at_3"),
+    )

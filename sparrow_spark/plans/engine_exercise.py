@@ -119,3 +119,42 @@ def q_engine_show(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _freeze_and_cleanup(
         spark, df.select("Field", "Type", "Null", "Key"), schema, wh
     )
+
+
+@query(
+    "q_engine_partition",
+    oracle="""
+    SELECT region, id, CAST(val AS DOUBLE) AS val FROM (VALUES
+      ('ap', 201, 201.0),
+      ('eu', 1,   1.0),
+      ('eu', 2,   2.0),
+      ('us', 101, 1101.0),
+      ('us', 102, 1102.0)
+    ) t(region, id, val)
+    """,
+)
+def q_engine_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-table storage surface end-to-end, driver-verifiable:
+    CREATE TABLE ... PARTITIONED BY lays data out in hive-style
+    region=<val>/ directories, INSERT routes rows to partition dirs,
+    UPDATE/DELETE with a partition predicate rewrite only the matching
+    directory's files (file-level COW + partition pruning — the plan
+    carries PartitionFilters, asserted in tests), and a predicate-free
+    scan reads it all back. Final state hash-checked against the
+    literal expected rows."""
+    eng, schema, wh = _fresh_engine(spark)
+    eng.script(
+        """
+        CREATE TABLE pev (id INT, region CHAR, val DOUBLE, PRIMARY KEY(id))
+          PARTITIONED BY (region);
+        INSERT INTO pev VALUES (1, 'eu', 1.0), (2, 'eu', 2.0);
+        INSERT INTO pev VALUES (101, 'us', 101.0), (102, 'us', 102.0);
+        INSERT INTO pev VALUES (201, 'ap', 201.0), (202, 'ap', 202.0);
+        UPDATE pev SET val = val + 1000 WHERE region = 'us';
+        DELETE FROM pev WHERE region = 'ap' AND id = 202;
+        """
+    )
+    final = eng.sql(
+        "SELECT region, id, val FROM pev ORDER BY region, id"
+    ).df
+    return _freeze_and_cleanup(spark, final, schema, wh)

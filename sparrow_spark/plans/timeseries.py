@@ -620,3 +620,51 @@ def q_group_ewma_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ewma_worker(0.1), schema="user_id bigint, n_events bigint, ewma double"
     )
     return out.select("user_id", "n_events", rnd(F.col("ewma"), 6).alias("ewma"))
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH stepped AS (
+      SELECT user_id, value,
+             epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t_next
+      FROM events
+    ), spans AS (
+      SELECT user_id, coalesce(value, 0.0) AS v, t_next - t AS dt
+      FROM stepped WHERE t_next IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           round(sum(v * dt) / sum(dt), 6) AS twa
+    FROM spans GROUP BY user_id
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user over IRREGULARLY sampled events:
+    each value is weighted by how long it was current (until the next
+    event), the step-function integral divided by the covered span —
+    the correct aggregate for sensor/price/gauge data where plain avg
+    over-weights bursts. lead() over (user, time) then one keyed
+    aggregation; microsecond timestamps on both engines. Scale: one
+    shuffle on user_id shared by the window and the groupBy (Catalyst
+    reuses the partitioning — no second exchange)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        F.coalesce("value", F.lit(0.0)).alias("v"),
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    return (
+        stepped.withColumn("dt", F.col("t_next") - F.col("t"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            rnd(F.sum(F.col("v") * F.col("dt")) / F.sum("dt"), 6).alias("twa"),
+        )
+    )
