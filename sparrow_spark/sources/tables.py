@@ -43,6 +43,27 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     ]
 
 
+def _ntz_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP (isAdjustedToUTC=false) that
+    Spark reads as TIMESTAMP_NTZ. The fixture generator has produced
+    both UTC-adjusted and NTZ micros across rounds; the engine's
+    canonical in-memory type is TimestampType (LTZ), which every
+    timestamp function (unix_micros, window(), date_trunc) accepts.
+    With the session timezone pinned to UTC (session.py) the NTZ->LTZ
+    cast is a value-exact reinterpretation, so normalizing here keeps
+    every downstream plan and oracle identical regardless of which
+    physical annotation the fixture carries."""
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    return [
+        n
+        for n, t in zip(schema.names, schema.types)
+        if str(t) == "timestamp[us]" and getattr(t, "tz", None) is None
+    ]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Paths are plain parquet files/dirs.
 
