@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,7 +40,9 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     except Exception:
         return []
     return [
-        n for n, t in zip(schema.names, schema.types) if str(t).startswith("timestamp[ns")
+        n
+        for n, t in zip(schema.names, schema.types)
+        if pa.types.is_timestamp(t) and t.unit == "ns"
     ]
 
 
@@ -52,7 +55,8 @@ def _ntz_timestamp_cols(path: str) -> list[str]:
     With the session timezone pinned to UTC (session.py) the NTZ->LTZ
     cast is a value-exact reinterpretation, so normalizing here keeps
     every downstream plan and oracle identical regardless of which
-    physical annotation the fixture carries."""
+    physical annotation the fixture carries. Nanos NTZ is excluded:
+    it goes through the legacy-long path above."""
     try:
         schema = pq.read_schema(path)
     except Exception:
@@ -60,7 +64,7 @@ def _ntz_timestamp_cols(path: str) -> list[str]:
     return [
         n
         for n, t in zip(schema.names, schema.types)
-        if str(t) == "timestamp[us]" and getattr(t, "tz", None) is None
+        if pa.types.is_timestamp(t) and t.tz is None and t.unit != "ns"
     ]
 
 
@@ -76,7 +80,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        for c in _ntz_timestamp_cols(path):
+            # NTZ -> LTZ reinterpretation; value-exact under the UTC
+            # session timezone pinned in session.py. Plain column cast —
+            # stays in whole-stage codegen, no effect on pushdown of
+            # predicates over the other columns.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        return df
     # Session setup (session.py tune_for_session / get_spark callers)
     # enables nanosAsLong once; set here only if this session was never
     # tuned (e.g. a bare external session) — at most one mutation, not

@@ -21,25 +21,52 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
+EVENTS_SCHEMA_NANOS = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+EVENTS_SCHEMA_NTZ = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
+    "value double, props string"
+)
+EVENTS_SCHEMA_LTZ = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
     "value double, props string"
 )
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over events parquet. The fixture stores ts as
-    TIMESTAMP(NANOS) which Spark reads as long under nanosAsLong —
-    converted with integer div (see sources.tables.load_table)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over events parquet, normalized so `ts` is
+    always TimestampType (LTZ) downstream. The fixture generator has
+    produced three physical encodings across rounds — TIMESTAMP(NANOS)
+    (read as long under nanosAsLong, integer div to micros),
+    TIMESTAMP(MICROS) isAdjustedToUTC=false (read as TIMESTAMP_NTZ,
+    cast to LTZ — value-exact under the UTC session timezone), and
+    UTC-adjusted micros (read as TimestampType directly). Detect which
+    via the parquet footer instead of assuming one (the round-4 bench
+    crash was a hard-coded nanos schema silently reading raw micros)."""
+    from sparrow_spark.sources.tables import _nanos_timestamp_cols, _ntz_timestamp_cols
+
+    probe = path
+    if os.path.isdir(path):
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        probe = os.path.join(path, files[0]) if files else path
+    is_nanos = "ts" in _nanos_timestamp_cols(probe)
+    is_ntz = "ts" in _ntz_timestamp_cols(probe)
     if os.path.isfile(path):
         # The file source requires a directory; expose a single-file
         # fixture through a symlink dir (read-only, nothing copied).
         d = tempfile.mkdtemp(prefix="events-stream-")
         os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
         path = d
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(EVENTS_SCHEMA_NANOS).parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if is_ntz:
+        raw = spark.readStream.schema(EVENTS_SCHEMA_NTZ).parquet(path)
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return spark.readStream.schema(EVENTS_SCHEMA_LTZ).parquet(path)
 
 
 def windowed_event_counts(

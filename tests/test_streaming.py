@@ -81,20 +81,19 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     must be emitted."""
     from pyspark.sql import Window
 
-    from sparrow_spark.streaming.ingest import EVENTS_SCHEMA
+    from sparrow_spark.streaming.ingest import EVENTS_SCHEMA_NANOS
     from sparrow_spark.streaming.stateful import stateful_sessionize
 
     ev = load_table(spark, sf_dir, "events")
     # Two time-ordered halves -> two microbatches (maxFilesPerTrigger=1).
     mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
     src = str(tmp_path / "src")
-    ev_raw = ev.withColumn("ts", F.unix_micros("ts") * 1000)  # long ns like fixture
+    ev_raw = ev.withColumn("ts", F.unix_micros("ts") * 1000)  # long ns
     ev_raw.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(f"{src}/a")
     ev_raw.filter(F.col("event_id") > mid).coalesce(1).write.parquet(f"{src}/b")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_NANOS)
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
         .parquet(src)
@@ -148,18 +147,15 @@ def test_stream_dedup(spark, sf_dir, events_path, tmp_path):
     drained output matches the distinct batch count."""
     import os
 
-    from sparrow_spark.streaming.ingest import EVENTS_SCHEMA
     from sparrow_spark.streaming.stateful import stream_dedup
 
     src = str(tmp_path / "dupsrc")
     os.makedirs(src)
     os.symlink(events_path, f"{src}/events1.parquet")
     os.symlink(events_path, f"{src}/events2.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
-    stream = stream_dedup(
-        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    # read_events_stream probes the fixture's physical timestamp type
+    # itself — the dir holds symlinks to the real fixture file.
+    stream = stream_dedup(read_events_stream(spark, src))
     run_to_memory(stream, "deduped_events", output_mode="append")
     got = spark.table("deduped_events").count()
     want = load_table(spark, sf_dir, "events").count()
