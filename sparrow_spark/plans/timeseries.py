@@ -611,12 +611,23 @@ def q_group_ewma_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     template for per-group logic that ISN'T a Catalyst-expressible
     fold (model scoring, scipy fits). For a pure arithmetic recurrence
     the JVM variant above is strictly better: same result bitwise,
-    none of the per-group Arrow/Python overhead (~2 s of the ~2.6 s
-    at sf0.1 is framework, measured with a trivial worker)."""
+    none of the per-group Arrow/Python overhead.
+
+    The explicit repartition is load-bearing: AQE coalesces the
+    grouped-map shuffle by BYTE size (100k rows -> 2 partitions), which
+    is right for JVM operators but serializes the Python tier — per
+    group cost here is worker-side milliseconds, not shuffle bytes, so
+    groups must spread across all cores. A user-specified repartition
+    is exempt from AQE coalescing and already satisfies the groupBy's
+    required distribution, so no second shuffle is added (measured 4x
+    at sf0.1: 2.9 s -> 0.73 s steady-state). At production scale the
+    byte-based estimate and the compute-based ideal converge and the
+    explicit count is simply defaultParallelism."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
-    out = ev.groupBy("user_id").applyInPandas(
+    par = spark.sparkContext.defaultParallelism
+    out = ev.repartition(par, "user_id").groupBy("user_id").applyInPandas(
         _ewma_worker(0.1), schema="user_id bigint, n_events bigint, ewma double"
     )
     return out.select("user_id", "n_events", rnd(F.col("ewma"), 6).alias("ewma"))
