@@ -16,6 +16,7 @@ from sparrow_spark.operators.asof import asof_join
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
 from sparrow_spark.sources import load_table
+from sparrow_spark.streaming.constants import SESSION_GAP_SECONDS
 
 
 @query(
@@ -52,11 +53,11 @@ def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sessionize",
-    oracle="""
+    oracle=f"""
     WITH flagged AS (
       SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                       OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_SECONDS}
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -87,7 +88,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap_sec = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     flagged = ev.withColumn(
         "new_session",
-        F.when(gap_sec.isNull() | (gap_sec > 1800), F.lit(1)).otherwise(F.lit(0)),
+        F.when(
+            gap_sec.isNull() | (gap_sec > SESSION_GAP_SECONDS), F.lit(1)
+        ).otherwise(F.lit(0)),
     )
     sessions = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
     return sessions.groupBy("user_id").agg(

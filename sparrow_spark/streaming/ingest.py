@@ -21,6 +21,14 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparrow_spark.streaming.constants import (
+    ATTRIBUTION_INTERVAL,
+    SESSION_GAP_INTERVAL,
+    SESSION_GAP_US,
+    WATERMARK_INTERVAL,
+    WATERMARK_MS,
+)
+
 EVENTS_SCHEMA_NANOS = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
@@ -70,7 +78,7 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def windowed_event_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame, window: str = "1 hour", watermark: str = WATERMARK_INTERVAL
 ) -> DataFrame:
     """Per-(window, event_type) counts with late-data watermark — the
     streaming twin of q_time_bucket_rollup."""
@@ -91,7 +99,9 @@ def windowed_event_counts(
 
 
 def sessionized_counts(
-    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+    events: DataFrame,
+    gap: str = SESSION_GAP_INTERVAL,
+    watermark: str = WATERMARK_INTERVAL,
 ) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap — the
     streaming twin of q_sessionize (which computes the same sessions
@@ -170,11 +180,11 @@ def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep non-last sessions plus timed-out last ones. Gaps compare in
     # MICROSECONDS (the Python state machine compares epoch-us;
     # second-truncated diffs diverge on sub-second gaps at 1800 s).
-    oracle="""
+    oracle=f"""
     WITH flagged AS (
       SELECT user_id, event_id, ts, coalesce(value, 0.0) AS value,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -187,7 +197,7 @@ def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), agg AS (
       SELECT user_id, session_id,
              epoch_us(min(ts)) AS session_start_us,
-             epoch_us(max(ts)) + 1800000000 AS session_end_us,
+             epoch_us(max(ts)) + {SESSION_GAP_US} AS session_end_us,
              count(*) AS n_events,
              round(sum(value), 2) AS sum_value
       FROM sessions
@@ -199,7 +209,7 @@ def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT max(epoch_us(ts)) FROM events) AS max_us
       FROM agg
     ) WHERE session_id < max_sid
-       OR session_end_us // 1000 < max_us // 1000 - 7200000
+       OR session_end_us // 1000 < max_us // 1000 - {WATERMARK_MS}
     """,
 )
 def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,7 +273,9 @@ def enriched_event_stream(
 
 
 def click_purchase_join(
-    events: DataFrame, attribution: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    attribution: str = ATTRIBUTION_INTERVAL,
+    watermark: str = WATERMARK_INTERVAL,
 ) -> DataFrame:
     """Stream-stream inner join: attribute each purchase to the same
     user's clicks within the preceding hour. Both sides carry watermarks

@@ -28,6 +28,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from sparrow_spark.streaming.constants import (
+    SESSION_GAP_SECONDS,
+    WATERMARK_INTERVAL,
+)
+
 SESSION_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, sum_value double"
@@ -96,7 +101,9 @@ def _session_fn(gap_seconds: int):
 
 
 def stateful_sessionize(
-    events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
+    events: DataFrame,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    watermark: str = WATERMARK_INTERVAL,
 ) -> DataFrame:
     """Per-user sessions (30-min inactivity gap) as an explicit state
     machine. A session is emitted when the gap elapses mid-stream or
@@ -119,7 +126,7 @@ def stateful_sessionize(
 def stream_dedup(
     events: DataFrame,
     keys: list[str] | None = None,
-    watermark: str = "2 hours",
+    watermark: str = WATERMARK_INTERVAL,
 ) -> DataFrame:
     """Exact-duplicate suppression keyed on `keys` (default: event_id),
     state bounded by the watermark — the streaming twin of
