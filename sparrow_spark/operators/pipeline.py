@@ -446,3 +446,132 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_distinct",
     ).select("column_name", "n_rows", "n_nulls", "null_ratio", "n_distinct")
+
+
+@query(
+    "q_data_mixture",
+    oracle="""
+    WITH counted AS (
+      SELECT doc_id, source,
+             count(*) OVER (PARTITION BY source) AS n_docs,
+             count(*) OVER () AS total,
+             count(DISTINCT source) OVER () AS n_sources,
+             ('0x' || substr(md5('mix:' || doc_id), 1, 8))::UBIGINT
+                 / 4294967296.0 AS u
+      FROM documents
+    ), fractioned AS (
+      SELECT doc_id, source, n_docs,
+             least(1.0, (total / CAST(n_sources AS DOUBLE)) / n_docs) AS frac,
+             u
+      FROM counted
+    )
+    SELECT source,
+           CAST(max(n_docs) AS BIGINT) AS n_docs,
+           round(max(frac), 6) AS frac,
+           CAST(count(*) FILTER (WHERE u < frac) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(doc_id) FILTER (WHERE u < frac), 0)
+                AS BIGINT) AS kept_checksum
+    FROM fractioned
+    GROUP BY source
+    """,
+)
+def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture resampling: downsample each source toward a UNIFORM
+    target share (total/n_sources docs per source) — the rebalancing
+    step a training-data pipeline runs when one crawl dominates the
+    mix. Each doc draws a deterministic pseudo-uniform u from
+    md5(doc_id) and survives iff u < min(1, target/n_source), so the
+    sample is reproducible across runs, engines, and partitionings
+    (same property as q_train_test_split), and the kept set is
+    verifiable: the oracle recomputes the identical decision per doc
+    (kept_checksum = sum of surviving doc_ids). Scale: one window/agg
+    shuffle on source for counts, then a map-side filter — the
+    candidate mixture never materializes, and per-source fractions are
+    a broadcast-sized table at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Per-source counts (bounded cardinality -> broadcast-sized), then
+    # corpus totals as a 1-row aggregate OF THAT small table — never a
+    # global window over the corpus (an unpartitioned window is a
+    # single-partition sort at scale).
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = srcs.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    fracs = srcs.crossJoin(F.broadcast(stats)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            (F.col("total") / F.col("n_sources").cast("double"))
+            / F.col("n_docs"),
+        ).alias("frac"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    kept = u < F.col("frac")
+    return (
+        docs.join(F.broadcast(fracs), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            rnd(F.max("frac"), 6).alias("frac"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("doc_id"))), F.lit(0)
+            ).cast("bigint").alias("kept_checksum"),
+        )
+    )
+
+
+@query(
+    "q_length_filter_adaptive",
+    oracle="""
+    WITH bounds AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(max(b.lo), 4) AS p05_chars,
+           round(max(b.hi), 4) AS p95_chars,
+           CAST(count(*) FILTER (WHERE d.n_chars >= b.lo
+                                   AND d.n_chars <= b.hi) AS BIGINT) AS n_kept
+    FROM documents d JOIN bounds b USING (lang)
+    GROUP BY d.lang
+    """,
+)
+def q_length_filter_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive length filtering: keep docs inside their OWN language's
+    [p05, p95] char-length band instead of one global cutoff — the
+    quality-filter shape that doesn't systematically discard languages
+    with shorter/longer scripts (a fixed byte threshold over-prunes zh
+    and under-prunes de). Exact interpolated percentiles per language
+    (both engines linear-interpolate), broadcast back to the corpus for
+    a map-side band filter. Scale: percentile agg shuffles on lang
+    (bounded cardinality); the per-lang bounds table is broadcast, so
+    the corpus itself is filtered without a second shuffle;
+    percentile_approx is the documented at-scale variant (same swap as
+    q_percentiles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    joined = docs.join(F.broadcast(bounds), "lang")
+    in_band = (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi"))
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.max("lo"), 4).alias("p05_chars"),
+        rnd(F.max("hi"), 4).alias("p95_chars"),
+        F.sum(in_band.cast("bigint")).alias("n_kept"),
+    )

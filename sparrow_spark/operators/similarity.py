@@ -384,3 +384,78 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("a_neighbor_id").alias("n_hits"),
         rnd(F.count("a_neighbor_id") / F.lit(3.0), 4).alias("recall_at_3"),
     )
+
+
+@query(
+    "q_kmeans_assign",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < 8),
+    sims AS (
+      SELECT a.vec_id, b.centroid_id,
+             {_COS_SQL} AS cos
+      FROM e a JOIN seeds b ON true
+    ), assigned AS (
+      SELECT vec_id, centroid_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, centroid_id) AS rn
+      FROM sims
+    )
+    SELECT centroid_id,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           round(avg(cos), 4) AS avg_cos,
+           CAST(sum(vec_id) AS BIGINT) AS member_checksum
+    FROM assigned WHERE rn = 1
+    GROUP BY centroid_id
+    """,
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means ASSIGNMENT step over the embedding corpus: broadcast
+    k seed centroids (deterministic: vec_id < 8), assign every vector
+    to its nearest centroid by cosine (ties -> lowest centroid_id),
+    report per-cluster size, mean similarity, and a membership checksum
+    the oracle re-derives doc-by-doc. This is the inner loop of
+    embedding-space clustering (semantic dedup buckets, topic
+    balancing, IVF coarse-quantizer training): iterating it is Lloyd's
+    algorithm, with the new centroids computable from the same
+    assignment by a per-cluster vector mean. Scale: the k centroids
+    collapse to ONE broadcast row holding a sorted array of (id, vec)
+    structs, and the argmax over centroids runs as an F.aggregate fold
+    inside the per-row projection — fully map-side, no per-vector x k
+    row blowup and no shuffle until the k-row final aggregate (a
+    window/row_number argmin would shuffle the whole corpus on vec_id
+    for nothing). Ascending-id iteration with a strict > keeps the
+    lowest centroid_id on exact ties, matching the oracle's
+    (cos DESC, centroid_id) tiebreak."""
+    vecs = _vecs(spark, sf_dir)
+    seeds = (
+        vecs.filter(F.col("vec_id") < 8)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+            ).alias("s")
+        )
+        .agg(F.array_sort(F.collect_list("s")).alias("seeds"))
+    )
+    best = F.aggregate(
+        F.col("seeds"),
+        F.struct(
+            F.lit(-1).cast("bigint").alias("centroid_id"),
+            F.lit(float("-inf")).alias("cos"),
+        ),
+        lambda acc, s: F.when(
+            cosine(F.col("v"), s["cv"]) > acc["cos"],
+            F.struct(
+                s["centroid_id"].alias("centroid_id"),
+                cosine(F.col("v"), s["cv"]).alias("cos"),
+            ),
+        ).otherwise(acc),
+    )
+    assigned = vecs.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", best.alias("best")
+    )
+    return assigned.groupBy(F.col("best.centroid_id").alias("centroid_id")).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        rnd(F.avg("best.cos"), 4).alias("avg_cos"),
+        F.sum("vec_id").cast("bigint").alias("member_checksum"),
+    )
