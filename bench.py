@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "q_range_join_banded",
     "q_perplexity_unigram",
     "q_contamination",
+    # r5 additions:
+    "q_kmeans_assign",
+    "q_data_mixture",
 ]
 
 
