@@ -386,6 +386,71 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def collapse_centroids(centroids: DataFrame) -> DataFrame:
+    """Collapse a k-row (centroid_id, cv) table into ONE row holding a
+    sorted array of (centroid_id, cv) structs — the broadcastable shape
+    the assignment fold consumes. k x dim doubles: broadcast-sized for
+    k into the thousands."""
+    return centroids.select(
+        F.struct(F.col("centroid_id"), F.col("cv")).alias("s")
+    ).agg(F.array_sort(F.collect_list("s")).alias("seeds"))
+
+
+def assign_to_centroids(vecs: DataFrame, seeds_row: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as a fully map-side pass: cross-join
+    the 1-row broadcast centroid array and run the argmax over
+    centroids as an F.aggregate fold inside the per-row projection —
+    no per-vector x k row blowup, no shuffle (a window/row_number
+    argmin would shuffle the whole corpus on vec_id for nothing).
+    Ascending-id iteration with a strict > keeps the lowest
+    centroid_id on exact cosine ties, matching a SQL
+    (cos DESC, centroid_id) tiebreak. Returns
+    (vec_id, v, centroid_id, cos)."""
+    best = F.aggregate(
+        F.col("seeds"),
+        F.struct(
+            F.lit(-1).cast("bigint").alias("centroid_id"),
+            F.lit(float("-inf")).alias("cos"),
+        ),
+        lambda acc, s: F.when(
+            cosine(F.col("v"), s["cv"]) > acc["cos"],
+            F.struct(
+                s["centroid_id"].alias("centroid_id"),
+                cosine(F.col("v"), s["cv"]).alias("cos"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        vecs.crossJoin(F.broadcast(seeds_row))
+        .select("vec_id", "v", best.alias("best"))
+        .select(
+            "vec_id",
+            "v",
+            F.col("best.centroid_id").alias("centroid_id"),
+            F.col("best.cos").alias("cos"),
+        )
+    )
+
+
+def mean_centroids(assigned: DataFrame) -> DataFrame:
+    """Centroid UPDATE step: per-cluster component-wise mean of member
+    vectors. posexplode -> groupBy (centroid, position) -> avg ->
+    reassemble in position order. Two bounded shuffles: one keyed on
+    (centroid_id, pos) with map-side partial aggregation (k x dim
+    groups), one on centroid_id (k groups) to rebuild arrays — the
+    corpus itself is never reshuffled."""
+    exploded = assigned.select(
+        "centroid_id", F.posexplode("v").alias("pos", "x")
+    )
+    comp = exploded.groupBy("centroid_id", "pos").agg(F.avg("x").alias("m"))
+    return comp.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("cv")
+    )
+
+
 @query(
     "q_kmeans_assign",
     oracle=f"""
@@ -416,46 +481,182 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     report per-cluster size, mean similarity, and a membership checksum
     the oracle re-derives doc-by-doc. This is the inner loop of
     embedding-space clustering (semantic dedup buckets, topic
-    balancing, IVF coarse-quantizer training): iterating it is Lloyd's
-    algorithm, with the new centroids computable from the same
-    assignment by a per-cluster vector mean. Scale: the k centroids
-    collapse to ONE broadcast row holding a sorted array of (id, vec)
-    structs, and the argmax over centroids runs as an F.aggregate fold
-    inside the per-row projection — fully map-side, no per-vector x k
-    row blowup and no shuffle until the k-row final aggregate (a
-    window/row_number argmin would shuffle the whole corpus on vec_id
-    for nothing). Ascending-id iteration with a strict > keeps the
-    lowest centroid_id on exact ties, matching the oracle's
-    (cos DESC, centroid_id) tiebreak."""
+    balancing, IVF coarse-quantizer training); q_kmeans_iterate runs
+    the full Lloyd's loop and q_semantic_dedup consumes the clusters.
+    Scale: see assign_to_centroids — fully map-side, no shuffle until
+    the k-row final aggregate."""
     vecs = _vecs(spark, sf_dir)
-    seeds = (
-        vecs.filter(F.col("vec_id") < 8)
-        .select(
-            F.struct(
-                F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
-            ).alias("s")
+    seeds = collapse_centroids(
+        vecs.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
         )
-        .agg(F.array_sort(F.collect_list("s")).alias("seeds"))
     )
-    best = F.aggregate(
-        F.col("seeds"),
-        F.struct(
-            F.lit(-1).cast("bigint").alias("centroid_id"),
-            F.lit(float("-inf")).alias("cos"),
-        ),
-        lambda acc, s: F.when(
-            cosine(F.col("v"), s["cv"]) > acc["cos"],
-            F.struct(
-                s["centroid_id"].alias("centroid_id"),
-                cosine(F.col("v"), s["cv"]).alias("cos"),
-            ),
-        ).otherwise(acc),
-    )
-    assigned = vecs.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", best.alias("best")
-    )
-    return assigned.groupBy(F.col("best.centroid_id").alias("centroid_id")).agg(
+    assigned = assign_to_centroids(vecs, seeds)
+    return assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_assigned"),
-        rnd(F.avg("best.cos"), 4).alias("avg_cos"),
+        rnd(F.avg("cos"), 4).alias("avg_cos"),
         F.sum("vec_id").cast("bigint").alias("member_checksum"),
+    )
+
+
+@query(
+    "q_kmeans_iterate",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s0 AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < 8),
+    sims1 AS (
+      SELECT a.vec_id, a.v AS mv, b.centroid_id, {_COS_SQL} AS cos
+      FROM e a JOIN s0 b ON true
+    ), a1 AS (
+      SELECT vec_id, mv, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, centroid_id) AS rn
+        FROM sims1
+      ) WHERE rn = 1
+    ), comp AS (
+      SELECT centroid_id, generate_subscripts(mv, 1) AS pos, unnest(mv) AS x
+      FROM a1
+    ), c1 AS (
+      SELECT centroid_id, list(m ORDER BY pos) AS v
+      FROM (SELECT centroid_id, pos, avg(x) AS m
+            FROM comp GROUP BY centroid_id, pos)
+      GROUP BY centroid_id
+    ), sims2 AS (
+      SELECT a.vec_id, b.centroid_id, {_COS_SQL} AS cos
+      FROM e a JOIN c1 b ON true
+    ), a2 AS (
+      SELECT vec_id, centroid_id, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, centroid_id) AS rn
+        FROM sims2
+      ) WHERE rn = 1
+    )
+    SELECT centroid_id,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           round(avg(cos), 4) AS avg_cos,
+           CAST(sum(vec_id) AS BIGINT) AS member_checksum
+    FROM a2 GROUP BY centroid_id
+    """,
+)
+def q_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A full Lloyd's ITERATION: assign (map-side fold against the
+    broadcast seed array), recompute centroids as per-cluster
+    component-wise means (posexplode -> (centroid, pos) avg ->
+    reassemble), re-assign against the updated centroids, and report
+    the post-iteration clustering. This is the iterative-algorithm
+    pattern at scale: per iteration the corpus is read map-side twice
+    and never shuffled — only k x dim component partials and k
+    centroid rows move, and the refreshed centroids re-broadcast.
+    Iterating to convergence is this operator in a driver loop (the
+    k-row centroid table is the only loop-carried state). Determinism
+    note: centroid components are parallel double sums, so the oracle's
+    sequential mean can differ by ~1 ulp; assignments only flip if two
+    centroids tie in cosine within that noise — orders of magnitude
+    below the fixture's inter-centroid gaps (and any real corpus's)."""
+    vecs = _vecs(spark, sf_dir)
+    seeds0 = collapse_centroids(
+        vecs.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+        )
+    )
+    a1 = assign_to_centroids(vecs, seeds0)
+    c1 = mean_centroids(a1).select("centroid_id", F.col("cv"))
+    a2 = assign_to_centroids(vecs, collapse_centroids(c1))
+    return a2.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        rnd(F.avg("cos"), 4).alias("avg_cos"),
+        F.sum("vec_id").cast("bigint").alias("member_checksum"),
+    )
+
+
+@query(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s0 AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < 8),
+    sims AS (
+      SELECT a.vec_id, a.v AS mv, b.centroid_id, {_COS_SQL} AS cos
+      FROM e a JOIN s0 b ON true
+    ), assigned AS (
+      SELECT vec_id, mv, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, centroid_id) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT a.centroid_id, b.vec_id AS b_id
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE list_sum([a.mv[i] * b.mv[i] for i in range(1, len(a.mv) + 1)]) /
+            (sqrt(list_sum([x * x for x in a.mv])) *
+             sqrt(list_sum([x * x for x in b.mv]))) > 0.35
+    ), dropped AS (
+      SELECT centroid_id, count(DISTINCT b_id) AS n_dropped,
+             sum(DISTINCT b_id) AS dropped_checksum
+      FROM pairs GROUP BY centroid_id
+    )
+    SELECT m.centroid_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(coalesce(max(d.n_dropped), 0) AS BIGINT) AS n_dropped,
+           CAST(coalesce(max(d.dropped_checksum), 0) AS BIGINT)
+               AS dropped_checksum
+    FROM assigned m LEFT JOIN dropped d USING (centroid_id)
+    GROUP BY m.centroid_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: cluster the corpus in
+    embedding space (one k-means assignment against broadcast seeds),
+    then find near-duplicate pairs ONLY within each cluster
+    (cosine > 0.35) and drop the higher vec_id of each pair — keeping
+    the earliest. The clustering is what makes semantic dedup scale:
+    the pairwise pass runs inside clusters, never across the corpus,
+    so cost is sum over clusters of |c|^2 instead of n^2 — with k
+    sized so clusters stay bounded (k in the thousands at 100 TB;
+    k=8 here only because the fixture has 500 vectors), this is the
+    published SemDeDup recipe. Scale: assignment is map-side; the
+    pair join shuffles on centroid_id once; dropped-set aggregation
+    is cluster-sized."""
+    vecs = _vecs(spark, sf_dir)
+    seeds = collapse_centroids(
+        vecs.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+        )
+    )
+    assigned = assign_to_centroids(vecs, seeds).select(
+        "centroid_id", "vec_id", "v"
+    )
+    a = assigned.select(
+        "centroid_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av")
+    )
+    b = assigned.select(
+        F.col("centroid_id").alias("b_cid"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+    )
+    pairs = a.join(
+        b,
+        (a.centroid_id == b.b_cid)
+        & (a.a_id < b.b_id)
+        & (cosine(F.col("av"), F.col("bv")) > 0.35),
+    )
+    dropped = (
+        pairs.select("centroid_id", "b_id")
+        .distinct()
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dropped"),
+            F.sum("b_id").alias("dropped_checksum"),
+        )
+    )
+    members = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return members.join(dropped, "centroid_id", "left").select(
+        "centroid_id",
+        "n_members",
+        F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+        F.coalesce("dropped_checksum", F.lit(0))
+        .cast("bigint")
+        .alias("dropped_checksum"),
     )
