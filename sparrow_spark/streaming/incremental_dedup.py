@@ -1,0 +1,165 @@
+"""Incremental streaming near-duplicate detection: every arriving
+microbatch of documents is checked against the MinHash-LSH band index
+of EVERYTHING seen so far, then its own bands are appended to the
+index — dedup-at-ingest for a continuously growing corpus, the shape a
+production pipeline runs so a new crawl snapshot never reintroduces
+known documents.
+
+Built on foreachBatch (the accumulating band index is relational state
+— keyed equi-join lookups, parquet-persisted — which fits a table
+better than the per-key state store applyInPandasWithState offers).
+Per microbatch: one bucket equi-join of batch bands vs the index plus
+one within-batch self-join; both are band-bucket joins, never
+corpus-wide pairwise. The index grows as O(docs x bands), is
+partitionable on band_sig, and at scale would be a Delta/iceberg table
+with compaction; batch verdicts append-only.
+
+Ordering contract: a document counts as a duplicate iff it collides
+with an EARLIER document (prior microbatch, or smaller doc_id within
+its own batch) — so a doc_id-ordered drain reproduces the batch
+verdict "collides with any smaller doc_id", which is what the oracle
+checks.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparrow_spark.operators.dedup import _MINHASH_BANDS_CTE, minhash_bands
+from sparrow_spark.registry import query
+from sparrow_spark.sources import load_table
+
+_BANDS_SCHEMA = "doc_id bigint, band int, band_sig string"
+
+
+def dedup_batch_against_index(
+    batch: DataFrame, index_dir: str, verdict_dir: str
+) -> None:
+    """foreachBatch callback body: verdict every doc in `batch` against
+    the accumulated index + earlier docs of the same batch, then fold
+    the batch's bands into the index."""
+    spark = batch.sparkSession
+    bands = minhash_bands(batch).cache()
+    try:
+        if os.path.exists(index_dir):
+            index = spark.read.schema(_BANDS_SCHEMA).parquet(index_dir)
+        else:
+            index = spark.createDataFrame([], _BANDS_SCHEMA)
+        # Cross-batch collisions: any index hit marks the batch doc.
+        vs_index = (
+            bands.join(
+                index.select("band", "band_sig").distinct(),
+                ["band", "band_sig"],
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        # Within-batch collisions: earlier (smaller id) doc wins.
+        a = bands.select(
+            F.col("doc_id").alias("a_id"), "band", "band_sig"
+        )
+        b = bands.select(
+            F.col("doc_id").alias("doc_id"), "band", "band_sig"
+        )
+        within = (
+            a.join(b, ["band", "band_sig"])
+            .filter(F.col("a_id") < F.col("doc_id"))
+            .select("doc_id")
+            .distinct()
+        )
+        dups = vs_index.union(within).distinct()
+        verdicts = (
+            batch.select("doc_id")
+            .join(dups.withColumn("is_dup", F.lit(1)), "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce("is_dup", F.lit(0)).cast("bigint").alias("is_dup")
+            )
+        )
+        verdicts.write.mode("append").parquet(verdict_dir)
+        bands.write.mode("append").parquet(index_dir)
+    finally:
+        bands.unpersist()
+
+
+def incremental_lsh_dedup_stream(
+    spark: SparkSession, src_dir: str, state_root: str
+):
+    """Attach the incremental dedup to a documents file stream. Returns
+    (query, verdict_dir). maxFilesPerTrigger=1 so every source file is
+    its own microbatch — the index genuinely accumulates between
+    batches."""
+    index_dir = os.path.join(state_root, "band_index")
+    verdict_dir = os.path.join(state_root, "verdicts")
+    docs_schema = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _bid: dedup_batch_against_index(
+                batch, index_dir, verdict_dir
+            )
+        )
+        .option("checkpointLocation", os.path.join(state_root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, verdict_dir
+
+
+@query(
+    "q_stream_incremental_dedup",
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    SELECT d.doc_id,
+           CAST(coalesce(dup.is_dup, 0) AS BIGINT) AS is_dup
+    FROM documents d
+    LEFT JOIN (
+      SELECT DISTINCT b.doc_id, 1 AS is_dup
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ) dup ON d.doc_id = dup.doc_id
+    """,
+)
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the documents fixture through the incremental dedup in
+    three doc_id-ordered microbatches (file mtimes force source order)
+    and return every doc's verdict. Because arrival order == doc_id
+    order, the streamed verdict must equal the batch rule "collides in
+    some LSH band with a smaller doc_id" — which the oracle computes
+    directly. Short docs (<3 tokens) have no shingles/bands and are
+    never duplicates, matching the batch LSH path."""
+    docs = load_table(spark, sf_dir, "documents")
+    lo, hi = docs.agg(
+        F.expr("percentile(doc_id, 0.33)"), F.expr("percentile(doc_id, 0.66)")
+    ).first()
+    root = tempfile.mkdtemp(prefix=f"incdedup_{uuid.uuid4().hex[:8]}_")
+    src = os.path.join(root, "src")
+    chunks = [
+        docs.filter(F.col("doc_id") <= lo),
+        docs.filter((F.col("doc_id") > lo) & (F.col("doc_id") <= hi)),
+        docs.filter(F.col("doc_id") > hi),
+    ]
+    for i, c in enumerate(chunks):
+        d = os.path.join(src, f"chunk-{i:03d}")
+        c.coalesce(1).write.parquet(d)
+        # The file source orders by modification time; pin strictly
+        # increasing mtimes so batch order == doc_id order even when
+        # all writes land within one filesystem timestamp tick.
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    q, verdict_dir = incremental_lsh_dedup_stream(spark, src, root)
+    q.awaitTermination(180)
+    return spark.read.parquet(verdict_dir)
