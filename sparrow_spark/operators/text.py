@@ -659,3 +659,96 @@ def q_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.avg("nll"), 5).alias("avg_nll"),
         rnd(F.exp(F.avg("nll")), 3).alias("ppl"),
     )
+
+
+@query(
+    "q_dsir_selection",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), tgt AS (
+      SELECT tok, count(*) AS n FROM tok WHERE lang = 'en' GROUP BY tok
+    ), raw AS (
+      SELECT tok, count(*) AS n FROM tok GROUP BY tok
+    ), tstats AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS v
+      FROM tgt
+    ), rstats AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS v
+      FROM raw
+    ), scored AS (
+      SELECT t.doc_id, t.lang,
+             ln(coalesce((g.n + 1) / (ts.total + ts.v),
+                         1.0 / (ts.total + ts.v)))
+             - ln((r.n + 1) / (rs.total + rs.v)) AS llr
+      FROM tok t
+      CROSS JOIN tstats ts CROSS JOIN rstats rs
+      LEFT JOIN tgt g ON g.tok = t.tok
+      JOIN raw r ON r.tok = t.tok
+    ), per_doc AS (
+      SELECT doc_id, lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(llr), 5) AS avg_llr
+      FROM scored GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_tokens, avg_llr FROM (
+      SELECT *, row_number() OVER (ORDER BY avg_llr DESC, doc_id) AS rnk
+      FROM per_doc
+    ) WHERE rnk <= 50
+    """,
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): train two smoothed
+    unigram models — the TARGET distribution (here: the corpus's 'en'
+    slice stands in for the desired domain) and the RAW distribution
+    (the whole corpus) — then score every document by its mean
+    log-likelihood RATIO ln p_target(tok) - ln p_raw(tok) and keep the
+    top-k. Positive scores mean "looks more like the target than like
+    an average document"; sampling proportionally to exp(llr) instead
+    of top-k rank is the full importance-resampling variant (the
+    deterministic top-k keeps the oracle exact). Scale: both models
+    are vocab tables (broadcast at any corpus size); scoring is one
+    explode + two broadcast joins + a keyed per-doc rollup, and the
+    top-k is TakeOrderedAndProject — the corpus itself never
+    shuffles."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tn"))
+    )
+    raw = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("rn"))
+    tstats = tgt.agg(
+        F.sum("tn").cast("double").alias("t_total"),
+        F.count(F.lit(1)).cast("double").alias("t_v"),
+    )
+    rstats = raw.agg(
+        F.sum("rn").cast("double").alias("r_total"),
+        F.count(F.lit(1)).cast("double").alias("r_v"),
+    )
+    t_denom = F.col("t_total") + F.col("t_v")
+    r_denom = F.col("r_total") + F.col("r_v")
+    p_tgt = F.coalesce((F.col("tn") + 1) / t_denom, F.lit(1.0) / t_denom)
+    p_raw = (F.col("rn") + 1) / r_denom
+    scored = (
+        toks.crossJoin(F.broadcast(tstats))
+        .crossJoin(F.broadcast(rstats))
+        .join(F.broadcast(tgt), "tok", "left")
+        .join(F.broadcast(raw), "tok")
+        .select("doc_id", "lang", (F.log(p_tgt) - F.log(p_raw)).alias("llr"))
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        rnd(F.avg("llr"), 5).alias("avg_llr"),
+    )
+    # Global top-k as orderBy+limit -> TakeOrderedAndProject (partial
+    # top-k per partition, k-row final merge) — never a global-window
+    # row_number, which funnels every per-doc row to one partition.
+    return per_doc.orderBy(F.col("avg_llr").desc(), "doc_id").limit(50).select(
+        "doc_id", "lang", "n_tokens", "avg_llr"
+    )
