@@ -575,3 +575,164 @@ def q_length_filter_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.max("hi"), 4).alias("p95_chars"),
         F.sum(in_band.cast("bigint")).alias("n_kept"),
     )
+
+
+@query(
+    "q_curation_funnel",
+    oracle="""
+    WITH s0 AS (
+      SELECT doc_id, text, source,
+             string_split(lower(text), ' ') AS toks
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id, text, source FROM s0
+      WHERE len(toks) >= 20
+        AND len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) >= 0.3
+    ), s2 AS (
+      SELECT doc_id, text, source FROM (
+        SELECT *, min(doc_id) OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text),
+                                                      '\\s+', ' ', 'g')))
+               ) AS keeper
+        FROM s1
+      ) WHERE doc_id = keeper
+    ), tok2 AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM s2
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), sh AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)]) AS shingle
+      FROM tok2
+    ), hashed AS (
+      SELECT doc_id, md5('a:' || shingle) AS da, md5('b:' || shingle) AS db
+      FROM sh
+    ), sigs AS (
+      SELECT doc_id,
+             min(substr(da, 1, 8)) AS h0, min(substr(da, 9, 8)) AS h1,
+             min(substr(da, 17, 8)) AS h2, min(substr(da, 25, 8)) AS h3,
+             min(substr(db, 1, 8)) AS h4, min(substr(db, 9, 8)) AS h5,
+             min(substr(db, 17, 8)) AS h6, min(substr(db, 25, 8)) AS h7
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id,
+             unnest([struct_pack(band := 0, band_sig := h0 || '|' || h1),
+                     struct_pack(band := 1, band_sig := h2 || '|' || h3),
+                     struct_pack(band := 2, band_sig := h4 || '|' || h5),
+                     struct_pack(band := 3, band_sig := h6 || '|' || h7)],
+                    recursive := true)
+      FROM sigs
+    ), s3 AS (
+      SELECT s2.doc_id, s2.source FROM s2
+      WHERE NOT EXISTS (
+        SELECT 1 FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+        WHERE b.doc_id = s2.doc_id
+      )
+    ), src3 AS (
+      SELECT source, count(*) AS n3 FROM s3 GROUP BY source
+    ), stats3 AS (
+      SELECT CAST(sum(n3) AS DOUBLE) AS total, count(*) AS n_sources
+      FROM src3
+    ), s4 AS (
+      SELECT s3.doc_id, s3.source FROM s3
+      JOIN src3 USING (source) CROSS JOIN stats3
+      WHERE ('0x' || substr(md5('mix:' || s3.doc_id), 1, 8))::UBIGINT
+              / 4294967296.0
+            < least(1.0, (total / n_sources) / n3)
+    )
+    SELECT d.source,
+           CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_input,
+           CAST(count(DISTINCT s1.doc_id) AS BIGINT) AS n_quality,
+           CAST(count(DISTINCT s2.doc_id) AS BIGINT) AS n_exact,
+           CAST(count(DISTINCT s3.doc_id) AS BIGINT) AS n_neardup,
+           CAST(count(DISTINCT s4.doc_id) AS BIGINT) AS n_final
+    FROM documents d
+    LEFT JOIN s1 ON s1.doc_id = d.doc_id
+    LEFT JOIN s2 ON s2.doc_id = d.doc_id
+    LEFT JOIN s3 ON s3.doc_id = d.doc_id
+    LEFT JOIN s4 ON s4.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline with a per-source funnel report:
+    quality gate (min tokens + type-token ratio) -> exact dedup
+    (keep-min-id per normalized fingerprint) -> MinHash-LSH near-dup
+    drop (collides in some band with a smaller surviving id) -> mixture
+    rebalance toward uniform source shares (deterministic hash
+    threshold). The output is the count surviving each stage per
+    source — the funnel dashboard every production pipeline publishes,
+    and the composition proof that the individual operators (text
+    stats, exact_dedup, minhash_bands, q_data_mixture's rule) chain
+    without materialization barriers. Scale: each stage adds at most
+    one bounded keyed shuffle (fingerprint window on s1, band self-join
+    on s2 survivors, source-count broadcast); the funnel rollup
+    aggregates flags, not rows-per-stage."""
+    from sparrow_spark.operators.dedup import fingerprint, minhash_bands
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    s1 = docs.filter(
+        (F.size(toks) >= 20)
+        & (F.size(F.array_distinct(toks)) / F.size(toks).cast("double") >= 0.3)
+    ).select("doc_id", "text", "source")
+    w_fp = Window.partitionBy("fp")
+    s2 = (
+        s1.withColumn("fp", fingerprint(F.col("text")))
+        .withColumn("keeper", F.min("doc_id").over(w_fp))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text", "source")
+    )
+    bands = minhash_bands(s2)
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "band_sig")
+    dup_ids = (
+        bands.join(a, ["band", "band_sig"])
+        .filter(F.col("a_id") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    s3 = s2.join(dup_ids, "doc_id", "left_anti").select("doc_id", "source")
+    src3 = s3.groupBy("source").agg(F.count(F.lit(1)).alias("n3"))
+    stats3 = src3.agg(
+        F.sum("n3").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    frac = F.least(
+        F.lit(1.0), (F.col("total") / F.col("n_sources")) / F.col("n3")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    s4 = (
+        s3.join(F.broadcast(src3), "source")
+        .crossJoin(F.broadcast(stats3))
+        .filter(u < frac)
+        .select("doc_id", "source")
+    )
+    flag = lambda df, name: df.select(  # noqa: E731
+        "doc_id", F.lit(1).alias(name)
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(flag(s1, "f1"), "doc_id", "left")
+        .join(flag(s2, "f2"), "doc_id", "left")
+        .join(flag(s3, "f3"), "doc_id", "left")
+        .join(flag(s4, "f4"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.count("f1").alias("n_quality"),
+            F.count("f2").alias("n_exact"),
+            F.count("f3").alias("n_neardup"),
+            F.count("f4").alias("n_final"),
+        )
+    )
