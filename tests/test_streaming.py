@@ -229,3 +229,38 @@ def test_stream_upsert_into_engine_table(spark, engine, sf_dir, tmp_path):
         for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_incremental_dedup_cross_batch(spark, tmp_path):
+    """A document arriving in a LATER microbatch that duplicates one
+    from an earlier batch must be flagged via the accumulated band
+    index — the cross-batch path, pinned with synthetic data so it
+    does not depend on where the fixture's duplicates fall."""
+    import os
+
+    from sparrow_spark.streaming.incremental_dedup import (
+        incremental_lsh_dedup_stream,
+    )
+
+    t_dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows_a = [
+        (1, t_dup, "en", "s0", len(t_dup)),
+        (2, "one two three four five six seven eight", "en", "s0", 40),
+    ]
+    rows_b = [
+        (3, t_dup, "en", "s1", len(t_dup)),  # exact dup of doc 1
+        (4, "red orange yellow green blue indigo violet cyan", "en", "s1", 48),
+    ]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    src = str(tmp_path / "src")
+    for i, rows in enumerate([rows_a, rows_b]):
+        d = os.path.join(src, f"chunk-{i:03d}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (1_700_000_000 + i,) * 2)
+    q, verdict_dir = incremental_lsh_dedup_stream(
+        spark, src, str(tmp_path / "state")
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.is_dup for r in spark.read.parquet(verdict_dir).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 0}, got
