@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     # r5 additions:
     "q_kmeans_assign",
     "q_data_mixture",
+    "q_semantic_dedup",
+    "q_curation_funnel",
 ]
 
 

@@ -26,7 +26,7 @@ from pyspark.sql.types import (
 )
 
 from sparrow_spark.registry import query
-from sparrow_spark.sources import load_table
+from sparrow_spark.sources import load_table, widen
 
 HAVE_PIL = False
 try:  # pragma: no cover - not installed in this environment
@@ -227,7 +227,7 @@ def frame_sample_batches(
     """,
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_binary_column(load_table(spark, sf_dir, "documents"))
+    docs = with_binary_column(widen(load_table(spark, sf_dir, "documents")))
     return docs.select("doc_id", "blob").mapInPandas(
         resize_batches(), schema=RESIZED_SCHEMA
     )
@@ -249,7 +249,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to scalar (doc_id, feature_idx, feature_value) rows because the
     # driver's canonicalizer sorts with pandas and cannot hash a
     # list-typed column. Same data, scalar shape.
-    feats = multimodal_features(load_table(spark, sf_dir, "documents"))
+    feats = multimodal_features(widen(load_table(spark, sf_dir, "documents")))
     return feats.select(
         "doc_id",
         F.posexplode("features").alias("feature_idx", "feature_value"),
@@ -282,7 +282,7 @@ def multimodal_features(docs: DataFrame) -> DataFrame:
     """,
 )
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_binary_column(load_table(spark, sf_dir, "documents"))
+    docs = with_binary_column(widen(load_table(spark, sf_dir, "documents")))
     return docs.select("doc_id", "blob").mapInPandas(
         frame_sample_batches(), schema=FRAMES_SCHEMA
     )
@@ -301,7 +301,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_binary_column(load_table(spark, sf_dir, "documents"))
+    docs = with_binary_column(widen(load_table(spark, sf_dir, "documents")))
     decoded = docs.select("doc_id", "blob").mapInPandas(
         decode_media_batches(), schema=DECODED_SCHEMA
     )
