@@ -249,7 +249,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to scalar (doc_id, feature_idx, feature_value) rows because the
     # driver's canonicalizer sorts with pandas and cannot hash a
     # list-typed column. Same data, scalar shape.
-    feats = multimodal_features(widen(load_table(spark, sf_dir, "documents")))
+    # No widen() here: this stub's per-row cost is ~0, so Python-worker
+    # fan-out costs more than it saves (measured 0.25s at 1 partition
+    # vs 0.39s at 32). With a real encoder (ms/doc) the caller widens
+    # at ingestion — see q_multimodal_decode/resize for that pattern.
+    feats = multimodal_features(load_table(spark, sf_dir, "documents"))
     return feats.select(
         "doc_id",
         F.posexplode("features").alias("feature_idx", "feature_value"),
