@@ -914,3 +914,52 @@ def q_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_id").alias("doc_id"))
         .agg(F.countDistinct("b_id").alias("n_index_matches"))
     )
+
+
+@query(
+    "q_cross_source_dup_matrix",
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    )
+    SELECT da.source AS a_source, db.source AS b_source,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    JOIN documents da ON da.doc_id = pairs.a_id
+    JOIN documents db ON db.doc_id = pairs.b_id
+    GROUP BY da.source, db.source
+    """,
+)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every (source_of_earlier,
+    source_of_later) pair, how many LSH near-duplicate pairs link them —
+    the provenance dashboard that tells a curation team WHICH crawls
+    mirror each other (high off-diagonal => one source republishes
+    another; high diagonal => internal boilerplate). Composes
+    minhash_lsh_pairs with two broadcast-able doc->source lookups.
+    Scale: pairs come from the band-bucket join (never corpus
+    pairwise); the source lookup join is on doc_id (pair-list-sized,
+    not corpus-sized) and the final matrix is |sources|^2 rows."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(docs)
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("a_id"), F.col("source").alias("a_source")
+            ),
+            "a_id",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("b_id"), F.col("source").alias("b_source")
+            ),
+            "b_id",
+        )
+        .groupBy("a_source", "b_source")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -670,3 +670,69 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dropped_checksum"),
     )
+
+
+@query(
+    "q_embedding_qa",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), stats AS (
+      SELECT vec_id, label,
+             sqrt(list_sum([x * x for x in v])) AS norm,
+             len(v) AS dim,
+             len(list_filter(v, x -> x = 0.0)) AS n_zero,
+             len(list_filter(v, x -> isnan(x) OR x IN ('infinity'::DOUBLE,
+                                                       '-infinity'::DOUBLE)))
+                 AS n_bad
+      FROM e
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(dim) AS BIGINT) AS min_dim,
+           CAST(max(dim) AS BIGINT) AS max_dim,
+           round(min(norm), 4) AS min_norm,
+           round(avg(norm), 4) AS avg_norm,
+           CAST(sum(CASE WHEN norm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_degenerate,
+           CAST(sum(n_bad) AS BIGINT) AS n_nonfinite,
+           CAST(sum(n_zero) AS BIGINT) AS n_zero_components
+    FROM stats GROUP BY label
+    """,
+)
+def q_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quality audit per label shard: vector counts, dimension
+    consistency, norm distribution, degenerate (near-zero-norm)
+    vectors, non-finite components, and zero-component counts — the
+    pre-flight check before trusting an embedding table for ANN /
+    clustering / semantic dedup (a bad encoder batch shows up here as
+    a dim mismatch or a spike of zero/NaN vectors). All JVM
+    higher-order functions in one map-side pass + one bounded keyed
+    aggregate; no shuffle of the vectors themselves."""
+    vecs = widen(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = l2_norm(F.col("v"))
+    n_bad = F.size(
+        F.filter(F.col("v"), lambda x: x.isNaN() | (F.abs(x) == float("inf")))
+    )
+    n_zero = F.size(F.filter(F.col("v"), lambda x: x == 0.0))
+    stats = vecs.select(
+        "label",
+        F.size("v").alias("dim"),
+        norm.alias("norm"),
+        n_bad.alias("n_bad"),
+        n_zero.alias("n_zero"),
+    )
+    return stats.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("dim").cast("bigint").alias("min_dim"),
+        F.max("dim").cast("bigint").alias("max_dim"),
+        rnd(F.min("norm"), 4).alias("min_norm"),
+        rnd(F.avg("norm"), 4).alias("avg_norm"),
+        F.sum(F.when(F.col("norm") < 1e-6, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_degenerate"),
+        F.sum("n_bad").cast("bigint").alias("n_nonfinite"),
+        F.sum("n_zero").cast("bigint").alias("n_zero_components"),
+    )
