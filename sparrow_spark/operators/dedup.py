@@ -963,3 +963,86 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a_source", "b_source")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+SPAN_TOKENS = 8
+SPAN_DUP_FLAG_FRACTION = 0.2
+
+
+@query(
+    "q_substring_dedup",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= {SPAN_TOKENS}
+    ), spans AS (
+      SELECT doc_id,
+             unnest([md5(array_to_string(w[i : i + {SPAN_TOKENS} - 1], ' '))
+                     for i in range(1, len(w) - {SPAN_TOKENS} + 2)]) AS sh
+      FROM tok
+    ), dup_spans AS (
+      SELECT sh FROM (
+        SELECT sh, count(DISTINCT doc_id) AS nd FROM spans GROUP BY sh
+      ) WHERE nd >= 2
+    ), flagged AS (
+      SELECT s.doc_id, s.sh, d.sh IS NOT NULL AS is_dup
+      FROM spans s LEFT JOIN dup_spans d ON s.sh = d.sh
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS dup_fraction,
+           sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE) > {SPAN_DUP_FLAG_FRACTION}
+               AS is_flagged
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring detection (the scalable approximation of
+    Lee et al. 2022's ExactSubstr dedup): hash every {SPAN_TOKENS}-token
+    sliding span, find spans appearing in >= 2 distinct documents, and
+    score each document by its duplicated-span fraction — documents
+    over the threshold carry enough verbatim shared text to drop or
+    trim. A true suffix array doesn't distribute; span-hash counting
+    does: explode is O(total tokens), the span->doc-count aggregate
+    shuffles on span hash with map-side combine, the dup-span flag
+    joins back on the same hash key, and the per-doc rollup reuses the
+    doc_id partitioning. No pairwise comparison anywhere."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    from sparrow_spark.sources import materialize
+
+    toks = materialize(
+        docs.select("doc_id", "text"), w=F.split(F.lower("text"), " ")
+    ).filter(F.size("w") >= SPAN_TOKENS)
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - SPAN_TOKENS + 1),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("w", i, SPAN_TOKENS))
+                ),
+            )
+        ).alias("sh"),
+    )
+    dup_spans = (
+        spans.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh", F.lit(True).alias("is_dup"))
+    )
+    flagged = spans.join(dup_spans, "sh", "left").select(
+        "doc_id", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+    )
+    dup_n = F.sum(F.col("is_dup").cast("int"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        dup_n.cast("bigint").alias("n_dup_spans"),
+        rnd(dup_n / F.count(F.lit(1)).cast("double"), 4).alias("dup_fraction"),
+        (dup_n / F.count(F.lit(1)).cast("double") > SPAN_DUP_FLAG_FRACTION).alias(
+            "is_flagged"
+        ),
+    )
