@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "q_data_mixture",
     "q_semantic_dedup",
     "q_curation_funnel",
+    "q_substring_dedup",
+    "q_dsir_selection",
 ]
 
 
