@@ -682,3 +682,119 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum(F.col("v") * F.col("dt")) / F.sum("dt"), 6).alias("twa"),
         )
     )
+
+
+@query(
+    "q_event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'view>click', CAST(count(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that first qualifying click
+    — the product-analytics staple that a naive per-type count gets
+    wrong (order matters; a purchase before any view must not count).
+    Each stage is a conditional min-aggregate on user_id followed by a
+    time-ordered join to the previous stage; all three joins share the
+    user_id partitioning, so the plan is one logical shuffle reused
+    across stages plus 3-row final union. Micro-second timestamps both
+    sides (strict >)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    count_of = lambda df, label: df.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    ).select(F.lit(label).alias("stage"), "n_users")
+    return (
+        count_of(v, "view")
+        .unionAll(count_of(c, "view>click"))
+        .unionAll(count_of(p, "view>click>purchase"))
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week,
+                            date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: bucket users by the week of their first
+    event, then count distinct active users per (cohort, weeks-since-
+    cohort) — the standard retention triangle. One aggregate finds each
+    user's cohort; the activity join is user_id-keyed (reusing the same
+    partitioning); distinct + rollup shuffle on the bounded
+    (cohort, offset) key space. Week arithmetic matches DuckDB's
+    date_diff('week', ...) by counting whole Monday-aligned week
+    boundaries between the two truncated dates."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active_users")
+    ).select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active_users",
+    )
