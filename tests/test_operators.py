@@ -307,3 +307,41 @@ def test_ewma_jvm_fold_bitwise_matches_arrow_tier(spark, sf_dir):
         for r in q_group_ewma_arrow(spark, sf_dir).collect()
     }
     assert jvm == arrow
+
+
+def test_kmeans_assign_helpers(spark):
+    """assign_to_centroids: nearest-centroid by cosine, lowest
+    centroid_id on exact ties; mean_centroids reassembles component
+    means in position order."""
+    from pyspark.sql import functions as F
+
+    from sparrow_spark.operators.similarity import (
+        assign_to_centroids,
+        collapse_centroids,
+        mean_centroids,
+    )
+
+    vecs = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.9, 0.1]), (12, [0.0, 2.0]), (13, [1.0, 1.0])],
+        "vec_id bigint, v array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id bigint, cv array<double>",
+    )
+    got = {
+        r.vec_id: r.centroid_id
+        for r in assign_to_centroids(vecs, collapse_centroids(cents)).collect()
+    }
+    # 13=[1,1] is equidistant (cos 0.7071 to both) -> lowest id wins.
+    assert got == {10: 0, 11: 0, 12: 1, 13: 0}, got
+
+    assigned = assign_to_centroids(vecs, collapse_centroids(cents))
+    means = {
+        r.centroid_id: r.cv
+        for r in mean_centroids(assigned.select("centroid_id", "v")).collect()
+    }
+    assert means[1] == [0.0, 2.0]
+    got0 = means[0]
+    want0 = [(1.0 + 0.9 + 1.0) / 3, (0.0 + 0.1 + 1.0) / 3]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got0, want0)), got0
