@@ -736,3 +736,95 @@ def q_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bad").cast("bigint").alias("n_nonfinite"),
         F.sum("n_zero").cast("bigint").alias("n_zero_components"),
     )
+
+
+@query(
+    "q_pq_codes",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    halves AS (
+      SELECT vec_id, v[1:32] AS v0, v[33:64] AS v1 FROM e
+    ), seeds AS (
+      SELECT vec_id AS centroid_id, v[1:32] AS c0, v[33:64] AS c1
+      FROM e WHERE vec_id < 4
+    ), sims AS (
+      SELECT h.vec_id, s.centroid_id,
+             list_sum([h.v0[i] * s.c0[i] for i in range(1, 33)]) /
+             (sqrt(list_sum([x * x for x in h.v0])) *
+              sqrt(list_sum([x * x for x in s.c0]))) AS cos0,
+             list_sum([h.v1[i] * s.c1[i] for i in range(1, 33)]) /
+             (sqrt(list_sum([x * x for x in h.v1])) *
+              sqrt(list_sum([x * x for x in s.c1]))) AS cos1
+      FROM halves h JOIN seeds s ON true
+    ), best0 AS (
+      SELECT vec_id, centroid_id AS code0, round(cos0, 4) AS cos0 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos0 DESC, centroid_id) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ), best1 AS (
+      SELECT vec_id, centroid_id AS code1, round(cos1, 4) AS cos1 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos1 DESC, centroid_id) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    )
+    SELECT b0.vec_id, b0.code0, b1.code1, b0.cos0, b1.cos1
+    FROM best0 b0 JOIN best1 b1 ON b0.vec_id = b1.vec_id
+    """,
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: split each vector into 2
+    subvectors, assign each half to its nearest sub-centroid
+    (deterministic codebook: halves of vec_id < 4), emit the (code0,
+    code1) code pair plus per-half similarity — the memory-compressed
+    representation IVF-PQ indexes store (64 doubles -> 2 small ints
+    here; 96 dims -> 12 bytes in a production FAISS setup). Training
+    the codebooks is q_kmeans_iterate per subspace; this operator is
+    the ENCODE step a 100 TB corpus runs after. Scale: both codebooks
+    ride one broadcast row; both argmax folds run in the same map-side
+    projection (reusing assign_to_centroids' fold on array slices); no
+    shuffle at all until a consumer aggregates."""
+    vecs = _vecs(spark, sf_dir)
+    halves = vecs.select(
+        "vec_id",
+        F.slice("v", 1, 32).alias("v0"),
+        F.slice("v", 33, 32).alias("v1"),
+    )
+    seeds_rows = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.slice("v", 1, 32).alias("c0"),
+        F.slice("v", 33, 32).alias("c1"),
+    )
+    packed = seeds_rows.select(
+        F.struct("centroid_id", "c0", "c1").alias("s")
+    ).agg(F.array_sort(F.collect_list("s")).alias("seeds"))
+
+    def best_for(sub_col: str, cent_field: str):
+        return F.aggregate(
+            F.col("seeds"),
+            F.struct(
+                F.lit(-1).cast("bigint").alias("code"),
+                F.lit(float("-inf")).alias("cos"),
+            ),
+            lambda acc, s: F.when(
+                cosine(F.col(sub_col), s[cent_field]) > acc["cos"],
+                F.struct(
+                    s["centroid_id"].alias("code"),
+                    cosine(F.col(sub_col), s[cent_field]).alias("cos"),
+                ),
+            ).otherwise(acc),
+        )
+
+    coded = halves.crossJoin(F.broadcast(packed)).select(
+        "vec_id",
+        best_for("v0", "c0").alias("b0"),
+        best_for("v1", "c1").alias("b1"),
+    )
+    return coded.select(
+        "vec_id",
+        F.col("b0.code").alias("code0"),
+        F.col("b1.code").alias("code1"),
+        rnd(F.col("b0.cos"), 4).alias("cos0"),
+        rnd(F.col("b1.cos"), 4).alias("cos1"),
+    )

@@ -80,12 +80,12 @@ _WINDOW_PRIORITY: list[str] = [
     "q_time_weighted_avg", "q_engine_partition", "q_ann_recall",
     "q_column_profile", "q_source_quality", "q_minhash_probe",
     "q_group_ewma_arrow", "q_dedup_simhash_hamming_full",
-    # --- NEW in r5, inserted into the live window (13) ---
+    # --- NEW in r5, inserted into the live window (14) ---
     "q_data_mixture", "q_length_filter_adaptive", "q_kmeans_assign",
     "q_kmeans_iterate", "q_semantic_dedup", "q_stream_incremental_dedup",
     "q_dsir_selection", "q_curation_funnel",
     "q_cross_source_dup_matrix", "q_embedding_qa", "q_substring_dedup",
-    "q_event_funnel", "q_retention_cohorts",
+    "q_event_funnel", "q_retention_cohorts", "q_pq_codes",
     # --- pre-committed light-r2 pack, driver-green r2 (20) ---
     "q1_pricing_summary", "q9_product_profit", "q_window_ranks",
     "q_string_funcs", "q_math_funcs", "q_date_funcs",
@@ -94,8 +94,6 @@ _WINDOW_PRIORITY: list[str] = [
     "q_text_stats", "q_text_quality", "q_langid_ngram",
     "q_rolling_hash", "q_corpus_stats_by_lang", "q_stratified_sample",
     "q_train_test_split",
-    # --- r1-family TPC-H core fill, green r3 (1) ---
-    "q3_shipping_priority",
 ]
 
 
