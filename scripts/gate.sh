@@ -26,9 +26,13 @@ else
   echo "== gate: bench =="
   OUT=$(python bench.py)
   echo "$OUT"
-  python3 - "$OUT" <<'EOF'
+  # Parse only the LAST line: bench.py's contract is one final JSON
+  # line, and stray stdout (py4j/log4j/Ivy warnings) above it must not
+  # read as a gate failure.
+  python3 - <<'EOF' "$OUT"
 import json, sys
-d = json.loads(sys.argv[1])
+last = [ln for ln in sys.argv[1].splitlines() if ln.strip()][-1]
+d = json.loads(last)
 assert d.get("value", 0) > 0 and d.get("queries"), "bench produced no numbers"
 print(f"bench ok: {d['value']}s over {len(d['queries'])} queries")
 EOF

@@ -406,19 +406,24 @@ def assign_to_centroids(vecs: DataFrame, seeds_row: DataFrame) -> DataFrame:
     centroid_id on exact cosine ties, matching a SQL
     (cos DESC, centroid_id) tiebreak. Returns
     (vec_id, v, centroid_id, cos)."""
-    best = F.aggregate(
+    # Score first (one cosine per centroid), THEN argmax-fold over the
+    # scored structs — folding over raw seeds would evaluate the cosine
+    # twice per centroid (once in the WHEN predicate, once in the
+    # result), doubling the dominant O(n*k*dim) compute.
+    scored = F.transform(
         F.col("seeds"),
+        lambda s: F.struct(
+            s["centroid_id"].alias("centroid_id"),
+            cosine(F.col("v"), s["cv"]).alias("cos"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
         F.struct(
             F.lit(-1).cast("bigint").alias("centroid_id"),
             F.lit(float("-inf")).alias("cos"),
         ),
-        lambda acc, s: F.when(
-            cosine(F.col("v"), s["cv"]) > acc["cos"],
-            F.struct(
-                s["centroid_id"].alias("centroid_id"),
-                cosine(F.col("v"), s["cv"]).alias("cos"),
-            ),
-        ).otherwise(acc),
+        lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
     )
     return (
         vecs.crossJoin(F.broadcast(seeds_row))
@@ -801,19 +806,22 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.array_sort(F.collect_list("s")).alias("seeds"))
 
     def best_for(sub_col: str, cent_field: str):
-        return F.aggregate(
+        # Score once per sub-centroid, then argmax-fold the scored
+        # structs (same single-evaluation shape as assign_to_centroids).
+        scored = F.transform(
             F.col("seeds"),
+            lambda s: F.struct(
+                s["centroid_id"].alias("code"),
+                cosine(F.col(sub_col), s[cent_field]).alias("cos"),
+            ),
+        )
+        return F.aggregate(
+            scored,
             F.struct(
                 F.lit(-1).cast("bigint").alias("code"),
                 F.lit(float("-inf")).alias("cos"),
             ),
-            lambda acc, s: F.when(
-                cosine(F.col(sub_col), s[cent_field]) > acc["cos"],
-                F.struct(
-                    s["centroid_id"].alias("code"),
-                    cosine(F.col(sub_col), s[cent_field]).alias("cos"),
-                ),
-            ).otherwise(acc),
+            lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
         )
 
     coded = halves.crossJoin(F.broadcast(packed)).select(

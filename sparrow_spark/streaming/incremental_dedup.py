@@ -23,7 +23,9 @@ checks.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -37,17 +39,41 @@ from sparrow_spark.sources import load_table
 _BANDS_SCHEMA = "doc_id bigint, band int, band_sig string"
 
 
+def _batch_subdirs_before(root: str, batch_id: int) -> list[str]:
+    """Paths of per-batch subdirectories written by batches < batch_id."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in sorted(os.listdir(root)):
+        if d.startswith("batch-"):
+            try:
+                bid = int(d.split("-", 1)[1])
+            except ValueError:
+                continue
+            if bid < batch_id:
+                out.append(os.path.join(root, d))
+    return out
+
+
 def dedup_batch_against_index(
-    batch: DataFrame, index_dir: str, verdict_dir: str
+    batch: DataFrame, batch_id: int, index_dir: str, verdict_dir: str
 ) -> None:
     """foreachBatch callback body: verdict every doc in `batch` against
     the accumulated index + earlier docs of the same batch, then fold
-    the batch's bands into the index."""
+    the batch's bands into the index.
+
+    foreachBatch is at-least-once, so both writes are keyed by
+    ``batch_id`` and use overwrite: a replayed batch rewrites its own
+    two subdirectories instead of appending duplicate rows. The index
+    read is scoped to batches STRICTLY BEFORE this one, so a replay
+    whose prior attempt already appended its bands never sees its own
+    documents in the index (which would mark the whole batch dup)."""
     spark = batch.sparkSession
     bands = minhash_bands(batch).cache()
     try:
-        if os.path.exists(index_dir):
-            index = spark.read.schema(_BANDS_SCHEMA).parquet(index_dir)
+        prior = _batch_subdirs_before(index_dir, batch_id)
+        if prior:
+            index = spark.read.schema(_BANDS_SCHEMA).parquet(*prior)
         else:
             index = spark.createDataFrame([], _BANDS_SCHEMA)
         # Cross-batch collisions: any index hit marks the batch doc.
@@ -81,8 +107,9 @@ def dedup_batch_against_index(
                 "doc_id", F.coalesce("is_dup", F.lit(0)).cast("bigint").alias("is_dup")
             )
         )
-        verdicts.write.mode("append").parquet(verdict_dir)
-        bands.write.mode("append").parquet(index_dir)
+        sub = f"batch-{batch_id:05d}"
+        verdicts.write.mode("overwrite").parquet(os.path.join(verdict_dir, sub))
+        bands.write.mode("overwrite").parquet(os.path.join(index_dir, sub))
     finally:
         bands.unpersist()
 
@@ -107,8 +134,8 @@ def incremental_lsh_dedup_stream(
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda batch, _bid: dedup_batch_against_index(
-                batch, index_dir, verdict_dir
+            lambda batch, bid: dedup_batch_against_index(
+                batch, bid, index_dir, verdict_dir
             )
         )
         .option("checkpointLocation", os.path.join(state_root, "ckpt"))
@@ -161,5 +188,18 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in os.listdir(d):
             os.utime(os.path.join(d, f), (1_700_000_000 + i, 1_700_000_000 + i))
     q, verdict_dir = incremental_lsh_dedup_stream(spark, src, root)
-    q.awaitTermination(180)
-    return spark.read.parquet(verdict_dir)
+    finished = q.awaitTermination(180)
+    if not finished:
+        q.stop()
+        raise RuntimeError(
+            "incremental dedup drain did not finish within 180s; "
+            "refusing to return a partially-written verdict set"
+        )
+    # Drain scaffolding (source chunks, checkpoint, band index) is done
+    # with; only the verdicts must outlive this call — the returned
+    # DataFrame reads them lazily, so the verdict dir is removed at
+    # interpreter exit instead of here.
+    for sub in ("src", "ckpt", "band_index"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return spark.read.option("recursiveFileLookup", "true").parquet(verdict_dir)

@@ -15,6 +15,7 @@ state is per key and evicted on window close.
 
 from __future__ import annotations
 
+import glob
 import os
 import tempfile
 
@@ -57,8 +58,17 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
 
     probe = path
     if os.path.isdir(path):
-        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
-        probe = os.path.join(path, files[0]) if files else path
+        # Recurse: partitioned/nested layouts keep their data files in
+        # subdirectories, and probing the directory path itself would
+        # silently fall through to the LTZ branch (mis-decoding a
+        # nanos/NTZ fixture). No parquet file at all is a hard error.
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if not files:
+            raise FileNotFoundError(
+                f"no .parquet file under {path} to probe the events "
+                "timestamp encoding from"
+            )
+        probe = files[0]
     is_nanos = "ts" in _nanos_timestamp_cols(probe)
     is_ntz = "ts" in _ntz_timestamp_cols(probe)
     if os.path.isfile(path):

@@ -261,6 +261,43 @@ def test_incremental_dedup_cross_batch(spark, tmp_path):
     q, verdict_dir = incremental_lsh_dedup_stream(
         spark, src, str(tmp_path / "state")
     )
-    q.awaitTermination(120)
-    got = {r.doc_id: r.is_dup for r in spark.read.parquet(verdict_dir).collect()}
+    assert q.awaitTermination(120)
+    got = {
+        r.doc_id: r.is_dup
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(verdict_dir)
+        .collect()
+    }
     assert got == {1: 0, 2: 0, 3: 1, 4: 0}, got
+
+
+def test_incremental_dedup_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch_id must not
+    duplicate verdict rows or double-append index bands, and the
+    replayed batch must not see its own bands in the index."""
+    import os
+
+    from sparrow_spark.streaming.incremental_dedup import (
+        _BANDS_SCHEMA,
+        dedup_batch_against_index,
+    )
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "en", "s0", 36)], schema
+    )
+    index_dir = str(tmp_path / "index")
+    verdict_dir = str(tmp_path / "verdicts")
+    dedup_batch_against_index(batch, 0, index_dir, verdict_dir)
+    # Simulate a crash-after-write replay of the SAME batch id.
+    dedup_batch_against_index(batch, 0, index_dir, verdict_dir)
+    verdicts = (
+        spark.read.option("recursiveFileLookup", "true").parquet(verdict_dir)
+    ).collect()
+    assert [(r.doc_id, r.is_dup) for r in verdicts] == [(1, 0)]
+    bands = (
+        spark.read.schema(_BANDS_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(index_dir)
+    )
+    assert bands.select("doc_id", "band").distinct().count() == bands.count()
