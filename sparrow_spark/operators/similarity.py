@@ -836,3 +836,272 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("b0.cos"), 4).alias("cos0"),
         rnd(F.col("b1.cos"), 4).alias("cos1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ search with asymmetric distance computation (ADC): the coarse
+# quantizer (label = IVF cell) restricts each query to one cell; inside
+# the cell, corpus vectors exist only as PQ codes, and the query scores
+# a coded vector with TWO array lookups into its precomputed per-
+# subspace dot-product table — never touching the original 64 doubles.
+# This is the memory/compute shape that makes billion-vector ANN
+# serving possible (reference parity: the engine's vector path stops at
+# exact scans; this is the beyond-reference scale path, FAISS-style).
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook(vecs: DataFrame) -> DataFrame:
+    """ONE-row broadcastable PQ codebook: a sorted array of structs
+    (centroid_id, c0, c1, n0, n1), where n0/n1 are squared subvector
+    norms — stored with the codebook so ENCODE can emit each coded
+    row's reconstruction norm without ever revisiting the vector
+    (exactly what FAISS keeps alongside IP/cosine PQ indexes).
+    Deterministic codebook: halves of vec_id < 4; training it is
+    q_kmeans_iterate per subspace. Codebook contract: centroid ids are
+    dense 0..k-1, so id == position in the sorted array and ADC can
+    use element_at(lut, code + 1)."""
+
+    def sumsq(c: Column) -> Column:
+        return F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+
+    seeds = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.slice("v", 1, 32).alias("c0"),
+        F.slice("v", 33, 32).alias("c1"),
+    )
+    return seeds.select(
+        F.struct(
+            "centroid_id",
+            "c0",
+            "c1",
+            sumsq(F.col("c0")).alias("n0"),
+            sumsq(F.col("c1")).alias("n1"),
+        ).alias("s")
+    ).agg(F.array_sort(F.collect_list("s")).alias("seeds"))
+
+
+def pq_encode(vecs: DataFrame, codebook_row: DataFrame) -> DataFrame:
+    """Encode every corpus vector to (code0, code1, rnorm): nearest
+    sub-centroid per 32-dim half (cosine argmax, single evaluation per
+    centroid) plus the reconstruction norm sqrt(n0[code0] + n1[code1]).
+    Fully map-side: the codebook rides one broadcast row and both
+    argmax folds run inside the per-row projection — the corpus never
+    shuffles to be encoded."""
+    halves = vecs.select(
+        "vec_id",
+        "label",
+        F.slice("v", 1, 32).alias("v0"),
+        F.slice("v", 33, 32).alias("v1"),
+    )
+
+    def code_for(sub_col: str, cent_field: str) -> Column:
+        scored = F.transform(
+            F.col("seeds"),
+            lambda s: F.struct(
+                s["centroid_id"].alias("code"),
+                cosine(F.col(sub_col), s[cent_field]).alias("cos"),
+            ),
+        )
+        return F.aggregate(
+            scored,
+            F.struct(
+                F.lit(-1).cast("bigint").alias("code"),
+                F.lit(float("-inf")).alias("cos"),
+            ),
+            lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
+        )["code"]
+
+    coded = halves.crossJoin(F.broadcast(codebook_row)).select(
+        "vec_id",
+        "label",
+        code_for("v0", "c0").alias("code0"),
+        code_for("v1", "c1").alias("code1"),
+        F.col("seeds").alias("seeds"),
+    )
+    rnorm = F.sqrt(
+        F.element_at("seeds", (F.col("code0") + 1).cast("int"))["n0"]
+        + F.element_at("seeds", (F.col("code1") + 1).cast("int"))["n1"]
+    )
+    return coded.select("vec_id", "label", "code0", "code1", rnorm.alias("rnorm"))
+
+
+def ivfpq_topk(
+    vecs: DataFrame, codebook_row: DataFrame, n_queries: int = 20, k: int = 3
+) -> DataFrame:
+    """IVF-PQ ADC top-k. Queries stay full-precision (the ASYMMETRY);
+    each precomputes one dot-product LUT per subspace against the
+    broadcast codebook. A coded corpus row in the query's IVF cell is
+    then scored as
+
+        adc_cos = (lut0[code0] + lut1[code1]) / (|q| * rnorm)
+
+    — the exact cosine between the query and the vector's PQ
+    RECONSTRUCTION, at O(m) lookup cost per candidate instead of
+    O(dim) multiply-adds. Plan shape: encode is map-side; the probe is
+    a broadcast-hash join on the cell key (each query scans only its
+    cell, ~1/n_cells of the corpus); top-k is a per-query window over
+    candidates. At 100 TB the coded table is ~50x smaller than the
+    raw vectors and is the only thing the probe reads."""
+    coded = pq_encode(vecs, codebook_row)
+    queries = (
+        vecs.filter(F.col("vec_id") < n_queries)
+        .crossJoin(F.broadcast(codebook_row))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qcell"),
+            F.transform(
+                F.col("seeds"), lambda s: dot(F.slice("v", 1, 32), s["c0"])
+            ).alias("lut0"),
+            F.transform(
+                F.col("seeds"), lambda s: dot(F.slice("v", 33, 32), s["c1"])
+            ).alias("lut1"),
+            l2_norm(F.col("v")).alias("qnorm"),
+        )
+    )
+    score = (
+        F.element_at("lut0", (F.col("code0") + 1).cast("int"))
+        + F.element_at("lut1", (F.col("code1") + 1).cast("int"))
+    ) / (F.col("qnorm") * F.col("rnorm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        coded.withColumnRenamed("vec_id", "neighbor_id")
+        .join(
+            F.broadcast(queries),
+            (F.col("qcell") == F.col("label"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("adc_cos", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_cos")
+    )
+
+
+# Shared oracle CTE: PQ-code every vector and carry its reconstruction
+# norm (mirrors pq_codebook + pq_encode; cosine written identically to
+# _COS_SQL but over 32-dim halves).
+_PQ_CODED_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    halves AS (
+      SELECT vec_id, label, v, v[1:32] AS v0, v[33:64] AS v1 FROM e
+    ), seeds AS (
+      SELECT vec_id AS cid, v[1:32] AS c0, v[33:64] AS c1,
+             list_sum([x * x FOR x IN v[1:32]]) AS n0,
+             list_sum([x * x FOR x IN v[33:64]]) AS n1
+      FROM e WHERE vec_id < 4
+    ), sims AS (
+      SELECT h.vec_id, s.cid,
+             list_sum([h.v0[i] * s.c0[i] for i in range(1, 33)]) /
+             (sqrt(list_sum([x * x for x in h.v0])) *
+              sqrt(list_sum([x * x for x in s.c0]))) AS cos0,
+             list_sum([h.v1[i] * s.c1[i] for i in range(1, 33)]) /
+             (sqrt(list_sum([x * x for x in h.v1])) *
+              sqrt(list_sum([x * x for x in s.c1]))) AS cos1
+      FROM halves h JOIN seeds s ON true
+    ), best0 AS (
+      SELECT vec_id, cid AS code0 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos0 DESC, cid) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ), best1 AS (
+      SELECT vec_id, cid AS code1 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos1 DESC, cid) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ), coded AS (
+      SELECT h.vec_id, h.label, b0.code0, b1.code1,
+             sqrt(s0.n0 + s1.n1) AS rnorm
+      FROM halves h
+      JOIN best0 b0 ON h.vec_id = b0.vec_id
+      JOIN best1 b1 ON h.vec_id = b1.vec_id
+      JOIN seeds s0 ON s0.cid = b0.code0
+      JOIN seeds s1 ON s1.cid = b1.code1
+    ), adc AS (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             (list_sum([q.v0[i] * s0.c0[i] for i in range(1, 33)]) +
+              list_sum([q.v1[i] * s1.c1[i] for i in range(1, 33)])) /
+             (sqrt(list_sum([y * y for y in q.v])) * x.rnorm) AS adc_cos
+      FROM halves q
+      JOIN coded x ON q.label = x.label AND q.vec_id <> x.vec_id
+      JOIN seeds s0 ON s0.cid = x.code0
+      JOIN seeds s1 ON s1.cid = x.code1
+      WHERE q.vec_id < 20
+    )
+"""
+
+
+@query(
+    "q_ivfpq_search",
+    oracle=_PQ_CODED_SQL
+    + """
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_cos DESC, neighbor_id) AS rank,
+           round(adc_cos, 4) AS adc_cos
+    FROM adc
+    QUALIFY rank <= 3
+    """,
+)
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC search end-to-end: codebook -> map-side encode ->
+    per-query LUTs -> cell-probed broadcast join -> per-query top-3.
+    See ivfpq_topk for the scale argument."""
+    vecs = _vecs(spark, sf_dir)
+    out = ivfpq_topk(vecs, pq_codebook(vecs), n_queries=20, k=3)
+    return out.select(
+        "query_id", "neighbor_id", "rank", rnd("adc_cos", 4).alias("adc_cos")
+    )
+
+
+@query(
+    "q_ivfpq_recall",
+    oracle=_PQ_CODED_SQL
+    + f"""
+    , approx AS (
+      SELECT query_id, neighbor_id
+      FROM adc
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_cos DESC, neighbor_id) <= 3
+    ), exact AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20
+      QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                 ORDER BY {_COS_SQL} DESC, b.vec_id) <= 3
+    )
+    SELECT x.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) / 3.0, 4) AS recall_at_3
+    FROM exact x
+    LEFT JOIN approx a
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """,
+)
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of IVF-PQ ADC against exact brute-force cosine top-3 —
+    the audit that closes the loop on the compressed index (same
+    methodology as q_ann_recall: exact side runs a SAMPLED query set
+    against the full corpus, never corpus^2). Quantifies BOTH loss
+    sources at once: cell restriction (IVF) and code reconstruction
+    (PQ)."""
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(queries, vecs, k=3).select("query_id", "neighbor_id")
+    approx = ivfpq_topk(vecs, pq_codebook(vecs), n_queries=20, k=3).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.a_neighbor_id),
+        "left",
+    ).select(exact.query_id, approx.a_neighbor_id)
+    return hits.groupBy("query_id").agg(
+        F.count("a_neighbor_id").alias("n_hits"),
+        rnd(F.count("a_neighbor_id") / F.lit(3.0), 4).alias("recall_at_3"),
+    )

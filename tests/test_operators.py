@@ -345,3 +345,54 @@ def test_kmeans_assign_helpers(spark):
     got0 = means[0]
     want0 = [(1.0 + 0.9 + 1.0) / 3, (0.0 + 0.1 + 1.0) / 3]
     assert all(abs(a - b) < 1e-12 for a, b in zip(got0, want0)), got0
+
+
+def test_ivfpq_adc_score_is_reconstruction_cosine(spark, sf_dir):
+    """ADC's defining property: the LUT-composed score must equal the
+    exact cosine between the query and the PQ RECONSTRUCTION (the two
+    sub-centroids concatenated) — pinned by recomputing that cosine
+    from first principles for every (query, neighbor) the search
+    returns."""
+    from sparrow_spark.operators.similarity import (
+        _vecs,
+        cosine,
+        ivfpq_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    vecs = _vecs(spark, sf_dir)
+    cb = pq_codebook(vecs)
+    got = ivfpq_topk(vecs, cb, n_queries=5, k=3)
+    coded = pq_encode(vecs, cb)
+    seeds = {s.centroid_id: s for s in cb.collect()[0].seeds}
+    vmap = {r.vec_id: r.v for r in vecs.filter(F.col("vec_id") < 500).collect()}
+    codes = {r.vec_id: (r.code0, r.code1) for r in coded.collect()}
+    rows = got.collect()
+    assert rows, "ivfpq search returned nothing"
+    for r in rows:
+        c0, c1 = codes[r.neighbor_id]
+        recon = list(seeds[c0].c0) + list(seeds[c1].c1)
+        qv = vmap[r.query_id]
+        num = sum(a * b for a, b in zip(qv, recon))
+        den = (
+            sum(a * a for a in qv) ** 0.5 * sum(b * b for b in recon) ** 0.5
+        )
+        assert abs(r.adc_cos - num / den) < 1e-9, (r, num / den)
+
+
+def test_ivfpq_probe_is_broadcast_not_nested_loop(spark, sf_dir):
+    """The cell probe must plan as a broadcast-hash join on the cell
+    key (each query scans one IVF cell), never a nested-loop over the
+    coded corpus."""
+    from sparrow_spark import registry
+
+    registry.load_all()
+    df = registry.RAW_QUERIES["q_ivfpq_search"](spark, sf_dir)
+    explained = df._jdf.queryExecution().executedPlan().toString()
+    # The ONE-row codebook rides legitimate broadcast cross joins; the
+    # corpus-sized probe itself must be a hash join on the cell key.
+    assert "BroadcastHashJoin" in explained
+    for line in explained.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
