@@ -396,3 +396,32 @@ def test_ivfpq_probe_is_broadcast_not_nested_loop(spark, sf_dir):
     for line in explained.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line, line
+
+
+def test_image_codec_roundtrip_and_errors():
+    """The pure-Python PPM/BMP codec: both encoders must decode back to
+    the SAME top-down RGB raster (proving the BMP row flip + BGR swap
+    are inverted correctly), and malformed blobs must raise rather than
+    silently zero out."""
+    import pytest
+
+    from sparrow_spark.operators.multimodal import (
+        DECODE_IMAGE,
+        ENCODE_BMP,
+        ENCODE_PPM,
+    )
+
+    for doc_id in (0, 1, 255, 1000):
+        for w, h in ((2, 2), (5, 3), (16, 12)):
+            fp, wp, hp, pxp = DECODE_IMAGE(ENCODE_PPM(doc_id, w, h))
+            fb, wb, hb, pxb = DECODE_IMAGE(ENCODE_BMP(doc_id, w, h))
+            assert (fp, wp, hp) == ("ppm", w, h)
+            assert (fb, wb, hb) == ("bmp", w, h)
+            assert pxp == pxb == bytes((doc_id + i) % 256 for i in range(w * h * 3))
+    for bad in (
+        b"GIF89a....",
+        b"P6\n2 2\n65535\n" + b"\x00" * 12,  # 16-bit maxval unsupported
+        b"P6\n4 4\n255\n" + b"\x00" * 5,  # truncated raster
+    ):
+        with pytest.raises(ValueError):
+            DECODE_IMAGE(bad)
