@@ -54,7 +54,23 @@ BENCH_QUERIES = [
     "q_curation_funnel",
     "q_substring_dedup",
     "q_dsir_selection",
+    # r6: the heaviest r5 batch operator (previously untracked) + the
+    # new IVF-PQ and real-decode paths.
+    "q_kmeans_iterate",
+    "q_ivfpq_search",
+    "q_multimodal_decode_real",
 ]
+
+# Tracked round-over-round but reported OUTSIDE the headline total:
+# the streaming drain's wall time at bench scale is ~90% fixed
+# microbatch machinery (3 availableNow cycles: plan + codegen +
+# checkpoint commits + write barriers — ~12 s regardless of data
+# volume; the actual hash/join work is <1 s). Folding that into
+# "value" would swamp the headline signal with a constant. It is
+# side-effecting, so it bypasses the prepared-plan cache (a cached
+# DataFrame would just re-read old verdict parquet) and runs once —
+# one drain IS its steady state.
+AUX_QUERIES = ["q_stream_incremental_dedup"]
 
 
 def main() -> None:
@@ -94,6 +110,13 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
 
+    aux: dict[str, float] = {}
+    for name in AUX_QUERIES:
+        t0 = time.time()
+        df = registry.RAW_QUERIES[name](spark, sf_dir)
+        _ = len(df.toPandas())
+        aux[name] = round(time.time() - t0, 3)
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -102,6 +125,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "aux_queries": aux,
                 "sf": sf,
             }
         )

