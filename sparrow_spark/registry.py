@@ -58,42 +58,69 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's per-round correctness check covers only the FIRST 50
-# registry entries (insertion order). r1: relational/subquery/TPC-H/
-# window block (50/50). r2: the other families (48/50; the 2 red fixed
-# in r3). r3: r1-family redux + sampling + q_engine_dml (50/50).
-# r4: the 22 never-checked + 28 r2-family heavy — 42/50 (8 red, all the
-# NTZ fixture-timestamp bug fixed at the top of r5). The r5 window
-# below leads with those 8 red rows and the 8 queries that have NEVER
-# had a driver row (r4 additions that landed past the frozen window),
-# then the pre-committed light-r2 pack (20), then r1-family TPC-H core
-# fill (stale since r3). Queries ADDED during r5 should be inserted
-# into this list (displacing tail fill) so they get a driver row the
-# same round they land — the r3/r4 lesson is that additions past the
-# frozen window stay unverified for a full round.
+# registry entries (insertion order). Rotation history lives in
+# COVERAGE.md's ledger; the rule is mechanical: (1) queries with NO
+# driver row yet go first — new additions are inserted HERE in the
+# same commit that registers them (the r3/r4 lesson: additions past
+# the frozen window stay unverified a full round); (2) then the
+# stalest families. r6 window: the 3 r6 additions + 47 of the 50
+# r1-family rows last green in r3 (two fixture generations stale —
+# exactly the exposure the r4 NTZ incident exploited). Deferred to r7:
+# q3/q5/q6 (TPC-H spine, exercised by bench + entry() every round)
+# plus whatever r6 additions displace — see COVERAGE.md.
 _WINDOW_PRIORITY: list[str] = [
-    # --- r4 red rows, all fixed by the NTZ ingestion fix (8) ---
-    "q_sessionize", "q_rolling_window", "q_regression_stats",
-    "q_asof_forward", "q_range_join_banded",
-    "q_stream_window_rollup", "q_stream_stream_join",
-    "q_stream_sessionize_stateful",
-    # --- never driver-verified: r4 additions past the window (8) ---
-    "q_time_weighted_avg", "q_engine_partition", "q_ann_recall",
-    "q_column_profile", "q_source_quality", "q_minhash_probe",
-    "q_group_ewma_arrow", "q_dedup_simhash_hamming_full",
-    # --- NEW in r5, inserted into the live window (14) ---
-    "q_data_mixture", "q_length_filter_adaptive", "q_kmeans_assign",
-    "q_kmeans_iterate", "q_semantic_dedup", "q_stream_incremental_dedup",
-    "q_dsir_selection", "q_curation_funnel",
-    "q_cross_source_dup_matrix", "q_embedding_qa", "q_substring_dedup",
-    "q_event_funnel", "q_retention_cohorts", "q_pq_codes",
-    # --- pre-committed light-r2 pack, driver-green r2 (20) ---
-    "q1_pricing_summary", "q9_product_profit", "q_window_ranks",
-    "q_string_funcs", "q_math_funcs", "q_date_funcs",
-    "q_case_like_null", "q_hash_funcs", "q_regexp_funcs",
-    "q_trig_funcs", "q_string_extra", "q_pivot", "q_unpivot",
-    "q_text_stats", "q_text_quality", "q_langid_ngram",
-    "q_rolling_hash", "q_corpus_stats_by_lang", "q_stratified_sample",
-    "q_train_test_split",
+    # --- NEW in r6, inserted into the live window ---
+    "q_ivfpq_search",
+    "q_ivfpq_recall",
+    "q_multimodal_decode_real",
+    # --- r1-family block, last driver-green r3 ---
+    "q10_returned_items",
+    "q_join_left_outer",
+    "q_join_right_outer",
+    "q_join_full_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_theta",
+    "q_join_using_natural",
+    "q_agg_stats",
+    "q_count_distinct",
+    "q_approx_distinct",
+    "q_select_distinct",
+    "q_having",
+    "q_rollup",
+    "q_cube",
+    "q_percentiles",
+    "q_union_all",
+    "q_intersect",
+    "q_except",
+    "q_orderby_limit_offset",
+    "q_range_join",
+    "q_subquery_scalar",
+    "q_subquery_in",
+    "q_subquery_correlated_exists",
+    "q_cte_chain",
+    "q12_shipmode",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q_array_agg_sorted",
+    "q_grouping_sets",
+    "q_union_distinct",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q21_suppliers_waiting",
+    "q22_sales_opportunity",
+    "q_window_topk_per_group",
+    "q_window_running_lag_lead",
+    "q_window_frames",
+    "q_weighted_sample",
+    "q_reservoir_sample",
+    "q_engine_dml",
 ]
 
 
