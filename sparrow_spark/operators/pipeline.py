@@ -736,3 +736,177 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("f4").alias("n_final"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff — the incremental-refresh primitive: when a new
+# crawl snapshot lands, classify every document as added / removed /
+# changed / unchanged vs the previous snapshot by content fingerprint.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Full-outer join of two snapshots on `key`, both carrying a
+    content fingerprint column `fp`; emits (key, status, source).
+    Scale: one keyed shuffle join (at production scale, both snapshots
+    bucketed/partitioned on the key make it a zero-exchange
+    storage-partitioned join); fingerprints are computed map-side at
+    scan and the texts themselves never move."""
+    o = old.select(
+        F.col(key).alias("o_key"), F.col("fp").alias("o_fp"),
+        F.col("source").alias("o_source"),
+    )
+    n = new.select(
+        F.col(key).alias("n_key"), F.col("fp").alias("n_fp"),
+        F.col("source").alias("n_source"),
+    )
+    j = o.join(n, o.o_key == n.n_key, "full_outer")
+    status = (
+        F.when(F.col("o_key").isNull(), "added")
+        .when(F.col("n_key").isNull(), "removed")
+        .when(F.col("o_fp") != F.col("n_fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        F.coalesce("o_key", "n_key").alias("doc_id"),
+        F.coalesce("n_source", "o_source").alias("source"),
+        status.alias("status"),
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, source, md5(text) AS fp FROM documents
+      WHERE doc_id % 10 <> 0
+    ), new AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 5 = 0 THEN reverse(text) ELSE text END) AS fp
+      FROM documents WHERE doc_id % 7 <> 0
+    ), j AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             coalesce(n.source, o.source) AS source,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.fp <> n.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT source, status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM j GROUP BY source, status
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff over simulated crawl generations: the 'previous'
+    snapshot drops every 10th doc, the 'new' one drops every 7th and
+    rewrites every 5th (fingerprint of reversed text stands in for
+    changed content). Aggregated to (source, status) counts with an
+    id checksum so the classification itself is value-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(F.col("doc_id") % 5 == 0, F.reverse(F.col("text"))).otherwise(
+                F.col("text")
+            )
+        ).alias("fp"),
+    )
+    return (
+        snapshot_diff(old, new)
+        .groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+@query(
+    "q_mixture_temperature",
+    oracle="""
+    WITH srcs AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n_docs
+      FROM documents GROUP BY source
+    ), stats AS (
+      SELECT sum(sqrt(n_docs)) AS sum_pow, sum(n_docs) AS total FROM srcs
+    ), fracs AS (
+      SELECT source, n_docs,
+             sqrt(n_docs) / s.sum_pow AS share,
+             least(1.0, (s.total / 2.0) * (sqrt(n_docs) / s.sum_pow) / n_docs)
+                 AS frac
+      FROM srcs CROSS JOIN stats s
+    ), drawn AS (
+      SELECT d.doc_id, d.source, f.n_docs, f.share, f.frac,
+             ('0x' || substr(md5('tmix:' || d.doc_id), 1, 8))::UBIGINT
+                 / 4294967296.0 AS u
+      FROM documents d JOIN fracs f USING (source)
+    )
+    SELECT source,
+           CAST(max(n_docs) AS BIGINT) AS n_docs,
+           round(max(share), 6) AS share,
+           round(max(frac), 6) AS frac,
+           CAST(count(*) FILTER (WHERE u < frac) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(doc_id) FILTER (WHERE u < frac), 0)
+                AS BIGINT) AS kept_checksum
+    FROM drawn GROUP BY source
+    """,
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (alpha = 0.5, the
+    multilingual-pretraining upsampling curve): target share per
+    source proportional to n^alpha — flattening the source
+    distribution less aggressively than q_data_mixture's uniform
+    target — with a half-corpus keep budget. frac = min(1,
+    budget*share/n) in a single pass (no waterfilling iteration; a
+    capped small source just under-fills the budget, documented
+    behavior). Same deterministic per-doc draw and checksum
+    verification as q_data_mixture; same scale shape (broadcast
+    per-source fractions, map-side keep decision, corpus never
+    shuffles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    stats = srcs.agg(
+        F.sum(F.sqrt("n_docs")).alias("sum_pow"), F.sum("n_docs").alias("total")
+    )
+    share = F.sqrt(F.col("n_docs")) / F.col("sum_pow")
+    fracs = srcs.crossJoin(F.broadcast(stats)).select(
+        "source",
+        "n_docs",
+        share.alias("share"),
+        F.least(F.lit(1.0), (F.col("total") / 2.0) * share / F.col("n_docs")).alias(
+            "frac"
+        ),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    kept = u < F.col("frac")
+    return (
+        docs.join(F.broadcast(fracs), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").cast("bigint").alias("n_docs"),
+            rnd(F.max("share"), 6).alias("share"),
+            rnd(F.max("frac"), 6).alias("frac"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("doc_id"))), F.lit(0))
+            .cast("bigint")
+            .alias("kept_checksum"),
+        )
+    )

@@ -1105,3 +1105,88 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("a_neighbor_id").alias("n_hits"),
         rnd(F.count("a_neighbor_id") / F.lit(3.0), 4).alias("recall_at_3"),
     )
+
+
+@query(
+    "q_embedding_drift",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings
+    ), binned AS (
+      SELECT dim,
+             CASE WHEN v < -0.15 THEN 0
+                  WHEN v < 0.0 THEN 1
+                  WHEN v < 0.15 THEN 2
+                  ELSE 3 END AS bin,
+             CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+      FROM e
+    ), cnt AS (
+      SELECT dim, bin,
+             sum(is_ref) AS ref_cnt,
+             sum(1 - is_ref) AS cur_cnt
+      FROM binned GROUP BY dim, bin
+    ), tot AS (
+      SELECT dim, sum(ref_cnt) AS n_ref, sum(cur_cnt) AS n_cur
+      FROM cnt GROUP BY dim
+    )
+    SELECT c.dim,
+           CAST(t.n_ref AS BIGINT) AS n_ref,
+           CAST(t.n_cur AS BIGINT) AS n_cur,
+           round(sum(
+             ((c.cur_cnt + 1.0) / (t.n_cur + 4.0)
+              - (c.ref_cnt + 1.0) / (t.n_ref + 4.0))
+             * ln(((c.cur_cnt + 1.0) / (t.n_cur + 4.0))
+                  / ((c.ref_cnt + 1.0) / (t.n_ref + 4.0)))
+           ), 6) AS psi
+    FROM cnt c JOIN tot t USING (dim)
+    GROUP BY c.dim, t.n_ref, t.n_cur
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension Population Stability Index between a reference
+    cohort and the current cohort (here: even/odd vec_id stand in for
+    "last month's corpus" vs "this crawl") — the drift monitor a
+    production embedding pipeline runs before trusting an existing ANN
+    index or quality classifier on new data. Fixed bin edges
+    (-0.15, 0, 0.15) so the binning is data-independent (re-deriving
+    quantile edges per run would make drift unmeasurable), Laplace
+    smoothing (+1 per bin) so an empty bin yields a finite PSI.
+    Scale: one map-side posexplode + bin projection, then two keyed
+    aggregations (dim x bin = 256 groups, then dim = 64) — the
+    vectors themselves never shuffle, only counts do. PSI > 0.2 is
+    the conventional re-index/re-train trigger."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    binned = e.select(
+        "dim",
+        F.when(F.col("v") < -0.15, 0)
+        .when(F.col("v") < 0.0, 1)
+        .when(F.col("v") < 0.15, 2)
+        .otherwise(3)
+        .alias("bin"),
+        F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0).alias("is_ref"),
+    )
+    cnt = binned.groupBy("dim", "bin").agg(
+        F.sum("is_ref").cast("double").alias("ref_cnt"),
+        F.sum(1 - F.col("is_ref")).cast("double").alias("cur_cnt"),
+    )
+    tot = cnt.groupBy("dim").agg(
+        F.sum("ref_cnt").alias("n_ref"), F.sum("cur_cnt").alias("n_cur")
+    )
+    p_cur = (F.col("cur_cnt") + 1.0) / (F.col("n_cur") + 4.0)
+    p_ref = (F.col("ref_cnt") + 1.0) / (F.col("n_ref") + 4.0)
+    return (
+        cnt.join(F.broadcast(tot), "dim")
+        .groupBy("dim", "n_ref", "n_cur")
+        .agg(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi"))
+        .select(
+            "dim",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            rnd("psi", 6).alias("psi"),
+        )
+    )

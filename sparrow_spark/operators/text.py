@@ -752,3 +752,113 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.orderBy(F.col("avg_llr").desc(), "doc_id").limit(50).select(
         "doc_id", "lang", "n_tokens", "avg_llr"
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Robertson/Spärck Jones; the lexical ranking function
+# behind Lucene/Elasticsearch and most pretraining-corpus search
+# tooling — the retrieval twin of q_tfidf's salience scoring).
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES: list[tuple[str, list[str]]] = [
+    ("q1", ["data", "join"]),
+    ("q2", ["spark", "stream", "fast"]),
+    ("q3", ["vector", "scan"]),
+]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), dl AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM dl
+    ), terms(query_id, tok) AS (
+      VALUES {", ".join(f"('{qid}', '{t}')" for qid, ts in _BM25_QUERIES for t in ts)}
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE tok IN (SELECT tok FROM terms)
+      GROUP BY doc_id, tok
+    ), dfr AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT t.query_id, f.doc_id,
+             sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+                 * f.tf * ({_BM25_K1} + 1)
+                 / (f.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl))
+             ) AS score
+      FROM tf f
+      JOIN dfr d USING (tok)
+      JOIN terms t ON t.tok = f.tok
+      JOIN dl l ON l.doc_id = f.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.query_id, f.doc_id
+    )
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rank,
+           round(score, 4) AS score
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 per query over the corpus (k1=1.2, b=0.75, the
+    Robertson idf with +1 floor). Scale shape: the token stream is
+    FILTERED to query terms before any shuffle (only matching tokens
+    move — for a 3-term query that is a vanishing fraction of 100 TB),
+    doc length rides the projection into the tf aggregate as a
+    first() instead of a corpus-wide self-join, the per-term document
+    frequencies and corpus stats are broadcast 1-row/·|terms| aggregates,
+    and top-5 per query is a WindowGroupLimit, not a global sort."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    all_terms = [t for _, ts in _BM25_QUERIES for t in ts]
+    terms = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
+        "query_id string, tok string",
+    )
+    toks = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id", F.size("toks").cast("double").alias("dl"),
+        F.explode("toks").alias("tok"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(all_terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfr = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    corpus = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("double").alias("dl")
+    ).agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n"))
+    term_score = (
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        * F.col("tf") * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfr), "tok")
+        .join(F.broadcast(terms), "tok")
+        .join(F.broadcast(corpus))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "rank", rnd("score", 4).alias("score"))
+    )

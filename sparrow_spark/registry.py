@@ -63,18 +63,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver row yet go first — new additions are inserted HERE in the
 # same commit that registers them (the r3/r4 lesson: additions past
 # the frozen window stay unverified a full round); (2) then the
-# stalest families. r6 window: the 3 r6 additions + 47 of the 50
+# stalest families. r6 window: the 7 r6 additions + 43 of the 50
 # r1-family rows last green in r3 (two fixture generations stale —
 # exactly the exposure the r4 NTZ incident exploited). Deferred to r7:
-# q3/q5/q6 (TPC-H spine, exercised by bench + entry() every round)
-# plus whatever r6 additions displace — see COVERAGE.md.
+# q3/q5/q6/q10/q13/q21/q_count_distinct (all exercised by bench +
+# entry() every round) — see COVERAGE.md.
 _WINDOW_PRIORITY: list[str] = [
     # --- NEW in r6, inserted into the live window ---
     "q_ivfpq_search",
     "q_ivfpq_recall",
     "q_multimodal_decode_real",
+    "q_bm25_topk",
+    "q_embedding_drift",
+    "q_snapshot_diff",
+    "q_mixture_temperature",
     # --- r1-family block, last driver-green r3 ---
-    "q10_returned_items",
     "q_join_left_outer",
     "q_join_right_outer",
     "q_join_full_outer",
@@ -84,7 +87,6 @@ _WINDOW_PRIORITY: list[str] = [
     "q_join_theta",
     "q_join_using_natural",
     "q_agg_stats",
-    "q_count_distinct",
     "q_approx_distinct",
     "q_select_distinct",
     "q_having",
@@ -109,11 +111,9 @@ _WINDOW_PRIORITY: list[str] = [
     "q_union_distinct",
     "q7_volume_shipping",
     "q8_market_share",
-    "q13_customer_distribution",
     "q15_top_supplier",
     "q16_parts_supplier",
     "q17_small_quantity",
-    "q21_suppliers_waiting",
     "q22_sales_opportunity",
     "q_window_topk_per_group",
     "q_window_running_lag_lead",
