@@ -574,7 +574,7 @@ def q_group_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory shape as any grouped-map operator. (A mega-hot key could be
     split further: an EWMA over a segment is affine in its input state,
     y_out = (1-a)^k * y_in + B, so segment folds combine associatively
-    — documented escape hatch, not needed at current skew.)"""
+    — implemented as segment_ewma below, not needed at current skew.)"""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
@@ -599,6 +599,69 @@ def q_group_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size("xs").cast("bigint").alias("n_events"),
         rnd(ewma, 6).alias("ewma"),
+    )
+
+
+def segment_ewma(segs: DataFrame, alpha: float, key: str = "user_id") -> DataFrame:
+    """The documented mega-hot-key escape hatch for the per-key EWMA
+    fold: the key's ordered value stream is split into contiguous
+    segments (``seg_id`` 0-based, each ``xs`` a non-empty
+    array<double>), each segment is summarized INDEPENDENTLY — in its
+    own task, so one pathological key no longer serializes on a single
+    core — and the summaries combine associatively.
+
+    Why this works: one fold step is the affine map
+    y -> alpha*x + (1-alpha)*y, so a whole segment is the composition
+    of affine maps, itself affine: y_out = m*y_in + b with
+    m = (1-alpha)^len and b the fold started from 0. Affine maps
+    compose associatively ((m2, b2)∘(m1, b1) = (m2*m1, m2*b1 + b2)),
+    so only the (m, b, h) triples — three doubles per segment — meet
+    at the combine, never the values. The first segment additionally
+    carries h, the fold over its tail seeded with its first element,
+    matching q_group_ewma's init convention (y_1 = x_1).
+
+    Exactness: the combined result is algebraically identical to the
+    sequential fold but NOT bitwise — reassociating a float fold
+    changes rounding (e.g. (1-a)^k*y groups multiplications the
+    sequential path interleaves with adds). Observed agreement is
+    ~1 ulp; tests pin <1e-9 relative and exact equality at the
+    operator's 6-decimal output contract. Use q_group_ewma unless a
+    key is hot enough that one task's sequential fold dominates the
+    stage."""
+    la = F.lit(float(alpha))
+    l1a = F.lit(1.0 - float(alpha))
+    tail = F.slice(
+        F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))
+    )
+    per_seg = segs.select(
+        key,
+        F.struct(
+            F.col("seg_id").cast("int").alias("seg_id"),
+            F.size("xs").cast("bigint").alias("n"),
+            F.pow(l1a, F.size("xs")).alias("m"),
+            F.aggregate(
+                "xs", F.lit(0.0), lambda acc, x: la * x + l1a * acc
+            ).alias("b"),
+            F.aggregate(
+                tail,
+                F.element_at("xs", 1).cast("double"),
+                lambda acc, x: la * x + l1a * acc,
+            ).alias("h"),
+        ).alias("s"),
+    )
+    comb = per_seg.groupBy(key).agg(
+        F.array_sort(F.collect_list("s")).alias("ss")
+    )
+    ewma = F.aggregate(
+        F.slice("ss", 2, F.greatest(F.size("ss") - 1, F.lit(0))),
+        F.element_at("ss", 1)["h"],
+        lambda acc, s: s["m"] * acc + s["b"],
+    )
+    n_events = F.aggregate(
+        "ss", F.lit(0).cast("bigint"), lambda acc, s: acc + s["n"]
+    )
+    return comb.select(
+        key, n_events.alias("n_events"), ewma.alias("ewma")
     )
 
 

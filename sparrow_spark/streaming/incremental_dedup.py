@@ -55,6 +55,45 @@ def _batch_subdirs_before(root: str, batch_id: int) -> list[str]:
     return out
 
 
+def compact_band_index(
+    spark: SparkSession, index_dir: str, upto_batch: int
+) -> int:
+    """Merge the per-batch index subdirectories of batches strictly
+    before ``upto_batch`` into one — the periodic small-file
+    compaction the append-per-microbatch layout needs (same job as
+    OPTIMIZE TABLE, engine.py, and what Delta/Iceberg OPTIMIZE does
+    for the at-scale deployment this parquet layout stands in for).
+
+    Rows are repartitioned on band and sorted by (band, band_sig)
+    within files, so post-compaction lookups get parquet min/max
+    row-group pruning on exactly the join keys. The merged output
+    keeps the HIGHEST compacted batch id as its directory name, so
+    ``_batch_subdirs_before`` semantics are unchanged for every future
+    batch. Only compact batches whose streaming checkpoint is
+    committed: a replay of a compacted batch would (correctly) no
+    longer find the pre-batch index state — with Delta this whole
+    swap is one transaction. Returns the number of subdirectories
+    merged (0 = nothing to do)."""
+    prior = _batch_subdirs_before(index_dir, upto_batch)
+    if len(prior) <= 1:
+        return 0
+    merged = (
+        spark.read.schema(_BANDS_SCHEMA)
+        .parquet(*prior)
+        # One file per ~fixture; at scale the target tracks index
+        # volume (bytes / maxPartitionBytes), not the session default.
+        .repartition(1, "band")
+        .sortWithinPartitions("band", "band_sig")
+    )
+    tmp = os.path.join(index_dir, f"_compact-{uuid.uuid4().hex[:8]}")
+    merged.write.parquet(tmp)
+    last = prior[-1]
+    for d in prior:
+        shutil.rmtree(d)
+    os.rename(tmp, last)
+    return len(prior)
+
+
 def dedup_batch_against_index(
     batch: DataFrame, batch_id: int, index_dir: str, verdict_dir: str
 ) -> None:

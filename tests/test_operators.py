@@ -309,6 +309,101 @@ def test_ewma_jvm_fold_bitwise_matches_arrow_tier(spark, sf_dir):
     assert jvm == arrow
 
 
+def test_segment_ewma_matches_sequential_fold(spark, sf_dir):
+    """segment_ewma (the hot-key escape hatch: per-segment affine
+    summaries combined associatively) must reproduce the sequential
+    q_group_ewma fold on every fixture key when each key's stream is
+    split into 16-element segments. Bitwise equality is impossible for
+    a reassociated float fold, so pin <1e-9 absolute/relative AND
+    exact equality at the operator's 6-decimal output contract."""
+    from pyspark.sql import functions as F
+
+    from sparrow_spark.plans.timeseries import q_group_ewma, segment_ewma
+    from sparrow_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    lst = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("ts"),
+                    F.col("event_id"),
+                    F.coalesce(F.col("value"), F.lit(0.0)).alias("v"),
+                )
+            )
+        ).alias("xs_full")
+    )
+    seg = 16
+    segs = lst.select(
+        "user_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((F.size("xs_full") - 1) / seg).cast("int")
+                ),
+                lambda i: F.slice(F.col("xs_full.v"), i * seg + 1, seg),
+            )
+        ).alias("seg_id", "xs"),
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in segment_ewma(segs, 0.1).collect()
+    }
+    # Unrounded sequential fold (q_group_ewma pre-rounding).
+    vs = F.col("xs_full.v")
+    seq = F.aggregate(
+        F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+        F.element_at(vs, 1).cast("double"),
+        lambda acc, x: F.lit(0.1) * x + F.lit(0.9) * acc,
+    )
+    want = {
+        r["user_id"]: (r["n"], r["ewma"])
+        for r in lst.select(
+            "user_id", F.size(vs).cast("bigint").alias("n"), seq.alias("ewma")
+        ).collect()
+    }
+    rounded = {
+        r["user_id"]: r["ewma"] for r in q_group_ewma(spark, sf_dir).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        tol = 1e-9 * max(1.0, abs(want[k][1]))
+        assert abs(got[k][1] - want[k][1]) < tol, (k, got[k], want[k])
+        # ... and exact agreement at the operator's 6-decimal contract.
+        assert round(got[k][1], 6) == rounded[k]
+
+
+def test_segment_ewma_hot_key_split(spark):
+    """One 10k-element hot key split 32 ways: the combined result
+    matches a local numpy sequential fold, and per-segment summaries
+    are computed in independent tasks (the whole point)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sparrow_spark.plans.timeseries import segment_ewma
+
+    rng = np.random.default_rng(7)
+    xs = rng.normal(size=10_000).tolist()
+    acc = xs[0]
+    for x in xs[1:]:
+        acc = 0.1 * x + 0.9 * acc
+    seg = 313
+    rows = [
+        (1, i, xs[i * seg : (i + 1) * seg])
+        for i in range((len(xs) + seg - 1) // seg)
+    ]
+    segs = spark.createDataFrame(
+        rows, "user_id bigint, seg_id int, xs array<double>"
+    ).repartition(8)
+    out = segment_ewma(segs, 0.1).collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 10_000
+    assert abs(out[0]["ewma"] - acc) < 1e-9 * max(1.0, abs(acc))
+
+
 def test_kmeans_assign_helpers(spark):
     """assign_to_centroids: nearest-centroid by cosine, lowest
     centroid_id on exact ties; mean_centroids reassembles component

@@ -271,6 +271,66 @@ def test_incremental_dedup_cross_batch(spark, tmp_path):
     assert got == {1: 0, 2: 0, 3: 1, 4: 0}, got
 
 
+def test_incremental_dedup_index_compaction(spark, tmp_path):
+    """compact_band_index merges per-batch index subdirectories
+    without changing a single verdict: index content is identical
+    pre/post, and a post-compaction batch still sees a batch-0 dup."""
+    import os
+
+    from sparrow_spark.streaming.incremental_dedup import (
+        _BANDS_SCHEMA,
+        compact_band_index,
+        dedup_batch_against_index,
+    )
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    t_dup = "alpha beta gamma delta epsilon zeta eta theta"
+    batches = [
+        [(1, t_dup, "en", "s0", len(t_dup)),
+         (2, "one two three four five six seven eight", "en", "s0", 40)],
+        [(3, "red orange yellow green blue indigo violet cyan", "en", "s1", 48)],
+        [(4, "north south east west up down left right", "en", "s1", 40)],
+    ]
+    index_dir = str(tmp_path / "index")
+    verdict_dir = str(tmp_path / "verdicts")
+    for bid, rows in enumerate(batches):
+        dedup_batch_against_index(
+            spark.createDataFrame(rows, schema), bid, index_dir, verdict_dir
+        )
+
+    def index_rows():
+        return sorted(
+            (r.doc_id, r.band, r.band_sig)
+            for r in spark.read.schema(_BANDS_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(index_dir)
+            .collect()
+        )
+
+    before = index_rows()
+    assert compact_band_index(spark, index_dir, upto_batch=3) == 3
+    assert index_rows() == before
+    assert [d for d in sorted(os.listdir(index_dir)) if d.startswith("batch-")] == [
+        "batch-00002"
+    ]
+    # Compaction is idempotent-cheap: nothing left to merge.
+    assert compact_band_index(spark, index_dir, upto_batch=3) == 0
+    # A later batch duplicating a batch-0 doc still hits the index.
+    dedup_batch_against_index(
+        spark.createDataFrame([(9, t_dup, "en", "s2", len(t_dup))], schema),
+        3,
+        index_dir,
+        verdict_dir,
+    )
+    got = {
+        r.doc_id: r.is_dup
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(verdict_dir)
+        .collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0, 9: 1}, got
+
+
 def test_incremental_dedup_replay_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: re-running a batch_id must not
     duplicate verdict rows or double-append index bands, and the
