@@ -130,6 +130,18 @@ def minhash_bands(
     (minhash_lsh_pairs) and asymmetric probe-vs-index lookups
     (q_minhash_probe)."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    return bands_from_signatures(sigs, id_col, n_hashes, band_size)
+
+
+def bands_from_signatures(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """(id, band, band_sig) from a PRECOMPUTED signature table — so a
+    pipeline that needs both signatures and band keys (e.g. the
+    estimator-accuracy audit) computes the shingle pass once."""
     n_bands = n_hashes // band_size
     band_structs = [
         F.struct(
@@ -1045,4 +1057,103 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dup_n / F.count(F.lit(1)).cast("double") > SPAN_DUP_FLAG_FRACTION).alias(
             "is_flagged"
         ),
+    )
+
+
+@query(
+    "q_minhash_jaccard_est",
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ), ssets AS (
+      SELECT doc_id, list_distinct(list(shingle)) AS s FROM sh GROUP BY doc_id
+    ), scored AS (
+      SELECT p.a_id, p.b_id,
+             ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END)) / 8.0 AS est,
+             len(list_intersect(xa.s, xb.s)) /
+               CAST(len(list_distinct(list_concat(xa.s, xb.s))) AS DOUBLE) AS exact
+      FROM pairs p
+      JOIN sigs sa ON sa.doc_id = p.a_id
+      JOIN sigs sb ON sb.doc_id = p.b_id
+      JOIN ssets xa ON xa.doc_id = p.a_id
+      JOIN ssets xb ON xb.doc_id = p.b_id
+    )
+    SELECT a_id, b_id,
+           round(est, 4) AS est_jaccard,
+           round(exact, 4) AS exact_jaccard,
+           round(abs(est - exact), 4) AS abs_err
+    FROM scored
+    """,
+)
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash estimator: over the LSH
+    candidate pairs, the fraction of agreeing minhash components is an
+    unbiased estimate of the shingle-set Jaccard — this query puts the
+    estimate NEXT TO the exact Jaccard and their absolute error, which
+    is how you pick n_hashes/band geometry for a target corpus (8
+    hashes -> stderr ~ sqrt(J(1-J)/8), so the observed errors should
+    sit inside ~0.17; tests pin the per-pair bound).
+
+    Scale: candidates come from the band equi-join (never pairwise);
+    the pair list then probes the signature and shingle-set tables by
+    id — the pair side is broadcast, the corpus-sized tables never
+    shuffle. At production scale signatures/sets are materialized
+    tables (the incremental band index already is), so the audit is
+    four broadcast-hash joins over a sampled pair list; here they are
+    recomputed in-plan at fixture size."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    bands = bands_from_signatures(sigs)
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "band_sig")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "band_sig")
+    pairs = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("a_id"), *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(N_MINHASHES)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b_id"), *[F.col(f"h{i}").alias(f"b_h{i}") for i in range(N_MINHASHES)]
+    )
+    toks = materialize(widen(docs.select("doc_id", "text")), w=tokens(F.col("text"))).filter(
+        F.size("w") >= 3
+    )
+    ssets = toks.select(
+        "doc_id", F.array_distinct(_shingles_of(F.col("w"), 3)).alias("s")
+    )
+    xa = ssets.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"))
+    xb = ssets.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"))
+    joined = (
+        sa.join(F.broadcast(pairs), "a_id")
+        .join(sb, "b_id")
+        .join(xa, "a_id")
+        .join(xb, "b_id")
+    )
+    n_match = sum(
+        (F.col(f"a_h{i}") == F.col(f"b_h{i}")).cast("int") for i in range(N_MINHASHES)
+    )
+    est = n_match / F.lit(float(N_MINHASHES))
+    exact = F.size(F.array_intersect("a_s", "b_s")) / F.size(
+        F.array_union("a_s", "b_s")
+    ).cast("double")
+    return joined.select(
+        "a_id",
+        "b_id",
+        rnd(est, 4).alias("est_jaccard"),
+        rnd(exact, 4).alias("exact_jaccard"),
+        rnd(F.abs(est - exact), 4).alias("abs_err"),
     )

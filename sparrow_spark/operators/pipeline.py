@@ -134,6 +134,89 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sequence_packing_masked",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM tok
+    ), spans AS (
+      SELECT doc_id, lang, n_tokens,
+             cum - n_tokens AS st, cum,
+             unnest(range(CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT),
+                          CAST((cum - 1) // {PACK_BUDGET} + 1 AS BIGINT))) AS seq_id
+      FROM packed
+    )
+    SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(st, seq_id * {PACK_BUDGET})
+                - seq_id * {PACK_BUDGET} AS BIGINT) AS span_start,
+           CAST(least(cum, (seq_id + 1) * {PACK_BUDGET})
+                - greatest(st, seq_id * {PACK_BUDGET}) AS BIGINT) AS span_len,
+           CAST(greatest(st, seq_id * {PACK_BUDGET}) - st AS BIGINT) AS doc_offset
+    FROM spans
+    """,
+)
+def q_sequence_packing_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing WITH document-boundary attention spans: one row
+    per (training sequence, document span) giving exactly which token
+    range of each 256-token sequence belongs to which document — the
+    mask table a dataloader needs for block-diagonal ("document-
+    causal") attention, so packed neighbors can't attend across
+    document joins. A document straddling sequence boundaries emits
+    one span per sequence it touches, with doc_offset locating the
+    span inside the document.
+
+    Scale: identical cost to q_sequence_packing — one shuffle on the
+    lang shard key for the running sum, then the span explode is
+    map-side and output is O(docs + sequences) rows (each doc adds at
+    most ceil(len/budget)+1 spans). The span table is what ships to
+    the trainer, so downstream never re-reads text to rebuild masks."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    laid = sized.select(
+        "doc_id",
+        "lang",
+        (cum - F.col("n_tokens")).alias("st"),
+        cum.alias("cum"),
+    )
+    b = F.lit(PACK_BUDGET)
+    spans = laid.select(
+        "lang",
+        "doc_id",
+        "st",
+        "cum",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("st") / b), F.floor((F.col("cum") - 1) / b)
+            )
+        ).alias("seq_id"),
+    )
+    span_lo = F.greatest(F.col("st"), F.col("seq_id") * b)
+    span_hi = F.least(F.col("cum"), (F.col("seq_id") + 1) * b)
+    return spans.select(
+        "lang",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        "doc_id",
+        (span_lo - F.col("seq_id") * b).cast("bigint").alias("span_start"),
+        (span_hi - span_lo).cast("bigint").alias("span_len"),
+        (span_lo - F.col("st")).cast("bigint").alias("doc_offset"),
+    )
+
+
+@query(
     "q_repetition_filter",
     oracle="""
     WITH tok AS (

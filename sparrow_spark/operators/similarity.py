@@ -1190,3 +1190,198 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("psi", 6).alias("psi"),
         )
     )
+
+
+@query(
+    "q_int8_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (
+      SELECT vec_id, CAST(unnest(v) AS DOUBLE) AS x,
+             generate_subscripts(v, 1) AS dim
+      FROM e
+    ), stats AS (
+      SELECT dim, CAST(min(x) AS DOUBLE) AS lo, CAST(max(x) AS DOUBLE) AS hi
+      FROM ex GROUP BY dim
+    ), dqd AS (
+      SELECT vec_id, dim,
+             CASE WHEN hi = lo THEN lo
+                  ELSE lo + floor((x - lo) / (hi - lo) * 255 + 0.5)
+                       / 255.0 * (hi - lo) END AS dq
+      FROM ex JOIN stats USING (dim)
+    ), dqv AS (
+      SELECT vec_id, list(dq ORDER BY dim) AS v FROM dqd GROUP BY vec_id
+    ), exact AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20
+      QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                 ORDER BY {_COS_SQL} DESC, b.vec_id) <= 3
+    ), approx AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM dqv a JOIN dqv b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20
+      QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                 ORDER BY {_COS_SQL} DESC, b.vec_id) <= 3
+    )
+    SELECT x.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) / 3.0, 4) AS recall_at_3
+    FROM exact x
+    LEFT JOIN approx a
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """,
+)
+def q_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for SCALAR (int8) quantization — the third leg of
+    the compression-accuracy story (q_ann_recall covers the LSH index,
+    q_ivfpq_recall covers IVF-PQ): top-3 by cosine over the
+    DEQUANTIZED vectors vs exact top-3 over the raw vectors, per
+    sampled query. This isolates pure code-reconstruction loss (no
+    cell/bucket restriction), which is the decision input for "is 4x
+    memory compression free at my recall target?".
+
+    Scale: the per-dim (lo, hi) table collapses to ONE broadcast row
+    of two dim-length arrays; dequantization is then a map-side
+    transform-with-index — the corpus never shuffles and no exploded
+    (vec x dim) rows survive past the stats aggregate. Exact side is
+    |sample| x |corpus|, the standard audit cost."""
+    vecs = _vecs(spark, sf_dir)
+    ex = vecs.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    stats = ex.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    stats_row = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "lo", "hi"))
+        ).alias("sh")
+    ).select(
+        F.transform("sh", lambda s: s["lo"]).alias("los"),
+        F.transform("sh", lambda s: s["hi"]).alias("his"),
+    )
+    los, his = F.col("los"), F.col("his")
+    dq = vecs.crossJoin(F.broadcast(stats_row)).select(
+        "vec_id",
+        F.transform(
+            "v",
+            lambda x, i: F.when(
+                F.element_at(his, i + 1) == F.element_at(los, i + 1),
+                F.element_at(los, i + 1),
+            ).otherwise(
+                F.element_at(los, i + 1)
+                + F.floor(
+                    (x - F.element_at(los, i + 1))
+                    / (F.element_at(his, i + 1) - F.element_at(los, i + 1))
+                    * 255
+                    + 0.5
+                )
+                / 255.0
+                * (F.element_at(his, i + 1) - F.element_at(los, i + 1))
+            ),
+        ).alias("v"),
+    )
+    exact = brute_force_topk(
+        vecs.filter(F.col("vec_id") < 20), vecs, k=3
+    ).select("query_id", "neighbor_id")
+    approx = brute_force_topk(
+        dq.filter(F.col("vec_id") < 20), dq, k=3
+    ).select("query_id", F.col("neighbor_id").alias("a_neighbor_id"))
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.a_neighbor_id),
+        "left",
+    ).select(exact.query_id, approx.a_neighbor_id)
+    return hits.groupBy("query_id").agg(
+        F.count("a_neighbor_id").alias("n_hits"),
+        rnd(F.count("a_neighbor_id") / F.lit(3.0), 4).alias("recall_at_3"),
+    )
+
+
+@query(
+    "q_kmeanspp_init",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+    s1 AS (SELECT * FROM p0),
+    m1 AS (
+      SELECT a.vec_id, a.v, max({_COS_SQL}) AS mc
+      FROM e a JOIN s1 b ON true
+      WHERE a.vec_id NOT IN (SELECT vec_id FROM s1)
+      GROUP BY a.vec_id, a.v
+    ),
+    p1 AS (SELECT vec_id, v, mc FROM m1 ORDER BY mc ASC, vec_id LIMIT 1),
+    s2 AS (SELECT * FROM s1 UNION ALL SELECT vec_id, v FROM p1),
+    m2 AS (
+      SELECT a.vec_id, a.v, max({_COS_SQL}) AS mc
+      FROM e a JOIN s2 b ON true
+      WHERE a.vec_id NOT IN (SELECT vec_id FROM s2)
+      GROUP BY a.vec_id, a.v
+    ),
+    p2 AS (SELECT vec_id, v, mc FROM m2 ORDER BY mc ASC, vec_id LIMIT 1),
+    s3 AS (SELECT * FROM s2 UNION ALL SELECT vec_id, v FROM p2),
+    m3 AS (
+      SELECT a.vec_id, a.v, max({_COS_SQL}) AS mc
+      FROM e a JOIN s3 b ON true
+      WHERE a.vec_id NOT IN (SELECT vec_id FROM s3)
+      GROUP BY a.vec_id, a.v
+    ),
+    p3 AS (SELECT vec_id, v, mc FROM m3 ORDER BY mc ASC, vec_id LIMIT 1)
+    SELECT CAST(0 AS BIGINT) AS pick, vec_id,
+           CAST(NULL AS DOUBLE) AS nearest_seed_cos FROM p0
+    UNION ALL SELECT 1, vec_id, round(mc, 6) FROM p1
+    UNION ALL SELECT 2, vec_id, round(mc, 6) FROM p2
+    UNION ALL SELECT 3, vec_id, round(mc, 6) FROM p3
+    """,
+)
+def q_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means seeding by farthest-point traversal
+    (Gonzalez k-center — the derandomized core of k-means++: instead of
+    sampling proportional to D^2, take the argmax of D = 1 - max-cos to
+    the chosen set, lowest vec_id on ties, so the oracle reproduces
+    every pick exactly). Seeds feed q_kmeans_assign/q_kmeans_iterate.
+
+    Scale: each of the k-1 selection rounds is one map-side pass — the
+    chosen seeds ride along as ONE broadcast array, the per-vector
+    max-cos is an array_max over a transform fold, and the argmin is
+    TakeOrderedAndProject(1), so the corpus never shuffles and only one
+    row returns per round. The plan is fully lazy (the picks are
+    unrolled as nested 1-row subplans, the q_kmeans_iterate pattern);
+    a driver loop carrying the seed list persists the corpus once and
+    re-runs only the scoring pass per round. k-means|| would batch
+    multiple picks per pass; with the traversal derandomized the
+    one-pick-per-pass shape is what keeps ties exactly reproducible."""
+    e = _vecs(spark, sf_dir).select("vec_id", "v")
+    seed0 = e.orderBy("vec_id").limit(1)
+    picks = [
+        seed0.select(
+            F.lit(0).cast("bigint").alias("pick"),
+            "vec_id",
+            F.lit(None).cast("double").alias("nearest_seed_cos"),
+        )
+    ]
+    seeds = seed0
+    for i in range(1, 4):
+        seeds_arr = seeds.agg(F.collect_list("v").alias("svs"))
+        mc = F.array_max(
+            F.transform("svs", lambda s: cosine(F.col("v"), s))
+        )
+        cand = (
+            e.join(F.broadcast(seeds.select("vec_id")), "vec_id", "left_anti")
+            .crossJoin(F.broadcast(seeds_arr))
+            .select("vec_id", "v", mc.alias("mc"))
+        )
+        pick = cand.orderBy(F.col("mc").asc(), "vec_id").limit(1)
+        picks.append(
+            pick.select(
+                F.lit(i).cast("bigint").alias("pick"),
+                "vec_id",
+                rnd("mc", 6).alias("nearest_seed_cos"),
+            )
+        )
+        seeds = seeds.unionByName(pick.select("vec_id", "v"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

@@ -862,3 +862,83 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "doc_id", "rank", rnd("score", 4).alias("score"))
     )
+
+
+@query(
+    "q_quality_gopher",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             list_sum([CAST(length(x) AS DOUBLE) for x in w])
+               / len(w) AS mwl,
+             len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+               / CAST(len(w) AS DOUBLE) AS fa,
+             CAST(len(list_distinct(list_filter(w,
+                 x -> list_contains(['the','be','to','of','and',
+                                     'that','have','with'], x))))
+               AS BIGINT) AS n_stop
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           round(mwl, 4) AS mean_word_len,
+           round(fa, 4) AS frac_alpha_words,
+           n_stop AS n_stop_kinds,
+           (n_words BETWEEN 50 AND 100000
+            AND mwl BETWEEN 3 AND 10
+            AND fa >= 0.8
+            AND n_stop >= 2) AS passes_gopher
+    FROM m
+    """,
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style rule-based quality filter (Rae et al.
+    2021, §A.1.1): a document passes iff its word count is in
+    [50, 100k], mean word length in [3, 10], at least 80% of words
+    contain an alphabetic character, and it contains >= 2 distinct
+    words from the 8-word English stop list — the standard cheap
+    pre-filter that runs BEFORE any model-based scoring in a pretraining
+    pipeline (q_text_quality is the score; this is the hard gate).
+
+    Scale: entirely map-side — one pass of higher-order functions per
+    document, no shuffle, no Python; verdicts stream straight into the
+    curation funnel. Thresholds compare UNROUNDED values (both engines
+    compute the identical double), rounding only display columns."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    d = materialize(docs.select("doc_id", "text"), w=w).drop("text")
+    n_words = F.size("w").cast("bigint")
+    mwl = F.aggregate(
+        "w", F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+    ) / F.size("w")
+    fa = F.size(F.filter("w", lambda x: x.rlike("[a-z]"))) / F.size("w").cast(
+        "double"
+    )
+    stops = F.array(
+        *[F.lit(s) for s in ["the", "be", "to", "of", "and", "that", "have", "with"]]
+    )
+    n_stop = F.size(
+        F.array_distinct(F.filter("w", lambda x: F.array_contains(stops, x)))
+    ).cast("bigint")
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mwl"),
+        fa.alias("fa"),
+        n_stop.alias("n_stop"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        rnd("mwl", 4).alias("mean_word_len"),
+        rnd("fa", 4).alias("frac_alpha_words"),
+        F.col("n_stop").alias("n_stop_kinds"),
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mwl").between(3, 10)
+            & (F.col("fa") >= 0.8)
+            & (F.col("n_stop") >= 2)
+        ).alias("passes_gopher"),
+    )

@@ -552,6 +552,54 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_percentile_approx_audit",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50_exact,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_exact,
+           TRUE AS p50_in_band,
+           TRUE AS p90_in_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the AT-SCALE percentile path: percentile_approx
+    (Greenwald-Khanna sketch, mergeable across partitions — the only
+    percentile that works at 100 TB, where exact `percentile` would
+    collect every value per group) is checked against its own rank
+    guarantee. With accuracy A the sketch's rank error is at most n/A,
+    so the approx value must lie within the exact interpolated
+    percentiles of q ± 1/A. The query OUTPUTS the verdict booleans (and
+    the exact values), so the oracle — which cannot reproduce the
+    sketch — re-derives the exact side and the literal expectation that
+    both bands hold. Keep the exact aggregate here fixture-only; at
+    production scale the audit runs on a sampled partition and only
+    the approx path touches the full data."""
+    acc = 100  # rank error <= n/100 => quantile band q +/- 0.01
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"percentile_approx(l_quantity, 0.5, {acc})").alias("p50_a"),
+        F.expr(f"percentile_approx(l_quantity, 0.9, {acc})").alias("p90_a"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_e"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_e"),
+        F.expr("percentile(l_quantity, 0.49)").alias("p50_lo"),
+        F.expr("percentile(l_quantity, 0.51)").alias("p50_hi"),
+        F.expr("percentile(l_quantity, 0.89)").alias("p90_lo"),
+        F.expr("percentile(l_quantity, 0.91)").alias("p90_hi"),
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        rnd(F.col("p50_e"), 4).alias("p50_exact"),
+        rnd(F.col("p90_e"), 4).alias("p90_exact"),
+        F.col("p50_a").between(F.col("p50_lo"), F.col("p50_hi")).alias("p50_in_band"),
+        F.col("p90_a").between(F.col("p90_lo"), F.col("p90_hi")).alias("p90_in_band"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Set operations (UNION [ALL] / INTERSECT / EXCEPT — SURVEY §2.2).
 # --------------------------------------------------------------------------
