@@ -59,6 +59,13 @@ BENCH_QUERIES = [
     "q_kmeans_iterate",
     "q_ivfpq_search",
     "q_multimodal_decode_real",
+    # r6b: audit/pipeline operators (sketch-accuracy + quality gate +
+    # seeding) — benched on arrival so no round-over-round blind spot.
+    "q_minhash_jaccard_est",
+    "q_int8_recall",
+    "q_kmeanspp_init",
+    "q_quality_gopher",
+    "q_sequence_packing_masked",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -346,28 +346,29 @@ def _image_codecs():
     import sparrow_spark — see decode_media_batches)."""
     import struct
 
-    def raster(doc_id: int, w: int, h: int) -> bytes:
+    import numpy as np
+
+    def raster(doc_id: int, w: int, h: int) -> np.ndarray:
         # Channel value at image position p=(y*w+x), channel c:
         # (doc_id + 3p + c) % 256 — i.e. raster byte i = (doc_id+i)%256.
         n = w * h * 3
-        return bytes((doc_id + i) % 256 for i in range(n))
+        return ((doc_id + np.arange(n, dtype=np.int64)) % 256).astype(np.uint8)
 
     def encode_ppm(doc_id: int, w: int, h: int) -> bytes:
         header = f"P6\n# doc {doc_id}\n{w} {h}\n255\n".encode()
-        return header + raster(doc_id, w, h)
+        return header + raster(doc_id, w, h).tobytes()
 
     def encode_bmp(doc_id: int, w: int, h: int) -> bytes:
-        px = raster(doc_id, w, h)
+        # Bottom-up rows, BGR channel order, rows padded to 4 bytes —
+        # all as array ops (the per-pixel Python loop was the bench
+        # hot spot; the format semantics are unchanged and pinned by
+        # the roundtrip test + the oracle's closed-form checksums).
+        px = raster(doc_id, w, h).reshape(h, w, 3)
+        bgr = px[::-1, :, ::-1].reshape(h, w * 3)
         pad = (4 - (w * 3) % 4) % 4
-        rows = []
-        for y in range(h - 1, -1, -1):  # bottom-up
-            row = bytearray()
-            for x in range(w):
-                p = 3 * (y * w + x)
-                r, g, b = px[p], px[p + 1], px[p + 2]
-                row += bytes((b, g, r))  # BGR on disk
-            rows.append(bytes(row) + b"\x00" * pad)
-        data = b"".join(rows)
+        padded = np.zeros((h, w * 3 + pad), dtype=np.uint8)
+        padded[:, : w * 3] = bgr
+        data = padded.tobytes()
         off = 14 + 40
         file_header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
         info_header = struct.pack(
@@ -414,14 +415,13 @@ def _image_codecs():
                 raise ValueError("top-down BMP not supported")
             pad = (4 - (w * 3) % 4) % 4
             stride = w * 3 + pad
-            out = bytearray(w * h * 3)
-            for y in range(h):
-                src = off + (h - 1 - y) * stride  # file rows are bottom-up
-                for x in range(w):
-                    b, g, r = blob[src + 3 * x : src + 3 * x + 3]
-                    p = 3 * (y * w + x)
-                    out[p], out[p + 1], out[p + 2] = r, g, b
-            return "bmp", w, h, bytes(out)
+            if len(blob) < off + h * stride:
+                raise ValueError("truncated BMP raster")
+            # File rows are bottom-up and BGR; flip both axes in one
+            # strided view instead of a per-pixel loop.
+            arr = np.frombuffer(blob, np.uint8, count=h * stride, offset=off)
+            rgb = arr.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+            return "bmp", w, h, np.ascontiguousarray(rgb).tobytes()
         raise ValueError(f"unknown image magic {blob[:2]!r}")
 
     return encode_ppm, encode_bmp, decode_image
@@ -460,6 +460,7 @@ def decode_image_batches():
     _, _, decode_image = _image_codecs()
 
     def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -467,15 +468,14 @@ def decode_image_batches():
                     ("doc_id", "fmt", "width", "height", "pix_sum", "wchecksum")}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 fmt, w, h, px = decode_image(bytes(blob))
-                wsum = sum(
-                    (p + 1) * (px[3 * p] + px[3 * p + 1] + px[3 * p + 2])
-                    for p in range(w * h)
-                )
+                a = np.frombuffer(px, np.uint8)
+                t = a.reshape(-1, 3).sum(axis=1, dtype=np.int64)
+                wsum = int(((np.arange(t.size, dtype=np.int64) + 1) * t).sum())
                 rows["doc_id"].append(doc_id)
                 rows["fmt"].append(fmt)
                 rows["width"].append(w)
                 rows["height"].append(h)
-                rows["pix_sum"].append(sum(px))
+                rows["pix_sum"].append(int(a.sum(dtype=np.int64)))
                 rows["wchecksum"].append(wsum)
             yield pd.DataFrame(rows)
 
