@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "q_kmeanspp_init",
     "q_quality_gopher",
     "q_sequence_packing_masked",
+    "q_hybrid_rrf",
+    "q_bpe_merge_step",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -768,6 +768,47 @@ _BM25_QUERIES: list[tuple[str, list[str]]] = [
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
+def bm25_scored(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(query_id, doc_id, score) BM25 scores for _BM25_QUERIES over
+    `docs` — shared by the pure-lexical top-k and the hybrid RRF
+    fusion. See q_bm25_topk for the scale shape."""
+    all_terms = [t for _, ts in _BM25_QUERIES for t in ts]
+    terms = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
+        "query_id string, tok string",
+    )
+    toks = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id", F.size("toks").cast("double").alias("dl"),
+        F.explode("toks").alias("tok"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(all_terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfr = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    corpus = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("double").alias("dl")
+    ).agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n"))
+    term_score = (
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        * F.col("tf") * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfr), "tok")
+        .join(F.broadcast(terms), "tok")
+        .join(F.broadcast(corpus))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+
+
 @query(
     "q_bm25_topk",
     oracle=f"""
@@ -819,41 +860,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies and corpus stats are broadcast 1-row/·|terms| aggregates,
     and top-5 per query is a WindowGroupLimit, not a global sort."""
     docs = widen(load_table(spark, sf_dir, "documents"))
-    all_terms = [t for _, ts in _BM25_QUERIES for t in ts]
-    terms = spark.createDataFrame(
-        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
-        "query_id string, tok string",
-    )
-    toks = docs.select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    ).select(
-        "doc_id", F.size("toks").cast("double").alias("dl"),
-        F.explode("toks").alias("tok"),
-    )
-    tf = (
-        toks.filter(F.col("tok").isin(all_terms))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
-    )
-    dfr = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    corpus = docs.select(
-        "doc_id", F.size(tokens(F.col("text"))).cast("double").alias("dl")
-    ).agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n"))
-    term_score = (
-        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-        * F.col("tf") * (_BM25_K1 + 1)
-        / (
-            F.col("tf")
-            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(dfr), "tok")
-        .join(F.broadcast(terms), "tok")
-        .join(F.broadcast(corpus))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(term_score).alias("score"))
-    )
+    scored = bm25_scored(spark, docs)
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
@@ -941,4 +948,217 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("fa") >= 0.8)
             & (F.col("n_stop") >= 2)
         ).alias("passes_gopher"),
+    )
+
+
+_RRF_K = 60
+_RRF_VEC_QUERIES = [("q1", 1), ("q2", 2), ("q3", 3)]  # query_id -> vec_id
+
+
+def _rrf_oracle() -> str:
+    # Assembled in a function (not a module constant) because it
+    # splices in similarity._COS_SQL; defined before the decorator so
+    # the oracle registers with the query.
+    from sparrow_spark.operators.similarity import _COS_SQL
+
+    terms_values = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in _BM25_QUERIES for t in ts
+    )
+    vq_values = ", ".join(f"('{qid}', {vid})" for qid, vid in _RRF_VEC_QUERIES)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), dl AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM dl
+    ), terms(query_id, tok) AS (
+      VALUES {terms_values}
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE tok IN (SELECT tok FROM terms)
+      GROUP BY doc_id, tok
+    ), dfr AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+    ), lex_scored AS (
+      SELECT t.query_id, f.doc_id,
+             sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+                 * f.tf * ({_BM25_K1} + 1)
+                 / (f.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl))
+             ) AS score
+      FROM tf f
+      JOIN dfr d USING (tok)
+      JOIN terms t ON t.tok = f.tok
+      JOIN dl l ON l.doc_id = f.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.query_id, f.doc_id
+    ), lex AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank_lex
+      FROM lex_scored
+      QUALIFY rank_lex <= 20
+    ), vq(query_id, vid) AS (
+      VALUES {vq_values}
+    ), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    vec AS (
+      SELECT t.query_id, b.vec_id AS doc_id,
+             row_number() OVER (PARTITION BY t.query_id
+                                ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank_vec
+      FROM vq t JOIN e a ON a.vec_id = t.vid JOIN e b ON true
+      QUALIFY rank_vec <= 20
+    ), fused AS (
+      SELECT coalesce(l.query_id, v.query_id) AS query_id,
+             coalesce(l.doc_id, v.doc_id) AS doc_id,
+             l.rank_lex, v.rank_vec,
+             coalesce(1.0 / ({_RRF_K} + l.rank_lex), 0.0)
+               + coalesce(1.0 / ({_RRF_K} + v.rank_vec), 0.0) AS rrf_score
+      FROM lex l FULL OUTER JOIN vec v
+        ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    )
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf_score DESC, doc_id) AS rrf_rank,
+           round(rrf_score, 6) AS rrf_score,
+           CAST(rank_lex AS BIGINT) AS rank_lex,
+           CAST(rank_vec AS BIGINT) AS rank_vec
+    FROM fused
+    QUALIFY rrf_rank <= 5
+    """
+
+
+@query("q_hybrid_rrf", oracle=_rrf_oracle())
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal rank fusion (RRF, Cormack et
+    al. 2009 — the fusion Elasticsearch/OpenSearch use for
+    lexical+vector hybrid search): BM25 top-20 and embedding-cosine
+    top-20 per query are fused by score = sum over rankers of
+    1/(60 + rank); top-5 fused results per query. Each query pairs its
+    _BM25_QUERIES terms with one query embedding (vec_id 1..3 — the
+    fixture's embedding of the same-id document).
+
+    Scale: each ranker prunes to top-k BEFORE fusion (WindowGroupLimit
+    per query), so the full-outer fusion join touches only
+    O(queries x k) rows regardless of corpus size; the vector side
+    broadcasts 3 query vectors at the corpus, the lexical side moves
+    only query-term token hits. Rank fusion deliberately avoids
+    comparing raw scores across rankers (BM25 and cosine are on
+    incommensurable scales) — only integer ranks meet, which is also
+    what makes the oracle comparison exact."""
+    from pyspark.sql import Window
+
+    from sparrow_spark.operators.similarity import _vecs, cosine
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    lex_scored = bm25_scored(spark, docs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    lex = (
+        lex_scored.withColumn("rank_lex", F.row_number().over(w))
+        .filter(F.col("rank_lex") <= 20)
+        .select("query_id", "doc_id", "rank_lex")
+    )
+    vq = spark.createDataFrame(_RRF_VEC_QUERIES, "query_id string, vid bigint")
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    qv = vq.join(vecs, vq.vid == vecs.vec_id).select(
+        "query_id", F.col("v").alias("qv")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("doc_id"))
+    vec = (
+        vecs.crossJoin(F.broadcast(qv))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+        .withColumn("rank_vec", F.row_number().over(wv))
+        .filter(F.col("rank_vec") <= 20)
+        .select("query_id", "doc_id", "rank_vec")
+    )
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(1.0 / (_RRF_K + F.col("rank_lex")), F.lit(0.0)) + F.coalesce(
+        1.0 / (_RRF_K + F.col("rank_vec")), F.lit(0.0)
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("rrf_rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rrf_rank") <= 5)
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_rank",
+            rnd("rrf_score", 6).alias("rrf_score"),
+            F.col("rank_lex").cast("bigint").alias("rank_lex"),
+            F.col("rank_vec").cast("bigint").alias("rank_vec"),
+        )
+    )
+
+
+@query(
+    "q_bpe_merge_step",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ), tfreq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM tok
+      WHERE length(tok) >= 2 GROUP BY tok
+    ), pairs AS (
+      SELECT substr(tok, i, 2) AS pair, freq
+      FROM tfreq, unnest(range(1, length(tok))) AS t(i)
+    ), counted AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n,
+           CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+    FROM counted
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE iteration of BPE tokenizer training's counting step: the
+    corpus-wide frequency of adjacent symbol pairs (here: character
+    bigrams inside whitespace words), whose argmax is the next merge
+    rule (Sennrich et al. 2016). Output: the top-20 candidate merges
+    with deterministic (count DESC, pair ASC) ranking.
+
+    Scale: the pair explode runs over the DISTINCT-token table
+    weighted by token frequency — the standard trick that makes BPE
+    training corpus-size-independent: a 100 TB corpus has a bounded
+    vocabulary, so after the one token-count shuffle every remaining
+    stage is vocabulary-sized. Top-20 is TakeOrderedAndProject, not a
+    global sort. The full training loop re-runs this step after
+    applying each merge to the (small) vocab table — the corpus is
+    touched exactly once."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    tfreq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = tfreq.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
     )
