@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "q_sequence_packing_masked",
     "q_hybrid_rrf",
     "q_bpe_merge_step",
+    "q_dedup_edit_distance",
+    "q_token_entropy",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1157,3 +1157,66 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(exact, 4).alias("exact_jaccard"),
         rnd(F.abs(est - exact), 4).alias("abs_err"),
     )
+
+
+@query(
+    "q_dedup_edit_distance",
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ), norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents
+    )
+    SELECT p.a_id, p.b_id,
+           CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS edit_dist,
+           round(1.0 - levenshtein(na.nt, nb.nt)
+                 / CAST(greatest(length(na.nt), length(nb.nt)) AS DOUBLE),
+                 4) AS edit_sim,
+           (1.0 - levenshtein(na.nt, nb.nt)
+                 / CAST(greatest(length(na.nt), length(nb.nt)) AS DOUBLE)
+            >= 0.8) AS is_dup
+    FROM pairs p
+    JOIN norm na ON na.doc_id = p.a_id
+    JOIN norm nb ON nb.doc_id = p.b_id
+    """,
+)
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of LSH candidate pairs — the other
+    classic verify step next to n-gram Jaccard (q_dedup_ngram_jaccard):
+    normalized Levenshtein similarity 1 - d/max(len), duplicate at
+    >= 0.8. Character-level edit distance catches near-dups that
+    token-set Jaccard over-scores (reordered words score 1.0 on sets
+    but low here) and vice versa; production pipelines run Jaccard
+    first (cheap) and edit distance on the survivors.
+
+    Scale: Levenshtein is O(len_a x len_b) per pair — exactly why it
+    must NEVER run corpus-wide: candidates come from the band
+    equi-join only, and the pair list joins the normalized-text table
+    by id (pair side broadcast, corpus never shuffles). The quadratic
+    cost is bounded per pair by document length, so the stage
+    parallelizes by pair count."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    norm = widen(docs).select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("nt"),
+    )
+    na = norm.select(F.col("doc_id").alias("a_id"), F.col("nt").alias("a_nt"))
+    nb = norm.select(F.col("doc_id").alias("b_id"), F.col("nt").alias("b_nt"))
+    j = na.join(F.broadcast(pairs), "a_id").join(nb, "b_id")
+    dist = F.levenshtein("a_nt", "b_nt")
+    sim = 1.0 - dist / F.greatest(F.length("a_nt"), F.length("b_nt")).cast(
+        "double"
+    )
+    return j.select(
+        "a_id",
+        "b_id",
+        dist.cast("bigint").alias("edit_dist"),
+        rnd(sim, 4).alias("edit_sim"),
+        (sim >= 0.8).alias("is_dup"),
+    )

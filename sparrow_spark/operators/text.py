@@ -1162,3 +1162,71 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+@query(
+    "q_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+      FROM tok GROUP BY doc_id, tok
+    ), n AS (
+      SELECT doc_id, sum(c) AS n, CAST(count(*) AS BIGINT) AS n_unique
+      FROM tf GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(n.n AS BIGINT) AS n_tokens,
+           n.n_unique,
+           round(-sum((t.c / n.n) * ln(t.c / n.n)) / ln(2), 4) AS entropy_bits,
+           round(-sum((t.c / n.n) * ln(t.c / n.n)) / ln(2)
+                 / (CASE WHEN n.n_unique = 1 THEN 1.0
+                         ELSE ln(n.n_unique) / ln(2) END), 4) AS entropy_ratio
+    FROM tf t JOIN n USING (doc_id)
+    GROUP BY t.doc_id, n.n, n.n_unique
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution (bits),
+    plus the ratio to its maximum log2(n_unique) — the
+    information-theoretic quality signal: templated/boilerplate pages
+    sit near 0, natural prose near 1 (repetition-heavy docs that fool
+    length filters fail here; the complement of q_repetition_filter's
+    n-gram view). Used as a Gopher-style gate input and for
+    dedup-resistant boilerplate detection.
+
+    Scale: one map-side token explode into a (doc, token) count
+    aggregate keyed on doc_id — a single shuffle with map-side
+    combine; the entropy fold is then a per-group sum. No pairwise
+    anything, no Python."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).cast("bigint").alias("n_unique")
+    )
+    p = F.col("c") / F.col("n")
+    ent = -F.sum(p * F.log(p)) / F.log(F.lit(2.0))
+    return (
+        tf.join(n, "doc_id")
+        .groupBy("doc_id", "n", "n_unique")
+        .agg(ent.alias("h"))
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "n_unique",
+            rnd("h", 4).alias("entropy_bits"),
+            rnd(
+                F.col("h")
+                / F.when(F.col("n_unique") == 1, 1.0).otherwise(
+                    F.log(F.col("n_unique").cast("double")) / F.log(F.lit(2.0))
+                ),
+                4,
+            ).alias("entropy_ratio"),
+        )
+    )
