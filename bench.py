@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "q_bpe_merge_step",
     "q_dedup_edit_distance",
     "q_token_entropy",
+    "q_cluster_balanced_sample",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1385,3 +1385,64 @@ def q_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "q_cluster_balanced_sample",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s0 AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < 8),
+    sims AS (
+      SELECT a.vec_id, b.centroid_id, {_COS_SQL} AS cos
+      FROM e a JOIN s0 b ON true
+    ), assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, centroid_id) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    )
+    SELECT centroid_id, vec_id,
+           CAST(row_number() OVER (PARTITION BY centroid_id
+                                   ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                            vec_id)
+                AS BIGINT) AS pick_rank,
+           CAST(count(*) OVER (PARTITION BY centroid_id) AS BIGINT)
+               AS n_members
+    FROM assigned
+    QUALIFY pick_rank <= 20
+    """,
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced coreset selection: assign every embedding to
+    its nearest centroid (the q_kmeans_assign map-side fold), then keep
+    an equal-allocation quota of 20 per cluster chosen by deterministic
+    hash order — the diversity-preserving subset selection step
+    (DeepCore/coreset family): a frequency-proportional sample would
+    reproduce the majority clusters' dominance; equal allocation keeps
+    tail modes represented for curriculum or eval-set construction.
+
+    Scale: assignment is map-side against ONE broadcast centroid row
+    (corpus never shuffles for it); the quota needs one shuffle on
+    centroid_id for the per-cluster hash-order window. With k clusters
+    that shuffle is skew-prone at 100 TB (hot cluster = hot partition)
+    — the production variant first aggregates per-cluster counts
+    (broadcast-sized), converts the quota to a hash THRESHOLD
+    (keep if md5(id) < q/|c| quantile), and applies it map-side; the
+    window form here stays exact-k and oracle-reproducible."""
+    vecs = _vecs(spark, sf_dir)
+    seeds = collapse_centroids(
+        vecs.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+        )
+    )
+    a = assign_to_centroids(vecs, seeds).select("vec_id", "centroid_id")
+    key = F.md5(F.col("vec_id").cast("string"))
+    w = Window.partitionBy("centroid_id").orderBy(key, "vec_id")
+    wc = Window.partitionBy("centroid_id")
+    return (
+        a.withColumn("pick_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("pick_rank") <= 20)
+        .select("centroid_id", "vec_id", "pick_rank", "n_members")
+    )
