@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "q_dedup_edit_distance",
     "q_token_entropy",
     "q_cluster_balanced_sample",
+    "q_salted_agg",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -993,3 +993,42 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_checksum"),
         )
     )
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT source,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+           CAST(count(n_chars) AS BIGINT) AS n_chars_cnt,
+           round(sum(n_chars) / CAST(count(n_chars) AS DOUBLE), 6)
+               AS n_chars_avg
+    FROM documents GROUP BY source
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit hot-key aggregation pattern as a driver-verified
+    query: per-source character totals computed through
+    functions.skew.salted_sum_count — phase 1 groups on
+    (source, salt-of-row) so ONE dominant source fans across 16
+    partial groups instead of routing its whole volume to a single
+    reducer; phase 2 re-aggregates the |sources| x 16 partials. The
+    oracle is the plain GROUP BY, proving the salted two-phase plan is
+    result-identical (sum/count are algebraic, so bucket partials
+    compose exactly; avg derives after the final sum). This is the
+    escape hatch for aggregation skew beyond AQE's reach — AQE splits
+    skewed JOIN partitions but cannot split a single aggregation key."""
+    from sparrow_spark.functions.skew import salted_sum_count
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    out = salted_sum_count(
+        docs.select("source", "n_chars"), ["source"], ["n_chars"], buckets=16
+    )
+    return out.select(
+        "source",
+        F.col("n_chars_sum").cast("bigint").alias("n_chars_sum"),
+        F.col("n_chars_cnt").cast("bigint").alias("n_chars_cnt"),
+        rnd(F.col("n_chars_sum") / F.col("n_chars_cnt").cast("double"), 6).alias(
+            "n_chars_avg"
+        ),
+    )
