@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "q_token_entropy",
     "q_cluster_balanced_sample",
     "q_salted_agg",
+    "q_perplexity_bigram",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1230,3 +1230,106 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy_ratio"),
         )
     )
+
+
+@query(
+    "q_perplexity_bigram",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), big AS (
+      SELECT doc_id,
+             unnest([{prev: w[i], cur: w[i+1]}
+                     for i in range(1, len(w))], recursive := true)
+      FROM tok WHERE len(w) >= 2
+    ), uni AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS n FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+      ) WHERE doc_id % 10 = 0 GROUP BY tok
+    ), bi AS (
+      SELECT prev, cur, CAST(count(*) AS DOUBLE) AS nb
+      FROM big WHERE doc_id % 10 = 0 GROUP BY prev, cur
+    ), stats AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS v
+      FROM uni
+    ), scored AS (
+      SELECT t.doc_id,
+             -ln(0.7 * coalesce(b.nb / up.n, 0.0)
+                 + 0.3 * coalesce((uc.n + 1) / (m.total + m.v),
+                                  1.0 / (m.total + m.v))) AS nll
+      FROM big t
+      CROSS JOIN stats m
+      LEFT JOIN bi b ON b.prev = t.prev AND b.cur = t.cur
+      LEFT JOIN uni up ON up.tok = t.prev
+      LEFT JOIN uni uc ON uc.tok = t.cur
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(nll), 5) AS avg_nll,
+           round(exp(avg(nll)), 3) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity — one smoothing step up from
+    q_perplexity_unigram toward KenLM: p(w|v) = 0.7 * c(v,w)/c(v)
+    + 0.3 * p_add1_unigram(w), trained on the same deterministic
+    1-in-10 sample, scored over every document's ordered bigram
+    stream. Bigram context separates word-salad from fluent text that
+    unigram frequency cannot (same words, wrong order).
+
+    Scale: the model is two count tables from the sample; the unigram
+    table broadcasts at any corpus size, and the bigram table
+    broadcasts here (bounded vocab) — on an open-vocabulary corpus it
+    joins by key instead (one shuffle of the bigram stream, map-side
+    combinable), which is the only change. Scoring itself stays
+    explode + model joins + per-doc rollup; positions scored are
+    2..n, matching a left-to-right LM."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = materialize(
+        docs.select("doc_id", "text"), w=tokens(F.col("text"))
+    ).filter(F.size("w") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("prev"),
+                    F.element_at("w", i + 1).alias("cur"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    uni = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("doc_id") % 10 == 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    bi = (
+        bigrams.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    )
+    stats = uni.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    up = uni.select(F.col("tok").alias("prev"), F.col("n").alias("n_prev"))
+    uc = uni.select(F.col("tok").alias("cur"), F.col("n").alias("n_cur"))
+    denom = F.col("total") + F.col("v")
+    p_bi = F.coalesce(F.col("nb") / F.col("n_prev"), F.lit(0.0))
+    p_uni = F.coalesce((F.col("n_cur") + 1) / denom, F.lit(1.0) / denom)
+    scored = (
+        bigrams.crossJoin(F.broadcast(stats))
+        .join(F.broadcast(bi), ["prev", "cur"], "left")
+        .join(F.broadcast(up), "prev", "left")
+        .join(F.broadcast(uc), "cur", "left")
+        .select("doc_id", (-F.log(0.7 * p_bi + 0.3 * p_uni)).alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        rnd(F.avg("nll"), 5).alias("avg_nll"),
+        rnd(F.exp(F.avg("nll")), 3).alias("ppl"),
+    )
