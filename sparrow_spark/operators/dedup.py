@@ -1220,3 +1220,301 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(sim, 4).alias("edit_sim"),
         (sim >= 0.8).alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+
+SETSIM_T = 0.3  # shingle-set Jaccard threshold
+SETSIM_PROBE_MOD = 17  # probe side = docs with doc_id % 17 == 0
+
+
+def setsim_prefix_tokens(
+    tsets: DataFrame, threshold: float = SETSIM_T, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, token) pairs restricted to each set's PREFIX under a global
+    rarest-first token order — the candidate-generation index of the
+    AllPairs/PPJoin set-similarity join family (Chaudhuri et al. SSJoin
+    ICDE'06; Xiao et al. PPJoin WWW'08).
+
+    Global order = (document frequency asc, token asc) — a strict total
+    order, so every engine derives the same prefix. Prefix length for
+    Jaccard threshold t is |x| - ceil(t*|x|) + 1, which is LOSSLESS:
+    J(a,b) >= t implies |a n b| >= ceil(t*|a|) and >= ceil(t*|b|)
+    (the intersection is an integer >= t*|union| >= t*max(|a|,|b|)),
+    and if neither prefix contained an intersection token the
+    intersection would fit inside a suffix of size ceil(t*|x|) - 1 —
+    too small. A shared token in BOTH prefixes follows from comparing
+    the prefix boundary tokens (the smaller boundary's intersection
+    token must precede the other boundary).
+
+    Scale: the token->df table is vocabulary-sized (orders of magnitude
+    below the corpus; Catalyst broadcasts it at fixture scale, keyed
+    shuffle join beyond autoBroadcast); the prefix rank is one window
+    over doc_id — the same single keyed shuffle every per-doc operator
+    pays. Candidate generation then joins PREFIX tokens only (a
+    (1-t)-fraction of corpus tokens, rarest-first so bucket sizes are
+    the SMALLEST df counts — the filter is also an implicit stopword
+    excluder, which is what keeps bucket join fan-out bounded)."""
+    from pyspark.sql import Window
+
+    tok = tsets.select(id_col, F.explode("tset").alias("token"))
+    df_tab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "token")
+    ranked = (
+        tok.join(df_tab, "token")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    return ranked.filter(F.col("rk") <= prefix_len).select(id_col, "token")
+
+
+@query(
+    "q_setsim_join_prefix",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), tsets AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS tset
+      FROM tok
+    )
+    SELECT a.doc_id AS probe_id, b.doc_id AS match_id,
+           round(len(list_intersect(a.tset, b.tset)) /
+                 CAST(len(list_distinct(list_concat(a.tset, b.tset))) AS DOUBLE),
+                 4) AS jaccard
+    FROM tsets a JOIN tsets b
+      ON a.doc_id % {SETSIM_PROBE_MOD} = 0 AND a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.tset, b.tset)) /
+          CAST(len(list_distinct(list_concat(a.tset, b.tset))) AS DOUBLE)
+          >= {SETSIM_T}
+    """,
+)
+def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-vs-corpus SHINGLE-set similarity join via prefix filtering
+    — the exact-recall alternative to MinHash-LSH candidate generation
+    (no false negatives, unlike LSH's probabilistic recall). Sets are
+    distinct 3-word shingles, not raw tokens: on any corpus the token
+    vocabulary saturates (every long doc shares most function words,
+    driving token-set Jaccard toward 1), while shingle sets keep
+    near-dup pairs separable — the same reason the MinHash family
+    shingles first. The DuckDB oracle brute-forces ALL probe x corpus
+    pairs; the Spark plan never does: candidates come from an equi-join
+    of rarest-first PREFIX shingles only, then exact Jaccard verifies
+    just those pairs.
+
+    Scale: candidate volume is sum over prefix shingles of
+    df_prefix(shingle)^2 where the prefix keeps each doc's rarest
+    (1-t)-fraction of shingles — pairs are bounded by rare-shingle
+    co-occurrence, not corpus^2. The verify join touches candidates
+    only, re-joining the corpus by id twice (keyed shuffle at scale).
+    Beyond-reference extension of the dedup family."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = materialize(widen(docs), w=tokens(F.col("text"))).filter(
+        F.size("w") >= 3
+    )
+    tsets = toks.select(
+        "doc_id", F.array_distinct(_shingles_of(F.col("w"), 3)).alias("tset")
+    )
+    prefixes = setsim_prefix_tokens(tsets, SETSIM_T)
+    probe = prefixes.filter(
+        F.col("doc_id") % SETSIM_PROBE_MOD == 0
+    ).withColumnRenamed("doc_id", "probe_id")
+    cands = (
+        probe.join(prefixes.withColumnRenamed("doc_id", "match_id"), "token")
+        .filter(F.col("probe_id") != F.col("match_id"))
+        .select("probe_id", "match_id")
+        .distinct()
+    )
+    a = tsets.select(F.col("doc_id").alias("probe_id"), F.col("tset").alias("a_set"))
+    b = tsets.select(F.col("doc_id").alias("match_id"), F.col("tset").alias("b_set"))
+    jac = F.size(F.array_intersect("a_set", "b_set")) / F.size(
+        F.array_union("a_set", "b_set")
+    ).cast("double")
+    return (
+        cands.join(a, "probe_id")
+        .join(b, "match_id")
+        .withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= SETSIM_T)
+        .select("probe_id", "match_id", rnd(F.col("jac_raw"), 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Alternating large-star/small-star connected components
+# ---------------------------------------------------------------------------
+
+
+def _canon_edges(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Distinct undirected edges as canonical (u < v) pairs."""
+    return (
+        df.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """large-star(E): for every node u, link each LARGER neighbor to
+    min(Gamma(u) u {u}). Cuts long chains toward the component minimum
+    while touching only (node, neighbor) pairs."""
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("nbr")).unionByName(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("nbr"))
+    )
+    m = sym.groupBy("src").agg(F.min("nbr").alias("mn"))
+    m = m.select("src", F.least("mn", "src").alias("m"))
+    bigger = sym.filter(F.col("nbr") > F.col("src")).join(m, "src")
+    return _canon_edges(bigger, "nbr", "m")
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """small-star(E): direct each edge large->small; every node links
+    its SMALLER neighbors (and itself) to their minimum."""
+    m = edges.groupBy("v").agg(F.min("u").alias("m"))
+    smaller = edges.join(m, "v")
+    re_children = _canon_edges(smaller, "u", "m")
+    re_self = _canon_edges(smaller.select("v", "m"), "v", "m")
+    return re_children.unionByName(re_self).distinct()
+
+
+def alternating_cc(
+    pairs: DataFrame, partitions: int = 16, max_rounds: int = 30
+) -> DataFrame:
+    """Connected components via the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): provably O(log^2 n) rounds on ANY graph shape —
+    the scale fallback for when min-label propagation's round count
+    (graph diameter) is unbounded, e.g. chain-shaped duplicate graphs
+    from sliding-window shingles. Each round touches only the edge
+    list (pair-list-sized, far below the corpus) with two keyed
+    aggregations + joins; no neighborhood materializes in one task
+    beyond a (node, min) pair, so hub nodes (a boilerplate paragraph
+    shared by millions of docs) cannot OOM a reducer the way
+    collect-neighbors formulations do.
+
+    Convergence is detected STRUCTURALLY, not by diffing edge sets: at
+    the fixpoint the edge list is a set of rooted stars (every child
+    has exactly one parent and no parent is itself a child), with the
+    component minimum as root. The check is two pair-list-sized
+    aggregates per round; a graph that fails to converge within
+    max_rounds raises instead of returning a mis-merged labeling.
+
+    Lineage discipline: each round REFERENCES the previous round's
+    edge list several times (symmetrize + min-join in both stars), so
+    a persist()-only loop grows a plan DAG whose *printed* form is
+    exponential in the round count — CacheManager's plan logging alone
+    OOMs the driver near round 8 (measured on a 10-node chain).
+    localCheckpoint(eager) truncates the logical plan to the
+    materialized round (we already pay one action per round for the
+    convergence check), keeping every round's plan constant-sized. At
+    cluster scale, swap in reliable checkpointing (sc.setCheckpointDir
+    + .checkpoint()) for executor-loss tolerance.
+
+    Returns (id, label) with label = component minimum, one row per
+    non-isolated node of the input pair list."""
+    cur = (
+        _canon_edges(pairs, "a_id", "b_id")
+        .repartition(partitions, "u")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nxt = (
+            _small_star(_large_star(cur))
+            .repartition(partitions, "u")
+            .localCheckpoint(eager=True)
+        )
+        # Star test: every child occurs once, and no root is a child.
+        multi_parent = (
+            nxt.groupBy("v").agg(F.count(F.lit(1)).alias("c")).filter("c > 1").limit(1).count()
+        )
+        root_is_child = (
+            nxt.select("u").distinct().join(nxt.select(F.col("v").alias("u")), "u").limit(1).count()
+        )
+        cur = nxt
+        if multi_parent == 0 and root_is_child == 0:
+            return (
+                cur.select(F.col("v").alias("id"), F.col("u").alias("label"))
+                .unionByName(
+                    cur.select(F.col("u").alias("id"), F.col("u").alias("label"))
+                )
+                .distinct()
+            )
+    raise RuntimeError(
+        f"alternating_cc: no convergence within {max_rounds} rounds"
+    )
+
+
+@query(
+    "q_cc_alternating",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), sh AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)]) AS shingle
+      FROM tok
+    ), hashed AS (
+      SELECT doc_id, md5('a:' || shingle) AS da, md5('b:' || shingle) AS db
+      FROM sh
+    ), sigs AS (
+      SELECT doc_id,
+             min(substr(da, 1, 8)) AS h0, min(substr(da, 9, 8)) AS h1,
+             min(substr(da, 17, 8)) AS h2, min(substr(da, 25, 8)) AS h3,
+             min(substr(db, 1, 8)) AS h4, min(substr(db, 9, 8)) AS h5,
+             min(substr(db, 17, 8)) AS h6, min(substr(db, 25, 8)) AS h7
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id,
+             unnest([struct_pack(band := 0, band_sig := h0 || '|' || h1),
+                     struct_pack(band := 1, band_sig := h2 || '|' || h3),
+                     struct_pack(band := 2, band_sig := h4 || '|' || h5),
+                     struct_pack(band := 3, band_sig := h6 || '|' || h7)],
+                    recursive := true)
+      FROM sigs
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM cands
+      UNION
+      SELECT b_id, a_id FROM cands
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+      )
+      SELECT * FROM r
+    )
+    SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id,
+           (src <> min(dst)) AS is_dup
+    FROM reach GROUP BY src
+    """,
+)
+def q_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering over the LSH pair list via ALTERNATING
+    large-star/small-star connected components — same contract and
+    recursive-CTE exact-components oracle as q_dedup_clusters, but the
+    round count is O(log^2 n) regardless of component diameter (the
+    min-label variant needs diameter-many rounds and guards with an
+    assert; this one needs no such guard). Registered alongside it so
+    the two distributed CC strategies stay differentially verified
+    against the same exact oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    labels = alternating_cc(pairs)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+        (F.col("id") != F.col("label")).alias("is_dup"),
+    )

@@ -1333,3 +1333,221 @@ def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.avg("nll"), 5).alias("avg_nll"),
         rnd(F.exp(F.avg("nll")), 3).alias("ppl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint selection (MOSS-style local document sketches)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # k-gram (in words) per hash
+WINNOW_W = 4  # winnowing window: guarantee one fingerprint per w k-grams
+
+
+def _text_shingles(w: Column, k: int) -> Column:
+    """k-word shingle array from a materialized token-array column
+    (same contract as operators.dedup._shingles_of — duplicated here
+    to keep the text module import-independent of dedup)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(w) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
+    )
+
+
+def winnow_positions(
+    docs: DataFrame, text_col: str = "text", k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, hs, pos): per-doc k-gram hash array and the DISTINCT
+    1-based positions winnowing selects (rightmost minimum of every
+    w-hash sliding window). Map-side only — nested higher-order
+    functions, zero shuffles."""
+    toks = materialize(docs, toks_=tokens(F.col(text_col))).filter(
+        F.size("toks_") >= k + w - 1
+    )
+    grams = materialize(
+        toks.select("doc_id", "toks_"),
+        hs=F.transform(
+            _text_shingles(F.col("toks_"), k),
+            lambda g: F.substring(F.md5(g), 1, 8),
+        ),
+    ).select("doc_id", "hs")
+    with_sts = materialize(
+        grams,
+        sts=F.transform(
+            F.col("hs"), lambda x, i: F.struct(x.alias("h"), (i + 1).alias("p"))
+        ),
+    )
+    # For each window start j (1-based), rightmost argmin of hs[j..j+w-1].
+    win_pick = F.transform(
+        F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+        lambda j: F.aggregate(
+            F.slice(F.col("sts"), j, w),
+            F.element_at(F.col("sts"), j),
+            lambda acc, s: F.when(s["h"] <= acc["h"], s).otherwise(acc),
+        )["p"],
+    )
+    return materialize(with_sts, pos=F.array_distinct(win_pick)).select(
+        "doc_id", "hs", "pos"
+    )
+
+
+@query(
+    "q_winnowing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= {WINNOW_K + WINNOW_W - 1}
+    ), g AS (
+      SELECT doc_id,
+             [substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8)
+              for i in range(1, len(w) - 1)] AS hs
+      FROM tok
+    ), st AS (
+      SELECT doc_id, hs,
+             [struct_pack(h := hs[i], p := i)
+              for i in range(1, len(hs) + 1)] AS sts
+      FROM g
+    ), sel AS (
+      SELECT doc_id, hs,
+             list_distinct(
+               [list_reduce(sts[j:j+{WINNOW_W - 1}],
+                            (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END).p
+                for j in range(1, len(hs) - {WINNOW_W - 2})]) AS pos
+      FROM st
+    )
+    SELECT doc_id,
+           CAST(len(hs) AS BIGINT) AS n_kgrams,
+           CAST(len(pos) AS BIGINT) AS n_selected,
+           round(len(pos) / CAST(len(hs) AS DOUBLE), 4) AS density,
+           md5(list_aggregate(list_sort(list_distinct([hs[p] for p in pos])),
+                              'string_agg', '|')) AS fp_checksum
+    FROM sel
+    """,
+)
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS sketch): hash every k-gram, slide a window of
+    w consecutive hashes, keep the RIGHTMOST minimum of each window.
+    Guarantees: at least one fingerprint per w k-grams (no long
+    unfingerprinted gap — the property plain modulo-sampling lacks) and
+    any shared substring of length >= w + k - 1 yields a shared
+    fingerprint. Output per doc: k-gram count, selected-fingerprint
+    count, density (expected 2/(w+1) on random input), and an
+    order-insensitive checksum of the selected fingerprint SET so the
+    oracle verifies the exact selection, not just its size.
+
+    Scale: entirely map-side — nested higher-order functions (transform
+    + aggregate) over each doc's own hash array inside whole-stage
+    codegen; zero shuffles, zero UDFs. Per-doc cost O(m*w) with w a
+    small constant. The fingerprint sets feed the same band-bucket
+    join machinery as MinHash when used for pairing (the k-gram index
+    is posting-list shaped); this query registers the sketch builder.
+
+    Rightmost-min-on-ties matches the paper's robust winnowing rule;
+    implemented as a fold that replaces the accumulator on <=, which
+    both engines evaluate identically (the fold starts at the window's
+    first element; re-comparing it against itself is a no-op)."""
+    picked = winnow_positions(widen(load_table(spark, sf_dir, "documents")))
+    m = F.size("hs")
+    sel_hashes = F.array_sort(
+        F.array_distinct(
+            F.transform(F.col("pos"), lambda p: F.element_at(F.col("hs"), p))
+        )
+    )
+    return picked.select(
+        "doc_id",
+        m.cast("bigint").alias("n_kgrams"),
+        F.size("pos").cast("bigint").alias("n_selected"),
+        rnd(F.size("pos") / m.cast("double"), 4).alias("density"),
+        F.md5(F.concat_ws("|", sel_hashes)).alias("fp_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality classifier (fastText-style scoring)
+# ---------------------------------------------------------------------------
+
+CLS_DIM = 32  # hashing-trick feature dimension
+
+
+def _cls_weights() -> list[float]:
+    """Deterministic pseudo-trained weight vector, derived from md5 so
+    every engine (and every run) sees identical literals. A real
+    pipeline broadcasts weights exported by an offline trainer; the
+    hashing-trick scoring path below is identical either way."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"w:{d}".encode()).hexdigest()[:8], 16) % 2001) / 1000.0
+        - 1.0
+        for d in range(CLS_DIM)
+    ]
+
+
+def _cls_weights_sql() -> str:
+    return "[" + ", ".join(f"{w!r}" for w in _cls_weights()) + "]"
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('b:' || t), 1, 8))::UBIGINT % {CLS_DIM}
+                  AS INT) AS bucket
+      FROM tok
+    ), c AS (
+      SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY doc_id, bucket
+    ), s AS (
+      SELECT doc_id,
+             sum(cnt) AS n,
+             sum(cnt * ({_cls_weights_sql()})[bucket + 1]) AS wsum
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           round(wsum / n, 4) AS logit,
+           round(1.0 / (1.0 + exp(-(wsum / n))), 4) AS p_keep,
+           round(wsum / n, 4) >= 0 AS keep
+    FROM s
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear document-quality classifier over hashing-trick bag-of-
+    words features (the fastText / Vowbal-Wabbit scoring shape used by
+    production quality filters such as the CCNet/LLaMA wikiref
+    classifiers): bucket = md5(token) mod D, feature = bucket count /
+    doc length, score = sigmoid(w . x). The weight vector is a D-row
+    BROADCAST table (here a deterministic pseudo-trained literal array;
+    a real pipeline loads exported trainer weights) — scoring a 100 TB
+    corpus is then one explode + two map-side-combining keyed
+    aggregations on (doc, bucket) and (doc); the model never shuffles
+    and no Python executes (pure JVM hash/agg, whole-stage codegen).
+
+    The keep verdict thresholds the ROUNDED logit so both engines
+    compare identical values (float summation order across buckets can
+    differ at ~1e-16; the tie-stable rounding absorbs it)."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    w_arr = F.array(*[F.lit(w) for w in _cls_weights()])
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("b:"), F.col("t"))), 1, 8), 16, 10)
+        .cast("bigint") % CLS_DIM
+    ).cast("int")
+    c = tok.select("doc_id", bucket.alias("bucket")).groupBy(
+        "doc_id", "bucket"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    s = c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.element_at(w_arr, F.col("bucket") + 1)).alias("wsum"),
+    )
+    logit = F.col("wsum") / F.col("n")
+    return s.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        rnd(logit, 4).alias("logit"),
+        rnd(1.0 / (1.0 + F.exp(-logit)), 4).alias("p_keep"),
+        (rnd(logit, 4) >= 0).alias("keep"),
+    )

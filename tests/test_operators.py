@@ -520,3 +520,95 @@ def test_image_codec_roundtrip_and_errors():
     ):
         with pytest.raises(ValueError):
             DECODE_IMAGE(bad)
+
+
+def test_alternating_cc_path_graph(spark):
+    """A 10-node chain (diameter 9) — exactly the shape where fixed-k
+    min-label propagation would need 9 rounds — must converge to a
+    single component labeled by its minimum."""
+    from sparrow_spark.operators.dedup import alternating_cc
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(20, 21), (21, 22)],
+        ["a_id", "b_id"],
+    )
+    labels = alternating_cc(pairs)
+    got = {r.id: r.label for r in labels.collect()}
+    assert got == {**{i: 0 for i in range(10)}, **{i: 20 for i in (20, 21, 22)}}
+
+
+def test_alternating_cc_matches_minlabel(spark, sf_dir):
+    """Both distributed CC strategies must produce identical labelings
+    on the real LSH pair list."""
+    from sparrow_spark.operators.dedup import (
+        alternating_cc,
+        minhash_lsh_pairs,
+        minlabel_clusters,
+    )
+    from sparrow_spark.sources import load_table
+
+    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).persist()
+    alt = {r.id: r.label for r in alternating_cc(pairs).collect()}
+    ml = {r.id: r.label for r in minlabel_clusters(pairs).collect()}
+    pairs.unpersist()
+    assert alt == ml
+
+
+def test_setsim_prefix_filter_is_lossless(spark):
+    """Every pair with Jaccard >= t must share an element in both
+    prefixes (the candidate join can then never miss a true match):
+    brute-force all pairs of synthetic sets and check candidate
+    coverage."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from sparrow_spark.operators.dedup import setsim_prefix_tokens
+
+    sets = {
+        1: ["a", "b", "c", "d"],
+        2: ["a", "b", "c", "e"],
+        3: ["b", "c", "d", "e", "f"],
+        4: ["x", "y", "z"],
+        5: ["x", "y", "z", "a"],
+        6: ["p", "q"],
+        7: ["p", "q", "r", "s", "t", "u"],
+    }
+    t = 0.5
+    tsets = spark.createDataFrame(
+        [(k, v) for k, v in sets.items()], ["doc_id", "tset"]
+    )
+    pref = setsim_prefix_tokens(tsets, t)
+    a = pref.select(F.col("doc_id").alias("a_id"), "token")
+    b = pref.select(F.col("doc_id").alias("b_id"), "token")
+    cands = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, "token").filter("a_id < b_id").distinct().collect()
+    }
+    for x, y in combinations(sorted(sets), 2):
+        sx, sy = set(sets[x]), set(sets[y])
+        jac = len(sx & sy) / len(sx | sy)
+        if jac >= t:
+            assert (x, y) in cands, f"missed true match {x},{y} (J={jac:.2f})"
+
+
+def test_winnowing_gap_guarantee(spark, sf_dir):
+    """Winnowing's defining property: every window of WINNOW_W
+    consecutive k-grams contains a selected fingerprint, so sorted
+    selected positions can never gap by more than WINNOW_W (and the
+    first/last selections must cover the array ends)."""
+    from sparrow_spark.operators.text import WINNOW_W, winnow_positions
+    from sparrow_spark.sources import load_table
+
+    rows = (
+        winnow_positions(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "pos", "hs")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        pos = sorted(r.pos)
+        m = len(r.hs)
+        assert pos[0] <= WINNOW_W, r.doc_id
+        assert pos[-1] >= m - WINNOW_W + 1, r.doc_id
+        assert all(b - a <= WINNOW_W for a, b in zip(pos, pos[1:])), r.doc_id
