@@ -73,6 +73,15 @@ BENCH_QUERIES = [
     "q_cluster_balanced_sample",
     "q_salted_agg",
     "q_perplexity_bigram",
+    # r6c: late-r6 additions — benched on arrival. q_cc_alternating is
+    # the interesting one: its cost is the driver-looped star rounds
+    # (localCheckpoint per round), so bench tracks convergence-round
+    # drift as fixtures evolve.
+    "q_setsim_join_prefix",
+    "q_winnowing",
+    "q_quality_classifier",
+    "q_cc_alternating",
+    "q_random_projection",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:
@@ -84,7 +93,7 @@ BENCH_QUERIES = [
 # side-effecting, so it bypasses the prepared-plan cache (a cached
 # DataFrame would just re-read old verdict parquet) and runs once —
 # one drain IS its steady state.
-AUX_QUERIES = ["q_stream_incremental_dedup"]
+AUX_QUERIES = ["q_stream_incremental_dedup", "q_stream_drift_monitor"]
 
 
 def main() -> None:

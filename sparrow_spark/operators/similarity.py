@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
-from sparrow_spark.sources import load_table, widen
+from sparrow_spark.sources import load_table, materialize, widen
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1445,4 +1445,123 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
         .filter(F.col("pick_rank") <= 20)
         .select("centroid_id", "vec_id", "pick_rank", "n_members")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection + distance-preservation audit
+# ---------------------------------------------------------------------------
+
+RP_IN_DIM = 64
+RP_DIM = 16
+RP_SAMPLE_MOD = 97  # audit pair sample: vec_id % 97 == 0
+
+
+def _rp_signs() -> list[list[int]]:
+    """RP_DIM rows of RP_IN_DIM Rademacher (+1/-1) entries, derived
+    from md5 so every engine and every run sees the same matrix. A
+    real pipeline would broadcast a trainer-chosen seed; the dense
+    sign matrix is literal either way (1 KB — it rides the PLAN, the
+    corpus never sees a join)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(RP_IN_DIM)
+        ]
+        for j in range(RP_DIM)
+    ]
+
+
+def project_embedding(v: Column) -> Column:
+    """array<double> of RP_DIM components: p_j = (v . s_j) / sqrt(k).
+    Map-side only — one zip_with+fold per output component."""
+    scale = 1.0 / (RP_DIM ** 0.5)
+    return F.array(
+        *[
+            (dot(v, F.array(*[F.lit(s) for s in row])) * scale).alias(f"p{j}")
+            for j, row in enumerate(_rp_signs())
+        ]
+    )
+
+
+def _rp_proj_sql(alias: str) -> str:
+    """DuckDB expression list mirroring project_embedding."""
+    scale = 1.0 / (RP_DIM ** 0.5)
+    comps = [
+        "(list_sum([{v}[i] * ([{row}])[i] for i in range(1, {n} + 1)]) * {s!r})".format(
+            v=alias, row=", ".join(str(x) for x in row), n=RP_IN_DIM, s=scale
+        )
+        for row in _rp_signs()
+    ]
+    return "[" + ", ".join(comps) + "]"
+
+
+@query(
+    "q_random_projection",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+      FROM embeddings WHERE vec_id % {RP_SAMPLE_MOD} = 0
+    ), p AS (
+      SELECT vec_id, v, {_rp_proj_sql("v")} AS pv FROM v
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_sum([(a.v[i] - b.v[i]) * (a.v[i] - b.v[i])
+                           for i in range(1, {RP_IN_DIM} + 1)]), 4) AS sq_l2_orig,
+           round(list_sum([(a.pv[i] - b.pv[i]) * (a.pv[i] - b.pv[i])
+                           for i in range(1, {RP_DIM} + 1)]), 4) AS sq_l2_proj,
+           round(list_sum([(a.pv[i] - b.pv[i]) * (a.pv[i] - b.pv[i])
+                           for i in range(1, {RP_DIM} + 1)]) /
+                 list_sum([(a.v[i] - b.v[i]) * (a.v[i] - b.v[i])
+                           for i in range(1, {RP_IN_DIM} + 1)]), 4) AS sq_ratio
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+    """,
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (64 -> 16 dims via a
+    Rademacher sign matrix) with a distance-preservation audit: for a
+    deterministic vec_id sample, squared L2 before vs after projection
+    and their ratio (JL: E[ratio] = 1, concentration ~ 1/sqrt(k)).
+    This is the dimensionality-reduction pre-step that makes
+    downstream clustering / ANN / dedup distance work k/d cheaper at
+    100 TB, and — like the int8/IVF-PQ recall audits — it ships WITH
+    its accuracy check rather than assuming the textbook bound.
+
+    Scale: the sign matrix is a plan literal (no join, no shuffle);
+    projection is a map-side fold per component over each partition of
+    the corpus. Only the AUDIT is pairwise, and only over the mod-97
+    sample (size-bounded diagnostic, the q_ann_recall pattern); the
+    sample join is a deliberate broadcast nested loop."""
+    sample = _vecs(spark, sf_dir).filter(
+        F.col("vec_id") % RP_SAMPLE_MOD == 0
+    )
+    proj = materialize(sample, pv=project_embedding(F.col("v"))).select(
+        "vec_id", "v", "pv"
+    )
+    a = proj.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("pv").alias("ap")
+    )
+    b = proj.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("pv").alias("bp")
+    )
+    def sq_l2(u: Column, w: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(u, w, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+    so = sq_l2(F.col("av"), F.col("bv"))
+    sp = sq_l2(F.col("ap"), F.col("bp"))
+    return pairs.select(
+        "a_id",
+        "b_id",
+        rnd(so, 4).alias("sq_l2_orig"),
+        rnd(sp, 4).alias("sq_l2_proj"),
+        rnd(sp / so, 4).alias("sq_ratio"),
     )

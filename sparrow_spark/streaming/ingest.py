@@ -152,6 +152,7 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
 # rows-only check.
 # --------------------------------------------------------------------------
 from sparrow_spark.registry import query  # noqa: E402
+from sparrow_spark.rounding import rnd  # noqa: E402
 
 
 @query(
@@ -355,3 +356,139 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(stream, name, output_mode="append")
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Streaming drift monitor: per-window PSI of the value distribution
+# --------------------------------------------------------------------------
+
+DRIFT_BIN_EDGES = (40.0, 80.0, 120.0, 160.0)  # fixed, data-independent
+
+
+def _value_bin(col: F.Column) -> F.Column:  # type: ignore[name-defined]
+    e = DRIFT_BIN_EDGES
+    return (
+        F.when(col < e[0], 0)
+        .when(col < e[1], 1)
+        .when(col < e[2], 2)
+        .when(col < e[3], 3)
+        .otherwise(4)
+    )
+
+
+_DRIFT_BIN_SQL = """CASE WHEN value < 40.0 THEN 0
+         WHEN value < 80.0 THEN 1
+         WHEN value < 120.0 THEN 2
+         WHEN value < 160.0 THEN 3
+         ELSE 4 END"""
+
+
+def windowed_value_bins(
+    events: DataFrame, window: str = "1 hour", watermark: str = WATERMARK_INTERVAL
+) -> DataFrame:
+    """Streaming per-(window, value-bin) counts — the stateful half of
+    the drift monitor. State is windows x 5 bins of counters, evicted
+    by the watermark; the raw value distribution never accumulates."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), _value_bin(F.col("value")).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "bin",
+            "cnt",
+        )
+    )
+
+
+@query(
+    "q_stream_drift_monitor",
+    oracle=f"""
+    WITH binned AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             {_DRIFT_BIN_SQL} AS bin
+      FROM events
+    ), base AS (
+      SELECT bin, CAST(count(*) AS DOUBLE) AS bcnt FROM binned GROUP BY bin
+    ), basep AS (
+      SELECT bin, (bcnt + 0.5) / ((SELECT sum(bcnt) FROM base) + 2.5) AS pb
+      FROM base
+    ), wcnt AS (
+      SELECT bucket, bin, CAST(count(*) AS DOUBLE) AS cnt
+      FROM binned GROUP BY bucket, bin
+    ), wn AS (
+      SELECT bucket, sum(cnt) AS n FROM wcnt GROUP BY bucket
+    ), grid AS (
+      SELECT w.bucket, b.bin, b.pb, coalesce(c.cnt, 0.0) AS cnt, wn.n
+      FROM (SELECT DISTINCT bucket FROM wcnt) w
+      CROSS JOIN basep b
+      LEFT JOIN wcnt c ON c.bucket = w.bucket AND c.bin = b.bin
+      JOIN wn ON wn.bucket = w.bucket
+    )
+    SELECT bucket,
+           CAST(max(n) AS BIGINT) AS n_events,
+           round(sum(((cnt + 0.5) / (n + 2.5) - pb)
+                     * ln(((cnt + 0.5) / (n + 2.5)) / pb)), 4) AS psi
+    FROM grid GROUP BY bucket
+    """,
+)
+def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: every event-time hour's
+    `value` histogram (5 fixed bins) is compared to the corpus baseline
+    via the Population Stability Index — the alert a training-data
+    ingest pipeline fires when a crawl batch stops looking like the
+    corpus it is joining (q_embedding_drift is the batch/embedding
+    twin; this is the streaming/scalar one).
+
+    Split of labor, and why it scales: the STREAM maintains only
+    per-(window, bin) counters (watermark-evicted, 5 counters per
+    window — state does not grow with event volume); the PSI assembly
+    over the drained counters joins a 5-row broadcast baseline and
+    aggregates windows x 5 rows — sink-side work a production job runs
+    per micro-batch on the counter deltas. Laplace smoothing (+0.5 per
+    bin) keeps empty bins finite, and bin edges are FIXED so drift is
+    measured against a stable ruler (re-deriving quantile edges per
+    window would hide exactly the shift being monitored)."""
+    import uuid
+
+    name = f"strm_drift_{uuid.uuid4().hex[:8]}"
+    path = os.path.join(sf_dir, "events.parquet")
+    stream = windowed_value_bins(read_events_stream(spark, path))
+    run_to_memory(stream, name, output_mode="complete")
+    wcnt = spark.table(name).withColumn("cnt", F.col("cnt").cast("double"))
+
+    # Baseline: corpus-wide bin distribution (5 rows, broadcast).
+    from sparrow_spark.sources import load_table
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .select(_value_bin(F.col("value")).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("double").alias("bcnt"))
+    )
+    tot = base.agg(F.sum("bcnt").alias("btot"))
+    basep = base.crossJoin(F.broadcast(tot)).select(
+        "bin", ((F.col("bcnt") + 0.5) / (F.col("btot") + 2.5)).alias("pb")
+    )
+    wn = wcnt.groupBy("bucket").agg(F.sum("cnt").alias("n")).select(
+        F.col("bucket").alias("nb"), "n"
+    )
+    cells = wcnt.select(
+        F.col("bucket").alias("cb"), F.col("bin").alias("cbin"), "cnt"
+    )
+    grid = (
+        wcnt.select(F.col("bucket").alias("gb")).distinct()
+        .crossJoin(F.broadcast(basep))
+        .join(
+            cells,
+            (F.col("gb") == F.col("cb")) & (F.col("bin") == F.col("cbin")),
+            "left",
+        )
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0.0)))
+        .join(F.broadcast(wn), F.col("gb") == F.col("nb"))
+    )
+    p_w = (F.col("cnt") + 0.5) / (F.col("n") + 2.5)
+    return grid.groupBy("gb").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        rnd(F.sum((p_w - F.col("pb")) * F.log(p_w / F.col("pb"))), 4).alias("psi"),
+    ).select(F.col("gb").alias("bucket"), "n_events", "psi")
