@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "q_quality_classifier",
     "q_cc_alternating",
     "q_random_projection",
+    "q_containment_join",
+    "q_sorted_neighborhood",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparrow_spark.operators.text import fingerprint, tokens
+from sparrow_spark.operators.text import fingerprint, normalize_text, tokens
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
 from sparrow_spark.sources import load_table, materialize, widen
@@ -1231,7 +1231,10 @@ SETSIM_PROBE_MOD = 17  # probe side = docs with doc_id % 17 == 0
 
 
 def setsim_prefix_tokens(
-    tsets: DataFrame, threshold: float = SETSIM_T, id_col: str = "doc_id"
+    tsets: DataFrame,
+    threshold: float = SETSIM_T,
+    id_col: str = "doc_id",
+    df_source: DataFrame | None = None,
 ) -> DataFrame:
     """(id, token) pairs restricted to each set's PREFIX under a global
     rarest-first token order — the candidate-generation index of the
@@ -1260,10 +1263,27 @@ def setsim_prefix_tokens(
     from pyspark.sql import Window
 
     tok = tsets.select(id_col, F.explode("tset").alias("token"))
-    df_tab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # Rarity statistics come from df_source (default: the joined sets
+    # themselves). An asymmetric caller — e.g. the containment join,
+    # which prunes only its probe side — passes the CORPUS here so the
+    # prefix keeps tokens that are rare in the posting lists actually
+    # being joined, not merely rare among the probes. Any df table
+    # yields a correct (lossless) prefix; the corpus one yields the
+    # smallest candidate fan-out.
+    df_src = tsets if df_source is None else df_source
+    df_tab = (
+        df_src.select(F.explode("tset").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     w = Window.partitionBy(id_col).orderBy("df", "token")
     ranked = (
-        tok.join(df_tab, "token")
+        # LEFT join + df 0 for tokens unseen by df_source: absent
+        # means maximally rare, and an inner join would silently drop
+        # them from the prefix (breaking losslessness for probes with
+        # out-of-corpus vocabulary).
+        tok.join(df_tab, "token", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
         .withColumn("rk", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     )
@@ -1517,4 +1537,210 @@ def q_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         F.col("label").cast("bigint").alias("cluster_id"),
         (F.col("id") != F.col("label")).alias("is_dup"),
+    )
+
+
+CONTAIN_T = 0.5  # containment threshold |probe n corpus| / |probe|
+
+
+@query(
+    "q_containment_join",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), tsets AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS tset
+      FROM tok
+    )
+    SELECT a.doc_id AS probe_id, b.doc_id AS host_id,
+           round(len(list_intersect(a.tset, b.tset)) /
+                 CAST(len(a.tset) AS DOUBLE), 4) AS containment
+    FROM tsets a JOIN tsets b
+      ON a.doc_id % {SETSIM_PROBE_MOD} = 0 AND a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.tset, b.tset)) /
+          CAST(len(a.tset) AS DOUBLE) >= {CONTAIN_T}
+    """,
+)
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-CONTAINMENT join: find corpus documents that contain a
+    large fraction of a probe document's shingles — the quote /
+    excerpt / sub-document detector (asymmetric, unlike the symmetric
+    q_setsim_join_prefix: a short quote scores high containment but
+    low Jaccard against its long host). Candidate generation is
+    prefix-filtered on the PROBE side only — containment puts no lower
+    bound on the host's size, so the host side contributes full
+    posting lists while each probe contributes its rarest
+    (1-t)-fraction of shingles; the filter stays lossless because
+    C(a,b) >= t forces ceil(t*|a|) intersection shingles, which cannot
+    all hide in a probe suffix of size ceil(t*|a|) - 1.
+
+    Scale: the probe prefix x posting-list join is bounded by
+    rare-shingle document frequency, never |probe| x |corpus|; the
+    verify join touches candidates only. The brute-force all-pairs
+    pass exists only in the DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = materialize(widen(docs), w=tokens(F.col("text"))).filter(
+        F.size("w") >= 3
+    )
+    tsets = toks.select(
+        "doc_id", F.array_distinct(_shingles_of(F.col("w"), 3)).alias("tset")
+    )
+    probe_prefix = (
+        setsim_prefix_tokens(
+            tsets.filter(F.col("doc_id") % SETSIM_PROBE_MOD == 0),
+            CONTAIN_T,
+            df_source=tsets,
+        )
+        .withColumnRenamed("doc_id", "probe_id")
+    )
+    posting = tsets.select(
+        F.col("doc_id").alias("host_id"), F.explode("tset").alias("token")
+    )
+    cands = (
+        probe_prefix.join(posting, "token")
+        .filter(F.col("probe_id") != F.col("host_id"))
+        .select("probe_id", "host_id")
+        .distinct()
+    )
+    a = tsets.select(F.col("doc_id").alias("probe_id"), F.col("tset").alias("a_set"))
+    b = tsets.select(F.col("doc_id").alias("host_id"), F.col("tset").alias("b_set"))
+    cont = F.size(F.array_intersect("a_set", "b_set")) / F.size("a_set").cast(
+        "double"
+    )
+    return (
+        cands.join(a, "probe_id")
+        .join(b, "host_id")
+        .withColumn("c_raw", cont)
+        .filter(F.col("c_raw") >= CONTAIN_T)
+        .select("probe_id", "host_id", rnd(F.col("c_raw"), 4).alias("containment"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (merge/purge) with distributed global ranks
+# ---------------------------------------------------------------------------
+
+SN_WINDOW = 5
+SN_KEY_LEN = 24
+SN_RANGE_PARTITIONS = 16
+
+
+def global_sort_ranks(
+    df: DataFrame, key_cols: list[str], partitions: int = SN_RANGE_PARTITIONS
+) -> DataFrame:
+    """EXACT global row_number over ``key_cols`` without the
+    single-task trap: ``Window.orderBy`` with no partition key drags
+    the whole dataset through ONE task. Instead: range-partition on
+    the sort key (RangePartitioner assigns ascending key ranges to
+    ascending partition ids), rank WITHIN each partition, then add
+    each partition's cumulative predecessor count — the offset table
+    is #partitions rows, so its cumulative window is trivially small.
+    This is the classic two-phase distributed ranking; every stage
+    scales with executors. Key columns must form a strict total order
+    (append a unique id) or ranks at range boundaries are undefined."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) for c in key_cols]
+    r = df.repartitionByRange(partitions, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = Window.partitionBy("_pid").orderBy(*cols)
+    r = r.withColumn("_lrank", F.row_number().over(lw))
+    counts = r.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(ow), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        r.join(F.broadcast(offsets), "_pid")
+        .withColumn("rn", (F.col("_lrank") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_lrank", "_off")
+    )
+
+
+@query(
+    "q_sorted_neighborhood",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt,
+             string_split(lower(text), ' ') AS w
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), keyed AS (
+      SELECT doc_id, substr(nt, 1, {SN_KEY_LEN}) AS k,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS tset
+      FROM norm
+    ), ranked AS (
+      SELECT doc_id, tset, row_number() OVER (ORDER BY k, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(b.rn - a.rn AS BIGINT) AS rank_gap,
+           round(len(list_intersect(a.tset, b.tset)) /
+                 CAST(len(list_distinct(list_concat(a.tset, b.tset))) AS DOUBLE),
+                 4) AS jaccard
+    FROM ranked a JOIN ranked b
+      ON b.rn > a.rn AND b.rn <= a.rn + {SN_WINDOW}
+    WHERE len(list_intersect(a.tset, b.tset)) /
+          CAST(len(list_distinct(list_concat(a.tset, b.tset))) AS DOUBLE) >= 0.5
+    """,
+)
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernandez/Stolfo
+    merge/purge): sort the corpus by a cheap blocking key (first
+    {SN_KEY_LEN} chars of the normalized text), slide a {SN_WINDOW}-row
+    window down the GLOBAL sort order, verify only window-adjacent
+    pairs — O(n log n + n*w) candidates vs corpus² brute force, and the
+    classic complement to hash blocking (LSH) for edit-heavy tails
+    where early-text edits keep lexicographic neighbors adjacent.
+
+    Scale: global ranks come from global_sort_ranks (range partition +
+    local rank + tiny offset window — NO unpartitioned window); the
+    successor join is a pure equi-join on rank after a w-way explode
+    of rank targets (fan-out w, constant); verify touches the w*n
+    candidate pairs only. The oracle reproduces the identical global
+    order with row_number."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = materialize(widen(docs), w=tokens(F.col("text"))).filter(
+        F.size("w") >= 3
+    )
+    keyed = toks.select(
+        "doc_id",
+        F.substring(normalize_text(F.col("text")), 1, SN_KEY_LEN).alias("k"),
+        F.array_distinct(_shingles_of(F.col("w"), 3)).alias("tset"),
+    )
+    ranked = global_sort_ranks(keyed, ["k", "doc_id"]).select(
+        "doc_id", "tset", "rn"
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("tset").alias("a_set"),
+        F.col("rn").alias("a_rn"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + SN_WINDOW)
+        ).alias("target_rn"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("tset").alias("b_set"),
+        F.col("rn").alias("target_rn"),
+    )
+    jac = F.size(F.array_intersect("a_set", "b_set")) / F.size(
+        F.array_union("a_set", "b_set")
+    ).cast("double")
+    return (
+        a.join(b, "target_rn")
+        .withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= 0.5)
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("target_rn") - F.col("a_rn")).cast("bigint").alias("rank_gap"),
+            rnd(F.col("jac_raw"), 4).alias("jaccard"),
+        )
     )

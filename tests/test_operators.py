@@ -612,3 +612,30 @@ def test_winnowing_gap_guarantee(spark, sf_dir):
         assert pos[0] <= WINNOW_W, r.doc_id
         assert pos[-1] >= m - WINNOW_W + 1, r.doc_id
         assert all(b - a <= WINNOW_W for a, b in zip(pos, pos[1:])), r.doc_id
+
+
+def test_global_sort_ranks_exact(spark):
+    """Two-phase distributed ranking must equal a global row_number,
+    including across range-partition boundaries and with duplicate
+    keys broken by the id column."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparrow_spark.operators.dedup import global_sort_ranks
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice("abcdef") * rng.randint(1, 3)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "k"])
+    got = {
+        r.doc_id: r.rn
+        for r in global_sort_ranks(df, ["k", "doc_id"], partitions=7).collect()
+    }
+    want = {
+        r.doc_id: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k", "doc_id"))
+        ).collect()
+    }
+    assert got == want
