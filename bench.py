@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "q_random_projection",
     "q_containment_join",
     "q_sorted_neighborhood",
+    "q_curriculum_buckets",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1032,3 +1032,82 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars_avg"
         ),
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Curriculum bucketing: distributed ntile over a difficulty score
+# ---------------------------------------------------------------------------
+
+CURRICULUM_SHARDS = 8
+
+from sparrow_spark.operators.text import (  # noqa: E402
+    CLS_DIM,
+    _cls_weights_sql,
+    classifier_scores,
+)
+
+_CURR_W_SQL = _cls_weights_sql()
+
+
+@query(
+    "q_curriculum_buckets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('b:' || t), 1, 8))::UBIGINT % {CLS_DIM}
+                  AS INT) AS bucket
+      FROM tok
+    ), c AS (
+      SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY doc_id, bucket
+    ), s AS (
+      SELECT doc_id,
+             sum(cnt) AS n,
+             sum(cnt * ({_CURR_W_SQL})[bucket + 1]) AS wsum
+      FROM c GROUP BY doc_id
+    ), d AS (
+      SELECT doc_id, round(-(wsum / n), 4) AS difficulty FROM s
+    )
+    SELECT doc_id, difficulty,
+           CAST(ntile({CURRICULUM_SHARDS}) OVER (ORDER BY difficulty, doc_id) AS BIGINT)
+             AS shard
+    FROM d
+    """,
+)
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum sharding: order the corpus by a model-derived
+    difficulty score (negated quality-classifier logit — "easy,
+    high-quality text first") and split it into N equal-size
+    training shards, i.e. a distributed ntile. Spark's own ntile
+    window without a partition key would drag the corpus through ONE
+    task; instead the exact global rank comes from global_sort_ranks
+    (range partition + local rank + partition-count-sized offset
+    window) and the SQL-standard ntile bucket is derived from
+    (rank, total) arithmetically — bit-identical to the oracle's
+    ntile() because both implement "first (c mod N) buckets get one
+    extra row". Total count rides a 1-row broadcast. Difficulty is
+    the ROUNDED logit so the sort order is engine-identical."""
+    from sparrow_spark.operators.dedup import global_sort_ranks
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    scored = classifier_scores(docs).select(
+        "doc_id", rnd(-(F.col("wsum") / F.col("n")), 4).alias("difficulty")
+    )
+    ranked = global_sort_ranks(scored, ["difficulty", "doc_id"])
+    total = scored.agg(F.count(F.lit(1)).alias("c"))
+    n = F.lit(CURRICULUM_SHARDS)
+    qsize = (F.col("c") / n).cast("bigint")  # floor
+    rem = F.col("c") % n
+    big = rem * (qsize + 1)  # rows covered by the (q+1)-sized buckets
+    shard = F.when(
+        F.col("rn") <= big, ((F.col("rn") - 1) / (qsize + 1)).cast("bigint") + 1
+    ).otherwise(
+        rem + ((F.col("rn") - big - 1) / qsize).cast("bigint") + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select("doc_id", "difficulty", shard.cast("bigint").alias("shard"))
+    )

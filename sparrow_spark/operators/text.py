@@ -1487,6 +1487,25 @@ def _cls_weights_sql() -> str:
     return "[" + ", ".join(f"{w!r}" for w in _cls_weights()) + "]"
 
 
+def classifier_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n, wsum): token count and summed hashed-bucket weight
+    per doc — the shared scoring core of q_quality_classifier and the
+    curriculum bucketing. logit = wsum / n."""
+    w_arr = F.array(*[F.lit(w) for w in _cls_weights()])
+    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("t"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("b:"), F.col("t"))), 1, 8), 16, 10)
+        .cast("bigint") % CLS_DIM
+    ).cast("int")
+    c = tok.select("doc_id", bucket.alias("bucket")).groupBy(
+        "doc_id", "bucket"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.element_at(w_arr, F.col("bucket") + 1)).alias("wsum"),
+    )
+
+
 @query(
     "q_quality_classifier",
     oracle=f"""
@@ -1530,19 +1549,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare identical values (float summation order across buckets can
     differ at ~1e-16; the tie-stable rounding absorbs it)."""
     docs = widen(load_table(spark, sf_dir, "documents"))
-    w_arr = F.array(*[F.lit(w) for w in _cls_weights()])
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("b:"), F.col("t"))), 1, 8), 16, 10)
-        .cast("bigint") % CLS_DIM
-    ).cast("int")
-    c = tok.select("doc_id", bucket.alias("bucket")).groupBy(
-        "doc_id", "bucket"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    s = c.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n"),
-        F.sum(F.col("cnt") * F.element_at(w_arr, F.col("bucket") + 1)).alias("wsum"),
-    )
+    s = classifier_scores(docs)
     logit = F.col("wsum") / F.col("n")
     return s.select(
         "doc_id",
