@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "q_containment_join",
     "q_sorted_neighborhood",
     "q_curriculum_buckets",
+    "q_pagerank",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

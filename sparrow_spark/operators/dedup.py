@@ -1744,3 +1744,144 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("jac_raw"), 4).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the duplicate graph (fixed-iteration, fully lazy)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_DAMP = 0.85
+
+
+def pagerank(pairs: DataFrame, iters: int = PR_ITERS, damping: float = PR_DAMP) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair list: the
+    authority score used to pick canonical representatives in
+    duplicate graphs (an alternative to min-id keeper selection — the
+    highest-ranked node of a cluster is its best-connected, most
+    "central" copy).
+
+    Unlike the convergence-looped algorithms (Lloyd's, alternating
+    CC), a FIXED iteration count needs no driver action: the returned
+    plan is pure — ``iters`` chained join+agg stages, composable with
+    prepared-plan caching. The edge list and degree table are single
+    Python objects referenced by every iteration, so the plan is a DAG
+    with linear (not exponential) printed size and AQE reuses their
+    exchange across stages. Symmetric edges mean no dangling nodes
+    (every node has outdegree >= 1) and every node receives at least
+    one contribution, so no left-join patching is needed. Per
+    iteration: one keyed shuffle on the destination node over the
+    pair-list-sized rank table — the corpus itself is never touched."""
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_tab = nodes.agg(F.count(F.lit(1)).alias("n"))
+    pr = nodes.crossJoin(F.broadcast(n_tab)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("d")).alias("c"))
+        )
+        pr = (
+            contrib.crossJoin(F.broadcast(n_tab))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    (1.0 - damping) / F.col("n") + damping * F.col("c")
+                ).alias("pr"),
+            )
+        )
+    return pr
+
+
+def _pagerank_oracle_sql(iters: int = PR_ITERS, damping: float = PR_DAMP) -> str:
+    """Unrolled DuckDB oracle: the same LSH candidate CTE as the
+    cluster oracles, then ``iters`` chained PageRank stages."""
+    lsh = """
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), sh AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)]) AS shingle
+      FROM tok
+    ), hashed AS (
+      SELECT doc_id, md5('a:' || shingle) AS da, md5('b:' || shingle) AS db
+      FROM sh
+    ), sigs AS (
+      SELECT doc_id,
+             min(substr(da, 1, 8)) AS h0, min(substr(da, 9, 8)) AS h1,
+             min(substr(da, 17, 8)) AS h2, min(substr(da, 25, 8)) AS h3,
+             min(substr(db, 1, 8)) AS h4, min(substr(db, 9, 8)) AS h5,
+             min(substr(db, 17, 8)) AS h6, min(substr(db, 25, 8)) AS h7
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id,
+             unnest([struct_pack(band := 0, band_sig := h0 || '|' || h1),
+                     struct_pack(band := 1, band_sig := h2 || '|' || h3),
+                     struct_pack(band := 2, band_sig := h4 || '|' || h5),
+                     struct_pack(band := 3, band_sig := h6 || '|' || h7)],
+                    recursive := true)
+      FROM sigs
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM cands
+      UNION
+      SELECT b_id, a_id FROM cands
+    ), deg AS (
+      SELECT src, count(*) AS d FROM edges GROUP BY src
+    ), nt AS (
+      SELECT count(DISTINCT src) AS n FROM edges
+    ), pr0 AS (
+      SELECT src AS node, 1.0 / (SELECT n FROM nt) AS pr
+      FROM (SELECT DISTINCT src FROM edges)
+    )"""
+    stages = []
+    for i in range(1, iters + 1):
+        stages.append(
+            f""", pr{i} AS (
+      SELECT e.dst AS node,
+             {1.0 - damping!r} / (SELECT n FROM nt)
+               + {damping!r} * sum(p.pr / d.d) AS pr
+      FROM edges e
+      JOIN pr{i - 1} p ON p.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    )"""
+        )
+    return (
+        lsh
+        + "".join(stages)
+        + f"""
+    SELECT node AS doc_id, round(pr, 6) AS pagerank FROM pr{iters}"""
+    )
+
+
+@query("q_pagerank", oracle=_pagerank_oracle_sql())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the LSH duplicate graph — authority-
+    based canonical selection for duplicate clusters (the
+    best-connected copy, vs q_dedup_keeper's min-id rule). Five fixed
+    damped iterations; the DuckDB oracle unrolls the identical five
+    stages, so the scores hash-match to 6 decimals. See pagerank() for
+    the scale design (lazy fixed-iteration plan, pair-list-sized state,
+    one dst-keyed shuffle per stage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = pagerank(minhash_lsh_pairs(docs))
+    return scores.select(
+        F.col("node").alias("doc_id"), rnd("pr", 6).alias("pagerank")
+    )

@@ -639,3 +639,18 @@ def test_global_sort_ranks_exact(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_pagerank_star_graph(spark):
+    """On a 5-node star the hub must outrank every leaf, leaves must
+    tie, and total mass must stay 1 (symmetric graph, no dangling)."""
+    from sparrow_spark.operators.dedup import pagerank
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], ["a_id", "b_id"]
+    )
+    got = {r.node: r.pr for r in pagerank(pairs).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    hub, leaves = got[0], [got[i] for i in range(1, 5)]
+    assert all(abs(v - leaves[0]) < 1e-12 for v in leaves)
+    assert hub > leaves[0] * 2
