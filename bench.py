@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "q_sorted_neighborhood",
     "q_curriculum_buckets",
     "q_pagerank",
+    "q_incremental_agg",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1111,3 +1111,77 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.crossJoin(F.broadcast(total))
         .select("doc_id", "difficulty", shard.cast("bigint").alias("shard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance via mergeable state (n, sum, M2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value,
+           round(avg(value), 6) AS mean_value,
+           round(var_pop(value), 6) AS var_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-view maintenance: a BASE cohort's
+    aggregate state is merged with a DELTA cohort's state WITHOUT
+    re-aggregating the base — the materialized-view refresh pattern
+    that turns a 100 TB nightly rollup into a delta-sized job. State
+    per group is the mergeable triple (n, sum, M2): counts and sums
+    add; second central moments combine by Chan's parallel formula
+    M2 = M2_a + M2_b + (mean_b - mean_a)^2 * n_a*n_b/n. The oracle
+    aggregates ALL rows directly, so a hash match PROVES the merge
+    reconstructs count/sum/mean/variance exactly (to the rounding
+    guard) rather than approximately.
+
+    Scale: each cohort aggregates with map-side partial combine (one
+    keyed shuffle each, the delta one delta-sized); the merge is a
+    FULL OUTER join of two group-count-sized state tables with
+    zero-state defaults for groups present on one side only. No
+    corpus-sized rescan of the base ever happens."""
+    events = load_table(spark, sf_dir, "events")
+
+    def state(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("double").alias(f"n_{tag}"),
+            F.sum("value").alias(f"s_{tag}"),
+            (F.var_pop("value") * F.count(F.lit(1))).alias(f"m2_{tag}"),
+        )
+
+    base = state(events.filter(F.col("event_id") % 4 != 0), "a")
+    delta = state(events.filter(F.col("event_id") % 4 == 0), "b")
+    j = base.join(delta, "event_type", "full_outer").select(
+        "event_type",
+        *[
+            F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+            for c in ("n_a", "s_a", "m2_a", "n_b", "s_b", "m2_b")
+        ],
+    )
+    n = F.col("n_a") + F.col("n_b")
+    s = F.col("s_a") + F.col("s_b")
+    # Chan et al. parallel-variance merge; guard the n_a=0 / n_b=0
+    # edges (delta term collapses to 0 with an empty side).
+    dmean = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.col("s_b") / F.col("n_b") - F.col("s_a") / F.col("n_a"),
+    ).otherwise(F.lit(0.0))
+    m2 = (
+        F.col("m2_a")
+        + F.col("m2_b")
+        + dmean * dmean * F.col("n_a") * F.col("n_b") / n
+    )
+    return j.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        rnd(s, 4).alias("sum_value"),
+        rnd(s / n, 6).alias("mean_value"),
+        rnd(m2 / n, 6).alias("var_value"),
+    )
