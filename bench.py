@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "q_curriculum_buckets",
     "q_pagerank",
     "q_incremental_agg",
+    "q_golden_record",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1885,3 +1885,142 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select(
         F.col("node").alias("doc_id"), rnd("pr", 6).alias("pagerank")
     )
+
+
+@query(
+    "q_golden_record",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), sh AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)]) AS shingle
+      FROM tok
+    ), hashed AS (
+      SELECT doc_id, md5('a:' || shingle) AS da, md5('b:' || shingle) AS db
+      FROM sh
+    ), sigs AS (
+      SELECT doc_id,
+             min(substr(da, 1, 8)) AS h0, min(substr(da, 9, 8)) AS h1,
+             min(substr(da, 17, 8)) AS h2, min(substr(da, 25, 8)) AS h3,
+             min(substr(db, 1, 8)) AS h4, min(substr(db, 9, 8)) AS h5,
+             min(substr(db, 17, 8)) AS h6, min(substr(db, 25, 8)) AS h7
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id,
+             unnest([struct_pack(band := 0, band_sig := h0 || '|' || h1),
+                     struct_pack(band := 1, band_sig := h2 || '|' || h3),
+                     struct_pack(band := 2, band_sig := h4 || '|' || h5),
+                     struct_pack(band := 3, band_sig := h6 || '|' || h7)],
+                    recursive := true)
+      FROM sigs
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM cands
+      UNION
+      SELECT b_id, a_id FROM cands
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+      )
+      SELECT * FROM r
+    ), lab AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    ), members AS (
+      SELECT d.doc_id, d.n_chars, d.lang,
+             CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+      FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+    ), rep AS (
+      SELECT cluster_id, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id DESC) AS rk
+      FROM members
+    ), langs AS (
+      SELECT cluster_id, lang,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY count(*) DESC, lang) AS lrk
+      FROM members GROUP BY cluster_id, lang
+    )
+    SELECT m.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(CASE WHEN r.rk = 1 THEN r.doc_id END) AS BIGINT)
+             AS rep_doc_id,
+           CAST(max(CASE WHEN r.rk = 1 THEN r.n_chars END) AS BIGINT)
+             AS rep_n_chars,
+           max(lg.lang) AS modal_lang
+    FROM members m
+    JOIN rep r ON r.cluster_id = m.cluster_id AND r.doc_id = m.doc_id
+    JOIN (SELECT cluster_id, lang FROM langs WHERE lrk = 1) lg
+      ON lg.cluster_id = m.cluster_id
+    GROUP BY m.cluster_id
+    """,
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record construction (attribute survivorship): after
+    duplicate clustering, each cluster elects canonical ATTRIBUTES —
+    the longest text's doc as representative (deterministic tiebreak:
+    highest doc_id) and the modal language (tiebreak: lexicographic) —
+    the entity-resolution step that follows dedup in any master-data /
+    corpus-curation pipeline. Singleton documents (in no LSH pair)
+    form their own clusters via a left join + coalesce, so the output
+    covers the whole corpus.
+
+    Scale: clustering state is pair-list-sized (min-label propagation);
+    survivorship is two windows partitioned BY CLUSTER (bounded groups,
+    one keyed shuffle each) plus one group-sized aggregation — no
+    corpus-wide sort, nothing pairwise. Ties are broken inside window
+    ORDER BY so both engines elect identical representatives."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = minlabel_clusters(minhash_lsh_pairs(docs))
+    members = (
+        docs.join(labels, docs.doc_id == labels.id, "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            "lang",
+            F.coalesce(F.col("label"), F.col("doc_id"))
+            .cast("bigint")
+            .alias("cluster_id"),
+        )
+    )
+    rep_w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").desc()
+    )
+    rep = (
+        members.withColumn("rk", F.row_number().over(rep_w))
+        .filter("rk = 1")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").cast("bigint").alias("rep_n_chars"),
+        )
+    )
+    lang_w = Window.partitionBy("cluster_id").orderBy(
+        F.col("cnt").desc(), F.col("lang")
+    )
+    modal = (
+        members.groupBy("cluster_id", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("lrk", F.row_number().over(lang_w))
+        .filter("lrk = 1")
+        .select("cluster_id", F.col("lang").alias("modal_lang"))
+    )
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return (
+        sizes.join(rep, "cluster_id")
+        .join(modal, "cluster_id")
+        .select(
+            "cluster_id", "n_members", "rep_doc_id", "rep_n_chars", "modal_lang"
+        )
+    )
