@@ -99,7 +99,11 @@ BENCH_QUERIES = [
 # side-effecting, so it bypasses the prepared-plan cache (a cached
 # DataFrame would just re-read old verdict parquet) and runs once —
 # one drain IS its steady state.
-AUX_QUERIES = ["q_stream_incremental_dedup", "q_stream_drift_monitor"]
+AUX_QUERIES = [
+    "q_stream_incremental_dedup",
+    "q_stream_drift_monitor",
+    "q_stream_incremental_agg",
+]
 
 
 def main() -> None:

@@ -63,19 +63,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver row yet go first — new additions are inserted HERE in the
 # same commit that registers them (the r3/r4 lesson: additions past
 # the frozen window stay unverified a full round); (2) then the
-# stalest families. r6 window: the 19 r6 additions + 31 of the 50
+# stalest families. r6 window: the 20 r6 additions + 30 of the 50
 # r1-family rows last green in r3 (two fixture generations stale —
 # exactly the exposure the r4 NTZ incident exploited). Deferred to r7:
 # q3/q5/q6/q10/q13/q21/q_count_distinct (all exercised by bench +
 # entry() every round) plus q_window_frames/q_window_running_lag_lead/
 # q_window_topk_per_group/q_weighted_sample/q_reservoir_sample/
-# q_engine_dml/q7_volume_shipping/q8_market_share/q15_top_supplier/
-# q16_parts_supplier/q17_small_quantity/q22_sales_opportunity
-# (displaced by the twelve late-r6 additions; all remain
-# pytest+selfcheck green) —
+# q_engine_dml/q_union_distinct/q7_volume_shipping/q8_market_share/
+# q15_top_supplier/q16_parts_supplier/q17_small_quantity/
+# q22_sales_opportunity (displaced by the thirteen late-r6 additions;
+# all remain pytest+selfcheck green) —
 # see COVERAGE.md.
 _WINDOW_PRIORITY: list[str] = [
     # --- NEW in r6, inserted into the live window ---
+    "q_stream_incremental_agg",
     "q_golden_record",
     "q_incremental_agg",
     "q_pagerank",
@@ -126,7 +127,6 @@ _WINDOW_PRIORITY: list[str] = [
     "q19_disjunctive_predicates",
     "q_array_agg_sorted",
     "q_grouping_sets",
-    "q_union_distinct",
 ]
 
 
@@ -159,4 +159,5 @@ def load_all() -> None:
     import sparrow_spark.plans.engine_exercise  # noqa: F401
     import sparrow_spark.streaming.ingest  # noqa: F401
     import sparrow_spark.streaming.incremental_dedup  # noqa: F401
+    import sparrow_spark.streaming.incremental_agg  # noqa: F401
     _reorder_for_driver_window()

@@ -361,3 +361,42 @@ def test_incremental_dedup_replay_idempotent(spark, tmp_path):
         .parquet(index_dir)
     )
     assert bands.select("doc_id", "band").distinct().count() == bands.count()
+
+
+def test_incremental_agg_partial_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch must overwrite
+    its own partial (not append), and the merged view must equal the
+    direct aggregation of all rows."""
+    from pyspark.sql import functions as F
+
+    from sparrow_spark.streaming.incremental_agg import (
+        merge_partials,
+        write_batch_partial,
+    )
+
+    rows = [(i, "a" if i % 2 else "b", float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    b0 = df.filter("event_id < 20")
+    b1 = df.filter("event_id >= 20")
+    pdir = str(tmp_path / "partials")
+    write_batch_partial(b0, 0, pdir)
+    write_batch_partial(b1, 1, pdir)
+    write_batch_partial(b1, 1, pdir)  # replay of batch 1
+    got = {r.event_type: r for r in merge_partials(spark, pdir).collect()}
+    want = {
+        r.event_type: r
+        for r in df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value") + F.lit(1e-9), 4).alias("sum_value"),
+            F.round(F.avg("value") + F.lit(1e-9), 6).alias("mean_value"),
+            F.round(F.var_pop("value") + F.lit(1e-9), 6).alias("var_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k].n == want[k].n
+        assert abs(got[k].sum_value - want[k].sum_value) < 1e-6
+        assert abs(got[k].mean_value - want[k].mean_value) < 1e-6
+        assert abs(got[k].var_value - want[k].var_value) < 1e-5
