@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "q_pagerank",
     "q_incremental_agg",
     "q_golden_record",
+    "q_winnowing_pairs",
+    "q_systematic_sample",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1185,3 +1185,45 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(s / n, 6).alias("mean_value"),
         rnd(m2 / n, 6).alias("var_value"),
     )
+
+
+SYSTEMATIC_STRIDE = 20
+
+
+@query(
+    "q_systematic_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY md5('s:' || text), doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, CAST(rn AS BIGINT) AS rn
+    FROM ranked
+    WHERE (rn - 1) % {SYSTEMATIC_STRIDE} = 0
+    """,
+)
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling over a deterministic
+    pseudo-random order: rank the corpus by a content hash (so the
+    order is reproducible across runs and engines but uncorrelated
+    with ingestion order) and keep every {SYSTEMATIC_STRIDE}-th row —
+    the reproducible eval-split / spot-check sampler, complementing
+    the probabilistic samplers (stratified / weighted / reservoir)
+    with one whose exact membership is re-derivable by anyone with
+    the data. Exact 1/k rate by construction, not in expectation.
+
+    Scale: the only global structure needed is the rank, which comes
+    from global_sort_ranks (range partition + local rank + tiny
+    offset window) — no single-task sort; the stride filter is
+    map-side."""
+    from sparrow_spark.operators.dedup import global_sort_ranks
+
+    docs = widen(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5(F.concat(F.lit("s:"), F.col("text"))).alias("k")
+    )
+    ranked = global_sort_ranks(docs, ["k", "doc_id"])
+    return (
+        ranked.filter((F.col("rn") - 1) % SYSTEMATIC_STRIDE == 0)
+        .select("doc_id", F.col("rn").cast("bigint").alias("rn"))
+    )

@@ -1558,3 +1558,74 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(1.0 / (1.0 + F.exp(-logit)), 4).alias("p_keep"),
         (rnd(logit, 4) >= 0).alias("keep"),
     )
+
+
+@query(
+    "q_winnowing_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= {WINNOW_K + WINNOW_W - 1}
+    ), g AS (
+      SELECT doc_id,
+             [substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8)
+              for i in range(1, len(w) - 1)] AS hs
+      FROM tok
+    ), st AS (
+      SELECT doc_id, hs,
+             [struct_pack(h := hs[i], p := i)
+              for i in range(1, len(hs) + 1)] AS sts
+      FROM g
+    ), sel AS (
+      SELECT doc_id, hs,
+             list_distinct(
+               [list_reduce(sts[j:j+{WINNOW_W - 1}],
+                            (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END).p
+                for j in range(1, len(hs) - {WINNOW_W - 2})]) AS pos
+      FROM st
+    ), fps AS (
+      SELECT doc_id, unnest(list_distinct([hs[p] for p in pos])) AS fp
+      FROM sel
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+)
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-duplicate pairs from SHARED WINNOWING
+    FINGERPRINTS — the MOSS pairing step: two documents sharing >= 3
+    selected fingerprints share (with high probability) >= 3 distinct
+    guaranteed substrings of length w + k - 1, a much stronger signal
+    than a single hash collision. This closes the winnowing family:
+    q_winnowing builds the sketch, this query joins on it.
+
+    Scale: identical shape to the MinHash band join — fingerprints are
+    posting lists (each ~2/(w+1) of a doc's k-grams), candidates come
+    from the fingerprint equi-join only, and the >= 3 co-occurrence
+    cut runs INSIDE the aggregation (count per pair), so weak
+    one-off collisions never leave the shuffle. Never all-pairs."""
+    fps = (
+        winnow_positions(widen(load_table(spark, sf_dir, "documents")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.col("pos"), lambda p: F.element_at(F.col("hs"), p)
+                    )
+                )
+            ).alias("fp"),
+        )
+    )
+    a = fps.select(F.col("doc_id").alias("a_id"), "fp")
+    b = fps.select(F.col("doc_id").alias("b_id"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
