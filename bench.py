@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "q_golden_record",
     "q_winnowing_pairs",
     "q_systematic_sample",
+    "q_hll_union",
+    "q_bpe_train",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

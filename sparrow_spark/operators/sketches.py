@@ -261,3 +261,58 @@ def q_bloom_filter_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey")
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q_hll_union",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type
+    )
+    SELECT CAST((SELECT count(*) FROM per_type) AS BIGINT) AS n_sketches,
+           CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+             AS n_exact_users,
+           CAST((SELECT sum(n_users) FROM per_type) AS BIGINT)
+             AS naive_sum_users,
+           true AS merged_within_5pct
+    """,
+)
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    Spark's hll_sketch_agg / hll_union_agg): build one user-cardinality
+    sketch PER EVENT TYPE, then merge the sketches — never the raw
+    ids — into the global distinct-user estimate. This is the
+    pre-aggregation pattern that makes distinct counts cheap at 100 TB:
+    per-partition/per-day sketches are tiny (KBs), additive, and
+    reusable, where re-scanning raw ids for every global rollup is a
+    corpus pass. The output carries the NAIVE per-group sum too — the
+    wrong answer double-counting cross-group users — so the result
+    demonstrates the sketch union is deduplicating, not just adding.
+
+    Engines' sketch bytes differ, so (the q_approx_distinct contract)
+    the oracle checks the exact count and a bounded-relative-error
+    verdict: DataSketches HLL at default lgK=12 has rse ~0.8 percent,
+    far inside the 5 percent bound at any cardinality."""
+    events = load_table(spark, sf_dir, "events")
+    sk = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    merged = sk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sketches"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.sum("n_users").cast("bigint").alias("naive_sum_users"),
+    )
+    exact = events.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact_users")
+    )
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_sketches",
+        "n_exact_users",
+        "naive_sum_users",
+        (
+            F.abs(F.col("est") - F.col("n_exact_users"))
+            <= 0.05 * F.col("n_exact_users")
+        ).alias("merged_within_5pct"),
+    )

@@ -1629,3 +1629,143 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer: K merge rounds as one lazy distributed plan
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_MERGES = 3
+
+
+def _bpe_oracle_sql(k: int = BPE_TRAIN_MERGES) -> str:
+    parts = [
+        r"""
+    WITH v0 AS (
+      SELECT t AS word, count(*) AS freq,
+             regexp_replace(t, '(.)', '|\1', 'g') || '|' AS syms
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+      WHERE t <> '' GROUP BY t
+    )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", pr{i} AS (
+      SELECT pr.a AS p1, pr.b AS p2, sum(freq) AS cnt
+      FROM (
+        SELECT freq,
+               unnest([struct_pack(a := arr[j], b := arr[j + 1])
+                       for j in range(1, len(arr))]) AS pr
+        FROM (SELECT freq, string_split(trim(syms, '|'), '|') AS arr
+              FROM v{i - 1})
+      ) GROUP BY pr.a, pr.b
+    ), b{i} AS (
+      SELECT p1, p2, cnt FROM pr{i}
+      ORDER BY cnt DESC, p1 || ' ' || p2 DESC LIMIT 1
+    ), v{i} AS (
+      SELECT word, freq,
+             replace(syms,
+                     '|' || (SELECT p1 FROM b{i}) || '|' ||
+                     (SELECT p2 FROM b{i}) || '|',
+                     '|' || (SELECT p1 FROM b{i}) ||
+                     (SELECT p2 FROM b{i}) || '|') AS syms
+      FROM v{i - 1}
+    )"""
+        )
+    sel = "\n    UNION ALL\n".join(
+        f"""    SELECT {i} AS it, p1 || ' ' || p2 AS pair,
+           CAST(cnt AS BIGINT) AS weighted_count FROM b{i}"""
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+@query("q_bpe_train", oracle=_bpe_oracle_sql())
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding TRAINER: K rounds of (count adjacent symbol
+    pairs weighted by word frequency -> merge the most frequent pair
+    everywhere) as ONE lazy distributed plan — q_bpe_merge_step does a
+    single round; this learns an ordered merge list, the actual
+    tokenizer-training loop.
+
+    Distributed shape, per round: pair counting is an explode over the
+    WORD VOCABULARY (already a tiny aggregate of the corpus — BPE
+    training never touches raw documents after the first frequency
+    count) + one keyed sum; the winning pair is a 1-row broadcast
+    (deterministic tiebreak: highest count, then lexicographically
+    LAST pair — both engines compare binary UTF-8); the merge applies
+    as a sentinel-delimited string replace ('|p1|p2|' -> '|p1p2|'),
+    whose left-to-right non-overlapping semantics are exactly BPE's
+    greedy merge and are identical in Spark and DuckDB (pytest-pinned
+    for the 'aaa' overlap case in the engines' shared prototype).
+    Because K is FIXED, the loop is fully lazy — no driver actions, no
+    checkpoints; the plan is K chained rounds over the vocabulary
+    table."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.col("t").alias("word"),
+            "freq",
+            F.concat(
+                F.regexp_replace("t", "(.)", r"|$1"), F.lit("|")
+            ).alias("syms"),
+        )
+    )
+    state = vocab
+    picks = []
+    for i in range(1, BPE_TRAIN_MERGES + 1):
+        arr = F.split(F.expr("trim(BOTH '|' FROM syms)"), "[|]")
+        with_arr = materialize(state, arr=arr)
+        prs = with_arr.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("arr"), 1, F.size("arr") - 1),
+                    F.slice(F.col("arr"), 2, F.size("arr") - 1),
+                )
+            ).alias("pr"),
+        ).select(
+            F.col("pr").getField("0").alias("p1"),
+            F.col("pr").getField("1").alias("p2"),
+            "freq",
+        )
+        cnts = prs.groupBy("p1", "p2").agg(F.sum("freq").alias("cnt"))
+        best = cnts.agg(
+            F.max(
+                F.struct(
+                    F.col("cnt"),
+                    F.concat_ws(" ", "p1", "p2").alias("pair"),
+                    F.col("p1"),
+                    F.col("p2"),
+                )
+            ).alias("b")
+        ).select(
+            F.col("b.cnt").alias("cnt"),
+            F.col("b.pair").alias("pair"),
+            F.col("b.p1").alias("bp1"),
+            F.col("b.p2").alias("bp2"),
+        )
+        picks.append(
+            best.select(
+                F.lit(i).alias("it"),
+                "pair",
+                F.col("cnt").cast("bigint").alias("weighted_count"),
+            )
+        )
+        state = state.crossJoin(F.broadcast(best)).select(
+            "word",
+            "freq",
+            F.replace(
+                F.col("syms"),
+                F.concat(F.lit("|"), "bp1", F.lit("|"), "bp2", F.lit("|")),
+                F.concat(F.lit("|"), "bp1", "bp2", F.lit("|")),
+            ).alias("syms"),
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

@@ -654,3 +654,40 @@ def test_pagerank_star_graph(spark):
     hub, leaves = got[0], [got[i] for i in range(1, 5)]
     assert all(abs(v - leaves[0]) < 1e-12 for v in leaves)
     assert hub > leaves[0] * 2
+
+
+def test_bpe_merge_replace_overlap_semantics(spark):
+    """The sentinel-delimited replace that applies a BPE merge must be
+    greedy left-to-right and non-overlapping, identically in Spark and
+    DuckDB — 'a a a' merging (a,a) becomes (aa, a), never (a, aa) or
+    (aa, aa)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(
+            F.replace(
+                F.lit("|a|a|a|"), F.lit("|a|a|"), F.lit("|aa|")
+            ).alias("m")
+        )
+        .first()
+    )
+    duck = duckdb.connect().execute(
+        "select replace('|a|a|a|', '|a|a|', '|aa|')"
+    ).fetchone()[0]
+    assert row.m == duck == "|aa|a|"
+
+
+def test_bpe_train_learns_ordered_merges(spark, sf_dir):
+    """Merge i+1 must be learnable only AFTER merge i applied (the
+    rounds chain): counts are positive, iterations are 1..K, and the
+    learned pairs are distinct."""
+    from sparrow_spark import registry
+
+    registry.load_all()
+    rows = registry.RAW_QUERIES["q_bpe_train"](spark, sf_dir).collect()
+    assert [r.it for r in sorted(rows, key=lambda r: r.it)] == [1, 2, 3]
+    assert all(r.weighted_count > 0 for r in rows)
+    assert len({r.pair for r in rows}) == 3
