@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q_systematic_sample",
     "q_hll_union",
     "q_bpe_train",
+    "q_bpe_encode",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

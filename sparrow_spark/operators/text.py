@@ -1680,6 +1680,64 @@ def _bpe_oracle_sql(k: int = BPE_TRAIN_MERGES) -> str:
     return "".join(parts) + "\n" + sel
 
 
+def _bpe_encode_oracle_sql(k: int = BPE_TRAIN_MERGES) -> str:
+    chain = _bpe_oracle_sql(k)
+    chain = chain[: chain.index("    SELECT 1 AS it")]
+    return (
+        chain
+        + f"""    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(length(v.word)) AS BIGINT) AS n_char_syms,
+           CAST(sum(len(string_split(trim(v.syms, '|'), '|'))) AS BIGINT)
+             AS n_symbols,
+           round(sum(len(string_split(trim(v.syms, '|'), '|'))) /
+                 CAST(sum(length(v.word)) AS DOUBLE), 4) AS compression
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+          FROM documents) d
+    JOIN v{k} v ON v.word = d.t
+    WHERE d.t <> ''
+    GROUP BY d.doc_id"""
+    )
+
+
+@query("q_bpe_encode", oracle=_bpe_encode_oracle_sql())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODER: tokenize the corpus with the merges q_bpe_train
+    just learned — per document, token count, pre-merge symbol count
+    (characters), post-merge symbol count, and the compression ratio.
+    Closes the tokenizer loop: train (vocabulary-sized work) ->
+    encode (corpus-sized, but via a JOIN against the trained
+    word->symbols table, so each word is segmented ONCE no matter how
+    often it occurs — the standard vocabulary-cache trick that makes
+    BPE encoding of a 100 TB corpus a broadcast-joinable lookup for
+    the head of the word distribution, not per-token re-merging)."""
+    vocab = _bpe_vocab(spark, sf_dir)
+    _, final_state = bpe_train_rounds(vocab)
+    seg = final_state.select(
+        "word",
+        F.length("word").cast("bigint").alias("n_char_syms_w"),
+        F.size(F.split(F.expr("trim(BOTH '|' FROM syms)"), "[|]"))
+        .cast("bigint")
+        .alias("n_syms_w"),
+    )
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        tok.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("n_char_syms_w").cast("bigint").alias("n_char_syms"),
+            F.sum("n_syms_w").cast("bigint").alias("n_symbols"),
+            rnd(
+                F.sum("n_syms_w") / F.sum("n_char_syms_w").cast("double"), 4
+            ).alias("compression"),
+        )
+    )
+
+
 @query("q_bpe_train", oracle=_bpe_oracle_sql())
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding TRAINER: K rounds of (count adjacent symbol
@@ -1701,8 +1759,20 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Because K is FIXED, the loop is fully lazy — no driver actions, no
     checkpoints; the plan is K chained rounds over the vocabulary
     table."""
+    picks, _ = bpe_train_rounds(_bpe_vocab(spark, sf_dir))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, syms): corpus word frequencies with each word's
+    sentinel-delimited character symbols — BPE training state zero.
+    The raw corpus is touched exactly here; every training round works
+    on this vocabulary aggregate."""
     docs = widen(load_table(spark, sf_dir, "documents"))
-    vocab = (
+    return (
         docs.select(F.explode(tokens(F.col("text"))).alias("t"))
         .filter(F.col("t") != "")
         .groupBy("t")
@@ -1715,9 +1785,18 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("syms"),
         )
     )
+
+
+def bpe_train_rounds(
+    vocab: DataFrame, k: int = BPE_TRAIN_MERGES
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run k lazy BPE merge rounds over a (word, freq, syms) vocabulary.
+    Returns (one 1-row pick DataFrame per round, final vocab state with
+    all merges applied) — the trainer query unions the picks; the
+    encoder consumes the final state."""
     state = vocab
     picks = []
-    for i in range(1, BPE_TRAIN_MERGES + 1):
+    for i in range(1, k + 1):
         arr = F.split(F.expr("trim(BOTH '|' FROM syms)"), "[|]")
         with_arr = materialize(state, arr=arr)
         prs = with_arr.select(
@@ -1765,7 +1844,4 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("|"), "bp1", "bp2", F.lit("|")),
             ).alias("syms"),
         )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out
+    return picks, state
