@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "q_hll_union",
     "q_bpe_train",
     "q_bpe_encode",
+    "q_fk_integrity",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:
