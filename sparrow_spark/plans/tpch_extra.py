@@ -1,4 +1,5 @@
-"""Extended TPC-H query shapes (Q7/Q8/Q9/Q13/Q15/Q16/Q17/Q21/Q22),
+"""Extended TPC-H query shapes (Q2/Q4/Q7/Q8/Q9/Q11/Q13/Q15/Q16/Q17/
+Q20/Q21/Q22 — with the spine queries elsewhere this completes all 22),
 adapted to the fixture's TPC-H subset schema (no partsupp, no
 commitdate/receiptdate/phone — the lineitem<->part link stands in for
 partsupp, shipdate ordering stands in for commit-vs-receipt lateness,
@@ -529,4 +530,251 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  LIMIT 2) t
         WHERE c.c_custkey <= 50
         """
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2: minimum-cost supplier — the classic correlated scalar-min
+# subquery, adapted: the fixture has no partsupp, so the
+# (part, supplier) link with unit cost min(l_extendedprice/l_quantity)
+# derived from lineitem stands in for ps_supplycost (reference
+# src/execute_impl/select.rs:41-97 runs the stock TPC-H shape through
+# its vendored DataFusion).
+# Scale: the part filter is applied FIRST and semi-prunes the link
+# aggregate, so the per-part min is computed only over surviving
+# parts' region suppliers (identical result — the min is correlated
+# per part); supplier⋈nation⋈region is a broadcast chain; the only
+# fact shuffles are the (partkey, suppkey) link agg and the per-part
+# min — both keyed, both map-side combining.
+# --------------------------------------------------------------------------
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH link AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           p_partkey, p_name, round(unit_cost, 2) AS supply_cost
+    FROM part, link, supplier, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size <= 15 AND p_type IN ('ECONOMY', 'SMALL')
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND unit_cost = (
+        SELECT min(l2.unit_cost)
+        FROM link l2, supplier s2, nation n2, region r2
+        WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type").isin("ECONOMY", "SMALL"))
+    ).select("p_partkey", "p_name")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    link = (
+        _t(spark, sf_dir, "lineitem")
+        # Semi-prune to filtered parts BEFORE the link aggregate: at
+        # 100 TB this turns a full (part, supp) rollup into one over
+        # the ~1/2000 selected parts.
+        .join(F.broadcast(part.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    cand = link.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    min_cost = cand.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        cand.join(F.broadcast(min_cost), F.col("l_partkey") == F.col("mc_partkey"))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            rnd("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            rnd("unit_cost", 2).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4: order-priority checking — EXISTS with a correlated non-equi
+# condition, adapted: "shipped more than 30 days after ordering"
+# stands in for commitdate < receiptdate (the fixture carries only
+# l_shipdate).
+# Scale: left-semi join on the orderkey equi-key with the date
+# comparison as a join filter — one keyed shuffle of the windowed
+# orders subset, never a per-row subquery probe; the 3-month order
+# window is pushed to the parquet scan.
+# --------------------------------------------------------------------------
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+      AND o_orderdate < TIMESTAMP '1995-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11: important stock identification — HAVING against a scalar
+# aggregate subquery over the same derived table, adapted: per-part
+# revenue from NATION_1/2/3 suppliers stands in for
+# ps_supplycost * ps_availqty.
+# Scale: the per-part rollup shuffles once on partkey with map-side
+# combine; the global threshold is a 1-row broadcast (never a
+# recompute-per-row subquery); supplier⋈nation is a broadcast chain.
+# --------------------------------------------------------------------------
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey AS p_partkey,
+             sum(l_extendedprice * (1 - l_discount)) AS val
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      GROUP BY l_partkey
+    )
+    SELECT p_partkey, round(val, 2) AS part_value
+    FROM pv
+    WHERE val > (SELECT sum(val) * 0.001 FROM pv)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    pv = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
+        )
+    )
+    threshold = pv.agg((F.sum("val") * F.lit(0.001)).alias("cut"))
+    return (
+        pv.join(F.broadcast(threshold))
+        .filter(F.col("val") > F.col("cut"))
+        .select("p_partkey", rnd("val", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20: potential part promotion — nested IN subqueries with a
+# correlated aggregate threshold, adapted: a supplier qualifies when
+# its 1995-96 shipped quantity of some '%bolt%' part exceeds 20% of
+# that part's cross-supplier total (stands in for
+# ps_availqty > 0.5 * sum(l_quantity); the fixture has no partsupp).
+# Scale: the name-filtered part list broadcasts into the lineitem
+# scan; the (suppkey, partkey) rollup and the per-part total reuse
+# the same pruned subset; the qualifying-supplier set is a left-semi
+# join — no DISTINCT materialization; supplier⋈nation⋈region is a
+# broadcast chain.
+# --------------------------------------------------------------------------
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+        AND l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    pt AS (SELECT l_partkey AS pk, sum(qty) AS total_qty FROM sp GROUP BY l_partkey)
+    SELECT s_name, round(s_acctbal, 2) AS acctbal
+    FROM supplier, nation, region
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM sp, pt
+        WHERE l_partkey = pk AND qty > 0.2 * total_qty
+      )
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    ORDER BY s_name
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bolt_parts = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey")
+    sp = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(bolt_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    pt = sp.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    qualifying = (
+        sp.join(F.broadcast(pt), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("qty") > F.lit(0.2) * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", rnd("s_acctbal", 2).alias("acctbal"))
+        .orderBy("s_name")
     )

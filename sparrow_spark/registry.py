@@ -123,10 +123,14 @@ _WINDOW_PRIORITY: list[str] = [
     "q_cte_chain",
     "q12_shipmode",
     "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q_array_agg_sorted",
-    "q_grouping_sets",
+    # --- NEW late-r6: the four remaining TPC-H shapes (full 22 now
+    # covered); never driver-checked, so they take window slots per
+    # rule (1), displacing q18/q19/q_array_agg_sorted/q_grouping_sets
+    # to r7 (all pytest+selfcheck green at sf0.001 and sf0.01). ---
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q11_important_stock",
+    "q20_potential_promotion",
 ]
 
 
