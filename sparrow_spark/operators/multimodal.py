@@ -513,3 +513,138 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_image_batches(), schema="doc_id bigint, blob binary"
     )
     return blobs.mapInPandas(decode_image_batches(), schema=DECODED_IMAGE_SCHEMA)
+
+
+def phash_batches():
+    """mapInPandas worker factory: REAL decode of the binary image
+    column followed by a blockwise perceptual hash (aHash family):
+    grayscale -> 2x2 block integer sums -> bit b set iff block mean
+    exceeds the whole-image mean. The comparison is done in exact
+    integer cross-multiplication (cell_sum * n_pixels > total_sum *
+    cell_pixels) so the hash is bit-identical on any engine — no
+    float thresholds near ties."""
+    _, _, decode_image = _image_codecs()
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "fmt", "width", "height", "phash", "content_key")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                fmt, w, h, px = decode_image(bytes(blob))
+                g = (
+                    np.frombuffer(px, np.uint8)
+                    .reshape(h, w, 3)
+                    .sum(axis=2, dtype=np.int64)
+                )
+                by = (np.arange(h) * 2) // h
+                bx = (np.arange(w) * 2) // w
+                total, n = int(g.sum()), w * h
+                phash = 0
+                for r in (0, 1):
+                    for c in (0, 1):
+                        cell = g[by == r][:, bx == c]
+                        if int(cell.sum()) * n > total * cell.size:
+                            phash |= 1 << (r * 2 + c)
+                # Content identity of the DECODED pixels (not the file
+                # bytes: PPM headers embed the full doc_id comment, so
+                # byte-identical rasters can differ at the blob level).
+                ck = hashlib.md5(f"{fmt}|{w}|{h}|".encode() + px).hexdigest()
+                rows["doc_id"].append(doc_id)
+                rows["fmt"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["phash"].append(phash)
+                rows["content_key"].append(ck)
+            yield pd.DataFrame(rows)
+
+    return worker
+
+
+@query(
+    "q_image_phash_dedup",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+             n_chars % 16 + 2 AS w, n_chars % 11 + 2 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, t.p % w AS x, t.p // w AS y,
+             ((doc_id + 3*t.p) % 256) + ((doc_id + 3*t.p + 1) % 256)
+               + ((doc_id + 3*t.p + 2) % 256) AS gsum
+      FROM dims, LATERAL (SELECT unnest(range(0, w*h)) AS p) t
+    ),
+    cells AS (
+      SELECT doc_id, (y*2)//h AS by, (x*2)//w AS bx,
+             CAST(sum(gsum) AS BIGINT) AS cs, count(*) AS cn
+      FROM px GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT doc_id, CAST(sum(gsum) AS BIGINT) AS ts, count(*) AS tn
+      FROM px GROUP BY 1
+    ),
+    ph AS (
+      SELECT c.doc_id,
+             CAST(sum(CASE WHEN cs*tn > ts*cn
+                           THEN (1 << CAST(by*2+bx AS INT)) ELSE 0 END)
+                  AS BIGINT) AS phash
+      FROM cells c JOIN tot t ON c.doc_id = t.doc_id GROUP BY 1
+    )
+    SELECT d.doc_id, d.fmt, CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height, phash,
+           CAST(count(*) OVER (PARTITION BY d.doc_id % 256, w, h)
+                AS BIGINT) AS exact_dup_cnt,
+           CAST(count(*) OVER (PARTITION BY w, h, phash)
+                AS BIGINT) AS near_dup_cnt
+    FROM dims d JOIN ph USING (doc_id)
+    """,
+)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over REAL decoded pixels: encode a
+    genuine PPM/BMP blob per doc, decode it back, grayscale it, and
+    compute a blockwise average-hash (the aHash family: Monga &
+    Evans-style block means; the reference has no image pipeline —
+    this extends the multimodal surface the way a crawl pipeline
+    dedups near-identical images before training).
+
+    Exact-dup groups key on an md5 of the DECODED raster (format
+    headers differ even when pixels match); near-dup buckets key on
+    (width, height, phash). The oracle re-derives both in closed form
+    from the synthesis rule, so a decoder or hash slip (row flip, BGR
+    order, wrong block boundary, float-tie drift) hash-fails.
+
+    Scale: decode+hash is one Arrow mapInPandas pass — blobs never
+    leave their partition and only (doc_id, 16-byte key, 4-bit hash)
+    rows shuffle; both dup counts are keyed window aggregates (same
+    shuffle shape as groupBy+join), never pairwise. At 100 TB the
+    near-dup buckets feed a hamming-band verify exactly like
+    q_dedup_simhash_hamming."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    blobs = docs.select("doc_id", "n_chars").mapInPandas(
+        encode_image_batches(), schema="doc_id bigint, blob binary"
+    )
+    hashed = blobs.mapInPandas(
+        phash_batches(),
+        schema="doc_id bigint, fmt string, width bigint, height bigint, "
+        "phash bigint, content_key string",
+    )
+    from pyspark.sql import Window
+
+    exact_w = Window.partitionBy("content_key")
+    near_w = Window.partitionBy("width", "height", "phash")
+    return (
+        hashed.withColumn(
+            "exact_dup_cnt", F.count(F.lit(1)).over(exact_w).cast("bigint")
+        )
+        .withColumn("near_dup_cnt", F.count(F.lit(1)).over(near_w).cast("bigint"))
+        .select(
+            "doc_id", "fmt", "width", "height", "phash",
+            "exact_dup_cnt", "near_dup_cnt",
+        )
+    )

@@ -1297,3 +1297,256 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(e)
     return out
+
+
+@query(
+    "q_filter_eval_auc",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS score,
+             (len(w) >= 40 AND list_contains(w, 'the')) AS label
+      FROM t
+    ), ranked AS (
+      SELECT score, label,
+             row_number() OVER (ORDER BY score, doc_id) AS rn
+      FROM scored
+    ), grp AS (
+      SELECT score, min(rn) AS minr, count(*) AS c,
+             sum(CASE WHEN label THEN 1 ELSE 0 END) AS npos
+      FROM ranked GROUP BY score
+    ), stats AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(npos) AS BIGINT) AS n_pos,
+             sum(npos * (minr + (c - 1) / 2.0)) AS prs
+      FROM grp
+    ), thr AS (
+      SELECT CAST(i AS DOUBLE) / 10 AS threshold FROM range(1, 10) t(i)
+    ), conf AS (
+      SELECT threshold,
+             CAST(coalesce(sum(CASE WHEN score >= threshold THEN npos END), 0)
+                  AS BIGINT) AS tp,
+             CAST(coalesce(sum(CASE WHEN score >= threshold THEN c - npos END), 0)
+                  AS BIGINT) AS fp
+      FROM thr, grp GROUP BY threshold
+    )
+    SELECT threshold, tp, fp,
+           (n_pos - tp) AS fn, (n - n_pos - fp) AS tn,
+           round(CASE WHEN tp + fp > 0
+                      THEN tp / CAST(tp + fp AS DOUBLE) END, 6) AS prec,
+           round(tp / CAST(n_pos AS DOUBLE), 6) AS rec,
+           round(CASE WHEN tp + fp + n_pos > 0
+                      THEN 2.0 * tp / (tp + fp + n_pos) END, 6) AS f1,
+           round((prs - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * CAST(n - n_pos AS DOUBLE)), 6) AS auc
+    FROM conf, stats
+    ORDER BY threshold
+    """,
+)
+def q_filter_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter evaluation: tie-aware ROC-AUC (Mann-Whitney
+    rank-sum) of a candidate signal (distinct-word ratio) against a
+    reference label (length + stop-word gate), plus a full
+    threshold-sweep confusion table (precision / recall / F1 at nine
+    cuts) — the calibration step every production filter (fastText
+    quality, KenLM perplexity cuts) goes through before a corpus-wide
+    rollout.
+
+    Cross-engine exactness: the block threshold comparison and the
+    tie-averaged ranks are derived from integer counts and identical
+    IEEE divisions; ranks come from (score, doc_id) total order.
+
+    Scale: ranks via global_sort_ranks (range-partition + per-partition
+    row_number + broadcast offsets — no single-task window); the
+    score-group table is the only other shuffle (keyed agg with
+    map-side combine); the 9-row threshold table and the 1-row stats
+    table are broadcast. AUC over 100 TB of scores is exactly this
+    shape; nothing corpus-sized crosses the wire twice."""
+    from sparrow_spark.operators.dedup import global_sort_ranks
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    w = F.split(F.lower(F.col("text")), " ")
+    scored = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias("score"),
+        ((F.size(w) >= 40) & F.array_contains(w, "the")).alias("label"),
+    )
+    ranked = global_sort_ranks(scored, ["score", "doc_id"])
+    grp = ranked.groupBy("score").agg(
+        F.min("rn").alias("minr"),
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("npos"),
+    )
+    stats = grp.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("npos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("npos") * (F.col("minr") + (F.col("c") - 1) / F.lit(2.0))).alias(
+            "prs"
+        ),
+    )
+    thr = spark.range(1, 10).select(
+        (F.col("id").cast("double") / 10).alias("threshold")
+    )
+    conf = (
+        F.broadcast(thr)
+        .join(grp)
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("score") >= F.col("threshold"), F.col("npos"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("score") >= F.col("threshold"),
+                        F.col("c") - F.col("npos"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("fp"),
+        )
+    )
+    tp, fp = F.col("tp"), F.col("fp")
+    n, n_pos, prs = F.col("n"), F.col("n_pos"), F.col("prs")
+    return (
+        conf.join(F.broadcast(stats))
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            (n_pos - tp).alias("fn"),
+            (n - n_pos - fp).alias("tn"),
+            rnd(F.when(tp + fp > 0, tp / (tp + fp).cast("double")), 6).alias("prec"),
+            rnd(tp / n_pos.cast("double"), 6).alias("rec"),
+            rnd(
+                F.when(tp + fp + n_pos > 0, F.lit(2.0) * tp / (tp + fp + n_pos)), 6
+            ).alias("f1"),
+            rnd(
+                (prs - n_pos * (n_pos + 1) / F.lit(2.0))
+                / (n_pos * (n - n_pos).cast("double")),
+                6,
+            ).alias("auc"),
+        )
+        .orderBy("threshold")
+    )
+
+
+@query(
+    "q_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_band,
+             count(*) AS group_n,
+             CAST(min(doc_id) AS BIGINT) AS min_doc_id
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT lang, source, len_band, CAST(group_n AS BIGINT) AS group_n,
+           group_n >= 5 AS k_anonymous, min_doc_id
+    FROM g ORDER BY lang, source, len_band
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifier combinations (lang,
+    source, coarse length band): a released dataset is k-anonymous at
+    k=5 when every QI combination matches at least 5 records; smaller
+    groups are re-identification risks that must be suppressed or
+    generalized before release (Sweeney 2002 — the standard audit
+    next to PII scrubbing, see q_pii_scrub).
+
+    Scale: one keyed aggregate with map-side combine; output is
+    bounded by the QI-domain product (langs x sources x bands), not
+    corpus size, so the full audit table broadcasts back for the
+    suppression pass at any scale."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            (F.col("n_chars") / 100).cast("bigint").alias("len_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_n"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+        .select(
+            "lang", "source", "len_band", "group_n",
+            (F.col("group_n") >= 5).alias("k_anonymous"),
+            "min_doc_id",
+        )
+        .orderBy("lang", "source", "len_band")
+    )
+
+
+@query(
+    "q_bias_mi",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, CAST(count(*) AS DOUBLE) AS cnt
+      FROM documents GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS n, count(*) AS n_cells FROM c
+    ), rl AS (
+      SELECT lang, sum(cnt) AS lc FROM c GROUP BY 1
+    ), cs AS (
+      SELECT source, sum(cnt) AS sc FROM c GROUP BY 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs, CAST(n_cells AS BIGINT) AS n_cells,
+           round(sum((cnt / n) * ln(cnt * n / (lc * sc))), 6) AS mutual_info,
+           round(sum((cnt - lc * sc / n) * (cnt - lc * sc / n)
+                     / (lc * sc / n)), 4) AS chi2
+    FROM c, tot, rl, cs
+    WHERE c.lang = rl.lang AND c.source = cs.source
+    GROUP BY n, n_cells
+    """,
+)
+def q_bias_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset bias audit: mutual information and the chi-square
+    independence statistic between the lang and source columns. MI > 0
+    means language mix varies by source — exactly the confound a
+    mixture-balancing step (q_data_mixture) must correct before
+    training; chi2 gives the classical significance scale.
+
+    Cross-engine note: the per-cell terms are identical IEEE
+    expressions; only the 100-cell summation order differs (~1e-15
+    relative), absorbed by the rounded output.
+
+    Scale: the contingency table is ONE keyed aggregate (map-side
+    combine) bounded by langs x sources; marginals and the final
+    reduction run on that tiny table, broadcast-joined — the corpus is
+    read once and never re-shuffled."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    c = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    tot = c.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_cells")
+    )
+    rl = c.groupBy("lang").agg(F.sum("cnt").alias("lc"))
+    cs = c.groupBy("source").agg(F.sum("cnt").alias("sc"))
+    cnt, n, lc, sc = F.col("cnt"), F.col("n"), F.col("lc"), F.col("sc")
+    e = lc * sc / n
+    return (
+        c.join(F.broadcast(rl), "lang")
+        .join(F.broadcast(cs), "source")
+        .join(F.broadcast(tot))
+        .groupBy("n", "n_cells")
+        .agg(
+            rnd(F.sum((cnt / n) * F.log(cnt * n / (lc * sc))), 6).alias(
+                "mutual_info"
+            ),
+            rnd(F.sum((cnt - e) * (cnt - e) / e), 4).alias("chi2"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.col("n_cells").cast("bigint").alias("n_cells"),
+            "mutual_info",
+            "chi2",
+        )
+    )
