@@ -94,6 +94,10 @@ BENCH_QUERIES = [
     "q_bpe_train",
     "q_bpe_encode",
     "q_fk_integrity",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q_image_phash_dedup",
+    "q_filter_eval_auc",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

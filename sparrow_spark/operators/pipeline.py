@@ -1550,3 +1550,70 @@ def q_bias_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+@query(
+    "q_weak_supervision",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), lf AS (
+      SELECT doc_id,
+             len(w) >= 40 AS l_len,
+             CASE WHEN len(w) >= 3 THEN
+               len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]))
+                 / CAST(len(w) - 2 AS DOUBLE) >= 0.55
+             ELSE false END AS l_rep,
+             list_contains(w, 'the') AS l_stop
+      FROM t
+    )
+    SELECT doc_id, l_len, l_rep, l_stop,
+           CAST(CAST(l_len AS INT) + CAST(l_rep AS INT) + CAST(l_stop AS INT)
+                AS BIGINT) AS votes,
+           (CAST(l_len AS INT) + CAST(l_rep AS INT) + CAST(l_stop AS INT)) >= 2
+               AS label,
+           (CAST(l_len AS INT) + CAST(l_rep AS INT) + CAST(l_stop AS INT))
+               IN (0, 3) AS unanimous
+    FROM lf
+    """,
+)
+def q_weak_supervision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision label aggregation (Snorkel-style, Ratner et
+    al. 2017): three independent heuristic labeling functions (length
+    gate, repetition gate, stop-word gate) vote per document; the
+    training label is the majority, and the unanimity flag feeds
+    confidence weighting downstream. The standard way to bootstrap a
+    quality classifier's training set without human labels — the
+    trained artifact is then q_quality_classifier's weight vector.
+
+    Scale: every labeling function is a map-side higher-order
+    expression over the token array — zero shuffles, zero Python; at
+    100 TB the vote matrix streams straight into the classifier
+    trainer's aggregation."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = materialize(docs.select("doc_id", "text"), w=tokens(F.col("text")))
+    tri = _shingles_of(F.col("w"), 3)
+    l_len = F.size("w") >= 40
+    l_rep = F.when(
+        F.size("w") >= 3,
+        F.size(F.array_distinct(tri)) / (F.size("w") - 2).cast("double") >= 0.55,
+    ).otherwise(F.lit(False))
+    l_stop = F.array_contains("w", "the")
+    lf = toks.select(
+        "doc_id",
+        l_len.alias("l_len"),
+        l_rep.alias("l_rep"),
+        l_stop.alias("l_stop"),
+    )
+    votes = (
+        F.col("l_len").cast("int")
+        + F.col("l_rep").cast("int")
+        + F.col("l_stop").cast("int")
+    )
+    return lf.select(
+        "*",
+        votes.cast("bigint").alias("votes"),
+        (votes >= 2).alias("label"),
+        votes.isin(0, 3).alias("unanimous"),
+    )

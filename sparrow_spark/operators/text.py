@@ -1845,3 +1845,145 @@ def bpe_train_rounds(
             ).alias("syms"),
         )
     return picks, state
+
+
+@query(
+    "q_repetition_ngram_fracs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_ch,
+             string_split(lower(text), ' ') AS w
+      FROM documents
+    ), ng AS (
+      SELECT doc_id, n_ch, w,
+             [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS b2,
+             [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+              for i in range(1, len(w) - 1)] AS b3
+      FROM tok WHERE len(w) >= 3
+    ), m AS (
+      SELECT doc_id, n_ch,
+             CAST(len(w) AS BIGINT) AS n_words,
+             1 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS dw,
+             list_max([len(list_filter(b2, x -> x = d)) * length(d)
+                       for d in list_distinct(b2)]) / CAST(n_ch AS DOUBLE) AS t2,
+             list_max([len(list_filter(b3, x -> x = d)) * length(d)
+                       for d in list_distinct(b3)]) / CAST(n_ch AS DOUBLE) AS t3
+      FROM ng
+    )
+    SELECT doc_id, n_words,
+           round(dw, 6) AS dup_word_frac,
+           round(t2, 6) AS top2_char_frac,
+           round(t3, 6) AS top3_char_frac,
+           (dw > 0.6 OR t2 > 0.18 OR t3 > 0.16) AS is_repetitive
+    FROM m
+    """,
+)
+def q_repetition_ngram_fracs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition signals (Rae et al. 2021 §A.1.1,
+    Table A1 family): duplicate-word fraction plus the fraction of
+    characters covered by the MOST frequent word 2-gram / 3-gram —
+    boilerplate and spam score high on at least one. Complements
+    q_repetition_filter's distinct-trigram ratio with the char-
+    weighted variants the paper gates on.
+
+    Exactness: every metric is an integer count times an n-gram
+    character length over the document's character count — identical
+    IEEE division on both engines; thresholds compare those exact
+    doubles.
+
+    Scale: pure map-side higher-order functions (distinct + filter
+    folds are O(words x distinct) within one document, bounded by doc
+    length), zero shuffles, whole-stage codegen throughout — the
+    corpus streams through once."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = materialize(
+        docs.select("doc_id", F.length("text").cast("bigint").alias("n_ch"), "text"),
+        w=tokens(F.col("text")),
+    ).filter(F.size("w") >= 3)
+    grams = materialize(
+        toks.drop("text"),
+        b2=_text_shingles(F.col("w"), 2),
+        b3=_text_shingles(F.col("w"), 3),
+    )
+
+    def top_frac(arr):
+        return (
+            F.array_max(
+                F.transform(
+                    F.array_distinct(arr),
+                    lambda d: F.size(F.filter(arr, lambda x: x == d))
+                    * F.length(d),
+                )
+            )
+            / F.col("n_ch").cast("double")
+        )
+
+    dw = 1 - F.size(F.array_distinct("w")) / F.size("w").cast("double")
+    t2, t3 = top_frac(F.col("b2")), top_frac(F.col("b3"))
+    return grams.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_words"),
+        rnd(dw, 6).alias("dup_word_frac"),
+        rnd(t2, 6).alias("top2_char_frac"),
+        rnd(t3, 6).alias("top3_char_frac"),
+        ((dw > 0.6) | (t2 > 0.18) | (t3 > 0.16)).alias("is_repetitive"),
+    )
+
+
+@query(
+    "q_langid_confusion",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, lang,
+             unnest([s[i:i+1] for i in range(1, length(s))]) AS bg
+      FROM norm WHERE doc_id % 10 = 0
+    ), prof AS (
+      SELECT lang AS cand_lang, bg FROM (
+        SELECT lang, bg, count(*) AS c,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, bg) AS r
+        FROM ex GROUP BY lang, bg
+      ) WHERE r <= 40
+    ), doc_bg AS (
+      SELECT DISTINCT doc_id,
+             unnest([s[i:i+1] for i in range(1, length(s))]) AS bg
+      FROM norm
+    ), scored AS (
+      SELECT doc_id, cand_lang, count(*) AS n_match,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY count(*) DESC, cand_lang) AS rnk
+      FROM doc_bg JOIN prof USING (bg)
+      GROUP BY doc_id, cand_lang
+    )
+    SELECT d.lang AS lang_true, s.cand_lang AS lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM scored s JOIN norm d USING (doc_id)
+    WHERE s.rnk = 1
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the n-gram
+    classifier's prediction against the labeled lang column — the
+    audit that decides whether a language filter is safe to apply
+    corpus-wide (per-language precision/recall fall out of the
+    matrix rows/columns).
+
+    Scale: inherits langid_ngram's shape (broadcast profile model, no
+    corpus shuffle for scoring); the matrix itself is one keyed agg
+    bounded by langs², and the label join is by doc_id — the one
+    keyed shuffle. On this synthetic fixture all languages share a
+    vocabulary, so the matrix exercises mechanics, not accuracy."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    pred = langid_ngram(docs)
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("lang_true"), "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    )
