@@ -1565,3 +1565,66 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(sp, 4).alias("sq_l2_proj"),
         rnd(sp / so, 4).alias("sq_ratio"),
     )
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    sims AS (
+      SELECT a.vec_id AS query_id, a.label AS qlabel,
+             b.vec_id AS neighbor_id, b.label AS nlabel,
+             {_COS_SQL} AS cos
+      FROM e a JOIN e b ON a.label <> b.label
+      WHERE a.vec_id < 20
+    )
+    SELECT query_id, qlabel, neighbor_id, nlabel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank,
+           round(cos, 4) AS cos
+    FROM sims
+    WHERE cos < 0.99
+    QUALIFY rank <= 3
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: for
+    each query vector, the most-similar vectors with a DIFFERENT
+    label (the negatives a bi-encoder confuses most, per DPR /
+    sentence-transformers practice), excluding near-identical
+    cos >= 0.99 candidates — those are likelier mislabeled duplicates
+    (false negatives) than useful training signal.
+
+    Scale: the query set broadcasts against the corpus (one map-side
+    pass, same shape as brute_force_topk); per-query ranking
+    shuffles only (queries x candidates-below-margin) rows. At
+    100 TB the candidate pass swaps in the IVF/LSH probe
+    (q_similarity_ivf / _lsh) unchanged — mining only ever scores
+    bucket-mates."""
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("label").alias("nlabel"),
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("qlabel") != F.col("nlabel"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .filter(F.col("cos") < 0.99)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "qlabel", "neighbor_id", "nlabel", "rank",
+            rnd("cos", 4).alias("cos"),
+        )
+    )

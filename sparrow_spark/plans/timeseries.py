@@ -861,3 +861,92 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_offset",
         "n_active_users",
     )
+
+
+@query(
+    "q_interval_overlap_join",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, date_trunc('day', ts) AS d, min(ts) AS s, max(ts) AS e
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             date_diff('microsecond', greatest(a.s, b.s), least(a.e, b.e))
+               / 1000000.0 AS ol
+      FROM iv a JOIN iv b
+        ON a.d = b.d AND a.user_id < b.user_id
+       AND a.s <= b.e AND b.s <= a.e
+    )
+    SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n_days,
+           round(sum(ol), 3) AS total_overlap_s
+    FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join (concurrent-activity detection):
+    per-user daily purchase-activity intervals [first ts, last ts],
+    paired when they overlap in time — the classic temporal join
+    (co-presence, conflicting bookings, concurrent sessions).
+
+    Scale: the naive form is a theta join (O(n²) nested loop). The
+    distributed shape here is BUCKETIZATION: each interval explodes
+    to the hour buckets it spans (bounded — intervals live within one
+    day, ≤24 buckets), candidate pairs come from an EQUI-join on the
+    bucket, the exact overlap predicate filters within the bucket,
+    and a distinct on (pair, day) removes multi-bucket double-hits.
+    Every stage is a keyed shuffle — no nested loop at any corpus
+    size, skew bounded by activity per bucket. The oracle runs the
+    theta form; a hash match proves the bucketed plan loses and
+    invents nothing."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    iv = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    buckets = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s"),
+                F.date_trunc("hour", "e"),
+                F.expr("interval 1 hour"),
+            )
+        ),
+    )
+    a = buckets.select(
+        F.col("user_id").alias("user_a"), F.col("d").alias("da"),
+        F.col("s").alias("sa"), F.col("e").alias("ea"), "bucket",
+    )
+    b = buckets.select(
+        F.col("user_id").alias("user_b"), F.col("d").alias("db"),
+        F.col("s").alias("sb"), F.col("e").alias("eb"), "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("da") == F.col("db"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+        )
+        .select(
+            "user_a", "user_b", F.col("da").alias("d"),
+            (
+                (
+                    F.unix_micros(F.least("ea", "eb"))
+                    - F.unix_micros(F.greatest("sa", "sb"))
+                )
+                / F.lit(1000000.0)
+            ).alias("ol"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            rnd(F.sum("ol"), 3).alias("total_overlap_s"),
+        )
+        .orderBy("user_a", "user_b")
+    )
