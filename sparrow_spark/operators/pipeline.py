@@ -1617,3 +1617,80 @@ def q_weak_supervision(spark: SparkSession, sf_dir: str) -> DataFrame:
         (votes >= 2).alias("label"),
         votes.isin(0, 3).alias("unanimous"),
     )
+
+
+N_EXPORT_SHARDS = 8
+
+
+@query(
+    "q_shard_export",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM t
+    ), assigned AS (
+      SELECT doc_id, n_tokens,
+             CAST((rn - 1) % {N_EXPORT_SHARDS} AS BIGINT) AS shard
+      FROM ranked
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS DOUBLE) AS all_tokens FROM assigned
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           round(sum(n_tokens) * {N_EXPORT_SHARDS} / all_tokens, 6)
+               AS balance_ratio
+    FROM assigned, tot
+    GROUP BY shard, all_tokens
+    ORDER BY shard
+    """,
+)
+def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export assignment: place every document into one
+    of N shards with balanced token mass — the final step before a
+    corpus ships to a trainer (each data-parallel worker streams one
+    shard; imbalance = stragglers). Size-descending round-robin (the
+    longest-processing-time greedy) guarantees shard totals within
+    one max-document of ideal; the balance_ratio column (shard share
+    x N / total, ideal 1.0) is the audit.
+
+    Scale: ranks come from global_sort_ranks (range-partition + local
+    rank + broadcast offsets — no single-task window); assignment is
+    arithmetic on the rank; per-shard stats are one N-row keyed agg.
+    The physical write would be .repartition(N, shard)
+    .write.partitionBy(shard) — shape unchanged at 100 TB."""
+    from sparrow_spark.operators.dedup import global_sort_ranks
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        (-F.size(tokens(F.col("text")))).cast("bigint").alias("neg_tokens"),
+    )
+    ranked = global_sort_ranks(t, ["neg_tokens", "doc_id"])
+    assigned = ranked.select(
+        "doc_id", "n_tokens",
+        ((F.col("rn") - 1) % N_EXPORT_SHARDS).cast("bigint").alias("shard"),
+    )
+    tot = assigned.agg(F.sum("n_tokens").cast("double").alias("all_tokens"))
+    return (
+        assigned.join(F.broadcast(tot))
+        .groupBy("shard", "all_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            rnd(
+                F.sum("n_tokens") * N_EXPORT_SHARDS / F.first("all_tokens"), 6
+            ).alias("balance_ratio"),
+        )
+        .select(
+            "shard", "n_docs", "shard_tokens", "min_doc_id", "balance_ratio"
+        )
+        .orderBy("shard")
+    )
