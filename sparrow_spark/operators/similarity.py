@@ -1628,3 +1628,88 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("cos", 4).alias("cos"),
         )
     )
+
+
+@query(
+    "q_margin_mining",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id, {_COS_SQL} AS cos
+      FROM e a JOIN e b ON b.vec_id >= 20
+      WHERE a.vec_id < 20
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS rq,
+             row_number() OVER (PARTITION BY cand_id
+                                ORDER BY cos DESC, query_id) AS rc
+      FROM s
+    ), qa AS (
+      SELECT query_id, sum(cos) / 4 AS qa FROM r WHERE rq <= 4 GROUP BY 1
+    ), ca AS (
+      SELECT cand_id, sum(cos) / 4 AS ca FROM r WHERE rc <= 4 GROUP BY 1
+    )
+    SELECT r.query_id, r.cand_id, rq AS rank, round(cos, 4) AS cos,
+           round(cos / (0.5 * qa.qa + 0.5 * ca.ca), 4) AS margin
+    FROM r JOIN qa USING (query_id) JOIN ca USING (cand_id)
+    WHERE rq <= 4
+    """,
+)
+def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based candidate mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix bitext-mining criterion): a raw cosine is a poor
+    pair score because hub vectors are near EVERYTHING; the margin
+    divides cos(x, y) by the mean of both directions' k-NN
+    similarities, so only pairs that are mutually exceptional score
+    above ~1. Emits each query's top-4 candidates with their margin —
+    the standard step for mining aligned/translated/near-duplicate
+    pairs across two corpora.
+
+    Scale: the query block broadcasts against the candidate corpus
+    (one map-side cosine pass); the forward ranking shuffles by
+    query, the reverse ranking by candidate — two keyed shuffles of
+    the scored pairs, never corpus x corpus (the scored-pair set is
+    queries x corpus; at 100 TB the candidate pass swaps in an ANN
+    probe first, exactly like q_hard_negatives). k-NN means are
+    exact 4-element sums; the rounded margin absorbs summation-order
+    ulps."""
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = vecs.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+    )
+    s = c.join(F.broadcast(q)).select(
+        "query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
+    wc = Window.partitionBy("cand_id").orderBy(F.col("cos").desc(), "query_id")
+    r = s.withColumn("rq", F.row_number().over(wq)).withColumn(
+        "rc", F.row_number().over(wc)
+    )
+    qa = (
+        r.filter(F.col("rq") <= 4)
+        .groupBy("query_id")
+        .agg((F.sum("cos") / 4).alias("qa"))
+    )
+    ca = (
+        r.filter(F.col("rc") <= 4)
+        .groupBy("cand_id")
+        .agg((F.sum("cos") / 4).alias("ca"))
+    )
+    return (
+        r.filter(F.col("rq") <= 4)
+        .join(F.broadcast(qa), "query_id")
+        .join(ca, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("rq").alias("rank"),
+            rnd("cos", 4).alias("cos"),
+            rnd(
+                F.col("cos") / (0.5 * F.col("qa") + 0.5 * F.col("ca")), 4
+            ).alias("margin"),
+        )
+    )
