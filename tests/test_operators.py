@@ -691,3 +691,71 @@ def test_bpe_train_learns_ordered_merges(spark, sf_dir):
     assert [r.it for r in sorted(rows, key=lambda r: r.it)] == [1, 2, 3]
     assert all(r.weighted_count > 0 for r in rows)
     assert len({r.pair for r in rows}) == 3
+
+
+def test_shard_export_lpt_balance_bound(spark, sf_dir):
+    """LPT size-descending round-robin guarantees the spread between
+    the heaviest and lightest shard never exceeds N_EXPORT_SHARDS
+    times the largest document (loose uniform bound; the point is the
+    invariant survives refactors, not tightness)."""
+    from sparrow_spark import registry
+    from sparrow_spark.operators.pipeline import N_EXPORT_SHARDS
+
+    registry.load_all()
+    rows = registry.RAW_QUERIES["q_shard_export"](spark, sf_dir).collect()
+    assert len(rows) == N_EXPORT_SHARDS
+    tokens_by_shard = [r.shard_tokens for r in rows]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    max_doc = docs.select(
+        F.max(F.size(F.split(F.lower("text"), " ")))
+    ).first()[0]
+    assert max(tokens_by_shard) - min(tokens_by_shard) <= N_EXPORT_SHARDS * max_doc
+    # Round-robin over a descending size order puts shard 0 ahead.
+    assert max(tokens_by_shard) == tokens_by_shard[0]
+
+
+def test_image_phash_deterministic_and_bounded(spark, sf_dir):
+    """The perceptual hash is a pure function of the blob: two runs
+    agree bit-for-bit, and every hash fits in the 4-bit block space."""
+    from sparrow_spark import registry
+
+    registry.load_all()
+    fn = registry.RAW_QUERIES["q_image_phash_dedup"]
+    a = {r.doc_id: r.phash for r in fn(spark, sf_dir).collect()}
+    b = {r.doc_id: r.phash for r in fn(spark, sf_dir).collect()}
+    assert a == b
+    assert all(0 <= v <= 15 for v in a.values())
+
+
+def test_interval_overlap_join_pairs_are_ordered_distinct(spark, sf_dir):
+    """Bucket explosion must not double-count a pair that shares
+    several hour buckets, and emitted pairs are canonical (a < b)."""
+    from sparrow_spark import registry
+
+    registry.load_all()
+    rows = registry.RAW_QUERIES["q_interval_overlap_join"](
+        spark, sf_dir
+    ).collect()
+    pairs = [(r.user_a, r.user_b) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert all(a < b for a, b in pairs)
+    assert all(r.total_overlap_s >= 0 for r in rows)
+
+
+def test_margin_mining_hub_discount(spark, sf_dir):
+    """Margin scores sit near 1 by construction (cos divided by the
+    mean of its own k-NN neighborhood); a raw-cos ranking and the
+    margin ranking must disagree somewhere, else the normalization
+    did nothing (hub discount is the operator's entire point)."""
+    from sparrow_spark import registry
+
+    registry.load_all()
+    rows = registry.RAW_QUERIES["q_margin_mining"](spark, sf_dir).collect()
+    assert all(r.rank <= 4 for r in rows)
+    by_cos = sorted(rows, key=lambda r: (-r.cos, r.query_id, r.cand_id))
+    by_margin = sorted(rows, key=lambda r: (-r.margin, r.query_id, r.cand_id))
+    assert [(r.query_id, r.cand_id) for r in by_cos] != [
+        (r.query_id, r.cand_id) for r in by_margin
+    ]
