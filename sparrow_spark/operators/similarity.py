@@ -1713,3 +1713,186 @@ def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("margin"),
         )
     )
+
+
+@query(
+    "q_cluster_purity",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    seeds AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < 8),
+    sims AS (
+      SELECT a.vec_id, a.label, b.centroid_id, {_COS_SQL} AS cos
+      FROM e a JOIN seeds b ON true
+    ), assigned AS (
+      SELECT vec_id, label, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, centroid_id) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ), cont AS (
+      SELECT centroid_id, label, CAST(count(*) AS DOUBLE) AS c
+      FROM assigned GROUP BY 1, 2
+    ), n AS (SELECT sum(c) AS n FROM cont),
+    mc AS (SELECT centroid_id, sum(c) AS nc FROM cont GROUP BY 1),
+    ml AS (SELECT label, sum(c) AS nl FROM cont GROUP BY 1),
+    ent AS (
+      SELECT sum((cont.c / n.n) * ln(cont.c * n.n / (mc.nc * ml.nl))) AS mi
+      FROM cont, n, mc, ml
+      WHERE cont.centroid_id = mc.centroid_id AND cont.label = ml.label
+    ), hs AS (
+      SELECT (SELECT -sum((nc / n.n) * ln(nc / n.n)) FROM mc, n) AS hc,
+             (SELECT -sum((nl / n.n) * ln(nl / n.n)) FROM ml, n) AS hl
+    ), best AS (
+      SELECT centroid_id, label AS majority_label, c AS top_c FROM (
+        SELECT *, row_number() OVER (PARTITION BY centroid_id
+                                     ORDER BY c DESC, label) AS r
+        FROM cont
+      ) WHERE r = 1
+    )
+    SELECT mc.centroid_id,
+           CAST(mc.nc AS BIGINT) AS n_members,
+           best.majority_label,
+           round(best.top_c / mc.nc, 6) AS purity,
+           round(ent.mi / sqrt(hs.hc * hs.hl), 6) AS nmi
+    FROM mc JOIN best USING (centroid_id), ent, hs
+    ORDER BY mc.centroid_id
+    """,
+)
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering quality evaluation against ground-truth labels:
+    per-cluster purity (majority-label fraction) and corpus-level
+    normalized mutual information (MI / sqrt(H_cluster * H_label)) for
+    the deterministic seed assignment q_kmeans_assign produces — the
+    two standard external metrics that decide whether an embedding
+    clustering is good enough to drive SemDeDup buckets or topic
+    balancing.
+
+    Scale: assignment is the map-side broadcast-centroid fold (corpus
+    never shuffles); the contingency table is ONE keyed agg bounded by
+    k x labels; every entropy/MI term is computed on that tiny table.
+    The evaluation costs one corpus pass regardless of size."""
+    vecs = _vecs(spark, sf_dir)
+    seeds = collapse_centroids(
+        vecs.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+        )
+    )
+    assigned = assign_to_centroids(vecs, seeds).select("vec_id", "centroid_id")
+    labeled = assigned.join(vecs.select("vec_id", "label"), "vec_id")
+    cont = labeled.groupBy("centroid_id", "label").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    n = cont.agg(F.sum("c").alias("n"))
+    mc = cont.groupBy("centroid_id").agg(F.sum("c").alias("nc"))
+    ml = cont.groupBy("label").agg(F.sum("c").alias("nl"))
+    mi = (
+        cont.join(F.broadcast(mc), "centroid_id")
+        .join(F.broadcast(ml), "label")
+        .join(F.broadcast(n))
+        .agg(
+            F.sum(
+                (F.col("c") / F.col("n"))
+                * F.log(F.col("c") * F.col("n") / (F.col("nc") * F.col("nl")))
+            ).alias("mi")
+        )
+    )
+    hc = mc.join(F.broadcast(n)).agg(
+        (-F.sum((F.col("nc") / F.col("n")) * F.log(F.col("nc") / F.col("n")))).alias("hc")
+    )
+    hl = ml.join(F.broadcast(n)).agg(
+        (-F.sum((F.col("nl") / F.col("n")) * F.log(F.col("nl") / F.col("n")))).alias("hl")
+    )
+    from pyspark.sql import Window as W
+
+    r = W.partitionBy("centroid_id").orderBy(F.col("c").desc(), "label")
+    best = (
+        cont.withColumn("r", F.row_number().over(r))
+        .filter(F.col("r") == 1)
+        .select("centroid_id", F.col("label").alias("majority_label"),
+                F.col("c").alias("top_c"))
+    )
+    return (
+        mc.join(best, "centroid_id")
+        .join(F.broadcast(mi))
+        .join(F.broadcast(hc))
+        .join(F.broadcast(hl))
+        .select(
+            "centroid_id",
+            F.col("nc").cast("bigint").alias("n_members"),
+            "majority_label",
+            rnd(F.col("top_c") / F.col("nc"), 6).alias("purity"),
+            rnd(F.col("mi") / F.sqrt(F.col("hc") * F.col("hl")), 6).alias("nmi"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+@query(
+    "q_knn_classifier_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    q AS (SELECT vec_id, v, label FROM e WHERE vec_id < 20),
+    t AS (SELECT vec_id, v, label FROM e WHERE vec_id >= 20),
+    sims AS (
+      SELECT a.vec_id AS query_id, a.label AS label_true,
+             b.label AS nlabel, b.vec_id AS nid,
+             {_COS_SQL} AS cos
+      FROM q a JOIN t b ON true
+    ), top5 AS (
+      SELECT query_id, label_true, nlabel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, nid) AS rn
+        FROM sims
+      ) WHERE rn <= 5
+    ), votes AS (
+      SELECT query_id, label_true, nlabel AS label_pred, count(*) AS nv
+      FROM top5 GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT query_id, label_true, label_pred FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY nv DESC, label_pred) AS r
+        FROM votes
+      ) WHERE r = 1
+    )
+    SELECT label_true, label_pred, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification evaluation (k=5 majority vote, ties to the
+    lowest label): hold out the query block, vote with the corpus,
+    and emit the confusion matrix — the leave-out sanity check run
+    before trusting embedding labels to drive mixture balancing or
+    stratified splits.
+
+    Scale: identical shape to brute_force_topk (query block broadcast,
+    per-query rank shuffle); votes and the confusion matrix are keyed
+    aggs bounded by queries x labels and labels². The ANN probe swaps
+    in for the scoring pass at corpus scale."""
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("label_true"),
+    )
+    t = vecs.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("cv"),
+        F.col("label").alias("nlabel"),
+    )
+    sims = t.join(F.broadcast(q)).select(
+        "query_id", "label_true", "nlabel", "nid",
+        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "nid")
+    top5 = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = top5.groupBy("query_id", "label_true", F.col("nlabel").alias("label_pred")).agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.col("nv").desc(), "label_pred")
+    pred = votes.withColumn("r", F.row_number().over(rw)).filter(F.col("r") == 1)
+    return (
+        pred.groupBy("label_true", "label_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("label_true", "label_pred")
+    )

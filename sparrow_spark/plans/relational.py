@@ -703,3 +703,140 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.avg("c_acctbal"), 4).alias("avg_bal"),
         )
     )
+
+
+@query(
+    "q_join_cardinality_est",
+    oracle="""
+    WITH sk AS (
+      SELECT l_orderkey, count(*) AS ca FROM lineitem
+      WHERE l_orderkey % 16 = 0 GROUP BY 1
+    ), ob AS (
+      SELECT o_orderkey, count(*) AS cb FROM orders GROUP BY 1
+    ), est AS (
+      SELECT CAST(16 * coalesce(sum(ca * cb), 0) AS BIGINT) AS est_rows
+      FROM sk JOIN ob ON l_orderkey = o_orderkey
+    ), act AS (
+      SELECT CAST(count(*) AS BIGINT) AS actual_rows
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT est_rows, actual_rows,
+           round(abs(est_rows - actual_rows)
+                 / CAST(actual_rows AS DOUBLE), 4) AS rel_error
+    FROM est, act
+    """,
+)
+def q_join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from key histograms — the planner
+    primitive behind join reordering and broadcast decisions
+    (|A join B| = sum over keys of cA(k)*cB(k)). The estimate uses a
+    deterministic 1-in-16 KEY sample of the fact side (key sampling
+    keeps per-key counts intact, so the scaled sum is unbiased for
+    the key-sum), compared against the true executed cardinality.
+
+    Scale: the estimate touches only two keyed count aggregates and a
+    histogram join on the sampled keys — a ~6% pass instead of the
+    full join. This is how an engine decides a join strategy BEFORE
+    paying for the join; at 100 TB the histogram is the only thing
+    that moves. The actual-count side exists purely as the audit."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    sk = (
+        li.filter(F.col("l_orderkey") % 16 == 0)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    ob = orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("cb"))
+    est = (
+        sk.join(ob, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            (16 * F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)))
+            .cast("bigint")
+            .alias("est_rows")
+        )
+    )
+    act = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("actual_rows")
+    )
+    return est.join(F.broadcast(act)).select(
+        "est_rows",
+        "actual_rows",
+        rnd(
+            F.abs(F.col("est_rows") - F.col("actual_rows"))
+            / F.col("actual_rows").cast("double"),
+            4,
+        ).alias("rel_error"),
+    )
+
+
+def _zvalue(a, b, bits: int = 8):
+    """Morton/Z-order interleave of two `bits`-bit integers (a in the
+    even bit positions, b in the odd) as a JVM-side integer fold."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("bigint"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("bigint"), i).bitwiseAND(F.lit(1))
+        z = z + F.shiftleft(abit, 2 * i) + F.shiftleft(bbit, 2 * i + 1)
+    return z
+
+
+@query(
+    "q_zorder_layout",
+    oracle="""
+    WITH z AS (
+      SELECT l_orderkey,
+             l_partkey % 256 AS p8, l_suppkey % 256 AS s8,
+             (
+               ((l_partkey % 256) // 1 % 2) * 1 + ((l_suppkey % 256) // 1 % 2) * 2
+             + ((l_partkey % 256) // 2 % 2) * 4 + ((l_suppkey % 256) // 2 % 2) * 8
+             + ((l_partkey % 256) // 4 % 2) * 16 + ((l_suppkey % 256) // 4 % 2) * 32
+             + ((l_partkey % 256) // 8 % 2) * 64 + ((l_suppkey % 256) // 8 % 2) * 128
+             + ((l_partkey % 256) // 16 % 2) * 256 + ((l_suppkey % 256) // 16 % 2) * 512
+             + ((l_partkey % 256) // 32 % 2) * 1024 + ((l_suppkey % 256) // 32 % 2) * 2048
+             + ((l_partkey % 256) // 64 % 2) * 4096 + ((l_suppkey % 256) // 64 % 2) * 8192
+             + ((l_partkey % 256) // 128 % 2) * 16384 + ((l_suppkey % 256) // 128 % 2) * 32768
+             ) AS zval
+      FROM lineitem
+    )
+    SELECT CAST(zval // 1024 AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT p8) AS BIGINT) AS n_part_values,
+           CAST(count(DISTINCT s8) AS BIGINT) AS n_supp_values,
+           CAST(min(zval) AS BIGINT) AS z_min,
+           CAST(max(zval) AS BIGINT) AS z_max
+    FROM z GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout audit — the data-clustering
+    primitive behind OPTIMIZE ZORDER BY (p, s): interleaving the bits
+    of two join/filter keys gives a 1-D sort order under which any
+    contiguous file of rows spans only a small aligned square of the
+    (p, s) key space, so min/max file statistics prune on BOTH
+    columns. The audit buckets rows by z-range (1024-wide = a 32x32
+    key tile) and reports how many distinct values of each key a
+    bucket touches — bounded at 32 per side, versus ~all 256 for a
+    single-key or arrival-order layout.
+
+    Scale: the z-value is a pure map-side integer fold (no Python, no
+    shuffle); the audit is one keyed agg over 64 buckets. The
+    production write is sort-within-partitions by zval before
+    writing files — same expression, zero extra shuffles beyond the
+    range partition the sort already needs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = li.select(
+        (F.col("l_partkey") % 256).alias("p8"),
+        (F.col("l_suppkey") % 256).alias("s8"),
+        _zvalue(F.col("l_partkey") % 256, F.col("l_suppkey") % 256).alias("zval"),
+    )
+    return (
+        z.groupBy((F.col("zval") / 1024).cast("bigint").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("p8").cast("bigint").alias("n_part_values"),
+            F.countDistinct("s8").cast("bigint").alias("n_supp_values"),
+            F.min("zval").cast("bigint").alias("z_min"),
+            F.max("zval").cast("bigint").alias("z_max"),
+        )
+        .orderBy("zbucket")
+    )
