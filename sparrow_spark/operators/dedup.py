@@ -2024,3 +2024,128 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id", "n_members", "rep_doc_id", "rep_n_chars", "modal_lang"
         )
     )
+
+
+_LSH_TUNING_CONFIGS = [("b8r1", 8, 1), ("b4r2", 4, 2), ("b2r4", 2, 4)]
+
+
+@query(
+    "q_lsh_tuning",
+    # Reuse the shared signature CTEs (tok/sh/hashed/sigs) and band
+    # the sigs three ways below instead of the CTE's fixed 4x2 bands.
+    oracle=_MINHASH_BANDS_CTE.split("), bands AS (")[0]
+    + ")"
+    + """
+    , allbands AS (
+      SELECT 'b8r1' AS config, doc_id, 0 AS band, h0 AS sig FROM sigs UNION ALL
+      SELECT 'b8r1', doc_id, 1, h1 FROM sigs UNION ALL
+      SELECT 'b8r1', doc_id, 2, h2 FROM sigs UNION ALL
+      SELECT 'b8r1', doc_id, 3, h3 FROM sigs UNION ALL
+      SELECT 'b8r1', doc_id, 4, h4 FROM sigs UNION ALL
+      SELECT 'b8r1', doc_id, 5, h5 FROM sigs UNION ALL
+      SELECT 'b8r1', doc_id, 6, h6 FROM sigs UNION ALL
+      SELECT 'b8r1', doc_id, 7, h7 FROM sigs UNION ALL
+      SELECT 'b4r2', doc_id, 0, h0 || '|' || h1 FROM sigs UNION ALL
+      SELECT 'b4r2', doc_id, 1, h2 || '|' || h3 FROM sigs UNION ALL
+      SELECT 'b4r2', doc_id, 2, h4 || '|' || h5 FROM sigs UNION ALL
+      SELECT 'b4r2', doc_id, 3, h6 || '|' || h7 FROM sigs UNION ALL
+      SELECT 'b2r4', doc_id, 0, h0 || '|' || h1 || '|' || h2 || '|' || h3 FROM sigs UNION ALL
+      SELECT 'b2r4', doc_id, 1, h4 || '|' || h5 || '|' || h6 || '|' || h7 FROM sigs
+    ), cand AS (
+      SELECT DISTINCT a.config, a.doc_id AS a_id, b.doc_id AS b_id
+      FROM allbands a JOIN allbands b
+        ON a.config = b.config AND a.band = b.band AND a.sig = b.sig
+       AND a.doc_id < b.doc_id
+    ), est AS (
+      SELECT c.config,
+             ((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT
+              + (sa.h3 = sb.h3)::INT + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT
+              + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0 AS e
+      FROM cand c JOIN sigs sa ON c.a_id = sa.doc_id
+                 JOIN sigs sb ON c.b_id = sb.doc_id
+    )
+    SELECT config, CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN e >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_strong,
+           round(avg(e), 4) AS avg_est_jaccard
+    FROM est GROUP BY config ORDER BY config
+    """,
+)
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band/row tuning audit: the SAME 8 minhashes banded three
+    ways — (b=8, r=1), (b=4, r=2), (b=2, r=4) — with per-config
+    candidate volume, strong-pair count (signature-estimated Jaccard
+    >= 0.5), and mean candidate quality. The s-curve tradeoff made
+    measurable: more bands with shorter rows recall more (threshold
+    ~ (1/b)^(1/r) drops) but admits noisier candidates; this is the
+    design table consulted before fixing (b, r) for a corpus-wide
+    dedup run.
+
+    Scale: signatures are computed ONCE (one explode + one keyed agg);
+    each config adds only a band-key equi-join on its own band table —
+    the standard LSH shape, never pairwise. The per-candidate estimate
+    joins the (doc, 8-column) signature table twice by id; candidates
+    are band-collision-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    parts = []
+    for config, b, r in _LSH_TUNING_CONFIGS:
+        entries = [
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"h{band * r + j}") for j in range(r)]
+                ).alias("sig"),
+            )
+            for band in range(b)
+        ]
+        parts.append(
+            sigs.select(
+                F.lit(config).alias("config"),
+                "doc_id",
+                F.explode(F.array(*entries)).alias("bs"),
+            ).select(
+                "config", "doc_id",
+                F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
+            )
+        )
+    allbands = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    a = allbands.select(
+        "config", "band", "sig", F.col("doc_id").alias("a_id")
+    )
+    b_ = allbands.select(
+        "config", "band", "sig", F.col("doc_id").alias("b_id")
+    )
+    cand = (
+        a.join(b_, ["config", "band", "sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("config", "a_id", "b_id")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(8)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"h{i}").alias(f"b_h{i}") for i in range(8)],
+    )
+    n_match = sum(
+        (F.col(f"a_h{i}") == F.col(f"b_h{i}")).cast("int") for i in range(8)
+    )
+    est = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("config", (n_match / F.lit(8.0)).alias("e"))
+    )
+    return (
+        est.groupBy("config")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.when(F.col("e") >= 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_strong"),
+            rnd(F.avg("e"), 4).alias("avg_est_jaccard"),
+        )
+        .orderBy("config")
+    )

@@ -840,3 +840,62 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+@query(
+    "q_frequent_pairs",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), sup AS (
+      SELECT p1, p2, CAST(count(*) AS BIGINT) AS support
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT p1, p2, support
+    FROM sup WHERE support >= 2
+    ORDER BY support DESC, p1, p2
+    LIMIT 50
+    """,
+)
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent-pair mining (the A-priori/FP-growth
+    first pass): parts co-purchased in the same order, with support
+    counts, top-50 by support — co-occurrence statistics drive
+    recommendations, shelf placement, and (for corpora) co-citation /
+    co-mention analysis.
+
+    Scale: pairs are generated WITHIN baskets — one groupBy(orderkey)
+    collects each basket's distinct sorted items (basket sizes are
+    bounded by order width, here <= 7), pairs explode per basket
+    (O(width²) per order, never corpus²), and support is one keyed
+    agg with map-side combine. The oracle's self-join form would
+    shuffle the fact table against itself; the basket form shuffles
+    it once. Top-50 = TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("items"), i + 2, F.size(F.col("items"))
+                        ),
+                        lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), "p1", "p2")
+        .limit(50)
+    )
