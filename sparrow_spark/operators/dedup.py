@@ -2149,3 +2149,88 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("config")
     )
+
+
+@query(
+    "q_triangle_count",
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    , edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ), deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    ), tri AS (
+      SELECT count(*) AS t
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), agg AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+             (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+             (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+             (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges
+    )
+    SELECT n_nodes, n_edges, n_triangles, n_wedges,
+           round(CASE WHEN n_wedges > 0
+                      THEN 3.0 * n_triangles / n_wedges END, 6)
+               AS clustering_coeff
+    FROM agg
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient over the LSH
+    duplicate graph — the structural audit of a dedup pair list: a
+    high coefficient means candidate pairs close into genuine
+    duplicate cliques; a low one means band collisions are scattering
+    (tune b/r via q_lsh_tuning). Triangles = the canonical oriented
+    edge-join (each triangle a<b<c counted exactly once).
+
+    Scale: the id orientation (u < v) makes every join an equi-join
+    on node keys — the standard distributed triangle algorithm; at
+    scale orient by DEGREE instead (low-degree node first) so hub
+    fan-out in the wedge join is bounded by the arboricity, not the
+    max degree. All stages are pair-list-sized, never corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        minhash_lsh_pairs(docs)
+        .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    nn = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        nn.join(F.broadcast(ne))
+        .join(F.broadcast(tri))
+        .select(
+            "n_nodes", "n_edges", "n_triangles", "n_wedges",
+            rnd(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

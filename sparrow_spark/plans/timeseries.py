@@ -950,3 +950,65 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_a", "user_b")
     )
+
+
+@query(
+    "q_seasonal_anomaly",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, value FROM events
+    ), prof AS (
+      SELECT event_type, hod, avg(value) AS mu,
+             stddev_samp(value) AS sigma, count(*) AS n
+      FROM base GROUP BY 1, 2
+    )
+    SELECT event_type, hod, CAST(n AS BIGINT) AS n,
+           round(mu, 4) AS profile_mean,
+           round(sigma, 4) AS profile_std,
+           CAST(sum(CASE WHEN abs(value - mu) > 3 * sigma
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM base JOIN prof USING (event_type, hod)
+    GROUP BY event_type, hod, mu, sigma, n
+    ORDER BY event_type, hod
+    """,
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-profile anomaly detection: build an hour-of-day
+    baseline (mean/std) per event type, then flag values more than 3
+    sigma from THEIR OWN seasonal slot — the profile-based monitor
+    that catches a quiet-hour spike a global z-score (q_zscore_outliers)
+    averages away.
+
+    Scale: the profile is a keyed agg bounded by types x 24 slots and
+    broadcasts back onto the stream of rows (map-side flagging); the
+    final rollup reuses the same bounded key. Two passes over the
+    corpus, zero corpus-sized shuffles — at 100 TB the profile table
+    is still types x 24 rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("bigint").alias("hod"), "value"
+    )
+    prof = ev.groupBy("event_type", "hod").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        ev.join(F.broadcast(prof), ["event_type", "hod"])
+        .groupBy("event_type", "hod", "mu", "sigma", "n")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies")
+        )
+        .select(
+            "event_type", "hod", F.col("n").cast("bigint").alias("n"),
+            rnd("mu", 4).alias("profile_mean"),
+            rnd("sigma", 4).alias("profile_std"),
+            "n_anomalies",
+        )
+        .orderBy("event_type", "hod")
+    )
