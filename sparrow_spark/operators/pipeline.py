@@ -1694,3 +1694,52 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "q_quantile_normalize",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_words,
+             row_number() OVER (ORDER BY n_words, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM s
+    )
+    SELECT doc_id, n_words,
+           round((rn - 1) / CAST(n - 1 AS DOUBLE), 6) AS quantile
+    FROM r
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of a raw feature — mapping every
+    value to its corpus quantile in [0, 1] makes heterogenous signals
+    (lengths, perplexities, classifier logits) directly comparable and
+    mixture-stable, the standard preprocessing before combining
+    quality scores or applying a fixed keep-fraction.
+
+    Scale: the rank comes from global_sort_ranks (range partition +
+    local rank + broadcast offsets — never a single-task global
+    window); the corpus total is a 1-row broadcast. One range
+    shuffle, everything else map-side."""
+    from sparrow_spark.operators.dedup import global_sort_ranks
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    s = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_words"),
+    )
+    ranked = global_sort_ranks(s, ["n_words", "doc_id"])
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.join(F.broadcast(n))
+        .select(
+            "doc_id", "n_words",
+            rnd((F.col("rn") - 1) / (F.col("n") - 1).cast("double"), 6).alias(
+                "quantile"
+            ),
+        )
+    )

@@ -1012,3 +1012,148 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hod")
     )
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ), attributed AS (
+      SELECT p.user_id, p.value,
+             EXISTS (
+               SELECT 1 FROM c
+               WHERE c.user_id = p.user_id
+                 AND c.click_ts <= p.ts
+                 AND c.click_ts >= p.ts - INTERVAL 7 DAY
+             ) AS has_touch
+      FROM p
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN has_touch THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_attributed,
+           round(sum(CASE WHEN has_touch THEN value ELSE 0 END), 2)
+               AS attributed_value,
+           round(sum(CASE WHEN has_touch THEN 0 ELSE value END), 2)
+               AS organic_value
+    FROM attributed GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is attributed
+    to the user's most recent click within a 7-day lookback window;
+    per-user rollup splits revenue into attributed vs organic. The
+    oracle runs the correlated-EXISTS form; the Spark plan is the
+    scalable as-of shape — union both event streams once, carry the
+    latest click forward per user (asof_join: ONE keyed shuffle, no
+    per-purchase range probe, no join explosion on hot users).
+
+    Scale: identical to q_asof_join's cost model — (purchases +
+    clicks) shuffle once on user_id; the attribution window is a
+    tolerance filter on the carried timestamp; the rollup reuses the
+    same user key."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        payload_cols=["click_ts"],
+        direction="backward",
+        tolerance_seconds=7 * 24 * 3600,
+    )
+    touched = F.col("click_ts").isNotNull()
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.when(touched, 1).otherwise(0)).cast("bigint").alias(
+                "n_attributed"
+            ),
+            rnd(F.sum(F.when(touched, F.col("value")).otherwise(0.0)), 2).alias(
+                "attributed_value"
+            ),
+            rnd(F.sum(F.when(touched, F.lit(0.0)).otherwise(F.col("value"))), 2).alias(
+                "organic_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH m1 AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ), m2 AS (
+      SELECT e.event_type, median(abs(e.value - m1.med)) AS mad
+      FROM events e JOIN m1 USING (event_type) GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(m1.med, 4) AS med,
+           round(m2.mad, 4) AS mad,
+           CAST(sum(CASE WHEN abs(e.value - m1.med) > 3 * 1.4826 * m2.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN m1 USING (event_type) JOIN m2 USING (event_type)
+    GROUP BY e.event_type, m1.med, m2.mad
+    ORDER BY e.event_type
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: flag
+    values beyond 3 scaled MADs (x1.4826 = consistency constant for
+    normal data) of their group median. Unlike the mean/std z-score
+    (q_zscore_outliers), a single extreme value cannot drag the
+    threshold — the estimator every production data-quality monitor
+    prefers when the column itself is suspect.
+
+    Scale: two median passes (exact interpolated percentile — at
+    100 TB swap percentile_approx, whose rank-error bound
+    q_percentile_approx_audit already quantifies) on a keyed agg
+    bounded by event types; stats broadcast back for map-side
+    flagging."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    m1 = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    m2 = (
+        ev.join(F.broadcast(m1), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(m1), "event_type")
+        .join(F.broadcast(m2), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type", "n", rnd("med", 4).alias("med"),
+            rnd("mad", 4).alias("mad"), "n_outliers",
+        )
+        .orderBy("event_type")
+    )
