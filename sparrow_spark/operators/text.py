@@ -1987,3 +1987,99 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("lang_true", "lang_pred")
     )
+
+
+NEG_SAMPLES_PER_DOC = 4
+NEG_TABLE_POW = 0.75
+
+
+@query(
+    "q_negative_sampling",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ), vocab AS (
+      SELECT t, pow(count(*), {NEG_TABLE_POW}) AS wt
+      FROM tok GROUP BY t
+    ), cum AS (
+      SELECT t, wt,
+             coalesce(sum(wt) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+             sum(wt) OVER (ORDER BY t) AS hi,
+             sum(wt) OVER () AS total
+      FROM vocab
+    ), draws AS (
+      SELECT d.doc_id, s.slot,
+             ((d.doc_id * 7919 + s.slot) * 48271 % 1000000)
+               / 1000000.0 AS u
+      FROM (SELECT DISTINCT doc_id FROM tok) d,
+           (SELECT unnest(range({NEG_SAMPLES_PER_DOC})) AS slot) s
+    )
+    SELECT d.doc_id, d.slot, c.t AS negative
+    FROM draws d JOIN cum c
+      ON d.u * c.total >= c.lo AND d.u * c.total < c.hi
+    ORDER BY d.doc_id, d.slot
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-sampling table construction and deterministic draws
+    (word2vec / contrastive training): vocabulary weights ∝
+    frequency^0.75 (Mikolov et al. 2013 — damps stopword dominance
+    without losing them), cumulative ranges over the alphabetical
+    vocab, and per-(doc, slot) pseudo-random draws mapped into those
+    ranges. Deterministic end-to-end: the draw is a hash of
+    (doc_id, slot), so the oracle reproduces every sampled negative.
+
+    The draw is a pure-arithmetic LCG step on (doc_id, slot) —
+    engines share no portable integer hash, and integer arithmetic
+    is identical everywhere; all quantities stay far inside exact
+    BIGINT/double range.
+
+    Scale: the vocab + cumulative table is vocabulary-sized (built
+    with one keyed agg + one vocab-sized window) and broadcasts; the
+    draws table is docs x slots built map-side; the range lookup is
+    the banded-join pattern (here a broadcast range join against the
+    vocab table — at a 1M+ vocab, bucket the [0, total) axis and
+    equi-join on the bucket exactly like q_range_join_banded)."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    vocab = tok.groupBy("t").agg(
+        F.pow(F.count(F.lit(1)), F.lit(NEG_TABLE_POW)).alias("wt")
+    )
+    from pyspark.sql import Window as W
+
+    ow = W.orderBy("t")
+    cum = (
+        vocab.withColumn(
+            "lo",
+            F.coalesce(
+                F.sum("wt").over(ow.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("hi", F.sum("wt").over(ow.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("total", F.sum("wt").over(W.partitionBy()))
+    )
+    slots = spark.range(NEG_SAMPLES_PER_DOC).select(F.col("id").alias("slot"))
+    draws = (
+        tok.select("doc_id")
+        .distinct()
+        .join(F.broadcast(slots))
+        .select(
+            "doc_id", "slot",
+            (
+                ((F.col("doc_id") * 7919 + F.col("slot")) * 48271 % 1000000)
+                / F.lit(1000000.0)
+            ).alias("u"),
+        )
+    )
+    return (
+        draws.join(
+            F.broadcast(cum),
+            (F.col("u") * F.col("total") >= F.col("lo"))
+            & (F.col("u") * F.col("total") < F.col("hi")),
+        )
+        .select("doc_id", "slot", F.col("t").alias("negative"))
+        .orderBy("doc_id", "slot")
+    )

@@ -1157,3 +1157,68 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+    WITH ops AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'signup' THEN 'upsert'
+                  WHEN event_type = 'error' THEN 'delete'
+                  ELSE 'update' END AS op
+      FROM events
+      WHERE event_type IN ('signup', 'error', 'purchase')
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_ops
+      FROM ops
+    )
+    SELECT user_id, CAST(n_ops AS BIGINT) AS n_ops, op AS last_op,
+           round(value, 2) AS final_value
+    FROM ranked
+    WHERE rn = 1 AND op <> 'delete'
+    ORDER BY user_id
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log compaction (last-writer-wins apply): a stream of
+    upsert/update/delete operations keyed by entity collapses to the
+    final table state — the batch form of what a MERGE-from-Debezium
+    pipeline does on every sync (the engine's MERGE statement and the
+    streaming foreachBatch sink are the other two forms; this is the
+    full-log replay that bootstraps them). Op order is total:
+    (ts, event_id) so replays are deterministic; a trailing delete
+    removes the key entirely.
+
+    Scale: one keyed shuffle (user_id) for the per-key latest-op
+    window — identical cost to any per-entity compaction; at 100 TB
+    this runs per partition-of-keys and is exactly how Delta/Hudi
+    compact a CDC feed. No joins, no second pass."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "error", "purchase")
+    )
+    ops = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "signup", "upsert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    cw = Window.partitionBy("user_id")
+    return (
+        ops.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_ops", F.count(F.lit(1)).over(cw))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select(
+            "user_id",
+            F.col("n_ops").cast("bigint").alias("n_ops"),
+            F.col("op").alias("last_op"),
+            rnd("value", 2).alias("final_value"),
+        )
+        .orderBy("user_id")
+    )
