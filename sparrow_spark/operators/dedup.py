@@ -2194,7 +2194,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     on node keys — the standard distributed triangle algorithm; at
     scale orient by DEGREE instead (low-degree node first) so hub
     fan-out in the wedge join is bounded by the arboricity, not the
-    max degree. All stages are pair-list-sized, never corpus-sized."""
+    max degree. All stages are pair-list-sized, never corpus-sized —
+    but the lazy plan references the edge list three times, and each
+    reference re-derives the corpus minhash here; in the production
+    pipeline the pair list is already MATERIALIZED parquet (the
+    q_dedup_minhash_lsh output / the streaming band index), so the
+    triangle pass reads it, not the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     edges = (
         minhash_lsh_pairs(docs)

@@ -1769,8 +1769,13 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: assignment is the map-side broadcast-centroid fold (corpus
     never shuffles); the contingency table is ONE keyed agg bounded by
-    k x labels; every entropy/MI term is computed on that tiny table.
-    The evaluation costs one corpus pass regardless of size."""
+    k x labels, and every marginal, entropy and MI term is derived
+    from that single table instance via WINDOW functions — not
+    self-joins, which would make Catalyst re-derive the corpus
+    assignment once per derived statistic (the first draft planned 30
+    scans / 63 exchanges; this shape plans one corpus pass). The
+    per-row identity sum_rows_in_group (c/n)ln(ng/n) =
+    (ng/n)ln(ng/n) turns both entropies into plain row sums."""
     vecs = _vecs(spark, sf_dir)
     seeds = collapse_centroids(
         vecs.filter(F.col("vec_id") < 8).select(
@@ -1782,46 +1787,37 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = labeled.groupBy("centroid_id", "label").agg(
         F.count(F.lit(1)).cast("double").alias("c")
     )
-    n = cont.agg(F.sum("c").alias("n"))
-    mc = cont.groupBy("centroid_id").agg(F.sum("c").alias("nc"))
-    ml = cont.groupBy("label").agg(F.sum("c").alias("nl"))
-    mi = (
-        cont.join(F.broadcast(mc), "centroid_id")
-        .join(F.broadcast(ml), "label")
-        .join(F.broadcast(n))
-        .agg(
-            F.sum(
-                (F.col("c") / F.col("n"))
-                * F.log(F.col("c") * F.col("n") / (F.col("nc") * F.col("nl")))
-            ).alias("mi")
-        )
-    )
-    hc = mc.join(F.broadcast(n)).agg(
-        (-F.sum((F.col("nc") / F.col("n")) * F.log(F.col("nc") / F.col("n")))).alias("hc")
-    )
-    hl = ml.join(F.broadcast(n)).agg(
-        (-F.sum((F.col("nl") / F.col("n")) * F.log(F.col("nl") / F.col("n")))).alias("hl")
-    )
     from pyspark.sql import Window as W
 
-    r = W.partitionBy("centroid_id").orderBy(F.col("c").desc(), "label")
-    best = (
-        cont.withColumn("r", F.row_number().over(r))
-        .filter(F.col("r") == 1)
-        .select("centroid_id", F.col("label").alias("majority_label"),
-                F.col("c").alias("top_c"))
+    wc = W.partitionBy("centroid_id")
+    wl = W.partitionBy("label")
+    wg = W.partitionBy()
+    c, n = F.col("c"), F.col("n")
+    nc, nl = F.col("nc"), F.col("nl")
+    enriched = (
+        cont.withColumn("nc", F.sum("c").over(wc))
+        .withColumn("nl", F.sum("c").over(wl))
+        .withColumn("n", F.sum("c").over(wg))
+        .withColumn("mi", F.sum((c / n) * F.log(c * n / (nc * nl))).over(wg))
+        .withColumn("hc", -F.sum((c / n) * F.log(nc / n)).over(wg))
+        .withColumn("hl", -F.sum((c / n) * F.log(nl / n)).over(wg))
+        .withColumn(
+            "r", F.row_number().over(wc.orderBy(c.desc(), "label"))
+        )
     )
     return (
-        mc.join(best, "centroid_id")
-        .join(F.broadcast(mi))
-        .join(F.broadcast(hc))
-        .join(F.broadcast(hl))
-        .select(
-            "centroid_id",
-            F.col("nc").cast("bigint").alias("n_members"),
-            "majority_label",
-            rnd(F.col("top_c") / F.col("nc"), 6).alias("purity"),
-            rnd(F.col("mi") / F.sqrt(F.col("hc") * F.col("hl")), 6).alias("nmi"),
+        enriched.groupBy("centroid_id")
+        .agg(
+            F.first(nc).cast("bigint").alias("n_members"),
+            F.max_by("label", F.when(F.col("r") == 1, 1).otherwise(0)).alias(
+                "majority_label"
+            ),
+            rnd(F.max(F.when(F.col("r") == 1, c)) / F.first(nc), 6).alias(
+                "purity"
+            ),
+            rnd(
+                F.first("mi") / F.sqrt(F.first("hc") * F.first("hl")), 6
+            ).alias("nmi"),
         )
         .orderBy("centroid_id")
     )
