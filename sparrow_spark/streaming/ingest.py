@@ -492,3 +492,66 @@ def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_events"),
         rnd(F.sum((p_w - F.col("pb")) * F.log(p_w / F.col("pb"))), 4).alias("psi"),
     ).select(F.col("gb").alias("bucket"), "n_events", "psi")
+
+
+@query(
+    "q_stream_topk_trending",
+    oracle="""
+    WITH b AS (
+      SELECT to_timestamp(epoch_us(ts) // 21600000000 * 21600) AS ws,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY ws
+                                   ORDER BY n_events DESC, event_type) AS rk
+      FROM b
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+           n_events, sum_value, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    ORDER BY bucket, rk
+    """,
+)
+def q_stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending top-k: 6-hour watermarked windows aggregate
+    per event type in-stream (complete mode, bounded availableNow
+    drain), then the drained state ranks top-3 types per window — the
+    dashboard "what's trending" shape. Ranking happens POST-drain on
+    the window-state table (windows x types rows), exactly where a
+    production job would rank (inside foreachBatch or on the sink
+    table): windowed rank is not an incremental streaming operator,
+    and state stays bounded by the watermark either way.
+
+    The drain equals the batch aggregation of the bounded fixture, so
+    the DuckDB oracle recomputes windows + rank from raw events."""
+    import uuid
+
+    name = f"strm_trend_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = (
+        ev.withWatermark("ts", WATERMARK_INTERVAL)
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
+        )
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    from pyspark.sql import Window as W
+
+    t = spark.table(name)
+    rw = W.partitionBy("w").orderBy(F.col("n_events").desc(), "event_type")
+    return (
+        t.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "sum_value",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+        .orderBy("bucket", "rk")
+    )
