@@ -98,6 +98,11 @@ BENCH_QUERIES = [
     "q11_important_stock",
     "q_image_phash_dedup",
     "q_filter_eval_auc",
+    "q_interval_overlap_join",
+    "q_kmv_distinct",
+    "q_negative_sampling",
+    "q_zorder_layout",
+    "q_cluster_purity",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:
