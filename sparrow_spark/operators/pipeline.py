@@ -1743,3 +1743,142 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+DP_EPSILON = 1.0
+
+
+@query(
+    "q_dp_noisy_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS true_n FROM documents
+      GROUP BY lang
+    ), u AS (
+      SELECT lang, true_n,
+             (((ascii(lang[1:1]) * 256 + ascii(lang[2:2])) * 48271)
+              % 999983) / 999983.0 AS u
+      FROM g
+    )
+    SELECT lang, true_n,
+           round(true_n
+                 - (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END)
+                   * (1.0 / {DP_EPSILON})
+                   * ln(1 - 2 * abs(u - 0.5)), 3) AS noisy_n,
+           CAST({DP_EPSILON} AS DOUBLE) AS epsilon
+    FROM u ORDER BY lang
+    """,
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private group counts: Laplace(1/epsilon) noise on
+    each per-language count (sensitivity 1 for a count query), the
+    mechanism behind every private statistics release. The 'noise'
+    draw here is a DETERMINISTIC arithmetic LCG on the group key so
+    the oracle reproduces it bit-for-bit — the audit form; a real
+    release swaps the draw for a secure RNG and DROPS the true_n
+    column, changing nothing else in the plan.
+
+    Scale: one keyed agg with map-side combine; the noise transform is
+    a per-row expression on the langs-sized result. Epsilon composes
+    additively across released queries — the accountant tracks this
+    column."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    g = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    k = (F.ascii(F.substring("lang", 1, 1)) * 256 + F.ascii(F.substring("lang", 2, 1)))
+    u = (k * 48271 % 999983) / F.lit(999983.0)
+    lap = (
+        F.when(u >= 0.5, F.lit(1)).otherwise(F.lit(-1))
+        * F.lit(1.0 / DP_EPSILON)
+        * F.log(1 - 2 * F.abs(u - F.lit(0.5)))
+    )
+    return g.select(
+        "lang", "true_n",
+        rnd(F.col("true_n") - lap, 3).alias("noisy_n"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    ).orderBy("lang")
+
+
+@query(
+    "q_quality_band_mix",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(lower(text), ' ')))
+                  AS DOUBLE) / len(string_split(lower(text), ' ')) AS score
+      FROM documents
+    ), r AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM s
+    ), banded AS (
+      SELECT doc_id,
+             CASE WHEN rn * 3 <= n THEN 'head'
+                  WHEN rn * 3 <= 2 * n THEN 'middle'
+                  ELSE 'tail' END AS band,
+             (doc_id * 48271 % 999983) / 999983.0 AS u
+      FROM r
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN u < (CASE band WHEN 'head' THEN 1.0
+                                             WHEN 'middle' THEN 0.5
+                                             ELSE 0.1 END)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN u < (CASE band WHEN 'head' THEN 1.0
+                                             WHEN 'middle' THEN 0.5
+                                             ELSE 0.1 END)
+                         THEN doc_id ELSE 0 END) AS BIGINT) AS kept_checksum
+    FROM banded GROUP BY band ORDER BY band
+    """,
+)
+def q_quality_band_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-banded mixture (the FineWeb/RefinedWeb 'keep the head,
+    thin the tail' curation step): rank documents by a quality signal,
+    cut the corpus into head/middle/tail tertiles, and keep each band
+    at a different rate (1.0 / 0.5 / 0.1) via a deterministic per-doc
+    draw. The kept-id checksum makes the exact membership
+    hash-verifiable, not just the counts.
+
+    Scale: tertile assignment uses global_sort_ranks (range partition,
+    no single-task window) + a 1-row broadcast total; the keep
+    decision is a map-side arithmetic draw — same LCG discipline as
+    q_negative_sampling. One range shuffle total."""
+    from sparrow_spark.operators.dedup import global_sort_ranks
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    s = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias("score"),
+        (-(F.size(F.array_distinct(w)).cast("double") / F.size(w))).alias(
+            "neg_score"
+        ),
+    )
+    ranked = global_sort_ranks(s, ["neg_score", "doc_id"])
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    banded = ranked.join(F.broadcast(n)).select(
+        "doc_id",
+        F.when(F.col("rn") * 3 <= F.col("n"), "head")
+        .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("band"),
+        ((F.col("doc_id") * 48271 % 999983) / F.lit(999983.0)).alias("u"),
+    )
+    rate = (
+        F.when(F.col("band") == "head", 1.0)
+        .when(F.col("band") == "middle", 0.5)
+        .otherwise(0.1)
+    )
+    keep = F.col("u") < rate
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(keep, F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_checksum"),
+        )
+        .orderBy("band")
+    )

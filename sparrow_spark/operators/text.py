@@ -2083,3 +2083,132 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "slot", F.col("t").alias("negative"))
         .orderBy("doc_id", "slot")
     )
+
+
+KN_DISCOUNT = 0.75
+
+
+@query(
+    "q_perplexity_kneser_ney",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), big AS (
+      SELECT doc_id,
+             unnest([{{prev: w[i], cur: w[i+1]}}
+                     for i in range(1, len(w))], recursive := true)
+      FROM tok WHERE len(w) >= 2
+    ), bi AS (
+      SELECT prev, cur, CAST(count(*) AS DOUBLE) AS nb
+      FROM big WHERE doc_id % 10 = 0 GROUP BY prev, cur
+    ), ctx AS (
+      SELECT prev, sum(nb) AS cv, CAST(count(*) AS DOUBLE) AS nfollow
+      FROM bi GROUP BY prev
+    ), contw AS (
+      SELECT cur, CAST(count(*) AS DOUBLE) AS nprec FROM bi GROUP BY cur
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS ntypes,
+             (SELECT CAST(count(DISTINCT tok) AS DOUBLE) FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents WHERE doc_id % 10 = 0)) AS vv
+      FROM bi
+    ), scored AS (
+      SELECT t.doc_id,
+             -ln(CASE WHEN c.prev IS NOT NULL THEN
+                   greatest(coalesce(b.nb, 0) - {KN_DISCOUNT}, 0) / c.cv
+                   + {KN_DISCOUNT} * c.nfollow / c.cv
+                     * coalesce(w.nprec / m.ntypes, 1.0 / (m.ntypes + m.vv))
+                 ELSE coalesce(w.nprec / m.ntypes, 1.0 / (m.ntypes + m.vv))
+                 END) AS nll
+      FROM big t
+      CROSS JOIN stats m
+      LEFT JOIN ctx c ON c.prev = t.prev
+      LEFT JOIN bi b ON b.prev = t.prev AND b.cur = t.cur
+      LEFT JOIN contw w ON w.cur = t.cur
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(nll), 5) AS avg_nll,
+           round(exp(avg(nll)), 3) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995;
+    the smoothing KenLM implements and every serious LM quality
+    filter uses): absolute discount D=0.75 on bigram counts, mass
+    redistributed through the CONTINUATION probability (how many
+    distinct contexts a word follows — 'francisco' is frequent but
+    follows only 'san', so its continuation weight is tiny). Unseen
+    contexts back off to the continuation distribution; unseen words
+    floor at 1/(types + vocab). Trained on the deterministic 1-in-10
+    sample, scored over every document — the third rung of the
+    q_perplexity_unigram → _bigram → KN ladder.
+
+    Scale: the model is three count tables DERIVED FROM the sampled
+    bigram table (context totals, continuation counts — each one
+    keyed agg on the vocab-bounded model, not the corpus); scoring is
+    the same explode + left model joins + per-doc rollup as its
+    siblings — model broadcast here, keyed joins on an open
+    vocabulary."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = materialize(
+        docs.select("doc_id", "text"), w=tokens(F.col("text"))
+    ).filter(F.size("w") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("prev"),
+                    F.element_at("w", i + 1).alias("cur"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    bi = (
+        big.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    )
+    ctx = bi.groupBy(F.col("prev").alias("c_prev")).agg(
+        F.sum("nb").alias("cv"),
+        F.count(F.lit(1)).cast("double").alias("nfollow"),
+    )
+    contw = bi.groupBy(F.col("cur").alias("w_cur")).agg(
+        F.count(F.lit(1)).cast("double").alias("nprec")
+    )
+    stats = bi.agg(F.count(F.lit(1)).cast("double").alias("ntypes")).crossJoin(
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("vv"))
+    )
+    D = F.lit(KN_DISCOUNT)
+    pc = F.coalesce(
+        F.col("nprec") / F.col("ntypes"),
+        F.lit(1.0) / (F.col("ntypes") + F.col("vv")),
+    )
+    p = F.when(
+        F.col("c_prev").isNotNull(),
+        F.greatest(F.coalesce(F.col("nb"), F.lit(0.0)) - D, F.lit(0.0)) / F.col("cv")
+        + D * F.col("nfollow") / F.col("cv") * pc,
+    ).otherwise(pc)
+    bia = bi.select(
+        F.col("prev").alias("b_prev"), F.col("cur").alias("b_cur"), "nb"
+    )
+    scored = (
+        big.join(F.broadcast(ctx), F.col("prev") == F.col("c_prev"), "left")
+        .join(
+            F.broadcast(bia),
+            (F.col("prev") == F.col("b_prev")) & (F.col("cur") == F.col("b_cur")),
+            "left",
+        )
+        .join(F.broadcast(contw), F.col("cur") == F.col("w_cur"), "left")
+        .join(F.broadcast(stats))
+        .select("doc_id", (-F.log(p)).alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        rnd(F.avg("nll"), 5).alias("avg_nll"),
+        rnd(F.exp(F.avg("nll")), 3).alias("ppl"),
+    )
