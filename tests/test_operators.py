@@ -759,3 +759,70 @@ def test_margin_mining_hub_discount(spark, sf_dir):
     assert [(r.query_id, r.cand_id) for r in by_cos] != [
         (r.query_id, r.cand_id) for r in by_margin
     ]
+
+
+def test_kmv_sketch_is_mergeable(spark, sf_dir):
+    """The KMV claim at scale is mergeability: the k smallest hashes of
+    a union equal the k smallest of the merged per-part k-min sets.
+    Verify on a real split (doc parity) of one language's shingles."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from sparrow_spark.operators.sketches import KMV_K
+    from sparrow_spark.operators.text import _text_shingles, tokens
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(_text_shingles(F.col("w"), 3)).alias("s"))
+    )
+    rows = docs.collect()
+    def kmin(shingles):
+        hs = sorted({hashlib.md5(s.encode()).hexdigest()[:8] for s in shingles})
+        return hs[:KMV_K]
+
+    all_sh = [r.s for r in rows]
+    even = [r.s for r in rows if r.doc_id % 2 == 0]
+    odd = [r.s for r in rows if r.doc_id % 2 == 1]
+    merged = sorted(set(kmin(even)) | set(kmin(odd)))[:KMV_K]
+    assert merged == kmin(all_sh)
+
+
+def test_zorder_tile_spans_are_bounded(spark, sf_dir):
+    """A 1024-wide z-range is a 32x32 tile of the (p8, s8) key plane:
+    no bucket may touch more than 32 distinct values of either key —
+    the property that makes min/max file stats prune on BOTH columns."""
+    from sparrow_spark import registry
+
+    registry.load_all()
+    rows = registry.RAW_QUERIES["q_zorder_layout"](spark, sf_dir).collect()
+    assert rows, "no z buckets"
+    assert all(r.n_part_values <= 32 and r.n_supp_values <= 32 for r in rows)
+    # z ranges must nest inside their bucket bounds.
+    assert all(r.zbucket * 1024 <= r.z_min <= r.z_max < (r.zbucket + 1) * 1024
+               for r in rows)
+
+
+def test_negative_sampling_draws_are_reproducible(spark, sf_dir):
+    """The LCG draw is a pure function of (doc_id, slot): two runs
+    produce identical negatives, and every negative is a vocab token."""
+    from pyspark.sql import functions as F
+
+    from sparrow_spark import registry
+
+    registry.load_all()
+    fn = registry.RAW_QUERIES["q_negative_sampling"]
+    a = {(r.doc_id, r.slot): r.negative for r in fn(spark, sf_dir).collect()}
+    b = {(r.doc_id, r.slot): r.negative for r in fn(spark, sf_dir).collect()}
+    assert a == b
+    vocab = {
+        r.t
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .distinct()
+        .collect()
+    }
+    assert set(a.values()) <= vocab
