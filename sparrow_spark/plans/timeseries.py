@@ -1222,3 +1222,119 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS c
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT from_type, sum(c) AS n FROM pairs GROUP BY 1
+    )
+    SELECT p.from_type, p.to_type, CAST(p.c AS BIGINT) AS n_transitions,
+           round(p.c / CAST(t.n AS DOUBLE), 6) AS p_transition
+    FROM pairs p JOIN tot t USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) from the lag-1 structure
+    of each user's ordered stream — the clickstream model behind
+    next-action prediction, funnel design, and bot detection (bots
+    have degenerate transition rows).
+
+    Scale: ONE user-keyed shuffle for the sequence window (the same
+    shuffle every per-user operator pays), then counts on the bounded
+    types x types key space; row-normalization joins the types-sized
+    marginal — broadcast at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = pairs.groupBy("from_type").agg(F.sum("c").alias("n"))
+    return (
+        pairs.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type", "to_type",
+            F.col("c").cast("bigint").alias("n_transitions"),
+            rnd(F.col("c") / F.col("n").cast("double"), 6).alias("p_transition"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+CHURN_CUTOFF = "2024-01-24"
+
+
+@query(
+    "q_churn_features",
+    oracle=f"""
+    WITH feat AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events_before,
+             round(sum(value), 2) AS total_value_before,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types_before,
+             CAST(date_diff('day', max(ts), TIMESTAMP '{CHURN_CUTOFF}')
+                  AS BIGINT) AS days_since_last
+      FROM events WHERE ts < TIMESTAMP '{CHURN_CUTOFF}'
+      GROUP BY user_id
+    ), label AS (
+      SELECT DISTINCT user_id, false AS churned FROM events
+      WHERE ts >= TIMESTAMP '{CHURN_CUTOFF}'
+    )
+    SELECT f.user_id, f.n_events_before, f.total_value_before,
+           f.n_types_before, f.days_since_last,
+           coalesce(l.churned, true) AS churned
+    FROM feat f LEFT JOIN label l USING (user_id)
+    ORDER BY f.user_id
+    """,
+)
+def q_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct churn dataset construction: features are
+    computed ONLY from events before the cutoff date, the label
+    (churned = no activity on/after the cutoff) ONLY from events
+    after it — the temporal discipline that prevents label leakage,
+    the most common silent failure in production ML feature
+    pipelines. Users first seen after the cutoff are excluded (no
+    feature history).
+
+    Scale: both sides are one user-keyed agg over a date-pruned scan
+    (the cutoff predicate pushes to parquet row groups); the
+    feature/label join is keyed on user. The same shape at any
+    horizon — only the pushed date range changes."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(CHURN_CUTOFF).cast("timestamp")
+    feat = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events_before"),
+            rnd(F.sum("value"), 2).alias("total_value_before"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types_before"),
+            F.datediff(cutoff, F.max("ts")).cast("bigint").alias("days_since_last"),
+        )
+    )
+    label = (
+        ev.filter(F.col("ts") >= cutoff)
+        .select("user_id")
+        .distinct()
+        .withColumn("churned", F.lit(False))
+    )
+    return (
+        feat.join(label, "user_id", "left")
+        .withColumn("churned", F.coalesce(F.col("churned"), F.lit(True)))
+        .orderBy("user_id")
+    )
