@@ -2212,3 +2212,122 @@ def q_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.avg("nll"), 5).alias("avg_nll"),
         rnd(F.exp(F.avg("nll")), 3).alias("ppl"),
     )
+
+
+MRR_QUERY_MOD = 97  # every 97th doc donates its opening trigram as a query
+
+
+@query(
+    "q_retrieval_mrr",
+    oracle=f"""
+    WITH tokd AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), terms AS (
+      SELECT doc_id AS query_doc, unnest(w[1:3]) AS tok
+      FROM tokd WHERE doc_id % {MRR_QUERY_MOD} = 0 AND len(w) >= 3
+    ), tok AS (
+      SELECT doc_id, unnest(w) AS tok FROM tokd
+    ), dl AS (
+      SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM tokd
+    ), stats AS (
+      SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE tok IN (SELECT DISTINCT tok FROM terms)
+      GROUP BY doc_id, tok
+    ), dfr AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT t.query_doc, f.doc_id,
+             sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+                 * f.tf * (1.2 + 1)
+                 / (f.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+             ) AS score
+      FROM tf f
+      JOIN dfr d USING (tok)
+      JOIN terms t ON t.tok = f.tok
+      JOIN dl l ON l.doc_id = f.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.query_doc, f.doc_id
+    ), ranked AS (
+      SELECT query_doc, doc_id,
+             row_number() OVER (PARTITION BY query_doc
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM scored
+    ), hits AS (
+      SELECT query_doc, rk AS source_rank FROM ranked
+      WHERE doc_id = query_doc
+    )
+    SELECT query_doc, CAST(source_rank AS BIGINT) AS source_rank,
+           round(1.0 / source_rank, 6) AS rr,
+           round((SELECT avg(1.0 / source_rank) FROM hits), 6) AS mrr
+    FROM hits ORDER BY query_doc
+    """,
+)
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-referential retrieval evaluation (mean reciprocal rank):
+    every 97th document donates its opening trigram as a query; BM25
+    ranks the corpus for each query, and the rank of the DONOR
+    document is the relevance signal (a healthy index ranks the
+    source at or near 1 — synthetic relevance without human labels,
+    the standard smoke eval for a lexical index). Emits per-query
+    source rank + reciprocal rank and the corpus MRR.
+
+    Scale: identical cost shape to q_bm25_topk — the token stream is
+    filtered to the query-term vocabulary BEFORE any shuffle, df and
+    corpus stats broadcast, and per-query ranking shuffles only the
+    scored candidates. The query set is sampled (1/97), so the terms
+    table stays broadcastable at any corpus size."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    tokd = materialize(docs.select("doc_id", "text"), w=tokens(F.col("text")))
+    terms = (
+        tokd.filter((F.col("doc_id") % MRR_QUERY_MOD == 0) & (F.size("w") >= 3))
+        .select(
+            F.col("doc_id").alias("query_doc"),
+            F.explode(F.slice("w", 1, 3)).alias("tok"),
+        )
+    )
+    toks = tokd.select(
+        "doc_id", F.size("w").cast("double").alias("dl"), F.explode("w").alias("tok")
+    )
+    tf = (
+        toks.join(
+            F.broadcast(terms.select("tok").distinct()), "tok", "left_semi"
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfr = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    stats = tokd.select(F.size("w").cast("double").alias("dl")).agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    term_score = (
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        * F.col("tf") * (1.2 + 1)
+        / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfr), "tok")
+        .join(F.broadcast(terms), "tok")
+        .join(F.broadcast(stats))
+        .groupBy("query_doc", "doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    from pyspark.sql import Window as W
+
+    rw = W.partitionBy("query_doc").orderBy(F.col("score").desc(), "doc_id")
+    hits = (
+        scored.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("doc_id") == F.col("query_doc"))
+        .select("query_doc", F.col("rk").cast("bigint").alias("source_rank"))
+    )
+    mrr = hits.agg(F.avg(F.lit(1.0) / F.col("source_rank")).alias("m"))
+    return (
+        hits.join(F.broadcast(mrr))
+        .select(
+            "query_doc", "source_rank",
+            rnd(F.lit(1.0) / F.col("source_rank"), 6).alias("rr"),
+            rnd(F.col("m"), 6).alias("mrr"),
+        )
+        .orderBy("query_doc")
+    )
