@@ -2239,3 +2239,120 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+LSH_AUDIT_T = 0.5
+LSH_AUDIT_MOD = 17
+
+
+@query(
+    "q_lsh_recall_audit",
+    oracle=_MINHASH_BANDS_CTE
+    + f"""
+    , tsets AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS tset
+      FROM tok
+    ), truth AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM tsets a JOIN tsets b
+        ON a.doc_id % {LSH_AUDIT_MOD} = 0 AND a.doc_id <> b.doc_id
+      WHERE len(list_intersect(a.tset, b.tset))
+            / CAST(len(list_distinct(list_concat(a.tset, b.tset))) AS DOUBLE)
+            >= {LSH_AUDIT_T}
+    ), cand AS (
+      SELECT DISTINCT p.doc_id AS a_id, q.doc_id AS b_id
+      FROM bands p JOIN bands q
+        ON p.band = q.band AND p.band_sig = q.band_sig
+       AND p.doc_id % {LSH_AUDIT_MOD} = 0 AND p.doc_id <> q.doc_id
+    ), agg AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM truth t JOIN cand c
+                ON t.a_id = c.a_id AND t.b_id = c.b_id) AS n_caught
+    )
+    SELECT n_truth, n_candidates, n_caught,
+           round(CASE WHEN n_truth > 0
+                      THEN n_caught / CAST(n_truth AS DOUBLE) END, 6) AS recall,
+           round(CASE WHEN n_candidates > 0
+                      THEN n_caught / CAST(n_candidates AS DOUBLE) END, 6)
+               AS precision_proxy
+    FROM agg
+    """,
+)
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generator recall audit: the probabilistic guarantee
+    behind MinHash-LSH is only a guarantee in expectation — this
+    measures it. Ground truth = probe-sample pairs with exact shingle
+    Jaccard >= 0.5 (the brute force confined to the 1/17 probe
+    slice); candidates = the band-collision pairs for the same
+    probes. Reports recall (truth pairs the bands caught — the number
+    that must stay near 1 before a corpus-wide dedup run) and the
+    candidate precision proxy (how much verify work each collision
+    costs). Complements q_lsh_tuning (which compares band shapes) and
+    q_minhash_jaccard_est (which audits the estimator, not the
+    bucketing).
+
+    Scale: the exact side is probe-sample x corpus (1/17th), never
+    corpus²; the candidate side is the standard band equi-join; the
+    intersection is a pair-keyed join of two pair lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = materialize(widen(docs), w=tokens(F.col("text"))).filter(
+        F.size("w") >= 3
+    )
+    tsets = toks.select(
+        "doc_id", F.array_distinct(_shingles_of(F.col("w"), 3)).alias("tset")
+    )
+    probes = tsets.filter(F.col("doc_id") % LSH_AUDIT_MOD == 0).select(
+        F.col("doc_id").alias("a_id"), F.col("tset").alias("a_set")
+    )
+    corpus = tsets.select(
+        F.col("doc_id").alias("b_id"), F.col("tset").alias("b_set")
+    )
+    jac = F.size(F.array_intersect("a_set", "b_set")) / F.size(
+        F.array_union("a_set", "b_set")
+    ).cast("double")
+    truth = (
+        corpus.join(F.broadcast(probes), F.col("a_id") != F.col("b_id"))
+        .filter(jac >= LSH_AUDIT_T)
+        .select("a_id", "b_id")
+    )
+    bands = minhash_bands(docs)
+    p = bands.filter(F.col("doc_id") % LSH_AUDIT_MOD == 0).select(
+        F.col("doc_id").alias("a_id"), "band", "band_sig"
+    )
+    q = bands.select(F.col("doc_id").alias("b_id"), "band", "band_sig")
+    cand = (
+        p.join(q, ["band", "band_sig"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    caught = truth.join(cand, ["a_id", "b_id"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_caught")
+    )
+    return (
+        nt.join(F.broadcast(nc))
+        .join(F.broadcast(caught))
+        .select(
+            "n_truth", "n_candidates", "n_caught",
+            rnd(
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.col("n_caught") / F.col("n_truth").cast("double"),
+                ),
+                6,
+            ).alias("recall"),
+            rnd(
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("n_caught") / F.col("n_candidates").cast("double"),
+                ),
+                6,
+            ).alias("precision_proxy"),
+        )
+    )

@@ -1882,3 +1882,79 @@ def q_quality_band_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@query(
+    "q_budget_allocation",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS avail_tokens,
+             avg(CAST(len(list_distinct(string_split(lower(text), ' ')))
+                      AS DOUBLE)
+                 / len(string_split(lower(text), ' '))) AS quality
+      FROM documents GROUP BY source
+    ), b AS (
+      SELECT CAST(sum(avail_tokens) // 2 AS BIGINT) AS budget FROM s
+    ), ranked AS (
+      SELECT source, avail_tokens, quality,
+             coalesce(CAST(sum(avail_tokens) OVER (
+               ORDER BY quality DESC, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS cum_before
+      FROM s
+    )
+    SELECT source, avail_tokens, round(quality, 6) AS quality,
+           CAST(greatest(0, least(avail_tokens, budget - cum_before))
+                AS BIGINT) AS take_tokens
+    FROM ranked, b
+    ORDER BY quality DESC, source
+    """,
+)
+def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources (greedy quality fill):
+    rank sources by mean quality, then fill a half-corpus token
+    budget best-first, truncating the marginal source — the knapsack-
+    lite decision every curated-mixture build makes when compute
+    bounds the token count. Integer token arithmetic end-to-end, so
+    the allocation is exactly reproducible.
+
+    Scale: per-source stats are one keyed agg; the allocation runs
+    entirely on the sources-sized table (cumulative window over ~20
+    rows) with the budget as a 1-row broadcast. The corpus is read
+    once."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(w)).cast("bigint").alias("avail_tokens"),
+        F.avg(F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias(
+            "quality"
+        ),
+    )
+    b = s.agg((F.sum("avail_tokens") / 2).cast("bigint").alias("budget"))
+    from pyspark.sql import Window as W
+
+    ow = W.orderBy(F.col("quality").desc(), "source").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    ranked = s.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("avail_tokens").over(ow), F.lit(0)).cast("bigint"),
+    )
+    return (
+        ranked.join(F.broadcast(b))
+        .select(
+            "source", "avail_tokens",
+            rnd("quality", 6).alias("quality"),
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.col("avail_tokens"), F.col("budget") - F.col("cum_before")
+                ),
+            )
+            .cast("bigint")
+            .alias("take_tokens"),
+        )
+        .orderBy(F.col("quality").desc(), "source")
+    )

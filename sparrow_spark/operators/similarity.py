@@ -1892,3 +1892,64 @@ def q_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("label_true", "label_pred")
     )
+
+
+_ELBOW_KS = (2, 4, 8)
+
+
+def _elbow_cte(k: int) -> str:
+    return f"""
+      SELECT {k} AS k, vec_id, max(cos) AS best_cos FROM (
+        SELECT a.vec_id, b.centroid_id, {_COS_SQL} AS cos
+        FROM e a JOIN (SELECT vec_id AS centroid_id, v FROM e
+                       WHERE vec_id < {k}) b ON true
+      ) GROUP BY vec_id"""
+
+
+@query(
+    "q_kmeans_elbow",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assigned AS (
+      {" UNION ALL ".join(_elbow_cte(k) for k in _ELBOW_KS)}
+    )
+    SELECT k, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(sum(1 - best_cos), 4) AS inertia,
+           round(avg(best_cos), 6) AS avg_cos
+    FROM assigned GROUP BY k ORDER BY k
+    """,
+)
+def q_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-count selection via the elbow curve: cosine inertia
+    (sum of 1 - best centroid similarity) for k = 2, 4, 8 seed sets —
+    inertia always falls with k; the k where the drop flattens is the
+    natural cluster count fed to q_kmeans_iterate / SemDeDup. Each k
+    uses the deterministic seed prefix (vec_id < k) so the curve is
+    exactly reproducible.
+
+    Scale: per k, the assignment is the same broadcast-seed map-side
+    max-fold as q_kmeans_assign (corpus never shuffles; only per-k
+    1-row aggregates move). The three configs scan lazily like
+    q_lsh_tuning — at production scale the embedding table feeding
+    all three is a materialized artifact read thrice map-side."""
+    vecs = _vecs(spark, sf_dir)
+    parts = []
+    for k in _ELBOW_KS:
+        seeds = collapse_centroids(
+            vecs.filter(F.col("vec_id") < k).select(
+                F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+            )
+        )
+        assigned = assign_to_centroids(vecs, seeds)
+        parts.append(
+            assigned.agg(
+                F.lit(k).alias("k"),
+                F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                rnd(F.sum(1 - F.col("cos")), 4).alias("inertia"),
+                rnd(F.avg("cos"), 6).alias("avg_cos"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("k")
