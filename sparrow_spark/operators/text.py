@@ -2331,3 +2331,105 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_doc")
     )
+
+
+@query(
+    "q_term_burstiness",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ), stats AS (
+      SELECT t,
+             CAST(count(*) AS BIGINT) AS cf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY t
+    )
+    SELECT t AS term, cf, df,
+           round(cf / CAST(df AS DOUBLE), 6) AS burstiness
+    FROM stats WHERE cf >= 5
+    ORDER BY burstiness DESC, term
+    LIMIT 20
+    """,
+)
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale 1995): collection frequency over
+    document frequency — the mean occurrences per CONTAINING document.
+    Function words score near cf/df ~ constant; a term that appears
+    many times in few documents is bursty, the lexical signature of
+    keyword stuffing, spam and boilerplate that per-doc repetition
+    ratios miss when the stuffing spans few docs.
+
+    Scale: one explode feeding a single keyed agg (count + distinct
+    doc count per term, map-side combining); output pruned to the
+    min-cf vocabulary and top-20 via TakeOrderedAndProject."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    stats = tok.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    return (
+        stats.filter(F.col("cf") >= 5)
+        .select(
+            F.col("t").alias("term"), "cf", "df",
+            rnd(F.col("cf") / F.col("df").cast("double"), 6).alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), "term")
+        .limit(20)
+    )
+
+
+@query(
+    "q_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, source,
+             string_split(lower(text), ' ') AS w,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           round(1 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 6)
+               AS exact_dup_rate,
+           round(avg(CAST(len(list_distinct(w)) AS DOUBLE) / len(w)), 6)
+               AS mean_distinct_ratio,
+           round(avg(CAST(len(w) AS DOUBLE)), 4) AS mean_doc_tokens
+    FROM base
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary (the one-row fact sheet a corpus release
+    ships with): volume (docs, tokens), coverage (languages, sources),
+    exact-duplicate rate (via normalized-text fingerprints — the
+    headline hygiene number), and quality centrals (mean distinct
+    ratio, mean length). One row a release pipeline can diff across
+    versions and gate on.
+
+    Scale: ONE aggregation pass over the corpus — every statistic is
+    either a plain agg or a distinct-count (exchange-partial
+    distinct); at 100 TB the distinct fingerprint/lang/source counts
+    swap to approx_count_distinct with a documented error bound, and
+    nothing else changes."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", "lang", "source",
+        F.size(w).cast("bigint").alias("nw"),
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias("dr"),
+        F.md5(normalize_text(F.col("text"))).alias("fp"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nw").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        rnd(
+            1 - F.countDistinct("fp") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("exact_dup_rate"),
+        rnd(F.avg("dr"), 6).alias("mean_distinct_ratio"),
+        rnd(F.avg(F.col("nw").cast("double")), 4).alias("mean_doc_tokens"),
+    )

@@ -899,3 +899,92 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "p1", "p2")
         .limit(50)
     )
+
+
+@query(
+    "q_item_cf",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), cooc AS (
+      SELECT p1, p2, CAST(count(*) AS DOUBLE) AS c FROM pairs GROUP BY 1, 2
+    ), pop AS (
+      SELECT l_partkey AS p, CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n
+      FROM lineitem GROUP BY 1
+    ), sym AS (
+      SELECT p1 AS item, p2 AS other, c FROM cooc
+      UNION ALL
+      SELECT p2 AS item, p1 AS other, c FROM cooc
+    ), scored AS (
+      SELECT s.item, s.other,
+             s.c / sqrt(pa.n * pb.n) AS sim,
+             row_number() OVER (PARTITION BY s.item
+                                ORDER BY s.c / sqrt(pa.n * pb.n) DESC,
+                                         s.other) AS rk
+      FROM sym s JOIN pop pa ON pa.p = s.item JOIN pop pb ON pb.p = s.other
+      WHERE s.c >= 2
+    )
+    SELECT item, other, round(sim, 6) AS sim, CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= 3
+    ORDER BY item, rk
+    """,
+)
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (the classic Amazon
+    'customers also bought'): cosine on basket co-occurrence —
+    sim(i, j) = cooc(i, j) / sqrt(n_i * n_j) — with a min-support cut
+    and top-3 neighbors per item. Feeds recommendations straight from
+    the q_frequent_pairs machinery.
+
+    Scale: co-occurrence pairs explode WITHIN baskets (width-bounded,
+    never corpus²); popularity is one keyed count; the symmetric
+    expansion doubles only the support-filtered pair list, and
+    ranking shuffles per item — all keyed, no similarity matrix ever
+    materialized beyond surviving pairs."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                        lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+    cooc = pairs.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    ).filter(F.col("c") >= 2)
+    pop = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n")
+    )
+    sym = cooc.select(
+        F.col("p1").alias("item"), F.col("p2").alias("other"), "c"
+    ).unionByName(
+        cooc.select(F.col("p2").alias("item"), F.col("p1").alias("other"), "c")
+    )
+    pa = pop.select(F.col("p").alias("item"), F.col("n").alias("na"))
+    pb = pop.select(F.col("p").alias("other"), F.col("n").alias("nb"))
+    sim = F.col("c") / F.sqrt(F.col("na") * F.col("nb"))
+    from pyspark.sql import Window as W
+
+    rw = W.partitionBy("item").orderBy(sim.desc(), "other")
+    return (
+        sym.join(pa, "item")
+        .join(pb, "other")
+        .withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "item", "other", rnd(sim, 6).alias("sim"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+        .orderBy("item", "rk")
+    )
