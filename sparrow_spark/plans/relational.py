@@ -988,3 +988,49 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item", "rk")
     )
+
+
+@query(
+    "q_gini_revenue",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i,
+             count(*) OVER () AS n
+      FROM cust
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           round(sum(rev), 2) AS total_revenue,
+           round(2.0 * sum(i * rev) / (max(n) * sum(rev))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers —
+    the inequality summary (0 = uniform, →1 = one whale) computed by
+    the sorted-rank identity G = 2·Σ(i·x_(i)) / (n·Σx) − (n+1)/n.
+    The business-health twin of the corpus heavy-hitter audits; for a
+    training corpus the same operator measures source or domain
+    concentration.
+
+    Scale: per-customer revenue is one keyed agg; ranks come from
+    global_sort_ranks (range partition + offsets, no single-task
+    window); the final reduction is a plain aggregate. One range
+    shuffle beyond the rollup."""
+    from sparrow_spark.operators.dedup import global_sort_ranks
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    ranked = global_sort_ranks(cust, ["rev", "o_custkey"])
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        rnd(F.sum("rev"), 2).alias("total_revenue"),
+        rnd(
+            F.lit(2.0) * F.sum(F.col("rn") * F.col("rev"))
+            / (F.count(F.lit(1)) * F.sum("rev"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

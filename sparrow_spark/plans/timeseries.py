@@ -1338,3 +1338,126 @@ def q_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("churned", F.coalesce(F.col("churned"), F.lit(True)))
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_trend_extraction",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             round(sum(value), 2) AS daily_sum
+      FROM events GROUP BY 1, 2
+    ), ma AS (
+      SELECT event_type, d, daily_sum,
+             count(*) OVER w AS win_n,
+             avg(daily_sum) OVER w AS trend
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, daily_sum,
+           round(trend, 4) AS trend,
+           round(daily_sum - trend, 4) AS residual
+    FROM ma WHERE win_n = 7
+    ORDER BY event_type, day
+    """,
+)
+def q_trend_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend extraction via centered 7-day moving average (the trend
+    pass of an STL-style decomposition): per event type, the daily
+    total splits into a smooth trend and a residual; rows without a
+    full centered window are excluded so the trend is unbiased at the
+    edges. Residuals feed anomaly flags (q_seasonal_anomaly handles
+    the intra-day cycle; this handles the day-scale drift).
+
+    Scale: the daily rollup is one keyed agg; the centered window
+    runs per event type over the DAYS-sized series (corpus length
+    irrelevant) — the heavy lifting happened at the rollup. Exactly
+    how a 100 TB metrics pipeline decomposes: aggregate first,
+    window the small series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(rnd(F.sum("value"), 2).alias("daily_sum"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    ma = daily.withColumn("win_n", F.count(F.lit(1)).over(w)).withColumn(
+        "trend", F.avg("daily_sum").over(w)
+    )
+    return (
+        ma.filter(F.col("win_n") == 7)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "daily_sum",
+            rnd("trend", 4).alias("trend"),
+            rnd(F.col("daily_sum") - F.col("trend"), 4).alias("residual"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "q_boxplot_profile",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             median(value) AS med,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(q.q1, 4) AS q1, round(q.med, 4) AS med,
+           round(q.q3, 4) AS q3,
+           round(q.q3 - q.q1, 4) AS iqr,
+           CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_whisker_outliers
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type, q.q1, q.med, q.q3
+    ORDER BY e.event_type
+    """,
+)
+def q_boxplot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boxplot profile per group: exact interpolated quartiles, IQR,
+    and Tukey-whisker outlier counts (outside 1.5 x IQR) — the
+    five-number summary every data-profiling pane draws, and the
+    third robustness tier next to z-score (q_zscore_outliers) and MAD
+    (q_mad_outliers).
+
+    Scale: one keyed exact-percentile agg (percentile_approx at
+    100 TB — its rank-error bound is already audited by
+    q_percentile_approx_audit), quartiles broadcast back for the
+    map-side outlier flagging pass."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.5)").alias("med"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "med", "q3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(out, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_whisker_outliers"),
+        )
+        .select(
+            "event_type", "n",
+            rnd("q1", 4).alias("q1"), rnd("med", 4).alias("med"),
+            rnd("q3", 4).alias("q3"), rnd(iqr, 4).alias("iqr"),
+            "n_whisker_outliers",
+        )
+        .orderBy("event_type")
+    )
