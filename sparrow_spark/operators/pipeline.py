@@ -1958,3 +1958,60 @@ def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("quality").desc(), "source")
     )
+
+
+@query(
+    "q_calibration_curve",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), scored AS (
+      SELECT CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS score,
+             (len(w) >= 40 AND list_contains(w, 'the')) AS label
+      FROM t
+    ), binned AS (
+      SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+             score, label
+      FROM scored
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           round(avg(score), 6) AS mean_score,
+           round(avg(CASE WHEN label THEN 1.0 ELSE 0.0 END), 6)
+               AS frac_positive
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality signal q_filter_eval_auc
+    ranks: decile-binned mean score vs observed positive rate. AUC
+    measures ordering; calibration measures whether the score VALUE
+    means what it says — a filter cut at '0.7' only behaves as
+    intended if the 0.7 bin is ~70% positive. Miscalibrated scores
+    get a Platt/isotonic fit before corpus-wide thresholds are set.
+
+    Scale: score and bin are map-side expressions; the curve is one
+    keyed agg over 10 bins. Corpus read once."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    scored = docs.select(
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias("score"),
+        ((F.size(w) >= 40) & F.array_contains(w, "the")).alias("label"),
+    )
+    return (
+        scored.select(
+            F.least(F.floor(F.col("score") * 10).cast("bigint"), F.lit(9)).alias(
+                "bin"
+            ),
+            "score",
+            "label",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            rnd(F.avg("score"), 6).alias("mean_score"),
+            rnd(
+                F.avg(F.when(F.col("label"), 1.0).otherwise(0.0)), 6
+            ).alias("frac_positive"),
+        )
+        .orderBy("bin")
+    )

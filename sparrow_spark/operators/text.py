@@ -2433,3 +2433,63 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.avg("dr"), 6).alias("mean_distinct_ratio"),
         rnd(F.avg(F.col("nw").cast("double")), 4).alias("mean_doc_tokens"),
     )
+
+
+ZIPF_FMIN = 5
+
+
+@query(
+    "q_zipf_alpha",
+    oracle=f"""
+    WITH freq AS (
+      SELECT t, CAST(count(*) AS DOUBLE) AS f FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+      ) GROUP BY t
+    ), tail AS (
+      SELECT f FROM freq WHERE f >= {ZIPF_FMIN}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_tail_terms,
+           CAST((SELECT count(*) FROM freq) AS BIGINT) AS n_vocab,
+           round(1 + count(*) / sum(ln(f / ({ZIPF_FMIN} - 0.5))), 6)
+               AS alpha_mle,
+           round(1.0 / sqrt(count(*))
+                 * (1 + count(*) / sum(ln(f / ({ZIPF_FMIN} - 0.5))) - 1), 6)
+               AS alpha_se
+    FROM tail
+    """,
+)
+def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law (Zipf) exponent of the token frequency distribution
+    via the discrete MLE of Clauset, Shalizi & Newman (2009):
+    alpha = 1 + n / sum(ln(f_i / (f_min - 0.5))) over the tail
+    f >= f_min, with the standard error (alpha - 1)/sqrt(n). Natural
+    language sits near alpha ~ 2; a corpus whose exponent drifts is
+    contaminated (template spam flattens the tail, dedup failures
+    steepen it) — a one-row distributional health check next to
+    q_vocab_heavy_hitters.
+
+    Scale: one explode + one keyed vocab agg; the MLE is a plain
+    aggregate over the vocabulary-sized tail. Corpus read once."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("double").alias("f"))
+    )
+    nv = freq.agg(F.count(F.lit(1)).cast("bigint").alias("n_vocab"))
+    tail = freq.filter(F.col("f") >= ZIPF_FMIN)
+    alpha = 1 + F.count(F.lit(1)) / F.sum(
+        F.log(F.col("f") / (ZIPF_FMIN - 0.5))
+    )
+    return (
+        tail.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tail_terms"),
+            rnd(alpha, 6).alias("alpha_mle"),
+            rnd(
+                (alpha - 1) / F.sqrt(F.count(F.lit(1))),
+                6,
+            ).alias("alpha_se"),
+        )
+        .join(F.broadcast(nv))
+        .select("n_tail_terms", "n_vocab", "alpha_mle", "alpha_se")
+    )

@@ -1461,3 +1461,86 @@ def q_boxplot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_ab_test_analysis",
+    oracle="""
+    WITH assign AS (
+      SELECT event_type, value,
+             CASE WHEN user_id % 2 = 0 THEN 'treatment' ELSE 'control' END
+               AS arm
+      FROM events
+    ), stats AS (
+      SELECT event_type, arm,
+             CAST(count(*) AS DOUBLE) AS n,
+             avg(value) AS mu,
+             var_samp(value) AS s2
+      FROM assign GROUP BY 1, 2
+    ), wide AS (
+      SELECT t.event_type,
+             t.n AS nt, t.mu AS mt, t.s2 AS st,
+             c.n AS nc, c.mu AS mc, c.s2 AS sc
+      FROM (SELECT * FROM stats WHERE arm = 'treatment') t
+      JOIN (SELECT * FROM stats WHERE arm = 'control') c
+        USING (event_type)
+    )
+    SELECT event_type,
+           CAST(nt AS BIGINT) AS n_treatment, CAST(nc AS BIGINT) AS n_control,
+           round(mt - mc, 6) AS lift,
+           round((mt - mc) / sqrt(st / nt + sc / nc), 4) AS welch_t,
+           round(pow(st / nt + sc / nc, 2)
+                 / (pow(st / nt, 2) / (nt - 1) + pow(sc / nc, 2) / (nc - 1)),
+                 2) AS welch_df
+    FROM wide ORDER BY event_type
+    """,
+)
+def q_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with Welch's unequal-variance t
+    statistic and the Welch–Satterthwaite degrees of freedom — the
+    correct two-sample analysis when arm variances differ (they
+    always do), per metric. Assignment here is the deterministic
+    user-id hash split every experimentation platform uses.
+
+    Scale: one keyed agg per (metric, arm) with map-side combine
+    (count/mean/variance are all one-pass); the test statistic is
+    arithmetic on the metrics x 2 table. The corpus is read once —
+    the same shape at any event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.select(
+        "event_type", "value",
+        F.when(F.col("user_id") % 2 == 0, "treatment").otherwise("control").alias("arm"),
+    )
+    stats = assign.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("s2"),
+    )
+    t = stats.filter(F.col("arm") == "treatment").select(
+        "event_type", F.col("n").alias("nt"), F.col("mu").alias("mt"),
+        F.col("s2").alias("st"),
+    )
+    c = stats.filter(F.col("arm") == "control").select(
+        "event_type", F.col("n").alias("nc"), F.col("mu").alias("mc"),
+        F.col("s2").alias("sc"),
+    )
+    se2 = F.col("st") / F.col("nt") + F.col("sc") / F.col("nc")
+    return (
+        t.join(c, "event_type")
+        .select(
+            "event_type",
+            F.col("nt").cast("bigint").alias("n_treatment"),
+            F.col("nc").cast("bigint").alias("n_control"),
+            rnd(F.col("mt") - F.col("mc"), 6).alias("lift"),
+            rnd((F.col("mt") - F.col("mc")) / F.sqrt(se2), 4).alias("welch_t"),
+            rnd(
+                F.pow(se2, 2)
+                / (
+                    F.pow(F.col("st") / F.col("nt"), 2) / (F.col("nt") - 1)
+                    + F.pow(F.col("sc") / F.col("nc"), 2) / (F.col("nc") - 1)
+                ),
+                2,
+            ).alias("welch_df"),
+        )
+        .orderBy("event_type")
+    )
