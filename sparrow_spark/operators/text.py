@@ -2493,3 +2493,87 @@ def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nv))
         .select("n_tail_terms", "n_vocab", "alpha_mle", "alpha_se")
     )
+
+
+@query(
+    "q_js_divergence_sources",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ), sc AS (
+      SELECT source, t, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2
+    ), st AS (
+      SELECT source, sum(c) AS n FROM sc GROUP BY 1
+    ), corp AS (
+      SELECT t, CAST(sum(c) AS DOUBLE) AS cc FROM sc GROUP BY 1
+    ), ct AS (
+      SELECT CAST(sum(cc) AS DOUBLE) AS nc FROM corp
+    ), terms AS (
+      SELECT s.source, p.t,
+             coalesce(sc.c, 0) / st.n AS p,
+             p.cc / ct.nc AS q
+      FROM (SELECT DISTINCT source FROM sc) s
+      CROSS JOIN corp p
+      CROSS JOIN ct
+      JOIN st ON st.source = s.source
+      LEFT JOIN sc ON sc.source = s.source AND sc.t = p.t
+    ), js AS (
+      SELECT source,
+             sum(0.5 * CASE WHEN p > 0
+                            THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+                 + 0.5 * q * ln(q / ((p + q) / 2))) AS jsd
+      FROM terms GROUP BY source
+    )
+    SELECT source, round(jsd, 6) AS js_divergence,
+           CAST(row_number() OVER (ORDER BY jsd DESC, source) AS BIGINT)
+               AS drift_rank
+    FROM js ORDER BY drift_rank
+    """,
+)
+def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution shift: Jensen-Shannon divergence
+    between each source's token distribution and the corpus-wide one,
+    ranked — the diagnostic that surfaces which source is lexically
+    anomalous BEFORE it skews a trained model (JS is symmetric,
+    bounded by ln 2, and defined even where a source is missing
+    vocabulary, unlike raw KL). Complements q_embedding_drift (vector
+    space) and q_bias_mi (metadata) on the token axis.
+
+    Scale: per-(source, token) counts are one keyed agg; the JS terms
+    live on the (sources x vocab) grid — vocab-bounded, never
+    corpus-sized — with the corpus distribution broadcast. At web
+    scale the vocab truncates to top-K + an OOV bucket, changing only
+    the grid width."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    sc = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    corp = sc.groupBy("t").agg(F.sum("c").alias("cc"))
+    ct = corp.agg(F.sum("cc").alias("nc"))
+    grid = (
+        sc.select("source").distinct()
+        .crossJoin(F.broadcast(corp))
+        .crossJoin(F.broadcast(ct))
+        .join(F.broadcast(st), "source")
+        .join(sc, ["source", "t"], "left")
+    )
+    p = F.coalesce(F.col("c"), F.lit(0.0)) / F.col("n")
+    q = F.col("cc") / F.col("nc")
+    m = (p + q) / 2
+    term = 0.5 * F.when(p > 0, p * F.log(p / m)).otherwise(0.0) + 0.5 * q * F.log(
+        q / m
+    )
+    js = grid.groupBy("source").agg(F.sum(term).alias("jsd"))
+    from pyspark.sql import Window as W
+
+    return js.select(
+        "source",
+        rnd("jsd", 6).alias("js_divergence"),
+        F.row_number()
+        .over(W.orderBy(F.col("jsd").desc(), "source"))
+        .cast("bigint")
+        .alias("drift_rank"),
+    ).orderBy("drift_rank")
