@@ -2577,3 +2577,76 @@ def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("drift_rank"),
     ).orderBy("drift_rank")
+
+
+_COVERAGE_KS = (10, 20, 30)
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH freq AS (
+      SELECT t, CAST(count(*) AS DOUBLE) AS f FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+      ) GROUP BY t
+    ), ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, t) AS rk,
+             sum(f) OVER () AS total
+      FROM freq
+    ), cum AS (
+      SELECT rk, total,
+             sum(f) OVER (ORDER BY rk) AS cum_f
+      FROM ranked
+    )
+    SELECT CAST(k AS BIGINT) AS top_k,
+           round(max(CASE WHEN rk <= k THEN cum_f END) / max(total), 6)
+               AS token_coverage
+    FROM cum, (SELECT unnest([{", ".join(str(k) for k in _COVERAGE_KS)}]) AS k)
+    GROUP BY k ORDER BY top_k
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of all token
+    occurrences covered by the top-K most frequent types, for K = 10,
+    20, 30 — the sizing curve every tokenizer vocabulary decision
+    reads (where coverage flattens is where added vocab stops paying
+    for its embedding rows; the complement of the curve is the OOV
+    rate a K-sized vocab would eat).
+
+    Scale: one explode + one vocab-keyed agg; ranking and the
+    cumulative sum run over the VOCAB-sized table (window note: at a
+    10^7-type web vocab, rank via global_sort_ranks and bucketize the
+    cumsum — the same two-phase trick, unchanged semantics)."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("double").alias("f"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = freq.select(
+        "f",
+        F.row_number().over(W.orderBy(F.col("f").desc(), "t")).alias("rk"),
+        F.sum("f").over(W.partitionBy()).alias("total"),
+    )
+    cum = ranked.select(
+        "rk", "total",
+        F.sum("f").over(W.orderBy("rk").rowsBetween(W.unboundedPreceding, 0)).alias(
+            "cum_f"
+        ),
+    )
+    ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k bigint")
+    return (
+        cum.join(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            rnd(
+                F.max(F.when(F.col("rk") <= F.col("k"), F.col("cum_f")))
+                / F.max("total"),
+                6,
+            ).alias("token_coverage")
+        )
+        .select(F.col("k").cast("bigint").alias("top_k"), "token_coverage")
+        .orderBy("top_k")
+    )

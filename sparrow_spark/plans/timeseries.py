@@ -1627,3 +1627,78 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_d", "critical_05", "reject_null",
         )
     )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events
+      GROUP BY 1
+    ), spend AS (
+      SELECT f.cohort, e.user_id,
+             date_diff('week', f.cohort, date_trunc('week', e.ts)) AS wk,
+             e.value
+      FROM events e JOIN first_seen f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ), cohort_n AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n_users FROM first_seen
+      GROUP BY 1
+    ), wk_rev AS (
+      SELECT cohort, wk, sum(value) AS rev FROM spend GROUP BY 1, 2
+    )
+    SELECT strftime(w.cohort, '%Y-%m-%d') AS cohort, w.wk, c.n_users,
+           round(w.rev, 2) AS week_revenue,
+           round(sum(w.rev) OVER (PARTITION BY w.cohort ORDER BY w.wk)
+                 / c.n_users, 4) AS cum_ltv_per_user
+    FROM wk_rev w JOIN cohort_n c USING (cohort)
+    ORDER BY cohort, wk
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen week,
+    purchase revenue accumulated per weeks-since-signup, normalized
+    per cohort member — the LTV trajectory that payback-period and
+    acquisition-spend decisions read off. Extends q_retention_cohorts
+    (activity) with the revenue dimension.
+
+    Scale: first-seen is one user-keyed agg joined back broadcast-or-
+    keyed; weekly revenue is a (cohort, week) keyed agg; the running
+    LTV window runs over the bounded cohort x week grid, not the
+    event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort",
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort")) / 7
+            ).cast("bigint").alias("wk"),
+            "value",
+        )
+    )
+    cohort_n = first_seen.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    wk_rev = spend.groupBy("cohort", "wk").agg(F.sum("value").alias("rev"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        wk_rev.join(F.broadcast(cohort_n), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "wk", "n_users",
+            rnd("rev", 2).alias("week_revenue"),
+            rnd(F.sum("rev").over(w) / F.col("n_users"), 4).alias(
+                "cum_ltv_per_user"
+            ),
+        )
+        .orderBy("cohort", "wk")
+    )
