@@ -63,19 +63,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver row yet go first — new additions are inserted HERE in the
 # same commit that registers them (the r3/r4 lesson: additions past
 # the frozen window stay unverified a full round); (2) then the
-# stalest families. r6 window: the 20 r6 additions + 30 of the 50
-# r1-family rows last green in r3 (two fixture generations stale —
-# exactly the exposure the r4 NTZ incident exploited). Deferred to r7:
-# q3/q5/q6/q10/q13/q21/q_count_distinct (all exercised by bench +
-# entry() every round) plus q_window_frames/q_window_running_lag_lead/
-# q_window_topk_per_group/q_weighted_sample/q_reservoir_sample/
-# q_engine_dml/q_union_distinct/q7_volume_shipping/q8_market_share/
-# q15_top_supplier/q16_parts_supplier/q17_small_quantity/
-# q22_sales_opportunity (displaced by the thirteen late-r6 additions;
-# all remain pytest+selfcheck green) —
+# stalest families. r7 window: round 6 ended WITHOUT a driver
+# correctness run (no CORRECTNESS_r06.json), so all 91 queries added
+# since r5 are never-driver-checked. The window takes the first 50 of
+# those by registration order; the remaining 41 are pre-committed as
+# the core of r8's window. Every r1-family row displaced from the r6
+# window stays pytest+selfcheck green and rotates back in r9 —
 # see COVERAGE.md.
 _WINDOW_PRIORITY: list[str] = [
-    # --- NEW in r6, inserted into the live window ---
     "q_stream_incremental_agg",
     "q_golden_record",
     "q_incremental_agg",
@@ -96,41 +91,36 @@ _WINDOW_PRIORITY: list[str] = [
     "q_embedding_drift",
     "q_snapshot_diff",
     "q_mixture_temperature",
-    # --- r1-family block, last driver-green r3 ---
-    "q_join_left_outer",
-    "q_join_right_outer",
-    "q_join_full_outer",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_theta",
-    "q_join_using_natural",
-    "q_agg_stats",
-    "q_approx_distinct",
-    "q_select_distinct",
-    "q_having",
-    "q_rollup",
-    "q_cube",
-    "q_percentiles",
-    "q_union_all",
-    "q_intersect",
-    "q_except",
-    "q_orderby_limit_offset",
-    "q_range_join",
-    "q_subquery_scalar",
-    "q_subquery_in",
-    "q_subquery_correlated_exists",
-    "q_cte_chain",
-    "q12_shipmode",
-    "q14_promo_revenue",
-    # --- NEW late-r6: the four remaining TPC-H shapes (full 22 now
-    # covered); never driver-checked, so they take window slots per
-    # rule (1), displacing q18/q19/q_array_agg_sorted/q_grouping_sets
-    # to r7 (all pytest+selfcheck green at sf0.001 and sf0.01). ---
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q11_important_stock",
     "q20_potential_promotion",
+    "q_percentile_approx_audit",
+    "q_join_cardinality_est",
+    "q_zorder_layout",
+    "q_frequent_pairs",
+    "q_item_cf",
+    "q_gini_revenue",
+    "q_interval_overlap_join",
+    "q_seasonal_anomaly",
+    "q_attribution_last_touch",
+    "q_mad_outliers",
+    "q_cdc_apply",
+    "q_markov_transitions",
+    "q_churn_features",
+    "q_trend_extraction",
+    "q_boxplot_profile",
+    "q_ab_test_analysis",
+    "q_ks_test",
+    "q_cohort_ltv",
+    "q_quality_gopher",
+    "q_int8_recall",
+    "q_kmeanspp_init",
+    "q_cluster_balanced_sample",
+    "q_hard_negatives",
+    "q_margin_mining",
+    "q_cluster_purity",
+    "q_knn_classifier_eval",
 ]
 
 
