@@ -1,0 +1,403 @@
+"""Corpus-construction operators round seven: collocation mining,
+discriminative-term selection, retrieval chunking, cross-document
+boilerplate detection, and size-proportional sampling.
+
+All text ops tokenize by the corpus's native single-space separator
+(split + array lambdas, JVM-side); n-gram and term statistics are
+keyed aggregations over exploded tokens — the standard shuffle-bounded
+shape — and every top-k is rank-bounded with a deterministic
+tiebreak so results are stable across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparrow_spark.registry import query
+from sparrow_spark.rounding import rnd
+from sparrow_spark.sources import load_table
+
+
+@query(
+    "q_collocation_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ), uni_c AS (
+      SELECT w, CAST(count(*) AS DOUBLE) AS c FROM uni GROUP BY w
+    ), n1 AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS n_tok FROM uni_c
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> {'w1': t[i], 'w2': t[i + 1]})) AS p
+      FROM toks
+    ), bg_c AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS DOUBLE) AS c_xy
+      FROM bg GROUP BY p.w1, p.w2
+    ), n2 AS (
+      SELECT CAST(sum(c_xy) AS DOUBLE) AS n_big FROM bg_c
+    ), pmi AS (
+      SELECT b.w1, b.w2, b.c_xy,
+             ln((b.c_xy / n2.n_big)
+                / ((u1.c / n1.n_tok) * (u2.c / n1.n_tok))) AS pmi
+      FROM bg_c b
+      JOIN uni_c u1 ON b.w1 = u1.w
+      JOIN uni_c u2 ON b.w2 = u2.w
+      CROSS JOIN n1 CROSS JOIN n2
+      WHERE b.c_xy >= 25
+    )
+    SELECT w1, w2, CAST(c_xy AS BIGINT) AS pair_count,
+           round(pmi, 4) AS pmi
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk
+      FROM pmi
+    ) WHERE rk <= 20
+    ORDER BY pmi DESC, w1, w2
+    """,
+)
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: the 20 adjacent
+    word pairs (count >= 25) whose co-occurrence most exceeds the
+    independence expectation — the classic phrase-discovery pass
+    (word2vec's phrase pre-join, quality-signal for stitched/garbled
+    text where PMI collapses toward 0).
+
+    Scale: bigram extraction is a map-side array lambda (no
+    self-join); unigram and bigram counts are two hash aggs keyed on
+    vocab-bounded terms; the PMI join touches only the count tables
+    (vocab^2-bounded, in practice the distinct-bigram table), and the
+    top-k is a rank over that bounded table."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    uni_c = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n1 = uni_c.agg(F.sum("c").alias("n_tok"))
+    bg_c = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c_xy"))
+    )
+    n2 = bg_c.agg(F.sum("c_xy").alias("n_big"))
+    u1 = uni_c.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni_c.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        bg_c.filter(F.col("c_xy") >= 25)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.log(
+                (F.col("c_xy") / F.col("n_big"))
+                / (
+                    (F.col("c1") / F.col("n_tok"))
+                    * (F.col("c2") / F.col("n_tok"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    )
+    return (
+        pmi.withColumn("rk", rk)
+        .filter(F.col("rk") <= 20)
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("bigint").alias("pair_count"),
+            rnd("pmi", 4).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+    )
+
+
+@query(
+    "q_chi2_terms",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), cells AS (
+      SELECT w, lang, CAST(count(*) AS DOUBLE) AS o
+      FROM pres GROUP BY w, lang
+    ), grid AS (
+      SELECT t.w, l.lang, coalesce(c.o, 0) AS o
+      FROM (SELECT DISTINCT w FROM cells) t
+      CROSS JOIN (SELECT DISTINCT lang FROM cells) l
+      LEFT JOIN cells c ON c.w = t.w AND c.lang = l.lang
+    ), margins AS (
+      SELECT w, lang, o,
+             sum(o) OVER (PARTITION BY w) AS row_tot,
+             sum(o) OVER (PARTITION BY lang) AS col_tot,
+             sum(o) OVER () AS n
+      FROM grid
+    ), chi AS (
+      SELECT w, sum((o - row_tot * col_tot / n)
+                    * (o - row_tot * col_tot / n)
+                    / (row_tot * col_tot / n)) AS chi2
+      FROM margins GROUP BY w
+    )
+    SELECT w AS term, round(chi2, 4) AS chi2
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY chi2 DESC, w) AS rk FROM chi
+    ) WHERE rk <= 20
+    ORDER BY chi2 DESC, term
+    """,
+)
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square discriminative-term selection: rank vocabulary terms
+    by how unevenly their document frequency distributes across
+    languages — the feature-selection pass a langid/quality classifier
+    trains on (q_quality_classifier's vocabulary would come from
+    exactly this), zero cells included via the term x lang grid.
+
+    Scale: presence dedup and cell counts are hash aggs keyed on
+    vocab-bounded (term, lang); the grid cross join and margin windows
+    run over |vocab| x |langs| rows only."""
+    pres = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    cells = pres.groupBy("w", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    terms = cells.select("w").distinct()
+    langs = cells.select("lang").distinct()
+    grid = (
+        terms.crossJoin(F.broadcast(langs))
+        .join(cells, ["w", "lang"], "left")
+        .select("w", "lang", F.coalesce("o", F.lit(0.0)).alias("o"))
+    )
+    margins = grid.select(
+        "w",
+        "o",
+        F.sum("o").over(Window.partitionBy("w")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("lang")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    chi = margins.groupBy("w").agg(
+        F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2")
+    )
+    rk = F.row_number().over(Window.orderBy(F.col("chi2").desc(), "w"))
+    return (
+        chi.withColumn("rk", rk)
+        .filter(F.col("rk") <= 20)
+        .select(F.col("w").alias("term"), rnd("chi2", 4).alias("chi2"))
+        .orderBy(F.col("chi2").desc(), "term")
+    )
+
+
+@query(
+    "q_rag_chunking",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ), sized AS (
+      SELECT doc_id, n_tok,
+             1 + CAST(ceil(greatest(0, n_tok - 64) / 48.0) AS BIGINT)
+               AS n_chunks
+      FROM d
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(c.i AS BIGINT) AS chunk_idx,
+           CAST(c.i * 48 AS BIGINT) AS start_tok,
+           CAST(least(c.i * 48 + 64, n_tok) AS BIGINT) AS end_tok,
+           CAST(least(c.i * 48 + 64, n_tok) - c.i * 48 AS BIGINT)
+             AS chunk_len
+    FROM sized, unnest(range(0, n_chunks)) AS c(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window retrieval chunking: every document split into
+    64-token chunks with stride 48 (16-token overlap) — the indexing
+    prep every RAG/embedding pipeline runs before embedding, emitted
+    as one row per (doc, chunk) with token boundaries.
+
+    Scale: chunk counts are per-row arithmetic; the explode is a
+    map-side sequence+explode with output proportional to corpus
+    token volume / stride — no shuffle at all until a downstream op
+    groups the chunks."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    n_chunks = (
+        1
+        + F.ceil(
+            F.greatest(F.lit(0), F.col("n_tok") - 64) / F.lit(48.0)
+        ).cast("bigint")
+    ).alias("n_chunks")
+    sized = d.select("doc_id", "n_tok", n_chunks)
+    start = F.col("chunk_idx") * 48
+    end = F.least(start + 64, F.col("n_tok"))
+    return (
+        sized.select(
+            "doc_id",
+            "n_tok",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "chunk_idx",
+            start.cast("bigint").alias("start_tok"),
+            end.cast("bigint").alias("end_tok"),
+            (end - start).cast("bigint").alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "q_boilerplate_interdoc",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                    || t[i+3] || ' ' || t[i+4])) AS g
+      FROM toks WHERE len(t) >= 5
+    ), df AS (
+      SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g
+    ), per_doc AS (
+      SELECT gr.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler
+      FROM grams gr JOIN df ON gr.g = df.g
+      GROUP BY gr.doc_id
+    )
+    SELECT doc_id, n_grams, n_boiler,
+           round(CAST(n_boiler AS DOUBLE) / n_grams, 4) AS boiler_frac
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def q_boilerplate_interdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: for each document, the
+    fraction of its 5-gram positions whose 5-gram also occurs in at
+    least one OTHER document — the CCNet/RefinedWeb-style shared-
+    template signal (headers, navboxes, licence blocks) that MinHash
+    whole-doc dedup misses because the surrounding text differs.
+
+    Scale: 5-grams extract map-side (array lambda, no self-join);
+    document frequency is one hash agg keyed on the gram (at 100 TB
+    the gram key is a 64-bit hash, not the string); the verdict join
+    back is gram-keyed. Everything shuffles on gram/doc keys only."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    grams = (
+        toks.filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 4),"
+                    " i -> concat_ws(' ', t[i-1], t[i], t[i+1], t[i+2], t[i+3]))"
+                )
+            ).alias("g"),
+        )
+    )
+    df = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        grams.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            rnd(F.col("n_boiler").cast("double") / F.col("n_grams"), 4).alias(
+                "boiler_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_pps_systematic",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY doc_id) AS cum
+      FROM documents
+    ), tot AS (
+      SELECT CAST(sum(n_chars) AS DOUBLE) AS t FROM documents
+    )
+    SELECT doc_id, n_chars,
+           round(least(1.0, 25 * n_chars / t), 6) AS incl_prob,
+           round(t / (25 * n_chars), 4) AS weight
+    FROM c, tot
+    WHERE floor((cum - t / 50) / (t / 25))
+          > floor((cum - n_chars - t / 50) / (t / 25))
+    ORDER BY doc_id
+    """,
+)
+def q_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: 25 docs
+    drawn by walking the cumulative n_chars line with a fixed step
+    (T/25) and mid-step anchor — long documents are proportionally
+    more likely to be picked, and the inverse-probability weight makes
+    downstream token statistics unbiased. The deterministic anchor
+    (step/2) replaces the random start so both engines agree.
+
+    Scale: one running-sum window over the size column + per-row
+    arithmetic; at true scale the cumulative line is computed per
+    partition with a scan-and-offset (two passes), never a global
+    single-task window — the same pattern as the shard exporter."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = docs.select(
+        "doc_id", "n_chars", F.sum("n_chars").over(w).alias("cum")
+    )
+    tot = docs.agg(F.sum("n_chars").cast("double").alias("t"))
+    step = F.col("t") / 25
+    anchor = F.col("t") / 50
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .filter(
+            F.floor((F.col("cum") - anchor) / step)
+            > F.floor((F.col("cum") - F.col("n_chars") - anchor) / step)
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            rnd(F.least(F.lit(1.0), 25 * F.col("n_chars") / F.col("t")), 6).alias(
+                "incl_prob"
+            ),
+            rnd(F.col("t") / (25 * F.col("n_chars")), 4).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,560 @@
+"""Distribution-level statistical tests and resampling estimators the
+curation/analytics surface needs beyond point aggregates: rank-sum
+tests, multiple-testing correction, bootstrap intervals, association
+strength, autocorrelation, and changepoint scans.
+
+Reference parity: the reference engine's aggregate surface stops at
+sum/avg/min/max/count (wqc200/sparrow
+src/datafusion_impl/physical_plan/*); everything here is the
+beyond-reference analytics tier the training-data pipeline needs,
+built from the same Spark primitives (keyed aggs + bounded windows)
+so every test is one or two shuffles over pre-aggregated,
+cardinality-bounded intermediates — never a row-level sort of the
+raw fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparrow_spark.registry import query
+from sparrow_spark.rounding import rnd
+from sparrow_spark.sources import load_table
+
+
+@query(
+    "q_mann_whitney",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g1
+      FROM events WHERE event_type = 'purchase'
+    ), n AS (
+      SELECT CAST(sum(g1) AS DOUBLE) AS n1,
+             CAST(sum(1 - g1) AS DOUBLE) AS n2
+      FROM s
+    ), vals AS (
+      SELECT value,
+             CAST(sum(g1) AS DOUBLE) AS c1,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM s GROUP BY value
+    ), ranked AS (
+      SELECT c1, cnt,
+             sum(cnt) OVER (ORDER BY value) - cnt + (cnt + 1) / 2
+               AS avg_rank
+      FROM vals
+    ), agg AS (
+      SELECT sum(avg_rank * c1) AS r1,
+             sum(cnt * cnt * cnt - cnt) AS tie_sum
+      FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(r1 - n1 * (n1 + 1) / 2, 2) AS u1,
+           round((r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+                 / sqrt(n1 * n2 / 12 * ((n1 + n2 + 1)
+                        - tie_sum / ((n1 + n2) * (n1 + n2 - 1)))),
+                 4) AS z,
+           abs((r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+               / sqrt(n1 * n2 / 12 * ((n1 + n2 + 1)
+                      - tie_sum / ((n1 + n2) * (n1 + n2 - 1))))) > 1.96
+             AS reject_null
+    FROM agg, n
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the hash-split A/B
+    arms on purchase values, with midranks for ties and the
+    tie-corrected normal approximation — the nonparametric mean-shift
+    companion to q_ab_test_analysis (Welch) and q_ks_test (shape).
+
+    Scale: ranking runs over the DISTINCT-VALUE table (one keyed agg
+    + one bounded window), never a full sort of the fact table; at
+    true scale values pre-bin to a grid exactly as binned-KS does."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "value",
+            F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("g1"),
+        )
+    )
+    n = s.agg(
+        F.sum("g1").cast("double").alias("n1"),
+        F.sum(1 - F.col("g1")).cast("double").alias("n2"),
+    )
+    vals = s.groupBy("value").agg(
+        F.sum("g1").cast("double").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vals.select(
+        "c1",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2).alias(
+            "avg_rank"
+        ),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("avg_rank") * F.col("c1")).alias("r1"),
+        F.sum(F.pow("cnt", 3) - F.col("cnt")).alias("tie_sum"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
+    ntot = F.col("n1") + F.col("n2")
+    sigma = F.sqrt(
+        F.col("n1")
+        * F.col("n2")
+        / 12
+        * ((ntot + 1) - F.col("tie_sum") / (ntot * (ntot - 1)))
+    )
+    z = (u1 - F.col("n1") * F.col("n2") / 2) / sigma
+    return agg.join(F.broadcast(n)).select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        rnd(u1, 2).alias("u1"),
+        rnd(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("reject_null"),
+    )
+
+
+@query(
+    "q_bh_fdr",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g1
+      FROM events
+    ), n AS (
+      SELECT event_type,
+             CAST(sum(g1) AS DOUBLE) AS n1,
+             CAST(sum(1 - g1) AS DOUBLE) AS n2
+      FROM s GROUP BY event_type
+    ), vals AS (
+      SELECT event_type, value,
+             CAST(sum(g1) AS DOUBLE) AS c1,
+             CAST(sum(1 - g1) AS DOUBLE) AS c2
+      FROM s GROUP BY event_type, value
+    ), ecdf AS (
+      SELECT event_type,
+             sum(c1) OVER (PARTITION BY event_type ORDER BY value) AS cum1,
+             sum(c2) OVER (PARTITION BY event_type ORDER BY value) AS cum2
+      FROM vals
+    ), d AS (
+      SELECT e.event_type, n.n1, n.n2,
+             max(abs(e.cum1 / n.n1 - e.cum2 / n.n2)) AS ks_d
+      FROM ecdf e JOIN n ON e.event_type = n.event_type
+      GROUP BY e.event_type, n.n1, n.n2
+    ), p AS (
+      SELECT event_type, n1, n2, ks_d,
+             least(1.0, 2 * exp(-2 * (n1 * n2 / (n1 + n2))
+                                * ks_d * ks_d)) AS p_raw,
+             CAST(count(*) OVER () AS DOUBLE) AS m,
+             CAST(row_number() OVER (
+               ORDER BY least(1.0, 2 * exp(-2 * (n1 * n2 / (n1 + n2))
+                                           * ks_d * ks_d)), event_type)
+               AS DOUBLE) AS rk
+      FROM d
+    )
+    SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(ks_d, 6) AS ks_d, round(p_raw, 6) AS p_raw,
+           round(min(least(1.0, p_raw * m / rk)) OVER (
+             ORDER BY rk DESC), 6) AS p_bh,
+           min(least(1.0, p_raw * m / rk)) OVER (ORDER BY rk DESC) < 0.05
+             AS significant_05
+    FROM p
+    ORDER BY event_type
+    """,
+)
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a family of per-event-type
+    two-sample KS tests (asymptotic p = min(1, 2*exp(-2*m*D^2))) — the
+    multiple-testing discipline any per-segment drift scan needs before
+    alerting (q_ks_test run per segment WOULD false-positive at scale
+    without it). Adjusted p_i = min_{j>=i}(p_j * m / j) via a running
+    min from the worst rank.
+
+    Scale: per-type ECDFs run over distinct-value tables partitioned by
+    event_type; the BH pass itself is a window over ONE ROW PER TEST
+    (segments, not rows) — trivially bounded."""
+    s = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("g1"),
+    )
+    n = s.groupBy("event_type").agg(
+        F.sum("g1").cast("double").alias("n1"),
+        F.sum(1 - F.col("g1")).cast("double").alias("n2"),
+    )
+    vals = s.groupBy("event_type", "value").agg(
+        F.sum("g1").cast("double").alias("c1"),
+        F.sum(1 - F.col("g1")).cast("double").alias("c2"),
+    )
+    we = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ecdf = vals.select(
+        "event_type",
+        F.sum("c1").over(we).alias("cum1"),
+        F.sum("c2").over(we).alias("cum2"),
+    )
+    d = (
+        ecdf.join(F.broadcast(n), "event_type")
+        .groupBy("event_type", "n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("cum1") / F.col("n1") - F.col("cum2") / F.col("n2"))
+            ).alias("ks_d")
+        )
+    )
+    p_raw = F.least(
+        F.lit(1.0),
+        2
+        * F.exp(
+            -2
+            * (F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")))
+            * F.col("ks_d")
+            * F.col("ks_d")
+        ),
+    )
+    p = d.select(
+        "event_type",
+        "n1",
+        "n2",
+        "ks_d",
+        p_raw.alias("p_raw"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("double").alias("m"),
+        F.row_number()
+        .over(Window.orderBy(p_raw, "event_type"))
+        .cast("double")
+        .alias("rk"),
+    )
+    wtail = Window.orderBy(F.col("rk").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    p_bh = F.min(
+        F.least(F.lit(1.0), F.col("p_raw") * F.col("m") / F.col("rk"))
+    ).over(wtail)
+    return p.select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        rnd("ks_d", 6).alias("ks_d"),
+        rnd("p_raw", 6).alias("p_raw"),
+        rnd(p_bh, 6).alias("p_bh"),
+        (p_bh < 0.05).alias("significant_05"),
+    ).orderBy("event_type")
+
+
+# Inverse-CDF thresholds of Poisson(1): P(X<=k) for k = 0..4; a
+# uniform draw maps to the count via a CASE ladder. Identical
+# literals on both engines.
+_POIS = (0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431, 0.9963401532)
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT unnest(range(0, 20)) AS b
+    ), drawn AS (
+      SELECT e.event_type, r.b, e.value,
+             CAST(((e.event_id * 1103515245 + r.b * 2654435761 + 12345)
+                   % 2147483648) AS DOUBLE) / 2147483648.0 AS u
+      FROM events e, reps r
+    ), w AS (
+      SELECT event_type, b, value,
+             CASE WHEN u < {_POIS[0]} THEN 0
+                  WHEN u < {_POIS[1]} THEN 1
+                  WHEN u < {_POIS[2]} THEN 2
+                  WHEN u < {_POIS[3]} THEN 3
+                  WHEN u < {_POIS[4]} THEN 4
+                  ELSE 5 END AS wt
+      FROM drawn
+    ), means AS (
+      SELECT event_type, b,
+             sum(wt * value) / nullif(sum(wt), 0) AS mean_b
+      FROM w GROUP BY event_type, b
+    ), point AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             avg(value) AS mean_value
+      FROM events GROUP BY event_type
+    )
+    SELECT m.event_type, p.n, round(p.mean_value, 4) AS mean_value,
+           round(quantile_cont(m.mean_b, 0.025), 4) AS ci_lo,
+           round(quantile_cont(m.mean_b, 0.975), 4) AS ci_hi
+    FROM means m JOIN point p ON m.event_type = p.event_type
+    GROUP BY m.event_type, p.n, p.mean_value
+    ORDER BY m.event_type
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI of the mean event value per event_type:
+    each of 20 replicates reweights every row by a deterministic
+    Poisson(1) draw (inverse-CDF over an arithmetic-LCG uniform, same
+    literals both engines), replicate means come from one weighted agg,
+    and the interval is the 2.5/97.5 percentile across replicates.
+
+    Poisson bootstrap IS the at-scale form: resampling n-with-
+    replacement needs global coordination, while Binomial(n,1/n) →
+    Poisson(1) per-row weights need none — every replicate is a
+    map-side weighted aggregation, all B replicates in ONE shuffle of
+    (type, b) keys. The percentile runs over B rows per type."""
+    ev = load_table(spark, sf_dir, "events")
+    reps = spark.range(0, 20).select(F.col("id").alias("b"))
+    u = (
+        (
+            F.col("event_id") * F.lit(1103515245)
+            + F.col("b") * F.lit(2654435761)
+            + F.lit(12345)
+        )
+        % F.lit(2147483648)
+    ).cast("double") / F.lit(2147483648.0)
+    wt = (
+        F.when(F.col("u") < _POIS[0], 0)
+        .when(F.col("u") < _POIS[1], 1)
+        .when(F.col("u") < _POIS[2], 2)
+        .when(F.col("u") < _POIS[3], 3)
+        .when(F.col("u") < _POIS[4], 4)
+        .otherwise(5)
+    )
+    means = (
+        ev.crossJoin(F.broadcast(reps))
+        .withColumn("u", u)
+        .withColumn("wt", wt)
+        .groupBy("event_type", "b")
+        .agg(
+            (
+                F.sum(F.col("wt") * F.col("value"))
+                / F.nullif(F.sum("wt"), F.lit(0))
+            ).alias("mean_b")
+        )
+    )
+    point = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("value").alias("mean_value"),
+    )
+    return (
+        means.join(F.broadcast(point), "event_type")
+        .groupBy("event_type", "n", "mean_value")
+        .agg(
+            rnd(F.expr("percentile(mean_b, 0.025)"), 4).alias("ci_lo"),
+            rnd(F.expr("percentile(mean_b, 0.975)"), 4).alias("ci_hi"),
+        )
+        .select(
+            "event_type",
+            "n",
+            rnd("mean_value", 4).alias("mean_value"),
+            "ci_lo",
+            "ci_hi",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+      FROM documents GROUP BY lang, source
+    ), tot AS (
+      SELECT CAST(sum(o) AS DOUBLE) AS n,
+             CAST(count(DISTINCT lang) AS DOUBLE) AS r,
+             CAST(count(DISTINCT source) AS DOUBLE) AS c
+      FROM cells
+    ), margins AS (
+      SELECT lang, sum(o) OVER (PARTITION BY lang) AS row_tot,
+             sum(o) OVER (PARTITION BY source) AS col_tot, o
+      FROM cells
+    ), chi AS (
+      SELECT sum((o - row_tot * col_tot / n) * (o - row_tot * col_tot / n)
+                 / (row_tot * col_tot / n)) AS chi2
+      FROM margins, tot
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_langs,
+           CAST(c AS BIGINT) AS n_sources,
+           round(chi2, 4) AS chi2,
+           round(sqrt(chi2 / (n * least(r - 1, c - 1))), 4) AS cramers_v
+    FROM chi, tot
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between the lang and source
+    columns of the corpus — the normalized-to-[0,1] companion of
+    q_bias_mi: how far the lang mix of each source sits from
+    independence, on a scale comparable across audits. (Observed cells
+    only: the synthetic corpus has every lang x source pair populated;
+    an absent pair contributes 0 - e to chi2 in the textbook form.)
+
+    Scale: one (lang, source) keyed agg bounds everything downstream
+    to the contingency-table cardinality; margins are windows over
+    that tiny table."""
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("lang").cast("double").alias("r"),
+        F.countDistinct("source").cast("double").alias("c"),
+    )
+    margins = cells.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_tot"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    chi = (
+        margins.join(F.broadcast(tot))
+        .agg(F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"))
+    )
+    return chi.join(F.broadcast(tot)).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("r").cast("bigint").alias("n_langs"),
+        F.col("c").cast("bigint").alias("n_sources"),
+        rnd("chi2", 4).alias("chi2"),
+        rnd(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            4,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "q_acf_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT row_number() OVER (ORDER BY d) AS i, x FROM daily
+    ), stats AS (
+      SELECT avg(x) AS xbar,
+             sum((x - (SELECT avg(x) FROM idx))
+                 * (x - (SELECT avg(x) FROM idx))) AS ss
+      FROM idx
+    ), lags AS (
+      SELECT unnest(range(1, 8)) AS lag
+    )
+    SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum((a.x - s.xbar) * (b.x - s.xbar)) / max(s.ss), 4)
+             AS acf
+    FROM lags l
+    JOIN idx a ON true
+    JOIN idx b ON b.i = a.i + l.lag
+    CROSS JOIN stats s
+    GROUP BY l.lag
+    ORDER BY l.lag
+    """,
+)
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1-7 —
+    the weekly-seasonality fingerprint (a lag-7 spike means day-of-week
+    structure) that q_seasonal_anomaly assumes and this query verifies.
+    Standard ACF normalization: lagged co-deviations over the full
+    series sum of squares.
+
+    Scale: the raw stream collapses to ONE ROW PER DAY in the first
+    keyed agg; everything after (indexing, the 7 lag self-joins)
+    operates on the bounded daily series, broadcast-joined."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("i"), "x"
+    )
+    # Two-pass mean/SS without a correlated subquery: first the mean,
+    # then SS against it (both over the bounded daily table).
+    mean_row = idx.agg(F.avg("x").alias("xbar"))
+    ss_row = (
+        idx.crossJoin(F.broadcast(mean_row))
+        .agg(
+            F.sum((F.col("x") - F.col("xbar")) * (F.col("x") - F.col("xbar"))).alias("ss"),
+            F.first("xbar").alias("xbar"),
+        )
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("lag"))
+    a = idx.select(F.col("i").alias("ai"), F.col("x").alias("ax"))
+    b = idx.select(F.col("i").alias("bi"), F.col("x").alias("bx"))
+    return (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("bi") == F.col("ai") + F.col("lag"))
+        .crossJoin(F.broadcast(ss_row))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            rnd(
+                F.sum(
+                    (F.col("ax") - F.col("xbar")) * (F.col("bx") - F.col("xbar"))
+                )
+                / F.max("ss"),
+                4,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, sum(value) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), stats AS (
+      SELECT avg(x) AS xbar, stddev_samp(x) AS sd FROM daily
+    ), cusum AS (
+      SELECT d,
+             sum((x - s.xbar) / s.sd) OVER (ORDER BY d) AS s_t
+      FROM daily, stats s
+    ), peak AS (
+      SELECT max(abs(s_t)) AS peak FROM cusum
+    )
+    SELECT strftime(c.d, '%Y-%m-%d') AS day,
+           round(c.s_t, 4) AS cusum,
+           abs(c.s_t) = p.peak AS is_changepoint
+    FROM cusum c, peak p
+    ORDER BY day
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over daily purchase revenue: the running
+    sum of standardized deviations peaks (in absolute value) at the
+    most likely mean-shift point — the classic single-changepoint
+    statistic behind revenue-regression and data-drift day-finding.
+
+    Scale: the stream collapses to one row per day first; the CUSUM
+    window and the peak scan run over the bounded daily series."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum("value").alias("x"))
+    )
+    stats = daily.agg(
+        F.avg("x").alias("xbar"), F.stddev_samp("x").alias("sd")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = daily.crossJoin(F.broadcast(stats)).select(
+        "d",
+        F.sum((F.col("x") - F.col("xbar")) / F.col("sd")).over(w).alias("s_t"),
+    )
+    peak = cusum.agg(F.max(F.abs("s_t")).alias("peak"))
+    return (
+        cusum.crossJoin(F.broadcast(peak))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            rnd("s_t", 4).alias("cusum"),
+            (F.abs("s_t") == F.col("peak")).alias("is_changepoint"),
+        )
+        .orderBy("day")
+    )

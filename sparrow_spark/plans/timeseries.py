@@ -16,7 +16,10 @@ from sparrow_spark.operators.asof import asof_join
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
 from sparrow_spark.sources import load_table
-from sparrow_spark.streaming.constants import SESSION_GAP_SECONDS
+from sparrow_spark.streaming.constants import (
+    SESSION_GAP_INTERVAL,
+    SESSION_GAP_SECONDS,
+)
 
 
 @query(
@@ -1701,4 +1704,71 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("cohort", "wk")
+    )
+
+
+@query(
+    "q_session_window_native",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts)
+                          >= {SESSION_GAP_SECONDS}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL {SESSION_GAP_SECONDS} SECOND,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup via Spark's NATIVE session_window operator
+    (batch form): one groupBy(session_window(ts, gap), user_id) and
+    Catalyst's UpdatingSessionsExec does the gap-merge — no lag/
+    running-sum window chain (that hand-built twin is q_sessionize;
+    keeping both proves the plans agree). Session end is
+    last-event-ts + gap with an EXCLUSIVE bound, so an event landing
+    exactly at the gap boundary starts a new session (hence the
+    oracle's >= flag, vs q_sessionize's >).
+
+    Scale: one shuffle on user_id, then sessions merge inside each
+    partition in a single pass over ts-sorted rows — strictly fewer
+    stages than the lag+cumsum formulation, and the same operator the
+    streaming path uses with state."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", SESSION_GAP_INTERVAL), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
     )

@@ -109,18 +109,18 @@ _WINDOW_PRIORITY: list[str] = [
     "q_markov_transitions",
     "q_churn_features",
     "q_trend_extraction",
-    "q_boxplot_profile",
-    "q_ab_test_analysis",
-    "q_ks_test",
-    "q_cohort_ltv",
-    "q_quality_gopher",
-    "q_int8_recall",
-    "q_kmeanspp_init",
-    "q_cluster_balanced_sample",
-    "q_hard_negatives",
-    "q_margin_mining",
-    "q_cluster_purity",
-    "q_knn_classifier_eval",
+    "q_mann_whitney",
+    "q_bh_fdr",
+    "q_bootstrap_ci",
+    "q_cramers_v",
+    "q_acf_daily",
+    "q_cusum_changepoint",
+    "q_collocation_pmi",
+    "q_chi2_terms",
+    "q_rag_chunking",
+    "q_boilerplate_interdoc",
+    "q_pps_systematic",
+    "q_session_window_native",
 ]
 
 
@@ -144,12 +144,14 @@ def load_all() -> None:
     import sparrow_spark.plans.windows  # noqa: F401
     import sparrow_spark.plans.scalar_funcs  # noqa: F401
     import sparrow_spark.plans.timeseries  # noqa: F401
+    import sparrow_spark.plans.stats_tests  # noqa: F401
     import sparrow_spark.operators.dedup  # noqa: F401
     import sparrow_spark.operators.sketches  # noqa: F401
     import sparrow_spark.operators.similarity  # noqa: F401
     import sparrow_spark.operators.text  # noqa: F401
     import sparrow_spark.operators.multimodal  # noqa: F401
     import sparrow_spark.operators.pipeline  # noqa: F401
+    import sparrow_spark.operators.corpus  # noqa: F401
     import sparrow_spark.plans.engine_exercise  # noqa: F401
     import sparrow_spark.streaming.ingest  # noqa: F401
     import sparrow_spark.streaming.incremental_dedup  # noqa: F401
