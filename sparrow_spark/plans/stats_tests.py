@@ -461,47 +461,52 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     series sum of squares.
 
     Scale: the raw stream collapses to ONE ROW PER DAY in the first
-    keyed agg; everything after (indexing, the 7 lag self-joins)
-    operates on the bounded daily series, broadcast-joined."""
+    keyed agg, and the bounded daily series is then folded into a
+    single date-sorted array so mean, sum-of-squares, and all seven
+    lag products are array lambdas in ONE more stage — one scan of
+    the fact table total, versus the naive formulation's four (mean
+    branch, SS branch, and both sides of a lag self-join each re-scan
+    the source unless the bounded series is materialized)."""
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", "ts").alias("d"))
         .agg(F.count(F.lit(1)).cast("double").alias("x"))
     )
-    idx = daily.select(
-        F.row_number().over(Window.orderBy("d")).alias("i"), "x"
-    )
-    # Two-pass mean/SS without a correlated subquery: first the mean,
-    # then SS against it (both over the bounded daily table).
-    mean_row = idx.agg(F.avg("x").alias("xbar"))
-    ss_row = (
-        idx.crossJoin(F.broadcast(mean_row))
-        .agg(
-            F.sum((F.col("x") - F.col("xbar")) * (F.col("x") - F.col("xbar"))).alias("ss"),
-            F.first("xbar").alias("xbar"),
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("s")
+    ).select(F.expr("transform(s, e -> e.x)").alias("xs"))
+    xbar = F.expr(
+        "aggregate(xs, cast(0.0 as double), (a, v) -> a + v)"
+    ) / F.size("xs")
+    per_lag = (
+        series.withColumn("xbar", xbar)
+        .withColumn(
+            "ss",
+            F.expr(
+                "aggregate(xs, cast(0.0 as double),"
+                " (a, v) -> a + (v - xbar) * (v - xbar))"
+            ),
         )
-    )
-    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("lag"))
-    a = idx.select(F.col("i").alias("ai"), F.col("x").alias("ax"))
-    b = idx.select(F.col("i").alias("bi"), F.col("x").alias("bx"))
-    return (
-        F.broadcast(lags)
-        .crossJoin(a)
-        .join(b, F.col("bi") == F.col("ai") + F.col("lag"))
-        .crossJoin(F.broadcast(ss_row))
-        .groupBy("lag")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            rnd(
-                F.sum(
-                    (F.col("ax") - F.col("xbar")) * (F.col("bx") - F.col("xbar"))
+        .select(
+            F.explode(
+                F.expr(
+                    """
+                    transform(sequence(1, 7), k -> struct(
+                      cast(k as bigint) as lag,
+                      cast(size(xs) - k as bigint) as n_pairs,
+                      aggregate(sequence(0, size(xs) - k - 1),
+                                cast(0.0 as double),
+                                (a, i) -> a + (xs[i] - xbar)
+                                            * (xs[i + k] - xbar)) / ss
+                        as acf_raw))
+                    """
                 )
-                / F.max("ss"),
-                4,
-            ).alias("acf"),
+            ).alias("r")
         )
-        .orderBy("lag")
     )
+    return per_lag.select(
+        "r.lag", "r.n_pairs", rnd("r.acf_raw", 4).alias("acf")
+    ).orderBy("lag")
 
 
 @query(
@@ -532,29 +537,54 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     most likely mean-shift point — the classic single-changepoint
     statistic behind revenue-regression and data-drift day-finding.
 
-    Scale: the stream collapses to one row per day first; the CUSUM
-    window and the peak scan run over the bounded daily series."""
+    Scale: the stream collapses to one row per day first, then the
+    bounded daily series folds into a single date-sorted array —
+    mean, sample sd, the running CUSUM (a scan-prefix fold, O(days^2)
+    lambda steps on a ~10^2-row series), and the peak all evaluate in
+    one stage, so the fact table is scanned ONCE (the window+stats
+    formulation re-scans it for the stats branch and the peak
+    branch)."""
     daily = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("day", "ts").alias("d"))
         .agg(F.sum("value").alias("x"))
     )
-    stats = daily.agg(
-        F.avg("x").alias("xbar"), F.stddev_samp("x").alias("sd")
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("s")
     )
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    cusum = daily.crossJoin(F.broadcast(stats)).select(
-        "d",
-        F.sum((F.col("x") - F.col("xbar")) / F.col("sd")).over(w).alias("s_t"),
-    )
-    peak = cusum.agg(F.max(F.abs("s_t")).alias("peak"))
-    return (
-        cusum.crossJoin(F.broadcast(peak))
-        .select(
-            F.date_format("d", "yyyy-MM-dd").alias("day"),
-            rnd("s_t", 4).alias("cusum"),
-            (F.abs("s_t") == F.col("peak")).alias("is_changepoint"),
+    n = F.size("s")
+    total = F.expr("aggregate(s, cast(0.0 as double), (a, e) -> a + e.x)")
+    rows = (
+        series.withColumn("xbar", total / n)
+        .withColumn(
+            "sd",
+            F.sqrt(
+                F.expr(
+                    "aggregate(s, cast(0.0 as double),"
+                    " (a, e) -> a + (e.x - xbar) * (e.x - xbar))"
+                )
+                / (n - 1)
+            ),
         )
-        .orderBy("day")
+        .withColumn(
+            "cus",
+            F.expr(
+                """
+                transform(sequence(1, size(s)), i -> struct(
+                  date_format(s[i - 1].d, 'yyyy-MM-dd') as day,
+                  aggregate(slice(s, 1, i), cast(0.0 as double),
+                            (a, e) -> a + (e.x - xbar) / sd) as s_t))
+                """
+            ),
+        )
+        .withColumn(
+            "peak", F.expr("array_max(transform(cus, c -> abs(c.s_t)))")
+        )
+        .select(F.explode("cus").alias("c"), "peak")
     )
+    return rows.select(
+        F.col("c.day").alias("day"),
+        rnd("c.s_t", 4).alias("cusum"),
+        (F.abs("c.s_t") == F.col("peak")).alias("is_changepoint"),
+    ).orderBy("day")
