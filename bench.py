@@ -103,6 +103,23 @@ BENCH_QUERIES = [
     "q_negative_sampling",
     "q_zorder_layout",
     "q_cluster_purity",
+    # r7 additions — benched on arrival. q_boilerplate_interdoc is the
+    # heavy one (full 5-gram explode + df agg + join-back);
+    # q_bootstrap_ci stresses the 20x replicate fan-out in one
+    # shuffle; q_session_window_native tracks the native session
+    # operator against the hand-built q_sessionize above.
+    "q_mann_whitney",
+    "q_bh_fdr",
+    "q_bootstrap_ci",
+    "q_cramers_v",
+    "q_acf_daily",
+    "q_cusum_changepoint",
+    "q_collocation_pmi",
+    "q_chi2_terms",
+    "q_rag_chunking",
+    "q_boilerplate_interdoc",
+    "q_pps_systematic",
+    "q_session_window_native",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1,0 +1,137 @@
+"""Invariant tests for the r7 operator batch (stats tests + corpus
+curation). Each checks a mathematical property the DuckDB differential
+oracle can't express — range bounds, tiling completeness, adjustment
+monotonicity — on the sf0.001 fixture."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from sparrow_spark import registry
+
+registry.load_all()
+
+
+def _run(spark, sf_dir, name):
+    return registry.QUERIES[name](spark, sf_dir).collect()
+
+
+def test_rag_chunking_tiles_every_token(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_rag_chunking")
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n_tok = chunks[0].n_tok
+        assert chunks[0].start_tok == 0
+        assert chunks[-1].end_tok == n_tok
+        for i, c in enumerate(chunks):
+            assert c.start_tok == i * 48
+            assert c.chunk_len == c.end_tok - c.start_tok <= 64
+            if i > 0:  # stride < window -> overlap, no gaps
+                assert c.start_tok < chunks[i - 1].end_tok
+
+
+def test_pps_systematic_sample_size_and_weights(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_pps_systematic")
+    assert len(rows) == 25
+    for r in rows:
+        assert 0 < r.incl_prob <= 1
+        # weight is the inverse of the expected-draws rate t/(k*nc)
+        assert r.weight > 0
+        if r.incl_prob < 1:
+            assert math.isclose(
+                r.weight, 1 / r.incl_prob, rel_tol=5e-3
+            ), (r.doc_id, r.weight, r.incl_prob)
+
+
+def test_bootstrap_ci_brackets_point_mean(spark, sf_dir):
+    for r in _run(spark, sf_dir, "q_bootstrap_ci"):
+        assert r.ci_lo <= r.mean_value <= r.ci_hi, r
+        assert r.ci_lo < r.ci_hi
+
+
+def test_mann_whitney_u_in_range(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_mann_whitney")
+    assert 0 <= r.u1 <= r.n1 * r.n2
+    assert r.reject_null == (abs(r.z) > 1.96)
+
+
+def test_bh_adjustment_dominates_raw_and_is_monotone(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_bh_fdr")
+    assert len(rows) == 5
+    for r in rows:
+        assert r.p_bh >= r.p_raw - 1e-9, r
+        assert 0 <= r.p_bh <= 1
+    # BH adjusted p is nondecreasing in raw-p rank order.
+    ordered = sorted(rows, key=lambda r: (r.p_raw, r.event_type))
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.p_bh <= b.p_bh + 1e-9
+
+
+def test_cusum_returns_to_zero_and_flags_peak(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_cusum_changepoint")
+    rows.sort(key=lambda r: r.day)
+    # Sum of standardized deviations over the whole series is 0.
+    assert abs(rows[-1].cusum) < 1e-2
+    peaks = [r for r in rows if r.is_changepoint]
+    assert peaks
+    peak_abs = max(abs(r.cusum) for r in rows)
+    for p in peaks:
+        assert math.isclose(abs(p.cusum), peak_abs, abs_tol=1e-9)
+
+
+def test_acf_bounded_by_one(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_acf_daily")
+    assert [r.lag for r in rows] == list(range(1, 8))
+    for r in rows:
+        assert -1 <= r.acf <= 1
+
+
+def test_cramers_v_range(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_cramers_v")
+    assert 0 <= r.cramers_v <= 1
+    assert r.chi2 >= 0
+
+
+def test_chi2_terms_nonnegative_and_ranked(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_chi2_terms")
+    assert len(rows) == 20
+    vals = [r.chi2 for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    assert all(v >= 0 for v in vals)
+
+
+def test_collocation_pmi_threshold_and_order(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_collocation_pmi")
+    assert len(rows) == 20
+    assert all(r.pair_count >= 25 for r in rows)
+    vals = [r.pmi for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_boilerplate_fraction_bounds(spark, sf_dir):
+    for r in _run(spark, sf_dir, "q_boilerplate_interdoc"):
+        assert 0 <= r.n_boiler <= r.n_grams
+        assert 0 <= r.boiler_frac <= 1
+
+
+def test_session_window_native_totals_match_sessionize(spark, sf_dir):
+    """The native session_window rollup and the hand-built lag+cumsum
+    sessionization must agree on partition-invariant totals (event
+    count and value sum per user); session COUNTS can differ only for
+    gaps of exactly 1800 s (inclusive vs exclusive bound)."""
+    native = {}
+    for r in _run(spark, sf_dir, "q_session_window_native"):
+        n, v = native.get(r.user_id, (0, 0.0))
+        native[r.user_id] = (n + r.n_events, v + r.total_value)
+    legacy = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in _run(spark, sf_dir, "q_sessionize")
+    }
+    assert native.keys() == legacy.keys()
+    for uid, (n, v) in native.items():
+        ln, lv = legacy[uid]
+        assert n == ln, uid
+        assert math.isclose(v, lv, abs_tol=0.05), uid
