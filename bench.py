@@ -120,6 +120,10 @@ BENCH_QUERIES = [
     "q_boilerplate_interdoc",
     "q_pps_systematic",
     "q_session_window_native",
+    "q_rfm_segmentation",
+    "q_event_streak",
+    "q_gap_histogram",
+    "q_lang_entropy_by_source",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -401,3 +401,62 @@ def q_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_lang_entropy_by_source",
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, CAST(count(*) AS DOUBLE) AS c
+      FROM documents GROUP BY source, lang
+    ), tot AS (
+      SELECT source, sum(c) AS n FROM cells GROUP BY source
+    )
+    SELECT c.source,
+           CAST(t.n AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           round(-sum((c.c / t.n) * ln(c.c / t.n)), 4) AS lang_entropy,
+           round(-sum((c.c / t.n) * ln(c.c / t.n))
+                 / ln((SELECT CAST(count(DISTINCT lang) AS DOUBLE)
+                       FROM documents)), 4) AS normalized_entropy
+    FROM cells c JOIN tot t ON c.source = t.source
+    GROUP BY c.source, t.n
+    ORDER BY c.source
+    """,
+)
+def q_lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language mix, plus the
+    corpus-wide normalization (entropy / ln(total languages)) — the
+    diversity audit that flags a crawl source collapsing to one
+    language (entropy → 0) or perfectly balanced (→ 1), feeding the
+    mixture/resampling stages the per-source diversity weight they
+    rebalance on.
+
+    Scale: one (source, lang) keyed agg bounds everything; the
+    entropy sum runs over the contingency cells only."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = cells.groupBy("source").agg(F.sum("c").alias("n"))
+    n_langs_tot = docs.agg(
+        F.countDistinct("lang").cast("double").alias("k")
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        cells.join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(n_langs_tot))
+        .groupBy("source", "n", "k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.sum(-p * F.log(p)).alias("h"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            "n_langs",
+            rnd("h", 4).alias("lang_entropy"),
+            rnd(F.col("h") / F.log("k"), 4).alias("normalized_entropy"),
+        )
+        .orderBy("source")
+    )

@@ -115,12 +115,12 @@ _WINDOW_PRIORITY: list[str] = [
     "q_cramers_v",
     "q_acf_daily",
     "q_cusum_changepoint",
-    "q_collocation_pmi",
-    "q_chi2_terms",
-    "q_rag_chunking",
-    "q_boilerplate_interdoc",
-    "q_pps_systematic",
-    "q_session_window_native",
+    "q_stream_dedup_watermark",
+    "q_stream_static_join",
+    "q_rfm_segmentation",
+    "q_event_streak",
+    "q_gap_histogram",
+    "q_lang_entropy_by_source",
 ]
 
 
@@ -145,6 +145,7 @@ def load_all() -> None:
     import sparrow_spark.plans.scalar_funcs  # noqa: F401
     import sparrow_spark.plans.timeseries  # noqa: F401
     import sparrow_spark.plans.stats_tests  # noqa: F401
+    import sparrow_spark.plans.behavior  # noqa: F401
     import sparrow_spark.operators.dedup  # noqa: F401
     import sparrow_spark.operators.sketches  # noqa: F401
     import sparrow_spark.operators.similarity  # noqa: F401
@@ -156,4 +157,5 @@ def load_all() -> None:
     import sparrow_spark.streaming.ingest  # noqa: F401
     import sparrow_spark.streaming.incremental_dedup  # noqa: F401
     import sparrow_spark.streaming.incremental_agg  # noqa: F401
+    import sparrow_spark.streaming.enrich_dedup  # noqa: F401
     _reorder_for_driver_window()

@@ -135,3 +135,79 @@ def test_session_window_native_totals_match_sessionize(spark, sf_dir):
         ln, lv = legacy[uid]
         assert n == ln, uid
         assert math.isclose(v, lv, abs_tol=0.05), uid
+
+
+def test_rfm_quintiles_partition_users(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_rfm_segmentation")
+    total = sum(r.n_users for r in rows)
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert total == n_users
+    for r in rows:
+        assert 1 <= r.r <= 5 and 1 <= r.f <= 5 and 1 <= r.m <= 5
+
+
+def test_event_streak_histogram_counts_all_users(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_event_streak")
+    total = sum(r.n_users for r in rows)
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert total == n_users
+    assert all(r.max_streak >= 1 for r in rows)
+
+
+def test_gap_histogram_buckets_are_log2_consistent(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_gap_histogram")
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert sum(r.n_gaps for r in rows) == n_events - n_users
+    for r in rows:
+        # every gap in the bucket obeys 2^b - 1 <= gap < 2^(b+1) - 1
+        assert r.min_gap_s >= 2 ** r.bucket - 1
+        assert r.max_gap_s < 2 ** (r.bucket + 1) - 1
+
+
+def test_lang_entropy_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_lang_entropy_by_source")
+    for r in rows:
+        assert 0 <= r.normalized_entropy <= 1.0001, r
+        assert r.n_langs >= 1
+
+
+def test_stream_dedup_absorbs_replay(spark, sf_dir):
+    """The streamed per-type counts equal the clean batch counts even
+    though the drain included a 4th replay chunk."""
+    got = {
+        r.event_type: r.n_unique
+        for r in _run(spark, sf_dir, "q_stream_dedup_watermark")
+    }
+    want = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    got = {
+        (r.n_name): (r.n_events, r.total_value)
+        for r in _run(spark, sf_dir, "q_stream_static_join")
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    want = {
+        r.n_name: r.n
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want
