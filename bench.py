@@ -124,6 +124,12 @@ BENCH_QUERIES = [
     "q_event_streak",
     "q_gap_histogram",
     "q_lang_entropy_by_source",
+    "q_skyline_pareto",
+    "q_scd2_build",
+    "q_apportion_largest_remainder",
+    "q_grouped_split",
+    "q_weighted_median",
+    "q_mode_per_group",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1,0 +1,397 @@
+"""Warehouse modeling operators round seven: skyline (Pareto
+frontier), SCD type-2 dimension building, exact largest-remainder
+apportionment, leakage-safe grouped splits, and the order-statistic
+aggregates (weighted median, deterministic mode).
+
+Reference parity: the reference engine has no aggregate beyond
+count/sum/min/max/avg (wqc200/sparrow src/meta/initial.rs variable
+surface; physical aggregates in src/datafusion_impl/). These are the
+beyond-reference warehouse tier, each expressed as keyed aggs +
+bounded windows so the only full-table work is the first shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparrow_spark.registry import query
+from sparrow_spark.rounding import rnd
+from sparrow_spark.sources import load_table
+
+
+@query(
+    "q_skyline_pareto",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l.l_suppkey AS s_suppkey,
+             sum(l.l_quantity) AS total_qty,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+      FROM lineitem l GROUP BY l.l_suppkey
+    )
+    SELECT a.s_suppkey,
+           round(a.total_qty, 2) AS total_qty,
+           round(a.revenue, 2) AS revenue
+    FROM per_supp a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM per_supp b
+      WHERE b.total_qty >= a.total_qty AND b.revenue >= a.revenue
+        AND (b.total_qty > a.total_qty OR b.revenue > a.revenue)
+    )
+    ORDER BY a.s_suppkey
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) operator: suppliers not dominated on
+    (total quantity, revenue) — b dominates a when b is >= on both
+    axes and > on at least one. The multi-objective 'best suppliers'
+    question no single ORDER BY can answer; a staple of the OLAP
+    operator literature (Börzsönyi et al., ICDE 2001).
+
+    Computed by the sort-based skyline: rank by (qty DESC, revenue
+    DESC, key) and keep rows whose revenue strictly exceeds the
+    running max of all better-qty prefixes — one bounded window over
+    the supplier-cardinality aggregate, no O(n^2) dominance self-join
+    (the oracle uses the NOT EXISTS textbook form to prove the
+    window formulation equals it). Equal-qty ties need the max of
+    STRICTLY-better-qty rows, hence the range frame on qty.
+
+    Scale: the fact-table shuffle is one supplier-keyed agg; the
+    skyline window runs over |suppliers| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.sum("l_quantity").alias("total_qty"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )
+    # Running max revenue over rows with STRICTLY greater qty:
+    # rangeBetween needs a numeric sort key, so order by -qty ASC and
+    # exclude the current value's range (ties share a qty, so the
+    # -1 range bound stops at the previous DISTINCT qty).
+    flagged = per_supp.withColumn(
+        "best_rev_better_qty",
+        F.max("revenue").over(
+            Window.orderBy((-F.col("total_qty")))
+            .rangeBetween(Window.unboundedPreceding, -1)
+        ),
+    ).withColumn(
+        "best_rev_same_qty",
+        F.max("revenue").over(Window.partitionBy("total_qty")),
+    )
+    # Not dominated iff: revenue > max revenue among strictly-better-qty
+    # rows (or no such row), AND no same-qty row has strictly more
+    # revenue while... same-qty+same-revenue rows never dominate each
+    # other; same-qty with higher revenue dominates.
+    keep = flagged.filter(
+        (
+            F.col("best_rev_better_qty").isNull()
+            | (F.col("revenue") > F.col("best_rev_better_qty"))
+        )
+        & (F.col("revenue") == F.col("best_rev_same_qty"))
+    )
+    return keep.select(
+        "s_suppkey",
+        rnd("total_qty", 2).alias("total_qty"),
+        rnd("revenue", 2).alias("revenue"),
+    ).orderBy("s_suppkey")
+
+
+@query(
+    "q_scd2_build",
+    oracle="""
+    WITH chg AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_id
+      FROM events
+    ), starts AS (
+      SELECT user_id, ts, event_type, event_id
+      FROM chg WHERE prev_type IS NULL OR prev_type <> event_type
+    ), versioned AS (
+      SELECT user_id, event_type AS state,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM starts
+    )
+    SELECT user_id,
+           state,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(valid_to, '%Y-%m-%d %H:%M:%S'), 'current')
+             AS valid_to,
+           valid_to IS NULL AS is_current
+    FROM versioned
+    ORDER BY user_id, valid_from
+    """,
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each user's
+    event stream into versioned state rows — consecutive same-type
+    events merge into one version, each version carries
+    [valid_from, valid_to) and the open version is flagged current.
+    The standard dimension-history pattern every warehouse maintains
+    (customer address history, plan tier history) built from a raw
+    change feed.
+
+    Scale: both windows (change detection lag, interval-closing lead)
+    and the filter share ONE user_id-keyed shuffle; output is bounded
+    by the number of state CHANGES, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    versioned = starts.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from_ts"),
+        F.lead("ts").over(w).alias("valid_to_ts"),
+    )
+    return versioned.select(
+        "user_id",
+        "state",
+        F.date_format("valid_from_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_from"
+        ),
+        F.coalesce(
+            F.date_format("valid_to_ts", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("current"),
+        ).alias("valid_to"),
+        F.col("valid_to_ts").isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from")
+
+
+@query(
+    "q_apportion_largest_remainder",
+    oracle="""
+    WITH w AS (
+      SELECT source, CAST(sum(n_chars) AS DOUBLE) AS sz
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(sz) AS t FROM w
+    ), quota AS (
+      SELECT source, sz, 1000 * sz / t AS exact_share,
+             floor(1000 * sz / t) AS base
+      FROM w, tot
+    ), short AS (
+      SELECT CAST(1000 - sum(base) AS BIGINT) AS k FROM quota
+    ), ranked AS (
+      SELECT source, exact_share, base,
+             row_number() OVER (ORDER BY exact_share - base DESC, source)
+               AS rk
+      FROM quota
+    )
+    SELECT source,
+           round(exact_share, 4) AS exact_share,
+           CAST(base + CASE WHEN rk <= (SELECT k FROM short)
+                            THEN 1 ELSE 0 END AS BIGINT) AS allocated
+    FROM ranked
+    ORDER BY source
+    """,
+)
+def q_apportion_largest_remainder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed budget of
+    1000 training slots across sources, proportional to their token
+    mass: floor every exact share, then hand the leftover slots to the
+    largest fractional remainders (source-name tiebreak). Unlike the
+    greedy fill (q_budget_allocation) this is the EXACT proportional
+    integer split — allocations sum to the budget by construction and
+    every source is within one slot of its exact share.
+
+    Scale: one source-keyed agg; the remainder ranking is a window
+    over |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("double").alias("sz")
+    )
+    tot = w.agg(F.sum("sz").alias("t"))
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (1000 * F.col("sz") / F.col("t")).alias("exact_share"),
+        F.floor(1000 * F.col("sz") / F.col("t")).alias("base"),
+    )
+    short = quota.agg(
+        (1000 - F.sum("base")).cast("bigint").alias("k")
+    )
+    ranked = quota.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(
+                F.desc(F.col("exact_share") - F.col("base")), "source"
+            )
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(short))
+        .select(
+            "source",
+            rnd("exact_share", 4).alias("exact_share"),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("allocated"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_grouped_split",
+    oracle="""
+    WITH assign AS (
+      SELECT source,
+             CASE WHEN CAST(substr(source, 4) AS INTEGER) % 10 < 8
+                  THEN 'train' ELSE 'test' END AS split
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT a.split,
+           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+    FROM documents d JOIN assign a ON d.source = a.source
+    GROUP BY a.split
+    ORDER BY a.split
+    """,
+)
+def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe grouped train/test split: every SOURCE is assigned
+    wholly to one side (hash of the group key, ~80/20), so near-
+    duplicate documents within a crawl source can never straddle the
+    boundary — the GroupShuffleSplit discipline that per-row random
+    splits violate (q_churn_features guards time leakage; this guards
+    group leakage). By construction no source appears in both splits.
+    The assignment key must agree across engines, so it buckets the
+    source's numeric suffix (src0..src19) rather than an engine hash
+    (Spark's Murmur3 and DuckDB's hash are different functions).
+
+    Scale: the distinct-source table is tiny; assignment broadcasts
+    back over the corpus — one scan + one broadcast join + one keyed
+    agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = docs.select("source").distinct()
+    assign = srcs.select(
+        "source",
+        F.when(
+            F.substring("source", 4, 10).cast("int") % 10 < 8, "train"
+        ).otherwise("test").alias("split"),
+    )
+    return (
+        docs.join(F.broadcast(assign), "source")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH cum AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(l_extendedprice), 2) AS weighted_median_price
+    FROM cum
+    WHERE cw >= tw / 2
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the price at
+    which half the shipped QUANTITY (not half the line items) is
+    cheaper — the order statistic inventory/pricing uses when rows
+    carry unequal mass. Lower weighted median: first value whose
+    cumulative weight reaches half the total.
+
+    Scale: the running-weight window and both aggs share the
+    l_returnflag partitioning — one shuffle; at true scale the exact
+    within-group sort is replaced by a fixed-grid binned scan (the
+    same trade as binned-KS), which this plan's shape already
+    permits (the window runs per group, not globally)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wrun = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(wrun).alias("cw"),
+        F.sum("l_quantity").over(wall).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(rnd(F.min("l_extendedprice"), 2).alias("weighted_median_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY c DESC, o_orderpriority) AS rk
+      FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           c AS mode_count
+    FROM ranked WHERE rk = 1
+    ORDER BY o_orderstatus
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent order priority
+    per order status, ties broken lexically — the categorical summary
+    statistic (Spark's built-in F.mode is tie-nondeterministic, so
+    the engine surface exposes the count+rank formulation both
+    engines agree on).
+
+    Scale: one (group, value) keyed agg, then a rank over the
+    group x distinct-value table."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("o_orderstatus").orderBy(
+            F.desc("c"), "o_orderpriority"
+        )
+    )
+    return (
+        counts.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("c").alias("mode_count"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -146,6 +146,7 @@ def load_all() -> None:
     import sparrow_spark.plans.timeseries  # noqa: F401
     import sparrow_spark.plans.stats_tests  # noqa: F401
     import sparrow_spark.plans.behavior  # noqa: F401
+    import sparrow_spark.plans.warehouse  # noqa: F401
     import sparrow_spark.operators.dedup  # noqa: F401
     import sparrow_spark.operators.sketches  # noqa: F401
     import sparrow_spark.operators.similarity  # noqa: F401

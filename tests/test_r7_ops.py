@@ -211,3 +211,79 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
         .groupBy("n_name").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert {k: v[0] for k, v in got.items()} == want
+
+
+def test_skyline_is_mutually_nondominated(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_skyline_pareto")
+    assert rows
+    for a in rows:
+        for b in rows:
+            if a.s_suppkey == b.s_suppkey:
+                continue
+            dominates = (
+                b.total_qty >= a.total_qty and b.revenue >= a.revenue
+                and (b.total_qty > a.total_qty or b.revenue > a.revenue)
+            )
+            assert not dominates, (a, b)
+
+
+def test_scd2_intervals_chain_per_user(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_scd2_build")
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: r.valid_from)
+        currents = [v for v in vs if v.is_current]
+        assert len(currents) == 1 and vs[-1].is_current
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from, uid
+            assert a.state != b.state, uid  # versions only on change
+
+
+def test_apportionment_sums_to_budget(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_apportion_largest_remainder")
+    assert sum(r.allocated for r in rows) == 1000
+    for r in rows:
+        # within one slot of the exact share (Hamilton guarantee)
+        assert abs(r.allocated - r.exact_share) < 1.0 + 1e-9
+
+
+def test_grouped_split_has_no_source_overlap(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_grouped_split")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert sum(r.n_sources for r in rows) == (
+        docs.select("source").distinct().count()
+    )
+
+
+def test_weighted_median_splits_mass(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for r in _run(spark, sf_dir, "q_weighted_median"):
+        below = (
+            li.filter(
+                (F.col("l_returnflag") == r.l_returnflag)
+                & (F.col("l_extendedprice") < r.weighted_median_price)
+            ).agg(F.sum("l_quantity")).first()[0] or 0.0
+        )
+        total = (
+            li.filter(F.col("l_returnflag") == r.l_returnflag)
+            .agg(F.sum("l_quantity")).first()[0]
+        )
+        assert below <= total / 2 + 1e-6, r
+
+
+def test_mode_is_argmax_count(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_mode_per_group")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    counts = {
+        (r.o_orderstatus, r.o_orderpriority): r.c
+        for r in orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for r in rows:
+        best = max(
+            c for (s, _), c in counts.items() if s == r.o_orderstatus
+        )
+        assert counts[(r.o_orderstatus, r.mode_priority)] == best
