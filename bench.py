@@ -130,6 +130,13 @@ BENCH_QUERIES = [
     "q_grouped_split",
     "q_weighted_median",
     "q_mode_per_group",
+    "q_growth_accounting",
+    "q_stickiness_dau_mau",
+    "q_watermark_lateness_audit",
+    "q_topk_with_others",
+    "q_equidepth_histogram",
+    "q_winsorize",
+    "q_power_analysis",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -204,3 +204,226 @@ def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_growth_accounting",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    ), first_wk AS (
+      SELECT user_id, min(w) AS fw FROM wk GROUP BY user_id
+    ), labeled AS (
+      SELECT k.user_id, k.w,
+             CASE WHEN k.w = f.fw THEN 'new'
+                  WHEN p.user_id IS NOT NULL THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM wk k
+      JOIN first_wk f ON f.user_id = k.user_id
+      LEFT JOIN wk p ON p.user_id = k.user_id
+                    AND p.w = k.w - INTERVAL 7 DAY
+    ), churn AS (
+      SELECT p.user_id, p.w + INTERVAL 7 DAY AS w, 'churned' AS status
+      FROM wk p
+      LEFT JOIN wk k ON k.user_id = p.user_id
+                    AND k.w = p.w + INTERVAL 7 DAY
+      WHERE k.user_id IS NULL
+        AND p.w + INTERVAL 7 DAY <= (SELECT max(w) FROM wk)
+    )
+    SELECT strftime(w, '%Y-%m-%d') AS week, status,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM (SELECT user_id, w, status FROM labeled
+          UNION ALL SELECT user_id, w, status FROM churn)
+    GROUP BY w, status
+    ORDER BY week, status
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user classified as new
+    (first week), retained (also active the prior week), or
+    resurrected (active before, but not last week), plus churned
+    counts attributed to the week AFTER the last active one — the
+    new + retained + resurrected - churned identity that net-growth
+    dashboards decompose MAU movement with.
+
+    Scale: the event stream collapses to distinct (user, week) in one
+    agg; first-week and the prior/next-week probes are self-joins on
+    the user-week table, all sharing user_id keying; output is
+    weeks x 4 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    first_wk = wk.groupBy("user_id").agg(F.min("w").alias("fw"))
+    prev = wk.select(
+        F.col("user_id").alias("p_uid"), F.col("w").alias("pw")
+    )
+    labeled = (
+        wk.join(first_wk, "user_id")
+        .join(
+            prev,
+            (F.col("p_uid") == F.col("user_id"))
+            & (F.col("pw") == F.col("w") - F.expr("INTERVAL 7 DAY")),
+            "left",
+        )
+        .select(
+            "user_id",
+            "w",
+            F.when(F.col("w") == F.col("fw"), "new")
+            .when(F.col("pw").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("status"),
+        )
+    )
+    max_w = wk.agg(F.max("w").alias("mw"))
+    nxt = wk.select(
+        F.col("user_id").alias("n_uid"), F.col("w").alias("nw")
+    )
+    churn = (
+        wk.join(
+            nxt,
+            (F.col("n_uid") == F.col("user_id"))
+            & (F.col("nw") == F.col("w") + F.expr("INTERVAL 7 DAY")),
+            "left",
+        )
+        .filter(F.col("nw").isNull())
+        .crossJoin(F.broadcast(max_w))
+        .filter(F.col("w") + F.expr("INTERVAL 7 DAY") <= F.col("mw"))
+        .select(
+            "user_id",
+            (F.col("w") + F.expr("INTERVAL 7 DAY")).alias("w"),
+            F.lit("churned").alias("status"),
+        )
+    )
+    return (
+        labeled.unionByName(churn)
+        .groupBy("w", "status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.date_format("w", "yyyy-MM-dd").alias("week"),
+            "status",
+            "n_users",
+        )
+        .orderBy("week", "status")
+    )
+
+
+@query(
+    "q_stickiness_dau_mau",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('month', ts) AS m, date_trunc('day', ts) AS d,
+             count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2
+    ), monthly AS (
+      SELECT date_trunc('month', ts) AS m,
+             count(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(d.m, '%Y-%m') AS month,
+           CAST(mo.mau AS BIGINT) AS mau,
+           round(avg(d.dau), 2) AS avg_dau,
+           round(avg(d.dau) / mo.mau, 4) AS stickiness
+    FROM daily d JOIN monthly mo ON d.m = mo.m
+    GROUP BY d.m, mo.mau
+    ORDER BY month
+    """,
+)
+def q_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month: average daily actives over
+    monthly actives — the engagement-frequency ratio (30 days of
+    daily use → 1.0; one visit a month → ~1/30). Two distinct-count
+    aggs joined on month.
+
+    Scale: both distinct-counts shuffle on (period, user) once; the
+    join and ratio run over month-cardinality rows. At true scale the
+    exact countDistinct becomes approx_count_distinct / HLL partials
+    (q_hll_union is the mergeable form)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("month", "ts").alias("m"),
+        F.date_trunc("day", "ts").alias("d"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    monthly = ev.groupBy(F.date_trunc("month", "ts").alias("m")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        daily.join(F.broadcast(monthly), "m")
+        .groupBy("m", "mau")
+        .agg(F.avg("dau").alias("avg_dau_raw"))
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            F.col("mau").cast("bigint").alias("mau"),
+            rnd("avg_dau_raw", 2).alias("avg_dau"),
+            rnd(F.col("avg_dau_raw") / F.col("mau"), 4).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "q_watermark_lateness_audit",
+    oracle="""
+    WITH arr AS (
+      SELECT ts,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS frontier
+      FROM events
+    ), lateness AS (
+      SELECT date_diff('second', ts, frontier) AS late_s FROM arr
+    ), wm AS (
+      SELECT unnest([60, 600, 1800, 3600, 21600]) AS watermark_s
+    )
+    SELECT w.watermark_s,
+           CAST(sum(CASE WHEN l.late_s > w.watermark_s
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           round(sum(CASE WHEN l.late_s > w.watermark_s
+                          THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS drop_frac
+    FROM wm w CROSS JOIN lateness l
+    GROUP BY w.watermark_s
+    ORDER BY w.watermark_s
+    """,
+)
+def q_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing audit: replay the stream in arrival order
+    (event_id), track the event-time frontier (running max ts), and
+    for candidate watermark delays count how many events would arrive
+    LATER than the allowed lateness and be dropped by a watermarked
+    streaming aggregation — the empirical basis for choosing
+    withWatermark's delay (pair with q_gap_histogram, which sizes the
+    session gap).
+
+    Scale: one arrival-ordered running max (at true scale arrival
+    order is per-partition Kafka offset order, making the frontier a
+    per-partition scan, exactly how Spark computes its own
+    watermark), a map-side lateness projection, and a 5-row
+    candidate-grid agg via a broadcast cross join."""
+    ev = load_table(spark, sf_dir, "events")
+    warr = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lateness = ev.select(
+        (
+            F.max(F.col("ts").cast("long")).over(warr)
+            - F.col("ts").cast("long")
+        ).alias("late_s")
+    )
+    wm = spark.createDataFrame(
+        [(60,), (600,), (1800,), (3600,), (21600,)], "watermark_s bigint"
+    )
+    dropped = F.sum(
+        F.when(F.col("late_s") > F.col("watermark_s"), 1).otherwise(0)
+    )
+    return (
+        lateness.crossJoin(F.broadcast(wm))
+        .groupBy("watermark_s")
+        .agg(
+            dropped.cast("bigint").alias("n_dropped"),
+            rnd(dropped / F.count(F.lit(1)).cast("double"), 6).alias(
+                "drop_frac"
+            ),
+        )
+        .orderBy("watermark_s")
+    )

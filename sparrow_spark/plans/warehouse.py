@@ -395,3 +395,216 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q_topk_with_others",
+    oracle="""
+    WITH per_part AS (
+      SELECT o.o_orderstatus, l.l_partkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderstatus, l.l_partkey
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY rev DESC, l_partkey) AS rk
+      FROM per_part
+    )
+    SELECT o_orderstatus,
+           CASE WHEN rk <= 3 THEN CAST(l_partkey AS VARCHAR)
+                ELSE 'OTHER' END AS part_bucket,
+           round(sum(rev), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM ranked
+    GROUP BY o_orderstatus,
+             CASE WHEN rk <= 3 THEN CAST(l_partkey AS VARCHAR)
+                  ELSE 'OTHER' END
+    ORDER BY o_orderstatus, revenue DESC
+    """,
+)
+def q_topk_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue parts per order status with everything else rolled
+    into an OTHER bucket — the BI presentation pattern (pie charts,
+    'top customers + rest') that naive top-k drops: the OTHER row
+    preserves the total so the result still sums to full revenue.
+
+    Scale: the fact join + part-level agg shuffle once on the group
+    keys; ranking runs per status over part-cardinality rows, and the
+    final rollup only re-buckets that bounded table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    per_part = (
+        li.join(
+            orders.select("o_orderkey", "o_orderstatus"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus", "l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("o_orderstatus").orderBy(
+            F.desc("rev"), "l_partkey"
+        )
+    )
+    bucket = F.when(
+        F.col("rk") <= 3, F.col("l_partkey").cast("string")
+    ).otherwise("OTHER")
+    return (
+        per_part.withColumn("rk", rk)
+        .groupBy("o_orderstatus", bucket.alias("part_bucket"))
+        .agg(
+            rnd(F.sum("rev"), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        )
+        .orderBy("o_orderstatus", F.desc("revenue"))
+    )
+
+
+@query(
+    "q_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           CAST(count(DISTINCT o_totalprice) AS BIGINT) AS ndv
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of order totals: 10 bins of
+    equal row count with per-bin bounds and distinct-value counts —
+    the optimizer statistic behind selectivity estimation
+    (q_join_cardinality_est consumes exactly this shape) and the
+    ANALYZE TABLE primitive a cost-based planner persists.
+
+    Scale: the build here is an exact ntile (global sort of the
+    column); the production form computes 9 approx-percentile cut
+    points in one pass and buckets by broadcast CASE — this plan's
+    downstream (per-bin agg) is identical either way."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bin"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            rnd(F.min("o_totalprice"), 2).alias("lo"),
+            rnd(F.max("o_totalprice"), 2).alias("hi"),
+            F.countDistinct("o_totalprice").cast("bigint").alias("ndv"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(avg(e.value), 4) AS mean_raw,
+           round(avg(least(greatest(e.value, c.p01), c.p99)), 4)
+             AS mean_winsorized,
+           CAST(sum(CASE WHEN e.value < c.p01 OR e.value > c.p99
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clip values to the [p1, p99]
+    band before averaging — the robust-mean treatment for heavy-tailed
+    metrics (a single fat-fingered purchase stops moving the KPI),
+    reported against the raw mean with the clipped-row count.
+
+    Scale: cut points are one exact-percentile agg per group (approx
+    percentile in the production form), broadcast back over the
+    stream; the winsorized agg is map-side arithmetic + one keyed
+    shuffle shared with the raw mean."""
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            rnd(F.avg("value"), 4).alias("mean_raw"),
+            rnd(F.avg(clipped), 4).alias("mean_winsorized"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("p01"))
+                    | (F.col("value") > F.col("p99")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_power_analysis",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_current,
+           round(avg(value), 4) AS mean_value,
+           round(stddev_samp(value), 4) AS sd,
+           round(ceil(2 * 7.849 * var_samp(value)
+                      / (0.05 * avg(value) * 0.05 * avg(value))),
+                 0) AS n_required_per_arm,
+           count(*) >= 2 * ceil(2 * 7.849 * var_samp(value)
+                      / (0.05 * avg(value) * 0.05 * avg(value)))
+             AS powered_for_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size power analysis per event type: the rows per arm
+    needed to detect a 5% lift of the mean at alpha=0.05 with 80%
+    power — n = 2 (z_{a/2}+z_b)^2 sigma^2 / delta^2, with
+    (1.96 + 0.8416)^2 = 7.849 — and whether the CURRENT volume
+    already powers that test. The pre-experiment companion to
+    q_ab_test_analysis (which reads the result out afterward).
+
+    Scale: a single keyed aggregation; everything else is per-group
+    arithmetic on the aggregate row."""
+    ev = load_table(spark, sf_dir, "events")
+    delta = 0.05 * F.avg("value")
+    n_req = F.ceil(2 * 7.849 * F.var_samp("value") / (delta * delta))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_current"),
+            rnd(F.avg("value"), 4).alias("mean_value"),
+            rnd(F.stddev_samp("value"), 4).alias("sd"),
+            rnd(n_req.cast("double"), 0).alias("n_required_per_arm"),
+            (F.count(F.lit(1)) >= 2 * n_req).alias("powered_for_5pct"),
+        )
+        .orderBy("event_type")
+    )

@@ -287,3 +287,83 @@ def test_mode_is_argmax_count(spark, sf_dir):
             c for (s, _), c in counts.items() if s == r.o_orderstatus
         )
         assert counts[(r.o_orderstatus, r.mode_priority)] == best
+
+
+def test_growth_accounting_identity(spark, sf_dir):
+    """Active users in week w = new + retained + resurrected; churned
+    in w = active(w-1) - retained(w)."""
+    rows = _run(spark, sf_dir, "q_growth_accounting")
+    by_week = {}
+    for r in rows:
+        by_week.setdefault(r.week, {})[r.status] = r.n_users
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    active = {
+        r.week: r.n
+        for r in ev.select(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+            "user_id",
+        ).distinct().groupBy("week").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    weeks = sorted(active)
+    for i, wk in enumerate(weeks):
+        s = by_week.get(wk, {})
+        got_active = (
+            s.get("new", 0) + s.get("retained", 0) + s.get("resurrected", 0)
+        )
+        assert got_active == active[wk], wk
+        if i > 0:
+            churned = by_week.get(wk, {}).get("churned", 0)
+            assert churned == active[weeks[i - 1]] - s.get("retained", 0), wk
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    for r in _run(spark, sf_dir, "q_stickiness_dau_mau"):
+        assert 0 < r.stickiness <= 1
+        assert r.avg_dau <= r.mau
+
+
+def test_watermark_audit_monotone(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_watermark_lateness_audit")
+    rows.sort(key=lambda r: r.watermark_s)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_dropped >= b.n_dropped  # bigger allowance drops fewer
+
+
+def test_topk_with_others_preserves_total(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_topk_with_others")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    total = li.agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    ).first()[0]
+    assert abs(sum(r.revenue for r in rows) - total) < 1.0
+    per_status = {}
+    for r in rows:
+        per_status.setdefault(r.o_orderstatus, []).append(r)
+    for s, rs in per_status.items():
+        named = [r for r in rs if r.part_bucket != "OTHER"]
+        assert len(named) <= 3
+
+
+def test_equidepth_bins_are_balanced_and_ordered(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_equidepth_histogram")
+    assert [r.bin for r in rows] == list(range(1, 11))
+    counts = [r.n_rows for r in rows]
+    assert max(counts) - min(counts) <= 1  # ntile balance
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo + 1e-9  # non-overlapping ranges
+
+
+def test_winsorized_mean_moves_toward_center(spark, sf_dir):
+    for r in _run(spark, sf_dir, "q_winsorize"):
+        assert r.n_clipped >= 0
+        # winsorizing can only shrink the distance to the median band;
+        # at minimum it stays finite and within the raw value range.
+        assert r.mean_winsorized is not None
+
+
+def test_power_analysis_consistency(spark, sf_dir):
+    for r in _run(spark, sf_dir, "q_power_analysis"):
+        assert r.n_required_per_arm > 0
+        assert r.powered_for_5pct == (
+            r.n_current >= 2 * r.n_required_per_arm
+        )
