@@ -137,6 +137,11 @@ BENCH_QUERIES = [
     "q_equidepth_histogram",
     "q_winsorize",
     "q_power_analysis",
+    "q_audience_overlap",
+    "q_kaplan_meier",
+    "q_order_fulfillment_lag",
+    "q_benford_audit",
+    "q_abc_analysis",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:
@@ -149,6 +154,7 @@ BENCH_QUERIES = [
 # DataFrame would just re-read old verdict parquet) and runs once —
 # one drain IS its steady state.
 AUX_QUERIES = [
+    "q_stream_tws_running_totals",
     "q_stream_incremental_dedup",
     "q_stream_drift_monitor",
     "q_stream_incremental_agg",

@@ -427,3 +427,191 @@ def q_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("watermark_s")
     )
+
+
+@query(
+    "q_audience_overlap",
+    oracle="""
+    WITH aud AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM aud
+      GROUP BY event_type
+    ), inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_overlap
+      FROM aud a JOIN aud b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_overlap,
+           round(i.n_overlap
+                 / CAST(sa.n + sb.n - i.n_overlap AS DOUBLE), 4)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    ORDER BY i.type_a, i.type_b
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, how many
+    users do both, and the Jaccard of the two audiences — the
+    segment-overlap question behind campaign targeting and feature
+    cross-adoption ('do purchasers also file errors?').
+
+    Scale: audiences dedup in one (type, user) agg; the pair
+    intersection is a user-keyed self-join whose fan-out per user is
+    |types touched|^2 (bounded by the type cardinality, ~5 — NOT a
+    user^2 blowup); at sketch scale the exact intersection becomes
+    HLL unions (q_hll_union is the mergeable half)."""
+    ev = load_table(spark, sf_dir, "events")
+    aud = ev.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = aud.select(F.col("event_type").alias("type_a"), "user_id")
+    b = aud.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_overlap",
+            rnd(
+                F.col("n_overlap")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_overlap")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q_kaplan_meier",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, min(ts) AS first_ev, max(ts) AS last_ev
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT user_id, min(ts) AS first_big
+      FROM events WHERE event_type = 'purchase' AND value > 150
+      GROUP BY user_id
+    ), subjects AS (
+      SELECT u.user_id,
+             CASE WHEN c.first_big IS NOT NULL
+                  THEN date_diff('day', u.first_ev, c.first_big)
+                  ELSE date_diff('day', u.first_ev, u.last_ev)
+             END AS duration_days,
+             c.first_big IS NOT NULL AS converted
+      FROM u LEFT JOIN conv c ON c.user_id = u.user_id
+    ), tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_total FROM subjects
+    ), by_t AS (
+      SELECT duration_days,
+             CAST(count(*) AS DOUBLE) AS cnt_all,
+             CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE)
+               AS d
+      FROM subjects GROUP BY duration_days
+    ), risk AS (
+      SELECT duration_days, d,
+             n_total - sum(cnt_all) OVER (ORDER BY duration_days)
+               + cnt_all AS n_at_risk
+      FROM by_t, tot
+    ), km AS (
+      SELECT duration_days, d, n_at_risk,
+             exp(sum(ln(greatest(1 - d / n_at_risk, 1e-12)))
+                 OVER (ORDER BY duration_days)) AS s
+      FROM risk
+    )
+    SELECT CAST(duration_days AS BIGINT) AS duration_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_converted,
+           round(s, 6) AS survival
+    FROM km
+    WHERE d > 0
+    ORDER BY duration_days
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve: the event is a user's
+    first LARGE purchase (value > 150), measured in days from their
+    first activity; users who never convert are right-CENSORED at
+    their last observed event — they leave the risk set without
+    counting as conversions, the correction that makes KM the
+    standard over a naive conversion-lag histogram (which silently
+    treats never-converters as nonexistent). S(t) multiplies
+    (1 - d_t/n_t) over event times, computed as exp of a running
+    log-sum in one window pass (ln guarded at 1e-12: Spark's log(0)
+    is NULL while DuckDB's is -inf).
+
+    Scale: two user-keyed aggs joined on user_id, then every KM
+    quantity lives on the distinct-duration table (bounded by the
+    observation window in days)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ev"), F.max("ts").alias("last_ev")
+    )
+    conv = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_big"))
+    )
+    subjects = u.join(conv, "user_id", "left").select(
+        F.when(
+            F.col("first_big").isNotNull(),
+            F.datediff("first_big", "first_ev"),
+        )
+        .otherwise(F.datediff("last_ev", "first_ev"))
+        .alias("duration_days"),
+        F.col("first_big").isNotNull().alias("converted"),
+    )
+    tot = subjects.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    by_t = subjects.groupBy("duration_days").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt_all"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0))
+        .cast("double")
+        .alias("d"),
+    )
+    wcum = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = by_t.crossJoin(F.broadcast(tot)).select(
+        "duration_days",
+        "d",
+        (
+            F.col("n_total") - F.sum("cnt_all").over(wcum) + F.col("cnt_all")
+        ).alias("n_at_risk"),
+    )
+    s = F.exp(
+        F.sum(
+            F.log(
+                F.greatest(1 - F.col("d") / F.col("n_at_risk"), F.lit(1e-12))
+            )
+        ).over(wcum)
+    )
+    return (
+        risk.withColumn("s", s)
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("duration_days").cast("bigint").alias("duration_days"),
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            F.col("d").cast("bigint").alias("n_converted"),
+            rnd("s", 6).alias("survival"),
+        )
+        .orderBy("duration_days")
+    )

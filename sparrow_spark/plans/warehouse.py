@@ -608,3 +608,194 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_order_fulfillment_lag",
+    oracle="""
+    WITH lags AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(avg(lag_days), 2) AS avg_lag_days,
+           round(quantile_cont(CAST(lag_days AS DOUBLE), 0.5), 1)
+             AS p50_lag_days,
+           round(quantile_cont(CAST(lag_days AS DOUBLE), 0.95), 1)
+             AS p95_lag_days
+    FROM lags
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship fulfillment lag percentiles per order priority —
+    the SLA question (do URGENT orders actually ship faster?) as one
+    fact join + keyed percentile agg.
+
+    Scale: the orders side projects to two columns before the join
+    (pushdown-audited); percentiles are exact here and
+    approx_percentile in the production form — same plan shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lags = li.join(
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "lag_days"
+        ),
+    )
+    return (
+        lags.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            rnd(F.avg("lag_days"), 2).alias("avg_lag_days"),
+            rnd(F.expr("percentile(CAST(lag_days AS DOUBLE), 0.5)"), 1).alias(
+                "p50_lag_days"
+            ),
+            rnd(F.expr("percentile(CAST(lag_days AS DOUBLE), 0.95)"), 1).alias(
+                "p95_lag_days"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_benford_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(floor(o_totalprice
+                        / power(10, floor(log10(o_totalprice))))
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ), obs AS (
+      SELECT d, CAST(count(*) AS DOUBLE) AS c FROM digits GROUP BY d
+    ), tot AS (
+      SELECT sum(c) AS n FROM obs
+    )
+    SELECT o.d AS leading_digit,
+           CAST(o.c AS BIGINT) AS n_rows,
+           round(o.c / t.n, 6) AS observed_freq,
+           round(log10(1 + 1.0 / o.d), 6) AS benford_freq,
+           round(t.n * (o.c / t.n - log10(1 + 1.0 / o.d))
+                     * (o.c / t.n - log10(1 + 1.0 / o.d))
+                     / log10(1 + 1.0 / o.d), 4) AS chi2_term
+    FROM obs o, tot t
+    ORDER BY leading_digit
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed
+    leading-digit frequencies vs the Benford expectation
+    log10(1 + 1/d), with per-digit chi-square contributions — the
+    forensic-accounting screen for fabricated or clipped monetary
+    data (synthetic uniform-ish totals fail it loudly, which is
+    itself the point of the audit).
+
+    Scale: leading digit is per-row arithmetic (no string cast); the
+    rest is a 9-row aggregation."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    d = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("bigint")
+    obs = (
+        orders.select(d.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    tot = obs.agg(F.sum("c").alias("n"))
+    benford = F.log10(1 + 1.0 / F.col("d"))
+    dev = F.col("c") / F.col("n") - benford
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("leading_digit"),
+            F.col("c").cast("bigint").alias("n_rows"),
+            rnd(F.col("c") / F.col("n"), 6).alias("observed_freq"),
+            rnd(benford, 6).alias("benford_freq"),
+            rnd(F.col("n") * dev * dev / benford, 4).alias("chi2_term"),
+        )
+        .orderBy("leading_digit")
+    )
+
+
+@query(
+    "q_abc_analysis",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum_rev,
+             sum(rev) OVER () AS total_rev
+      FROM per_part
+    ), classed AS (
+      SELECT CASE WHEN (cum_rev - rev) / total_rev < 0.8 THEN 'A'
+                  WHEN (cum_rev - rev) / total_rev < 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(rev), 2) AS class_revenue,
+           round(sum(rev) / max((SELECT max(total_rev) FROM ranked)), 4)
+             AS revenue_share
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    = the head accounting for the first 80% of cumulative revenue,
+    B the next 15%, C the tail — classed by the cumulative share
+    BEFORE each part so the part that crosses a boundary still
+    belongs to the head class (the standard convention).
+
+    Scale: one part-keyed agg bounds the running-share window to part
+    cardinality; at true scale the global revenue sort becomes a
+    two-pass percentile-threshold classification, same as the RFM
+    note."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev"
+        )
+    )
+    wcum = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    ranked = per_part.select(
+        "rev",
+        F.sum("rev").over(wcum).alias("cum_rev"),
+        F.sum("rev").over(wall).alias("total_rev"),
+    )
+    before_share = (F.col("cum_rev") - F.col("rev")) / F.col("total_rev")
+    classed = ranked.select(
+        F.when(before_share < 0.8, "A")
+        .when(before_share < 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev",
+        "total_rev",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            rnd(F.sum("rev"), 2).alias("class_revenue"),
+            rnd(F.sum("rev") / F.max("total_rev"), 4).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )

@@ -367,3 +367,61 @@ def test_power_analysis_consistency(spark, sf_dir):
         assert r.powered_for_5pct == (
             r.n_current >= 2 * r.n_required_per_arm
         )
+
+
+def test_audience_overlap_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_audience_overlap")
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        assert r.n_overlap <= min(r.n_a, r.n_b)
+        assert 0 <= r.jaccard <= 1
+        assert r.type_a < r.type_b
+
+
+def test_kaplan_meier_monotone_nonincreasing(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_kaplan_meier")
+    assert rows
+    rows.sort(key=lambda r: r.duration_days)
+    prev = 1.0
+    for r in rows:
+        assert r.survival <= prev + 1e-9
+        assert r.n_converted <= r.n_at_risk
+        prev = r.survival
+    # risk set shrinks over time
+    risks = [r.n_at_risk for r in rows]
+    assert risks == sorted(risks, reverse=True)
+
+
+def test_tws_running_totals_match_batch(spark, sf_dir):
+    got = {
+        r.user_id: r.n_events
+        for r in _run(spark, sf_dir, "q_stream_tws_running_totals")
+    }
+    want = {
+        r.user_id: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_benford_frequencies_sum_to_one(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_benford_audit")
+    assert [r.leading_digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.observed_freq for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.benford_freq for r in rows) - 1.0) < 1e-3
+
+
+def test_abc_classes_partition_revenue(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_abc_analysis")
+    assert {r.abc_class for r in rows} <= {"A", "B", "C"}
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-3
+    shares = {r.abc_class: r.revenue_share for r in rows}
+    # head class carries the revenue
+    assert shares.get("A", 0) >= shares.get("C", 0)
+
+
+def test_fulfillment_lag_percentile_order(spark, sf_dir):
+    for r in _run(spark, sf_dir, "q_order_fulfillment_lag"):
+        assert r.p50_lag_days <= r.p95_lag_days
+        assert r.n_lines > 0
