@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "q_order_fulfillment_lag",
     "q_benford_audit",
     "q_abc_analysis",
+    "q_format_roundtrip",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

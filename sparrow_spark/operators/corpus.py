@@ -1,6 +1,7 @@
 """Corpus-construction operators round seven: collocation mining,
 discriminative-term selection, retrieval chunking, cross-document
-boilerplate detection, and size-proportional sampling.
+boilerplate detection, size-proportional sampling, and per-source
+language-diversity audits.
 
 All text ops tokenize by the corpus's native single-space separator
 (split + array lambdas, JVM-side); n-gram and term statistics are

@@ -425,3 +425,9 @@ def test_fulfillment_lag_percentile_order(spark, sf_dir):
     for r in _run(spark, sf_dir, "q_order_fulfillment_lag"):
         assert r.p50_lag_days <= r.p95_lag_days
         assert r.n_lines > 0
+
+
+def test_format_roundtrip_identical_across_formats(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_format_roundtrip")
+    assert [r.fmt for r in rows] == ["csv", "json", "orc", "parquet"]
+    assert len({(r.n_rows, r.sum_chars, r.n_langs) for r in rows}) == 1
