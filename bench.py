@@ -143,6 +143,11 @@ BENCH_QUERIES = [
     "q_benford_audit",
     "q_abc_analysis",
     "q_format_roundtrip",
+    "q_holt_linear",
+    "q_srm_check",
+    "q_top_paths",
+    "q_peak_concurrency",
+    "q_wilson_ranking",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

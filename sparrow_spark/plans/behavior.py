@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
 from sparrow_spark.sources import load_table
+from sparrow_spark.streaming.constants import SESSION_GAP_SECONDS
 
 
 @query(
@@ -614,4 +615,175 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("s", 6).alias("survival"),
         )
         .orderBy("duration_days")
+    )
+
+
+@query(
+    "q_top_paths",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3
+      GROUP BY user_id
+    ), counts AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM paths
+      GROUP BY path
+    )
+    SELECT path, n_users
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY n_users DESC, path) AS rk
+      FROM counts
+    ) WHERE rk <= 10
+    ORDER BY n_users DESC, path
+    """,
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top onboarding paths: each user's first three events as an
+    ordered 'a>b>c' path, ranked by user count — the Sankey/first-mile
+    analysis that shows HOW users actually enter the product
+    (q_markov_transitions gives global pair rates; this keeps the
+    sequence).
+
+    Scale: the rank and path aggregation share one user-keyed
+    shuffle; path cardinality is |types|^3-bounded, so the top-k rank
+    is over a tiny table."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    paths = (
+        ranked.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rn", "event_type"))
+            ).alias("steps")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.expr("transform(steps, s -> s.event_type)")
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("n_users"), "path"))
+    return (
+        counts.withColumn("rk", rk)
+        .filter(F.col("rk") <= 10)
+        .select("path", "n_users")
+        .orderBy(F.desc("n_users"), "path")
+    )
+
+
+@query(
+    "q_peak_concurrency",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts)
+                          > {SESSION_GAP_SECONDS}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), bounds AS (
+      SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+      FROM sessions GROUP BY user_id, session_id
+    ), deltas AS (
+      SELECT s AS t, 1 AS delta, user_id, session_id FROM bounds
+      UNION ALL
+      SELECT e AS t, -1 AS delta, user_id, session_id FROM bounds
+    ), sweep AS (
+      SELECT t, delta,
+             sum(delta) OVER (ORDER BY t, delta, user_id, session_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS concurrent
+      FROM deltas
+    ), peak AS (
+      SELECT max(concurrent) AS peak FROM sweep
+    )
+    SELECT CAST(p.peak AS BIGINT) AS peak_concurrent,
+           strftime(min(s.t), '%Y-%m-%d %H:%M:%S') AS first_peak_at,
+           (SELECT CAST(count(*) AS BIGINT) FROM bounds) AS n_sessions
+    FROM sweep s, peak p
+    WHERE s.concurrent = p.peak
+    GROUP BY p.peak
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions via the interval sweep: every
+    30-minute-gap session contributes +1 at its start and -1 at its
+    end; the running sum over the time-ordered deltas is the live
+    concurrency, and its max (with the first time it is reached) is
+    the capacity-planning number. Ends sort before starts at the same
+    instant (delta asc), so a session ending exactly when another
+    starts does not inflate the peak.
+
+    Scale: sessionization shuffles once on user_id; the sweep is a
+    global sort over 2 rows PER SESSION (not per event). At true
+    scale the sweep shards by coarse time bucket with per-bucket
+    offsets (two passes), the same pattern as the PPS cumulative
+    line."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wrun)
+    )
+    bounds = sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    deltas = bounds.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id", "session_id"
+    ).unionByName(
+        bounds.select(
+            F.col("e").alias("t"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_id",
+        )
+    )
+    wsweep = Window.orderBy("t", "delta", "user_id", "session_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sweep = deltas.select("t", F.sum("delta").over(wsweep).alias("concurrent"))
+    peak = sweep.agg(F.max("concurrent").alias("peak"))
+    n_sessions = bounds.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    return (
+        sweep.crossJoin(F.broadcast(peak))
+        .filter(F.col("concurrent") == F.col("peak"))
+        .groupBy("peak")
+        .agg(
+            F.date_format(F.min("t"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_peak_at"
+            )
+        )
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            F.col("peak").cast("bigint").alias("peak_concurrent"),
+            "first_peak_at",
+            "n_sessions",
+        )
     )

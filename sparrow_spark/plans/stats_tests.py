@@ -588,3 +588,134 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd("c.s_t", 4).alias("cusum"),
         (F.abs("c.s_t") == F.col("peak")).alias("is_changepoint"),
     ).orderBy("day")
+
+
+@query(
+    "q_holt_linear",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT date_trunc('day', ts) AS d, CAST(sum(value) AS DOUBLE) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), idx AS (
+      SELECT row_number() OVER (ORDER BY d) AS i, x FROM daily
+    ), rec AS (
+      SELECT 1 AS i,
+             (SELECT x FROM idx WHERE i = 1) AS l,
+             (SELECT x FROM idx WHERE i = 2)
+               - (SELECT x FROM idx WHERE i = 1) AS b,
+             CAST(0.0 AS DOUBLE) AS sse
+      UNION ALL
+      SELECT r.i + 1,
+             0.5 * n.x + 0.5 * (r.l + r.b),
+             0.3 * (0.5 * n.x + 0.5 * (r.l + r.b) - r.l) + 0.7 * r.b,
+             r.sse + (n.x - (r.l + r.b)) * (n.x - (r.l + r.b))
+      FROM rec r JOIN idx n ON n.i = r.i + 1
+    )
+    SELECT CAST((SELECT max(i) FROM idx) AS BIGINT) AS n_days,
+           round(l, 4) AS level, round(b, 4) AS trend,
+           round(l + b, 4) AS forecast_next,
+           round(sqrt(sse / ((SELECT max(i) FROM idx) - 1)), 4)
+             AS rmse_1step
+    FROM rec WHERE i = (SELECT max(i) FROM idx)
+    """,
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing of daily
+    purchase revenue — alpha=0.5 level, beta=0.3 trend, initialized
+    l0=x0, b0=x1-x0 — with the one-step-ahead forecast and its RMSE.
+    The recursive state is a fold over the date-sorted daily array
+    (Spark-side: F.aggregate with a struct accumulator over the
+    date-sorted array; the DuckDB oracle uses a recursive CTE because
+    DuckDB 1.0's list_reduce mis-evaluates multi-field struct
+    accumulators), extending the EWMA family (q_group_ewma) with a
+    trend component.
+
+    Scale: the fact table collapses to one row per day, the fold runs
+    over the bounded array in one stage — a single scan total, the
+    same shape as the rewritten ACF/CUSUM."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum("value").cast("double").alias("x"))
+    )
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("s")
+    ).select(F.expr("transform(s, e -> e.x)").alias("xs"))
+    acc = F.expr(
+        """
+        aggregate(
+          slice(xs, 2, size(xs) - 1),
+          struct(xs[0] AS l,
+                 xs[1] - xs[0] AS b,
+                 cast(0.0 AS double) AS sse),
+          (a, x) -> struct(
+            0.5 * x + 0.5 * (a.l + a.b) AS l,
+            0.3 * (0.5 * x + 0.5 * (a.l + a.b) - a.l) + 0.7 * a.b AS b,
+            a.sse + (x - (a.l + a.b)) * (x - (a.l + a.b)) AS sse))
+        """
+    )
+    return series.select(
+        F.size("xs").cast("bigint").alias("n_days"), acc.alias("acc")
+    ).select(
+        "n_days",
+        rnd("acc.l", 4).alias("level"),
+        rnd("acc.b", 4).alias("trend"),
+        rnd(F.col("acc.l") + F.col("acc.b"), 4).alias("forecast_next"),
+        rnd(F.sqrt(F.col("acc.sse") / (F.col("n_days") - 1)), 4).alias(
+            "rmse_1step"
+        ),
+    )
+
+
+@query(
+    "q_srm_check",
+    oracle="""
+    WITH arms AS (
+      SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS na,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS nb
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT CAST(na AS BIGINT) AS n_arm_a,
+           CAST(nb AS BIGINT) AS n_arm_b,
+           round((na - (na + nb) / 2) * (na - (na + nb) / 2)
+                   / ((na + nb) / 2)
+                 + (nb - (na + nb) / 2) * (nb - (na + nb) / 2)
+                   / ((na + nb) / 2), 6) AS chi2,
+           (na - (na + nb) / 2) * (na - (na + nb) / 2) / ((na + nb) / 2)
+           + (nb - (na + nb) / 2) * (nb - (na + nb) / 2) / ((na + nb) / 2)
+             > 3.841 AS srm_detected
+    FROM arms
+    """,
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for the hash-split A/B assignment:
+    chi-square of the observed arm sizes against the intended 50/50,
+    flagged at the 3.841 critical value (alpha=0.05, df=1) — the
+    experiment-hygiene gate run BEFORE reading any treatment effect
+    (a biased assignment invalidates q_ab_test_analysis and
+    q_mann_whitney no matter what they report).
+
+    Scale: one distinct-user agg; the test is arithmetic on two
+    numbers."""
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    arms = users.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("na"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("nb"),
+    )
+    e = (F.col("na") + F.col("nb")) / 2
+    chi2 = (F.col("na") - e) * (F.col("na") - e) / e + (
+        F.col("nb") - e
+    ) * (F.col("nb") - e) / e
+    return arms.select(
+        F.col("na").cast("bigint").alias("n_arm_a"),
+        F.col("nb").cast("bigint").alias("n_arm_b"),
+        rnd(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )

@@ -799,3 +799,79 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "q_wilson_ranking",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS r
+      FROM lineitem GROUP BY l_partkey
+      HAVING count(*) >= 5
+    ), scored AS (
+      SELECT l_partkey, n, r, r / n AS p,
+             (r / n + 1.9208 / n
+              - 1.96 * sqrt((r / n) * (1 - r / n) / n
+                            + 0.9604 / (n * n)))
+             / (1 + 3.8416 / n) AS wilson_lb
+      FROM per_part
+    )
+    SELECT l_partkey, CAST(n AS BIGINT) AS n_lines,
+           CAST(r AS BIGINT) AS n_returned,
+           round(p, 4) AS return_rate,
+           round(wilson_lb, 4) AS wilson_lower
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY wilson_lb DESC, l_partkey)
+               AS rk
+      FROM scored
+    ) WHERE rk <= 20
+    ORDER BY wilson_lower DESC, l_partkey
+    """,
+)
+def q_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score lower-bound ranking of parts by return rate: the
+    binomial confidence adjustment (z=1.96) that stops a part with 2
+    returns out of 2 from outranking one with 40 of 60 — the
+    standard fix for ranking by raw proportion on uneven sample
+    sizes (the 'Reddit comment sort' estimator), pointed here at a
+    quality-control question.
+
+    Scale: one part-keyed agg, per-row arithmetic on the bounded
+    part table, one rank for the top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("double")
+            .alias("r"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    p = F.col("r") / F.col("n")
+    n = F.col("n")
+    wilson = (
+        p + 1.9208 / n - 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    ) / (1 + 3.8416 / n)
+    scored = per_part.select(
+        "l_partkey", "n", "r", p.alias("p"), wilson.alias("wilson_lb")
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("wilson_lb"), "l_partkey")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 20)
+        .select(
+            "l_partkey",
+            F.col("n").cast("bigint").alias("n_lines"),
+            F.col("r").cast("bigint").alias("n_returned"),
+            rnd("p", 4).alias("return_rate"),
+            rnd("wilson_lb", 4).alias("wilson_lower"),
+        )
+        .orderBy(F.desc("wilson_lower"), "l_partkey")
+    )

@@ -431,3 +431,43 @@ def test_format_roundtrip_identical_across_formats(spark, sf_dir):
     rows = _run(spark, sf_dir, "q_format_roundtrip")
     assert [r.fmt for r in rows] == ["csv", "json", "orc", "parquet"]
     assert len({(r.n_rows, r.sum_chars, r.n_langs) for r in rows}) == 1
+
+
+def test_holt_forecast_is_level_plus_trend(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_holt_linear")
+    assert abs(r.forecast_next - (r.level + r.trend)) < 2e-4
+    assert r.rmse_1step >= 0 and r.n_days > 2
+
+
+def test_srm_flag_matches_chi2(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_srm_check")
+    assert r.srm_detected == (r.chi2 > 3.841)
+    assert r.n_arm_a + r.n_arm_b > 0
+
+
+def test_top_paths_cover_user_count(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_top_paths")
+    assert 0 < len(rows) <= 10
+    counts = [r.n_users for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert 1 <= len(r.path.split(">")) <= 3
+
+
+def test_peak_concurrency_bounds(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_peak_concurrency")
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert 1 <= r.peak_concurrent <= n_users
+    assert r.n_sessions >= r.peak_concurrent
+
+
+def test_wilson_lower_bound_below_rate(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_wilson_ranking")
+    assert rows
+    for r in rows:
+        assert r.wilson_lower <= r.return_rate + 1e-9
+        assert 0 <= r.wilson_lower <= 1
+        assert r.n_lines >= 5
