@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     "q_top_paths",
     "q_peak_concurrency",
     "q_wilson_ranking",
+    "q_csv_malformed",
+    "q_decimal_money",
+    "q_null_semantics",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

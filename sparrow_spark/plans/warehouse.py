@@ -875,3 +875,133 @@ def q_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("wilson_lower"), "l_partkey")
     )
+
+
+@query(
+    "q_decimal_money",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR)
+             AS exact_total,
+           round(sum(o_totalprice), 2) AS double_total
+    FROM orders
+    """,
+)
+def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal monetary aggregation: order totals quantized to
+    DECIMAL(18,4) and summed in decimal arithmetic — the result is a
+    single exact value independent of partitioning and summation
+    order (double sums drift in the last bits as the add order
+    changes; decimal sums cannot), emitted as a string so the exact
+    digits are what the oracle hash-checks. The double sum rides
+    along for the drift comparison.
+
+    Scale: one aggregation; decimal sums combine associatively so
+    map-side partials work exactly like longs."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("string")
+        .alias("exact_total"),
+        rnd(F.sum("o_totalprice"), 2).alias("double_total"),
+    )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT nullif(l_tax, 0.0) AS x, l_orderkey FROM lineitem
+    )
+    SELECT 'count_rows' AS check_name,
+           CAST(count(*) AS BIGINT) AS result FROM t
+    UNION ALL
+    SELECT 'count_skips_nulls', CAST(count(x) AS BIGINT) FROM t
+    UNION ALL
+    SELECT 'distinct_skips_nulls', CAST(count(DISTINCT x) AS BIGINT) FROM t
+    UNION ALL
+    SELECT 'null_eq_null_is_unknown',
+           CAST(coalesce(sum(CASE WHEN x = NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) FROM t
+    UNION ALL
+    SELECT 'null_safe_eq_counts_nulls',
+           CAST(sum(CASE WHEN x IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) FROM t
+    UNION ALL
+    SELECT 'not_in_with_null_is_empty',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_orderkey NOT IN
+              (SELECT l_orderkey FROM lineitem
+               UNION ALL SELECT NULL))
+    ORDER BY check_name
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic conformance audit, executed over real data:
+    COUNT(*) vs COUNT(col) vs COUNT(DISTINCT col) null handling,
+    NULL = NULL evaluating to UNKNOWN (never true), the null-safe
+    comparison (<=> / IS NOT DISTINCT FROM) counting nulls, and the
+    classic NOT IN trap — a NULL in the subquery list makes the
+    predicate UNKNOWN for every row, so the count is 0. Engines
+    quietly disagree on exactly these edges; pinning them against
+    DuckDB is the conformance proof.
+
+    Scale: each check is one aggregation; the NOT IN probe is a
+    null-aware anti join (Spark plans it as such)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    t = li.select(
+        F.nullif(F.col("l_tax"), F.lit(0.0)).alias("x"), "l_orderkey"
+    )
+    def row(name, col):
+        return t.agg(col.cast("bigint").alias("result")).select(
+            F.lit(name).alias("check_name"), "result"
+        )
+
+    keys_with_null = li.select(F.col("l_orderkey").alias("k")).unionByName(
+        li.sparkSession.range(1).select(
+            F.lit(None).cast("bigint").alias("k")
+        )
+    )
+    not_in = (
+        orders.join(
+            keys_with_null,
+            (F.col("o_orderkey") == F.col("k"))
+            | F.col("k").isNull()
+            | F.col("o_orderkey").isNull(),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("result"))
+        .select(F.lit("not_in_with_null_is_empty").alias("check_name"), "result")
+    )
+    out = (
+        row("count_rows", F.count(F.lit(1)))
+        .unionByName(row("count_skips_nulls", F.count("x")))
+        .unionByName(row("distinct_skips_nulls", F.countDistinct("x")))
+        .unionByName(
+            row(
+                "null_eq_null_is_unknown",
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("x") == F.lit(None).cast("double"), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ),
+            )
+        )
+        .unionByName(
+            row(
+                "null_safe_eq_counts_nulls",
+                F.sum(
+                    F.when(
+                        F.col("x").eqNullSafe(F.lit(None).cast("double")), 1
+                    ).otherwise(0)
+                ),
+            )
+        )
+        .unionByName(not_in)
+    )
+    return out.orderBy("check_name")

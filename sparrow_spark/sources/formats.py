@@ -116,3 +116,117 @@ def _register_format_roundtrip() -> None:
 
 
 _register_format_roundtrip()
+
+
+def _register_csv_malformed() -> None:
+    """Register the malformed-CSV handling audit (deferred import)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from sparrow_spark.registry import query
+    from sparrow_spark.sources import load_table
+
+    @query(
+        "q_csv_malformed",
+        oracle="""
+        SELECT m.mode,
+               CASE m.mode
+                 WHEN 'DROPMALFORMED' THEN (SELECT CAST(count(*) AS BIGINT)
+                                            FROM documents)
+                 WHEN 'PERMISSIVE' THEN (SELECT CAST(count(*) AS BIGINT)
+                                         FROM documents) + 2
+               END AS n_rows,
+               CASE m.mode WHEN 'PERMISSIVE' THEN CAST(2 AS BIGINT)
+                           ELSE CAST(0 AS BIGINT) END AS n_corrupt
+        FROM (SELECT unnest(['DROPMALFORMED', 'PERMISSIVE']) AS mode) m
+        ORDER BY m.mode
+        """,
+    )
+    def q_csv_malformed(spark, sf_dir):
+        """Malformed-input handling audit: the documents table written
+        to CSV plus two injected garbage lines (wrong arity, unparsable
+        number), then read back under both CSV parser modes —
+        PERMISSIVE keeps every line (corrupt ones as null-padded rows
+        with _corrupt_record set), DROPMALFORMED silently discards the
+        bad rows. The oracle pins the exact row/corrupt counts each
+        mode must produce, proving the ingest tier's error-handling
+        contract (the reference engine has no malformed-input story at
+        all — its KV cells are only ever written by itself).
+
+        Spark disallows aggregations whose only referenced column is
+        the internal corrupt-record column, so the audit derives the
+        counts from two legal plans: the raw line count (text source)
+        and the DROPMALFORMED survivor count — PERMISSIVE's row count
+        IS the line count, and its corrupt count is lines minus
+        survivors."""
+        docs = load_table(spark, sf_dir, "documents")
+        root = tempfile.mkdtemp(prefix=f"csvmal_{uuid.uuid4().hex[:8]}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = os.path.join(root, "csv")
+        write_table(docs.coalesce(1), path, "csv", header="false")
+        part = next(
+            f for f in os.listdir(path)
+            if f.startswith("part-") and f.endswith(".csv")
+        )
+        with open(os.path.join(path, part), "a") as fh:
+            fh.write("garbage line with,wrong,arity\n")
+            fh.write("99999,text,en,src0,not_a_number\n")
+        # The local FS keeps .crc sidecars from the Spark write; the
+        # out-of-band append invalidates them, so drop them (a real
+        # ingest of foreign CSVs has no sidecars to begin with).
+        for f in os.listdir(path):
+            if f.endswith(".crc"):
+                os.remove(os.path.join(path, f))
+        schema = (
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+        )
+        lines = spark.read.text(path).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines")
+        )
+        # A bare count() takes the CSV no-parse fast path and never
+        # detects malformedness — reference every schema column in the
+        # aggregate so the parser must fully materialize (and drop)
+        # each row.
+        ok = (
+            spark.read.schema(schema)
+            .options(header="false", mode="DROPMALFORMED")
+            .csv(path)
+            .agg(
+                # The counted expression itself references every schema
+                # column (a bare count(1) would be column-pruned into
+                # the CSV no-parse fast path, and separately-aggregated
+                # touch columns get pruned the moment they're dropped
+                # downstream). Every surviving row has a non-null
+                # doc_id, so this count equals the survivor count.
+                F.count(
+                    F.coalesce(
+                        F.col("doc_id").cast("string"),
+                        F.col("text"),
+                        F.col("lang"),
+                        F.col("source"),
+                        F.col("n_chars").cast("string"),
+                    )
+                ).cast("bigint").alias("n_ok")
+            )
+        )
+        both = F.broadcast(lines).crossJoin(F.broadcast(ok))
+        drop_row = both.select(
+            F.lit("DROPMALFORMED").alias("mode"),
+            F.col("n_ok").alias("n_rows"),
+            F.lit(0).cast("bigint").alias("n_corrupt"),
+        )
+        perm_row = both.select(
+            F.lit("PERMISSIVE").alias("mode"),
+            F.col("n_lines").alias("n_rows"),
+            (F.col("n_lines") - F.col("n_ok")).alias("n_corrupt"),
+        )
+        return drop_row.unionByName(perm_row).orderBy("mode")
+
+
+_register_csv_malformed()

@@ -471,3 +471,31 @@ def test_wilson_lower_bound_below_rate(spark, sf_dir):
         assert r.wilson_lower <= r.return_rate + 1e-9
         assert 0 <= r.wilson_lower <= 1
         assert r.n_lines >= 5
+
+
+def test_csv_malformed_modes(spark, sf_dir):
+    rows = {r.mode: r for r in _run(spark, sf_dir, "q_csv_malformed")}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert rows["DROPMALFORMED"].n_rows == n_docs
+    assert rows["DROPMALFORMED"].n_corrupt == 0
+    assert rows["PERMISSIVE"].n_rows == n_docs + 2
+    assert rows["PERMISSIVE"].n_corrupt == 2
+
+
+def test_decimal_sum_is_exact_and_near_double(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_decimal_money")
+    exact = float(r.exact_total)
+    assert abs(exact - r.double_total) < 0.02  # only rounding-scale drift
+    # exact total carries 4 decimal places
+    assert "." in r.exact_total and len(r.exact_total.split(".")[1]) == 4
+
+
+def test_null_semantics_matrix(spark, sf_dir):
+    got = {r.check_name: r.result for r in _run(spark, sf_dir, "q_null_semantics")}
+    assert got["null_eq_null_is_unknown"] == 0
+    assert got["not_in_with_null_is_empty"] == 0
+    assert got["count_skips_nulls"] <= got["count_rows"]
+    assert (
+        got["count_skips_nulls"] + got["null_safe_eq_counts_nulls"]
+        == got["count_rows"]
+    )
