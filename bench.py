@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "q_csv_malformed",
     "q_decimal_money",
     "q_null_semantics",
+    "q_join_strategy_equivalence",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

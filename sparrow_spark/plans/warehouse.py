@@ -1005,3 +1005,55 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(not_in)
     )
     return out.orderBy("check_name")
+
+
+@query(
+    "q_join_strategy_equivalence",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             round(sum(o.o_totalprice), 2) AS total_price
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT s.strategy, a.n_rows, a.total_price
+    FROM (SELECT unnest(['broadcast', 'merge', 'shuffle_hash'])
+            AS strategy) s
+    CROSS JOIN agg a
+    ORDER BY s.strategy
+    """,
+)
+def q_join_strategy_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Physical join-strategy surface: the same orders x customer
+    aggregate executed under explicit BROADCAST, MERGE, and
+    SHUFFLE_HASH hints must produce identical results — the three
+    rows differ ONLY in the physical operator Catalyst is forced to
+    pick (BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin; the
+    plan audit in PLANS.md shows all three). This is the operator
+    a tuner flips when the dim side outgrows the broadcast
+    threshold; proving result-equivalence is what licenses flipping
+    it freely.
+
+    Scale: broadcast is right while customer fits an executor;
+    shuffle_hash beats merge when one side is much smaller than the
+    other but too big to broadcast; merge wins when both sides are
+    huge and can stream sorted runs."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    outs = []
+    for strategy in ("broadcast", "merge", "shuffle_hash"):
+        joined = orders.join(
+            customer.hint(strategy),
+            orders.o_custkey == customer.c_custkey,
+        )
+        outs.append(
+            joined.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                rnd(F.sum("o_totalprice"), 2).alias("total_price"),
+            ).select(F.lit(strategy).alias("strategy"), "n_rows", "total_price")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("strategy")

@@ -499,3 +499,9 @@ def test_null_semantics_matrix(spark, sf_dir):
         got["count_skips_nulls"] + got["null_safe_eq_counts_nulls"]
         == got["count_rows"]
     )
+
+
+def test_join_strategies_agree(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_join_strategy_equivalence")
+    assert [r.strategy for r in rows] == ["broadcast", "merge", "shuffle_hash"]
+    assert len({(r.n_rows, r.total_price) for r in rows}) == 1
