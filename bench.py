@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "q_decimal_money",
     "q_null_semantics",
     "q_join_strategy_equivalence",
+    "q_feature_hashing",
+    "q_contribution_cap",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

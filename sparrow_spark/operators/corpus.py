@@ -461,3 +461,69 @@ def q_lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_feature_hashing",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), counts AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w
+    ), hashed AS (
+      SELECT w, c,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, len(w) + 1),
+                                i -> CAST(ord(w[i]) AS BIGINT))),
+               (a, x) -> (a * 31 + x) % 1024) % 64 AS bucket
+      FROM counts
+    )
+    SELECT bucket,
+           CAST(sum(c) AS BIGINT) AS total_count,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(count(*) > 1 AS BOOLEAN) AS has_collision
+    FROM hashed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-trick featurization: every vocabulary term maps to one of
+    64 feature buckets via an engine-portable polynomial rolling hash
+    (31x + ord(char), mod 1024 each step then mod 64 — pure
+    arithmetic, identical on both engines, unlike Murmur3-vs-FNV
+    builtin hashes), with per-bucket mass and collision counts — the
+    fixed-width featurization (Weinberger et al.) that lets a
+    downstream linear model skip the vocabulary dictionary entirely.
+
+    Scale: token counts are one vocab-bounded agg; the hash fold runs
+    per DISTINCT term (vocab-sized, not corpus-sized); bucket stats
+    are a 64-row rollup."""
+    words = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    counts = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    bucket = (
+        F.expr(
+            """
+            aggregate(
+              transform(split(w, ''), ch -> cast(ascii(ch) AS bigint)),
+              cast(0 AS bigint),
+              (a, x) -> (a * 31 + x) % 1024)
+            """
+        )
+        % 64
+    )
+    hashed = counts.select("w", "c", bucket.alias("bucket"))
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.sum("c").cast("bigint").alias("total_count"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            (F.count(F.lit(1)) > 1).alias("has_collision"),
+        )
+        .orderBy("bucket")
+    )

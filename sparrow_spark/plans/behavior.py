@@ -787,3 +787,55 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sessions",
         )
     )
+
+
+@query(
+    "q_contribution_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN rn > 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped,
+           round(sum(CASE WHEN rn > 20 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS capped_frac
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user contribution capping: keep each user's first 20 events
+    (arrival order) and count what the cap would discard per type —
+    the anti-domination guard a training pipeline applies so prolific
+    users (or crawl hosts, mapping user->domain) can't swamp the
+    distribution; the same shape caps per-domain documents in a web
+    corpus.
+
+    Scale: one user-keyed rank window + a type-keyed rollup — the
+    rank shares the user partitioning; nothing global."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "event_type", F.row_number().over(w).alias("rn")
+    )
+    capped = F.sum(F.when(F.col("rn") > 20, 1).otherwise(0))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("rn") <= 20, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            capped.cast("bigint").alias("n_capped"),
+            rnd(capped / F.count(F.lit(1)).cast("double"), 4).alias(
+                "capped_frac"
+            ),
+        )
+        .orderBy("event_type")
+    )

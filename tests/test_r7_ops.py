@@ -505,3 +505,23 @@ def test_join_strategies_agree(spark, sf_dir):
     rows = _run(spark, sf_dir, "q_join_strategy_equivalence")
     assert [r.strategy for r in rows] == ["broadcast", "merge", "shuffle_hash"]
     assert len({(r.n_rows, r.total_price) for r in rows}) == 1
+
+
+def test_feature_hashing_mass_conservation(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_feature_hashing")
+    total_tokens = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " "))).count()
+    )
+    assert sum(r.total_count for r in rows) == total_tokens
+    for r in rows:
+        assert 0 <= r.bucket < 64
+        assert r.has_collision == (r.n_terms > 1)
+
+
+def test_contribution_cap_totals(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_contribution_cap")
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r.n_kept + r.n_capped for r in rows) == n_events
+    for r in rows:
+        assert 0 <= r.capped_frac <= 1
