@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "q_join_strategy_equivalence",
     "q_feature_hashing",
     "q_contribution_cap",
+    "q_ab_cuped",
+    "q_session_entry_exit",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

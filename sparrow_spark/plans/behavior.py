@@ -839,3 +839,76 @@ def q_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_session_entry_exit",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts)
+                          > {SESSION_GAP_SECONDS}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), ranked AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn_first,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts DESC, event_id DESC)
+               AS rn_last
+      FROM sessions
+    ), pairs AS (
+      SELECT f.user_id, f.session_id,
+             f.event_type AS entry_type, l.event_type AS exit_type
+      FROM (SELECT * FROM ranked WHERE rn_first = 1) f
+      JOIN (SELECT * FROM ranked WHERE rn_last = 1) l
+        ON f.user_id = l.user_id AND f.session_id = l.session_id
+    )
+    SELECT entry_type, exit_type,
+           CAST(count(*) AS BIGINT) AS n_sessions
+    FROM pairs
+    GROUP BY entry_type, exit_type
+    ORDER BY entry_type, exit_type
+    """,
+)
+def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit matrix: how sessions start vs how they end
+    (first and last event type per 30-minute-gap session) — the
+    landing/abandonment view ('sessions that start with an error and
+    end with an error' is a reliability smell; 'enter view, exit
+    purchase' is the happy path).
+
+    Scale: sessionization and both first/last ranks share ONE
+    user-keyed shuffle (min/max_by per session at scale instead of
+    two rank windows); the matrix is |types|^2 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sessions = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS), 1).otherwise(0),
+    ).withColumn("session_id", F.sum("new_session").over(wrun))
+    pairs = sessions.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias(
+            "entry_type"
+        ),
+        F.max_by("event_type", F.struct("ts", "event_id")).alias(
+            "exit_type"
+        ),
+    )
+    return (
+        pairs.groupBy("entry_type", "exit_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy("entry_type", "exit_type")
+    )

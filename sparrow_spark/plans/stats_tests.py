@@ -719,3 +719,90 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(chi2, 6).alias("chi2"),
         (chi2 > 3.841).alias("srm_detected"),
     )
+
+
+@query(
+    "q_ab_cuped",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS arm,
+             coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                               THEN value END), 0) AS x_pre,
+             coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                               THEN value END), 0) AS y_post
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), theta AS (
+      SELECT covar_pop(x_pre, y_post) / var_pop(x_pre) AS th,
+             avg(x_pre) AS x_bar
+      FROM per_user
+    ), adjusted AS (
+      SELECT p.arm, p.y_post,
+             p.y_post - t.th * (p.x_pre - t.x_bar) AS y_cuped
+      FROM per_user p, theta t
+    )
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(y_post), 4) AS mean_raw,
+           round(avg(y_cuped), 4) AS mean_cuped,
+           round(var_samp(y_post), 4) AS var_raw,
+           round(var_samp(y_cuped), 4) AS var_cuped,
+           round(1 - var_samp(y_cuped) / var_samp(y_post), 4)
+             AS variance_reduction
+    FROM adjusted
+    GROUP BY arm
+    ORDER BY arm
+    """,
+)
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout: each user's
+    post-period purchase total is adjusted by theta * (pre-period
+    total - mean), with theta = cov(pre, post)/var(pre) — the
+    pre-experiment covariate soaks up between-user variance, shrinking
+    the variance of the arm means without biasing them (the adjusted
+    arm means shift together because theta and the centering are
+    computed pooled). The standard trick that cuts experiment runtime
+    ~30-50% on revenue metrics; reported per arm with the achieved
+    variance reduction.
+
+    Scale: one user-keyed agg; theta is one pooled aggregate over the
+    user table, broadcast back; the adjustment is per-row
+    arithmetic."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cut, F.col("value"))), F.lit(0.0)
+        ).alias("x_pre"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= cut, F.col("value"))), F.lit(0.0)
+        ).alias("y_post"),
+    ).withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+    theta = per_user.agg(
+        (F.covar_pop("x_pre", "y_post") / F.var_pop("x_pre")).alias("th"),
+        F.avg("x_pre").alias("x_bar"),
+    )
+    adjusted = per_user.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "y_post",
+        (
+            F.col("y_post") - F.col("th") * (F.col("x_pre") - F.col("x_bar"))
+        ).alias("y_cuped"),
+    )
+    return (
+        adjusted.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            rnd(F.avg("y_post"), 4).alias("mean_raw"),
+            rnd(F.avg("y_cuped"), 4).alias("mean_cuped"),
+            rnd(F.var_samp("y_post"), 4).alias("var_raw"),
+            rnd(F.var_samp("y_cuped"), 4).alias("var_cuped"),
+            rnd(
+                1 - F.var_samp("y_cuped") / F.var_samp("y_post"), 4
+            ).alias("variance_reduction"),
+        )
+        .orderBy("arm")
+    )

@@ -525,3 +525,22 @@ def test_contribution_cap_totals(spark, sf_dir):
     assert sum(r.n_kept + r.n_capped for r in rows) == n_events
     for r in rows:
         assert 0 <= r.capped_frac <= 1
+
+
+def test_cuped_preserves_means_and_reduces_variance(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_ab_cuped")
+    assert len(rows) == 2
+    for r in rows:
+        # pooled theta keeps arm means essentially unbiased and must
+        # not INCREASE variance (theta is the variance minimizer)
+        assert r.var_cuped <= r.var_raw + 1e-6, r
+        assert r.variance_reduction >= -1e-6
+
+
+def test_session_entry_exit_counts_all_sessions(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_session_entry_exit")
+    total = sum(r.n_sessions for r in rows)
+    legacy = sum(
+        r.n_sessions for r in _run(spark, sf_dir, "q_sessionize")
+    )
+    assert total == legacy
