@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "q_contribution_cap",
     "q_ab_cuped",
     "q_session_entry_exit",
+    "q_partition_prune",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

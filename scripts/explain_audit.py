@@ -70,6 +70,12 @@ def main() -> None:
         )
         nonempty = [p for p in pushed if p.strip()]
         print(f"pushedFilterSets={len(nonempty)}: {nonempty[:3]}")
+        parts = [
+            p for p in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+            if p.strip()
+        ]
+        if parts:
+            print(f"partitionFilterSets={len(parts)}: {parts[:3]}")
         if "--full" in sys.argv:
             print(plan)
 

@@ -230,3 +230,64 @@ def _register_csv_malformed() -> None:
 
 
 _register_csv_malformed()
+
+
+def _register_partition_prune() -> None:
+    """Register the partitioned-layout pruning audit (deferred import)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from sparrow_spark.registry import query
+    from sparrow_spark.rounding import rnd
+    from sparrow_spark.sources import load_table
+
+    @query(
+        "q_partition_prune",
+        oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        WHERE event_type IN ('purchase', 'signup')
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+    )
+    def q_partition_prune(spark, sf_dir):
+        """Partition-pruning audit: the events table re-laid-out as a
+        Hive-partitioned directory tree (partitioned by event_type),
+        then read back with a partition-key filter — Catalyst resolves
+        the IN filter against the directory listing, so the scan
+        touches 2 of 5 partition directories and the data files of the
+        other three are never opened (PartitionFilters in the physical
+        plan; the plan audit records it). The values must equal the
+        unpartitioned aggregate, proving the layout step is lossless.
+
+        Scale: partition-by-low-cardinality-key IS the 100 TB layout
+        decision this audits — a time+type partitioned events lake
+        turns most dashboards into directory-sized scans."""
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value", "user_id"
+        )
+        root = tempfile.mkdtemp(prefix=f"prune_{uuid.uuid4().hex[:8]}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = os.path.join(root, "events_by_type")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        back = spark.read.parquet(path)
+        return (
+            back.filter(F.col("event_type").isin("purchase", "signup"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                rnd(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+
+
+_register_partition_prune()

@@ -544,3 +544,14 @@ def test_session_entry_exit_counts_all_sessions(spark, sf_dir):
         r.n_sessions for r in _run(spark, sf_dir, "q_sessionize")
     )
     assert total == legacy
+
+
+def test_partition_prune_matches_unpartitioned(spark, sf_dir):
+    rows = {r.event_type: r.n_events for r in _run(spark, sf_dir, "q_partition_prune")}
+    want = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert rows == want
