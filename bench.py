@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "q_ab_cuped",
     "q_session_entry_exit",
     "q_partition_prune",
+    "q_agg_pushdown",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

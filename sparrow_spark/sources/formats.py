@@ -291,3 +291,77 @@ def _register_partition_prune() -> None:
 
 
 _register_partition_prune()
+
+
+def _register_agg_pushdown() -> None:
+    """Register the parquet aggregate-pushdown audit (deferred import)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sparrow_spark.registry import query
+
+    @query(
+        "q_agg_pushdown",
+        oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               round(min(l_quantity), 2) AS min_qty,
+               round(max(l_quantity), 2) AS max_qty,
+               CAST(TRUE AS BOOLEAN) AS agg_pushed
+        FROM lineitem
+        """,
+    )
+    def q_agg_pushdown(spark, sf_dir):
+        """Parquet aggregate pushdown: COUNT/MIN/MAX answered from
+        row-group STATISTICS instead of scanning data pages — the
+        DataSource V2 scan reports PushedAggregation and the query
+        reads only parquet footers (the plan is asserted, not assumed:
+        agg_pushed is computed from the optimized plan and
+        hash-checked by the oracle). Requires the V2 parquet path +
+        spark.sql.parquet.aggregatePushdown; both confs are scoped to
+        this query's execution and restored afterwards, which forces
+        the execution to happen eagerly here (the conf is read at
+        optimization time, not at spark.read time).
+
+        Scale: at 100 TB this is the difference between a footer-only
+        metadata pass and a full-column scan for table-stat queries —
+        the same trick DuckDB/parquet-tools use for instant counts."""
+        prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+        prev_push = spark.conf.get(
+            "spark.sql.parquet.aggregatePushdown", "false"
+        )
+        try:
+            spark.conf.set("spark.sql.sources.useV1SourceList", "")
+            spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+            df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.round(F.min("l_quantity"), 2).alias("min_qty"),
+                F.round(F.max("l_quantity"), 2).alias("max_qty"),
+            )
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            pushed = bool(
+                [
+                    m
+                    for m in re.findall(
+                        r"PushedAggregation: \[([^\]]*)\]", plan
+                    )
+                    if m.strip()
+                ]
+            )
+            row = df.first()
+        finally:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+            spark.conf.set(
+                "spark.sql.parquet.aggregatePushdown", prev_push
+            )
+        return spark.createDataFrame(
+            [(row.n_rows, float(row.min_qty), float(row.max_qty), pushed)],
+            "n_rows bigint, min_qty double, max_qty double, agg_pushed boolean",
+        )
+
+
+_register_agg_pushdown()

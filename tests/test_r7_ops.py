@@ -555,3 +555,12 @@ def test_partition_prune_matches_unpartitioned(spark, sf_dir):
         .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert rows == want
+
+
+def test_agg_pushdown_plan_asserted(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_agg_pushdown")
+    assert r.agg_pushed is True
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert r.n_rows == li.count()
+    # confs restored after the query
+    assert spark.conf.get("spark.sql.parquet.aggregatePushdown", "false") == "false"
