@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "q_session_entry_exit",
     "q_partition_prune",
     "q_agg_pushdown",
+    "q_schema_evolution",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

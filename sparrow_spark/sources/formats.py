@@ -365,3 +365,73 @@ def _register_agg_pushdown() -> None:
 
 
 _register_agg_pushdown()
+
+
+def _register_schema_evolution() -> None:
+    """Register the mergeSchema evolution audit (deferred import)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from sparrow_spark.registry import query
+    from sparrow_spark.sources import load_table
+
+    @query(
+        "q_schema_evolution",
+        oracle="""
+        WITH halves AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_total,
+                 CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_v1,
+                 CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_v2
+          FROM documents
+        )
+        SELECT n_total, n_v1 AS n_missing_lang, n_v2 AS n_with_lang,
+               CAST(4 AS BIGINT) AS n_merged_columns
+        FROM halves
+        """,
+    )
+    def q_schema_evolution(spark, sf_dir):
+        """Schema-evolution audit: two parquet batches of the same
+        logical table written with DIFFERENT schemas (batch v1 lacks
+        the lang column — the pre-migration writer; batch v2 carries
+        it), read back as one dataset with mergeSchema — the union
+        schema appears, v1 rows surface lang as NULL, and no row is
+        lost. This is the add-a-column lake migration every long-lived
+        table goes through; the oracle pins total/backfilled counts
+        and the merged column arity.
+
+        Scale: schema merge reads footers only (one per file); the
+        data pages are untouched until the query projects them."""
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source", "lang"
+        )
+        root = tempfile.mkdtemp(prefix=f"evo_{uuid.uuid4().hex[:8]}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = os.path.join(root, "tbl")
+        v1 = docs.filter(F.col("doc_id") % 2 == 0).drop("lang")
+        v2 = docs.filter(F.col("doc_id") % 2 == 1)
+        v1.write.parquet(os.path.join(path, "batch=1"))
+        v2.write.parquet(os.path.join(path, "batch=2"))
+        merged = spark.read.option("mergeSchema", "true").option(
+            "recursiveFileLookup", "true"
+        ).parquet(path)
+        n_cols = len(merged.columns)
+        return merged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing_lang"),
+            F.sum(F.when(F.col("lang").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_with_lang"),
+            F.lit(n_cols).cast("bigint").alias("n_merged_columns"),
+        )
+
+
+_register_schema_evolution()

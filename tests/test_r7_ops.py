@@ -564,3 +564,11 @@ def test_agg_pushdown_plan_asserted(spark, sf_dir):
     assert r.n_rows == li.count()
     # confs restored after the query
     assert spark.conf.get("spark.sql.parquet.aggregatePushdown", "false") == "false"
+
+
+def test_schema_evolution_counts(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_schema_evolution")
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert r.n_total == n_docs
+    assert r.n_missing_lang + r.n_with_lang == n_docs
+    assert r.n_merged_columns == 4
