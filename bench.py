@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "q_partition_prune",
     "q_agg_pushdown",
     "q_schema_evolution",
+    "q_percentile_disc_vs_cont",
+    "q_corr_matrix",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -806,3 +806,94 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@query(
+    "q_corr_matrix",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0)
+               AS m_view,
+             coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0)
+               AS m_click,
+             coalesce(sum(CASE WHEN event_type = 'purchase'
+                               THEN value END), 0) AS m_purchase,
+             coalesce(sum(CASE WHEN event_type = 'signup' THEN value END), 0)
+               AS m_signup,
+             coalesce(sum(CASE WHEN event_type = 'error' THEN value END), 0)
+               AS m_error
+      FROM events GROUP BY user_id
+    )
+    SELECT p.metric_a, p.metric_b,
+           round(CASE p.metric_a || '|' || p.metric_b
+             WHEN 'click|error' THEN corr(m_click, m_error)
+             WHEN 'click|purchase' THEN corr(m_click, m_purchase)
+             WHEN 'click|signup' THEN corr(m_click, m_signup)
+             WHEN 'click|view' THEN corr(m_click, m_view)
+             WHEN 'error|purchase' THEN corr(m_error, m_purchase)
+             WHEN 'error|signup' THEN corr(m_error, m_signup)
+             WHEN 'error|view' THEN corr(m_error, m_view)
+             WHEN 'purchase|signup' THEN corr(m_purchase, m_signup)
+             WHEN 'purchase|view' THEN corr(m_purchase, m_view)
+             WHEN 'signup|view' THEN corr(m_signup, m_view)
+           END, 6) AS pearson_r
+    FROM per_user,
+         (SELECT * FROM (VALUES
+            ('click','error'), ('click','purchase'), ('click','signup'),
+            ('click','view'), ('error','purchase'), ('error','signup'),
+            ('error','view'), ('purchase','signup'), ('purchase','view'),
+            ('signup','view')) v(metric_a, metric_b)) p
+    GROUP BY p.metric_a, p.metric_b
+    ORDER BY p.metric_a, p.metric_b
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over per-user engagement
+    metrics (value mass per event type, pivoted to five columns) —
+    the metric-redundancy screen run before building a composite
+    engagement score or a churn feature set (two metrics at r≈1 are
+    one signal counted twice; q_churn_features consumes exactly this
+    kind of screen).
+
+    Scale: ONE user-keyed pivot agg, then all C(5,2) correlations
+    compute in a single pass over the user table (corr is an
+    algebraic aggregate — sums and cross-products combine
+    map-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    metrics = ["click", "error", "purchase", "signup", "view"]
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == m, F.col("value"))),
+                F.lit(0.0),
+            ).alias(f"m_{m}")
+            for m in metrics
+        ]
+    )
+    pairs = [
+        (a, b) for i, a in enumerate(metrics) for b in metrics[i + 1:]
+    ]
+    row = per_user.agg(
+        *[
+            F.corr(f"m_{a}", f"m_{b}").alias(f"r_{a}_{b}")
+            for a, b in pairs
+        ]
+    )
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("metric_a"),
+                        F.lit(b).alias("metric_b"),
+                        F.col(f"r_{a}_{b}").alias("r"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select(
+        "p.metric_a", "p.metric_b", rnd("p.r", 6).alias("pearson_r")
+    ).orderBy("metric_a", "metric_b")

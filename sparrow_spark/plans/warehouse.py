@@ -1057,3 +1057,62 @@ def q_join_strategy_equivalence(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("strategy")
+
+
+@query(
+    "q_percentile_disc_vs_cont",
+    oracle="""
+    SELECT event_type,
+           round(quantile_disc(value, 0.5), 4) AS p50_disc,
+           round(quantile_cont(value, 0.5), 4) AS p50_cont,
+           round(quantile_disc(value, 0.9), 4) AS p90_disc,
+           round(quantile_cont(value, 0.9), 4) AS p90_cont,
+           quantile_disc(value, 0.9) <> quantile_cont(value, 0.9)
+             AS p90_differs
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_percentile_disc_vs_cont(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Discrete vs continuous percentiles side by side (the SQL:2008
+    WITHIN GROUP inverse-distribution functions): percentile_disc
+    returns an ACTUAL data value (the first at-or-above the rank
+    cutoff) while percentile_cont interpolates between neighbors —
+    the difference matters whenever the percentile must be a real
+    observation (an actual latency you can grep for, an actual price
+    that existed). Both engines implement both; the differs flag
+    shows where interpolation manufactured a value.
+
+    Scale: one keyed agg; exact inverse-distribution functions sort
+    within group — approx_percentile replaces CONT at true scale,
+    and DISC becomes a two-pass rank lookup."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_events_pdisc")
+    out = ev.sparkSession.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value)
+                 AS p50_disc_raw,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value)
+                 AS p50_cont_raw,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY value)
+                 AS p90_disc_raw,
+               percentile_cont(0.9) WITHIN GROUP (ORDER BY value)
+                 AS p90_cont_raw
+        FROM _events_pdisc
+        GROUP BY event_type
+        """
+    )
+    return out.select(
+        "event_type",
+        rnd("p50_disc_raw", 4).alias("p50_disc"),
+        rnd("p50_cont_raw", 4).alias("p50_cont"),
+        rnd("p90_disc_raw", 4).alias("p90_disc"),
+        rnd("p90_cont_raw", 4).alias("p90_cont"),
+        (F.col("p90_disc_raw") != F.col("p90_cont_raw")).alias(
+            "p90_differs"
+        ),
+    ).orderBy("event_type")

@@ -572,3 +572,25 @@ def test_schema_evolution_counts(spark, sf_dir):
     assert r.n_total == n_docs
     assert r.n_missing_lang + r.n_with_lang == n_docs
     assert r.n_merged_columns == 4
+
+
+def test_percentile_disc_is_actual_value(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_percentile_disc_vs_cont")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for r in rows:
+        vals = {
+            round(v.value, 4)
+            for v in ev.filter(F.col("event_type") == r.event_type)
+            .select("value").collect()
+        }
+        assert r.p50_disc in vals or any(
+            abs(r.p50_disc - v) < 1e-6 for v in vals
+        ), r  # disc must be an observed value
+
+
+def test_corr_matrix_bounds_and_shape(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_corr_matrix")
+    assert len(rows) == 10
+    for r in rows:
+        assert -1 <= r.pearson_r <= 1
+        assert r.metric_a < r.metric_b
