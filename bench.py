@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "q_schema_evolution",
     "q_percentile_disc_vs_cont",
     "q_corr_matrix",
+    "q_variant_semistructured",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

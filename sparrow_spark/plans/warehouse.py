@@ -1116,3 +1116,55 @@ def q_percentile_disc_vs_cont(
             "p90_differs"
         ),
     ).orderBy("event_type")
+
+
+@query(
+    "q_variant_semistructured",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(min(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(max(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT)
+             AS max_k,
+           CAST(sum(CASE WHEN props::JSON ->> 'missing' IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_no_field
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_variant_semistructured(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: the JSON
+    props column parses once into the binary variant encoding and
+    fields extract with variant_get path expressions — the
+    open-schema path (Snowflake-VARIANT-style) that succeeds
+    get_json_object string re-parsing (q_json_extract is the legacy
+    twin; at scale variant's binary encoding parses each value once
+    at ingest, not once per extraction). try_variant_get on an absent
+    field yields NULL rather than an error — counted per type.
+
+    Scale: parse + extract are map-side; one keyed agg."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    missing = F.expr(
+        "try_variant_get(parse_json(props), '$.missing', 'bigint')"
+    )
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_no_field"),
+        )
+        .orderBy("event_type")
+    )
