@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "q_percentile_disc_vs_cont",
     "q_corr_matrix",
     "q_variant_semistructured",
+    "q_bfs_levels",
+    "q_ratio_to_parent",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

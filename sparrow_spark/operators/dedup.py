@@ -2356,3 +2356,81 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_proxy"),
         )
     )
+
+
+@query(
+    "q_bfs_levels",
+    oracle="WITH RECURSIVE "
+    + _MINHASH_BANDS_CTE.replace("WITH ", "", 1)
+    + """
+    , edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ), sym AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ), bfs AS (
+      SELECT doc_id AS id, 0 AS level FROM documents WHERE doc_id % 50 = 0
+      UNION
+      SELECT s.v AS id, b.level + 1
+      FROM bfs b JOIN sym s ON s.u = b.id
+      WHERE b.level < 3
+    ), closest AS (
+      SELECT id, min(level) AS lvl FROM bfs GROUP BY id
+    )
+    SELECT CAST(lvl AS BIGINT) AS level,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM closest
+    GROUP BY lvl
+    ORDER BY level
+    """,
+)
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first search over the near-duplicate graph:
+    every 50th document seeds level 0, and three expansion rounds
+    label each reached node with its HOP DISTANCE to the nearest seed
+    — the contamination-blast-radius question ('how far does
+    duplication spread from these known-bad documents?') that
+    connected components (q_cc_alternating: membership, no distance)
+    and PageRank (influence, no distance) don't answer.
+
+    Iterative frontier expansion driver-side, recursive CTE
+    oracle-side — the two canonical executions of the same fixpoint.
+
+    Scale: each round is one join of the CURRENT level set against
+    the symmetric edge list (frontier-sized, not graph-sized) plus a
+    min-level agg; localCheckpoint cuts the lineage per round exactly
+    as the alternating-CC loop does."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        minhash_lsh_pairs(docs)
+        .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    levels = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("id"))
+        .withColumn("level", F.lit(0))
+    )
+    for r in range(1, 4):
+        frontier = levels.filter(F.col("level") == r - 1)
+        nxt = (
+            frontier.join(sym, frontier.id == sym.u)
+            .select(F.col("v").alias("id"), F.lit(r).alias("level"))
+        )
+        levels = (
+            levels.unionByName(nxt)
+            .groupBy("id")
+            .agg(F.min("level").alias("level"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        levels.groupBy("level")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(F.col("level").cast("bigint").alias("level"), "n_nodes")
+        .orderBy("level")
+    )

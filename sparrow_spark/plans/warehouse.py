@@ -1168,3 +1168,76 @@ def q_variant_semistructured(
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_ratio_to_parent",
+    oracle="""
+    WITH nat_rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           round(revenue, 2) AS revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY region), 4)
+             AS share_of_region,
+           round(sum(revenue) OVER (PARTITION BY region)
+                 / sum(revenue) OVER (), 4) AS region_share_of_total
+    FROM nat_rev
+    ORDER BY region, nation
+    """,
+)
+def q_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ratio-to-parent report: revenue per nation with its
+    share of the region and the region's share of the corpus — the
+    drill-down decomposition every OLAP tree report renders (each
+    level's shares sum to 1 within its parent). The star-schema walk
+    region ← nation ← customer ← orders ← lineitem broadcasts every
+    dimension.
+
+    Scale: ONE fact-table shuffle (the nation-level agg); both parent
+    ratios are windows over the 25-row nation table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    nat_rev = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+    wreg = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    return nat_rev.select(
+        "region",
+        "nation",
+        rnd("rev", 2).alias("revenue"),
+        rnd(F.col("rev") / F.sum("rev").over(wreg), 4).alias(
+            "share_of_region"
+        ),
+        rnd(F.sum("rev").over(wreg) / F.sum("rev").over(wall), 4).alias(
+            "region_share_of_total"
+        ),
+    ).orderBy("region", "nation")

@@ -594,3 +594,33 @@ def test_corr_matrix_bounds_and_shape(spark, sf_dir):
     for r in rows:
         assert -1 <= r.pearson_r <= 1
         assert r.metric_a < r.metric_b
+
+
+def test_bfs_levels_monotone_reached(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_bfs_levels")
+    assert rows[0].level == 0 and rows[0].n_nodes > 0
+    levels = [r.level for r in rows]
+    assert levels == sorted(levels)
+    assert max(levels) <= 3
+
+
+def test_ratio_to_parent_shares_sum_to_one(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_ratio_to_parent")
+    by_region = {}
+    region_share = {}
+    for r in rows:
+        by_region.setdefault(r.region, 0.0)
+        by_region[r.region] += r.share_of_region
+        region_share[r.region] = r.region_share_of_total
+    for region, s in by_region.items():
+        assert abs(s - 1.0) < 0.01, region
+    assert abs(sum(region_share.values()) - 1.0) < 0.01
+
+
+def test_variant_counts_match_json_rows(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_variant_semistructured")
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == n_events
+    for r in rows:
+        assert r.n_no_field == r.n_events  # 'missing' never present
+        assert 0 <= r.min_k <= r.max_k
