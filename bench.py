@@ -164,6 +164,9 @@ BENCH_QUERIES = [
     "q_variant_semistructured",
     "q_bfs_levels",
     "q_ratio_to_parent",
+    "q_kmv_intersection",
+    "q_decay_popularity",
+    "q_wow_change",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

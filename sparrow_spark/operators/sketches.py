@@ -399,3 +399,126 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_error"
         ),
     ).orderBy("lang")
+
+
+@query(
+    "q_kmv_intersection",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, string_split(lower(text), ' ') AS w FROM documents
+      WHERE source IN ('src0', 'src1')
+        AND len(string_split(lower(text), ' ')) >= 3
+    ), sh AS (
+      SELECT DISTINCT source,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)]) AS shingle
+      FROM tok
+    ), hashed AS (
+      SELECT DISTINCT source, substr(md5(shingle), 1, 8) AS h FROM sh
+    ), ranked AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS r
+      FROM hashed
+    ), sketches AS (
+      SELECT source, h FROM ranked WHERE r <= {KMV_K}
+    ), union_ranked AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS r
+      FROM (SELECT DISTINCT h FROM sketches)
+    ), u_k AS (
+      SELECT h FROM union_ranked WHERE r <= {KMV_K}
+    ), kth AS (
+      SELECT max(h) AS hk FROM u_k
+    ), rho AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_both
+      FROM u_k
+      WHERE h IN (SELECT h FROM sketches WHERE source = 'src0')
+        AND h IN (SELECT h FROM sketches WHERE source = 'src1')
+    ), u_est AS (
+      SELECT ({KMV_K} - 1) * 4294967296.0
+             / list_sum([(strpos('0123456789abcdef', hk[i:i]) - 1)
+                         * 16 ** (8 - i) for i in range(1, 9)]) AS est
+      FROM kth
+    ), exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_intersection
+      FROM (SELECT shingle FROM sh WHERE source = 'src0'
+            INTERSECT
+            SELECT shingle FROM sh WHERE source = 'src1')
+    )
+    SELECT CAST(r.n_both AS BIGINT) AS k_overlap,
+           round(u.est, 2) AS union_est,
+           round(r.n_both / {KMV_K} * u.est, 2) AS intersection_est,
+           e.exact_intersection
+    FROM rho r, u_est u, exact e
+    """,
+)
+def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra: estimate |A ∩ B| of two sources'
+    shingle sets from their k-minimum-values sketches alone — the
+    union sketch is the k smallest of the merged sketches, its k-th
+    value estimates |A ∪ B|, and the fraction of union-sketch hashes
+    present in BOTH input sketches scales that into the intersection
+    (Beyer et al., SIGMOD'07). Every bit is engine-portable (md5
+    prefix hash, pure arithmetic), so the oracle reproduces the
+    ESTIMATE exactly and the exact intersection rides along as the
+    accuracy audit — the sketch-algebra foundation for 'how much do
+    these crawls overlap?' without ever joining the corpora.
+
+    Scale: per-source sketches are k-row tables (mergeable bottom-k
+    partials, no global sort); all set algebra happens on 2k rows."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    toks = materialize(
+        widen(docs).select("source", "text"), w=tokens(F.col("text"))
+    ).filter(F.size("w") >= 3)
+    sh = toks.select(
+        "source", F.explode(_text_shingles(F.col("w"), 3)).alias("shingle")
+    ).distinct()
+    hashed = sh.select(
+        "source", F.substring(F.md5("shingle"), 1, 8).alias("h")
+    ).distinct()
+    sketches = (
+        hashed.withColumn(
+            "r", F.row_number().over(W.partitionBy("source").orderBy("h"))
+        )
+        .filter(F.col("r") <= KMV_K)
+        .select("source", "h")
+    )
+    u_k = (
+        sketches.select("h")
+        .distinct()
+        .withColumn("r", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("r") <= KMV_K)
+        .select("h")
+    )
+    hk = u_k.agg(F.max("h").alias("hk")).select(
+        F.conv("hk", 16, 10).cast("double").alias("hk")
+    )
+    a = sketches.filter(F.col("source") == "src0").select("h")
+    b = sketches.filter(F.col("source") == "src1").select("h")
+    n_both = (
+        u_k.join(a, "h", "left_semi")
+        .join(b, "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_both"))
+    )
+    exact = (
+        sh.filter(F.col("source") == "src0")
+        .select("shingle")
+        .intersect(sh.filter(F.col("source") == "src1").select("shingle"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    u_est = (KMV_K - 1) * F.lit(4294967296.0) / F.col("hk")
+    return (
+        n_both.crossJoin(F.broadcast(hk))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("n_both").cast("bigint").alias("k_overlap"),
+            rnd(u_est, 2).alias("union_est"),
+            rnd(F.col("n_both") / KMV_K * u_est, 2).alias(
+                "intersection_est"
+            ),
+            "exact_intersection",
+        )
+    )

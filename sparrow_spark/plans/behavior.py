@@ -912,3 +912,96 @@ def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
         .orderBy("entry_type", "exit_type")
     )
+
+
+@query(
+    "q_decay_popularity",
+    oracle="""
+    WITH anchor AS (
+      SELECT max(ts) AS t_max FROM events
+    ), scored AS (
+      SELECT l.l_partkey,
+             l.l_extendedprice * (1 - l.l_discount)
+               * exp(-0.05 * date_diff('day', l.l_shipdate,
+                                       TIMESTAMP '2002-01-01'))
+               AS decayed
+      FROM lineitem l
+    )
+    SELECT l_partkey,
+           round(sum(decayed), 4) AS decay_score,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM scored
+    GROUP BY l_partkey
+    ORDER BY decay_score DESC, l_partkey
+    LIMIT 20
+    """,
+)
+def q_decay_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay popularity: each line item's revenue is
+    discounted by exp(-lambda * age_days) against a fixed horizon
+    (lambda=0.05/day — a two-week half-life), summed per part and
+    top-20 ranked — the freshness-aware trending score (Reddit/HN
+    style) that a plain revenue rank can't produce because old volume
+    never stops dominating it.
+
+    Scale: the decay weight is per-row arithmetic at scan time; one
+    part-keyed agg; top-k is TakeOrderedAndProject. The decayed sum
+    is also maintainable incrementally: scores age by a constant
+    multiplicative factor per day, so yesterday's aggregate times
+    exp(-lambda) plus today's partial is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    horizon = F.lit("2002-01-01").cast("timestamp")
+    decayed = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * F.exp(-0.05 * F.datediff(horizon, F.col("l_shipdate")))
+    )
+    return (
+        li.select("l_partkey", decayed.alias("decayed"))
+        .groupBy("l_partkey")
+        .agg(
+            rnd(F.sum("decayed"), 4).alias("decay_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .orderBy(F.desc("decay_score"), "l_partkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_wow_change",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type, date_trunc('week', ts) AS wk,
+             sum(value) AS v
+      FROM events GROUP BY event_type, date_trunc('week', ts)
+    )
+    SELECT event_type, strftime(wk, '%Y-%m-%d') AS week,
+           round(v, 2) AS value_sum,
+           round(100 * (v - lag(v) OVER (PARTITION BY event_type
+                                         ORDER BY wk))
+                 / lag(v) OVER (PARTITION BY event_type ORDER BY wk),
+                 2) AS wow_pct_change
+    FROM weekly
+    ORDER BY event_type, week
+    """,
+)
+def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week percentage change per event type — the
+    growth-dashboard staple (NULL on each type's first week, exactly
+    as the lag window defines it).
+
+    Scale: the stream collapses to (type, week) first; the lag window
+    runs over that bounded grid."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("wk")
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("v").over(w)
+    return weekly.select(
+        "event_type",
+        F.date_format("wk", "yyyy-MM-dd").alias("week"),
+        rnd("v", 2).alias("value_sum"),
+        rnd(100 * (F.col("v") - prev) / prev, 2).alias("wow_pct_change"),
+    ).orderBy("event_type", "week")

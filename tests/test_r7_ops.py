@@ -624,3 +624,34 @@ def test_variant_counts_match_json_rows(spark, sf_dir):
     for r in rows:
         assert r.n_no_field == r.n_events  # 'missing' never present
         assert 0 <= r.min_k <= r.max_k
+
+
+def test_kmv_intersection_bounds(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_kmv_intersection")
+    assert 0 <= r.k_overlap <= 64
+    assert r.intersection_est >= 0
+    assert r.union_est > 0
+    # the estimate should land within a loose sketch-error band of
+    # exact (k=64 → ~13% relative error on union; intersection error
+    # compounds, allow generous slack but catch order-of-magnitude bugs)
+    if r.exact_intersection > 100:
+        assert 0.3 * r.exact_intersection <= r.intersection_est <= 3 * r.exact_intersection
+
+
+def test_decay_popularity_ordering(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_decay_popularity")
+    assert len(rows) == 20
+    scores = [r.decay_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 0 for s in scores)
+
+
+def test_wow_change_first_week_null(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_wow_change")
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.week)
+        assert rs[0].wow_pct_change is None
+        assert all(r.wow_pct_change is not None for r in rs[1:])
