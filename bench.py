@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "q_kmv_intersection",
     "q_decay_popularity",
     "q_wow_change",
+    "q_heaps_law",
+    "q_dow_hour_heatmap",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -527,3 +527,66 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_heaps_law",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), first_seen AS (
+      SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY w
+    ), tokens_per_bucket AS (
+      SELECT doc_id // 50 AS bucket,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY 1
+    ), new_types AS (
+      SELECT first_doc // 50 AS bucket,
+             CAST(count(*) AS BIGINT) AS n_new_types
+      FROM first_seen GROUP BY 1
+    )
+    SELECT t.bucket,
+           t.n_tokens,
+           sum(t.n_tokens) OVER (ORDER BY t.bucket) AS cum_tokens,
+           coalesce(n.n_new_types, 0) AS n_new_types,
+           sum(coalesce(n.n_new_types, 0)) OVER (ORDER BY t.bucket)
+             AS cum_vocab
+    FROM tokens_per_bucket t
+    LEFT JOIN new_types n ON n.bucket = t.bucket
+    ORDER BY t.bucket
+    """,
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: documents stream in doc_id
+    order in buckets of 50, and each bucket reports its token volume
+    plus how many NEVER-BEFORE-SEEN word types it contributes (a
+    type's bucket = the bucket of its first-occurrence document) —
+    the V(n) ~ K n^beta curve that sizes tokenizer vocabularies and
+    predicts how much new text still adds new vocabulary
+    (q_vocab_coverage sizes the head; this tracks the frontier).
+
+    Scale: first occurrence is one token-keyed min agg (no ordered
+    scan of the corpus); bucket rollups and the cumulative windows
+    run over the bucket-cardinality table."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    first_seen = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    tokens_per_bucket = tok.groupBy(
+        F.floor(F.col("doc_id") / 50).cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    new_types = first_seen.groupBy(
+        F.floor(F.col("first_doc") / 50).cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_new_types"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tokens_per_bucket.join(F.broadcast(new_types), "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.coalesce("n_new_types", F.lit(0)).alias("n_new_types"),
+        )
+        .withColumn("cum_vocab", F.sum("n_new_types").over(w))
+        .orderBy("bucket")
+    )

@@ -1005,3 +1005,38 @@ def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd("v", 2).alias("value_sum"),
         rnd(100 * (F.col("v") - prev) / prev, 2).alias("wow_pct_change"),
     ).orderBy("event_type", "week")
+
+
+@query(
+    "q_dow_hour_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY dayofweek(ts), hour(ts)
+    ORDER BY dow, hr
+    """,
+)
+def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap — the 2D seasonal
+    profile (168 cells) behind staffing, maintenance-window, and
+    anomaly-baseline decisions (q_seasonal_anomaly flags against the
+    hour-only profile; this is the full weekly texture). DuckDB's
+    dayofweek is 0=Sunday..6 while Spark's dayofweek is 1=Sunday..7,
+    so the Spark side subtracts one to agree.
+
+    Scale: map-side bucket arithmetic + one 168-key agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            rnd(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("dow", "hr")
+    )

@@ -655,3 +655,28 @@ def test_wow_change_first_week_null(spark, sf_dir):
         rs.sort(key=lambda r: r.week)
         assert rs[0].wow_pct_change is None
         assert all(r.wow_pct_change is not None for r in rs[1:])
+
+
+def test_heaps_law_conservation(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_heaps_law")
+    rows.sort(key=lambda r: r.bucket)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total_tokens = docs.select(F.explode(F.split("text", " "))).count()
+    total_vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .select("w").distinct().count()
+    )
+    assert rows[-1].cum_tokens == total_tokens
+    assert rows[-1].cum_vocab == total_vocab
+    assert sum(r.n_new_types for r in rows) == total_vocab
+    # vocabulary growth decelerates: later buckets add no more new
+    # types than the first bucket
+    assert all(r.n_new_types <= rows[0].n_new_types for r in rows)
+
+
+def test_dow_hour_heatmap_covers_all_events(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_dow_hour_heatmap")
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == n_events
+    for r in rows:
+        assert 0 <= r.dow <= 6 and 0 <= r.hr <= 23
