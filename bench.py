@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "q_wow_change",
     "q_heaps_law",
     "q_dow_hour_heatmap",
+    "q_cluster_size_dist",
+    "q_coverage_gaps",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

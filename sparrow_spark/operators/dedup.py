@@ -2434,3 +2434,76 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("level").cast("bigint").alias("level"), "n_nodes")
         .orderBy("level")
     )
+
+
+@query(
+    "q_cluster_size_dist",
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    , cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM cands
+      UNION
+      SELECT b_id, a_id FROM cands
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+      )
+      SELECT * FROM r
+    ), labels AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach
+      GROUP BY src
+    ), sizes AS (
+      SELECT cluster_id, count(*) AS sz FROM labels GROUP BY cluster_id
+      UNION ALL
+      SELECT d.doc_id, 1 FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM labels)
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM sizes
+    GROUP BY sz
+    ORDER BY cluster_size
+    """,
+)
+def q_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many near-dup clusters
+    exist at each size (singletons included — every document outside
+    the dup graph is its own cluster) — the dedup IMPACT summary: the
+    tail of this histogram is where template spam lives, and
+    sum(size-1 over clusters) is exactly the document count dedup
+    will remove. Complements q_dedup_clusters (per-doc labels) with
+    the corpus-level shape.
+
+    Scale: labels come from the same min-label propagation; the
+    histogram is a cluster-keyed count then a size-keyed count —
+    both bounded by cluster cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    labels = minlabel_clusters(pairs)
+    clustered_sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    singletons = (
+        docs.select("doc_id")
+        .join(labels.select(F.col("id").alias("doc_id")), "doc_id", "left_anti")
+        .select(F.lit(1).alias("sz"))
+    )
+    sizes = clustered_sizes.select("sz").unionByName(singletons)
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

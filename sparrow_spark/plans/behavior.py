@@ -1040,3 +1040,119 @@ def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hr")
     )
+
+
+@query(
+    "q_coverage_gaps",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ), grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(
+                    (SELECT h0 FROM bounds), (SELECT h1 FROM bounds),
+                    INTERVAL 1 HOUR)) AS h) g
+    ), observed AS (
+      SELECT DISTINCT event_type, date_trunc('hour', ts) AS h FROM events
+    ), missing AS (
+      SELECT g.event_type, g.h,
+             row_number() OVER (PARTITION BY g.event_type ORDER BY g.h)
+               AS rn,
+             date_diff('hour', (SELECT h0 FROM bounds), g.h) AS idx
+      FROM grid g
+      LEFT JOIN observed o
+        ON o.event_type = g.event_type AND o.h = g.h
+      WHERE o.h IS NULL
+    ), runs AS (
+      SELECT event_type, idx - rn AS island, count(*) AS run_len
+      FROM missing GROUP BY event_type, idx - rn
+    )
+    SELECT t.event_type,
+           (SELECT CAST(date_diff('hour', h0, h1) + 1 AS BIGINT)
+            FROM bounds) AS n_expected_hours,
+           CAST(coalesce(sum(r.run_len), 0) AS BIGINT) AS n_missing_hours,
+           CAST(coalesce(max(r.run_len), 0) AS BIGINT) AS longest_gap_hours
+    FROM (SELECT DISTINCT event_type FROM events) t
+    LEFT JOIN runs r ON r.event_type = t.event_type
+    GROUP BY t.event_type
+    ORDER BY t.event_type
+    """,
+)
+def q_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness coverage audit: for each event type, how many
+    hours of the observation window produced NO events, and the
+    longest consecutive silent run — the ingestion-outage detector
+    (a 6-hour silent run on 'purchase' is an incident, not a quiet
+    afternoon) that pairs with q_watermark_lateness_audit on the
+    pipeline-health dashboard. Missing-hour runs come from the
+    gaps-and-islands trick on the dense hour grid.
+
+    Scale: the grid is |types| x |hours| rows generated from one-row
+    bounds (sequence + explode, no data shuffle); observed hours are
+    one keyed distinct; the anti-join and islands run on the bounded
+    grid."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")
+            ).alias("h"),
+            "h0",
+        )
+    )
+    observed = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    missing = (
+        grid.join(observed, ["event_type", "h"], "left_anti")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("h")
+            ),
+        )
+        .withColumn(
+            "idx",
+            (
+                (F.col("h").cast("long") - F.col("h0").cast("long")) / 3600
+            ).cast("long"),
+        )
+    )
+    runs = missing.groupBy(
+        "event_type", (F.col("idx") - F.col("rn")).alias("island")
+    ).agg(F.count(F.lit(1)).alias("run_len"))
+    expected = bounds.select(
+        (
+            (F.col("h1").cast("long") - F.col("h0").cast("long")) / 3600 + 1
+        ).cast("bigint").alias("n_expected_hours")
+    )
+    return (
+        types.join(
+            runs.groupBy("event_type").agg(
+                F.sum("run_len").cast("bigint").alias("n_missing_hours"),
+                F.max("run_len").cast("bigint").alias("longest_gap_hours"),
+            ),
+            "event_type",
+            "left",
+        )
+        .crossJoin(F.broadcast(expected))
+        .select(
+            "event_type",
+            "n_expected_hours",
+            F.coalesce("n_missing_hours", F.lit(0)).alias("n_missing_hours"),
+            F.coalesce("longest_gap_hours", F.lit(0)).alias(
+                "longest_gap_hours"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -680,3 +680,19 @@ def test_dow_hour_heatmap_covers_all_events(spark, sf_dir):
     assert sum(r.n_events for r in rows) == n_events
     for r in rows:
         assert 0 <= r.dow <= 6 and 0 <= r.hr <= 23
+
+
+def test_cluster_size_dist_covers_corpus(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_cluster_size_dist")
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+
+
+def test_coverage_gaps_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_coverage_gaps")
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.longest_gap_hours <= r.n_missing_hours
+        assert r.n_missing_hours <= r.n_expected_hours
