@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "q_dow_hour_heatmap",
     "q_cluster_size_dist",
     "q_coverage_gaps",
+    "q_all_tables_composite",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

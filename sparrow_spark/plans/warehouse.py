@@ -1241,3 +1241,84 @@ def q_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_share_of_total"
         ),
     ).orderBy("region", "nation")
+
+
+@query(
+    "q_all_tables_composite",
+    oracle="""
+    WITH star AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_star_rows,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS star_revenue,
+             CAST(count(DISTINCT r.r_name) AS BIGINT) AS n_regions,
+             CAST(count(DISTINCT n.n_name) AS BIGINT) AS n_nations,
+             CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers,
+             CAST(count(DISTINCT p.p_partkey) AS BIGINT) AS n_parts
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT star.*,
+           (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_events,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_documents,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_embeddings
+    FROM star
+    """,
+)
+def q_all_tables_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The everything query: one plan touching ALL TEN tables — the
+    full TPC-H star walk (lineitem → orders → customer → nation →
+    region plus supplier and part) aggregated in one pass, with the
+    three pipeline tables' row counts joined in as one-row broadcast
+    aggregates. The smoke test that the whole catalog loads, joins,
+    and aggregates together under one Catalyst plan.
+
+    Scale: one fact shuffle; every dimension broadcasts; the three
+    side counts are one-row crossJoins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    star = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_star_rows"),
+            rnd(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("star_revenue"),
+            F.countDistinct("r_name").cast("bigint").alias("n_regions"),
+            F.countDistinct("n_name").cast("bigint").alias("n_nations"),
+            F.countDistinct("s_suppkey").cast("bigint").alias("n_suppliers"),
+            F.countDistinct("p_partkey").cast("bigint").alias("n_parts"),
+        )
+    )
+    ev = load_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_documents")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_embeddings")
+    )
+    return (
+        star.crossJoin(F.broadcast(ev))
+        .crossJoin(F.broadcast(docs))
+        .crossJoin(F.broadcast(emb))
+    )
