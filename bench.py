@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "q_cluster_size_dist",
     "q_coverage_gaps",
     "q_all_tables_composite",
+    "q_set_ops_all",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1034,3 +1034,55 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "q_set_ops_all",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    ), b AS (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    ), i AS (
+      SELECT o_orderpriority FROM a INTERSECT ALL
+      SELECT o_orderpriority FROM b
+    ), e AS (
+      SELECT o_orderpriority FROM a EXCEPT ALL
+      SELECT o_orderpriority FROM b
+    )
+    SELECT 'intersect_all' AS op, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n
+    FROM i GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'except_all', o_orderpriority, CAST(count(*) AS BIGINT)
+    FROM e GROUP BY o_orderpriority
+    ORDER BY op, o_orderpriority
+    """,
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations: INTERSECT ALL keeps
+    min(multiplicity) per value across the two inputs and EXCEPT ALL
+    subtracts multiplicities — the SQL:1999 duplicates-preserving
+    forms (q_intersect / q_except cover the DISTINCT forms) that
+    matter whenever row counts ARE the payload (inventory
+    reconciliation, event replays). Spark's intersectAll/exceptAll
+    plan as aggregate-count + join on counts, not row-pairing.
+
+    Scale: both rewrite to value-keyed count aggregates — one shuffle
+    per side on the value key, output bounded by distinct values."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    b = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    i = (
+        a.intersectAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_orderpriority", "n")
+    )
+    e = (
+        a.exceptAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_orderpriority", "n")
+    )
+    return i.unionByName(e).orderBy("op", "o_orderpriority")
