@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "q_coverage_gaps",
     "q_all_tables_composite",
     "q_set_ops_all",
+    "q_logreg_gradient_step",
+    "q_bloom_fpr",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -522,3 +522,151 @@ def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+@query(
+    "q_bloom_fpr",
+    oracle="""
+    WITH a_tok AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE source = 'src0'
+    ), b_tok AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE source = 'src1'
+    ), bits AS (
+      SELECT DISTINCT
+             unnest([
+               list_sum([(strpos('0123456789abcdef',
+                                 substr(md5('h1:' || w), i, 1)) - 1)
+                         * 16 ** (6 - i) for i in range(1, 7)]) % 4096,
+               list_sum([(strpos('0123456789abcdef',
+                                 substr(md5('h2:' || w), i, 1)) - 1)
+                         * 16 ** (6 - i) for i in range(1, 7)]) % 4096,
+               list_sum([(strpos('0123456789abcdef',
+                                 substr(md5('h3:' || w), i, 1)) - 1)
+                         * 16 ** (6 - i) for i in range(1, 7)]) % 4096
+             ]) AS bit
+      FROM a_tok
+    ), probes AS (
+      SELECT b.w,
+             list_sum([(strpos('0123456789abcdef',
+                               substr(md5('h1:' || b.w), i, 1)) - 1)
+                       * 16 ** (6 - i) for i in range(1, 7)]) % 4096 AS p1,
+             list_sum([(strpos('0123456789abcdef',
+                               substr(md5('h2:' || b.w), i, 1)) - 1)
+                       * 16 ** (6 - i) for i in range(1, 7)]) % 4096 AS p2,
+             list_sum([(strpos('0123456789abcdef',
+                               substr(md5('h3:' || b.w), i, 1)) - 1)
+                       * 16 ** (6 - i) for i in range(1, 7)]) % 4096 AS p3,
+             b.w IN (SELECT w FROM a_tok) AS truly_in
+      FROM b_tok b
+    ), verdicts AS (
+      SELECT w, truly_in,
+             p1 IN (SELECT bit FROM bits)
+             AND p2 IN (SELECT bit FROM bits)
+             AND p3 IN (SELECT bit FROM bits) AS bloom_hit
+      FROM probes
+    )
+    SELECT CAST((SELECT count(*) FROM a_tok) AS BIGINT) AS n_inserted,
+           CAST((SELECT count(*) FROM bits) AS BIGINT) AS n_bits_set,
+           CAST(sum(CASE WHEN truly_in AND NOT bloom_hit
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_negatives,
+           CAST(sum(CASE WHEN NOT truly_in AND bloom_hit
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positives,
+           CAST(sum(CASE WHEN NOT truly_in THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_negatives_probed
+    FROM verdicts
+    """,
+)
+def q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter built from first principles (m=4096 bits, k=3
+    md5-derived hash positions — engine-portable bit for bit): src0's
+    token set inserts, src1's tokens probe, and the audit reports the
+    structural guarantees — ZERO false negatives by construction, and
+    a measured false-positive count among src1-only tokens (expected
+    rate (1 - e^{-kn/m})^k). The membership-pruning primitive behind
+    the sketches module's join pruning, here with its error contract
+    made checkable.
+
+    Scale: the bit set is a 4096-row table (at real scale a bitmap in
+    an aggregate buffer / a broadcast long array); build and probe are
+    hash arithmetic plus semi-joins on bit position."""
+    docs = load_table(spark, sf_dir, "documents")
+    a_tok = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    b_tok = (
+        docs.filter(F.col("source") == "src1")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+
+    def pos(prefix):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix + ":"), F.col("w"))), 1, 6),
+            16,
+            10,
+        ).cast("bigint") % 4096
+
+    bits = (
+        a_tok.select(
+            F.explode(F.array(pos("h1"), pos("h2"), pos("h3"))).alias("bit")
+        )
+        .distinct()
+    )
+    probes = b_tok.select(
+        "w",
+        pos("h1").alias("p1"),
+        pos("h2").alias("p2"),
+        pos("h3").alias("p3"),
+    ).join(
+        a_tok.select(F.col("w"), F.lit(True).alias("truly_in")), "w", "left"
+    ).withColumn("truly_in", F.coalesce("truly_in", F.lit(False)))
+    bitset = bits.select(F.col("bit").alias("b"))
+    hit = probes
+    for p in ("p1", "p2", "p3"):
+        hit = (
+            hit.join(
+                F.broadcast(bitset.withColumnRenamed("b", f"_{p}")),
+                F.col(p) == F.col(f"_{p}"),
+                "left",
+            )
+            .withColumn(f"hit_{p}", F.col(f"_{p}").isNotNull())
+            .drop(f"_{p}")
+        )
+    verdicts = hit.withColumn(
+        "bloom_hit",
+        F.col("hit_p1") & F.col("hit_p2") & F.col("hit_p3"),
+    )
+    n_ins = a_tok.agg(F.count(F.lit(1)).cast("bigint").alias("n_inserted"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    return (
+        verdicts.agg(
+            F.sum(
+                F.when(F.col("truly_in") & ~F.col("bloom_hit"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_false_negatives"),
+            F.sum(
+                F.when(~F.col("truly_in") & F.col("bloom_hit"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_false_positives"),
+            F.sum(F.when(~F.col("truly_in"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_true_negatives_probed"),
+        )
+        .crossJoin(F.broadcast(n_ins))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_inserted",
+            "n_bits_set",
+            "n_false_negatives",
+            "n_false_positives",
+            "n_true_negatives_probed",
+        )
+    )

@@ -897,3 +897,99 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked.select(
         "p.metric_a", "p.metric_b", rnd("p.r", 6).alias("pearson_r")
     ).orderBy("metric_a", "metric_b")
+
+
+@query(
+    "q_logreg_gradient_step",
+    oracle="""
+    WITH feats AS (
+      SELECT CAST(lang = 'en' AS INTEGER) AS y,
+             1.0 AS x0,
+             n_chars / 300.0 AS x1,
+             len(string_split(text, ' ')) / 60.0 AS x2,
+             len(list_distinct(string_split(text, ' ')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x3
+      FROM documents
+    ), scored AS (
+      SELECT y, x0, x1, x2, x3,
+             1.0 / (1.0 + exp(-(0.1 * x0 - 0.2 * x1 + 0.3 * x2
+                                - 0.1 * x3))) AS p
+      FROM feats
+    ), grads AS (
+      SELECT round(avg((p - y) * x0), 6) AS g0,
+             round(avg((p - y) * x1), 6) AS g1,
+             round(avg((p - y) * x2), 6) AS g2,
+             round(avg((p - y) * x3), 6) AS g3,
+             round(-avg(y * ln(p) + (1 - y) * ln(1 - p)), 6) AS loss
+      FROM scored
+    )
+    SELECT f.feature,
+           CASE f.feature WHEN 'bias' THEN g0 WHEN 'len_chars' THEN g1
+                          WHEN 'len_tokens' THEN g2 ELSE g3 END
+             AS gradient,
+           loss AS mean_loss
+    FROM grads,
+         (SELECT unnest(['bias', 'len_chars', 'len_tokens', 'ttr'])
+            AS feature) f
+    ORDER BY f.feature
+    """,
+)
+def q_logreg_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full-batch gradient step of logistic regression (predicting
+    lang=='en' from length/token/type-token features at a fixed
+    weight vector): per-feature gradient mean((p - y) * x_j) and the
+    log loss — the canonical DATA-PARALLEL training pattern (each
+    partition contributes partial gradient sums; the driver applies
+    the update), which is exactly how distributed SGD/L-BFGS outer
+    loops run on Spark. Fixed weights keep both engines bit-aligned;
+    iterating is the driver loop q_kmeans_iterate already
+    demonstrates.
+
+    Scale: features and the sigmoid are map-side arithmetic; the
+    gradient is ONE aggregation (algebraic means) — no shuffle of
+    anything but partial sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feats = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / 300.0).alias("x1"),
+        (F.size(toks) / 60.0).alias("x2"),
+        (
+            F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
+        ).alias("x3"),
+    )
+    z = 0.1 * F.col("x0") - 0.2 * F.col("x1") + 0.3 * F.col("x2") - 0.1 * F.col("x3")
+    scored = feats.withColumn("p", 1.0 / (1.0 + F.exp(-z)))
+    grads = scored.agg(
+        rnd(F.avg((F.col("p") - F.col("y")) * F.col("x0")), 6).alias("g0"),
+        rnd(F.avg((F.col("p") - F.col("y")) * F.col("x1")), 6).alias("g1"),
+        rnd(F.avg((F.col("p") - F.col("y")) * F.col("x2")), 6).alias("g2"),
+        rnd(F.avg((F.col("p") - F.col("y")) * F.col("x3")), 6).alias("g3"),
+        rnd(
+            -F.avg(
+                F.col("y") * F.log("p")
+                + (1 - F.col("y")) * F.log(1 - F.col("p"))
+            ),
+            6,
+        ).alias("loss"),
+    )
+    names = [("bias", "g0"), ("len_chars", "g1"), ("len_tokens", "g2"), ("ttr", "g3")]
+    return (
+        grads.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("feature"),
+                            F.col(g).alias("gradient"),
+                            F.col("loss").alias("mean_loss"),
+                        )
+                        for n, g in names
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.feature", "r.gradient", "r.mean_loss")
+        .orderBy("feature")
+    )

@@ -696,3 +696,19 @@ def test_coverage_gaps_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.longest_gap_hours <= r.n_missing_hours
         assert r.n_missing_hours <= r.n_expected_hours
+
+
+def test_logreg_gradient_finite_and_loss_positive(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_logreg_gradient_step")
+    assert len(rows) == 4
+    assert len({r.mean_loss for r in rows}) == 1
+    assert rows[0].mean_loss > 0
+    for r in rows:
+        assert abs(r.gradient) < 10
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_bloom_fpr")
+    assert r.n_false_negatives == 0  # structural Bloom guarantee
+    assert 0 < r.n_bits_set <= min(4096, 3 * r.n_inserted)
+    assert r.n_false_positives <= r.n_true_negatives_probed
