@@ -175,6 +175,8 @@ BENCH_QUERIES = [
     "q_set_ops_all",
     "q_logreg_gradient_step",
     "q_bloom_fpr",
+    "q_kfold_balance",
+    "q_sliding_window_rollup",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

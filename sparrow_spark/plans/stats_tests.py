@@ -993,3 +993,45 @@ def q_logreg_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.feature", "r.gradient", "r.mean_loss")
         .orderBy("feature")
     )
+
+
+@query(
+    "q_kfold_balance",
+    oracle="""
+    WITH folds AS (
+      SELECT doc_id % 5 AS fold, lang, n_chars FROM documents
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(avg(CAST(lang = 'en' AS INTEGER)), 4) AS en_fraction,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM folds
+    GROUP BY fold
+    ORDER BY fold
+    """,
+)
+def q_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment with the
+    balance audit evaluators need before trusting fold metrics: per
+    fold, the size, label coverage, positive-class fraction, and a
+    covariate mean — a fold whose en_fraction drifts from the others
+    biases every score computed on it. Keyed on doc_id so assignment
+    is stable under repartitioning (the same leakage-safety argument
+    as q_train_test_split; group-aware folds would key on source as
+    q_grouped_split does).
+
+    Scale: map-side fold arithmetic + one 5-key agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy((F.col("doc_id") % 5).cast("bigint").alias("fold"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            rnd(F.avg((F.col("lang") == "en").cast("int")), 4).alias(
+                "en_fraction"
+            ),
+            rnd(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("fold")
+    )

@@ -1772,3 +1772,58 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "q_sliding_window_rollup",
+    oracle="""
+    WITH ev AS (
+      SELECT ts, value,
+             epoch(date_trunc('hour', ts))
+             - epoch(date_trunc('hour', ts)) % 10800 AS w_floor
+      FROM events WHERE event_type = 'purchase'
+    ), expanded AS (
+      SELECT value, to_timestamp(w_floor) AS w_start FROM ev
+      WHERE epoch(ts) - w_floor < 21600
+      UNION ALL
+      SELECT value, to_timestamp(w_floor - 10800) AS w_start FROM ev
+      WHERE epoch(ts) - (w_floor - 10800) < 21600
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM expanded
+    GROUP BY w_start
+    ORDER BY window_start
+    """,
+)
+def q_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window rollup: purchase volume in 6-hour
+    windows advancing every 3 hours, via Spark's native
+    F.window(ts, '6 hours', '3 hours') — each event lands in exactly
+    TWO overlapping windows, giving dashboards smoother trend lines
+    than tumbling buckets (q_time_bucket_rollup is the tumbling twin;
+    the streaming path uses the same operator with a watermark). The
+    oracle expands each event into its two window starts
+    arithmetically.
+
+    Scale: window assignment is map-side arithmetic with a fixed 2x
+    fan-out, then one keyed agg on window start."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            rnd(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )

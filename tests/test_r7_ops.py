@@ -712,3 +712,20 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     assert r.n_false_negatives == 0  # structural Bloom guarantee
     assert 0 < r.n_bits_set <= min(4096, 3 * r.n_inserted)
     assert r.n_false_positives <= r.n_true_negatives_probed
+
+
+def test_kfold_partitions_corpus(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_kfold_balance")
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == 5
+    assert sum(r.n_docs for r in rows) == n_docs
+
+
+def test_sliding_window_double_counts(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_sliding_window_rollup")
+    n_purchases = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase").count()
+    )
+    # 6h window / 3h slide -> every event in exactly two windows
+    assert sum(r.n_events for r in rows) == 2 * n_purchases
