@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "q_bloom_fpr",
     "q_kfold_balance",
     "q_sliding_window_rollup",
+    "q_value_at_risk",
+    "q_forecast_baselines",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

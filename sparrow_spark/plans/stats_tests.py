@@ -1035,3 +1035,124 @@ def q_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@query(
+    "q_value_at_risk",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, sum(value) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), deltas AS (
+      SELECT rev - lag(rev) OVER (ORDER BY d) AS chg FROM daily
+    ), clean AS (
+      SELECT chg FROM deltas WHERE chg IS NOT NULL
+    ), var AS (
+      SELECT quantile_cont(chg, 0.05) AS var_95 FROM clean
+    )
+    SELECT CAST((SELECT count(*) FROM clean) AS BIGINT) AS n_days,
+           round(v.var_95, 4) AS var_95,
+           round((SELECT avg(chg) FROM clean WHERE chg <= v.var_95), 4)
+             AS cvar_95,
+           round((SELECT avg(chg) FROM clean), 4) AS mean_change
+    FROM var v
+    """,
+)
+def q_value_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and expected shortfall on day-over-day revenue
+    changes: VaR95 is the 5th percentile of daily deltas (the loss a
+    normal bad day won't exceed) and CVaR95 is the mean of the tail
+    BEYOND it — the coherent risk measure regulators prefer because
+    it sees how bad the bad tail actually is. The risk-metric family
+    the anomaly scans (CUSUM, MAD) feed into when losses need a
+    number, not a flag.
+
+    Scale: daily rollup first; deltas via one lag window over the
+    bounded series; the tail mean re-filters the bounded delta
+    table."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum("value").alias("rev")
+    )
+    deltas = daily.select(
+        (F.col("rev") - F.lag("rev").over(Window.orderBy("d"))).alias("chg")
+    ).filter(F.col("chg").isNotNull())
+    var = deltas.agg(F.expr("percentile(chg, 0.05)").alias("var_95"))
+    stats = deltas.crossJoin(F.broadcast(var)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        rnd(F.first("var_95"), 4).alias("var_95"),
+        rnd(
+            F.avg(F.when(F.col("chg") <= F.col("var_95"), F.col("chg"))), 4
+        ).alias("cvar_95"),
+        rnd(F.avg("chg"), 4).alias("mean_change"),
+    )
+    return stats.select("n_days", "var_95", "cvar_95", "mean_change")
+
+
+@query(
+    "q_forecast_baselines",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, sum(value) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), lagged AS (
+      SELECT rev,
+             lag(rev, 1) OVER (ORDER BY d) AS naive_pred,
+             lag(rev, 7) OVER (ORDER BY d) AS snaive_pred
+      FROM daily
+    )
+    SELECT 'naive_last_day' AS model,
+           CAST(count(naive_pred) AS BIGINT) AS n_forecasts,
+           round(avg(abs(rev - naive_pred)), 4) AS mae,
+           round(100 * avg(abs(rev - naive_pred) / rev), 4) AS mape_pct
+    FROM lagged
+    UNION ALL
+    SELECT 'seasonal_naive_7d',
+           CAST(count(snaive_pred) AS BIGINT),
+           round(avg(abs(rev - snaive_pred)), 4),
+           round(100 * avg(abs(rev - snaive_pred) / rev), 4)
+    FROM lagged
+    ORDER BY model
+    """,
+)
+def q_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation: MAE and MAPE of the two baselines
+    every forecasting effort must beat — naive (yesterday's value)
+    and seasonal-naive (same weekday last week) — over the daily
+    revenue series. The yardstick for q_holt_linear's one-step RMSE:
+    a model that loses to seasonal-naive isn't a model.
+
+    Scale: one daily rollup; both baselines are lag windows over the
+    bounded series, evaluated in the same pass."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum("value").alias("rev")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "rev",
+        F.lag("rev", 1).over(w).alias("naive_pred"),
+        F.lag("rev", 7).over(w).alias("snaive_pred"),
+    )
+    def row(name, pred):
+        err = F.abs(F.col("rev") - F.col(pred))
+        return lagged.agg(
+            F.count(pred).cast("bigint").alias("n_forecasts"),
+            rnd(F.avg(F.when(F.col(pred).isNotNull(), err)), 4).alias("mae"),
+            rnd(
+                100 * F.avg(
+                    F.when(F.col(pred).isNotNull(), err / F.col("rev"))
+                ),
+                4,
+            ).alias("mape_pct"),
+        ).select(F.lit(name).alias("model"), "n_forecasts", "mae", "mape_pct")
+
+    return (
+        row("naive_last_day", "naive_pred")
+        .unionByName(row("seasonal_naive_7d", "snaive_pred"))
+        .orderBy("model")
+    )

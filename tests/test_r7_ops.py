@@ -729,3 +729,20 @@ def test_sliding_window_double_counts(spark, sf_dir):
     )
     # 6h window / 3h slide -> every event in exactly two windows
     assert sum(r.n_events for r in rows) == 2 * n_purchases
+
+
+def test_var_cvar_ordering(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_value_at_risk")
+    assert r.cvar_95 <= r.var_95 + 1e-9  # tail mean is worse than cutoff
+    assert r.n_days > 0
+
+
+def test_forecast_baselines_shape(spark, sf_dir):
+    rows = {r.model: r for r in _run(spark, sf_dir, "q_forecast_baselines")}
+    assert set(rows) == {"naive_last_day", "seasonal_naive_7d"}
+    for r in rows.values():
+        assert r.mae >= 0 and r.mape_pct >= 0
+    assert (
+        rows["naive_last_day"].n_forecasts
+        > rows["seasonal_naive_7d"].n_forecasts
+    )
