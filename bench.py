@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "q_sliding_window_rollup",
     "q_value_at_risk",
     "q_forecast_baselines",
+    "q_lsh_bucket_skew",
+    "q_rolling_mau",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -2507,3 +2507,52 @@ def q_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "q_lsh_bucket_skew",
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    , buckets AS (
+      SELECT band, band_sig, CAST(count(*) AS BIGINT) AS sz
+      FROM bands GROUP BY band, band_sig
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(sz) AS BIGINT) AS max_bucket,
+           round(quantile_cont(CAST(sz AS DOUBLE), 0.99), 2) AS p99_bucket,
+           CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS candidate_pairs,
+           CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_colliding_buckets
+    FROM buckets
+    """,
+)
+def q_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket skew audit: the size distribution of the
+    MinHash band buckets and the candidate-pair volume it implies —
+    sum over buckets of C(size, 2) IS the cost of the dedup
+    candidate join, and one hot bucket (a boilerplate shingle shared
+    corpus-wide) can dominate it quadratically. This is the number to
+    watch BEFORE running q_dedup_minhash_lsh at a new scale: p99 and
+    max bucket size tell you whether the band join needs salting
+    (functions/skew.py) or a stopword-shingle filter first.
+
+    Scale: one (band, sig)-keyed count, then a bucket-cardinality
+    aggregate — the audit costs one shuffle of band keys, far less
+    than the join it de-risks."""
+    docs = load_table(spark, sf_dir, "documents")
+    buckets = minhash_bands(docs).groupBy("band", "band_sig").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return buckets.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("sz").cast("bigint").alias("max_bucket"),
+        rnd(F.expr("percentile(CAST(sz AS DOUBLE), 0.99)"), 2).alias(
+            "p99_bucket"
+        ),
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+        .cast("bigint")
+        .alias("candidate_pairs"),
+        F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_colliding_buckets"),
+    )

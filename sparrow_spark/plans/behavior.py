@@ -1156,3 +1156,52 @@ def q_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_rolling_mau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM du
+    )
+    SELECT strftime(t.d, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau_28d
+    FROM days t
+    JOIN du u ON u.d <= t.d AND u.d > t.d - INTERVAL 28 DAY
+    GROUP BY t.d
+    ORDER BY day
+    """,
+)
+def q_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 28-day active users per day — the MAU-by-day trendline
+    (distinct users active in the trailing 28 days, recomputed for
+    every day) that DAU/MAU stickiness and growth accounting both
+    reference. Rolling DISTINCT does not decompose into a window
+    aggregate, so the plan joins the (day, user) distinct table to
+    the bounded day list over the 28-day band.
+
+    Scale: the expensive exact form is (days x window x users)-
+    bounded after the first distinct; the production form replaces
+    the inner distinct-count with mergeable HLL sketches unioned over
+    the trailing window (q_hll_union is that primitive)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct().select(F.col("d").alias("t_d"))
+    return (
+        F.broadcast(days)
+        .join(
+            du,
+            (du.d <= F.col("t_d"))
+            & (du.d > F.col("t_d") - F.expr("INTERVAL 28 DAY")),
+        )
+        .groupBy("t_d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau_28d"))
+        .select(
+            F.date_format("t_d", "yyyy-MM-dd").alias("day"), "mau_28d"
+        )
+        .orderBy("day")
+    )

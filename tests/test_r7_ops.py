@@ -746,3 +746,22 @@ def test_forecast_baselines_shape(spark, sf_dir):
         rows["naive_last_day"].n_forecasts
         > rows["seasonal_naive_7d"].n_forecasts
     )
+
+
+def test_lsh_bucket_skew_identities(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_lsh_bucket_skew")
+    assert r.n_colliding_buckets <= r.n_buckets
+    assert r.p99_bucket <= r.max_bucket
+    assert r.candidate_pairs >= r.n_colliding_buckets  # each >=1 pair
+
+
+def test_rolling_mau_monotone_window(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_rolling_mau")
+    rows.sort(key=lambda r: r.day)
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    # trailing window only grows while the series is shorter than 28d
+    assert all(r.mau_28d <= n_users for r in rows)
+    assert rows[-1].mau_28d >= rows[0].mau_28d
