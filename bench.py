@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "q_forecast_baselines",
     "q_lsh_bucket_skew",
     "q_rolling_mau",
+    "q_graph_assortativity",
+    "q_decision_stump",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

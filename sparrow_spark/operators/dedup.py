@@ -2556,3 +2556,68 @@ def q_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_colliding_buckets"),
     )
+
+
+@query(
+    "q_graph_assortativity",
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    , edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ), deg AS (
+      SELECT node, CAST(count(*) AS DOUBLE) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    ), pairs AS (
+      SELECT du.d AS dx, dv.d AS dy
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ), sym AS (
+      SELECT dx, dy FROM pairs UNION ALL SELECT dy AS dx, dx AS dy
+      FROM pairs
+    )
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           round(corr(dx, dy), 6) AS assortativity
+    FROM sym
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-duplicate graph: the Pearson
+    correlation of endpoint degrees over (symmetrized) edges — positive
+    means heavy duplicators cluster with each other (template farms
+    interlinking), negative means hubs attach to leaves (one canonical
+    page copied by many one-off mirrors). The structural fingerprint
+    that, with the triangle clustering coefficient and PageRank,
+    characterizes WHAT KIND of duplication the corpus has, not just
+    how much.
+
+    Scale: degrees are one node-keyed count; the degree join touches
+    the edge list twice keyed on endpoints; corr is algebraic."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        minhash_lsh_pairs(docs)
+        .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
+    pairs = edges.join(du, "u").join(dv, "v").select("dx", "dy")
+    sym = pairs.unionByName(
+        pairs.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        sym.agg(rnd(F.corr("dx", "dy"), 6).alias("assortativity"))
+        .crossJoin(F.broadcast(n_edges))
+        .select("n_edges", "assortativity")
+    )

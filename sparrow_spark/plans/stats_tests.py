@@ -1156,3 +1156,100 @@ def q_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("seasonal_naive_7d", "snaive_pred"))
         .orderBy("model")
     )
+
+
+@query(
+    "q_decision_stump",
+    oracle="""
+    WITH labeled AS (
+      SELECT n_chars, CAST(lang = 'en' AS INTEGER) AS y FROM documents
+    ), thresholds AS (
+      SELECT unnest([100, 150, 200, 250, 300, 350, 400, 450, 500]) AS thr
+    ), split_stats AS (
+      SELECT t.thr,
+             CAST(sum(CASE WHEN l.n_chars <= t.thr THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS n_l,
+             CAST(sum(CASE WHEN l.n_chars <= t.thr THEN y ELSE 0 END)
+                  AS DOUBLE) AS p_l,
+             CAST(sum(CASE WHEN l.n_chars > t.thr THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS n_r,
+             CAST(sum(CASE WHEN l.n_chars > t.thr THEN y ELSE 0 END)
+                  AS DOUBLE) AS p_r,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(y) AS DOUBLE) AS p
+      FROM thresholds t CROSS JOIN labeled l
+      GROUP BY t.thr
+    ), scored AS (
+      SELECT thr,
+             2 * (p / n) * (1 - p / n)
+             - (n_l / n) * (2 * (p_l / nullif(n_l, 0))
+                            * (1 - p_l / nullif(n_l, 0)))
+             - (n_r / n) * (2 * (p_r / nullif(n_r, 0))
+                            * (1 - p_r / nullif(n_r, 0))) AS gini_gain
+      FROM split_stats
+    )
+    SELECT CAST(thr AS BIGINT) AS threshold,
+           round(gini_gain, 6) AS gini_gain,
+           gini_gain = (SELECT max(gini_gain) FROM scored) AS is_best
+    FROM scored
+    ORDER BY threshold
+    """,
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search: the Gini-impurity gain of
+    splitting documents on n_chars at each of nine candidate
+    thresholds for predicting lang=='en', with the argmax flagged —
+    the inner loop of every tree/GBM learner, expressed as ONE
+    grouped aggregation over the threshold-grid cross join (each
+    candidate's left/right class counts accumulate in the same
+    pass; no per-threshold scan).
+
+    Scale: the grid fan-out is |thresholds| per row, map-side; the
+    agg shuffles |thresholds| keys. The production form evaluates
+    all features x thresholds in one pass the same way (the
+    histogram trick XGBoost/LightGBM use)."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in (100, 150, 200, 250, 300, 350, 400, 450, 500)],
+        "thr bigint",
+    )
+    left = F.col("n_chars") <= F.col("thr")
+    stats = (
+        labeled.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(left, 1).otherwise(0)).cast("double").alias("n_l"),
+            F.sum(F.when(left, F.col("y")).otherwise(0))
+            .cast("double")
+            .alias("p_l"),
+            F.sum(F.when(~left, 1).otherwise(0)).cast("double").alias("n_r"),
+            F.sum(F.when(~left, F.col("y")).otherwise(0))
+            .cast("double")
+            .alias("p_r"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("y").cast("double").alias("p"),
+        )
+    )
+    def gini(p, n):
+        frac = p / F.nullif(n, F.lit(0.0))
+        return 2 * frac * (1 - frac)
+
+    gain = (
+        gini(F.col("p"), F.col("n"))
+        - (F.col("n_l") / F.col("n")) * gini(F.col("p_l"), F.col("n_l"))
+        - (F.col("n_r") / F.col("n")) * gini(F.col("p_r"), F.col("n_r"))
+    )
+    scored = stats.select("thr", gain.alias("gini_gain"))
+    best = scored.agg(F.max("gini_gain").alias("best"))
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            F.col("thr").cast("bigint").alias("threshold"),
+            rnd("gini_gain", 6).alias("gini_gain"),
+            (F.col("gini_gain") == F.col("best")).alias("is_best"),
+        )
+        .orderBy("threshold")
+    )

@@ -765,3 +765,19 @@ def test_rolling_mau_monotone_window(spark, sf_dir):
     # trailing window only grows while the series is shorter than 28d
     assert all(r.mau_28d <= n_users for r in rows)
     assert rows[-1].mau_28d >= rows[0].mau_28d
+
+
+def test_assortativity_in_range(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_graph_assortativity")
+    assert r.n_edges > 0
+    if r.assortativity is not None:  # constant degrees -> undefined
+        assert -1 <= r.assortativity <= 1
+
+
+def test_decision_stump_gain_nonnegative_with_unique_best(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_decision_stump")
+    assert len(rows) == 9
+    best = [r for r in rows if r.is_best]
+    assert best
+    assert all(r.gini_gain <= best[0].gini_gain + 1e-9 for r in rows)
+    assert all(r.gini_gain >= -1e-9 for r in rows)  # gain >= 0 for stumps
