@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "q_rolling_mau",
     "q_graph_assortativity",
     "q_decision_stump",
+    "q_hhi_concentration",
+    "q_diff_in_diff",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1253,3 +1253,73 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "q_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(ts >= TIMESTAMP '2024-01-16' AS INTEGER) AS post,
+             avg(value) AS mean_value,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id % 2, ts >= TIMESTAMP '2024-01-16'
+    ), wide AS (
+      SELECT
+        max(CASE WHEN arm = 1 AND post = 1 THEN mean_value END) AS t_post,
+        max(CASE WHEN arm = 1 AND post = 0 THEN mean_value END) AS t_pre,
+        max(CASE WHEN arm = 0 AND post = 1 THEN mean_value END) AS c_post,
+        max(CASE WHEN arm = 0 AND post = 0 THEN mean_value END) AS c_pre
+      FROM cells
+    )
+    SELECT round(t_pre, 4) AS treat_pre, round(t_post, 4) AS treat_post,
+           round(c_pre, 4) AS control_pre,
+           round(c_post, 4) AS control_post,
+           round((t_post - t_pre) - (c_post - c_pre), 4) AS did_estimate
+    FROM wide
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the treatment effect estimated as
+    (treated post - treated pre) minus (control post - control pre)
+    over the hash-split arms and the mid-window cutover — the causal
+    workhorse when randomization is imperfect or a launch hit
+    everyone at a known date: the control arm's trend absorbs
+    seasonality the naive pre/post diff would misattribute. Completes
+    the experiment toolkit (SRM guard → Welch/Mann-Whitney readouts →
+    CUPED variance reduction → DiD for staggered rollouts).
+
+    Scale: ONE 4-cell aggregation; everything after is arithmetic."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).cast("bigint").alias("arm"),
+        (F.col("ts") >= cut).cast("int").alias("post"),
+    ).agg(F.avg("value").alias("mean_value"))
+    def cell(arm, post):
+        return F.max(
+            F.when(
+                (F.col("arm") == arm) & (F.col("post") == post),
+                F.col("mean_value"),
+            )
+        )
+    wide = cells.agg(
+        cell(1, 1).alias("t_post"),
+        cell(1, 0).alias("t_pre"),
+        cell(0, 1).alias("c_post"),
+        cell(0, 0).alias("c_pre"),
+    )
+    return wide.select(
+        rnd("t_pre", 4).alias("treat_pre"),
+        rnd("t_post", 4).alias("treat_post"),
+        rnd("c_pre", 4).alias("control_pre"),
+        rnd("c_post", 4).alias("control_post"),
+        rnd(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre")),
+            4,
+        ).alias("did_estimate"),
+    )

@@ -1322,3 +1322,78 @@ def q_all_tables_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(docs))
         .crossJoin(F.broadcast(emb))
     )
+
+
+@query(
+    "q_hhi_concentration",
+    oracle="""
+    WITH shares AS (
+      SELECT l_partkey, l_suppkey,
+             sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), per_part AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             round(sum(share * share), 6) AS hhi
+      FROM (
+        SELECT l_partkey,
+               rev / sum(rev) OVER (PARTITION BY l_partkey) AS share
+        FROM shares
+      )
+      GROUP BY l_partkey
+    )
+    SELECT CASE WHEN hhi > 0.25 THEN 'concentrated'
+                WHEN hhi > 0.15 THEN 'moderate'
+                ELSE 'competitive' END AS band,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(avg(hhi), 6) AS avg_hhi,
+           round(avg(n_suppliers), 2) AS avg_suppliers
+    FROM per_part
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per part:
+    the sum of squared supplier revenue shares (1.0 = sole supplier,
+    1/n = perfectly split), banded at the antitrust thresholds
+    (0.15/0.25) — the supply-risk screen that Gini (inequality among
+    ALL) doesn't give because HHI penalizes few-player markets
+    specifically.
+
+    Scale: one (part, supplier) keyed agg; shares are a window over
+    that bounded table; the band rollup is 3 keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    shares = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev"
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    per_part = (
+        shares.select(
+            "l_partkey",
+            (F.col("rev") / F.sum("rev").over(w)).alias("share"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.round(F.sum(F.col("share") * F.col("share")) + 1e-9, 6).alias(
+                "hhi"
+            ),
+        )
+    )
+    band = (
+        F.when(F.col("hhi") > 0.25, "concentrated")
+        .when(F.col("hhi") > 0.15, "moderate")
+        .otherwise("competitive")
+    )
+    return (
+        per_part.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            rnd(F.avg("hhi"), 6).alias("avg_hhi"),
+            rnd(F.avg("n_suppliers"), 2).alias("avg_suppliers"),
+        )
+        .orderBy("band")
+    )

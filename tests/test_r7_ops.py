@@ -781,3 +781,18 @@ def test_decision_stump_gain_nonnegative_with_unique_best(spark, sf_dir):
     assert best
     assert all(r.gini_gain <= best[0].gini_gain + 1e-9 for r in rows)
     assert all(r.gini_gain >= -1e-9 for r in rows)  # gain >= 0 for stumps
+
+
+def test_hhi_bands_partition_parts(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_hhi_concentration")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_parts = li.select("l_partkey").distinct().count()
+    assert sum(r.n_parts for r in rows) == n_parts
+    for r in rows:
+        assert 0 < r.avg_hhi <= 1 + 1e-6
+
+
+def test_did_identity(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_diff_in_diff")
+    did = (r.treat_post - r.treat_pre) - (r.control_post - r.control_pre)
+    assert abs(did - r.did_estimate) < 5e-4
