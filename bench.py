@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "q_decision_stump",
     "q_hhi_concentration",
     "q_diff_in_diff",
+    "q_revenue_bridge",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

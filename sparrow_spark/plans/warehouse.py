@@ -1397,3 +1397,83 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@query(
+    "q_revenue_bridge",
+    oracle="""
+    WITH periods AS (
+      SELECT l_partkey,
+             CAST(year(l_shipdate) = 1998 AS INTEGER) AS cur,
+             sum(l_quantity) AS qty,
+             sum(l_extendedprice * (1 - l_discount)) / sum(l_quantity)
+               AS unit_price
+      FROM lineitem
+      WHERE year(l_shipdate) IN (1997, 1998)
+      GROUP BY l_partkey, year(l_shipdate) = 1998
+    ), wide AS (
+      SELECT l_partkey,
+             max(CASE WHEN cur = 0 THEN qty END) AS q0,
+             max(CASE WHEN cur = 1 THEN qty END) AS q1,
+             max(CASE WHEN cur = 0 THEN unit_price END) AS p0,
+             max(CASE WHEN cur = 1 THEN unit_price END) AS p1
+      FROM periods GROUP BY l_partkey
+    ), common AS (
+      SELECT * FROM wide
+      WHERE q0 IS NOT NULL AND q1 IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_parts_in_both,
+           round(sum(q0 * p0), 2) AS revenue_prior,
+           round(sum(q1 * p1), 2) AS revenue_current,
+           round(sum((q1 - q0) * p0), 2) AS volume_effect,
+           round(sum((p1 - p0) * q1), 2) AS price_effect,
+           round(sum(q1 * p1) - sum(q0 * p0)
+                 - sum((q1 - q0) * p0) - sum((p1 - p0) * q1), 4)
+             AS bridge_residual
+    FROM common
+    """,
+)
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period revenue bridge: the 1997→1998 revenue change
+    for parts sold in both years decomposed into a VOLUME effect
+    ((q1-q0) at old prices) and a PRICE effect ((p1-p0) at new
+    volumes) — the FP&A waterfall that explains WHY revenue moved.
+    With this decomposition (price effect valued at current volume)
+    the two effects sum to the change EXACTLY, and the emitted
+    residual proves it at float precision.
+
+    Scale: one (part, period) keyed agg, a part-keyed pivot, and a
+    final plain aggregate — no windows, no sorts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(1997, 1998)
+    )
+    periods = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") == 1998).cast("int").alias("cur"),
+    ).agg(
+        F.sum("l_quantity").alias("qty"),
+        (
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            / F.sum("l_quantity")
+        ).alias("unit_price"),
+    )
+    def pick(cur, col):
+        return F.max(F.when(F.col("cur") == cur, F.col(col)))
+    wide = periods.groupBy("l_partkey").agg(
+        pick(0, "qty").alias("q0"),
+        pick(1, "qty").alias("q1"),
+        pick(0, "unit_price").alias("p0"),
+        pick(1, "unit_price").alias("p1"),
+    ).filter(F.col("q0").isNotNull() & F.col("q1").isNotNull())
+    rev0 = F.sum(F.col("q0") * F.col("p0"))
+    rev1 = F.sum(F.col("q1") * F.col("p1"))
+    vol = F.sum((F.col("q1") - F.col("q0")) * F.col("p0"))
+    prc = F.sum((F.col("p1") - F.col("p0")) * F.col("q1"))
+    return wide.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts_in_both"),
+        rnd(rev0, 2).alias("revenue_prior"),
+        rnd(rev1, 2).alias("revenue_current"),
+        rnd(vol, 2).alias("volume_effect"),
+        rnd(prc, 2).alias("price_effect"),
+        rnd(rev1 - rev0 - vol - prc, 4).alias("bridge_residual"),
+    )

@@ -796,3 +796,12 @@ def test_did_identity(spark, sf_dir):
     (r,) = _run(spark, sf_dir, "q_diff_in_diff")
     did = (r.treat_post - r.treat_pre) - (r.control_post - r.control_pre)
     assert abs(did - r.did_estimate) < 5e-4
+
+
+def test_revenue_bridge_decomposition_exact(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_revenue_bridge")
+    assert r.n_parts_in_both > 0
+    # volume + price effects reconstruct the revenue change exactly
+    assert abs(r.bridge_residual) < 0.01
+    change = r.revenue_current - r.revenue_prior
+    assert abs((r.volume_effect + r.price_effect) - change) < 0.05
