@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "q_hhi_concentration",
     "q_diff_in_diff",
     "q_revenue_bridge",
+    "q_mix_shift",
+    "q_markov_entropy",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

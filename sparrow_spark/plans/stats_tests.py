@@ -1323,3 +1323,151 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("did_estimate"),
     )
+
+
+@query(
+    "q_mix_shift",
+    oracle="""
+    WITH halves AS (
+      SELECT event_type,
+             CAST(ts >= TIMESTAMP '2024-01-16' AS INTEGER) AS cur,
+             avg(value) AS m,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events
+      GROUP BY event_type, ts >= TIMESTAMP '2024-01-16'
+    ), tot AS (
+      SELECT cur, sum(n) AS nt FROM halves GROUP BY cur
+    ), wide AS (
+      SELECT h.event_type,
+             max(CASE WHEN h.cur = 0 THEN h.m END) AS m0,
+             max(CASE WHEN h.cur = 1 THEN h.m END) AS m1,
+             max(CASE WHEN h.cur = 0 THEN h.n / t.nt END) AS w0,
+             max(CASE WHEN h.cur = 1 THEN h.n / t.nt END) AS w1
+      FROM halves h JOIN tot t ON t.cur = h.cur
+      GROUP BY h.event_type
+    )
+    SELECT round(sum(w0 * m0), 4) AS overall_prior,
+           round(sum(w1 * m1), 4) AS overall_current,
+           round(sum(w0 * (m1 - m0)), 4) AS within_effect,
+           round(sum((w1 - w0) * m1), 4) AS mix_effect,
+           round(sum(w1 * m1) - sum(w0 * m0)
+                 - sum(w0 * (m1 - m0)) - sum((w1 - w0) * m1), 6)
+             AS residual
+    FROM wide
+    """,
+)
+def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift decomposition of the overall mean event value between
+    the two half-months: the change splits EXACTLY into a
+    within-segment effect (per-type mean moves, weighted at the old
+    mix) and a mix effect (type-share moves, valued at new means) —
+    the Oaxaca-style answer to 'did the metric move, or did the
+    traffic mix move?' that a plain before/after diff conflates
+    (a dashboard drop caused purely by more low-value event types is
+    a mix story, not a product regression). The residual column
+    proves the exact-sum identity, the same discipline as
+    q_revenue_bridge.
+
+    Scale: one (type, period) agg + per-period totals; everything
+    after is arithmetic on |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    halves = ev.groupBy(
+        "event_type", (F.col("ts") >= cut).cast("int").alias("cur")
+    ).agg(
+        F.avg("value").alias("m"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    tot = halves.groupBy("cur").agg(F.sum("n").alias("nt"))
+    def pick(cur, col):
+        return F.max(F.when(F.col("cur") == cur, F.col(col)))
+    wide = (
+        halves.join(F.broadcast(tot), "cur")
+        .withColumn("w", F.col("n") / F.col("nt"))
+        .groupBy("event_type")
+        .agg(
+            pick(0, "m").alias("m0"),
+            pick(1, "m").alias("m1"),
+            pick(0, "w").alias("w0"),
+            pick(1, "w").alias("w1"),
+        )
+    )
+    prior = F.sum(F.col("w0") * F.col("m0"))
+    cur_ = F.sum(F.col("w1") * F.col("m1"))
+    within = F.sum(F.col("w0") * (F.col("m1") - F.col("m0")))
+    mix = F.sum((F.col("w1") - F.col("w0")) * F.col("m1"))
+    return wide.agg(
+        rnd(prior, 4).alias("overall_prior"),
+        rnd(cur_, 4).alias("overall_current"),
+        rnd(within, 4).alias("within_effect"),
+        rnd(mix, 4).alias("mix_effect"),
+        rnd(cur_ - prior - within - mix, 6).alias("residual"),
+    )
+
+
+@query(
+    "q_markov_entropy",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), pairs AS (
+      SELECT cur, nxt, CAST(count(*) AS DOUBLE) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), margins AS (
+      SELECT cur, nxt, c,
+             sum(c) OVER (PARTITION BY cur) AS c_cur,
+             sum(c) OVER () AS n
+      FROM pairs
+    )
+    SELECT round(-sum((c / n) * ln(c / c_cur)), 6)
+             AS conditional_entropy_nats,
+           round(-sum((c / n) * ln(c / c_cur))
+                 / ln((SELECT CAST(count(DISTINCT nxt) AS DOUBLE)
+                       FROM pairs)), 6) AS normalized,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT)
+             AS n_observed_transitions
+    FROM margins
+    """,
+)
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy of the user-journey Markov chain,
+    H(next | current) = -sum p(a,b) ln p(b|a): how predictable the
+    next event is given the current one (0 = deterministic flows,
+    ln(types) = memoryless uniform) — the single-number summary of
+    q_markov_transitions' matrix, and the justification (or not) for
+    sequence-aware models over frequency baselines.
+
+    Scale: one user-keyed lead window shared with the transition
+    matrix; entropy terms live on the |types|^2 pair table."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    margins = pairs.select(
+        "c",
+        F.sum("c").over(Window.partitionBy("cur")).alias("c_cur"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    k = pairs.agg(F.countDistinct("nxt").cast("double").alias("k"))
+    npairs = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_observed_transitions")
+    )
+    h = -F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("c_cur")))
+    return (
+        margins.agg(h.alias("h"))
+        .crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(npairs))
+        .select(
+            rnd("h", 6).alias("conditional_entropy_nats"),
+            rnd(F.col("h") / F.log("k"), 6).alias("normalized"),
+            "n_observed_transitions",
+        )
+    )

@@ -805,3 +805,17 @@ def test_revenue_bridge_decomposition_exact(spark, sf_dir):
     assert abs(r.bridge_residual) < 0.01
     change = r.revenue_current - r.revenue_prior
     assert abs((r.volume_effect + r.price_effect) - change) < 0.05
+
+
+def test_mix_shift_exact_decomposition(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_mix_shift")
+    assert abs(r.residual) < 1e-3
+    change = r.overall_current - r.overall_prior
+    assert abs((r.within_effect + r.mix_effect) - change) < 5e-3
+
+
+def test_markov_entropy_bounds(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_markov_entropy")
+    assert 0 <= r.normalized <= 1 + 1e-9
+    assert r.conditional_entropy_nats >= 0
+    assert r.n_observed_transitions > 0
