@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "q_revenue_bridge",
     "q_mix_shift",
     "q_markov_entropy",
+    "q_retention_halflife",
+    "q_dedup_savings",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -2621,3 +2621,86 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_edges))
         .select("n_edges", "assortativity")
     )
+
+
+@query(
+    "q_dedup_savings",
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    , cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM cands
+      UNION SELECT b_id, a_id FROM cands
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+      )
+      SELECT * FROM r
+    ), labels AS (
+      SELECT src AS doc_id, min(dst) AS keeper FROM reach GROUP BY src
+    ), verdicts AS (
+      SELECT d.source, d.n_chars,
+             CASE WHEN l.doc_id IS NOT NULL AND l.doc_id <> l.keeper
+                  THEN 1 ELSE 0 END AS removable
+      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(removable) AS BIGINT) AS n_removable,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN removable = 1 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS removable_chars,
+           round(sum(CASE WHEN removable = 1 THEN n_chars ELSE 0 END)
+                 / CAST(sum(n_chars) AS DOUBLE), 4) AS savings_frac
+    FROM verdicts
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup business case, per source: documents and characters
+    that near-dup deduplication would REMOVE (everything in a dup
+    cluster except its keeper), as an absolute and a savings fraction
+    — the number that justifies (or kills) running the pipeline on a
+    new crawl, and the per-source view that points at which feeds are
+    mostly mirrors. Keeper = min doc_id, matching q_dedup_keeper.
+
+    Scale: labels from the same min-label propagation; the verdict is
+    one doc-keyed left join + a source-keyed rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = minlabel_clusters(minhash_lsh_pairs(docs)).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("keeper")
+    )
+    verdicts = docs.join(labels, "doc_id", "left").select(
+        "source",
+        "n_chars",
+        F.when(
+            F.col("keeper").isNotNull()
+            & (F.col("doc_id") != F.col("keeper")),
+            1,
+        )
+        .otherwise(0)
+        .alias("removable"),
+    )
+    rem_chars = F.sum(
+        F.when(F.col("removable") == 1, F.col("n_chars")).otherwise(0)
+    )
+    return (
+        verdicts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("removable").cast("bigint").alias("n_removable"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            rem_chars.cast("bigint").alias("removable_chars"),
+            rnd(
+                rem_chars / F.sum("n_chars").cast("double"), 4
+            ).alias("savings_frac"),
+        )
+        .orderBy("source")
+    )

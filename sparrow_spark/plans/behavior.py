@@ -1205,3 +1205,89 @@ def q_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_retention_halflife",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    ), first_wk AS (
+      SELECT user_id, min(w) AS fw FROM wk GROUP BY user_id
+    ), cohort_n AS (
+      SELECT fw, CAST(count(*) AS DOUBLE) AS n0 FROM first_wk GROUP BY fw
+    ), active AS (
+      SELECT f.fw, date_diff('week', f.fw, k.w) AS offset_wk,
+             CAST(count(DISTINCT k.user_id) AS DOUBLE) AS n_active
+      FROM wk k JOIN first_wk f ON f.user_id = k.user_id
+      GROUP BY f.fw, date_diff('week', f.fw, k.w)
+    ), rates AS (
+      SELECT a.offset_wk, avg(a.n_active / c.n0) AS rate
+      FROM active a JOIN cohort_n c ON c.fw = a.fw
+      WHERE a.offset_wk >= 1
+      GROUP BY a.offset_wk
+    ), fit AS (
+      SELECT regr_slope(ln(rate), offset_wk) AS slope,
+             regr_intercept(ln(rate), offset_wk) AS intercept,
+             CAST(count(*) AS BIGINT) AS n_points
+      FROM rates WHERE rate > 0
+    )
+    SELECT n_points,
+           round(slope, 6) AS log_slope,
+           round(exp(intercept), 6) AS week1_level,
+           round(CASE WHEN slope < 0 THEN -ln(2) / slope END, 4)
+             AS half_life_weeks
+    FROM fit
+    """,
+)
+def q_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential retention-decay fit: average week-k retention rates
+    (across cohorts) regressed as ln(rate) ~ k, giving the weekly
+    decay slope and the retention HALF-LIFE (-ln2/slope) — the single
+    number that compresses q_retention_cohorts' matrix into 'how many
+    weeks until half the cohort is gone', the metric LTV projections
+    discount by. NULL half-life when the slope isn't negative (no
+    decay to fit).
+
+    Scale: cohort rates live on the (cohort, offset) grid; the fit is
+    one regr_slope/intercept aggregate over offset-cardinality
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    first_wk = wk.groupBy("user_id").agg(F.min("w").alias("fw"))
+    cohort_n = first_wk.groupBy("fw").agg(
+        F.count(F.lit(1)).cast("double").alias("n0")
+    )
+    active = (
+        wk.join(first_wk, "user_id")
+        .groupBy(
+            "fw",
+            (
+                F.datediff(F.date_trunc("week", "w"), F.col("fw")) / 7
+            ).cast("bigint").alias("offset_wk"),
+        )
+        .agg(F.countDistinct("user_id").cast("double").alias("n_active"))
+    )
+    rates = (
+        active.join(F.broadcast(cohort_n), "fw")
+        .filter(F.col("offset_wk") >= 1)
+        .groupBy("offset_wk")
+        .agg(F.avg(F.col("n_active") / F.col("n0")).alias("rate"))
+        .filter(F.col("rate") > 0)
+    )
+    fit = rates.agg(
+        F.expr("regr_slope(ln(rate), offset_wk)").alias("slope"),
+        F.expr("regr_intercept(ln(rate), offset_wk)").alias("intercept"),
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+    )
+    return fit.select(
+        "n_points",
+        rnd("slope", 6).alias("log_slope"),
+        rnd(F.exp("intercept"), 6).alias("week1_level"),
+        rnd(
+            F.when(F.col("slope") < 0, -F.log(F.lit(2.0)) / F.col("slope")),
+            4,
+        ).alias("half_life_weeks"),
+    )

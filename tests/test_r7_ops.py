@@ -819,3 +819,20 @@ def test_markov_entropy_bounds(spark, sf_dir):
     assert 0 <= r.normalized <= 1 + 1e-9
     assert r.conditional_entropy_nats >= 0
     assert r.n_observed_transitions > 0
+
+
+def test_retention_halflife_fit_shape(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_retention_halflife")
+    assert r.n_points >= 2
+    if r.half_life_weeks is not None:
+        assert r.half_life_weeks > 0
+
+
+def test_dedup_savings_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_dedup_savings")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert r.n_removable <= r.n_docs
+        assert r.removable_chars <= r.total_chars
+        assert 0 <= r.savings_frac <= 1
