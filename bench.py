@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "q_markov_entropy",
     "q_retention_halflife",
     "q_dedup_savings",
+    "q_importance_ess",
+    "q_filtered_aggs",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1086,3 +1086,56 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "o_orderpriority", "n")
     )
     return i.unionByName(e).orderBy("op", "o_orderpriority")
+
+
+@query(
+    "q_filtered_aggs",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE o_totalprice > 100000)
+                AS BIGINT) AS n_large,
+           round(avg(o_totalprice) FILTER (WHERE o_orderpriority
+                                           LIKE '1-%'), 2)
+             AS avg_urgent_price,
+           round(sum(o_totalprice) FILTER (WHERE year(o_orderdate) = 1997),
+                 2) AS rev_1997
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard FILTER-clause aggregates (SQL:2003): several
+    differently-filtered aggregates over the SAME grouped pass —
+    count, conditional count, a filtered average (NULL when no row
+    qualifies, unlike the CASE-WHEN-ELSE-0 rewrite), and a filtered
+    sum — the idiom that replaces N self-joins or N CASE pyramids
+    with one scan. Spark parses the same FILTER syntax in SQL; the
+    DataFrame twin is when().otherwise(None) inside the aggregate.
+
+    Scale: one keyed aggregation regardless of how many filtered
+    aggregates ride in it."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_filtered_aggs")
+    out = orders.sparkSession.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(*) FILTER (WHERE o_totalprice > 100000)
+                    AS BIGINT) AS n_large,
+               avg(o_totalprice) FILTER (WHERE o_orderpriority
+                                         LIKE '1-%') AS avg_urgent_raw,
+               sum(o_totalprice) FILTER (WHERE year(o_orderdate) = 1997)
+                 AS rev_1997_raw
+        FROM _orders_filtered_aggs
+        GROUP BY o_orderstatus
+        """
+    )
+    return out.select(
+        "o_orderstatus",
+        "n_orders",
+        "n_large",
+        rnd("avg_urgent_raw", 2).alias("avg_urgent_price"),
+        rnd("rev_1997_raw", 2).alias("rev_1997"),
+    ).orderBy("o_orderstatus")

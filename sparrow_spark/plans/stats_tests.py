@@ -1471,3 +1471,58 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_observed_transitions",
         )
     )
+
+
+@query(
+    "q_importance_ess",
+    oracle="""
+    WITH shares AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n,
+             (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS nt,
+             (SELECT CAST(count(DISTINCT source) AS DOUBLE)
+              FROM documents) AS k
+      FROM documents GROUP BY source
+    ), weights AS (
+      SELECT d.source, (1.0 / s.k) / (s.n / s.nt) AS w
+      FROM documents d JOIN shares s ON s.source = d.source
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(w) * sum(w) / sum(w * w), 2) AS ess,
+           round(sum(w) * sum(w) / sum(w * w) / count(*), 4)
+             AS ess_fraction,
+           round(max(w), 4) AS max_weight
+    FROM weights
+    """,
+)
+def q_importance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the uniform-target importance weights
+    (w = target share / actual share per source): ESS =
+    (sum w)^2 / sum(w^2) — the weight-degeneracy audit every
+    importance-sampling step (DSIR selection, mixture reweighting)
+    needs BEFORE trusting weighted statistics: ess_fraction near 1
+    means the reweighting is benign, near 0 means a few documents
+    carry the estimate and resampling (q_data_mixture's keep/drop
+    form) is required instead.
+
+    Scale: shares are one source-keyed agg broadcast back; ESS is a
+    single algebraic aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("nt"),
+        F.countDistinct("source").cast("double").alias("k"),
+    )
+    shares = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    weights = (
+        docs.join(F.broadcast(shares), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(((1.0 / F.col("k")) / (F.col("n") / F.col("nt"))).alias("w"))
+    )
+    ess = F.sum("w") * F.sum("w") / F.sum(F.col("w") * F.col("w"))
+    return weights.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        rnd(ess, 2).alias("ess"),
+        rnd(ess / F.count(F.lit(1)), 4).alias("ess_fraction"),
+        rnd(F.max("w"), 4).alias("max_weight"),
+    )

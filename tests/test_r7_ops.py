@@ -836,3 +836,16 @@ def test_dedup_savings_bounds(spark, sf_dir):
         assert r.n_removable <= r.n_docs
         assert r.removable_chars <= r.total_chars
         assert 0 <= r.savings_frac <= 1
+
+
+def test_importance_ess_bounds(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_importance_ess")
+    assert 1 <= r.ess <= r.n_docs + 1e-6
+    assert 0 < r.ess_fraction <= 1 + 1e-9
+    assert r.max_weight > 0
+
+
+def test_filtered_aggs_consistency(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_filtered_aggs")
+    for r in rows:
+        assert r.n_large <= r.n_orders
