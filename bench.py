@@ -192,6 +192,8 @@ BENCH_QUERIES = [
     "q_dedup_savings",
     "q_importance_ess",
     "q_filtered_aggs",
+    "q_variance_decomposition",
+    "q_price_elasticity",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

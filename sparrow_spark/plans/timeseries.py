@@ -1827,3 +1827,77 @@ def q_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@query(
+    "q_variance_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), trended AS (
+      SELECT d, x,
+             avg(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                          AND 3 FOLLOWING) AS trend,
+             CAST(dayofweek(d) AS INTEGER) AS dow
+      FROM daily
+    ), seasonal AS (
+      SELECT dow, avg(x - trend) AS s FROM trended GROUP BY dow
+    ), parts AS (
+      SELECT t.x, t.trend, se.s,
+             t.x - t.trend - se.s AS resid
+      FROM trended t JOIN seasonal se ON se.dow = t.dow
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(var_pop(x), 4) AS var_total,
+           round(var_pop(trend), 4) AS var_trend,
+           round(var_pop(s), 4) AS var_seasonal,
+           round(var_pop(resid), 4) AS var_residual,
+           round(1 - var_pop(resid) / var_pop(x), 4) AS explained_frac
+    FROM parts
+    """,
+)
+def q_variance_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive decomposition of the daily event-count series into
+    trend (centered 7-day MA), day-of-week seasonal means of the
+    detrended series, and residual — summarized as a VARIANCE budget:
+    how much of the series' movement the structural components
+    explain (1 - var(resid)/var(total)). The quantitative follow-up
+    to q_trend_extraction (which emits the components) and
+    q_acf_daily (which detects the weekly cycle this decomposition
+    removes).
+
+    Scale: everything after the daily rollup runs on the bounded
+    daily series (one centered window + a 7-key seasonal agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    wma = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        "x",
+        F.avg("x").over(wma).alias("trend"),
+        F.dayofweek("d").alias("dow"),
+    )
+    seasonal = trended.groupBy("dow").agg(
+        F.avg(F.col("x") - F.col("trend")).alias("s")
+    )
+    parts = trended.join(F.broadcast(seasonal), "dow").select(
+        "x",
+        "trend",
+        "s",
+        (F.col("x") - F.col("trend") - F.col("s")).alias("resid"),
+    )
+    return parts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        rnd(F.var_pop("x"), 4).alias("var_total"),
+        rnd(F.var_pop("trend"), 4).alias("var_trend"),
+        rnd(F.var_pop("s"), 4).alias("var_seasonal"),
+        rnd(F.var_pop("resid"), 4).alias("var_residual"),
+        rnd(1 - F.var_pop("resid") / F.var_pop("x"), 4).alias(
+            "explained_frac"
+        ),
+    )

@@ -1477,3 +1477,50 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(prc, 2).alias("price_effect"),
         rnd(rev1 - rev0 - vol - prc, 4).alias("bridge_residual"),
     )
+
+
+@query(
+    "q_price_elasticity",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             avg(l_extendedprice / l_quantity) AS unit_price,
+             sum(l_quantity) AS qty
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_parts,
+           round(regr_slope(ln(qty), ln(unit_price)), 4) AS elasticity,
+           round(regr_r2(ln(qty), ln(unit_price)), 4) AS r2,
+           regr_slope(ln(qty), ln(unit_price)) < 0 AS demand_slopes_down
+    FROM per_part
+    WHERE unit_price > 0 AND qty > 0
+    """,
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional price elasticity of demand: the log-log
+    regression slope of quantity on unit price across parts
+    (elasticity = d ln q / d ln p), with R^2 and the sign check —
+    the pricing-analytics primitive (|e| > 1 = elastic demand,
+    raising price loses revenue). Cross-sectional, so it reads
+    BETWEEN-part variation; the within-part time-series form uses the
+    same aggregate over (part, period) cells.
+
+    Scale: one part-keyed agg; the regression is a single algebraic
+    aggregate over the part table."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 0
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_price"
+        ),
+        F.sum("l_quantity").alias("qty"),
+    ).filter((F.col("unit_price") > 0) & (F.col("qty") > 0))
+    slope = F.expr("regr_slope(ln(qty), ln(unit_price))")
+    return per_part.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        rnd(slope, 4).alias("elasticity"),
+        rnd(F.expr("regr_r2(ln(qty), ln(unit_price))"), 4).alias("r2"),
+        (slope < 0).alias("demand_slopes_down"),
+    )

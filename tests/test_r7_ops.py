@@ -849,3 +849,17 @@ def test_filtered_aggs_consistency(spark, sf_dir):
     rows = _run(spark, sf_dir, "q_filtered_aggs")
     for r in rows:
         assert r.n_large <= r.n_orders
+
+
+def test_variance_decomposition_explained_bounds(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_variance_decomposition")
+    assert r.var_total > 0
+    assert r.var_residual >= 0
+    assert r.explained_frac <= 1 + 1e-9
+
+
+def test_price_elasticity_has_fit(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_price_elasticity")
+    assert r.n_parts > 0
+    assert 0 <= r.r2 <= 1 + 1e-9
+    assert r.demand_slopes_down == (r.elasticity < 0)
