@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "q_filtered_aggs",
     "q_variance_decomposition",
     "q_price_elasticity",
+    "q_control_chart",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

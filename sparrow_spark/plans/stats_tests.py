@@ -1526,3 +1526,69 @@ def q_importance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(ess / F.count(F.lit(1)), 4).alias("ess_fraction"),
         rnd(F.max("w"), 4).alias("max_weight"),
     )
+
+
+@query(
+    "q_control_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS errs
+      FROM events GROUP BY 1
+    ), center AS (
+      SELECT sum(errs) / sum(n) AS pbar FROM daily
+    )
+    SELECT strftime(d.d, '%Y-%m-%d') AS day,
+           CAST(d.n AS BIGINT) AS n_events,
+           round(d.errs / d.n, 6) AS error_rate,
+           round(c.pbar + 3 * sqrt(c.pbar * (1 - c.pbar) / d.n), 6)
+             AS ucl,
+           round(greatest(0, c.pbar
+                 - 3 * sqrt(c.pbar * (1 - c.pbar) / d.n)), 6) AS lcl,
+           d.errs / d.n > c.pbar
+             + 3 * sqrt(c.pbar * (1 - c.pbar) / d.n)
+           OR d.errs / d.n < greatest(0, c.pbar
+             - 3 * sqrt(c.pbar * (1 - c.pbar) / d.n))
+             AS out_of_control
+    FROM daily d, center c
+    ORDER BY day
+    """,
+)
+def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart for the daily error rate: each day's rate
+    plotted against 3-sigma binomial control limits around the
+    process center (pbar ± 3*sqrt(pbar(1-pbar)/n), limits widening on
+    low-volume days exactly as SPC prescribes) with out-of-control
+    flags — the statistical-process-control discipline that separates
+    common-cause noise from special-cause incidents, completing the
+    anomaly family (CUSUM finds the shift POINT; the p-chart judges
+    each day against stable-process limits).
+
+    Scale: one daily rollup, one 1-row center aggregate broadcast
+    back; limits are per-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("double")
+        .alias("errs"),
+    )
+    center = daily.agg((F.sum("errs") / F.sum("n")).alias("pbar"))
+    sigma = F.sqrt(F.col("pbar") * (1 - F.col("pbar")) / F.col("n"))
+    rate = F.col("errs") / F.col("n")
+    ucl = F.col("pbar") + 3 * sigma
+    lcl = F.greatest(F.lit(0.0), F.col("pbar") - 3 * sigma)
+    return (
+        daily.crossJoin(F.broadcast(center))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("bigint").alias("n_events"),
+            rnd(rate, 6).alias("error_rate"),
+            rnd(ucl, 6).alias("ucl"),
+            rnd(lcl, 6).alias("lcl"),
+            ((rate > ucl) | (rate < lcl)).alias("out_of_control"),
+        )
+        .orderBy("day")
+    )

@@ -863,3 +863,12 @@ def test_price_elasticity_has_fit(spark, sf_dir):
     assert r.n_parts > 0
     assert 0 <= r.r2 <= 1 + 1e-9
     assert r.demand_slopes_down == (r.elasticity < 0)
+
+
+def test_control_chart_limits_bracket_center(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_control_chart")
+    for r in rows:
+        assert r.lcl <= r.ucl
+        assert 0 <= r.lcl and r.ucl > 0
+        inside = r.lcl <= r.error_rate <= r.ucl
+        assert r.out_of_control == (not inside)
