@@ -1043,11 +1043,11 @@ CURRICULUM_SHARDS = 8
 
 from sparrow_spark.operators.text import (  # noqa: E402
     CLS_DIM,
-    _cls_weights_sql,
+    _cls_weights_milli_sql,
     classifier_scores,
 )
 
-_CURR_W_SQL = _cls_weights_sql()
+_CURR_W_SQL = _cls_weights_milli_sql()
 
 
 @query(
@@ -1066,10 +1066,12 @@ _CURR_W_SQL = _cls_weights_sql()
     ), s AS (
       SELECT doc_id,
              sum(cnt) AS n,
-             sum(cnt * ({_CURR_W_SQL})[bucket + 1]) AS wsum
+             sum(CAST(cnt AS BIGINT) * ({_CURR_W_SQL})[bucket + 1])
+               AS wsum_milli
       FROM c GROUP BY doc_id
     ), d AS (
-      SELECT doc_id, round(-(wsum / n), 4) AS difficulty FROM s
+      SELECT doc_id, round(-(wsum_milli / (1000.0 * n)), 4) AS difficulty
+      FROM s
     )
     SELECT doc_id, difficulty,
            CAST(ntile({CURRICULUM_SHARDS}) OVER (ORDER BY difficulty, doc_id) AS BIGINT)
@@ -1094,7 +1096,10 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = widen(load_table(spark, sf_dir, "documents"))
     scored = classifier_scores(docs).select(
-        "doc_id", rnd(-(F.col("wsum") / F.col("n")), 4).alias("difficulty")
+        "doc_id",
+        rnd(-(F.col("wsum_milli") / (F.lit(1000.0) * F.col("n"))), 4).alias(
+            "difficulty"
+        ),
     )
     ranked = global_sort_ranks(scored, ["difficulty", "doc_id"])
     total = scored.agg(F.count(F.lit(1)).alias("c"))

@@ -1469,29 +1469,38 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLS_DIM = 32  # hashing-trick feature dimension
 
 
-def _cls_weights() -> list[float]:
-    """Deterministic pseudo-trained weight vector, derived from md5 so
-    every engine (and every run) sees identical literals. A real
-    pipeline broadcasts weights exported by an offline trainer; the
-    hashing-trick scoring path below is identical either way."""
+def _cls_weights_milli() -> list[int]:
+    """Deterministic pseudo-trained weight vector in INTEGER
+    milli-units (range [-1000, 1000], i.e. weight*1000), derived from
+    md5 so every engine (and every run) sees identical literals. A
+    real pipeline broadcasts weights exported by an offline trainer;
+    the hashing-trick scoring path below is identical either way.
+
+    Integers, not floats: the per-doc score is a SUM over buckets, and
+    float summation order varies with Spark's partial-agg merge order.
+    With true logits that land exactly on a 4-decimal rounding tie
+    (at sf0.01, 5 of 500 docs), the side of the tie then flips run to
+    run (the r7 driver red). A BIGINT sum of milli-weights is exact
+    and order-independent; divide by 1000.0*n ONCE at the end, so both
+    engines derive the identical double no matter the partitioning."""
     import hashlib
 
     return [
-        (int(hashlib.md5(f"w:{d}".encode()).hexdigest()[:8], 16) % 2001) / 1000.0
-        - 1.0
+        int(hashlib.md5(f"w:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
         for d in range(CLS_DIM)
     ]
 
 
-def _cls_weights_sql() -> str:
-    return "[" + ", ".join(f"{w!r}" for w in _cls_weights()) + "]"
+def _cls_weights_milli_sql() -> str:
+    return "[" + ", ".join(str(w) for w in _cls_weights_milli()) + "]"
 
 
 def classifier_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n, wsum): token count and summed hashed-bucket weight
-    per doc — the shared scoring core of q_quality_classifier and the
-    curriculum bucketing. logit = wsum / n."""
-    w_arr = F.array(*[F.lit(w) for w in _cls_weights()])
+    """(doc_id, n, wsum_milli): token count and summed hashed-bucket
+    milli-weight (exact BIGINT) per doc — the shared scoring core of
+    q_quality_classifier and the curriculum bucketing.
+    logit = wsum_milli / (1000.0 * n)."""
+    w_arr = F.array(*[F.lit(w) for w in _cls_weights_milli()])
     tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("t"))
     bucket = (
         F.conv(F.substring(F.md5(F.concat(F.lit("b:"), F.col("t"))), 1, 8), 16, 10)
@@ -1502,7 +1511,10 @@ def classifier_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("cnt"))
     return c.groupBy("doc_id").agg(
         F.sum("cnt").alias("n"),
-        F.sum(F.col("cnt") * F.element_at(w_arr, F.col("bucket") + 1)).alias("wsum"),
+        F.sum(
+            F.col("cnt").cast("bigint")
+            * F.element_at(w_arr, F.col("bucket") + 1).cast("bigint")
+        ).alias("wsum_milli"),
     )
 
 
@@ -1522,14 +1534,15 @@ def classifier_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ), s AS (
       SELECT doc_id,
              sum(cnt) AS n,
-             sum(cnt * ({_cls_weights_sql()})[bucket + 1]) AS wsum
+             sum(CAST(cnt AS BIGINT)
+                 * ({_cls_weights_milli_sql()})[bucket + 1]) AS wsum_milli
       FROM c GROUP BY doc_id
     )
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_tokens,
-           round(wsum / n, 4) AS logit,
-           round(1.0 / (1.0 + exp(-(wsum / n))), 4) AS p_keep,
-           round(wsum / n, 4) >= 0 AS keep
+           round(wsum_milli / (1000.0 * n), 4) AS logit,
+           round(1.0 / (1.0 + exp(-(wsum_milli / (1000.0 * n)))), 4) AS p_keep,
+           round(wsum_milli / (1000.0 * n), 4) >= 0 AS keep
     FROM s
     """,
 )
@@ -1545,12 +1558,14 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations on (doc, bucket) and (doc); the model never shuffles
     and no Python executes (pure JVM hash/agg, whole-stage codegen).
 
-    The keep verdict thresholds the ROUNDED logit so both engines
-    compare identical values (float summation order across buckets can
-    differ at ~1e-16; the tie-stable rounding absorbs it)."""
+    The keep verdict thresholds the ROUNDED logit, and the weighted
+    sum is an exact BIGINT fold over integer milli-weights (see
+    _cls_weights_milli): the logit double is bit-identical on both
+    engines and across any partitioning, so the 4-decimal rounding can
+    never flip on summation order (the r7 driver-red root cause)."""
     docs = widen(load_table(spark, sf_dir, "documents"))
     s = classifier_scores(docs)
-    logit = F.col("wsum") / F.col("n")
+    logit = F.col("wsum_milli") / (F.lit(1000.0) * F.col("n"))
     return s.select(
         "doc_id",
         F.col("n").cast("bigint").alias("n_tokens"),
