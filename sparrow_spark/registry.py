@@ -62,65 +62,66 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # COVERAGE.md's ledger; the rule is mechanical: (1) queries with NO
 # driver row yet go first — new additions are inserted HERE in the
 # same commit that registers them (the r3/r4 lesson: additions past
-# the frozen window stay unverified a full round); (2) then the
-# stalest families. r7 window: round 6 ended WITHOUT a driver
-# correctness run (no CORRECTNESS_r06.json), so all 91 queries added
-# since r5 are never-driver-checked. The window takes the first 50 of
-# those by registration order; the remaining 41 are pre-committed as
-# the core of r8's window. Every r1-family row displaced from the r6
-# window stays pytest+selfcheck green and rotates back in r9 —
-# see COVERAGE.md.
+# the frozen window stay unverified a full round); (2) red rows
+# re-enter immediately; (3) then the stalest families. r8 window: the
+# r7-red q_quality_classifier (now hardened with integer milli-weight
+# sums) leads, followed by the first 49 of the block pre-committed in
+# COVERAGE.md at the end of r7 — all never-driver-checked r7
+# additions, in registration order. q_cluster_purity (slot 50 of the
+# pre-commitment) is displaced to the r9 head. With the
+# never-checked backlog at 131, new r8 additions queue PAST the
+# window (zero-sum among never-checked; the r7 batch-3 precedent).
 _WINDOW_PRIORITY: list[str] = [
-    "q_stream_incremental_agg",
-    "q_golden_record",
-    "q_incremental_agg",
-    "q_pagerank",
-    "q_curriculum_buckets",
-    "q_containment_join",
-    "q_sorted_neighborhood",
-    "q_random_projection",
-    "q_stream_drift_monitor",
-    "q_setsim_join_prefix",
-    "q_winnowing",
     "q_quality_classifier",
-    "q_cc_alternating",
-    "q_ivfpq_search",
-    "q_ivfpq_recall",
-    "q_multimodal_decode_real",
-    "q_bm25_topk",
-    "q_embedding_drift",
-    "q_snapshot_diff",
-    "q_mixture_temperature",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q11_important_stock",
-    "q20_potential_promotion",
-    "q_percentile_approx_audit",
-    "q_join_cardinality_est",
-    "q_zorder_layout",
-    "q_frequent_pairs",
-    "q_item_cf",
-    "q_gini_revenue",
-    "q_interval_overlap_join",
-    "q_seasonal_anomaly",
-    "q_attribution_last_touch",
-    "q_mad_outliers",
-    "q_cdc_apply",
-    "q_markov_transitions",
-    "q_churn_features",
-    "q_trend_extraction",
-    "q_mann_whitney",
-    "q_bh_fdr",
-    "q_bootstrap_ci",
-    "q_cramers_v",
-    "q_acf_daily",
-    "q_cusum_changepoint",
-    "q_stream_dedup_watermark",
-    "q_stream_static_join",
-    "q_rfm_segmentation",
-    "q_event_streak",
-    "q_gap_histogram",
-    "q_lang_entropy_by_source",
+    "q_boxplot_profile",
+    "q_ab_test_analysis",
+    "q_ks_test",
+    "q_cohort_ltv",
+    "q_session_window_native",
+    "q_holt_linear",
+    "q_srm_check",
+    "q_ab_cuped",
+    "q_corr_matrix",
+    "q_growth_accounting",
+    "q_stickiness_dau_mau",
+    "q_watermark_lateness_audit",
+    "q_audience_overlap",
+    "q_kaplan_meier",
+    "q_top_paths",
+    "q_peak_concurrency",
+    "q_contribution_cap",
+    "q_session_entry_exit",
+    "q_decay_popularity",
+    "q_wow_change",
+    "q_dow_hour_heatmap",
+    "q_coverage_gaps",
+    "q_skyline_pareto",
+    "q_scd2_build",
+    "q_apportion_largest_remainder",
+    "q_grouped_split",
+    "q_weighted_median",
+    "q_mode_per_group",
+    "q_topk_with_others",
+    "q_equidepth_histogram",
+    "q_winsorize",
+    "q_power_analysis",
+    "q_order_fulfillment_lag",
+    "q_benford_audit",
+    "q_abc_analysis",
+    "q_wilson_ranking",
+    "q_decimal_money",
+    "q_null_semantics",
+    "q_join_strategy_equivalence",
+    "q_percentile_disc_vs_cont",
+    "q_variant_semistructured",
+    "q_ratio_to_parent",
+    "q_all_tables_composite",
+    "q_quality_gopher",
+    "q_int8_recall",
+    "q_kmeanspp_init",
+    "q_cluster_balanced_sample",
+    "q_hard_negatives",
+    "q_margin_mining",
 ]
 
 
