@@ -259,15 +259,32 @@ def main() -> None:
         aux[name] = round(time.time() - t0, 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    detail = {
+        "metric": "headline_query_wall_time_detail",
+        "queries": timings,
+        "aux_queries": aux,
+        "sf": sf,
+    }
+    # The driver captures only the LAST ~2000 chars of stdout and
+    # json-parses the final line. With 150+ benched queries the
+    # per-query dict alone exceeds that window (BENCH_r07/r08 recorded
+    # `parsed: null`), so the contract is: full per-query detail on a
+    # PRECEDING line (and a sidecar file for local tooling), and a
+    # compact summary — guaranteed well under the tail window — as the
+    # one final line.
+    print(json.dumps(detail))
+    with open("bench_detail.json", "w") as f:
+        json.dump(detail, f)
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_time_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
-                "aux_queries": aux,
                 "sf": sf,
+                "n_queries": len(timings),
+                "aux_total_sec": round(sum(aux.values()), 3),
+                "n_aux": len(aux),
             }
         )
     )

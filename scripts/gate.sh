@@ -26,15 +26,19 @@ else
   echo "== gate: bench =="
   OUT=$(python bench.py)
   echo "$OUT"
-  # Parse only the LAST line: bench.py's contract is one final JSON
-  # line, and stray stdout (py4j/log4j/Ivy warnings) above it must not
-  # read as a gate failure.
+  # bench.py's contract: a compact summary JSON as the LAST line (what
+  # the driver's 2000-char stdout tail parses) and the per-query dict
+  # on a preceding detail line + bench_detail.json sidecar. Verify
+  # both halves, ignoring stray stdout (py4j/log4j warnings).
   python3 - <<'EOF' "$OUT"
 import json, sys
-last = [ln for ln in sys.argv[1].splitlines() if ln.strip()][-1]
-d = json.loads(last)
-assert d.get("value", 0) > 0 and d.get("queries"), "bench produced no numbers"
-print(f"bench ok: {d['value']}s over {len(d['queries'])} queries")
+lines = [ln for ln in sys.argv[1].splitlines() if ln.strip()]
+d = json.loads(lines[-1])
+assert d.get("value", 0) > 0 and d.get("n_queries", 0) > 0, "bench produced no numbers"
+assert len(lines[-1]) < 1500, "final bench line too long for the driver tail"
+detail = json.load(open("bench_detail.json"))
+assert len(detail["queries"]) == d["n_queries"], "detail/summary query count mismatch"
+print(f"bench ok: {d['value']}s over {d['n_queries']} queries")
 EOF
 fi
 

@@ -36,8 +36,16 @@ def canon(v):
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
+        if not math.isfinite(v):
+            return repr(v)  # nan / inf / -inf, verbatim
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            # Signed zero must NOT collapse to "0": the driver's value
+            # hash distinguishes -0.0 from 0.0 (the r7/r8
+            # q_quality_classifier red — DuckDB's C-style round emits
+            # -0.0 for tiny negatives, Spark's BigDecimal round never
+            # does). Keeping it distinct here makes that class a LOCAL
+            # failure instead of driver roulette.
+            return "-0.0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))

@@ -1661,6 +1661,57 @@ def global_sort_ranks(
     )
 
 
+def global_running_sums(
+    df: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    partitions: int = SN_RANGE_PARTITIONS,
+) -> DataFrame:
+    """EXACT inclusive running sums of ``value_cols`` over the total
+    order given by ``key_cols``, without the single-task trap of a
+    bare ``Window.orderBy`` (which drags the whole table through ONE
+    task). Same two-phase shape as global_sort_ranks: range-partition
+    on the key (ascending ranges -> ascending partition ids), local
+    running sum within each partition, then add each partition's
+    cumulative predecessor TOTAL from a #partitions-row broadcast
+    offset table. Every stage scales with executors; the ordered
+    tables this serves (distinct purchase values, distinct durations)
+    are cardinality-bounded, so correctness never depended on the
+    fix — plan shape at 100 TB did. Key columns must form a strict
+    total order; rows sharing a full key would get order-dependent
+    partial sums (callers here pass distinct-key tables)."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) for c in key_cols]
+    r = df.repartitionByRange(partitions, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for v in value_cols:
+        r = r.withColumn(f"_lcum_{v}", F.sum(v).over(lw))
+    totals = r.groupBy("_pid").agg(
+        *[F.sum(v).alias(f"_t_{v}") for v in value_cols]
+    )
+    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_t_{v}").over(ow), F.lit(0)).alias(f"_off_{v}")
+            for v in value_cols
+        ],
+    )
+    out = r.join(F.broadcast(offsets), "_pid")
+    for v in value_cols:
+        out = out.withColumn(
+            f"cum_{v}", F.col(f"_lcum_{v}") + F.col(f"_off_{v}")
+        ).drop(f"_lcum_{v}", f"_off_{v}")
+    return out.drop("_pid")
+
+
 @query(
     "q_sorted_neighborhood",
     oracle=f"""

@@ -562,7 +562,9 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two user-keyed aggs joined on user_id, then every KM
     quantity lives on the distinct-duration table (bounded by the
-    observation window in days)."""
+    observation window in days); both cumulations use the two-phase
+    range-partitioned running sum (global_running_sums) so no
+    single-task Window.orderBy survives in the plan."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.min("ts").alias("first_ev"), F.max("ts").alias("last_ev")
@@ -588,25 +590,26 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("d"),
     )
-    wcum = Window.orderBy("duration_days").rowsBetween(
-        Window.unboundedPreceding, 0
+    from sparrow_spark.operators.dedup import global_running_sums
+
+    risk = (
+        global_running_sums(by_t, ["duration_days"], ["cnt_all"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "duration_days",
+            "d",
+            (
+                F.col("n_total") - F.col("cum_cnt_all") + F.col("cnt_all")
+            ).alias("n_at_risk"),
+        )
     )
-    risk = by_t.crossJoin(F.broadcast(tot)).select(
-        "duration_days",
-        "d",
-        (
-            F.col("n_total") - F.sum("cnt_all").over(wcum) + F.col("cnt_all")
-        ).alias("n_at_risk"),
-    )
-    s = F.exp(
-        F.sum(
-            F.log(
-                F.greatest(1 - F.col("d") / F.col("n_at_risk"), F.lit(1e-12))
-            )
-        ).over(wcum)
+    logged = risk.withColumn(
+        "logterm",
+        F.log(F.greatest(1 - F.col("d") / F.col("n_at_risk"), F.lit(1e-12))),
     )
     return (
-        risk.withColumn("s", s)
+        global_running_sums(logged, ["duration_days"], ["logterm"])
+        .withColumn("s", F.exp(F.col("cum_logterm")))
         .filter(F.col("d") > 0)
         .select(
             F.col("duration_days").cast("bigint").alias("duration_days"),

@@ -68,9 +68,12 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-corrected normal approximation — the nonparametric mean-shift
     companion to q_ab_test_analysis (Welch) and q_ks_test (shape).
 
-    Scale: ranking runs over the DISTINCT-VALUE table (one keyed agg
-    + one bounded window), never a full sort of the fact table; at
-    true scale values pre-bin to a grid exactly as binned-KS does."""
+    Scale: ranking runs over the DISTINCT-VALUE table (one keyed agg,
+    then the two-phase range-partitioned running sum — no
+    single-task Window.orderBy anywhere in the plan), never a full
+    sort of the fact table; at true scale values pre-bin to a grid
+    exactly as binned-KS does. The running quantities are integer
+    counts held in doubles, so the two-phase summation is exact."""
     s = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
@@ -87,11 +90,12 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g1").cast("double").alias("c1"),
         F.count(F.lit(1)).cast("double").alias("cnt"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = vals.select(
+    from sparrow_spark.operators.dedup import global_running_sums
+
+    ranked = global_running_sums(vals, ["value"], ["cnt"]).select(
         "c1",
         "cnt",
-        (F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2).alias(
+        (F.col("cum_cnt") - F.col("cnt") + (F.col("cnt") + 1) / 2).alias(
             "avg_rank"
         ),
     )

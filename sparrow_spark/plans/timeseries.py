@@ -1588,11 +1588,13 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     bends).
 
     Scale: per-distinct-value group counts are one keyed agg; the
-    running ECDF window runs over the DISTINCT-VALUE table, which is
-    bounded by value cardinality, not row count — and at true scale
-    the values pre-bin to a fixed grid (the binned-KS variant),
-    making the window a constant 10^3-row pass. The corpus is read
-    once."""
+    running ECDF uses the two-phase range-partitioned running sum
+    (operators.dedup.global_running_sums — no single-task
+    Window.orderBy) over the DISTINCT-VALUE table, which is bounded
+    by value cardinality, not row count — and at true scale the
+    values pre-bin to a fixed grid (the binned-KS variant). The
+    cumulated quantities are integer counts in doubles, so the
+    two-phase summation is exact. The corpus is read once."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
@@ -1608,9 +1610,10 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g1").cast("double").alias("c1"),
         F.sum(1 - F.col("g1")).cast("double").alias("c2"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    ecdf = vals.select(
-        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    from sparrow_spark.operators.dedup import global_running_sums
+
+    ecdf = global_running_sums(vals, ["value"], ["c1", "c2"]).select(
+        F.col("cum_c1").alias("cum1"), F.col("cum_c2").alias("cum2")
     )
     d = F.max(F.abs(F.col("cum1") / F.col("n1") - F.col("cum2") / F.col("n2")))
     crit = 1.36 * F.sqrt(

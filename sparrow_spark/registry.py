@@ -63,65 +63,67 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver row yet go first — new additions are inserted HERE in the
 # same commit that registers them (the r3/r4 lesson: additions past
 # the frozen window stay unverified a full round); (2) red rows
-# re-enter immediately; (3) then the stalest families. r8 window: the
-# r7-red q_quality_classifier (now hardened with integer milli-weight
-# sums) leads, followed by the first 49 of the block pre-committed in
-# COVERAGE.md at the end of r7 — all never-driver-checked r7
-# additions, in registration order. q_cluster_purity (slot 50 of the
-# pre-commitment) is displaced to the r9 head. With the
-# never-checked backlog at 131, new r8 additions queue PAST the
-# window (zero-sum among never-checked; the r7 batch-3 precedent).
+# re-enter immediately; (3) then the stalest families. r9 window: the
+# r8-red q_quality_classifier leads (root cause this time: DuckDB's
+# C-style round emits -0.0 for tiny negatives where Spark's
+# BigDecimal round cannot — fixed by signed-zero normalization in
+# rounding.nudge_rounds_sql), followed by the first 49 of the 82
+# still-never-driver-checked queries in raw registration order
+# (computed from the union of CORRECTNESS_r1..r8 keys), leaving a
+# 33-query backlog for r10. New r9 additions queue PAST the window
+# while the backlog lasts (zero-sum among never-checked; the r7
+# batch-3 precedent).
 _WINDOW_PRIORITY: list[str] = [
     "q_quality_classifier",
-    "q_boxplot_profile",
-    "q_ab_test_analysis",
-    "q_ks_test",
-    "q_cohort_ltv",
-    "q_session_window_native",
-    "q_holt_linear",
-    "q_srm_check",
-    "q_ab_cuped",
-    "q_corr_matrix",
-    "q_growth_accounting",
-    "q_stickiness_dau_mau",
-    "q_watermark_lateness_audit",
-    "q_audience_overlap",
-    "q_kaplan_meier",
-    "q_top_paths",
-    "q_peak_concurrency",
-    "q_contribution_cap",
-    "q_session_entry_exit",
-    "q_decay_popularity",
-    "q_wow_change",
-    "q_dow_hour_heatmap",
-    "q_coverage_gaps",
-    "q_skyline_pareto",
-    "q_scd2_build",
-    "q_apportion_largest_remainder",
-    "q_grouped_split",
-    "q_weighted_median",
-    "q_mode_per_group",
-    "q_topk_with_others",
-    "q_equidepth_histogram",
-    "q_winsorize",
-    "q_power_analysis",
-    "q_order_fulfillment_lag",
-    "q_benford_audit",
-    "q_abc_analysis",
-    "q_wilson_ranking",
-    "q_decimal_money",
-    "q_null_semantics",
-    "q_join_strategy_equivalence",
-    "q_percentile_disc_vs_cont",
-    "q_variant_semistructured",
-    "q_ratio_to_parent",
-    "q_all_tables_composite",
-    "q_quality_gopher",
-    "q_int8_recall",
-    "q_kmeanspp_init",
-    "q_cluster_balanced_sample",
-    "q_hard_negatives",
-    "q_margin_mining",
+    "q_set_ops_all",
+    "q_filtered_aggs",
+    "q_sliding_window_rollup",
+    "q_variance_decomposition",
+    "q_logreg_gradient_step",
+    "q_kfold_balance",
+    "q_value_at_risk",
+    "q_forecast_baselines",
+    "q_decision_stump",
+    "q_diff_in_diff",
+    "q_mix_shift",
+    "q_markov_entropy",
+    "q_importance_ess",
+    "q_control_chart",
+    "q_rolling_mau",
+    "q_retention_halflife",
+    "q_hhi_concentration",
+    "q_revenue_bridge",
+    "q_price_elasticity",
+    "q_cluster_purity",
+    "q_knn_classifier_eval",
+    "q_kmeans_elbow",
+    "q_hybrid_rrf",
+    "q_bpe_merge_step",
+    "q_token_entropy",
+    "q_perplexity_bigram",
+    "q_winnowing_pairs",
+    "q_bpe_encode",
+    "q_bpe_train",
+    "q_repetition_ngram_fracs",
+    "q_langid_confusion",
+    "q_negative_sampling",
+    "q_perplexity_kneser_ney",
+    "q_retrieval_mrr",
+    "q_term_burstiness",
+    "q_dataset_card",
+    "q_zipf_alpha",
+    "q_js_divergence_sources",
+    "q_vocab_coverage",
+    "q_minhash_jaccard_est",
+    "q_dedup_edit_distance",
+    "q_lsh_tuning",
+    "q_triangle_count",
+    "q_lsh_recall_audit",
+    "q_bfs_levels",
+    "q_cluster_size_dist",
+    "q_lsh_bucket_skew",
+    "q_graph_assortativity",
+    "q_dedup_savings",
 ]
 
 

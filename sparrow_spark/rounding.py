@@ -60,7 +60,18 @@ def nudge_rounds_sql(sql: str) -> str:
         if len(top_commas) == 1:
             a1 = sql[inner_start : top_commas[0]]
             a2 = sql[top_commas[0] + 1 : k2]
-            out.append(f"round(({nudge_rounds_sql(a1)}) + 1e-9,{a2})")
+            # The trailing `+ 0.0` normalizes IEEE signed zero: DuckDB
+            # rounds C-style (x*10^n, std::round, /10^n), so a tiny
+            # negative like -3e-5 rounds to -0.0, while Spark's
+            # BigDecimal-based round can only ever produce +0.0. The
+            # values compare equal but their reprs (and hence the
+            # driver's value hash) differ — the r7/r8
+            # q_quality_classifier red. (-0.0) + (+0.0) is +0.0 in
+            # round-to-nearest, and x + 0.0 == x for every other
+            # value, so this is a no-op except on the mismatch case.
+            # Type-safe: the nudge's `+ 1e-9` already makes the round
+            # input DOUBLE, so `+ 0.0` never demotes a DECIMAL.
+            out.append(f"(round(({nudge_rounds_sql(a1)}) + 1e-9,{a2}) + 0.0)")
         else:
             out.append(f"round({nudge_rounds_sql(sql[inner_start:k2])})")
         i = k2 + 1

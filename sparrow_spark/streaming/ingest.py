@@ -140,7 +140,9 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(f"stream '{name}' did not finish within 120s")
     return q
 
 

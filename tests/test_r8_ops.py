@@ -24,8 +24,10 @@ def _canon(v):
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
+        if not math.isfinite(v):
+            return repr(v)  # nan / inf / -inf — int(v) would raise
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"  # signed zero stays distinct, like the driver
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)  # FULL precision — stricter than the oracle canon
