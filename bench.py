@@ -195,6 +195,8 @@ BENCH_QUERIES = [
     "q_variance_decomposition",
     "q_price_elasticity",
     "q_control_chart",
+    "q_matryoshka_eval",
+    "q_pca_power_iteration",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

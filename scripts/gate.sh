@@ -20,8 +20,8 @@ if [ "$FAST" = "--fast" ]; then
   echo "== gate: selfcheck (sf0.001) =="
   python scripts/selfcheck.py /root/testdata/sf0.001 | tail -1
 else
-  echo "== gate: selfcheck (sf0.01 — driver gate scale) =="
-  python scripts/selfcheck.py /root/testdata/sf0.01 | tail -1
+  echo "== gate: selfcheck (sf0.01 — driver gate scale, with repartition stability audit) =="
+  python scripts/selfcheck.py --perturb /root/testdata/sf0.01 | tail -1
 
   echo "== gate: bench =="
   OUT=$(python bench.py)

@@ -3,7 +3,14 @@ DuckDB oracle, compare row count, column names, and order-insensitive
 values. Mirrors the driver's CORRECTNESS gate so mismatches are caught
 locally first.
 
-Usage: python scripts/selfcheck.py [sf_dir] [query_name ...]
+Usage: python scripts/selfcheck.py [--perturb] [sf_dir] [query_name ...]
+
+--perturb additionally re-runs every Spark query under a different
+``spark.sql.shuffle.partitions`` (7 instead of the session's 32) and
+canon-compares the two rowsets. Any difference means the query's
+output depends on partial-aggregation merge order — exactly the class
+of flake (float-sum rounding ties) that passes a single local run but
+fails the driver's hash roulette (the r7 q_quality_classifier red).
 """
 
 from __future__ import annotations
@@ -59,8 +66,11 @@ def rowset(rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    perturb = "--perturb" in argv
+    argv = [a for a in argv if a != "--perturb"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     registry.load_all()
     spark = get_spark("sparrow-selfcheck")
     con = duck_connect(sf_dir)
@@ -108,6 +118,27 @@ def main() -> int:
                 diff_a = [r for r in sset if r not in dset_s][:3]
                 diff_b = [r for r in dset if r not in sset_s][:3]
                 status.append(f"values differ; spark-only={diff_a} duck-only={diff_b}")
+        if not status and perturb:
+            # Stability audit: the same logical plan executed with a
+            # different shuffle-partition count changes the partial-agg
+            # merge order. A stable query canon-matches itself; a
+            # mismatch is a latent driver-hash flake even if the
+            # oracle compare above passed this run.
+            old = spark.conf.get("spark.sql.shuffle.partitions")
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", "7")
+                prows = [
+                    tuple(r)
+                    for r in registry.RAW_QUERIES[name](spark, sf_dir).collect()
+                ]
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", old)
+            order = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+            pset = rowset([tuple(r[i] for i in order) for r in prows])
+            sset = rowset([tuple(r[i] for i in order) for r in srows])
+            if pset != sset:
+                diff = [r for r in sset if r not in set(pset)][:3]
+                status.append(f"UNSTABLE under repartition; e.g. {diff}")
         if status:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(status)}")

@@ -18,6 +18,8 @@ label column stands in for the coarse quantizer).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1953,3 +1955,256 @@ def q_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation evaluation (r9). MRL-style embeddings
+# (Kusupati et al. 2022) promise that a prefix of the vector is itself
+# a usable embedding; before serving truncated vectors, an index
+# operator must MEASURE how much retrieval quality each prefix length
+# keeps. Reference analogue: the reference ships fixed-dim vector
+# scans only; this is the capability a 100 TB embedding store needs to
+# pick its serving dimension.
+# --------------------------------------------------------------------------
+_MRL_DIMS = [8, 16, 32, 64]
+_MRL_K = 5
+_MRL_NQ = 20
+
+
+def _cos_prefix_sql(d: int) -> str:
+    return f"""
+  list_sum([a.v[i] * b.v[i] for i in range(1, {d} + 1)]) /
+  (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, {d} + 1)])) *
+   sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, {d} + 1)])))
+"""
+
+
+@query(
+    "q_matryoshka_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    truth AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < {_MRL_NQ}
+      QUALIFY rank <= {_MRL_K}
+    ),
+    dims AS (
+      {" UNION ALL ".join(f'''
+      SELECT {d} AS dim, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_cos_prefix_sql(d)} DESC, b.vec_id)
+               AS rank
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < {_MRL_NQ}
+      QUALIFY rank <= {_MRL_K}''' for d in _MRL_DIMS)}
+    )
+    SELECT d.dim,
+           CAST(count(*) AS BIGINT) AS n_retrieved,
+           round(CAST(count(t.neighbor_id) AS DOUBLE) / count(*), 4)
+             AS recall_at_{_MRL_K}
+    FROM dims d LEFT JOIN truth t
+      ON d.query_id = t.query_id AND d.neighbor_id = t.neighbor_id
+    GROUP BY d.dim ORDER BY d.dim
+    """,
+)
+def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka serving-dimension sweep: for each prefix length d in
+    {8,16,32,64}, run the same top-5 cosine retrieval on the TRUNCATED
+    vectors and report recall@5 against the full-dimension ground
+    truth — the design table that picks the cheapest dimension meeting
+    a recall floor (64x less index memory at dim 8 if recall holds).
+
+    Scale: each sweep config is the brute_force_topk shape — broadcast
+    query set (bounded), corpus scanned map-side, per-query top-k
+    window on the candidate set. The corpus is never self-joined at
+    full size: queries are a fixed broadcast panel, so cost is
+    #dims x |corpus| x |panel|, embarrassingly parallel. The ground
+    truth is computed once and broadcast into the recall join (a
+    #panel x k row table). At production scale the per-dim retrieval
+    would hit the IVF index (q_similarity_ivf) instead of brute force;
+    the sweep harness is identical."""
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < _MRL_NQ)
+    truth = brute_force_topk(queries, vecs, k=_MRL_K).select(
+        "query_id", "neighbor_id"
+    )
+    parts = []
+    for d in _MRL_DIMS:
+        trunc = vecs.select(
+            "vec_id", F.slice("v", 1, d).alias("v"), "label"
+        )
+        got = brute_force_topk(
+            trunc.filter(F.col("vec_id") < _MRL_NQ), trunc, k=_MRL_K
+        ).select(F.lit(d).alias("dim"), "query_id", "neighbor_id")
+        parts.append(got)
+    got_all = parts[0]
+    for p in parts[1:]:
+        got_all = got_all.unionByName(p)
+    hit = got_all.join(
+        F.broadcast(truth.withColumn("_hit", F.lit(1))),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hit.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_retrieved"),
+            rnd(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                / F.count(F.lit(1)),
+                4,
+            ).alias(f"recall_at_{_MRL_K}"),
+        )
+        .orderBy("dim")
+    )
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA via one-pass Gram accumulation + power iteration
+# (r9). The classic two-stage shape for tall-skinny matrices (d rows,
+# n >> d): the n x d corpus collapses map-side into the d x d Gram
+# matrix (one aggregation; partial sums merge associatively), then the
+# O(d^2)-sized iteration state never touches the corpus again.
+# --------------------------------------------------------------------------
+_PCA_ITERS = 4
+
+
+@query(
+    "q_pca_power_iteration",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT i, j,
+             sum(v[i] * v[j]) / (SELECT CAST(count(*) AS DOUBLE) FROM e) AS g
+      FROM e, range(1, 65) r1(i), range(1, 65) r2(j)
+      GROUP BY i, j
+    ),
+    x0 AS (
+      SELECT i, 1.0 / sqrt(64.0) AS x FROM range(1, 65) r(i)
+    ),
+    y1 AS (
+      SELECT p.i AS i, sum(p.g * x0.x) AS y
+      FROM pairs p JOIN x0 ON x0.i = p.j GROUP BY p.i
+    ),
+    x1 AS (
+      SELECT i, y / (SELECT sqrt(sum(y * y)) FROM y1) AS x FROM y1
+    ),
+    y2 AS (
+      SELECT p.i AS i, sum(p.g * x1.x) AS y
+      FROM pairs p JOIN x1 ON x1.i = p.j GROUP BY p.i
+    ),
+    x2 AS (
+      SELECT i, y / (SELECT sqrt(sum(y * y)) FROM y2) AS x FROM y2
+    ),
+    y3 AS (
+      SELECT p.i AS i, sum(p.g * x2.x) AS y
+      FROM pairs p JOIN x2 ON x2.i = p.j GROUP BY p.i
+    ),
+    x3 AS (
+      SELECT i, y / (SELECT sqrt(sum(y * y)) FROM y3) AS x FROM y3
+    ),
+    y4 AS (
+      SELECT p.i AS i, sum(p.g * x3.x) AS y
+      FROM pairs p JOIN x3 ON x3.i = p.j GROUP BY p.i
+    ),
+    x4 AS (
+      SELECT i, y / (SELECT sqrt(sum(y * y)) FROM y4) AS x FROM y4
+    ),
+    ray AS (
+      SELECT sum(f1.x * p.g * f2.x) AS lam
+      FROM pairs p JOIN x4 f1 ON f1.i = p.i JOIN x4 f2 ON f2.i = p.j
+    )
+    SELECT f.i AS dim_idx, round(f.x, 6) AS v1,
+           round((SELECT lam FROM ray), 4) AS eigenvalue
+    FROM x4 f ORDER BY f.i
+    """,
+)
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding
+    second-moment matrix by 4 power-iteration steps from
+    the deterministic all-ones start, plus its Rayleigh-quotient
+    eigenvalue — the dominant-variance probe that drives whitening,
+    ABTT ("all-but-the-top") embedding post-processing, and drift
+    detection on 100 TB embedding stores.
+
+    Scale: the ONLY pass over the corpus is the Gram accumulation —
+    each row contributes its d^2 outer-product terms via a map-side
+    explode over (i, j), partial-aggregated before the one shuffle to
+    d^2 = 4096 keyed sums. Iterations run on the d^2-row Gram table
+    joined to a d-row vector table (matrix-vector product = equi-join
+    on j + keyed sum over i), never revisiting the corpus; the d-row
+    iterate is broadcast each step. Deterministic: fixed start, fixed
+    iteration count, no RNG — bit-portable across engines up to the
+    rounding nudge."""
+    vecs = _vecs(spark, sf_dir)
+    n = vecs.count()
+    d = 64
+    # Gram: explode (i, v_i) x (j, v_j) per row, sum per (i, j).
+    idx = F.posexplode(F.col("v"))
+    rows = vecs.select(F.col("v"), idx).select(
+        F.col("v"), (F.col("pos") + 1).alias("i"), F.col("col").alias("vi")
+    )
+    gram = (
+        rows.select(
+            "i",
+            "vi",
+            F.posexplode(F.col("v")).alias("pos_j", "vj"),
+        )
+        .select("i", (F.col("pos_j") + 1).alias("j"), (F.col("vi") * F.col("vj")).alias("prod"))
+        .groupBy("i", "j")
+        .agg((F.sum("prod") / F.lit(float(n))).alias("g"))
+    )
+    # 4096 rows; localCheckpoint truncates lineage so the 4 iterations
+    # and the Rayleigh quotient reuse the materialized Gram instead of
+    # re-scanning the corpus per step.
+    gram = gram.localCheckpoint(eager=True)
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("j", LongType()), StructField("x", DoubleType())]
+    )
+    x0 = 1.0 / math.sqrt(d)
+    cur = spark.createDataFrame([(i + 1, x0) for i in range(d)], schema)
+    for _ in range(_PCA_ITERS):
+        y = (
+            gram.join(F.broadcast(cur), gram.j == cur.j)
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("x")).alias("y"))
+        )
+        norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+        # y feeds both the norm aggregate and the scaled iterate;
+        # without a per-step checkpoint the shared subtree is planned
+        # TWICE per step — 2^iters lineage blowup (observed: 92
+        # broadcast joins in the 4-step plan). The iterate is d rows,
+        # so the eager localCheckpoint is a trivially cheap action
+        # that keeps every step's plan constant-sized.
+        cur = (
+            y.crossJoin(F.broadcast(norm))
+            .select(F.col("i").alias("j"), (F.col("y") / F.col("nrm")).alias("x"))
+            .localCheckpoint(eager=True)
+        )
+    final = cur.select(F.col("j").alias("dim_idx"), F.col("x"))
+    # Rayleigh quotient: x^T G x over the d^2 Gram table.
+    lam = (
+        gram.join(
+            F.broadcast(final.select(F.col("dim_idx").alias("i"), F.col("x").alias("xi"))),
+            "i",
+        )
+        .join(
+            F.broadcast(final.select(F.col("dim_idx").alias("j"), F.col("x").alias("xj"))),
+            "j",
+        )
+        .agg(F.sum(F.col("xi") * F.col("g") * F.col("xj")).alias("lam"))
+    )
+    return (
+        final.crossJoin(F.broadcast(lam))
+        .select(
+            "dim_idx",
+            rnd("x", 6).alias("v1"),
+            rnd("lam", 4).alias("eigenvalue"),
+        )
+        .orderBy("dim_idx")
+    )
