@@ -197,6 +197,8 @@ BENCH_QUERIES = [
     "q_control_chart",
     "q_matryoshka_eval",
     "q_pca_power_iteration",
+    "q_label_propagation",
+    "q_weighted_reservoir",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -2755,3 +2755,114 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Label-propagation communities (r9). CC (q_cc_alternating) answers
+# "which docs are transitively connected"; LPA answers the finer
+# question "which docs form densely-linked clusters WITHIN a
+# component" — the community structure that drives template/boiler-
+# plate family discovery in a near-dup graph. Synchronous LPA with a
+# deterministic update (most frequent neighbor label, ties -> smallest
+# label) for a fixed 3 rounds, so both engines converge identically —
+# the standard determinism fix for LPA's order-sensitivity (Raghavan
+# et al. 2007 note asynchronous LPA is run-order dependent).
+# --------------------------------------------------------------------------
+LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(r: int) -> str:
+    return f"""
+    , n{r} AS (
+      SELECT s.u AS id, x.lab, count(*) AS c
+      FROM sym s JOIN x{r - 1} x ON x.id = s.v
+      GROUP BY s.u, x.lab
+    ), x{r} AS (
+      SELECT id, lab FROM (
+        SELECT id, lab,
+               row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+        FROM n{r}
+      ) t WHERE rn = 1
+    )"""
+
+
+@query(
+    "q_label_propagation",
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    , edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ), sym AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ), x0 AS (
+      SELECT DISTINCT u AS id, u AS lab FROM sym
+    )"""
+    + "".join(_lpa_round_sql(r) for r in range(1, LPA_ROUNDS + 1))
+    + f"""
+    SELECT CAST(lab AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(id) AS BIGINT) AS min_member,
+           CAST(max(id) AS BIGINT) AS max_member
+    FROM x{LPA_ROUNDS}
+    GROUP BY lab ORDER BY community
+    """,
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation over the MinHash-LSH near-dup
+    graph: every non-isolated node starts as its own label; each of
+    the 3 rounds relabels every node with its neighbors' most
+    frequent label (ties -> smallest), a deterministic variant of
+    Raghavan et al.'s LPA. Emits per-community membership stats.
+
+    Scale: each round is one frontier-free join of the edge list
+    against the current label table (both pair-list-sized, never
+    corpus-sized), a (node, label) count agg, and a per-node top-1
+    window partitioned by node id — all keyed shuffles on graph
+    keys; hub nodes bound the window partition size by their degree.
+    localCheckpoint per round keeps the iterated plan constant-sized
+    exactly as the alternating-CC loop does."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        minhash_lsh_pairs(docs)
+        .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    from pyspark.sql import Window
+
+    labels = sym.select(F.col("u").alias("id")).distinct().withColumn(
+        "lab", F.col("id")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("lab"))
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            sym.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy(F.col("u").alias("id"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy("lab")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("id").cast("bigint").alias("min_member"),
+            F.max("id").cast("bigint").alias("max_member"),
+        )
+        .select(
+            F.col("lab").cast("bigint").alias("community"),
+            "n_members",
+            "min_member",
+            "max_member",
+        )
+        .orderBy("community")
+    )

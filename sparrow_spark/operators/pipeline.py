@@ -2020,3 +2020,92 @@ def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted reservoir sampling, A-ES (r9). Uniform reservoir sampling
+# (q_reservoir_sample) ignores importance; a curation pipeline wants
+# "sample documents proportional to quality/length weight WITHOUT
+# replacement" in one distributed pass. Efraimidis & Spirakis (2006):
+# key_i = u_i^(1/w_i) (equivalently ln(u_i)/w_i for ranking), take
+# the top-k keys — exactly a weighted without-replacement draw.
+# --------------------------------------------------------------------------
+WRS_K = 40
+
+
+@query(
+    "q_weighted_reservoir",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+             (((doc_id * 1103515245 + 12345) % 2147483647) + 2147483647)
+               % 2147483647 AS lcg
+      FROM documents WHERE n_chars > 0
+    ), keyed AS (
+      SELECT doc_id, w,
+             ln((lcg + 1.0) / 2147483649.0) / w AS k
+      FROM d
+    )
+    SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT)
+             AS draw_rank,
+           doc_id, CAST(w AS BIGINT) AS weight,
+           round(k, 9) AS key
+    FROM keyed
+    QUALIFY draw_rank <= {WRS_K}
+    ORDER BY draw_rank
+    """,
+)
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass weighted without-replacement sample (A-ES, Efraimidis
+    & Spirakis 2006): each document draws u from a doc_id-seeded LCG
+    (engine-portable integer arithmetic — builtin RNGs never match
+    across engines), forms key = ln(u)/w with w = n_chars, and the
+    top-{WRS_K} keys ARE the weighted draw. Longer documents are
+    proportionally more likely to be picked, yet no document repeats.
+
+    Scale: keys are computed map-side; top-k by key is a
+    TakeOrderedAndProject (per-partition heap + k-row merge at the
+    driver), so the corpus never globally sorts and never shuffles.
+    The (+M)%M double-mod keeps the LCG non-negative under both
+    engines' signed % semantics; +1 in the numerator keeps u > 0 so
+    ln is finite."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("double").alias("w"),
+            (
+                (
+                    (F.col("doc_id") * F.lit(1103515245) + F.lit(12345))
+                    % F.lit(2147483647)
+                    + F.lit(2147483647)
+                )
+                % F.lit(2147483647)
+            ).alias("lcg"),
+        )
+    )
+    keyed = d.select(
+        "doc_id",
+        "w",
+        (F.log((F.col("lcg") + 1.0) / 2147483649.0) / F.col("w")).alias("k"),
+    )
+    from pyspark.sql import Window as W
+
+    # orderBy + limit compiles to TakeOrderedAndProject (per-partition
+    # heap, k-row driver merge) — the scalable top-k. The ranking
+    # window then runs over the already-bounded k-row result only.
+    top = keyed.orderBy(F.col("k").desc(), "doc_id").limit(WRS_K)
+    return (
+        top.withColumn(
+            "draw_rank",
+            F.row_number().over(W.orderBy(F.col("k").desc(), "doc_id")),
+        )
+        .select(
+            F.col("draw_rank").cast("bigint").alias("draw_rank"),
+            "doc_id",
+            F.col("w").cast("bigint").alias("weight"),
+            rnd("k", 9).alias("key"),
+        )
+        .orderBy("draw_rank")
+    )

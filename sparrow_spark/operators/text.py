@@ -800,12 +800,22 @@ def bm25_scored(spark: SparkSession, docs: DataFrame) -> DataFrame:
             + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
         )
     )
+    # Sorted-fold, not sum(): identical to the q_retrieval_mrr
+    # hardening — the per-term contributions fold in sorted order so
+    # the score double never depends on partial-agg merge order (tied
+    # docs would otherwise rank-shuffle run to run).
     return (
         tf.join(F.broadcast(dfr), "tok")
         .join(F.broadcast(terms), "tok")
         .join(F.broadcast(corpus))
         .groupBy("query_id", "doc_id")
-        .agg(F.sum(term_score).alias("score"))
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(term_score)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("score")
+        )
     )
 
 
@@ -831,9 +841,13 @@ def bm25_scored(spark: SparkSession, docs: DataFrame) -> DataFrame:
       SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
     ), scored AS (
       SELECT t.query_id, f.doc_id,
-             sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+             list_reduce(
+               list_sort(list(
+                 ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
                  * f.tf * ({_BM25_K1} + 1)
                  / (f.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl))
+               )),
+               (a, b) -> a + b
              ) AS score
       FROM tf f
       JOIN dfr d USING (tok)
@@ -985,9 +999,13 @@ def _rrf_oracle() -> str:
       SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
     ), lex_scored AS (
       SELECT t.query_id, f.doc_id,
-             sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+             list_reduce(
+               list_sort(list(
+                 ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
                  * f.tf * ({_BM25_K1} + 1)
                  / (f.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl))
+               )),
+               (a, b) -> a + b
              ) AS score
       FROM tf f
       JOIN dfr d USING (tok)
@@ -2254,9 +2272,13 @@ MRR_QUERY_MOD = 97  # every 97th doc donates its opening trigram as a query
       SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
     ), scored AS (
       SELECT t.query_doc, f.doc_id,
-             sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+             list_reduce(
+               list_sort(list(
+                 ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
                  * f.tf * (1.2 + 1)
                  / (f.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+               )),
+               (a, b) -> a + b
              ) AS score
       FROM tf f
       JOIN dfr d USING (tok)
@@ -2321,12 +2343,24 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("tf") * (1.2 + 1)
         / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
     )
+    # Sorted-fold, not sum(): the <=3 per-term contributions are
+    # collected, sorted, and folded left-to-right, so the score double
+    # is identical under any partial-agg merge order (and matches the
+    # oracle's list_reduce-over-list_sort bit for bit). A bare float
+    # sum made tied docs rank-shuffle across runs (selfcheck --perturb
+    # red in r9).
     scored = (
         tf.join(F.broadcast(dfr), "tok")
         .join(F.broadcast(terms), "tok")
         .join(F.broadcast(stats))
         .groupBy("query_doc", "doc_id")
-        .agg(F.sum(term_score).alias("score"))
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(term_score)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("score")
+        )
     )
     from pyspark.sql import Window as W
 
