@@ -199,6 +199,9 @@ BENCH_QUERIES = [
     "q_pca_power_iteration",
     "q_label_propagation",
     "q_weighted_reservoir",
+    "q_attribution_position",
+    "q_funnel_windowed",
+    "q_retrieval_ndcg",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

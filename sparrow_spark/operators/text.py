@@ -2699,3 +2699,151 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k").cast("bigint").alias("top_k"), "token_coverage")
         .orderBy("top_k")
     )
+
+
+# --------------------------------------------------------------------------
+# Graded retrieval evaluation: NDCG@5 (r9). MRR (q_retrieval_mrr)
+# sees one binary hit; NDCG grades every retrieved doc and discounts
+# by rank — the metric that actually orders two indexes that both
+# "find" the source. Synthetic graded relevance without labels: a
+# doc's grade for a query = how many of the query's terms it
+# contains (0..3), computable identically in both engines.
+# --------------------------------------------------------------------------
+_NDCG_K = 5
+
+
+@query(
+    "q_retrieval_ndcg",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), dl AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM dl
+    ), terms(query_id, tok) AS (
+      VALUES {", ".join(f"('{qid}', '{t}')" for qid, ts in _BM25_QUERIES for t in ts)}
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE tok IN (SELECT tok FROM terms)
+      GROUP BY doc_id, tok
+    ), dfr AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT t.query_id, f.doc_id,
+             list_reduce(
+               list_sort(list(
+                 ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+                 * f.tf * ({_BM25_K1} + 1)
+                 / (f.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl))
+               )),
+               (a, b) -> a + b
+             ) AS score
+      FROM tf f
+      JOIN dfr d USING (tok)
+      JOIN terms t ON t.tok = f.tok
+      JOIN dl l ON l.doc_id = f.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.query_id, f.doc_id
+    ), grades AS (
+      SELECT t.query_id, f.doc_id,
+             CAST(count(DISTINCT f.tok) AS DOUBLE) AS grade
+      FROM tf f JOIN terms t ON t.tok = f.tok
+      GROUP BY t.query_id, f.doc_id
+    ), retrieved AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM scored QUALIFY rk <= {_NDCG_K}
+    ), dcg AS (
+      SELECT r.query_id,
+             sum(coalesce(g.grade, 0) / log2(r.rk + 1)) AS dcg
+      FROM retrieved r LEFT JOIN grades g
+        ON g.query_id = r.query_id AND g.doc_id = r.doc_id
+      GROUP BY r.query_id
+    ), ideal AS (
+      SELECT query_id,
+             sum(grade / log2(irk + 1)) AS idcg
+      FROM (
+        SELECT query_id, grade,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY grade DESC, doc_id) AS irk
+        FROM grades QUALIFY irk <= {_NDCG_K}
+      ) GROUP BY query_id
+    )
+    SELECT d.query_id,
+           round(d.dcg, 6) AS dcg,
+           round(i.idcg, 6) AS idcg,
+           round(d.dcg / i.idcg, 6) AS ndcg
+    FROM dcg d JOIN ideal i USING (query_id)
+    ORDER BY d.query_id
+    """,
+)
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 for the BM25 panel queries with synthetic graded
+    relevance (grade = #distinct query terms the doc contains): DCG
+    discounts each retrieved grade by log2(rank+1); IDCG re-ranks the
+    corpus's best grades ideally; their ratio is the [0,1] ranking
+    quality. Equal grades contribute equally whatever their
+    within-tie order, so the tie-broken ideal ranking is
+    deterministic across engines.
+
+    Scale: reuses bm25_scored's shape (token stream filtered to
+    query vocabulary before any shuffle); grades are a (query, doc)
+    keyed agg over that same filtered stream; DCG/IDCG windows
+    partition by query over candidate-sized tables."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window as W
+
+    scored = bm25_scored(spark, docs)
+    all_terms = [t for _, ts in _BM25_QUERIES for t in ts]
+    terms = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
+        "query_id string, tok string",
+    )
+    doc_terms = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isin(all_terms))
+        .distinct()
+    )
+    grades = (
+        doc_terms.join(F.broadcast(terms), "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("tok").cast("double").alias("grade"))
+    )
+    rw = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    retrieved = (
+        scored.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") <= _NDCG_K)
+        .select("query_id", "doc_id", "rk")
+    )
+    dcg = (
+        retrieved.join(grades, ["query_id", "doc_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("grade"), F.lit(0.0))
+                / F.log2(F.col("rk") + 1)
+            ).alias("dcg")
+        )
+    )
+    iw = W.partitionBy("query_id").orderBy(F.col("grade").desc(), "doc_id")
+    ideal = (
+        grades.withColumn("irk", F.row_number().over(iw))
+        .filter(F.col("irk") <= _NDCG_K)
+        .groupBy("query_id")
+        .agg(F.sum(F.col("grade") / F.log2(F.col("irk") + 1)).alias("idcg"))
+    )
+    return (
+        dcg.join(ideal, "query_id")
+        .select(
+            "query_id",
+            rnd("dcg", 6).alias("dcg"),
+            rnd("idcg", 6).alias("idcg"),
+            rnd(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

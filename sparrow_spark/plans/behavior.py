@@ -1294,3 +1294,213 @@ def q_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("half_life_weeks"),
     )
+
+
+# --------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution (r9). Last-touch
+# (q_attribution_last_touch) gives the final click all credit; the
+# position-based model splits each purchase's value 40% to the FIRST
+# touch, 40% to the LAST, and the middle 20% evenly across interior
+# touches (1 touch -> 100%, 2 -> 50/50) — the standard BI compromise
+# between first- and last-touch bias.
+# --------------------------------------------------------------------------
+ATTR_WINDOW_DAYS = 7
+
+
+@query(
+    "q_attribution_position",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts, value FROM events
+      WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, event_id AS tid, ts AS tts, event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+    ), touches AS (
+      SELECT p.pid, p.value, t.channel,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY t.tts, t.tid) AS pos,
+             count(*) OVER (PARTITION BY p.pid) AS n_touch
+      FROM p JOIN t
+        ON t.user_id = p.user_id
+       AND t.tts <= p.pts
+       AND t.tts >= p.pts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+    ), credited AS (
+      SELECT channel,
+             value * (CASE
+               WHEN n_touch = 1 THEN 1.0
+               WHEN n_touch = 2 THEN 0.5
+               WHEN pos = 1 OR pos = n_touch THEN 0.4
+               ELSE 0.2 / (n_touch - 2)
+             END) AS credit
+      FROM touches
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_credited_touches,
+           round(sum(credit), 2) AS credited_value
+    FROM credited GROUP BY channel ORDER BY channel
+    """,
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution: every click/view in the 7
+    days before a purchase shares that purchase's value — 40% to the
+    first touch, 40% to the last, 20% split across the middle
+    (degenerating to 100% / 50-50 for 1- or 2-touch paths). Emits
+    credited value per channel, the report a marketing-mix model
+    consumes.
+
+    Scale: the touch join is user-keyed (purchases x touches
+    co-partition on user_id; the 7-day predicate prunes the pair
+    range), and the position window partitions BY PURCHASE — state
+    bounded by one path's touches, never a user's full history.
+    Credit math is map-side; one final channel agg."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    joined = p.join(
+        t,
+        (p.user_id == t.user_id)
+        & (t.tts <= p.pts)
+        & (t.tts >= p.pts - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")),
+    )
+    w = Window.partitionBy("pid").orderBy("tts", "tid")
+    wn = Window.partitionBy("pid")
+    touches = joined.select(
+        "pid",
+        "value",
+        "channel",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n_touch"),
+    )
+    credit = F.col("value") * (
+        F.when(F.col("n_touch") == 1, 1.0)
+        .when(F.col("n_touch") == 2, 0.5)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n_touch")), 0.4)
+        .otherwise(F.lit(0.2) / (F.col("n_touch") - 2))
+    )
+    return (
+        touches.select("channel", credit.alias("credit"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credited_touches"),
+            rnd(F.sum("credit"), 2).alias("credited_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# Max-gap windowed funnel (r9). q_event_funnel counts unordered
+# lifetime step reach; real activation funnels require each step
+# within a bounded gap of the previous one. Greedy-anchor semantics
+# (earliest view, then earliest qualifying click after it, then
+# earliest qualifying purchase) — deterministic and identically
+# expressible in both engines.
+# --------------------------------------------------------------------------
+FUNNEL_GAP_HOURS = 24
+
+
+@query(
+    "q_funnel_windowed",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS vts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT v.user_id, v.vts, min(e.ts) AS cts
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'click'
+       AND e.ts > v.vts
+       AND e.ts <= v.vts + INTERVAL {FUNNEL_GAP_HOURS} HOUR
+      GROUP BY v.user_id, v.vts
+    ), pu AS (
+      SELECT c.user_id, min(e.ts) AS pts
+      FROM c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.cts
+       AND e.ts <= c.cts + INTERVAL {FUNNEL_GAP_HOURS} HOUR
+      GROUP BY c.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS step_name,
+             CAST(count(*) AS BIGINT) AS n_users,
+             round(1.0, 4) AS conversion_from_prev
+      FROM v
+      UNION ALL
+      SELECT 2, 'click', CAST(count(*) AS BIGINT),
+             round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+                   / (SELECT count(*) FROM v), 4)
+      FROM c
+      UNION ALL
+      SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+             round(CAST((SELECT count(*) FROM pu) AS DOUBLE)
+                   / (SELECT count(*) FROM c), 4)
+      FROM pu
+    ) ORDER BY step
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded strict funnel view -> click -> purchase with a
+    24-hour max gap between consecutive steps, greedy-anchored at
+    each user's FIRST view (then first qualifying click, then first
+    qualifying purchase). Emits per-step user counts and step-over-
+    step conversion — the windowed variant that q_event_funnel's
+    lifetime-reach semantics cannot express.
+
+    Scale: three user-keyed aggs chained by user-keyed joins (each
+    join's probe side is the shrinking survivor set); no windows, no
+    per-user history state beyond one timestamp per stage."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.expr(f"INTERVAL {FUNNEL_GAP_HOURS} HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts0")
+    )
+    c = (
+        v.join(clicks, "user_id")
+        .filter((F.col("cts0") > F.col("vts")) & (F.col("cts0") <= F.col("vts") + gap))
+        .groupBy("user_id", "vts")
+        .agg(F.min("cts0").alias("cts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts0")
+    )
+    pu = (
+        c.join(purchases, "user_id")
+        .filter((F.col("pts0") > F.col("cts")) & (F.col("pts0") <= F.col("cts") + gap))
+        .groupBy("user_id")
+        .agg(F.min("pts0").alias("pts"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    nc = c.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    np_ = pu.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    s1 = nv.select(
+        F.lit(1).alias("step"), F.lit("view").alias("step_name"),
+        F.col("n").cast("bigint").alias("n_users"),
+        rnd(F.lit(1.0), 4).alias("conversion_from_prev"),
+    )
+    s2 = nc.crossJoin(nv.select(F.col("n").alias("prev"))).select(
+        F.lit(2).alias("step"), F.lit("click").alias("step_name"),
+        F.col("n").cast("bigint").alias("n_users"),
+        rnd(F.col("n") / F.col("prev"), 4).alias("conversion_from_prev"),
+    )
+    s3 = np_.crossJoin(nc.select(F.col("n").alias("prev"))).select(
+        F.lit(3).alias("step"), F.lit("purchase").alias("step_name"),
+        F.col("n").cast("bigint").alias("n_users"),
+        rnd(F.col("n") / F.col("prev"), 4).alias("conversion_from_prev"),
+    )
+    return s1.unionByName(s2).unionByName(s3).orderBy("step")
