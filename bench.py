@@ -202,6 +202,9 @@ BENCH_QUERIES = [
     "q_attribution_position",
     "q_funnel_windowed",
     "q_retrieval_ndcg",
+    "q_holt_winters",
+    "q_skew_join_salted",
+    "q_dp_exponential_topk",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -2109,3 +2109,177 @@ def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("draw_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Salted skew JOIN (r9). q_salted_agg salts a skewed AGGREGATION; the
+# join-side twin replicates the small dimension across S salt slots
+# and routes each fact row to one slot, splitting a hot join key
+# across S tasks. The oracle is the PLAIN join: salting must be
+# result-invariant (every fact row meets its full dim row in exactly
+# one slot), which the value-hash compare proves — the same
+# equivalence discipline as q_join_strategy_equivalence.
+# --------------------------------------------------------------------------
+SALT_SLOTS = 8
+
+
+@query(
+    "q_skew_join_salted",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation via a MANUALLY SALTED customer join: the
+    customer dim is replicated into 8 salt slots (explode over
+    sequence 0..7) and every order deterministically picks slot
+    o_orderkey % 8, so a hot customer's orders spread across 8 tasks
+    instead of one straggler. The oracle is the unsalted join — the
+    hash compare proves salting never changes results, only
+    distribution. At 100 TB this is the manual form of what AQE skew
+    mitigation does adaptively; the manual form also covers
+    aggregation keys AQE cannot split.
+
+    Scale: dim replication multiplies the SMALL side only (8x
+    customer); the fact side gains one map-side column. The join is
+    a plain equi-join on (custkey, salt) — co-partitioned, no
+    broadcast required when the dim outgrows the broadcast
+    threshold."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice",
+        (F.col("o_orderkey") % SALT_SLOTS).alias("salt"),
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_SLOTS - 1)))
+        )
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    joined = orders.join(
+        cust,
+        (orders.o_custkey == cust.c_custkey)
+        & (orders.salt == cust.salt.cast("long")),
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exponential-mechanism top-k selection (r9). q_dp_noisy_counts
+# releases noisy VALUES; selecting the top-k ITEMS privately needs
+# the exponential mechanism, realized as the Gumbel-max trick:
+# pick argmax of eps*u/(2*sensitivity) + Gumbel noise. Deterministic
+# audit form: the Gumbel draw comes from an arithmetic LCG on the
+# item key, reproducible bit-for-bit in both engines.
+# --------------------------------------------------------------------------
+DP_TOPK_K = 5
+DP_TOPK_EPS = 0.5
+
+
+@query(
+    "q_dp_exponential_topk",
+    oracle=f"""
+    WITH g AS (
+      SELECT p_brand, CAST(count(*) AS DOUBLE) AS u FROM part
+      GROUP BY p_brand
+    ), keyed AS (
+      SELECT p_brand, u,
+             (ascii(substr(p_brand, 7, 1)) * 256
+              + ascii(substr(p_brand, 8, 1))) * 48271 % 999983 AS lk
+      FROM g
+    ), noised AS (
+      SELECT p_brand, u,
+             -ln(-ln((lk + 1.0) / 1000000.0)) AS gumbel,
+             {DP_TOPK_EPS} * u / 2.0
+               - ln(-ln((lk + 1.0) / 1000000.0)) AS noisy_score
+      FROM keyed
+    )
+    SELECT CAST(row_number() OVER (ORDER BY noisy_score DESC, p_brand)
+                AS BIGINT) AS selection_rank,
+           p_brand,
+           CAST(u AS BIGINT) AS true_count,
+           CAST(row_number() OVER (ORDER BY u DESC, p_brand) AS BIGINT)
+             AS true_rank,
+           round(noisy_score, 6) AS noisy_score
+    FROM noised
+    QUALIFY selection_rank <= {DP_TOPK_K}
+    ORDER BY selection_rank
+    """,
+)
+def q_dp_exponential_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private top-5 part brands by count via the
+    exponential mechanism in its Gumbel-max form: score = eps*u/2 +
+    Gumbel (count utility has sensitivity 1); taking the k highest
+    noisy scores is exactly k sequential exponential-mechanism draws
+    (Durfee & Rogers 2019). The Gumbel draw is a deterministic LCG on
+    the brand key so the oracle reproduces the release bit-for-bit —
+    swap in a secure RNG and drop true_count/true_rank for a real
+    release, nothing else changes.
+
+    Scale: one keyed count agg (map-side combine), per-row noise on
+    the brand-cardinality result, and a top-k over ~25 rows. Emits
+    the selected brands with their true rank so the audit sees
+    where privacy reordered the truth."""
+    g = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("double").alias("u"))
+    )
+    lk = (
+        (
+            F.ascii(F.substring("p_brand", 7, 1)) * 256
+            + F.ascii(F.substring("p_brand", 8, 1))
+        )
+        * 48271
+        % 999983
+    )
+    gumbel = -F.log(-F.log((lk + 1.0) / 1000000.0))
+    noised = g.select(
+        "p_brand",
+        "u",
+        (F.lit(DP_TOPK_EPS) * F.col("u") / 2.0 + gumbel).alias("noisy_score"),
+    )
+    from pyspark.sql import Window as W
+
+    top = noised.orderBy(F.col("noisy_score").desc(), "p_brand").limit(
+        DP_TOPK_K
+    )
+    true_rank = noised.select(
+        "p_brand",
+        F.row_number()
+        .over(W.orderBy(F.col("u").desc(), "p_brand"))
+        .alias("true_rank"),
+    )
+    return (
+        top.withColumn(
+            "selection_rank",
+            F.row_number().over(
+                W.orderBy(F.col("noisy_score").desc(), "p_brand")
+            ),
+        )
+        .join(F.broadcast(true_rank), "p_brand")
+        .select(
+            F.col("selection_rank").cast("bigint").alias("selection_rank"),
+            "p_brand",
+            F.col("u").cast("bigint").alias("true_count"),
+            F.col("true_rank").cast("bigint").alias("true_rank"),
+            rnd("noisy_score", 6).alias("noisy_score"),
+        )
+        .orderBy("selection_rank")
+    )

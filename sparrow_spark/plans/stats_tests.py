@@ -1596,3 +1596,133 @@ def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (r9): the seasonal rung
+# above q_holt_linear (level+trend) and q_group_ewma (level only).
+# Weekly period m=7 on daily purchase revenue; alpha=0.5, beta=0.3,
+# gamma=0.2. The recursive state is (level, trend, 7-slot seasonal
+# ring, sse) — a struct-with-array fold Spark-side, a recursive CTE
+# with a LIST column oracle-side (DuckDB 1.0 list_reduce mis-
+# evaluates multi-field struct accumulators; recursive CTEs do not).
+# --------------------------------------------------------------------------
+_HW_M = 7
+
+
+@query(
+    "q_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT date_trunc('day', ts) AS d, CAST(sum(value) AS DOUBLE) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), idx AS (
+      SELECT row_number() OVER (ORDER BY d) AS i, x FROM daily
+    ), init AS (
+      SELECT list_reduce((SELECT list(x ORDER BY i) FROM idx
+                          WHERE i <= {_HW_M}),
+                         (a, b) -> a + b) / {_HW_M}.0 AS l0,
+             (list_reduce((SELECT list(x ORDER BY i) FROM idx
+                           WHERE i > {_HW_M} AND i <= 2 * {_HW_M}),
+                          (a, b) -> a + b) / {_HW_M}.0
+              - list_reduce((SELECT list(x ORDER BY i) FROM idx
+                             WHERE i <= {_HW_M}),
+                            (a, b) -> a + b) / {_HW_M}.0)
+               / {_HW_M} AS b0
+    ), rec AS (
+      SELECT {_HW_M} AS i, l0 AS l, b0 AS b,
+             (SELECT list(x - (SELECT l0 FROM init)
+                          ORDER BY i) FROM idx WHERE i <= {_HW_M}) AS s,
+             CAST(0.0 AS DOUBLE) AS sse
+      FROM init
+      UNION ALL
+      SELECT r.i + 1,
+             0.5 * (n.x - r.s[1]) + 0.5 * (r.l + r.b),
+             0.3 * ((0.5 * (n.x - r.s[1]) + 0.5 * (r.l + r.b)) - r.l)
+               + 0.7 * r.b,
+             list_concat(
+               r.s[2:{_HW_M}],
+               [0.2 * (n.x - (0.5 * (n.x - r.s[1]) + 0.5 * (r.l + r.b)))
+                + 0.8 * r.s[1]]
+             ),
+             r.sse + (n.x - (r.l + r.b + r.s[1]))
+                   * (n.x - (r.l + r.b + r.s[1]))
+      FROM rec r JOIN idx n ON n.i = r.i + 1
+    ), last AS (
+      SELECT * FROM rec WHERE i = (SELECT max(i) FROM idx)
+    )
+    SELECT CAST((SELECT max(i) FROM idx) AS BIGINT) AS n_days,
+           round(l, 4) AS level, round(b, 4) AS trend,
+           round(s[1], 4) AS next_seasonal,
+           round(l + b + s[1], 4) AS forecast_next,
+           round(sqrt(sse / ((SELECT max(i) FROM idx) - {_HW_M})), 4)
+             AS rmse_1step
+    FROM last
+    """,
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters on daily purchase revenue with weekly
+    seasonality (m=7; alpha=0.5, beta=0.3, gamma=0.2): level/trend as
+    in q_holt_linear plus a 7-slot seasonal ring updated per day,
+    initialized l0 = mean(week 1), b0 = (mean(week 2) - mean(week 1))
+    / 7, s_i = x_i - l0. Emits the final state, the one-step
+    forecast l + b + s_next, and its in-sample RMSE.
+
+    Scale: identical to the bounded-series family — the fact table
+    collapses to one row per day (keyed agg with map-side combine),
+    the fold runs over the date-sorted array in one stage; state is
+    O(m), never row-count-sized. The fold order is pinned by the
+    array sort, so the floats are bit-identical across partitionings
+    and engines."""
+    m = _HW_M
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum("value").cast("double").alias("x"))
+    )
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("s")
+    ).select(F.expr("transform(s, e -> e.x)").alias("xs"))
+    acc = F.expr(
+        f"""
+        aggregate(
+          slice(xs, {m + 1}, size(xs) - {m}),
+          struct(
+            aggregate(slice(xs, 1, {m}), cast(0.0 as double),
+                      (a, x) -> a + x) / {m}.0 AS l,
+            (aggregate(slice(xs, {m + 1}, {m}), cast(0.0 as double),
+                       (a, x) -> a + x) / {m}.0
+             - aggregate(slice(xs, 1, {m}), cast(0.0 as double),
+                         (a, x) -> a + x) / {m}.0) / {m}.0 AS b,
+            transform(slice(xs, 1, {m}),
+                      x -> x - aggregate(slice(xs, 1, {m}),
+                                         cast(0.0 as double),
+                                         (a, x2) -> a + x2) / {m}.0) AS s,
+            cast(0.0 AS double) AS sse),
+          (a, x) -> struct(
+            0.5 * (x - a.s[0]) + 0.5 * (a.l + a.b) AS l,
+            0.3 * ((0.5 * (x - a.s[0]) + 0.5 * (a.l + a.b)) - a.l)
+              + 0.7 * a.b AS b,
+            concat(slice(a.s, 2, {m - 1}),
+                   array(0.2 * (x - (0.5 * (x - a.s[0])
+                                     + 0.5 * (a.l + a.b)))
+                         + 0.8 * a.s[0])) AS s,
+            a.sse + (x - (a.l + a.b + a.s[0]))
+                  * (x - (a.l + a.b + a.s[0])) AS sse))
+        """
+    )
+    return series.select(
+        F.size("xs").cast("bigint").alias("n_days"), acc.alias("acc")
+    ).select(
+        "n_days",
+        rnd("acc.l", 4).alias("level"),
+        rnd("acc.b", 4).alias("trend"),
+        rnd(F.element_at("acc.s", 1), 4).alias("next_seasonal"),
+        rnd(
+            F.col("acc.l") + F.col("acc.b") + F.element_at("acc.s", 1), 4
+        ).alias("forecast_next"),
+        rnd(
+            F.sqrt(F.col("acc.sse") / (F.col("n_days") - m)), 4
+        ).alias("rmse_1step"),
+    )
