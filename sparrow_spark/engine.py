@@ -302,17 +302,17 @@ class Engine:
         if two == "DROP TABLE":
             return self._drop_table(stmt)
         if two == "ALTER TABLE":
-            return self._alter_table(stmt)
+            return self._locked_dml(stmt, self._alter_table)
         if head == "INSERT":
-            return self._insert(stmt)
+            return self._locked_dml(stmt, self._insert)
         if head == "REPLACE":
-            return self._replace(stmt)
+            return self._locked_dml(stmt, self._replace)
         if head == "MERGE":
-            return self._merge(stmt)
+            return self._locked_dml(stmt, self._merge)
         if head == "UPDATE":
-            return self._update(stmt)
+            return self._locked_dml(stmt, self._update)
         if head == "DELETE":
-            return self._delete(stmt)
+            return self._locked_dml(stmt, self._delete)
         if two == "DROP VIEW" or re.match(
             r"CREATE(\s+OR\s+REPLACE)?(\s+TEMPORARY)?\s+VIEW", stmt, re.I
         ):
@@ -1150,6 +1150,100 @@ class Engine:
         keep = sub.filter(~pred | pred.isNull())
         self._replace_files(schema, table, touched, keep)
         return Result("ok", affected_rows=affected)
+
+    # ------------------------------------------------------------------
+    # concurrent-writer serialization
+    # ------------------------------------------------------------------
+    # Two Engine instances (or two processes) sharing one warehouse
+    # directory must not interleave read-modify-write statements on the
+    # same table: UPDATE/DELETE read the matched file list and then
+    # swap files, so an unserialized concurrent writer could delete a
+    # file between those steps (lost update / dangling read). An
+    # exclusive per-table ADVISORY lock file (O_CREAT|O_EXCL — atomic
+    # on POSIX and on HDFS/S3-with-conditional-put equivalents)
+    # serializes whole statements; readers never take it (COW file
+    # swaps keep scans consistent enough for the reference's
+    # non-transactional contract). Within the serialized order the
+    # semantics are last-writer-wins, exactly like the reference's KV
+    # store under its global mutex (src/meta/meta_def.rs guards
+    # metadata, not data, the same trade). A lock whose holder process
+    # is dead, or older than _LOCK_STALE_S, is broken — crash
+    # recovery without an external coordinator.
+    _LOCK_TIMEOUT_S = 10.0
+    _LOCK_STALE_S = 120.0
+
+    _DML_TARGET_RE = re.compile(
+        r"^(?:INSERT\s+(?:IGNORE\s+)?INTO|REPLACE\s+INTO|MERGE\s+INTO"
+        r"|UPDATE|DELETE\s+FROM|ALTER\s+TABLE)\s+([\w`.]+)",
+        re.I,
+    )
+
+    def _locked_dml(self, stmt: str, fn) -> Result:
+        m = self._DML_TARGET_RE.match(stmt)
+        if not m:
+            return fn(stmt)
+        schema, table = self._resolve_table_name(m.group(1))
+        if not self.catalog.has_table(schema, table):
+            return fn(stmt)  # let the statement raise its own 1146
+        with self._write_lock(schema, table):
+            return fn(stmt)
+
+    @contextmanager
+    def _write_lock(self, schema: str, table: str):
+        import json
+        import time
+
+        lock_path = os.path.join(
+            self.catalog.table_path(schema, table), ".write.lock"
+        )
+        deadline = time.time() + self._LOCK_TIMEOUT_S
+        while True:
+            try:
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(
+                    fd,
+                    json.dumps(
+                        {"pid": os.getpid(), "ts": time.time()}
+                    ).encode(),
+                )
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    st = os.stat(lock_path)
+                    with open(lock_path) as f:
+                        holder = json.load(f)
+                    pid = holder.get("pid")
+                    alive = False
+                    if isinstance(pid, int):
+                        try:
+                            os.kill(pid, 0)
+                            alive = True
+                        except ProcessLookupError:
+                            alive = False
+                        except PermissionError:
+                            alive = True  # exists, owned by another user
+                    stale = time.time() - st.st_mtime > self._LOCK_STALE_S
+                    if stale or not alive:
+                        os.remove(lock_path)
+                        continue
+                except (FileNotFoundError, ValueError, OSError):
+                    continue  # holder released (or wrote) mid-probe; retry
+                if time.time() > deadline:
+                    raise SparrowError(
+                        1205,
+                        "Lock wait timeout exceeded; try restarting "
+                        f"transaction (table `{schema}`.`{table}` "
+                        f"write-locked by pid {pid})",
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            try:
+                os.remove(lock_path)
+            except FileNotFoundError:
+                pass
 
     # ------------------------------------------------------------------
     # physical helpers

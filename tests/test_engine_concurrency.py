@@ -1,0 +1,107 @@
+"""Concurrent-writer contention on a shared warehouse.
+
+Two Engine instances pointed at ONE warehouse directory model two
+server processes mounting the same storage. Statement-level write
+serialization comes from the per-table advisory lock file
+(engine.py:_write_lock): read-modify-write statements never
+interleave, giving last-writer-wins over a serial order — the same
+non-transactional contract as the reference's KV store under its
+global mutex, but at table granularity.
+"""
+
+import json
+import os
+import threading
+
+import pytest
+
+from sparrow_spark.engine import Engine, SparrowError
+
+
+@pytest.fixture()
+def shared_warehouse(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    e1 = Engine(spark, wh)
+    e2 = Engine(spark, wh)
+    e1.sql("CREATE SCHEMA s")
+    e1.sql("USE s")
+    e2.sql("USE s")
+    e1.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    e1.sql("INSERT INTO t VALUES (1, 0), (2, 0), (3, 0)")
+    return e1, e2
+
+
+def test_second_engine_sees_first_engines_writes(shared_warehouse):
+    e1, e2 = shared_warehouse
+    e2.sql("UPDATE t SET v = 5 WHERE id = 2")
+    got = {r[0]: r[1] for r in e1.sql("SELECT id, v FROM t").rows()}
+    assert got == {1: 0, 2: 5, 3: 0}
+
+
+def test_interleaved_updates_serialize_to_last_writer_wins(shared_warehouse):
+    e1, e2 = shared_warehouse
+    # 40 alternating single-row increments from two engines. With the
+    # statement lock each read-modify-write is atomic, so the final
+    # count equals the number of statements — a lost update would
+    # leave it short.
+    for i in range(20):
+        e1.sql("UPDATE t SET v = v + 1 WHERE id = 1")
+        e2.sql("UPDATE t SET v = v + 1 WHERE id = 1")
+    (v,) = e1.sql("SELECT v FROM t WHERE id = 1").rows()[0]
+    assert v == 40
+
+
+def test_contended_threads_never_lose_updates(shared_warehouse):
+    e1, e2 = shared_warehouse
+    errs = []
+
+    def bump(engine, n):
+        try:
+            for _ in range(n):
+                engine.sql("UPDATE t SET v = v + 1 WHERE id = 3")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=bump, args=(e1, 8))
+    t2 = threading.Thread(target=bump, args=(e2, 8))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    (v,) = e1.sql("SELECT v FROM t WHERE id = 3").rows()[0]
+    assert v == 16
+
+
+def test_lock_contention_times_out_with_1205(shared_warehouse, monkeypatch):
+    e1, e2 = shared_warehouse
+    monkeypatch.setattr(Engine, "_LOCK_TIMEOUT_S", 0.3)
+    lock = os.path.join(e1.catalog.table_path("s", "t"), ".write.lock")
+    # A live foreign holder: our own pid is alive, and a fresh mtime
+    # defeats the staleness break.
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "ts": 0}, f)
+    try:
+        with pytest.raises(SparrowError) as ei:
+            e2.sql("UPDATE t SET v = 9 WHERE id = 1")
+        assert ei.value.code == 1205
+    finally:
+        os.remove(lock)
+
+
+def test_dead_holder_lock_is_broken(shared_warehouse):
+    e1, e2 = shared_warehouse
+    lock = os.path.join(e1.catalog.table_path("s", "t"), ".write.lock")
+    with open(lock, "w") as f:
+        json.dump({"pid": 2 ** 22 + 12345, "ts": 0}, f)  # no such pid
+    e2.sql("UPDATE t SET v = 7 WHERE id = 2")  # breaks the stale lock
+    (v,) = e1.sql("SELECT v FROM t WHERE id = 2").rows()[0]
+    assert v == 7
+    assert not os.path.exists(lock)
+
+
+def test_lock_released_after_statement_and_after_error(shared_warehouse):
+    e1, e2 = shared_warehouse
+    lock = os.path.join(e1.catalog.table_path("s", "t"), ".write.lock")
+    e1.sql("UPDATE t SET v = 1 WHERE id = 1")
+    assert not os.path.exists(lock)
+    with pytest.raises(SparrowError):
+        e1.sql("UPDATE t SET nosuch = 1 WHERE id = 1")
+    assert not os.path.exists(lock)
