@@ -205,6 +205,9 @@ BENCH_QUERIES = [
     "q_holt_winters",
     "q_skew_join_salted",
     "q_dp_exponential_topk",
+    "q_graph_modularity",
+    "q_record_linkage_fs",
+    "q_esd_outliers",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

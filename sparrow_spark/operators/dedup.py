@@ -18,6 +18,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2865,4 +2867,290 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_member",
         )
         .orderBy("community")
+    )
+
+
+# --------------------------------------------------------------------------
+# Modularity of the LPA communities (r9). A community assignment
+# without a quality number is unfalsifiable; Newman-Girvan modularity
+# Q = sum_c (e_c/m - (d_c/(2m))^2) scores how much denser the found
+# communities are than a degree-preserving random graph — the accept/
+# reject gate for q_label_propagation's output.
+# --------------------------------------------------------------------------
+@query(
+    "q_graph_modularity",
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    , edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ), sym AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ), x0 AS (
+      SELECT DISTINCT u AS id, u AS lab FROM sym
+    )"""
+    + "".join(_lpa_round_sql(r) for r in range(1, LPA_ROUNDS + 1))
+    + f"""
+    , m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM edges),
+    deg AS (
+      SELECT u AS id, CAST(count(*) AS DOUBLE) AS d FROM sym GROUP BY u
+    ), labeled AS (
+      SELECT x.id, x.lab, deg.d
+      FROM x{LPA_ROUNDS} x JOIN deg ON deg.id = x.id
+    ), intra AS (
+      SELECT la.lab, CAST(count(*) AS DOUBLE) AS e_c
+      FROM edges e
+      JOIN labeled la ON la.id = e.u
+      JOIN labeled lb ON lb.id = e.v AND lb.lab = la.lab
+      GROUP BY la.lab
+    ), per_comm AS (
+      SELECT l.lab,
+             coalesce(i.e_c, 0) AS e_c,
+             sum(l.d) AS d_c
+      FROM labeled l LEFT JOIN intra i ON i.lab = l.lab
+      GROUP BY l.lab, i.e_c
+    )
+    SELECT CAST((SELECT count(*) FROM per_comm) AS BIGINT) AS n_communities,
+           CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
+           round(sum(e_c / (SELECT m FROM m)
+                     - (d_c / (2 * (SELECT m FROM m)))
+                       * (d_c / (2 * (SELECT m FROM m)))), 6) AS modularity
+    FROM per_comm
+    """,
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity of the q_label_propagation communities
+    on the near-dup graph: Q = sum over communities of
+    (intra-edge fraction - squared expected fraction under the
+    degree-preserving null). Q near 0 means the 'communities' are
+    noise; the acceptance gate for any clustering of the dup graph.
+
+    Scale: reuses the LPA rounds (pair-list-sized state), then degree
+    and intra-edge counts are two keyed aggs on the edge list; the
+    final fold runs over community-cardinality rows. No step touches
+    the corpus after the shingle pass."""
+    from pyspark.sql import Window as W  # noqa: F401 (house import parity)
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        minhash_lsh_pairs(docs)
+        .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = sym.select(F.col("u").alias("id")).distinct().withColumn(
+        "lab", F.col("id")
+    )
+    w = W.partitionBy("id").orderBy(F.col("c").desc(), F.col("lab"))
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            sym.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy(F.col("u").alias("id"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "lab")
+            .localCheckpoint(eager=True)
+        )
+    m = edges.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    deg = sym.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    labeled = labels.join(deg, "id")
+    la = labeled.select(F.col("id").alias("u"), F.col("lab").alias("lab_u"))
+    lb = labeled.select(F.col("id").alias("v"), F.col("lab").alias("lab_v"))
+    intra = (
+        edges.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("lab_u") == F.col("lab_v"))
+        .groupBy(F.col("lab_u").alias("lab"))
+        .agg(F.count(F.lit(1)).cast("double").alias("e_c"))
+    )
+    per_comm = (
+        labeled.groupBy("lab")
+        .agg(F.sum("d").alias("d_c"))
+        .join(intra, "lab", "left")
+        .select("lab", F.coalesce("e_c", F.lit(0.0)).alias("e_c"), "d_c")
+    )
+    ncomm = per_comm.agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+    return (
+        per_comm.crossJoin(F.broadcast(m))
+        .agg(
+            rnd(
+                F.sum(
+                    F.col("e_c") / F.col("m")
+                    - (F.col("d_c") / (2 * F.col("m")))
+                    * (F.col("d_c") / (2 * F.col("m")))
+                ),
+                6,
+            ).alias("modularity"),
+            F.first(F.col("m")).cast("bigint").alias("n_edges"),
+        )
+        .crossJoin(F.broadcast(ncomm))
+        .select(
+            F.col("nc").alias("n_communities"),
+            "n_edges",
+            "modularity",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage scoring (r9). The dedup family's
+# candidate pairs (LSH blocks) get a PROBABILISTIC decision layer:
+# per-field agreement patterns weighted by log2(m/u) — m = P(agree |
+# true match), u = P(agree | non-match) — summed into a match weight
+# and thresholded into link / possible / non-link (Fellegi & Sunter
+# 1969, the foundation of every production entity-resolution system).
+# Fixed published-style m/u parameters in EXACT milli-units so the
+# weight arithmetic is integer until one final scale — no float-sum
+# ordering risk (the q_quality_classifier lesson).
+# --------------------------------------------------------------------------
+# Per-field (m, u) in thousandths: lang (0.95, 0.20), source
+# (0.90, 0.25), length-bucket (0.85, 0.30). Weights in milli-log2
+# units: agree -> round(1000*log2(m/u)), disagree ->
+# round(1000*log2((1-m)/(1-u))).
+_FS_FIELDS = [
+    ("lang", 950, 200),
+    ("source", 900, 250),
+    ("lenb", 850, 300),
+]
+
+
+def _fs_weights_milli() -> dict[str, tuple[int, int]]:
+    out = {}
+    for name, m, u in _FS_FIELDS:
+        agree = round(1000 * math.log2(m / u))
+        disagree = round(1000 * math.log2((1000 - m) / (1000 - u)))
+        out[name] = (agree, disagree)
+    return out
+
+
+FS_LINK_MILLI = 3000  # >= 3 bits of evidence -> link
+FS_NONLINK_MILLI = 0  # < 0 bits -> non-link; between -> possible
+
+
+@query(
+    "q_record_linkage_fs",
+    oracle=_MINHASH_BANDS_CTE
+    + f"""
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ), attrs AS (
+      SELECT doc_id, lang, source,
+             CAST(floor(ln(n_chars + 1) / ln(2)) AS BIGINT) AS lenb
+      FROM documents
+    ), scored AS (
+      SELECT p.a_id, p.b_id,
+             (CASE WHEN x.lang = y.lang
+                   THEN {_fs_weights_milli()["lang"][0]}
+                   ELSE {_fs_weights_milli()["lang"][1]} END
+              + CASE WHEN x.source = y.source
+                     THEN {_fs_weights_milli()["source"][0]}
+                     ELSE {_fs_weights_milli()["source"][1]} END
+              + CASE WHEN x.lenb = y.lenb
+                     THEN {_fs_weights_milli()["lenb"][0]}
+                     ELSE {_fs_weights_milli()["lenb"][1]} END)
+               AS w_milli
+      FROM pairs p
+      JOIN attrs x ON x.doc_id = p.a_id
+      JOIN attrs y ON y.doc_id = p.b_id
+    ), classed AS (
+      SELECT a_id, b_id, w_milli,
+             CASE WHEN w_milli >= {FS_LINK_MILLI} THEN 'link'
+                  WHEN w_milli < {FS_NONLINK_MILLI} THEN 'non-link'
+                  ELSE 'possible' END AS verdict
+      FROM scored
+    )
+    SELECT verdict,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(w_milli) / 1000.0, 4) AS avg_weight_bits,
+           round(min(w_milli) / 1000.0, 4) AS min_weight_bits,
+           round(max(w_milli) / 1000.0, 4) AS max_weight_bits
+    FROM classed GROUP BY verdict ORDER BY verdict
+    """,
+)
+def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage over the LSH candidate
+    pairs: each pair's (lang, source, log2-length-bucket) agreement
+    pattern sums per-field log2(m/u) evidence weights (integer
+    milli-bits — exact BIGINT arithmetic end-to-end) and thresholds
+    into link / possible / non-link. Emits the decision histogram
+    with weight stats, the calibration view an ER pipeline tunes its
+    thresholds on.
+
+    Scale: candidate generation is the lossless LSH band join
+    (never all-pairs); attribute lookup is two keyed joins of the
+    pair list against a 3-column projection of the corpus; the
+    verdict is map-side CASE arithmetic and one tiny agg. avg of
+    integer milli-weights is a ratio of exact integers — immune to
+    summation order."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("a_id", "b_id").distinct()
+    attrs = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.log(F.col("n_chars") + 1) / math.log(2.0))
+        .cast("bigint")
+        .alias("lenb"),
+    )
+    wmap = _fs_weights_milli()
+
+    def field_w(field: str, xa, ya):
+        agree, disagree = wmap[field]
+        return F.when(xa == ya, F.lit(agree)).otherwise(F.lit(disagree))
+
+    x = attrs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("lenb").alias("lenb_a"),
+    )
+    y = attrs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("lenb").alias("lenb_b"),
+    )
+    scored = (
+        pairs.join(x, "a_id")
+        .join(y, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                field_w("lang", F.col("lang_a"), F.col("lang_b"))
+                + field_w("source", F.col("source_a"), F.col("source_b"))
+                + field_w("lenb", F.col("lenb_a"), F.col("lenb_b"))
+            )
+            .cast("bigint")
+            .alias("w_milli"),
+        )
+    )
+    verdict = (
+        F.when(F.col("w_milli") >= FS_LINK_MILLI, "link")
+        .when(F.col("w_milli") < FS_NONLINK_MILLI, "non-link")
+        .otherwise("possible")
+    )
+    return (
+        scored.withColumn("verdict", verdict)
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            rnd(F.avg("w_milli") / 1000.0, 4).alias("avg_weight_bits"),
+            rnd(F.min("w_milli") / 1000.0, 4).alias("min_weight_bits"),
+            rnd(F.max("w_milli") / 1000.0, 4).alias("max_weight_bits"),
+        )
+        .orderBy("verdict")
     )

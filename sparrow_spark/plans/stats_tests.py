@@ -1726,3 +1726,100 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("acc.sse") / (F.col("n_days") - m)), 4
         ).alias("rmse_1step"),
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative extreme-studentized-deviate outlier sweep (r9). One-shot
+# z-scoring (q_zscore_outliers) is masked by the outliers themselves
+# inflating sigma; the ESD procedure (Rosner 1983) removes the most
+# extreme point and RECOMPUTES mean/std each round, unmasking
+# secondary outliers. Fixed 3 rounds and a fixed R > 3.0 flag
+# threshold (the full test's per-round lambda_i needs a Student-t
+# inverse CDF, out of scope for an engine-portable oracle; the
+# iteration structure — the part that matters for masking — is
+# exact).
+# --------------------------------------------------------------------------
+_ESD_ROUNDS = 3
+
+
+def _esd_round_sql(r: int) -> str:
+    prev = f"rem{r - 1}"
+    return f"""
+    , st{r} AS (
+      SELECT avg(x) AS mu, stddev_samp(x) AS sd FROM {prev}
+    ), cand{r} AS (
+      SELECT d, x, abs(x - st{r}.mu) / st{r}.sd AS r_stat
+      FROM {prev}, st{r}
+    ), top{r} AS (
+      SELECT {r} AS iteration, d, x, r_stat FROM cand{r}
+      ORDER BY r_stat DESC, d LIMIT 1
+    ), rem{r} AS (
+      SELECT p.d, p.x FROM {prev} p
+      WHERE p.d NOT IN (SELECT d FROM top{r})
+    )"""
+
+
+@query(
+    "q_esd_outliers",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, CAST(sum(value) AS DOUBLE) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), rem0 AS (SELECT d, x FROM daily)"""
+    + "".join(_esd_round_sql(r) for r in range(1, _ESD_ROUNDS + 1))
+    + f"""
+    SELECT iteration, strftime(d, '%Y-%m-%d') AS day,
+           round(x, 2) AS value, round(r_stat, 4) AS r_stat,
+           r_stat > 3.0 AS flagged
+    FROM ({" UNION ALL ".join(f"SELECT * FROM top{r}" for r in range(1, _ESD_ROUNDS + 1))})
+    ORDER BY iteration
+    """,
+)
+def q_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-round ESD outlier sweep on daily purchase revenue: each
+    round studentizes against the mean/std of the REMAINING series,
+    extracts the single most extreme day (ties -> earliest), removes
+    it, and recomputes — the unmasking loop that one-shot z-scores
+    lack. Emits the extraction sequence with R statistics and the
+    fixed R > 3 flag.
+
+    Scale: the fact table collapses to one row per day first; each
+    round is a 2-value aggregate + a top-1 TakeOrderedAndProject over
+    the day-bounded series with localCheckpoint lineage discipline —
+    never a corpus pass per round."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum("value").cast("double").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    remaining = daily
+    tops = []
+    for i in range(1, _ESD_ROUNDS + 1):
+        st = remaining.agg(
+            F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
+        )
+        cand = remaining.crossJoin(F.broadcast(st)).withColumn(
+            "r_stat", F.abs(F.col("x") - F.col("mu")) / F.col("sd")
+        )
+        top = (
+            cand.orderBy(F.col("r_stat").desc(), "d")
+            .limit(1)
+            .select(F.lit(i).alias("iteration"), "d", "x", "r_stat")
+            .localCheckpoint(eager=True)
+        )
+        tops.append(top)
+        remaining = remaining.join(
+            top.select("d"), "d", "left_anti"
+        ).localCheckpoint(eager=True)
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out.select(
+        "iteration",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        rnd("x", 2).alias("value"),
+        rnd("r_stat", 4).alias("r_stat"),
+        (F.col("r_stat") > 3.0).alias("flagged"),
+    ).orderBy("iteration")
