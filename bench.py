@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "q_graph_modularity",
     "q_record_linkage_fs",
     "q_esd_outliers",
+    "q_bleu_pairs",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -3154,3 +3154,149 @@ def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("verdict")
     )
+
+
+# --------------------------------------------------------------------------
+# Pairwise corpus BLEU on near-dup candidates (r9). Jaccard (set
+# overlap) treats a doc as a bag of shingles; BLEU-4 with clipping
+# and a brevity penalty (Papineni et al. 2002) measures ORDERED
+# n-gram agreement — the metric that distinguishes a reshuffled
+# template from a true near-verbatim copy, and the standard
+# generation-eval metric an LLM-data platform must ship. Add-one
+# smoothed so zero-overlap orders stay finite.
+# --------------------------------------------------------------------------
+_BLEU_MAX_N = 4
+
+
+@query(
+    "q_bleu_pairs",
+    oracle=_MINHASH_BANDS_CTE
+    + f"""
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ), toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), grams AS (
+      SELECT t.doc_id, n.n,
+             [array_to_string(t.w[i:i+n.n-1], ' ')
+              for i in range(1, len(t.w) - n.n + 2)] AS gs
+      FROM toks t, (SELECT unnest(range(1, {_BLEU_MAX_N + 1})) AS n) n
+      WHERE len(t.w) >= n.n
+    ), gcount AS (
+      SELECT doc_id, n, g, CAST(count(*) AS DOUBLE) AS c
+      FROM (SELECT doc_id, n, unnest(gs) AS g FROM grams)
+      GROUP BY doc_id, n, g
+    ), clipped AS (
+      SELECT p.a_id, p.b_id, h.n,
+             sum(least(h.c, r.c)) AS clip,
+             (SELECT sum(c) FROM gcount hh
+              WHERE hh.doc_id = p.a_id AND hh.n = h.n) AS total
+      FROM pairs p
+      JOIN gcount h ON h.doc_id = p.a_id
+      JOIN gcount r ON r.doc_id = p.b_id AND r.n = h.n AND r.g = h.g
+      GROUP BY p.a_id, p.b_id, h.n
+    ), pn AS (
+      SELECT a_id, b_id,
+             sum(ln((clip + 1.0) / (total + 1.0))) / {_BLEU_MAX_N}.0
+               AS log_p
+      FROM clipped GROUP BY a_id, b_id
+      HAVING count(*) = {_BLEU_MAX_N}
+    ), lens AS (
+      SELECT doc_id, CAST(len(w) AS DOUBLE) AS l FROM toks
+    )
+    SELECT p.a_id, p.b_id,
+           round(exp(least(0.0, 1.0 - lr.l / lh.l) + p.log_p), 6) AS bleu
+    FROM pn p
+    JOIN lens lh ON lh.doc_id = p.a_id
+    JOIN lens lr ON lr.doc_id = p.b_id
+    ORDER BY p.a_id, p.b_id
+    """,
+)
+def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-4 (add-one smoothed, brevity-penalized) for every LSH
+    candidate pair, treating the lower doc_id as hypothesis and the
+    higher as reference: clipped n-gram precision for n=1..4,
+    geometric mean in log space, BP = exp(min(0, 1 - len_r/len_h)).
+    Pairs missing any order entirely (hypothesis shorter than 4
+    tokens, or zero shared grams at some order — rare for LSH
+    candidates) drop out, mirrored by the oracle's HAVING count = 4.
+
+    Scale: n-gram counting is per-doc map-side work; the clip join
+    matches (pair, n, gram) keys — bounded by the CANDIDATE pair
+    list, never all-pairs; per-order totals ride a keyed agg. Exactly
+    the candidate->verify displine of the Jaccard verifier, with an
+    ordered-agreement metric at the verify step."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("a_id", "b_id").distinct()
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    )
+    gram_parts = []
+    for n in range(1, _BLEU_MAX_N + 1):
+        gs = F.expr(
+            f"transform(sequence(1, size(w) - {n} + 1), "
+            f"i -> array_join(slice(w, i, {n}), ' '))"
+        )
+        gram_parts.append(
+            toks.filter(F.size("w") >= n).select(
+                "doc_id", F.lit(n).alias("n"), F.explode(gs).alias("g")
+            )
+        )
+    grams = gram_parts[0]
+    for p in gram_parts[1:]:
+        grams = grams.unionByName(p)
+    gcount = grams.groupBy("doc_id", "n", "g").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    totals = gcount.groupBy("doc_id", "n").agg(F.sum("c").alias("total"))
+    h = gcount.select(
+        F.col("doc_id").alias("a_id"), "n", "g", F.col("c").alias("ch")
+    )
+    r = gcount.select(
+        F.col("doc_id").alias("b_id"), "n", "g", F.col("c").alias("cr")
+    )
+    clipped = (
+        pairs.join(h, "a_id")
+        .join(r, ["b_id", "n", "g"])
+        .groupBy("a_id", "b_id", "n")
+        .agg(F.sum(F.least("ch", "cr")).alias("clip"))
+        .join(
+            totals.select(
+                F.col("doc_id").alias("a_id"), "n", "total"
+            ),
+            ["a_id", "n"],
+        )
+    )
+    pn = (
+        clipped.groupBy("a_id", "b_id")
+        .agg(
+            (
+                F.sum(F.log((F.col("clip") + 1.0) / (F.col("total") + 1.0)))
+                / F.lit(float(_BLEU_MAX_N))
+            ).alias("log_p"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") == _BLEU_MAX_N)
+    )
+    lens = toks.select(
+        "doc_id", F.size("w").cast("double").alias("l")
+    )
+    return (
+        pn.join(lens.select(F.col("doc_id").alias("a_id"), F.col("l").alias("lh")), "a_id")
+        .join(lens.select(F.col("doc_id").alias("b_id"), F.col("l").alias("lr")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            rnd(
+                F.exp(
+                    F.least(F.lit(0.0), 1.0 - F.col("lr") / F.col("lh"))
+                    + F.col("log_p")
+                ),
+                6,
+            ).alias("bleu"),
+        )
+        .orderBy("a_id", "b_id")
+    )
