@@ -105,3 +105,43 @@ def test_lock_released_after_statement_and_after_error(shared_warehouse):
     with pytest.raises(SparrowError):
         e1.sql("UPDATE t SET nosuch = 1 WHERE id = 1")
     assert not os.path.exists(lock)
+
+
+def test_waits_for_live_foreign_process_holder(shared_warehouse):
+    """A lock held by a DIFFERENT live process blocks the statement
+    until released — the cross-process case the threaded tests can't
+    exercise (same pid)."""
+    import subprocess
+    import sys
+    import time
+
+    e1, e2 = shared_warehouse
+    lock = os.path.join(e1.catalog.table_path("s", "t"), ".write.lock")
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import json, os, sys, time\n"
+                f"fd = os.open({lock!r}, os.O_CREAT | os.O_EXCL | os.O_WRONLY)\n"
+                "os.write(fd, json.dumps({'pid': os.getpid(),"
+                " 'ts': time.time()}).encode())\n"
+                "os.close(fd)\n"
+                "print('held', flush=True)\n"
+                "time.sleep(1.5)\n"
+                f"os.remove({lock!r})\n"
+            ),
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert holder.stdout.readline().strip() == "held"
+        t0 = time.time()
+        e2.sql("UPDATE t SET v = 42 WHERE id = 1")
+        waited = time.time() - t0
+        assert waited >= 0.8, f"did not block on foreign lock ({waited:.2f}s)"
+        (v,) = e2.sql("SELECT v FROM t WHERE id = 1").rows()[0]
+        assert v == 42
+    finally:
+        holder.wait(timeout=10)
