@@ -209,6 +209,11 @@ BENCH_QUERIES = [
     "q_record_linkage_fs",
     "q_esd_outliers",
     "q_bleu_pairs",
+    "q_hits_hubs_auth",
+    "q_cohens_kappa",
+    "q_theil_sen_mk",
+    "q_association_rules",
+    "q_compaction_planner",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -3300,3 +3300,130 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs/authorities (r9). PageRank (q_pagerank) scores undirected
+# reachability mass; HITS (Kleinberg 1999) separates the two roles a
+# node can play in a DIRECTED graph — pointing at good content (hub)
+# vs being pointed at (authority). On the low->high-id oriented LSH
+# candidate graph, a high-authority doc is one that many earlier
+# (lower-id, i.e. earlier-crawled) near-duplicates point at — the
+# natural "canonical copy" signal when ids encode crawl order. Two
+# synchronous iterations with L1 normalization, every float sum a
+# sorted fold so the scores are bit-identical across partitionings
+# and engines (the BM25 precedent).
+# --------------------------------------------------------------------------
+HITS_ITERS = 2
+
+
+def _hits_iter_sql(i: int) -> str:
+    prev_auth = "a0" if i == 1 else f"a{i - 1}"
+    return f"""
+    , h{i}r AS (
+      SELECT c.a_id AS node,
+             list_reduce(list_sort(list(x.a)), (p, q) -> p + q) AS h
+      FROM cands c JOIN {prev_auth} x ON x.node = c.b_id
+      GROUP BY c.a_id
+    ), h{i}n AS (
+      SELECT list_reduce(list_sort(list(h)), (p, q) -> p + q) AS s FROM h{i}r
+    ), h{i} AS (
+      SELECT node, h / (SELECT s FROM h{i}n) AS h FROM h{i}r
+    ), a{i}r AS (
+      SELECT c.b_id AS node,
+             list_reduce(list_sort(list(x.h)), (p, q) -> p + q) AS a
+      FROM cands c JOIN h{i} x ON x.node = c.a_id
+      GROUP BY c.b_id
+    ), a{i}n AS (
+      SELECT list_reduce(list_sort(list(a)), (p, q) -> p + q) AS s FROM a{i}r
+    ), a{i} AS (
+      SELECT node, a / (SELECT s FROM a{i}n) AS a FROM a{i}r
+    )"""
+
+
+@query(
+    "q_hits_hubs_auth",
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    , cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ), nodes AS (
+      SELECT a_id AS node FROM cands UNION SELECT b_id FROM cands
+    ), a0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS a FROM nodes)"""
+    + "".join(_hits_iter_sql(i) for i in range(1, HITS_ITERS + 1))
+    + f"""
+    SELECT CAST(n.node AS BIGINT) AS doc_id,
+           round(coalesce(h.h, 0.0), 6) AS hub,
+           round(coalesce(a.a, 0.0), 6) AS authority
+    FROM nodes n
+    LEFT JOIN h{HITS_ITERS} h ON h.node = n.node
+    LEFT JOIN a{HITS_ITERS} a ON a.node = n.node
+    ORDER BY doc_id
+    """,
+)
+def q_hits_hubs_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores over the low->high-id oriented LSH
+    near-duplicate graph: two synchronous iterations of hub(u) =
+    sum(auth(v), u->v) and auth(v) = sum(hub(u), u->v), each half-step
+    L1-normalized. Hubs are early docs whose content many later copies
+    share; authorities are the heavily-duplicated late copies.
+
+    Scale: state is node-list-sized (one double per node); each
+    half-iteration is one key-shuffled join + keyed agg over the
+    candidate pair list — never all-pairs. The per-node and
+    normalizer sums are sorted folds (collect -> array_sort -> fold)
+    so partial-agg merge order cannot flip low bits; the DuckDB
+    oracle unrolls the identical stages with list_reduce(list_sort).
+    Cites wqc200/sparrow: no graph surface exists in the reference
+    (src/meta/def.rs stops at relational ops); this is the
+    training-pipeline tier on the same LSH candidates as q_pagerank.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).localCheckpoint(eager=True)
+
+    def ssum(col: str) -> Column:
+        return F.aggregate(
+            F.array_sort(F.collect_list(col)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    nodes = (
+        pairs.select(F.col("a_id").alias("node"))
+        .unionByName(pairs.select(F.col("b_id").alias("node")))
+        .distinct()
+    )
+    auth = nodes.select("node", F.lit(1.0).alias("a"))
+    hub = None
+    for _ in range(HITS_ITERS):
+        hub_raw = (
+            pairs.join(auth, pairs.b_id == auth.node)
+            .groupBy("a_id")
+            .agg(ssum("a").alias("h"))
+        )
+        hn = hub_raw.agg(ssum("h").alias("s"))
+        hub = hub_raw.crossJoin(F.broadcast(hn)).select(
+            F.col("a_id").alias("node"), (F.col("h") / F.col("s")).alias("h")
+        )
+        auth_raw = (
+            pairs.join(hub, pairs.a_id == hub.node)
+            .groupBy("b_id")
+            .agg(ssum("h").alias("ar"))
+        )
+        an = auth_raw.agg(ssum("ar").alias("s"))
+        auth = auth_raw.crossJoin(F.broadcast(an)).select(
+            F.col("b_id").alias("node"), (F.col("ar") / F.col("s")).alias("a")
+        )
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            F.col("node").cast("bigint").alias("doc_id"),
+            rnd(F.coalesce("h", F.lit(0.0)), 6).alias("hub"),
+            rnd(F.coalesce("a", F.lit(0.0)), 6).alias("authority"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1504,3 +1504,121 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("n") / F.col("prev"), 4).alias("conversion_from_prev"),
     )
     return s1.unionByName(s2).unionByName(s3).orderBy("step")
+
+
+# --------------------------------------------------------------------------
+# Association rules with confidence/lift (r9). q_frequent_pairs stops
+# at pair support; a recommender or store-layout decision needs the
+# DIRECTED rule quality — confidence P(B|A) and lift P(B|A)/P(B) —
+# because support alone cannot separate "popular everywhere" from
+# "predictive". Items are part-category buckets (l_partkey % 100) so
+# the rule space is dense enough to rank at sf0.01; all counts are
+# exact BIGINTs, the ratios one double division each.
+# --------------------------------------------------------------------------
+_RULE_MIN_SUPPORT = 5
+
+
+@query(
+    "q_association_rules",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 100 AS item FROM lineitem
+    ), nt AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+    ), ni AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS n_item
+      FROM items GROUP BY item
+    ), pair AS (
+      SELECT a.item AS antecedent, b.item AS consequent,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.item <> b.item
+      GROUP BY 1, 2
+    )
+    SELECT p.antecedent, p.consequent, p.n_both,
+           na.n_item AS n_antecedent, nc.n_item AS n_consequent,
+           round(CAST(p.n_both AS DOUBLE) / nt.n, 4) AS support,
+           round(CAST(p.n_both AS DOUBLE) / na.n_item, 4) AS confidence,
+           round(CAST(p.n_both AS DOUBLE) * nt.n
+                 / (CAST(na.n_item AS DOUBLE) * nc.n_item), 4) AS lift
+    FROM pair p
+    JOIN ni na ON na.item = p.antecedent
+    JOIN ni nc ON nc.item = p.consequent
+    CROSS JOIN nt
+    WHERE p.n_both >= {_RULE_MIN_SUPPORT}
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT 50
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules A -> B over order baskets of
+    part-category items: support, confidence P(B|A), and lift
+    (confidence over the consequent's base rate), min pair support
+    5, top 50 by lift. Extends q_frequent_pairs' symmetric support
+    counts with the directed rule-quality metrics.
+
+    Scale: the basket explosion is bounded by distinct categories
+    per order (items-per-basket squared, never fact-rows squared);
+    the pair count is one orderkey-keyed shuffle + keyed agg, the
+    item marginals broadcast onto the pair list, and the final
+    ranking a TakeOrderedAndProject top-k. Lift's tie pattern is
+    ratio-of-integers, identical on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("item")
+    ).distinct()
+    nt = items.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    ni = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("antecedent"),
+            F.col("b.item").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= _RULE_MIN_SUPPORT)
+    )
+    na = ni.select(
+        F.col("item").alias("antecedent"), F.col("n_item").alias("n_antecedent")
+    )
+    nc = ni.select(
+        F.col("item").alias("consequent"), F.col("n_item").alias("n_consequent")
+    )
+    return (
+        pair.join(F.broadcast(na), "antecedent")
+        .join(F.broadcast(nc), "consequent")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_antecedent",
+            "n_consequent",
+            rnd(F.col("n_both").cast("double") / F.col("n"), 4).alias(
+                "support"
+            ),
+            rnd(
+                F.col("n_both").cast("double") / F.col("n_antecedent"), 4
+            ).alias("confidence"),
+            rnd(
+                F.col("n_both").cast("double")
+                * F.col("n")
+                / (
+                    F.col("n_antecedent").cast("double")
+                    * F.col("n_consequent")
+                ),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(50)
+    )

@@ -1823,3 +1823,213 @@ def q_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd("r_stat", 4).alias("r_stat"),
         (F.col("r_stat") > 3.0).alias("flagged"),
     ).orderBy("iteration")
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa inter-rater agreement (r9). q_weak_supervision fuses
+# labeling functions by majority vote but never answers "do the
+# labelers agree beyond chance?" — the agreement audit that decides
+# whether adding a labeling function adds signal. Two deterministic
+# binary raters over documents (a char-length rule and a word-count
+# rule), kappa = (po - pe) / (1 - pe) per language, all confusion
+# counts exact BIGINTs with a single double division at the end.
+# --------------------------------------------------------------------------
+@query(
+    "q_cohens_kappa",
+    oracle="""
+    WITH lab AS (
+      SELECT lang,
+             CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN len(string_split(lower(text), ' ')) >= 90
+                  THEN 1 ELSE 0 END AS r2
+      FROM documents
+    ), cm AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r1 * r2) AS BIGINT) AS n11,
+             CAST(sum(r1 * (1 - r2)) AS BIGINT) AS n10,
+             CAST(sum((1 - r1) * r2) AS BIGINT) AS n01,
+             CAST(sum((1 - r1) * (1 - r2)) AS BIGINT) AS n00
+      FROM lab GROUP BY lang
+    ), k AS (
+      SELECT lang, n, n11, n10, n01, n00,
+             CAST(n11 + n00 AS DOUBLE) / n AS po,
+             (CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+               + (CAST(n00 + n01 AS DOUBLE) / n)
+                 * (CAST(n00 + n10 AS DOUBLE) / n) AS pe
+      FROM cm
+    )
+    SELECT lang, n, n11, n10, n01, n00,
+           round(po, 4) AS po, round(pe, 4) AS pe,
+           round((po - pe) / (1 - pe), 4) AS kappa
+    FROM k ORDER BY lang
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic quality raters (chars
+    >= 500 vs whitespace words >= 90) per language: the chance-
+    corrected agreement that tells a weak-supervision pipeline
+    whether its labeling functions are redundant (kappa ~ 1),
+    complementary (moderate), or noise (kappa ~ 0).
+
+    Scale: one corpus pass -> per-language confusion counts via a
+    keyed agg with map-side combine (state is 4 BIGINTs per
+    language); po/pe/kappa are computed from the exact integer
+    counts with one double division each, so the floats are
+    engine-identical by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    r1 = F.when(F.col("n_chars") >= 500, 1).otherwise(0)
+    r2 = F.when(
+        F.size(F.split(F.lower(F.col("text")), " ")) >= 90, 1
+    ).otherwise(0)
+    cm = (
+        docs.select("lang", r1.alias("r1"), r2.alias("r2"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("r1") * F.col("r2")).cast("bigint").alias("n11"),
+            F.sum(F.col("r1") * (1 - F.col("r2"))).cast("bigint").alias("n10"),
+            F.sum((1 - F.col("r1")) * F.col("r2")).cast("bigint").alias("n01"),
+            F.sum((1 - F.col("r1")) * (1 - F.col("r2")))
+            .cast("bigint")
+            .alias("n00"),
+        )
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double") / F.col("n")
+    ) * ((F.col("n11") + F.col("n01")).cast("double") / F.col("n")) + (
+        (F.col("n00") + F.col("n01")).cast("double") / F.col("n")
+    ) * ((F.col("n00") + F.col("n10")).cast("double") / F.col("n"))
+    return (
+        cm.withColumn("po_", po)
+        .withColumn("pe_", pe)
+        .select(
+            "lang",
+            "n",
+            "n11",
+            "n10",
+            "n01",
+            "n00",
+            rnd("po_", 4).alias("po"),
+            rnd("pe_", 4).alias("pe"),
+            rnd(
+                (F.col("po_") - F.col("pe_")) / (1 - F.col("pe_")), 4
+            ).alias("kappa"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust slope + Mann-Kendall trend test (r9). OLS trend
+# (q_regression_stats) and the seasonal decompositions assume
+# Gaussian residuals; one promo-day spike drags the fitted slope.
+# Theil-Sen (median of pairwise slopes, 29% breakdown point) and the
+# Mann-Kendall S statistic (pure sign-based, distribution-free) are
+# the standard robust pair. The day-collapsed series is bounded, so
+# the O(n^2) pair join is a few thousand rows — never fact-table-
+# sized — and the median is quantile_cont-compatible on both engines.
+# --------------------------------------------------------------------------
+@query(
+    "q_theil_sen_mk",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, CAST(sum(value) AS DOUBLE) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), idx AS (
+      SELECT CAST(datediff('day', (SELECT min(d) FROM daily), d) AS BIGINT)
+               AS t, x
+      FROM daily
+    ), pr AS (
+      SELECT (b.x - a.x) / (b.t - a.t) AS slope,
+             CASE WHEN b.x > a.x THEN 1
+                  WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+      FROM idx a JOIN idx b ON a.t < b.t
+    ), sl AS (
+      SELECT quantile_cont(slope, 0.5) AS slope,
+             CAST(sum(sgn) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pr
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx
+    ), ic AS (
+      SELECT quantile_cont(i.x - s.slope * i.t, 0.5) AS icept
+      FROM idx i CROSS JOIN sl s
+    )
+    SELECT nn.n AS n_days, sl.n_pairs,
+           round(sl.slope, 4) AS ts_slope,
+           round(ic.icept, 2) AS ts_intercept,
+           sl.s AS mk_s,
+           round((sl.s - CASE WHEN sl.s > 0 THEN 1
+                              WHEN sl.s < 0 THEN -1 ELSE 0 END)
+                 / sqrt(nn.n * (nn.n - 1) * (2 * nn.n + 5) / 18.0),
+                 4) AS mk_z,
+           abs((sl.s - CASE WHEN sl.s > 0 THEN 1
+                            WHEN sl.s < 0 THEN -1 ELSE 0 END)
+               / sqrt(nn.n * (nn.n - 1) * (2 * nn.n + 5) / 18.0)) > 1.96
+             AS significant
+    FROM sl, nn, ic
+    """,
+)
+def q_theil_sen_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen median-of-pairwise-slopes trend estimate plus the
+    Mann-Kendall sign test on daily purchase revenue: slope/intercept
+    robust to outlier days, S = sum of pairwise signs with the
+    continuity-corrected normal z (no-ties variance — revenue sums
+    are continuous doubles).
+
+    Scale: the fact table collapses to one row per day before the
+    pair join, so the quadratic stage is day-count-bounded (~90 days
+    -> ~4k pairs) regardless of fact-table size; the median runs
+    through the same interpolating percentile on both engines."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum("value").cast("double").alias("x"))
+    )
+    mind = daily.agg(F.min("d").alias("md"))
+    idx = daily.crossJoin(F.broadcast(mind)).select(
+        F.datediff("d", "md").cast("bigint").alias("t"), "x"
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    pr = a.join(b, F.col("a.t") < F.col("b.t")).select(
+        (
+            (F.col("b.x") - F.col("a.x")) / (F.col("b.t") - F.col("a.t"))
+        ).alias("slope"),
+        F.when(F.col("b.x") > F.col("a.x"), 1)
+        .when(F.col("b.x") < F.col("a.x"), -1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("sgn"),
+    )
+    sl = pr.agg(
+        F.expr("percentile(slope, 0.5)").alias("slope"),
+        F.sum("sgn").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    nn = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ic = (
+        idx.crossJoin(F.broadcast(sl.select("slope")))
+        .select((F.col("x") - F.col("slope") * F.col("t")).alias("resid"))
+        .agg(F.expr("percentile(resid, 0.5)").alias("icept"))
+    )
+    corr = F.col("s") - F.when(F.col("s") > 0, 1).when(
+        F.col("s") < 0, -1
+    ).otherwise(0)
+    denom = F.sqrt(
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18.0
+    )
+    return (
+        sl.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ic))
+        .select(
+            F.col("n").alias("n_days"),
+            "n_pairs",
+            rnd("slope", 4).alias("ts_slope"),
+            rnd("icept", 2).alias("ts_intercept"),
+            F.col("s").alias("mk_s"),
+            rnd(corr / denom, 4).alias("mk_z"),
+            (F.abs(corr / denom) > 1.96).alias("significant"),
+        )
+    )

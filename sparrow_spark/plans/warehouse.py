@@ -1524,3 +1524,124 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.expr("regr_r2(ln(qty), ln(unit_price))"), 4).alias("r2"),
         (slope < 0).alias("demand_slopes_down"),
     )
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction planner (r9). At 100 TB the killer operational
+# chore is bin-packing thousands of post-shuffle output files into
+# target-sized compaction groups (OPTIMIZE's planning step). This
+# audits the plan itself: next-fit-decreasing over a deterministic
+# file manifest (one "file" per supplier, size = its lineitem row
+# count), capacity 4096 row-units, emitting bin count vs the
+# ceil(total/capacity) lower bound and the achieved fill. The fold is
+# exact BIGINT arithmetic; DuckDB replays it as a recursive CTE
+# because list_reduce corrupts multi-field struct accumulators (the
+# q_holt_linear finding).
+# --------------------------------------------------------------------------
+_COMPACT_CAP = 4096
+
+
+@query(
+    "q_compaction_planner",
+    oracle=f"""
+    WITH RECURSIVE f AS (
+      SELECT l_suppkey AS file_id, CAST(count(*) AS BIGINT) AS sz
+      FROM lineitem GROUP BY 1
+    ), ord AS (
+      SELECT file_id, sz,
+             row_number() OVER (ORDER BY sz DESC, file_id) AS rn
+      FROM f
+    ), packer(rn, load, bins) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+      UNION ALL
+      SELECT o.rn,
+             CASE WHEN p.load + o.sz <= {_COMPACT_CAP}
+                  THEN p.load + o.sz ELSE o.sz END,
+             CASE WHEN p.load + o.sz <= {_COMPACT_CAP}
+                  THEN p.bins ELSE p.bins + 1 END
+      FROM packer p JOIN ord o ON o.rn = p.rn + 1
+    ), last AS (
+      SELECT bins FROM packer
+      WHERE rn = (SELECT max(rn) FROM packer)
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(sz) AS BIGINT) AS total_units,
+             CAST(max(sz) AS BIGINT) AS max_file_units
+      FROM f
+    )
+    SELECT t.n_files, t.total_units, t.max_file_units,
+           CAST({_COMPACT_CAP} AS BIGINT) AS capacity,
+           l.bins AS n_bins,
+           (t.total_units + {_COMPACT_CAP} - 1) // {_COMPACT_CAP}
+             AS lower_bound_bins,
+           round(CAST(t.total_units AS DOUBLE)
+                 / (l.bins * {_COMPACT_CAP}) * 100, 4) AS fill_pct
+    FROM tot t CROSS JOIN last l
+    """,
+)
+def q_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit-decreasing compaction plan over a per-supplier file
+    manifest (size = lineitem rows per supplier, capacity 4096):
+    emits the planned bin count against the ceil(total/capacity)
+    lower bound and the achieved fill percentage — the audit that
+    tells an OPTIMIZE scheduler whether its grouping wastes slots.
+
+    Scale: the manifest is supplier-count-sized (keyed agg with
+    map-side combine over the fact table), the NFD fold runs once
+    over the size-sorted array with O(1) BIGINT state — the plan is
+    driver-sized like any real compaction planner's, never
+    fact-table-sized. The fold is exact integer arithmetic so both
+    engines agree bit-for-bit; the oracle replays it as a recursive
+    CTE (DuckDB's list_reduce corrupts multi-field struct
+    accumulators)."""
+    cap = _COMPACT_CAP
+    files = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("file_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    )
+    tot = files.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("sz").cast("bigint").alias("total_units"),
+        F.max("sz").cast("bigint").alias("max_file_units"),
+    )
+    packed = files.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("sz")).alias("ns"), "file_id"))
+        ).alias("fs")
+    ).select(
+        F.aggregate(
+            "fs",
+            F.struct(
+                F.lit(0).cast("bigint").alias("load"),
+                F.lit(1).cast("bigint").alias("bins"),
+            ),
+            lambda acc, x: F.struct(
+                F.when(acc["load"] - x["ns"] <= cap, acc["load"] - x["ns"])
+                .otherwise(-x["ns"])
+                .alias("load"),
+                F.when(acc["load"] - x["ns"] <= cap, acc["bins"])
+                .otherwise(acc["bins"] + 1)
+                .alias("bins"),
+            ),
+        ).alias("st")
+    )
+    return (
+        tot.crossJoin(F.broadcast(packed))
+        .select(
+            "n_files",
+            "total_units",
+            "max_file_units",
+            F.lit(cap).cast("bigint").alias("capacity"),
+            F.col("st.bins").alias("n_bins"),
+            F.floor(
+                (F.col("total_units") + cap - 1) / cap
+            ).cast("bigint").alias("lower_bound_bins"),
+            rnd(
+                F.col("total_units").cast("double")
+                / (F.col("st.bins") * cap)
+                * 100,
+                4,
+            ).alias("fill_pct"),
+        )
+    )

@@ -204,3 +204,60 @@ def test_bleu_bounded_and_self_bleu_is_one(spark, sf_dir):
         .collect()
     )
     assert doc  # fixture sanity
+
+
+def test_hits_scores_l1_normalized_and_nonnegative(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_hits_hubs_auth")
+    assert rows, "LSH graph empty at sf0.001"
+    # Each half-step divides by the L1 norm, so the final hub and
+    # authority vectors each sum to 1 (up to 6-decimal rounding).
+    assert abs(sum(r.hub for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.authority for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.hub >= 0.0 and r.authority >= 0.0
+    # The low->high-id orientation means the smallest node id has no
+    # in-edges (authority 0) and the largest no out-edges (hub 0).
+    by_id = sorted(rows, key=lambda r: r.doc_id)
+    assert by_id[0].authority == 0.0
+    assert by_id[-1].hub == 0.0
+
+
+def test_cohens_kappa_bounds_and_confusion_totals(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_cohens_kappa")
+    for r in rows:
+        assert r.n11 + r.n10 + r.n01 + r.n00 == r.n
+        assert -1.0 - 1e-9 <= r.kappa <= 1.0 + 1e-9
+        assert 0.0 <= r.po <= 1.0 and 0.0 <= r.pe <= 1.0
+        # Perfect agreement iff the off-diagonal is empty.
+        if r.n10 == 0 and r.n01 == 0:
+            assert r.po == 1.0
+
+
+def test_theil_sen_pair_count_and_z_consistency(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_theil_sen_mk")
+    assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+    assert abs(r.mk_s) <= r.n_pairs
+    assert r.significant == (abs(r.mk_z) > 1.96)
+
+
+def test_association_rules_probability_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_association_rules")
+    assert rows
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert 0.0 < r.support <= 1.0
+        assert 0.0 < r.confidence <= 1.0 + 1e-9
+        # n_both is bounded by both marginals.
+        assert r.n_both <= min(r.n_antecedent, r.n_consequent)
+
+
+def test_compaction_plan_feasible_and_near_lower_bound(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_compaction_planner")
+    assert r.lower_bound_bins == -(-r.total_units // r.capacity)
+    assert r.n_bins >= r.lower_bound_bins
+    # Next-fit never opens a new bin while the current one is less
+    # than half-full (for items <= capacity), so it is a 2-approx.
+    if r.max_file_units <= r.capacity:
+        assert r.n_bins <= 2 * r.lower_bound_bins + 1
+    assert 0.0 < r.fill_pct <= 100.0
