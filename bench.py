@@ -214,6 +214,9 @@ BENCH_QUERIES = [
     "q_theil_sen_mk",
     "q_association_rules",
     "q_compaction_planner",
+    "q_mutual_knn",
+    "q_mmr_rerank",
+    "q_page_hinkley",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -2208,3 +2208,245 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Reciprocal (mutual) nearest neighbors (r9). One-directional cosine
+# top-1 is asymmetric — a near-duplicate pair is far more reliable
+# when BOTH sides pick each other (the RNN criterion used for
+# image/embedding dedup and cross-lingual mining alongside the margin
+# rule in q_margin_mining). Blocked by the coarse-quantizer label,
+# the same IVF discipline as q_similarity_ivf, so the pairwise stage
+# is cluster-bounded — never corpus-squared.
+# --------------------------------------------------------------------------
+def _cos_sql(x: str, y: str) -> str:
+    """DuckDB double-precision cosine between two named DOUBLE[]
+    columns (same element order as the Spark zip_with fold)."""
+    return f"""
+      list_sum([{x}[i] * {y}[i] for i in range(1, len({x}) + 1)]) /
+      (sqrt(list_sum([u * u for u in {x}])) *
+       sqrt(list_sum([u * u for u in {y}])))
+    """
+
+
+@query(
+    "q_mutual_knn",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings),
+    sims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, {_cos_sql('a.v', 'b.v')} AS cos,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_cos_sql('a.v', 'b.v')} DESC,
+                                         b.vec_id) AS rn
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), nn1 AS (
+      SELECT src, dst, cos FROM sims WHERE rn = 1
+    )
+    SELECT a.src AS a_id, a.dst AS b_id, round(a.cos, 4) AS cos
+    FROM nn1 a JOIN nn1 b ON a.dst = b.src AND b.dst = a.src
+    WHERE a.src < a.dst
+    ORDER BY a_id
+    """,
+)
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual top-1 nearest-neighbor pairs within each coarse cluster
+    (label): emit (a, b) only when a's nearest in-cluster neighbor is
+    b AND b's is a — the reciprocal-NN dedup/mining criterion that
+    filters the asymmetric hubs a one-way top-1 list keeps.
+
+    Scale: the similarity join is equi-keyed on the cluster label
+    (IVF blocking), so cost is sum over clusters of |c|^2, not n^2;
+    the top-1 is a per-src window over cluster-bounded rows and the
+    reciprocity check a self-join of the n-row top-1 list. Cosines
+    are identical zip_with folds on both engines."""
+    vecs = _vecs(spark, sf_dir)
+    a = vecs.select("label", F.col("vec_id").alias("src"), F.col("v").alias("av"))
+    b = vecs.select(
+        F.col("label").alias("b_label"),
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("bv"),
+    )
+    sims = a.join(
+        b, (a.label == b.b_label) & (F.col("src") != F.col("dst"))
+    ).withColumn("cos", cosine(F.col("av"), F.col("bv")))
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    nn1 = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("src", "dst", "cos")
+    )
+    other = nn1.select(
+        F.col("src").alias("o_src"), F.col("dst").alias("o_dst")
+    )
+    return (
+        nn1.join(
+            other,
+            (nn1.dst == other.o_src) & (other.o_dst == nn1.src),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("a_id"),
+            F.col("dst").alias("b_id"),
+            rnd("cos", 4).alias("cos"),
+        )
+        .orderBy("a_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Maximal Marginal Relevance rerank (r9, Carbonell & Goldstein 1998).
+# Pure cosine top-k returns near-duplicate result lists; training-data
+# panels and RAG contexts want RELEVANT-BUT-DIVERSE picks. MMR
+# greedily selects argmax of lambda*rel - (1-lambda)*max-sim-to-
+# selected. The greedy loop is inherently sequential, so both engines
+# unroll the same fixed number of steps over the per-query candidate
+# pool — every similarity the identical double-precision fold, ties
+# broken by candidate id, so the selection sequence is bit-stable.
+# --------------------------------------------------------------------------
+_MMR_LAMBDA = 0.7
+_MMR_MU = 0.3
+_MMR_POOL = 10
+_MMR_PICKS = 5
+
+
+def _mmr_step_sql(i: int) -> str:
+    """Step i >= 2: score the unselected pool against sel{i-1}, pick
+    the max-MMR candidate, and extend the selection."""
+    return f"""
+    , m{i} AS (
+      SELECT p.query_id, p.cand_id, p.cv, p.rel,
+             {_MMR_LAMBDA} * p.rel
+               - {_MMR_MU} * max({_cos_sql('p.cv', 's.cv')})
+                 AS mmr
+      FROM pool p JOIN sel{i - 1} s ON s.query_id = p.query_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sel{i - 1} s2
+        WHERE s2.query_id = p.query_id AND s2.cand_id = p.cand_id
+      )
+      GROUP BY p.query_id, p.cand_id, p.cv, p.rel
+    ), p{i} AS (
+      SELECT query_id, cand_id, cv, rel, mmr, {i} AS pick
+      FROM m{i}
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, cand_id) = 1
+    ), sel{i} AS (
+      SELECT query_id, cand_id, cv, rel, mmr, pick FROM sel{i - 1}
+      UNION ALL
+      SELECT query_id, cand_id, cv, rel, mmr, pick FROM p{i}
+    )"""
+
+
+@query(
+    "q_mmr_rerank",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 4),
+    pool AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id, b.v AS cv,
+             {_cos_sql('a.v', 'b.v')} AS rel
+      FROM q a JOIN e b ON a.vec_id <> b.vec_id
+      QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                 ORDER BY {_cos_sql('a.v', 'b.v')} DESC,
+                                          b.vec_id) <= {_MMR_POOL}
+    ), sel1 AS (
+      SELECT query_id, cand_id, cv, rel, rel AS mmr, 1 AS pick
+      FROM pool
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, cand_id) = 1
+    )"""
+    + "".join(_mmr_step_sql(i) for i in range(2, _MMR_PICKS + 1))
+    + f"""
+    SELECT query_id, pick, cand_id,
+           round(rel, 4) AS rel, round(mmr, 4) AS mmr
+    FROM sel{_MMR_PICKS}
+    ORDER BY query_id, pick
+    """,
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 from a cosine top-10 pool for each probe
+    vector (lambda=0.7): pick 1 is the most relevant candidate; each
+    later pick maximizes lambda*relevance minus (1-lambda)*max
+    similarity to the already-picked set — trading a little relevance
+    for coverage.
+
+    Scale: the pool is a brute-force broadcast top-k (or any ANN
+    front-end) truncated to k=10 per query, so the greedy stage
+    touches k rows per query regardless of corpus size; each of the
+    4 unrolled steps is a selected-set join (<= 5 rows per query) +
+    per-query argmax. Both engines unroll the identical sequence
+    with ties on candidate id."""
+    vecs = _vecs(spark, sf_dir)
+    probes = vecs.filter(F.col("vec_id") < 4)
+    pool = (
+        brute_force_topk(probes, vecs, k=_MMR_POOL)
+        .select("query_id", F.col("neighbor_id").alias("cand_id"), "rank")
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+            ),
+            "cand_id",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+            ),
+            "query_id",
+        )
+        .withColumn("rel", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "cand_id", "cv", "rel")
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "cand_id")
+    sel = (
+        pool.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cand_id",
+            "cv",
+            "rel",
+            F.col("rel").alias("mmr"),
+            F.lit(1).alias("pick"),
+        )
+    )
+    for i in range(2, _MMR_PICKS + 1):
+        s = sel.select(
+            F.col("query_id").alias("s_qid"),
+            F.col("cand_id").alias("s_cid"),
+            F.col("cv").alias("sv"),
+        )
+        cand = pool.join(
+            s.select("s_qid", "s_cid"),
+            (pool.query_id == F.col("s_qid")) & (pool.cand_id == F.col("s_cid")),
+            "left_anti",
+        )
+        scored = (
+            cand.join(s, cand.query_id == s.s_qid)
+            .withColumn("ss", cosine(F.col("cv"), F.col("sv")))
+            .groupBy("query_id", "cand_id", "cv", "rel")
+            .agg(
+                (
+                    _MMR_LAMBDA * F.first("rel")
+                    - _MMR_MU * F.max("ss")
+                ).alias("mmr")
+            )
+        )
+        wm = Window.partitionBy("query_id").orderBy(
+            F.col("mmr").desc(), "cand_id"
+        )
+        picked = (
+            scored.withColumn("rn", F.row_number().over(wm))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "cand_id", "cv", "rel", "mmr", F.lit(i).alias("pick")
+            )
+        )
+        sel = sel.unionByName(picked).localCheckpoint(eager=True)
+    return sel.select(
+        "query_id",
+        "pick",
+        "cand_id",
+        rnd("rel", 4).alias("rel"),
+        rnd("mmr", 4).alias("mmr"),
+    ).orderBy("query_id", "pick")

@@ -2033,3 +2033,134 @@ def q_theil_sen_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(corr / denom) > 1.96).alias("significant"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Page-Hinkley drift detector (r9). CUSUM (q_cusum_changepoint) scans
+# RETROSPECTIVELY against the global mean; Page-Hinkley is the
+# SEQUENTIAL variant a monitoring job actually runs — the cumulative
+# deviation from the RUNNING mean minus a tolerance delta, alarmed
+# when it exceeds its running minimum by lambda. The fold is strictly
+# ordered, so Spark folds the date-sorted array and DuckDB replays
+# the identical recursion in a recursive CTE (multi-field state, the
+# list_reduce corruption territory) — bit-identical sequential floats.
+# --------------------------------------------------------------------------
+_PH_DELTA = 1.0
+_PH_LAMBDA = 30.0
+
+
+@query(
+    "q_page_hinkley",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT date_trunc('day', ts) AS d, avg(value) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), ord AS (
+      SELECT strftime(d, '%Y-%m-%d') AS day, x,
+             row_number() OVER (ORDER BY d) AS rn
+      FROM daily
+    ), ph(rn, n, s, cum, mn, alarm_day) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+             CAST(0.0 AS DOUBLE), CAST(NULL AS VARCHAR)
+      UNION ALL
+      SELECT o.rn, p.n + 1, p.s + o.x,
+             p.cum + (o.x - (p.s + o.x) / (p.n + 1) - {_PH_DELTA}),
+             least(p.mn,
+                   p.cum + (o.x - (p.s + o.x) / (p.n + 1) - {_PH_DELTA})),
+             coalesce(p.alarm_day,
+                      CASE WHEN p.cum
+                                + (o.x - (p.s + o.x) / (p.n + 1)
+                                   - {_PH_DELTA})
+                                - least(p.mn,
+                                        p.cum + (o.x - (p.s + o.x)
+                                                 / (p.n + 1)
+                                                 - {_PH_DELTA}))
+                                > {_PH_LAMBDA}
+                           THEN o.day END)
+      FROM ph p JOIN ord o ON o.rn = p.rn + 1
+    )
+    SELECT n AS n_days,
+           round(cum, 4) AS ph_cum,
+           round(mn, 4) AS ph_min,
+           round(cum - mn, 4) AS ph_stat,
+           cum - mn > {_PH_LAMBDA} AS alarming_now,
+           alarm_day AS first_alarm_day
+    FROM ph WHERE rn = (SELECT max(rn) FROM ph)
+    """,
+)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential drift test on the daily mean purchase
+    value (delta=1, lambda=30): cumulative deviation from the running
+    mean, alarmed when it rises more than lambda above its running
+    minimum. Emits the final cumulative/minimum/test statistic and
+    the first alarm day (null if never alarmed).
+
+    Scale: the fact table collapses to one row per day (keyed agg
+    with map-side combine), the strictly-sequential fold runs over
+    the date-sorted array in one stage with O(1) state — the same
+    bounded-series discipline as q_holt_linear; the DuckDB oracle
+    replays the recursion day by day, so every intermediate float is
+    produced in the identical order on both engines."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.avg("value").alias("x"))
+    )
+    series = daily.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("d", F.date_format("d", "yyyy-MM-dd").alias("day"), "x")
+            )
+        ).alias("s")
+    )
+    st = F.aggregate(
+        "s",
+        F.struct(
+            F.lit(0).cast("bigint").alias("n"),
+            F.lit(0.0).alias("s"),
+            F.lit(0.0).alias("cum"),
+            F.lit(0.0).alias("mn"),
+            F.lit(None).cast("string").alias("alarm_day"),
+        ),
+        lambda a, e: F.struct(
+            (a["n"] + 1).alias("n"),
+            (a["s"] + e["x"]).alias("s"),
+            (
+                a["cum"]
+                + (e["x"] - (a["s"] + e["x"]) / (a["n"] + 1) - _PH_DELTA)
+            ).alias("cum"),
+            F.least(
+                a["mn"],
+                a["cum"]
+                + (e["x"] - (a["s"] + e["x"]) / (a["n"] + 1) - _PH_DELTA),
+            ).alias("mn"),
+            F.coalesce(
+                a["alarm_day"],
+                F.when(
+                    a["cum"]
+                    + (e["x"] - (a["s"] + e["x"]) / (a["n"] + 1) - _PH_DELTA)
+                    - F.least(
+                        a["mn"],
+                        a["cum"]
+                        + (
+                            e["x"]
+                            - (a["s"] + e["x"]) / (a["n"] + 1)
+                            - _PH_DELTA
+                        ),
+                    )
+                    > _PH_LAMBDA,
+                    e["day"],
+                ),
+            ).alias("alarm_day"),
+        ),
+    )
+    return series.select(st.alias("st")).select(
+        F.col("st.n").alias("n_days"),
+        rnd("st.cum", 4).alias("ph_cum"),
+        rnd("st.mn", 4).alias("ph_min"),
+        rnd(F.col("st.cum") - F.col("st.mn"), 4).alias("ph_stat"),
+        (F.col("st.cum") - F.col("st.mn") > _PH_LAMBDA).alias("alarming_now"),
+        F.col("st.alarm_day").alias("first_alarm_day"),
+    )

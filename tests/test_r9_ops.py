@@ -261,3 +261,49 @@ def test_compaction_plan_feasible_and_near_lower_bound(spark, sf_dir):
     if r.max_file_units <= r.capacity:
         assert r.n_bins <= 2 * r.lower_bound_bins + 1
     assert 0.0 < r.fill_pct <= 100.0
+
+
+def test_mutual_knn_pairs_are_symmetric_and_unique(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_mutual_knn")
+    assert rows
+    pairs = {(r.a_id, r.b_id) for r in rows}
+    assert len(pairs) == len(rows)
+    for a, b in pairs:
+        assert a < b
+        # Mutuality was enforced by construction; the reciprocal
+        # orientation must not also appear as its own row.
+        assert (b, a) not in pairs
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.cos <= 1.0 + 1e-9
+
+
+def test_mmr_first_pick_is_most_relevant_and_diversity_costs_rel(
+    spark, sf_dir
+):
+    rows = _run(spark, sf_dir, "q_mmr_rerank")
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 4
+    for picks in by_q.values():
+        picks.sort(key=lambda r: r.pick)
+        assert [p.pick for p in picks] == [1, 2, 3, 4, 5]
+        assert len({p.cand_id for p in picks}) == 5
+        # Pick 1 maximizes pure relevance.
+        assert picks[0].rel == max(p.rel for p in picks)
+        # Later picks: mmr = 0.7*rel - 0.3*maxsim with maxsim in
+        # [-1, 1], so it deviates from 0.7*rel by at most 0.3.
+        for p in picks[1:]:
+            assert abs(p.mmr - 0.7 * p.rel) <= 0.3 + 1e-6
+
+
+def test_page_hinkley_stat_is_nonnegative_and_consistent(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_page_hinkley")
+    assert r.n_days > 0
+    # The running minimum never exceeds the cumulative sum.
+    assert r.ph_min <= r.ph_cum + 1e-9
+    assert r.ph_stat >= -1e-9
+    assert abs((r.ph_cum - r.ph_min) - r.ph_stat) < 2e-4
+    assert r.alarming_now == (r.ph_stat > 30.0)
+    if r.alarming_now and r.first_alarm_day is None:
+        raise AssertionError("alarming now but no first alarm recorded")
