@@ -217,6 +217,9 @@ BENCH_QUERIES = [
     "q_mutual_knn",
     "q_mmr_rerank",
     "q_page_hinkley",
+    "q_shapley_attribution",
+    "q_simpson_paradox",
+    "q_gmm_estep",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

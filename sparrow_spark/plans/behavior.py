@@ -1622,3 +1622,167 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "antecedent", "consequent")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Shapley-value channel attribution (r9). Last-touch (q_attribution_
+# last_touch) and U-shaped (q_attribution_position) are heuristics;
+# the Shapley value is the unique credit split satisfying efficiency/
+# symmetry/additivity (Shapley 1953), standard in marketing-mix
+# attribution. With k=4 channels the 2^4 coalition table is exact and
+# tiny: v(S) = converted users whose touched-channel set is a subset
+# of S; phi_i = sum over S not containing i of |S|!(k-|S|-1)!/k! *
+# (v(S+i) - v(S)). All arithmetic stays in 24ths (k!=24) so the
+# credit is an exact BIGINT until one final division.
+# --------------------------------------------------------------------------
+_SHAPLEY_CHANNELS = [("click", 1), ("view", 2), ("signup", 4), ("error", 8)]
+
+
+def _popcnt_sql(col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({col} & {1 << j}) > 0 THEN 1 ELSE 0 END)"
+        for j in range(4)
+    )
+
+
+@query(
+    "q_shapley_attribution",
+    oracle=f"""
+    WITH touch AS (
+      SELECT DISTINCT user_id,
+             CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                  WHEN 'signup' THEN 4 WHEN 'error' THEN 8 END AS bit
+      FROM events WHERE event_type <> 'purchase'
+    ), um AS (
+      SELECT user_id, CAST(sum(bit) AS BIGINT) AS mask
+      FROM touch GROUP BY user_id
+    ), conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), cm AS (
+      SELECT CAST(coalesce(m.mask, 0) AS BIGINT) AS mask,
+             CAST(count(*) AS BIGINT) AS c
+      FROM conv LEFT JOIN um m USING (user_id) GROUP BY 1
+    ), ss AS (SELECT CAST(s AS BIGINT) AS s FROM range(16) t(s)
+    ), v AS (
+      SELECT ss.s, CAST(coalesce(sum(cm.c), 0) AS BIGINT) AS v
+      FROM ss LEFT JOIN cm ON (cm.mask & ss.s) = cm.mask
+      GROUP BY ss.s
+    ), ch AS (
+      SELECT * FROM (VALUES ('click', 1), ('view', 2),
+                            ('signup', 4), ('error', 8)) t(channel, bit)
+    ), terms AS (
+      SELECT ch.channel, CAST(ch.bit AS BIGINT) AS bit,
+             (CASE {_popcnt_sql('v0.s')}
+                   WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+                   ELSE 6 END) * (v1.v - v0.v) AS t24
+      FROM ch
+      JOIN v v0 ON (v0.s & ch.bit) = 0
+      JOIN v v1 ON v1.s = v0.s + ch.bit
+    ), span AS (
+      SELECT max(CASE WHEN s = 15 THEN v END)
+               - max(CASE WHEN s = 0 THEN v END) AS sp
+      FROM v
+    )
+    SELECT t.channel, t.bit,
+           CAST(sum(t.t24) AS BIGINT) AS shapley_24,
+           round(sum(t.t24) / 24.0, 4) AS shapley,
+           round(CAST(sum(t.t24) AS DOUBLE) / (24.0 * sp.sp), 4) AS share
+    FROM terms t CROSS JOIN span sp
+    GROUP BY t.channel, t.bit, sp.sp
+    ORDER BY channel
+    """,
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value conversion credit for the four
+    non-purchase channels: the coalition function counts converted
+    users whose touched-channel set falls inside the coalition, and
+    each channel's credit is the factorially-weighted average of its
+    marginal contributions over all 8 coalitions excluding it.
+    Credit is carried as an exact BIGINT in 24ths (4! = 24) with one
+    final division, so both engines agree bit-for-bit; `share`
+    normalizes by v(all) - v(none) (the efficiency axiom's span).
+
+    Scale: the per-user channel mask is one keyed agg over the fact
+    table; everything after operates on the 16-row coalition table
+    and the 4-row channel list — driver-sized regardless of event
+    volume, the same collapse-then-enumerate shape as the funnel
+    family."""
+    ev = load_table(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "error", 8)
+    )
+    um = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("user_id", bit.alias("bit"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.sum("bit").cast("bigint").alias("mask"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    cm = (
+        conv.join(um, "user_id", "left")
+        .groupBy(F.coalesce("mask", F.lit(0)).cast("bigint").alias("mask"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ss = spark.range(16).select(F.col("id").cast("bigint").alias("s"))
+    v = (
+        ss.join(
+            F.broadcast(cm),
+            cm.mask.bitwiseAND(ss.s) == cm.mask,
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    ch = spark.createDataFrame(
+        _SHAPLEY_CHANNELS, "channel string, bit long"
+    )
+    v0 = v.select(F.col("s").alias("s0"), F.col("v").alias("va"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("vb"))
+    popcnt = sum(
+        F.when(F.col("s0").bitwiseAND(F.lit(1 << j)) > 0, 1).otherwise(0)
+        for j in range(4)
+    )
+    w24 = (
+        F.when(popcnt == 0, 6)
+        .when(popcnt == 1, 2)
+        .when(popcnt == 2, 2)
+        .otherwise(6)
+    )
+    terms = (
+        ch.join(F.broadcast(v0), F.col("s0").bitwiseAND(F.col("bit")) == 0)
+        .join(F.broadcast(v1), F.col("s1") == F.col("s0") + F.col("bit"))
+        .select(
+            "channel",
+            "bit",
+            (w24 * (F.col("vb") - F.col("va"))).cast("bigint").alias("t24"),
+        )
+    )
+    span = v.agg(
+        (
+            F.max(F.when(F.col("s") == 15, F.col("v")))
+            - F.max(F.when(F.col("s") == 0, F.col("v")))
+        ).alias("sp")
+    )
+    return (
+        terms.groupBy("channel", "bit")
+        .agg(F.sum("t24").cast("bigint").alias("shapley_24"))
+        .crossJoin(F.broadcast(span))
+        .select(
+            "channel",
+            "bit",
+            "shapley_24",
+            rnd(F.col("shapley_24") / 24.0, 4).alias("shapley"),
+            rnd(
+                F.col("shapley_24").cast("double") / (24.0 * F.col("sp")), 4
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )

@@ -2164,3 +2164,151 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("st.cum") - F.col("st.mn") > _PH_LAMBDA).alias("alarming_now"),
         F.col("st.alarm_day").alias("first_alarm_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# Simpson's-paradox audit (r9). Any per-segment dashboard invites the
+# aggregation fallacy: the regression slope in every segment can
+# disagree in sign with the pooled slope. This audit computes the
+# pooled OLS slope of extended price on discount and the same slope
+# within each return-flag segment, flagging sign reversals — the
+# check an experimentation platform runs before trusting a pooled
+# effect. Uses covar_pop/var_pop (the q_corr_matrix parity
+# precedent).
+# --------------------------------------------------------------------------
+@query(
+    "q_simpson_paradox",
+    oracle="""
+    WITH seg AS (
+      SELECT l_returnflag AS segment,
+             CAST(count(*) AS BIGINT) AS n,
+             covar_pop(l_discount, l_extendedprice)
+               / var_pop(l_discount) AS slope,
+             corr(l_discount, l_extendedprice) AS r
+      FROM lineitem GROUP BY 1
+    ), pooled AS (
+      SELECT covar_pop(l_discount, l_extendedprice)
+               / var_pop(l_discount) AS slope_all
+      FROM lineitem
+    )
+    SELECT s.segment, s.n,
+           round(s.slope, 4) AS slope_segment,
+           round(s.r, 6) AS corr_segment,
+           round(p.slope_all, 4) AS slope_pooled,
+           (s.slope > 0) <> (p.slope_all > 0) AS sign_reversed
+    FROM seg s CROSS JOIN pooled p
+    ORDER BY segment
+    """,
+)
+def q_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment vs pooled OLS slope of extended price on discount
+    (segments = return flag), with the sign-reversal flag that
+    detects Simpson's paradox before anyone acts on the pooled
+    number.
+
+    Scale: two keyed aggregations over the fact table (one per
+    segment, one pooled scalar), each with map-side partial moments
+    — no row ever leaves its partition before the combine; the
+    segment table is broadcast-joined to the pooled scalar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    seg = li.groupBy(F.col("l_returnflag").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.covar_pop("l_discount", "l_extendedprice")
+            / F.var_pop("l_discount")
+        ).alias("slope"),
+        F.corr("l_discount", "l_extendedprice").alias("r"),
+    )
+    pooled = li.agg(
+        (
+            F.covar_pop("l_discount", "l_extendedprice")
+            / F.var_pop("l_discount")
+        ).alias("slope_all")
+    )
+    return (
+        seg.crossJoin(F.broadcast(pooled))
+        .select(
+            "segment",
+            "n",
+            rnd("slope", 4).alias("slope_segment"),
+            rnd("r", 6).alias("corr_segment"),
+            rnd("slope_all", 4).alias("slope_pooled"),
+            (
+                (F.col("slope") > 0) != (F.col("slope_all") > 0)
+            ).alias("sign_reversed"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Gaussian-mixture E-step histogram (r9). One EM E-step of a fixed
+# two-component 1-D mixture over order totals: each order's
+# responsibility r = p1*N(x;m1,s1) / (p1*N(x;m1,s1) + p2*N(x;m2,s2)).
+# Emitting raw responsibility SUMS would expose float merge order, so
+# the audit bins responsibilities into deciles and reports exact
+# BIGINT counts — the soft-assignment profile that tells you whether
+# the two components actually separate the data. Parameters are
+# deliberately fixed literals (the M-step needs only these counts +
+# within-bin moments at scale).
+# --------------------------------------------------------------------------
+_GMM = {"p1": 0.4, "m1": 50000.0, "s1": 30000.0, "m2": 200000.0, "s2": 80000.0}
+
+
+@query(
+    "q_gmm_estep",
+    oracle=f"""
+    WITH r AS (
+      SELECT ({_GMM['p1']} * exp(-0.5 * pow((o_totalprice - {_GMM['m1']})
+                                            / {_GMM['s1']}, 2))
+                / {_GMM['s1']})
+             / ({_GMM['p1']} * exp(-0.5 * pow((o_totalprice - {_GMM['m1']})
+                                              / {_GMM['s1']}, 2))
+                  / {_GMM['s1']}
+                + {1.0 - _GMM['p1']}
+                  * exp(-0.5 * pow((o_totalprice - {_GMM['m2']})
+                                   / {_GMM['s2']}, 2))
+                  / {_GMM['s2']}) AS resp
+      FROM orders
+    )
+    SELECT CAST(least(floor(resp * 10), 9) AS BIGINT) AS resp_decile,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_gmm_estep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-step of a fixed two-component 1-D Gaussian mixture on order
+    totals, reported as the decile histogram of component-1
+    responsibilities. A bimodal fit shows mass piled at deciles 0
+    and 9; mass in the middle means the components overlap and the
+    mixture is mis-specified.
+
+    Scale: responsibilities are per-row JVM expressions (exp/pow in
+    whole-stage codegen, the shared normal-density kernel factored
+    so each row computes two exps); the only shuffle is the 10-key
+    histogram agg with map-side combine. Counts are exact BIGINTs —
+    no cross-partition float accumulation reaches the output."""
+    g = _GMM
+    x = F.col("o_totalprice")
+    d1 = (
+        g["p1"]
+        * F.exp(-0.5 * F.pow((x - g["m1"]) / g["s1"], 2))
+        / g["s1"]
+    )
+    d2 = (
+        (1.0 - g["p1"])
+        * F.exp(-0.5 * F.pow((x - g["m2"]) / g["s2"], 2))
+        / g["s2"]
+    )
+    resp = d1 / (d1 + d2)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.least(F.floor(resp * 10), F.lit(9))
+            .cast("bigint")
+            .alias("resp_decile")
+        )
+        .groupBy("resp_decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy("resp_decile")
+    )

