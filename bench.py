@@ -220,6 +220,9 @@ BENCH_QUERIES = [
     "q_shapley_attribution",
     "q_simpson_paradox",
     "q_gmm_estep",
+    "q_isotonic_calibration",
+    "q_priority_sampling",
+    "q_iptw_ate",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -2283,3 +2283,242 @@ def q_dp_exponential_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("selection_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Isotonic calibration via PAVA's minimax identity (r9). The
+# reliability diagram (q_calibration_curve) DESCRIBES miscalibration;
+# isotonic regression FIXES it — the standard non-parametric
+# calibrator. PAVA itself is a sequential pool-merging loop, but its
+# closed form fit_k = max_{i<=k} min_{j>=k} weighted-mean(pos, i..j)
+# is pure relational algebra over the BIN table (10 rows), so both
+# engines evaluate the identical O(bins^3) enumeration with exact
+# integer interval sums — one division per (i,j), no float
+# accumulation anywhere.
+# --------------------------------------------------------------------------
+@query(
+    "q_isotonic_calibration",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), scored AS (
+      SELECT CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS score,
+             (len(w) >= 40 AND list_contains(w, 'the')) AS label
+      FROM t
+    ), b AS (
+      SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    ), iv AS (
+      SELECT i.bin AS i, j.bin AS j,
+             CAST(sum(m.pos) AS DOUBLE) / sum(m.n) AS mean_ij
+      FROM b i JOIN b j ON i.bin <= j.bin
+      JOIN b m ON m.bin BETWEEN i.bin AND j.bin
+      GROUP BY i.bin, j.bin
+    ), inner_min AS (
+      SELECT k.bin AS bin, iv.i, min(iv.mean_ij) AS mn
+      FROM b k JOIN iv ON iv.i <= k.bin AND iv.j >= k.bin
+      GROUP BY k.bin, iv.i
+    ), fit AS (
+      SELECT bin, max(mn) AS iso FROM inner_min GROUP BY bin
+    )
+    SELECT b.bin, b.n,
+           round(CAST(b.pos AS DOUBLE) / b.n, 6) AS frac_positive,
+           round(f.iso, 6) AS isotonic_rate
+    FROM b JOIN fit f ON f.bin = b.bin
+    ORDER BY b.bin
+    """,
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the
+    lexical-diversity quality score against the document label, via
+    the PAVA minimax identity fit_k = max over i<=k of min over j>=k
+    of the weighted positive rate on bins i..j. Emits the raw and
+    calibrated rate per score decile.
+
+    Scale: the corpus collapses to 10 (bin, n, pos) rows in one
+    keyed agg; the cubic enumeration runs on that bounded bin table
+    only (O(bins^3) ~ 1000 rows at any corpus size). Interval means
+    are single divisions of exact BIGINT sums, and min/max of
+    identical doubles carries no merge-order sensitivity — the
+    strongest cross-engine parity class."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    scored = docs.select(
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias(
+            "score"
+        ),
+        (
+            (F.size(w) >= 40) & F.array_contains(w, "the")
+        ).alias("label"),
+    )
+    b = (
+        scored.groupBy(
+            F.least(F.floor(F.col("score") * 10), F.lit(9))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("pos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bi = b.select(F.col("bin").alias("i"))
+    bj = b.select(F.col("bin").alias("j"))
+    bm = b.select(F.col("bin").alias("m"), "n", "pos")
+    iv = (
+        bi.join(bj, F.col("i") <= F.col("j"))
+        .join(bm, (F.col("m") >= F.col("i")) & (F.col("m") <= F.col("j")))
+        .groupBy("i", "j")
+        .agg(
+            (F.sum("pos").cast("double") / F.sum("n")).alias("mean_ij")
+        )
+    )
+    bk = b.select(F.col("bin").alias("k"))
+    inner_min = (
+        bk.join(iv, (iv.i <= F.col("k")) & (iv.j >= F.col("k")))
+        .groupBy("k", "i")
+        .agg(F.min("mean_ij").alias("mn"))
+    )
+    fit = inner_min.groupBy("k").agg(F.max("mn").alias("iso"))
+    return (
+        b.join(fit, b.bin == fit.k)
+        .select(
+            "bin",
+            "n",
+            rnd(F.col("pos").cast("double") / F.col("n"), 6).alias(
+                "frac_positive"
+            ),
+            rnd("iso", 6).alias("isotonic_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Priority sampling with the threshold estimator (r9, Duffield-Lund-
+# Thorup 2007). q_weighted_reservoir draws a weighted sample;
+# priority sampling additionally makes the sample a SUBSET-SUM
+# ESTIMATOR: with priorities q_i = w_i / u_i, the top-k items with
+# est_i = max(w_i, tau) (tau = the (k+1)-th priority) estimate any
+# subset's total weight unbiasedly — the sketch a billing/monitoring
+# pipeline keeps instead of the raw stream.
+# --------------------------------------------------------------------------
+_PRIO_K = 100
+
+
+@query(
+    "q_priority_sampling",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_orderkey AS k, o_totalprice AS w,
+             (((o_orderkey * 1103515245 + 12345) % 2147483647)
+              + 2147483647) % 2147483647 AS lcg
+      FROM orders
+    ), pr AS (
+      SELECT k, w, w / ((lcg + 1.0) / 2147483649.0) AS prio,
+             row_number() OVER (ORDER BY w / ((lcg + 1.0) / 2147483649.0)
+                                DESC, k) AS rn
+      FROM d
+    ), tau AS (
+      SELECT prio AS tau FROM pr WHERE rn = {_PRIO_K + 1}
+    ), est AS (
+      SELECT list_reduce(
+               list_sort(list(CASE WHEN p.w > t.tau THEN p.w
+                                   ELSE t.tau END)),
+               (a, b) -> a + b) AS est_total,
+             CAST(count(*) AS BIGINT) AS n_sample
+      FROM pr p CROSS JOIN tau t WHERE p.rn <= {_PRIO_K}
+    ), tot AS (
+      SELECT sum(o_totalprice) AS true_total FROM orders
+    )
+    SELECT e.n_sample, round(t.tau, 4) AS tau,
+           round(o.true_total, 2) AS true_total,
+           round(e.est_total, 2) AS est_total,
+           round(abs(e.est_total - o.true_total) / o.true_total, 6)
+             AS rel_error
+    FROM est e CROSS JOIN tau t CROSS JOIN tot o
+    """,
+)
+def q_priority_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sample of 100 orders weighted by total price (LCG
+    uniforms keyed on the order key, priority w/u, threshold tau =
+    the 101st priority) and its Duffield-Lund-Thorup subset-sum
+    estimate max(w, tau) summed over the sample, compared to the
+    true total.
+
+    Scale: one scan computes priorities row-wise; the top-(k+1) is a
+    TakeOrderedAndProject (no full sort); the estimator folds the
+    100 sampled values through a sorted fold so the float sum is
+    bit-identical on both engines. The true total is the usual
+    map-side-combined aggregate."""
+    d = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("w"),
+        (
+            (
+                (F.col("o_orderkey") * 1103515245 + 12345) % 2147483647
+                + 2147483647
+            )
+            % 2147483647
+        ).alias("lcg"),
+    )
+    pr = d.select(
+        "k",
+        "w",
+        (F.col("w") / ((F.col("lcg") + 1.0) / 2147483649.0)).alias("prio"),
+    )
+    topk1 = (
+        pr.orderBy(F.col("prio").desc(), "k")
+        .limit(_PRIO_K + 1)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("prio").desc(), "k")
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tau = topk1.filter(F.col("rn") == _PRIO_K + 1).select(
+        F.col("prio").alias("tau")
+    )
+    est = (
+        topk1.filter(F.col("rn") <= _PRIO_K)
+        .crossJoin(F.broadcast(tau))
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("w") > F.col("tau"), F.col("w")).otherwise(
+                            F.col("tau")
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("est_total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        )
+    )
+    tot = load_table(spark, sf_dir, "orders").agg(
+        F.sum("o_totalprice").alias("true_total")
+    )
+    return (
+        est.crossJoin(F.broadcast(tau))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_sample",
+            rnd("tau", 4).alias("tau"),
+            rnd("true_total", 2).alias("true_total"),
+            rnd("est_total", 2).alias("est_total"),
+            rnd(
+                F.abs(F.col("est_total") - F.col("true_total"))
+                / F.col("true_total"),
+                6,
+            ).alias("rel_error"),
+        )
+    )

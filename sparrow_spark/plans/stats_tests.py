@@ -2312,3 +2312,100 @@ def q_gmm_estep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
         .orderBy("resp_decile")
     )
+
+
+# --------------------------------------------------------------------------
+# Inverse-propensity-weighted ATE (r9). Diff-in-diff and CUPED need a
+# time axis or a covariate; IPTW is the cross-sectional causal
+# estimator — reweight each arm by 1/P(treatment|X) so the arms
+# match the full population's covariate mix (Horvitz-Thompson /
+# Hajek). The propensity here is a KNOWN linear model in quantity
+# (no fitting, no exp), and all weighted sums are carried as exact
+# BIGINT milli-units (floor(x*1000 + 0.5), floor being bit-exact on
+# both engines) so no cross-partition float accumulation exists.
+# --------------------------------------------------------------------------
+@query(
+    "q_iptw_ate",
+    oracle="""
+    WITH r AS (
+      SELECT l_extendedprice AS y,
+             CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END AS treated,
+             0.3 + 0.4 * l_quantity / 50.0 AS p
+      FROM lineitem
+    ), w AS (
+      SELECT treated, y,
+             CASE WHEN treated = 1 THEN 1.0 / p
+                  ELSE 1.0 / (1.0 - p) END AS wt
+      FROM r
+    ), arms AS (
+      SELECT treated,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(wt * 1000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS w_milli,
+             CAST(sum(CAST(floor(wt * y * 1000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS wy_milli
+      FROM w GROUP BY treated
+    )
+    SELECT max(CASE WHEN treated = 1 THEN n END) AS n_treated,
+           max(CASE WHEN treated = 0 THEN n END) AS n_control,
+           round(CAST(max(CASE WHEN treated = 1 THEN wy_milli END)
+                      AS DOUBLE)
+                 / max(CASE WHEN treated = 1 THEN w_milli END), 4)
+             AS mean_treated,
+           round(CAST(max(CASE WHEN treated = 0 THEN wy_milli END)
+                      AS DOUBLE)
+                 / max(CASE WHEN treated = 0 THEN w_milli END), 4)
+             AS mean_control,
+           round(CAST(max(CASE WHEN treated = 1 THEN wy_milli END)
+                      AS DOUBLE)
+                 / max(CASE WHEN treated = 1 THEN w_milli END)
+                 - CAST(max(CASE WHEN treated = 0 THEN wy_milli END)
+                        AS DOUBLE)
+                   / max(CASE WHEN treated = 0 THEN w_milli END), 4)
+             AS ate
+    FROM arms
+    """,
+)
+def q_iptw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect of a
+    high discount (>= 0.06) on extended price, reweighting both arms
+    by a known linear propensity in quantity (Hajek ratio estimator:
+    weighted mean per arm, then the difference).
+
+    Scale: one scan; per-row weights are codegen arithmetic and the
+    per-arm accumulation sums exact BIGINT milli-units (floor is
+    bit-identical across engines, unlike round), so the estimate is
+    reproducible under any partitioning — the same integer-sum
+    discipline as the quality classifier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = 0.3 + 0.4 * F.col("l_quantity") / 50.0
+    treated = F.when(F.col("l_discount") >= 0.06, 1).otherwise(0)
+    wt = F.when(treated == 1, 1.0 / p).otherwise(1.0 / (1.0 - p))
+    arms = (
+        li.select(
+            treated.alias("treated"),
+            F.floor(wt * 1000.0 + 0.5).cast("bigint").alias("w_milli"),
+            F.floor(wt * F.col("l_extendedprice") * 1000.0 + 0.5)
+            .cast("bigint")
+            .alias("wy_milli"),
+        )
+        .groupBy("treated")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("w_milli").cast("bigint").alias("w_milli"),
+            F.sum("wy_milli").cast("bigint").alias("wy_milli"),
+        )
+    )
+    mt = F.max(F.when(F.col("treated") == 1, F.col("wy_milli"))).cast(
+        "double"
+    ) / F.max(F.when(F.col("treated") == 1, F.col("w_milli")))
+    mc = F.max(F.when(F.col("treated") == 0, F.col("wy_milli"))).cast(
+        "double"
+    ) / F.max(F.when(F.col("treated") == 0, F.col("w_milli")))
+    return arms.agg(
+        F.max(F.when(F.col("treated") == 1, F.col("n"))).alias("n_treated"),
+        F.max(F.when(F.col("treated") == 0, F.col("n"))).alias("n_control"),
+        rnd(mt, 4).alias("mean_treated"),
+        rnd(mc, 4).alias("mean_control"),
+        rnd(mt - mc, 4).alias("ate"),
+    )

@@ -345,3 +345,39 @@ def test_gmm_estep_counts_conserve_orders(spark, sf_dir):
     for r in rows:
         assert 0 <= r.resp_decile <= 9
         assert r.n_orders > 0 or True
+
+
+def test_isotonic_fit_is_monotone_and_mass_preserving(spark, sf_dir):
+    rows = sorted(_run(spark, sf_dir, "q_isotonic_calibration"),
+                  key=lambda r: r.bin)
+    iso = [r.isotonic_rate for r in rows]
+    assert iso == sorted(iso)  # the defining constraint
+    for r in rows:
+        assert 0.0 <= r.isotonic_rate <= 1.0
+    # PAVA preserves the weighted mean of the response.
+    n = sum(r.n for r in rows)
+    raw_mass = sum(r.n * r.frac_positive for r in rows)
+    iso_mass = sum(r.n * r.isotonic_rate for r in rows)
+    assert abs(raw_mass - iso_mass) / n < 1e-4
+
+
+def test_priority_sample_estimator_is_close_and_tau_below_sample(
+    spark, sf_dir
+):
+    (r,) = _run(spark, sf_dir, "q_priority_sampling")
+    assert r.n_sample == 100
+    assert r.tau > 0
+    # DLT estimator: k=100 gives single-digit relative error on a
+    # smooth weight distribution.
+    assert r.rel_error < 0.35
+    assert r.est_total > 0 and r.true_total > 0
+
+
+def test_iptw_arms_partition_rows_and_ate_consistent(spark, sf_dir):
+    from sparrow_spark.sources import load_table
+
+    (r,) = _run(spark, sf_dir, "q_iptw_ate")
+    n = load_table(spark, sf_dir, "lineitem").count()
+    assert r.n_treated + r.n_control == n
+    assert abs((r.mean_treated - r.mean_control) - r.ate) < 2e-4
+    assert r.mean_treated > 0 and r.mean_control > 0
