@@ -223,6 +223,9 @@ BENCH_QUERIES = [
     "q_isotonic_calibration",
     "q_priority_sampling",
     "q_iptw_ate",
+    "q_water_filling",
+    "q_wilcoxon_signed_rank",
+    "q_seasonality_strength",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

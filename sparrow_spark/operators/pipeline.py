@@ -2522,3 +2522,123 @@ def q_priority_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Max-min fair (water-filling) budget allocation (r9). The greedy
+# quality fill (q_budget_allocation) starves low-quality sources
+# entirely; a diversity-preserving mixture instead allocates
+# max-min-fairly: every source gets min(demand, lambda) with one
+# water level lambda chosen so the budget is exactly spent. The
+# closed form needs only the demand table sorted ascending — fully
+# served sources are the prefix where demand fits under its running
+# fair share — so the allocation is one window pass over the
+# sources-sized table.
+# --------------------------------------------------------------------------
+@query(
+    "q_water_filling",
+    oracle="""
+    WITH d AS (
+      SELECT source, CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS demand
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(demand) * 6 // 10 AS BIGINT) AS budget,
+             CAST(count(*) AS BIGINT) AS k
+      FROM d
+    ), ranked AS (
+      SELECT d.source, d.demand, t.budget, t.k,
+             row_number() OVER (ORDER BY d.demand, d.source) AS i,
+             coalesce(sum(d.demand) OVER (ORDER BY d.demand, d.source
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS cum_before
+      FROM d CROSS JOIN tot t
+    ), lam AS (
+      SELECT i, CAST(budget - cum_before AS DOUBLE) / (k - i + 1)
+               AS lambda_i,
+             demand
+      FROM ranked
+    ), cutoff AS (
+      SELECT coalesce(min(i), 2147483647) AS istar
+      FROM lam WHERE demand > lambda_i
+    ), level AS (
+      SELECT coalesce(max(l.lambda_i), 0.0) AS lam
+      FROM lam l CROSS JOIN cutoff c WHERE l.i = c.istar
+    )
+    SELECT r.source, r.demand,
+           round(CASE WHEN r.i < c.istar THEN CAST(r.demand AS DOUBLE)
+                      ELSE v.lam END, 2) AS allocated,
+           r.i < c.istar AS fully_served
+    FROM ranked r CROSS JOIN cutoff c CROSS JOIN level v
+    ORDER BY r.source
+    """,
+)
+def q_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources (budget =
+    60% of total demand): sources whose demand fits under their
+    running fair share are fully served; everyone else gets the
+    common water level lambda. The max-min-fair counterpart to the
+    quality-greedy q_budget_allocation — no source is starved.
+
+    Scale: demands are one keyed agg over the corpus; the water
+    level comes from a single ascending-demand window pass over the
+    sources-sized table (exact BIGINT cumulative sums; lambda is one
+    double division), and the scalar level broadcasts back onto the
+    source rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower(F.col("text")), " ")))
+        .cast("bigint")
+        .alias("demand")
+    )
+    tot = d.agg(
+        F.floor(F.sum("demand") * 6 / 10).cast("bigint").alias("budget"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    w = Window.orderBy("demand", "source")
+    ranked = (
+        d.crossJoin(F.broadcast(tot))
+        .withColumn("i", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("demand").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "lambda_i",
+            (F.col("budget") - F.col("cum_before")).cast("double")
+            / (F.col("k") - F.col("i") + 1),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cutoff = ranked.agg(
+        F.coalesce(
+            F.min(F.when(F.col("demand") > F.col("lambda_i"), F.col("i"))),
+            F.lit(2147483647),
+        ).alias("istar")
+    )
+    level = (
+        ranked.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("i") == F.col("istar"))
+        .agg(F.coalesce(F.max("lambda_i"), F.lit(0.0)).alias("lam"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cutoff))
+        .crossJoin(F.broadcast(level))
+        .select(
+            "source",
+            "demand",
+            rnd(
+                F.when(
+                    F.col("i") < F.col("istar"), F.col("demand").cast("double")
+                ).otherwise(F.col("lam")),
+                2,
+            ).alias("allocated"),
+            (F.col("i") < F.col("istar")).alias("fully_served"),
+        )
+        .orderBy("source")
+    )

@@ -2409,3 +2409,99 @@ def q_iptw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(mc, 4).alias("mean_control"),
         rnd(mt - mc, 4).alias("ate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank test (r9). Mann-Whitney compares two
+# INDEPENDENT groups; the week-over-week question ("did this week's
+# days outperform the same weekdays last week?") is PAIRED, and the
+# signed-rank test is its distribution-free answer. Midranks over
+# |diff| follow the q_mann_whitney pattern; every rank is a multiple
+# of 0.5, so rank sums are exact in double arithmetic regardless of
+# partitioning — no sorted fold needed.
+# --------------------------------------------------------------------------
+@query(
+    "q_wilcoxon_signed_rank",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, CAST(sum(value) AS DOUBLE) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), pairs AS (
+      SELECT a.x - b.x AS diff
+      FROM daily a JOIN daily b ON a.d = b.d + INTERVAL 7 DAY
+      WHERE a.x <> b.x
+    ), vals AS (
+      SELECT abs(diff) AS ad,
+             CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n_pos,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM pairs GROUP BY 1
+    ), ranked AS (
+      SELECT n_pos, cnt,
+             sum(cnt) OVER (ORDER BY ad) - cnt + (cnt + 1) / 2 AS avg_rank
+      FROM vals
+    ), agg AS (
+      SELECT sum(avg_rank * n_pos) AS w_plus,
+             CAST(sum(cnt) AS BIGINT) AS n
+      FROM ranked
+    )
+    SELECT n AS n_pairs,
+           round(w_plus, 2) AS w_plus,
+           round((w_plus - n * (n + 1) / 4.0)
+                 / sqrt(n * (n + 1) * (2 * n + 1) / 24.0), 4) AS z,
+           abs((w_plus - n * (n + 1) / 4.0)
+               / sqrt(n * (n + 1) * (2 * n + 1) / 24.0)) > 1.96
+             AS significant
+    FROM agg
+    """,
+)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on paired week-over-week daily
+    purchase revenue (day t vs day t-7): midranks of |difference|,
+    W+ = rank sum over positive differences, normal approximation z.
+    Zero differences drop per the standard procedure.
+
+    Scale: the fact table collapses to the day level first; the
+    pairing is a day-keyed self-join of the bounded series and the
+    midrank pass one window over distinct |diff| values. Ranks are
+    half-integers, so their sums are exact doubles on any engine and
+    partitioning."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum("value").cast("double").alias("x"))
+    )
+    b = daily.select(
+        (F.col("d") + F.expr("INTERVAL 7 DAYS")).alias("d"),
+        F.col("x").alias("xb"),
+    )
+    pairs = (
+        daily.join(b, "d")
+        .filter(F.col("x") != F.col("xb"))
+        .select((F.col("x") - F.col("xb")).alias("diff"))
+    )
+    vals = pairs.groupBy(F.abs("diff").alias("ad")).agg(
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n_pos"),
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+    )
+    w = Window.orderBy("ad")
+    ranked = vals.withColumn(
+        "avg_rank",
+        F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2,
+    )
+    agg = ranked.agg(
+        F.sum(F.col("avg_rank") * F.col("n_pos")).alias("w_plus"),
+        F.sum("cnt").cast("bigint").alias("n"),
+    )
+    z = (F.col("w_plus") - F.col("n") * (F.col("n") + 1) / 4.0) / F.sqrt(
+        F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24.0
+    )
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        rnd("w_plus", 2).alias("w_plus"),
+        rnd(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

@@ -1904,3 +1904,111 @@ def q_variance_decomposition(
             "explained_frac"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonality/trend strength (r9, Hyndman's STL F-statistics). The
+# decomposition family (q_trend_extraction, q_seasonal_anomaly)
+# produces components; forecasting pipelines need the SCALAR health
+# check "how much structure is there": F_seasonal = max(0, 1 -
+# var(remainder)/var(detrended)) and F_trend = max(0, 1 -
+# var(remainder)/var(deseasonalized)), both per series. Same centered
+# 7-day MA trend and day-of-week seasonal means as the existing
+# decomposition, with the dayofweek offset pinned (Spark 1=Sun..7 vs
+# DuckDB 0=Sun..6 — the known cross-engine trap).
+# --------------------------------------------------------------------------
+@query(
+    "q_seasonality_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             round(sum(value), 2) AS x
+      FROM events GROUP BY 1, 2
+    ), ma AS (
+      SELECT event_type, d, x,
+             count(*) OVER w AS win_n,
+             avg(x) OVER w AS trend,
+             dayofweek(d) AS dow
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT event_type, d, dow, x, trend, x - trend AS detrended
+      FROM ma WHERE win_n = 7
+    ), seas AS (
+      SELECT event_type, dow, avg(detrended) AS s
+      FROM det GROUP BY 1, 2
+    ), comp AS (
+      SELECT t.event_type, t.detrended, t.x - s.s AS deseasonalized,
+             t.detrended - s.s AS remainder
+      FROM det t JOIN seas s
+        ON s.event_type = t.event_type AND s.dow = t.dow
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           round(greatest(0.0, 1.0 - var_pop(remainder)
+                                / var_pop(detrended)), 4) AS f_seasonal,
+           round(greatest(0.0, 1.0 - var_pop(remainder)
+                                / var_pop(deseasonalized)), 4) AS f_trend
+    FROM comp GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman-style strength-of-seasonality and strength-of-trend
+    statistics per event-type series: decompose the daily total into
+    a centered 7-day MA trend, day-of-week seasonal means of the
+    detrended series, and a remainder, then compare remainder
+    variance against the detrended (seasonal strength) and
+    deseasonalized (trend strength) variances, clamped at 0.
+
+    Scale: one keyed daily rollup, one bounded window per series,
+    one 7-row-per-series seasonal table joined back broadcast-sized
+    — series-length state only, the q_trend_extraction discipline
+    with two variance aggregates on top."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    det = (
+        daily.withColumn("win_n", F.count(F.lit(1)).over(w))
+        .withColumn("trend", F.avg("x").over(w))
+        .withColumn("dow", F.dayofweek("d") - 1)
+        .filter(F.col("win_n") == 7)
+        .withColumn("detrended", F.col("x") - F.col("trend"))
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.avg("detrended").alias("s")
+    )
+    comp = det.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        "detrended",
+        (F.col("x") - F.col("s")).alias("deseasonalized"),
+        (F.col("detrended") - F.col("s")).alias("remainder"),
+    )
+    return (
+        comp.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            rnd(
+                F.greatest(
+                    F.lit(0.0),
+                    1.0 - F.var_pop("remainder") / F.var_pop("detrended"),
+                ),
+                4,
+            ).alias("f_seasonal"),
+            rnd(
+                F.greatest(
+                    F.lit(0.0),
+                    1.0
+                    - F.var_pop("remainder") / F.var_pop("deseasonalized"),
+                ),
+                4,
+            ).alias("f_trend"),
+        )
+        .orderBy("event_type")
+    )

@@ -381,3 +381,41 @@ def test_iptw_arms_partition_rows_and_ate_consistent(spark, sf_dir):
     assert r.n_treated + r.n_control == n
     assert abs((r.mean_treated - r.mean_control) - r.ate) < 2e-4
     assert r.mean_treated > 0 and r.mean_control > 0
+
+
+def test_water_filling_spends_budget_and_is_max_min_fair(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_water_filling")
+    assert len(rows) == 20
+    total_demand = sum(r.demand for r in rows)
+    budget = total_demand * 6 // 10
+    spent = sum(r.allocated for r in rows)
+    assert abs(spent - budget) < 1.0  # exact up to 2dp rounding x20
+    # Fully-served sources keep their whole demand; the rest share
+    # one common water level no lower than any served demand.
+    levels = {r.allocated for r in rows if not r.fully_served}
+    assert len(levels) <= 1
+    for r in rows:
+        if r.fully_served:
+            assert r.allocated == r.demand
+            if levels:
+                assert r.demand <= next(iter(levels)) + 1e-6
+        else:
+            assert r.allocated <= r.demand
+
+
+def test_wilcoxon_w_plus_bounds(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_wilcoxon_signed_rank")
+    assert r.n_pairs > 0
+    assert 0.0 <= r.w_plus <= r.n_pairs * (r.n_pairs + 1) / 2
+    assert r.significant == (abs(r.z) > 1.96)
+
+
+def test_seasonality_strength_in_unit_interval(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_seasonality_strength")
+    assert {r.event_type for r in rows} == {
+        "click", "view", "signup", "error", "purchase"
+    }
+    for r in rows:
+        assert 0.0 <= r.f_seasonal <= 1.0
+        assert 0.0 <= r.f_trend <= 1.0
+        assert r.n_days > 14
