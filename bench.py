@@ -242,6 +242,7 @@ AUX_QUERIES = [
     "q_stream_incremental_dedup",
     "q_stream_drift_monitor",
     "q_stream_incremental_agg",
+    "q_stream_outer_join",
 ]
 
 

@@ -557,3 +557,106 @@ def q_stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Watermarked stream-stream LEFT OUTER join (r9). The inner join
+# (q_stream_stream_join) silently drops clicks that never convert;
+# the outer variant is the harder stateful feature — Spark holds each
+# unmatched left row in state until the watermark proves no match can
+# still arrive, THEN emits it null-padded. Both sides watermarked +
+# a time-range join condition are mandatory (Spark rejects an
+# unbounded outer stream-stream join), which is exactly what bounds
+# state at 100 TB/day. Null-padded rows emit only once the final
+# watermark (min of both sides' max event time minus the 2h delay)
+# passes the click's 1h match window — clicks in the stream's last
+# three hours are held in state forever, and the oracle models that
+# hold-back explicitly.
+# --------------------------------------------------------------------------
+def click_purchase_outer_join(
+    events: DataFrame,
+    attribution: str = ATTRIBUTION_INTERVAL,
+    watermark: str = WATERMARK_INTERVAL,
+) -> DataFrame:
+    """Left-outer stream-stream join: every click, with its same-user
+    purchases in the following hour, or nulls if none ever arrives
+    within the watermark bound."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {attribution}")
+        ),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.col("purchase_id").isNotNull().alias("converted"),
+    )
+
+
+@query(
+    "q_stream_outer_join",
+    oracle="""
+    WITH wm AS (
+      SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+             ) - INTERVAL 2 HOUR AS w
+    )
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_us,
+           epoch_us(p.ts) AS purchase_us,
+           p.event_id IS NOT NULL AS converted
+    FROM events c
+    LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+      AND (p.event_id IS NOT NULL
+           OR c.ts + INTERVAL 1 HOUR < (SELECT w FROM wm))
+    """,
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked left-outer stream-stream join drained bounded
+    (availableNow) — must equal the batch left time-range join:
+    matched clicks appear with every attributed purchase;
+    never-converted clicks appear exactly once, null-padded, iff the
+    final watermark proves no match can still arrive (the stream's
+    last watermark+attribution tail stays in state — modeled in the
+    oracle's wm CTE)."""
+    import uuid
+
+    name = f"strm_soj_{uuid.uuid4().hex[:8]}"
+    stream = click_purchase_outer_join(
+        read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    )
+    run_to_memory(stream, name, output_mode="append")
+    return spark.table(name)

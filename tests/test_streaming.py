@@ -400,3 +400,53 @@ def test_incremental_agg_partial_replay_idempotent(spark, tmp_path):
         assert abs(got[k].sum_value - want[k].sum_value) < 1e-6
         assert abs(got[k].mean_value - want[k].mean_value) < 1e-6
         assert abs(got[k].var_value - want[k].var_value) < 1e-5
+
+
+def test_stream_outer_join_matches_batch_with_watermark_holdback(
+    spark, sf_dir, events_path
+):
+    """The left-outer stream-stream join equals the batch left
+    time-range join RESTRICTED by the final watermark: unmatched
+    clicks whose 1h match window reaches past min(max click ts, max
+    purchase ts) - 2h stay in state and never emit."""
+    from sparrow_spark.streaming.ingest import click_purchase_outer_join
+
+    stream = click_purchase_outer_join(read_events_stream(spark, events_path))
+    run_to_memory(stream, "soj_test", output_mode="append")
+    got = {
+        (r.click_id, r.purchase_id) for r in spark.table("soj_test").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("puid"),
+        F.col("ts").alias("pts"),
+    )
+    wm = min(
+        clicks.agg(F.max("cts")).collect()[0][0],
+        purch.agg(F.max("pts")).collect()[0][0],
+    )
+    joined = clicks.join(
+        purch,
+        (F.col("user_id") == F.col("puid"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    ).collect()
+    import datetime
+
+    cutoff = wm - datetime.timedelta(hours=2) - datetime.timedelta(hours=1)
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in joined
+        if r.purchase_id is not None or r.cts < cutoff
+    }
+    assert got == want
+    # Both match classes must actually occur for the test to mean much.
+    assert any(p is None for _, p in got)
+    assert any(p is not None for _, p in got)
