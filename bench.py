@@ -226,6 +226,8 @@ BENCH_QUERIES = [
     "q_water_filling",
     "q_wilcoxon_signed_rank",
     "q_seasonality_strength",
+    "q_uplift_deciles",
+    "q_sprt_sequential",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -2505,3 +2505,210 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(z, 4).alias("z"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# Uplift-by-decile with the Qini accumulation (r9). A/B readouts
+# (q_ab_test_analysis, q_ab_cuped) estimate ONE average effect; a
+# targeting model needs the effect BY model decile — uplift = treated
+# minus control conversion per score band, and the cumulative Qini
+# numerator that ranks "whom to treat first". Treatment assignment
+# and score are deterministic arithmetic (user parity / profile
+# score), every cell an exact BIGINT count with one division.
+# --------------------------------------------------------------------------
+@query(
+    "q_uplift_deciles",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS treated,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ), scored AS (
+      SELECT treated, converted,
+             ntile(5) OVER (ORDER BY n_events DESC, user_id) AS quintile
+      FROM u
+    ), cells AS (
+      SELECT quintile,
+             CAST(sum(treated) AS BIGINT) AS n_t,
+             CAST(sum(1 - treated) AS BIGINT) AS n_c,
+             CAST(sum(treated * converted) AS BIGINT) AS conv_t,
+             CAST(sum((1 - treated) * converted) AS BIGINT) AS conv_c
+      FROM scored GROUP BY quintile
+    )
+    SELECT quintile, n_t, n_c, conv_t, conv_c,
+           round(CASE WHEN n_t > 0 AND n_c > 0
+                      THEN CAST(conv_t AS DOUBLE) / n_t
+                           - CAST(conv_c AS DOUBLE) / n_c END, 6) AS uplift,
+           round(sum(CASE WHEN n_c > 0
+                          THEN CAST(conv_t AS DOUBLE)
+                               - CAST(conv_c AS DOUBLE) * n_t / n_c
+                          ELSE CAST(conv_t AS DOUBLE) END)
+                   OVER (ORDER BY quintile), 4) AS qini_cum
+    FROM cells ORDER BY quintile
+    """,
+)
+def q_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-quintile uplift readout: users split into treatment/control
+    by id parity, ranked into activity quintiles, each reporting
+    treated-minus-control conversion and the cumulative Qini
+    numerator (incremental conversions if treatment stopped after
+    this band); a band missing an arm reports null uplift and
+    contributes its raw treated conversions to Qini.
+
+    Scale: one keyed agg collapses events to users, one ntile window
+    over the user table, then a 10-row cell table — counts are exact
+    BIGINTs, the window ordering fully tied down by (n_events,
+    user_id). The Qini running sum adds one 10-row window."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (F.col("user_id") % 2).cast("bigint").alias("treated"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("converted"),
+        )
+    )
+    w = Window.orderBy(F.col("n_events").desc(), "user_id")
+    scored = u.select(
+        "treated", "converted", F.ntile(5).over(w).alias("quintile")
+    )
+    cells = scored.groupBy("quintile").agg(
+        F.sum("treated").cast("bigint").alias("n_t"),
+        F.sum(1 - F.col("treated")).cast("bigint").alias("n_c"),
+        F.sum(F.col("treated") * F.col("converted"))
+        .cast("bigint")
+        .alias("conv_t"),
+        F.sum((1 - F.col("treated")) * F.col("converted"))
+        .cast("bigint")
+        .alias("conv_c"),
+    )
+    wq = Window.orderBy("quintile")
+    return cells.select(
+        "quintile",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        rnd(
+            F.when(
+                (F.col("n_t") > 0) & (F.col("n_c") > 0),
+                F.col("conv_t").cast("double") / F.col("n_t")
+                - F.col("conv_c").cast("double") / F.col("n_c"),
+            ),
+            6,
+        ).alias("uplift"),
+        rnd(
+            F.sum(
+                F.when(
+                    F.col("n_c") > 0,
+                    F.col("conv_t").cast("double")
+                    - F.col("conv_c").cast("double")
+                    * F.col("n_t")
+                    / F.col("n_c"),
+                ).otherwise(F.col("conv_t").cast("double"))
+            ).over(wq),
+            4,
+        ).alias("qini_cum"),
+    ).orderBy("quintile")
+
+
+# --------------------------------------------------------------------------
+# Sequential probability ratio test (r9, Wald 1945). Power analysis
+# (q_power_analysis) sizes a FIXED-horizon test; an always-on
+# experimentation platform instead monitors the log-likelihood ratio
+# daily and stops at the first boundary crossing — the SPRT, whose
+# cumulative LLR is a plain window cumsum over the day-collapsed
+# conversion counts (no recursion needed). H0 p=0.30 vs H1 p=0.35 on
+# the daily purchase share of events; boundaries ln(19) for
+# alpha = beta = 0.05.
+# --------------------------------------------------------------------------
+@query(
+    "q_sprt_sequential",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY 1
+    ), llr AS (
+      SELECT strftime(d, '%Y-%m-%d') AS day, n, k,
+             sum(k * ln(0.35 / 0.30)
+                 + (n - k) * ln(0.65 / 0.70)) OVER (ORDER BY d) AS cum_llr
+      FROM daily
+    ), flagged AS (
+      SELECT day, n, k, round(cum_llr, 4) AS cum_llr,
+             cum_llr >= ln(19.0) AS accept_h1,
+             cum_llr <= -ln(19.0) AS accept_h0,
+             row_number() OVER (ORDER BY day) AS rn,
+             min(CASE WHEN abs(cum_llr) >= ln(19.0)
+                      THEN day END) OVER () AS first_decision_day
+      FROM llr
+    )
+    SELECT day, n, k, cum_llr, accept_h1, accept_h0, first_decision_day
+    FROM flagged ORDER BY day
+    """,
+)
+def q_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT monitoring of the daily purchase share (H0 p=0.30 vs
+    H1 p=0.35, alpha=beta=0.05): the cumulative log-likelihood ratio
+    per day, the boundary flags at +-ln(19), and the first day a
+    boundary was crossed — the always-valid sequential readout an
+    experimentation platform keeps instead of a fixed-horizon test.
+
+    Scale: events collapse to (day, n, k) in one keyed agg; the LLR
+    is a pure cumsum window over the bounded day series (each term
+    an exact-integer multiple of two log constants, so the cumsum is
+    engine-identical), and the decision day one unbounded min
+    window."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    term = F.col("k") * float(__import__("math").log(0.35 / 0.30)) + (
+        F.col("n") - F.col("k")
+    ) * float(__import__("math").log(0.65 / 0.70))
+    w = Window.orderBy("d")
+    thr = float(__import__("math").log(19.0))
+    llr = daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        "k",
+        F.sum(term).over(w).alias("cum_llr_raw"),
+        F.col("d"),
+    )
+    return (
+        llr.select(
+            "day",
+            "n",
+            "k",
+            rnd("cum_llr_raw", 4).alias("cum_llr"),
+            (F.col("cum_llr_raw") >= thr).alias("accept_h1"),
+            (F.col("cum_llr_raw") <= -thr).alias("accept_h0"),
+            F.min(
+                F.when(F.abs(F.col("cum_llr_raw")) >= thr, F.col("day"))
+            )
+            .over(
+                Window.orderBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("first_decision_day"),
+        )
+        .orderBy("day")
+    )

@@ -419,3 +419,42 @@ def test_seasonality_strength_in_unit_interval(spark, sf_dir):
         assert 0.0 <= r.f_seasonal <= 1.0
         assert 0.0 <= r.f_trend <= 1.0
         assert r.n_days > 14
+
+
+def test_uplift_quintiles_partition_users_and_qini_terminates_at_total(
+    spark, sf_dir
+):
+    from sparrow_spark.sources import load_table
+
+    rows = sorted(_run(spark, sf_dir, "q_uplift_deciles"),
+                  key=lambda r: r.quintile)
+    assert [r.quintile for r in rows] == [1, 2, 3, 4, 5]
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_t + r.n_c for r in rows) == n_users
+    # The last Qini point is the overall incremental-conversion total.
+    expect = sum(
+        (r.conv_t - r.conv_c * r.n_t / r.n_c) if r.n_c else r.conv_t
+        for r in rows
+    )
+    assert abs(rows[-1].qini_cum - expect) < 1e-2
+
+
+def test_sprt_llr_is_cumulative_and_decision_consistent(spark, sf_dir):
+    rows = sorted(_run(spark, sf_dir, "q_sprt_sequential"),
+                  key=lambda r: r.day)
+    assert len(rows) > 20
+    import math
+
+    l1, l2 = math.log(0.35 / 0.30), math.log(0.65 / 0.70)
+    cum = 0.0
+    for r in rows:
+        cum += r.k * l1 + (r.n - r.k) * l2
+        assert abs(r.cum_llr - cum) < 5e-3
+        assert r.accept_h1 == (r.cum_llr >= math.log(19.0) - 1e-9)
+    decisions = [r.day for r in rows if r.accept_h1 or r.accept_h0]
+    first = rows[0].first_decision_day
+    if decisions:
+        assert first == min(decisions)
+    else:
+        assert first is None
