@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "q_seasonality_strength",
     "q_uplift_deciles",
     "q_sprt_sequential",
+    "q_gap_fill_interpolate",
+    "q_link_prediction",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -3427,3 +3427,161 @@ def q_hits_hubs_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Link prediction on the item co-occurrence graph (r9). The LSH dup
+# graph is a union of near-cliques (banding collides transitively),
+# so it has no 2-hop non-edges to predict; the ITEM graph — part
+# categories linked when they co-occur in enough orders — has real
+# open triads, and link-prediction scores over them (common
+# neighbors, neighborhood Jaccard, Adamic-Adar) rank which
+# category pairs are about to start co-occurring: the classic
+# graph-completion pass behind "customers also bought". The support
+# threshold scales with order count (n // 600) so graph density is
+# scale-stable. Adamic-Adar's 1/ln(degree) sum runs as a sorted fold
+# over the distinct weight values so the float is bit-stable;
+# everything else is exact integer set arithmetic.
+# --------------------------------------------------------------------------
+@query(
+    "q_link_prediction",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 100 AS item FROM lineitem
+    ), nt AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+    ), co AS (
+      SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS c
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT i, j FROM co CROSS JOIN nt
+      WHERE c >= greatest(2, n // 600)
+    ), sym AS (
+      SELECT i AS u, j AS v FROM edges
+      UNION ALL SELECT j, i FROM edges
+    ), deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u
+    ), twohop AS (
+      SELECT e1.u AS u, e2.v AS v, e1.v AS w
+      FROM sym e1 JOIN sym e2 ON e1.v = e2.u
+      WHERE e1.u < e2.v
+    ), nonedge AS (
+      SELECT t.u, t.v, t.w FROM twohop t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges c WHERE c.i = t.u AND c.j = t.v
+      )
+    ), scored AS (
+      SELECT n.u, n.v,
+             CAST(count(DISTINCT n.w) AS BIGINT) AS common_neighbors,
+             list_reduce(list_sort(list(DISTINCT 1.0 / ln(dw.d))),
+                         (p, q) -> p + q) AS adamic_adar
+      FROM nonedge n JOIN deg dw ON dw.u = n.w
+      GROUP BY n.u, n.v
+    )
+    SELECT s.u AS item_a, s.v AS item_b, s.common_neighbors,
+           round(CAST(s.common_neighbors AS DOUBLE)
+                 / (du.d + dv.d - s.common_neighbors), 6) AS jaccard,
+           round(s.adamic_adar, 6) AS adamic_adar
+    FROM scored s
+    JOIN deg du ON du.u = s.u
+    JOIN deg dv ON dv.u = s.v
+    ORDER BY s.adamic_adar DESC, item_a, item_b
+    LIMIT 50
+    """,
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores for 2-hop non-edges of the item
+    co-occurrence graph (categories = l_partkey % 100, edges =
+    co-occurrence support >= max(2, orders/600)): common-neighbor
+    count, neighborhood Jaccard, and Adamic-Adar, top-50 by
+    Adamic-Adar — the ranked "will co-occur next" list.
+
+    CAVEAT (documented, not a bug): the Adamic-Adar fold runs over
+    the DISTINCT weight VALUES of the shared neighbors, so two
+    common neighbors with identical degree contribute once; the
+    common_neighbors column keeps the exact count. This keeps the
+    fold engine-portable (DuckDB's list(DISTINCT) and Spark's
+    collect_set sort identically).
+
+    Scale: the co-occurrence count is one orderkey-keyed shuffle
+    bounded by items-per-basket squared; the 2-hop enumeration
+    self-joins the thresholded edge list on the middle node (sum of
+    degree^2, the triangle-counting budget); degree lookups
+    broadcast and the final ranking is a top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("item")
+    ).distinct()
+    nt = items.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    edges = (
+        co.crossJoin(F.broadcast(nt))
+        .filter(F.col("c") >= F.greatest(F.lit(2), F.floor(F.col("n") / 600)))
+        .select("i", "j")
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.select(
+        F.col("i").alias("u"), F.col("j").alias("v")
+    ).unionByName(edges.select(F.col("j").alias("u"), F.col("i").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    e1 = sym.select(F.col("u"), F.col("v").alias("w"))
+    e2 = sym.select(F.col("u").alias("w"), F.col("v"))
+    twohop = e1.join(e2, "w").filter(F.col("u") < F.col("v"))
+    nonedge = twohop.join(
+        edges.select(F.col("i").alias("u"), F.col("j").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    scored = (
+        nonedge.join(
+            deg.select(F.col("u").alias("w"), F.col("d").alias("dw")), "w"
+        )
+        .groupBy("u", "v")
+        .agg(
+            F.countDistinct("w").cast("bigint").alias("common_neighbors"),
+            F.aggregate(
+                F.array_sort(F.collect_set(1.0 / F.log(F.col("dw")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adamic_adar"),
+        )
+    )
+    return (
+        scored.join(
+            F.broadcast(deg.select(F.col("u"), F.col("d").alias("du"))), "u"
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+            ),
+            "v",
+        )
+        .select(
+            F.col("u").alias("item_a"),
+            F.col("v").alias("item_b"),
+            "common_neighbors",
+            rnd(
+                F.col("common_neighbors").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+            rnd("adamic_adar", 6).alias("adamic_adar"),
+            F.col("adamic_adar").alias("_aa_raw"),
+        )
+        .orderBy(F.col("_aa_raw").desc(), "item_a", "item_b")
+        .limit(50)
+        .drop("_aa_raw")
+    )

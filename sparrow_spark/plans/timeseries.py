@@ -2012,3 +2012,111 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-spine gap filling with linear interpolation (r9). Every
+# metrics store eventually needs the missing days materialized — a
+# sparse series joined to a generated date spine, holes filled by
+# interpolating between the bracketing observations. The carry-
+# forward/carry-backward scan is last_value/first_value IGNORE NULLS
+# over the spine (one bounded window, no recursion); interpolation is
+# exact arithmetic on the two bracketing values.
+# --------------------------------------------------------------------------
+@query(
+    "q_gap_fill_interpolate",
+    oracle="""
+    WITH sparse AS (
+      SELECT date_trunc('day', ts) AS d, round(sum(value), 2) AS x
+      FROM events
+      WHERE event_type = 'purchase' AND user_id % 97 = 0
+      GROUP BY 1
+    ), bounds AS (
+      SELECT min(d) AS lo, max(d) AS hi FROM sparse
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+      FROM bounds
+    ), joined AS (
+      SELECT s.d, sp.x FROM spine s LEFT JOIN sparse sp ON sp.d = s.d
+    ), ctx AS (
+      SELECT d, x,
+             last_value(x IGNORE NULLS)
+               OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS prev_x,
+             last_value(CASE WHEN x IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS prev_d,
+             first_value(x IGNORE NULLS)
+               OVER (ORDER BY d ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS next_x,
+             first_value(CASE WHEN x IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (ORDER BY d ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS next_d
+      FROM joined
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           x IS NOT NULL AS observed,
+           round(CASE WHEN x IS NOT NULL THEN x
+                      ELSE prev_x + (next_x - prev_x)
+                           * datediff('day', prev_d, d)
+                           / datediff('day', prev_d, next_d) END,
+                 4) AS value_filled
+    FROM ctx ORDER BY d
+    """,
+)
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill the sparse daily revenue of a rare user cohort onto a
+    complete date spine: observed days pass through, missing days get
+    the linear interpolation between the bracketing observations
+    (carry-forward + carry-backward via IGNORE NULLS windows).
+
+    Scale: the sparse series is one filtered keyed agg (predicate
+    pushed to the scan); the spine generates from the two-value
+    bounds row; both IGNORE NULLS scans are windows over the
+    spine-length series — at scale the spine partitions by
+    (series_id) and each series stays a bounded partition, the
+    standard metrics-store layout."""
+    sparse = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("user_id") % 97 == 0)
+        )
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("x"))
+    )
+    bounds = sparse.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("d")
+    )
+    joined = spine.join(sparse, "d", "left")
+    wp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    ctx = (
+        joined.withColumn("prev_x", F.last("x", ignorenulls=True).over(wp))
+        .withColumn(
+            "prev_d",
+            F.last(
+                F.when(F.col("x").isNotNull(), F.col("d")), ignorenulls=True
+            ).over(wp),
+        )
+        .withColumn("next_x", F.first("x", ignorenulls=True).over(wn))
+        .withColumn(
+            "next_d",
+            F.first(
+                F.when(F.col("x").isNotNull(), F.col("d")), ignorenulls=True
+            ).over(wn),
+        )
+    )
+    interp = F.col("prev_x") + (F.col("next_x") - F.col("prev_x")) * F.datediff(
+        "d", "prev_d"
+    ) / F.datediff("next_d", "prev_d")
+    return ctx.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("x").isNotNull().alias("observed"),
+        rnd(
+            F.when(F.col("x").isNotNull(), F.col("x")).otherwise(interp), 4
+        ).alias("value_filled"),
+    ).orderBy("day")

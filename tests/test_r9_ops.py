@@ -458,3 +458,60 @@ def test_sprt_llr_is_cumulative_and_decision_consistent(spark, sf_dir):
         assert first == min(decisions)
     else:
         assert first is None
+
+
+def test_gap_fill_covers_full_spine_and_interpolates_between_bounds(
+    spark, sf_dir
+):
+    rows = sorted(_run(spark, sf_dir, "q_gap_fill_interpolate"),
+                  key=lambda r: r.day)
+    import datetime
+
+    days = [datetime.date.fromisoformat(r.day) for r in rows]
+    assert (days[-1] - days[0]).days + 1 == len(days)  # no holes left
+    assert rows[0].observed and rows[-1].observed  # spine is bounded
+    assert any(not r.observed for r in rows)  # fixture really has gaps
+    for i, r in enumerate(rows):
+        assert r.value_filled is not None
+        if not r.observed:
+            # Interpolated values sit between the bracketing
+            # observations.
+            prev = next(rows[j] for j in range(i, -1, -1) if rows[j].observed)
+            nxt = next(rows[j] for j in range(i, len(rows)) if rows[j].observed)
+            lo, hi = sorted((prev.value_filled, nxt.value_filled))
+            assert lo - 1e-6 <= r.value_filled <= hi + 1e-6
+
+
+def test_link_prediction_scores_nonedges_only(spark, sf_dir):
+    from pyspark.sql import functions as SF
+    from sparrow_spark.sources import load_table
+
+    rows = _run(spark, sf_dir, "q_link_prediction")
+    assert rows
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (SF.col("l_partkey") % 100).alias("item")
+    ).distinct()
+    n = items.select("l_orderkey").distinct().count()
+    a, b = items.alias("a"), items.alias("b")
+    co = (
+        a.join(
+            b,
+            (SF.col("a.l_orderkey") == SF.col("b.l_orderkey"))
+            & (SF.col("a.item") < SF.col("b.item")),
+        )
+        .groupBy(SF.col("a.item").alias("i"), SF.col("b.item").alias("j"))
+        .count()
+    )
+    edges = {
+        (r.i, r.j)
+        for r in co.filter(SF.col("count") >= max(2, n // 600)).collect()
+    }
+    aas = [r.adamic_adar for r in rows]
+    assert aas == sorted(aas, reverse=True)
+    for r in rows:
+        assert r.item_a < r.item_b
+        assert (r.item_a, r.item_b) not in edges  # predictions, not edges
+        assert r.common_neighbors >= 1
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.adamic_adar > 0
