@@ -230,6 +230,8 @@ BENCH_QUERIES = [
     "q_sprt_sequential",
     "q_gap_fill_interpolate",
     "q_link_prediction",
+    "q_hmm_forward",
+    "q_ucb_replay",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

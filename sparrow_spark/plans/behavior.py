@@ -1786,3 +1786,105 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# UCB1 bandit replay (r9). The ranking surfaces so far are static
+# (Wilson lower bound, decayed popularity); an adaptive traffic
+# allocator needs the bandit view — per-day UCB1 indices computed by
+# replaying the logged event stream (Li et al.'s offline replay
+# shape): each arm's cumulative pulls/rewards are exact-integer
+# window cumsums per arm over the day series, the index is mean +
+# sqrt(2 ln t / n), and the day's winner is the argmax the policy
+# WOULD have chosen next. No simulation loop — the feedback-free
+# replay is pure window algebra.
+# --------------------------------------------------------------------------
+@query(
+    "q_ucb_replay",
+    oracle="""
+    WITH pulls AS (
+      SELECT date_trunc('day', ts) AS d, event_type AS arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+    ), cum AS (
+      SELECT d, arm,
+             sum(n) OVER (PARTITION BY arm ORDER BY d) AS n_a,
+             sum(r) OVER (PARTITION BY arm ORDER BY d) AS r_a
+      FROM pulls
+    ), tot AS (
+      SELECT d, arm, n_a, r_a,
+             sum(n_a) OVER (PARTITION BY d) AS t_all
+      FROM cum
+    ), idx AS (
+      SELECT strftime(d, '%Y-%m-%d') AS day, arm,
+             CAST(r_a AS DOUBLE) / n_a
+               + sqrt(2 * ln(CAST(t_all AS DOUBLE)) / n_a) AS ucb,
+             CAST(n_a AS BIGINT) AS n_a, CAST(r_a AS BIGINT) AS r_a
+      FROM tot
+    )
+    SELECT day, arm, n_a, r_a, round(ucb, 6) AS ucb,
+           arm = first_value(arm) OVER (PARTITION BY day
+                                        ORDER BY ucb DESC, arm
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS chosen
+    FROM idx ORDER BY day, arm
+    """,
+)
+def q_ucb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 replay over the logged event stream: arms are the four
+    non-purchase event types, a pull is an event, the reward is
+    value > 100; per day, each arm's cumulative mean plus the
+    sqrt(2 ln t / n) exploration bonus, and the arm the policy would
+    pull next (argmax, ties to the lexicographically first arm).
+
+    Scale: one keyed (day, arm) agg with map-side combine, then two
+    bounded windows over the day-by-arm table — cumulative counts
+    stay exact BIGINTs, the index is computed per row, and the
+    winner flag is one more window. Nothing sequential: the replay
+    is feedback-free, so the whole policy trace is set-oriented."""
+    pulls = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") != "purchase")
+        .groupBy(
+            F.date_trunc("day", "ts").alias("d"),
+            F.col("event_type").alias("arm"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("value") > 100.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    wa = Window.partitionBy("arm").orderBy("d")
+    cum = pulls.select(
+        "d",
+        "arm",
+        F.sum("n").over(wa).alias("n_a"),
+        F.sum("r").over(wa).alias("r_a"),
+    )
+    wd = Window.partitionBy("d")
+    tot = cum.withColumn("t_all", F.sum("n_a").over(wd))
+    ucb = F.col("r_a").cast("double") / F.col("n_a") + F.sqrt(
+        2 * F.log(F.col("t_all").cast("double")) / F.col("n_a")
+    )
+    idx = tot.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "arm",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("r_a").cast("bigint").alias("r_a"),
+        ucb.alias("ucb_raw"),
+    )
+    ww = Window.partitionBy("day").orderBy(
+        F.col("ucb_raw").desc(), "arm"
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return idx.select(
+        "day",
+        "arm",
+        "n_a",
+        "r_a",
+        rnd("ucb_raw", 6).alias("ucb"),
+        (F.col("arm") == F.first("arm").over(ww)).alias("chosen"),
+    ).orderBy("day", "arm")

@@ -2712,3 +2712,134 @@ def q_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# HMM forward algorithm (r9). The Markov family so far is fully
+# observed (q_markov_transitions, q_markov_entropy); a regime model
+# needs the HIDDEN-state likelihood — the forward recursion over a
+# 2-state calm/busy chain emitting HIGH/LOW daily revenue. Log-space
+# with an explicit 2-term log-sum-exp, the strictly-ordered fold
+# discipline of q_page_hinkley (Spark folds the sorted day array;
+# DuckDB replays the identical recursion), plus a filtered busy-day
+# counter carried in the state.
+# --------------------------------------------------------------------------
+_HMM = {
+    "p_hh_calm": 0.3,   # P(HIGH | calm)
+    "p_hh_busy": 0.8,   # P(HIGH | busy)
+    "t_cb": 0.2,        # P(calm -> busy)
+    "t_bc": 0.3,        # P(busy -> calm)
+    "thresh": 100.0,    # HIGH = daily mean purchase value above this
+}
+
+
+def _hmm_step_sql() -> str:
+    """One forward step: a'_j = ln e_j(o) + LSE_i(a_i + ln T_ij)."""
+    e_c = f"CASE WHEN o.hi THEN ln({_HMM['p_hh_calm']}) ELSE ln({1.0 - _HMM['p_hh_calm']}) END"
+    e_b = f"CASE WHEN o.hi THEN ln({_HMM['p_hh_busy']}) ELSE ln({1.0 - _HMM['p_hh_busy']}) END"
+    lse = (
+        "greatest({x}, {y}) + ln(1 + exp(least({x}, {y}) - greatest({x}, {y})))"
+    )
+    in_c = lse.format(
+        x=f"p.a0 + ln({1.0 - _HMM['t_cb']})", y=f"p.a1 + ln({_HMM['t_bc']})"
+    )
+    in_b = lse.format(
+        x=f"p.a0 + ln({_HMM['t_cb']})", y=f"p.a1 + ln({1.0 - _HMM['t_bc']})"
+    )
+    return e_c, e_b, in_c, in_b, lse
+
+
+@query(
+    "q_hmm_forward",
+    oracle=(lambda e_c, e_b, in_c, in_b, lse: f"""
+    WITH RECURSIVE daily AS (
+      SELECT date_trunc('day', ts) AS d, avg(value) > {_HMM['thresh']} AS hi
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), ord AS (
+      SELECT hi, row_number() OVER (ORDER BY d) AS rn FROM daily
+    ), fwd(rn, a0, a1, nb) AS (
+      SELECT CAST(0 AS BIGINT), ln(0.5), ln(0.5), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT o.rn,
+             {e_c} + {in_c},
+             {e_b} + {in_b},
+             p.nb + CASE WHEN {e_b} + {in_b} > {e_c} + {in_c}
+                         THEN 1 ELSE 0 END
+      FROM fwd p JOIN ord o ON o.rn = p.rn + 1
+    )
+    SELECT rn AS n_days,
+           round({lse.format(x='a0', y='a1')}, 4) AS log_likelihood,
+           round(exp(a1 - ({lse.format(x='a0', y='a1')})), 6)
+             AS p_busy_final,
+           nb AS n_busy_days
+    FROM fwd WHERE rn = (SELECT max(rn) FROM fwd)
+    """)(*_hmm_step_sql()),
+)
+def q_hmm_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-algorithm log-likelihood of a fixed 2-state HMM
+    (calm/busy regimes emitting HIGH/LOW daily mean purchase value),
+    plus the filtered P(busy) on the final day and the count of days
+    the filtered odds favored busy. Log-space with a 2-term
+    log-sum-exp at every step.
+
+    Scale: the fact table collapses to one boolean per day; the
+    forward recursion is a strictly-ordered fold over the sorted day
+    array with O(1) state (two log-alphas and a counter) — the
+    q_page_hinkley discipline, every intermediate float produced in
+    identical order on both engines."""
+    h = _HMM
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg((F.avg("value") > h["thresh"]).alias("hi"))
+    )
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "hi"))).alias("s")
+    )
+
+    def lse(x, y):
+        return F.greatest(x, y) + F.log(
+            1 + F.exp(F.least(x, y) - F.greatest(x, y))
+        )
+
+    import math
+
+    ln = math.log
+
+    def step(a, e):
+        e_c = F.when(e["hi"], ln(h["p_hh_calm"])).otherwise(
+            ln(1.0 - h["p_hh_calm"])
+        )
+        e_b = F.when(e["hi"], ln(h["p_hh_busy"])).otherwise(
+            ln(1.0 - h["p_hh_busy"])
+        )
+        in_c = lse(a["a0"] + ln(1.0 - h["t_cb"]), a["a1"] + ln(h["t_bc"]))
+        in_b = lse(a["a0"] + ln(h["t_cb"]), a["a1"] + ln(1.0 - h["t_bc"]))
+        na0 = e_c + in_c
+        na1 = e_b + in_b
+        return F.struct(
+            na0.alias("a0"),
+            na1.alias("a1"),
+            (a["nb"] + F.when(na1 > na0, 1).otherwise(0)).alias("nb"),
+        )
+
+    st = F.aggregate(
+        "s",
+        F.struct(
+            F.lit(ln(0.5)).alias("a0"),
+            F.lit(ln(0.5)).alias("a1"),
+            F.lit(0).cast("bigint").alias("nb"),
+        ),
+        step,
+    )
+    return series.select(
+        F.size("s").cast("bigint").alias("n_days"), st.alias("st")
+    ).select(
+        "n_days",
+        rnd(lse(F.col("st.a0"), F.col("st.a1")), 4).alias("log_likelihood"),
+        rnd(
+            F.exp(F.col("st.a1") - lse(F.col("st.a0"), F.col("st.a1"))), 6
+        ).alias("p_busy_final"),
+        F.col("st.nb").alias("n_busy_days"),
+    )

@@ -515,3 +515,34 @@ def test_link_prediction_scores_nonedges_only(spark, sf_dir):
         assert r.common_neighbors >= 1
         assert 0.0 < r.jaccard <= 1.0
         assert r.adamic_adar > 0
+
+
+def test_hmm_forward_likelihood_bounds(spark, sf_dir):
+    import math
+
+    (r,) = _run(spark, sf_dir, "q_hmm_forward")
+    assert r.n_days > 0
+    # A product of probabilities: LL strictly negative, and bounded
+    # below by n_days * ln(smallest factor product per step).
+    assert r.log_likelihood < 0
+    assert r.log_likelihood > r.n_days * math.log(0.2 * 0.2)
+    assert 0.0 <= r.p_busy_final <= 1.0
+    assert 0 <= r.n_busy_days <= r.n_days
+
+
+def test_ucb_replay_one_winner_per_day_and_bonus_shrinks(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_ucb_replay")
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r.day, []).append(r)
+    for day, arms in by_day.items():
+        assert sum(1 for a in arms if a.chosen) == 1
+        winner = next(a for a in arms if a.chosen)
+        assert winner.ucb == max(a.ucb for a in arms)
+    # Cumulative counts never decrease, so the exploration bonus for
+    # a fixed arm shrinks relative to ln(t): mean stays in [0, 1]
+    # and ucb >= mean.
+    for r in rows:
+        mean = r.r_a / r.n_a
+        assert 0.0 <= mean <= 1.0
+        assert r.ucb >= mean - 1e-9
