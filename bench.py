@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "q_link_prediction",
     "q_hmm_forward",
     "q_ucb_replay",
+    "q_markov_attribution",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

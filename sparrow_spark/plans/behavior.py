@@ -1888,3 +1888,258 @@ def q_ucb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd("ucb_raw", 6).alias("ucb"),
         (F.col("arm") == F.first("arm").over(ww)).alias("chosen"),
     ).orderBy("day", "arm")
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution (r9). Shapley (q_shapley_
+# attribution) credits coalitions of TOUCHED channels; the Markov
+# model credits POSITION IN THE JOURNEY: build the first-order chain
+# over pre-conversion touch sequences (start -> touches -> conv/null),
+# compute the absorption probability of conversion by power
+# iteration, then re-run with each channel's edges deleted — the
+# removal effect 1 - P_removed/P_full is that channel's credit
+# (Anderl et al. 2014, the industry-standard "Markov attribution").
+# The 5-state iteration unrolls 10 fixed stages over a ONE-ROW
+# matrix table with every arithmetic term in fixed textual order, so
+# both engines produce bit-identical floats with no recursion and no
+# shuffles after the matrix build.
+# --------------------------------------------------------------------------
+_MK_STATES = ["start", "click", "view", "signup", "error"]
+_MK_RUNS = ["full", "click", "view", "signup", "error"]
+_MK_ITERS = 10
+
+
+def _mk_x_expr(run: str, i: int) -> str:
+    """x_{run}_{i}' = m_i_conv + sum_j m_i_j * x_{run}_j, skipping the
+    removed channel's row and column. Fixed term order = identical
+    floats on both engines."""
+    si = _MK_STATES[i - 1]
+    if run != "full" and si == run:
+        return "0.0"
+    terms = [f"m_{i}_6"]
+    for j in range(2, 6):
+        sj = _MK_STATES[j - 1]
+        if run != "full" and sj == run:
+            continue
+        terms.append(f"m_{i}_{j} * x_{run}_{j}")
+    return " + ".join(terms)
+
+
+def _mk_matrix_cols_sql() -> str:
+    cols = []
+    for i in range(1, 6):
+        for j in range(2, 7):
+            tgt = "conv" if j == 6 else _MK_STATES[j - 1]
+            cols.append(
+                f"coalesce(max(CASE WHEN f = '{_MK_STATES[i - 1]}' AND "
+                f"t = '{tgt}' THEN p END), 0.0) AS m_{i}_{j}"
+            )
+    return ", ".join(cols)
+
+
+def _mk_iter_sql() -> str:
+    stages = []
+    keep_m = ", ".join(
+        f"m_{i}_{j}" for i in range(1, 6) for j in range(2, 7)
+    )
+    init = ", ".join(
+        f"0.0 AS x_{r}_{i}" for r in _MK_RUNS for i in range(1, 6)
+    )
+    stages.append(f", it0 AS (SELECT {keep_m}, {init} FROM mat)")
+    for t in range(1, _MK_ITERS + 1):
+        xs = ", ".join(
+            f"{_mk_x_expr(r, i)} AS x_{r}_{i}"
+            for r in _MK_RUNS
+            for i in range(1, 6)
+        )
+        stages.append(f", it{t} AS (SELECT {keep_m}, {xs} FROM it{t - 1})")
+    return "".join(stages)
+
+
+def _mk_final_sql() -> str:
+    eff = {
+        c: f"(1.0 - x_{c}_1 / x_full_1)" for c in _MK_RUNS[1:]
+    }
+    tot = " + ".join(eff[c] for c in _MK_RUNS[1:])
+    rows = []
+    for c in _MK_RUNS[1:]:
+        rows.append(
+            f"SELECT '{c}' AS channel, round(x_full_1, 6) AS p_conv_full, "
+            f"round(x_{c}_1, 6) AS p_conv_removed, "
+            f"round({eff[c]}, 6) AS removal_effect, "
+            f"round({eff[c]} / ({tot}), 6) AS attribution_share "
+            f"FROM it{_MK_ITERS}"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@query(
+    "q_markov_attribution",
+    oracle="""
+    WITH t0 AS (
+      SELECT user_id, min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS conv_ts
+      FROM events GROUP BY user_id
+    ), touch AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id, t0.conv_ts
+      FROM events e JOIN t0 ON t0.user_id = e.user_id
+      WHERE e.event_type IN ('click', 'view', 'signup', 'error')
+        AND (t0.conv_ts IS NULL OR e.ts < t0.conv_ts)
+    ), seq AS (
+      SELECT user_id, event_type, conv_ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM touch
+    ), raw_edges AS (
+      SELECT 'start' AS f, event_type AS t FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT event_type, nxt FROM seq WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT event_type,
+             CASE WHEN conv_ts IS NOT NULL THEN 'conv' ELSE 'nul' END
+      FROM seq WHERE nxt IS NULL
+      UNION ALL
+      SELECT 'start', 'conv'
+      FROM t0 WHERE conv_ts IS NOT NULL AND user_id NOT IN
+        (SELECT DISTINCT user_id FROM touch)
+    ), cnt AS (
+      SELECT f, t, CAST(count(*) AS BIGINT) AS c FROM raw_edges
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT f, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+    ), prob AS (
+      SELECT cnt.f, cnt.t, CAST(cnt.c AS DOUBLE) / tot.n AS p
+      FROM cnt JOIN tot USING (f) WHERE cnt.t <> 'nul'
+    ), mat AS (
+      SELECT """ + _mk_matrix_cols_sql() + """ FROM prob
+    )""" + _mk_iter_sql() + " " + _mk_final_sql() + """
+    ORDER BY channel
+    """,
+)
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution over pre-conversion touch
+    journeys: P(conversion) from the full first-order chain vs the
+    chain with each channel's edges deleted (mass redirected to the
+    null absorber); a channel's credit is its removal effect,
+    normalized into attribution shares.
+
+    Scale: journey edges are one user-keyed window pass over the
+    fact table and collapse to a <= 7x7 count matrix; the absorption
+    power iteration runs 10 unrolled stages over a ONE-ROW matrix
+    table — pure projections, zero shuffles, whole-stage codegen —
+    and every arithmetic term appears in the same textual order in
+    the Spark expressions and the DuckDB oracle, so the floats are
+    bit-identical without any fold tricks. The one-row matrix and
+    the iterated row are localCheckpointed so the four output
+    branches reuse them instead of re-deriving the journey scan
+    (72 scans -> 1 without it)."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("conv_ts")
+    )
+    touch = (
+        ev.join(t0, "user_id")
+        .filter(
+            F.col("event_type").isin("click", "view", "signup", "error")
+            & (F.col("conv_ts").isNull() | (F.col("ts") < F.col("conv_ts")))
+        )
+        .select("user_id", "event_type", "ts", "event_id", "conv_ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = touch.select(
+        "user_id",
+        "event_type",
+        "conv_ts",
+        F.row_number().over(w).alias("rn"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    edges = (
+        seq.filter(F.col("rn") == 1)
+        .select(F.lit("start").alias("f"), F.col("event_type").alias("t"))
+        .unionByName(
+            seq.filter(F.col("nxt").isNotNull()).select(
+                F.col("event_type").alias("f"), F.col("nxt").alias("t")
+            )
+        )
+        .unionByName(
+            seq.filter(F.col("nxt").isNull()).select(
+                F.col("event_type").alias("f"),
+                F.when(F.col("conv_ts").isNotNull(), "conv")
+                .otherwise("nul")
+                .alias("t"),
+            )
+        )
+        .unionByName(
+            t0.filter(F.col("conv_ts").isNotNull())
+            .join(
+                touch.select("user_id").distinct(), "user_id", "left_anti"
+            )
+            .select(F.lit("start").alias("f"), F.lit("conv").alias("t"))
+        )
+    )
+    cnt = edges.groupBy("f", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = cnt.groupBy("f").agg(F.sum("c").cast("bigint").alias("n"))
+    prob = (
+        cnt.join(tot, "f")
+        .filter(F.col("t") != "nul")
+        .select("f", "t", (F.col("c").cast("double") / F.col("n")).alias("p"))
+    )
+    mat = prob.agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("f") == _MK_STATES[i - 1])
+                        & (
+                            F.col("t")
+                            == ("conv" if j == 6 else _MK_STATES[j - 1])
+                        ),
+                        F.col("p"),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias(f"m_{i}_{j}")
+            for i in range(1, 6)
+            for j in range(2, 7)
+        ]
+    ).localCheckpoint(eager=True)
+    cur = mat.select(
+        "*",
+        *[
+            F.lit(0.0).alias(f"x_{r}_{i}")
+            for r in _MK_RUNS
+            for i in range(1, 6)
+        ],
+    )
+    m_cols = [f"m_{i}_{j}" for i in range(1, 6) for j in range(2, 7)]
+    for _ in range(_MK_ITERS):
+        cur = cur.select(
+            *m_cols,
+            *[
+                F.expr(_mk_x_expr(r, i)).alias(f"x_{r}_{i}")
+                for r in _MK_RUNS
+                for i in range(1, 6)
+            ],
+        )
+    cur = cur.localCheckpoint(eager=True)
+    eff = {c: f"(1.0 - x_{c}_1 / x_full_1)" for c in _MK_RUNS[1:]}
+    tot_eff = " + ".join(eff[c] for c in _MK_RUNS[1:])
+    out = None
+    for c in _MK_RUNS[1:]:
+        row = cur.select(
+            F.lit(c).alias("channel"),
+            rnd("x_full_1", 6).alias("p_conv_full"),
+            rnd(f"x_{c}_1", 6).alias("p_conv_removed"),
+            rnd(F.expr(eff[c]), 6).alias("removal_effect"),
+            rnd(F.expr(f"{eff[c]} / ({tot_eff})"), 6).alias(
+                "attribution_share"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("channel")

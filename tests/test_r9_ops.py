@@ -546,3 +546,18 @@ def test_ucb_replay_one_winner_per_day_and_bonus_shrinks(spark, sf_dir):
         mean = r.r_a / r.n_a
         assert 0.0 <= mean <= 1.0
         assert r.ucb >= mean - 1e-9
+
+
+def test_markov_attribution_effects_and_shares(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_markov_attribution")
+    assert {r.channel for r in rows} == {"click", "view", "signup", "error"}
+    p_full = {r.p_conv_full for r in rows}
+    assert len(p_full) == 1
+    p = next(iter(p_full))
+    assert 0.0 < p <= 1.0
+    shares = sum(r.attribution_share for r in rows)
+    assert abs(shares - 1.0) < 1e-3
+    for r in rows:
+        # Removing a channel can only lose conversion paths.
+        assert r.p_conv_removed <= p + 1e-9
+        assert 0.0 <= r.removal_effect <= 1.0 + 1e-9
