@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "q_hmm_forward",
     "q_ucb_replay",
     "q_markov_attribution",
+    "q_scd2_asof_join",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1645,3 +1645,94 @@ def q_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time SCD2 dimension join (r9). q_scd2_build produces the
+# versioned dimension; the operation a warehouse actually runs
+# against it is the TEMPORAL join — attach to each fact row the
+# dimension version valid AT ITS TIMESTAMP (ts in [valid_from,
+# valid_to)), never the current one (that back-propagates future
+# state, the classic time-travel leak q_churn_features guards
+# against). Facts are purchases, the dimension is the user's
+# last-non-purchase-activity state history.
+# --------------------------------------------------------------------------
+@query(
+    "q_scd2_asof_join",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE event_type <> 'purchase'
+    ), starts AS (
+      SELECT user_id, event_type AS state, ts AS vf,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS vt
+      FROM changes
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ), fact AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), joined AS (
+      SELECT f.value, d.state
+      FROM fact f LEFT JOIN starts d
+        ON d.user_id = f.user_id
+       AND f.ts >= d.vf AND (d.vt IS NULL OR f.ts < d.vt)
+    )
+    SELECT coalesce(state, 'none') AS state_at_purchase,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 2) AS revenue
+    FROM joined GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) join of purchase facts against the
+    SCD2 activity-state dimension: each purchase picks the state
+    version whose [valid_from, valid_to) interval contains its
+    timestamp, purchases before any state version report 'none';
+    output is revenue by state-at-purchase.
+
+    Scale: the dimension build and the temporal probe share ONE
+    user_id-keyed shuffle (sort-merge join on the equi-key with the
+    interval predicate applied post-merge); per-user version lists
+    are change-bounded, so the range filter never explodes — the
+    standard warehouse PIT-join plan, not a nested-loop time
+    travel."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.filter(F.col("event_type") != "purchase").withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    )
+    starts = (
+        changes.filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            F.col("user_id").alias("d_uid"),
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("vf"),
+            F.lead("ts").over(w).alias("vt"),
+        )
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    joined = fact.join(
+        starts,
+        (F.col("user_id") == F.col("d_uid"))
+        & (F.col("ts") >= F.col("vf"))
+        & (F.col("vt").isNull() | (F.col("ts") < F.col("vt"))),
+        "left",
+    )
+    return (
+        joined.groupBy(
+            F.coalesce("state", F.lit("none")).alias("state_at_purchase")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            rnd(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("state_at_purchase")
+    )

@@ -561,3 +561,22 @@ def test_markov_attribution_effects_and_shares(spark, sf_dir):
         # Removing a channel can only lose conversion paths.
         assert r.p_conv_removed <= p + 1e-9
         assert 0.0 <= r.removal_effect <= 1.0 + 1e-9
+
+
+def test_scd2_asof_join_conserves_purchases(spark, sf_dir):
+    from pyspark.sql import functions as SF
+    from sparrow_spark.sources import load_table
+
+    rows = _run(spark, sf_dir, "q_scd2_asof_join")
+    ev = load_table(spark, sf_dir, "events")
+    n_purchases = ev.filter(SF.col("event_type") == "purchase").count()
+    # The temporal predicate matches at most one version per purchase
+    # (versions are disjoint by construction), so the left join
+    # conserves fact cardinality exactly.
+    assert sum(r.n_purchases for r in rows) == n_purchases
+    total = ev.filter(SF.col("event_type") == "purchase").agg(
+        SF.sum("value")
+    ).collect()[0][0]
+    assert abs(sum(r.revenue for r in rows) - total) < 0.05
+    states = {r.state_at_purchase for r in rows}
+    assert states <= {"click", "view", "signup", "error", "none"}
