@@ -234,6 +234,8 @@ BENCH_QUERIES = [
     "q_ucb_replay",
     "q_markov_attribution",
     "q_scd2_asof_join",
+    "q_effect_size_suite",
+    "q_attribution_window_sensitivity",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -2143,3 +2143,119 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("channel")
+
+
+# --------------------------------------------------------------------------
+# Attribution-window sensitivity (r9). Every attribution number in
+# this repo fixes a lookback window (1h stream join, 7d last-touch);
+# the audit a marketing team actually asks for is how much the
+# CREDITED TOTAL moves as the window widens — if 1h -> 24h doubles
+# attributed revenue, the window choice IS the model. Four windows
+# evaluated in one pass by counting each purchase's earliest
+# qualifying click lag once and bucketing it, so the fact table is
+# scanned once, not per window.
+# --------------------------------------------------------------------------
+_ATTR_WINDOWS_H = [1, 6, 24, 168]
+
+
+@query(
+    "q_attribution_window_sensitivity",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ), lagged AS (
+      SELECT p.event_id, p.value,
+             min(epoch_us(p.ts) - epoch_us(c.ts)) AS lag_us
+      FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+      GROUP BY p.event_id, p.value
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+             sum(value) AS revenue
+      FROM p
+    )
+    SELECT w.h AS window_hours,
+           CAST(count(CASE WHEN l.lag_us <= w.h * 3600000000
+                           THEN 1 END) AS BIGINT) AS n_attributed,
+           round(coalesce(sum(CASE WHEN l.lag_us <= w.h * 3600000000
+                                   THEN l.value END), 0), 2)
+             AS attributed_revenue,
+           round(CAST(count(CASE WHEN l.lag_us <= w.h * 3600000000
+                                 THEN 1 END) AS DOUBLE) / t.n_purchases,
+                 6) AS attributed_frac
+    FROM (VALUES {", ".join(f"({h})" for h in _ATTR_WINDOWS_H)}) w(h)
+    CROSS JOIN tot t
+    LEFT JOIN lagged l ON true
+    GROUP BY w.h, t.n_purchases
+    ORDER BY window_hours
+    """,
+)
+def q_attribution_window_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How attributed purchases and revenue grow as the click-to-
+    purchase lookback widens (1h / 6h / 24h / 7d): each purchase's
+    earliest-click lag is computed once, then bucketed against every
+    window — the sensitivity curve that tells you whether the
+    attribution number is a measurement or an artifact of the
+    window.
+
+    Scale: one user-keyed join computes per-purchase minimum lag
+    (purchase-count-bounded output), and the window sweep is a
+    4-row broadcast cross join over that bounded table — the fact
+    table is scanned once, not once per window."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts"), "value"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("cts")
+    )
+    lagged = (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_uid"))
+            & (F.col("cts") <= F.col("pts")),
+        )
+        .groupBy("event_id", "value")
+        .agg(
+            F.min(
+                F.unix_micros("pts") - F.unix_micros("cts")
+            ).alias("lag_us")
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("value").alias("revenue"),
+    )
+    wdf = spark.createDataFrame(
+        [(h,) for h in _ATTR_WINDOWS_H], "h int"
+    )
+    hit = F.col("lag_us") <= F.col("h").cast("bigint") * 3600000000
+    return (
+        wdf.crossJoin(F.broadcast(tot))
+        .join(lagged)
+        .groupBy(F.col("h").alias("window_hours"), F.col("n_purchases"))
+        .agg(
+            F.count(F.when(hit, 1)).cast("bigint").alias("n_attributed"),
+            rnd(
+                F.coalesce(F.sum(F.when(hit, F.col("value"))), F.lit(0.0)),
+                2,
+            ).alias("attributed_revenue"),
+            rnd(
+                F.count(F.when(hit, 1)).cast("double")
+                / F.first("n_purchases"),
+                6,
+            ).alias("attributed_frac"),
+        )
+        .select(
+            "window_hours",
+            "n_attributed",
+            "attributed_revenue",
+            "attributed_frac",
+        )
+        .orderBy("window_hours")
+    )

@@ -2843,3 +2843,122 @@ def q_hmm_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p_busy_final"),
         F.col("st.nb").alias("n_busy_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Effect-size suite (r9). q_ab_test_analysis answers "is it
+# significant"; the decision needs "how BIG is it" — Cohen's d on
+# the pooled SD, the small-sample Hedges' g correction, and the
+# distribution-free Cliff's delta recovered exactly from the
+# Mann-Whitney U (delta = 2U/(n1*n2) - 1, so the rank machinery is
+# reused and the pairwise probability needs no pair join).
+# --------------------------------------------------------------------------
+@query(
+    "q_effect_size_suite",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g1
+      FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT CAST(sum(g1) AS DOUBLE) AS n1,
+             CAST(sum(1 - g1) AS DOUBLE) AS n2,
+             avg(CASE WHEN g1 = 1 THEN value END) AS m1,
+             avg(CASE WHEN g1 = 0 THEN value END) AS m2,
+             var_samp(CASE WHEN g1 = 1 THEN value END) AS v1,
+             var_samp(CASE WHEN g1 = 0 THEN value END) AS v2
+      FROM s
+    ), vals AS (
+      SELECT value,
+             CAST(sum(g1) AS DOUBLE) AS c1,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM s GROUP BY value
+    ), ranked AS (
+      SELECT c1, cnt,
+             sum(cnt) OVER (ORDER BY value) - cnt + (cnt + 1) / 2
+               AS avg_rank
+      FROM vals
+    ), u AS (
+      SELECT sum(avg_rank * c1) AS r1 FROM ranked
+    ), d AS (
+      SELECT m.n1, m.n2,
+             (m.m1 - m.m2)
+               / sqrt(((m.n1 - 1) * m.v1 + (m.n2 - 1) * m.v2)
+                      / (m.n1 + m.n2 - 2)) AS cohens_d,
+             (u.r1 - m.n1 * (m.n1 + 1) / 2) / (m.n1 * m.n2) AS auc
+      FROM m CROSS JOIN u
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(cohens_d, 6) AS cohens_d,
+           round(cohens_d * (1 - 3 / (4 * (n1 + n2) - 9)), 6) AS hedges_g,
+           round(2 * auc - 1, 6) AS cliffs_delta,
+           round(auc, 6) AS prob_superiority
+    FROM d
+    """,
+)
+def q_effect_size_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect sizes for the even/odd-user purchase-value split:
+    Cohen's d on the pooled SD, Hedges' g small-sample correction,
+    and Cliff's delta plus the probability of superiority recovered
+    exactly from the midrank Mann-Whitney U — no pairwise join.
+
+    Scale: one scan feeds both the moment aggregates and the
+    distinct-value midrank window (value-cardinality-bounded); every
+    pairwise quantity comes from rank algebra, so the O(n^2)
+    comparison never materializes."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "value",
+            F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("g1"),
+        )
+    )
+    m = s.agg(
+        F.sum("g1").cast("double").alias("n1"),
+        F.sum(1 - F.col("g1")).cast("double").alias("n2"),
+        F.avg(F.when(F.col("g1") == 1, F.col("value"))).alias("m1"),
+        F.avg(F.when(F.col("g1") == 0, F.col("value"))).alias("m2"),
+        F.var_samp(F.when(F.col("g1") == 1, F.col("value"))).alias("v1"),
+        F.var_samp(F.when(F.col("g1") == 0, F.col("value"))).alias("v2"),
+    )
+    vals = s.groupBy("value").agg(
+        F.sum("g1").cast("double").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+    )
+    wr = Window.orderBy("value")
+    ranked = vals.withColumn(
+        "avg_rank",
+        F.sum("cnt").over(wr) - F.col("cnt") + (F.col("cnt") + 1) / 2,
+    )
+    u = ranked.agg(F.sum(F.col("avg_rank") * F.col("c1")).alias("r1"))
+    d = m.crossJoin(F.broadcast(u)).select(
+        "n1",
+        "n2",
+        (
+            (F.col("m1") - F.col("m2"))
+            / F.sqrt(
+                (
+                    (F.col("n1") - 1) * F.col("v1")
+                    + (F.col("n2") - 1) * F.col("v2")
+                )
+                / (F.col("n1") + F.col("n2") - 2)
+            )
+        ).alias("cohens_d"),
+        (
+            (F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2)
+            / (F.col("n1") * F.col("n2"))
+        ).alias("auc"),
+    )
+    return d.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        rnd("cohens_d", 6).alias("cohens_d"),
+        rnd(
+            F.col("cohens_d")
+            * (1 - 3 / (4 * (F.col("n1") + F.col("n2")) - 9)),
+            6,
+        ).alias("hedges_g"),
+        rnd(2 * F.col("auc") - 1, 6).alias("cliffs_delta"),
+        rnd("auc", 6).alias("prob_superiority"),
+    )

@@ -580,3 +580,26 @@ def test_scd2_asof_join_conserves_purchases(spark, sf_dir):
     assert abs(sum(r.revenue for r in rows) - total) < 0.05
     states = {r.state_at_purchase for r in rows}
     assert states <= {"click", "view", "signup", "error", "none"}
+
+
+def test_effect_sizes_consistent(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_effect_size_suite")
+    assert -1.0 <= r.cliffs_delta <= 1.0
+    assert 0.0 <= r.prob_superiority <= 1.0
+    assert abs((2 * r.prob_superiority - 1) - r.cliffs_delta) < 2e-6
+    # Hedges' g is a shrinkage of d: same sign, smaller magnitude.
+    assert abs(r.hedges_g) <= abs(r.cohens_d)
+    assert (r.hedges_g >= 0) == (r.cohens_d >= 0)
+
+
+def test_attribution_window_counts_are_monotone(spark, sf_dir):
+    rows = sorted(
+        _run(spark, sf_dir, "q_attribution_window_sensitivity"),
+        key=lambda r: r.window_hours,
+    )
+    assert [r.window_hours for r in rows] == [1, 6, 24, 168]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_attributed <= b.n_attributed
+        assert a.attributed_revenue <= b.attributed_revenue + 1e-6
+    for r in rows:
+        assert 0.0 <= r.attributed_frac <= 1.0
