@@ -236,6 +236,8 @@ BENCH_QUERIES = [
     "q_scd2_asof_join",
     "q_effect_size_suite",
     "q_attribution_window_sensitivity",
+    "q_did_event_study",
+    "q_brier_decomposition",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

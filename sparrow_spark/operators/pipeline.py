@@ -2642,3 +2642,131 @@ def q_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Brier score with the Murphy decomposition (r9). The calibration
+# curve (q_calibration_curve) and isotonic fit (q_isotonic_
+# calibration) show WHERE the quality score is miscalibrated; the
+# Brier decomposition says HOW MUCH of the total squared error is
+# miscalibration (reliability, fixable by recalibration) vs ranking
+# power (resolution) vs irreducible base-rate noise (uncertainty):
+# brier = REL - RES + UNC over the same score deciles.
+# --------------------------------------------------------------------------
+@query(
+    "q_brier_decomposition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), scored AS (
+      SELECT CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS score,
+             CASE WHEN len(w) >= 40 AND list_contains(w, 'the')
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM t
+    ), b AS (
+      SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(score) AS p_bar,
+             avg(y) AS y_bar,
+             sum((score - y) * (score - y)) AS sq
+      FROM scored GROUP BY 1
+    ), g AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             sum(y_bar * n) / sum(n) AS y_all,
+             sum(sq) / sum(n) AS brier,
+             sum(n * (p_bar - y_bar) * (p_bar - y_bar)) / sum(n) AS rel
+      FROM b
+    )
+    SELECT nn AS n_docs,
+           round(brier, 6) AS brier,
+           round(rel, 6) AS reliability,
+           round((SELECT sum(n * (y_bar - g.y_all) * (y_bar - g.y_all))
+                  FROM b) / nn, 6) AS resolution,
+           round(y_all * (1 - y_all), 6) AS uncertainty,
+           round(rel
+                 - (SELECT sum(n * (y_bar - g.y_all) * (y_bar - g.y_all))
+                    FROM b) / nn
+                 + y_all * (1 - y_all), 6) AS decomposed_brier
+    FROM g
+    """,
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the lexical-diversity quality score against the
+    document label, decomposed over score deciles into reliability
+    (miscalibration), resolution (ranking power), and uncertainty
+    (base-rate noise); decomposed_brier = REL - RES + UNC checks the
+    Murphy identity up to within-bin score variance.
+
+    Scale: one corpus pass collapses to 10 (n, mean-score,
+    positive-rate, squared-error) rows via a keyed agg with map-side
+    combine; the decomposition is arithmetic on that bounded table
+    plus one grand mean."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    scored = docs.select(
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias(
+            "score"
+        ),
+        F.when(
+            (F.size(w) >= 40) & F.array_contains(w, "the"), 1.0
+        )
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    b = (
+        scored.groupBy(
+            F.least(F.floor(F.col("score") * 10), F.lit(9))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.avg("score").alias("p_bar"),
+            F.avg("y").alias("y_bar"),
+            F.sum(
+                (F.col("score") - F.col("y")) * (F.col("score") - F.col("y"))
+            ).alias("sq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    g = b.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        (F.sum(F.col("y_bar") * F.col("n")) / F.sum("n")).alias("y_all"),
+        (F.sum("sq") / F.sum("n")).alias("brier"),
+        (
+            F.sum(
+                F.col("n")
+                * (F.col("p_bar") - F.col("y_bar"))
+                * (F.col("p_bar") - F.col("y_bar"))
+            )
+            / F.sum("n")
+        ).alias("rel"),
+    )
+    res = (
+        b.crossJoin(F.broadcast(g.select("y_all")))
+        .agg(
+            F.sum(
+                F.col("n")
+                * (F.col("y_bar") - F.col("y_all"))
+                * (F.col("y_bar") - F.col("y_all"))
+            ).alias("res_num")
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(res))
+        .select(
+            F.col("nn").alias("n_docs"),
+            rnd("brier", 6).alias("brier"),
+            rnd("rel", 6).alias("reliability"),
+            rnd(F.col("res_num") / F.col("nn"), 6).alias("resolution"),
+            rnd(F.col("y_all") * (1 - F.col("y_all")), 6).alias(
+                "uncertainty"
+            ),
+            rnd(
+                F.col("rel")
+                - F.col("res_num") / F.col("nn")
+                + F.col("y_all") * (1 - F.col("y_all")),
+                6,
+            ).alias("decomposed_brier"),
+        )
+    )

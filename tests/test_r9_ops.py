@@ -603,3 +603,28 @@ def test_attribution_window_counts_are_monotone(spark, sf_dir):
         assert a.attributed_revenue <= b.attributed_revenue + 1e-6
     for r in rows:
         assert 0.0 <= r.attributed_frac <= 1.0
+
+
+def test_event_study_reference_day_is_zeroed(spark, sf_dir):
+    rows = sorted(_run(spark, sf_dir, "q_did_event_study"),
+                  key=lambda r: r.rel_day)
+    days = [r.rel_day for r in rows]
+    assert -1 in days and 0 in days
+    ref = next(r for r in rows if r.rel_day == -1)
+    assert ref.event_study_coef == 0.0  # normalized to day -1
+    for r in rows:
+        assert r.post == (r.rel_day >= 0)
+        assert abs((r.gap - ref.gap) - r.event_study_coef) < 2e-4
+
+
+def test_brier_murphy_identity_within_binning_slack(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_brier_decomposition")
+    assert 0.0 <= r.brier <= 1.0
+    assert r.reliability >= 0 and r.resolution >= 0
+    assert 0.0 <= r.uncertainty <= 0.25 + 1e-9
+    # The 3-term Murphy identity holds only up to the within-bin
+    # score variance AND covariance terms the decile binning
+    # introduces (generalized decomposition); both are O(bin width).
+    assert abs(r.brier - r.decomposed_brier) <= 0.02
+    # Resolution can't exceed uncertainty.
+    assert r.resolution <= r.uncertainty + 1e-9
