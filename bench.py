@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "q_attribution_window_sensitivity",
     "q_did_event_study",
     "q_brier_decomposition",
+    "q_audio_features_stub",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -648,3 +648,141 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_dup_cnt", "near_dup_cnt",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio feature extraction (r9). The audio tier of the multimodal
+# surface: frame-level RMS energy and zero-crossing rate over PCM
+# samples, computed in an Arrow-batched mapInPandas pass (numpy per
+# batch — the real production shape for a decoded-audio column).
+# DECODE IS A DETERMINISTIC FAKE: no audio codec ships in this
+# container, so the "decoder" synthesizes 8-bit-style PCM from the
+# document's byte stream (sample_i = byte_i - 96, roughly centering
+# lowercase text); the Spark-side plumbing — binary-ish column in,
+# Arrow batches, frame loop, schema out — is real and tested. Frame
+# features are exact integers (sum of squares, sign-change count), so
+# the DuckDB oracle reproduces them bit-for-bit from ord() codes.
+# ---------------------------------------------------------------------------
+AUDIO_FRAME = 64
+
+
+def audio_feature_batches(frame: int = AUDIO_FRAME):
+    """mapInPandas kernel: text bytes -> fake PCM -> per-frame
+    (energy_sq BIGINT, zero_crossings BIGINT), full frames only."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_frame, out_sq, out_zc = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                pcm = (
+                    np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+                    .astype(np.int64)
+                    - 96
+                )
+                n_frames = len(pcm) // frame
+                for k in range(n_frames):
+                    fr = pcm[k * frame : (k + 1) * frame]
+                    out_doc.append(doc_id)
+                    out_frame.append(k)
+                    out_sq.append(int((fr * fr).sum()))
+                    nz = fr[fr != 0]
+                    out_zc.append(
+                        int((np.sign(nz[1:]) != np.sign(nz[:-1])).sum())
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame": pd.Series(out_frame, dtype="int64"),
+                    "energy_sq": pd.Series(out_sq, dtype="int64"),
+                    "zero_crossings": pd.Series(out_zc, dtype="int64"),
+                }
+            )
+
+    return gen
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame", LongType()),
+        StructField("energy_sq", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+@query(
+    "q_audio_features_stub",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, i, length(text) AS n,
+             ord(substr(lower(text), CAST(i AS INT), 1)) - 96 AS s
+      FROM documents, unnest(range(1, length(text) + 1)) t(i)
+    ), framed AS (
+      SELECT doc_id, i, s,
+             CAST((i - 1) // {AUDIO_FRAME} AS BIGINT) AS frame
+      FROM chars
+      WHERE (i - 1) // {AUDIO_FRAME} < n // {AUDIO_FRAME}
+    ), signed AS (
+      SELECT doc_id, frame, s, sign(s) AS sgn,
+             lag(CASE WHEN sign(s) <> 0 THEN sign(s) END IGNORE NULLS)
+               OVER (PARTITION BY doc_id, frame ORDER BY i) AS prev_sgn
+      FROM framed
+    ), frames AS (
+      SELECT doc_id, frame,
+             CAST(sum(s * s) AS BIGINT) AS energy_sq,
+             CAST(count(CASE WHEN sgn <> 0 AND prev_sgn IS NOT NULL
+                             AND sgn <> prev_sgn THEN 1 END) AS BIGINT)
+               AS zero_crossings
+      FROM signed GROUP BY doc_id, frame
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(energy_sq) AS BIGINT) AS total_energy_sq,
+           CAST(sum(zero_crossings) AS BIGINT) AS total_zero_crossings,
+           round(sqrt(CAST(max(CASE WHEN frame = 0 THEN energy_sq END)
+                           AS DOUBLE) / {AUDIO_FRAME}), 4)
+             AS first_frame_rms
+    FROM frames GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_audio_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document audio feature rollup over the deterministic fake
+    PCM stream: frame count, total in-frame energy (sum of squares),
+    total zero crossings (sign changes between consecutive nonzero
+    samples), and the first frame's RMS. The decode step is a
+    clearly-marked synthetic stand-in (no audio codec in this
+    container); the Arrow-batched mapInPandas frame loop, its typed
+    output schema, and the per-frame feature math are the real
+    production path.
+
+    Scale: mapInPandas streams Arrow batches (no per-row Python
+    overhead beyond the frame loop); frame features are exact
+    BIGINTs so the rollup's keyed agg carries no float state, and
+    the doc-keyed shuffle is the only exchange."""
+    docs = widen(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    frames = docs.mapInPandas(audio_feature_batches(), _AUDIO_SCHEMA)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.sum("energy_sq").cast("bigint").alias("total_energy_sq"),
+            F.sum("zero_crossings")
+            .cast("bigint")
+            .alias("total_zero_crossings"),
+            F.round(
+                F.sqrt(
+                    F.max(
+                        F.when(F.col("frame") == 0, F.col("energy_sq"))
+                    ).cast("double")
+                    / AUDIO_FRAME
+                )
+                + F.lit(1e-9),
+                4,
+            ).alias("first_frame_rms"),
+        )
+        .orderBy("doc_id")
+    )

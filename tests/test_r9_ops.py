@@ -628,3 +628,30 @@ def test_brier_murphy_identity_within_binning_slack(spark, sf_dir):
     assert abs(r.brier - r.decomposed_brier) <= 0.02
     # Resolution can't exceed uncertainty.
     assert r.resolution <= r.uncertainty + 1e-9
+
+
+def test_audio_features_frames_and_energy_conserve(spark, sf_dir):
+    from sparrow_spark.sources import load_table
+
+    rows = _run(spark, sf_dir, "q_audio_features_stub")
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    by_id = {r.doc_id: r for r in rows}
+    assert set(by_id) <= set(docs)
+    import math
+
+    for doc_id, r in list(by_id.items())[:25]:
+        text = docs[doc_id].lower()
+        assert r.n_frames == len(text) // 64
+        pcm = [b - 96 for b in text.encode("utf-8")][: r.n_frames * 64]
+        assert r.total_energy_sq == sum(v * v for v in pcm)
+        first = pcm[:64]
+        assert abs(
+            r.first_frame_rms
+            - round(math.sqrt(sum(v * v for v in first) / 64 + 1e-9), 4)
+        ) < 2e-4
+        assert 0 <= r.total_zero_crossings < len(pcm)
