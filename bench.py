@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "q_did_event_study",
     "q_brier_decomposition",
     "q_audio_features_stub",
+    "q_knapsack_frontier",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -2770,3 +2770,139 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decomposed_brier"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 0/1 knapsack curation frontier (r9). Greedy quality fill
+# (q_budget_allocation) and water-filling (q_water_filling) are
+# heuristics; the OPTIMAL take-whole-sources-under-a-token-budget
+# answer is the 0/1 knapsack, and with ~20 sources and a coarse
+# 24-cell budget grid the exact DP is tiny. The DP table is a
+# BIGINT array folded item-by-item (Spark F.aggregate with an
+# array accumulator; DuckDB a recursive CTE carrying a LIST column,
+# the q_holt_winters pattern — single-type LIST accumulators are
+# safe, multi-field STRUCTs are not). Everything is exact integer
+# arithmetic: weights are ceil-scaled into grid units identically on
+# both engines.
+# --------------------------------------------------------------------------
+_KNAP_CELLS = 24
+
+
+@query(
+    "q_knapsack_frontier",
+    oracle=f"""
+    WITH RECURSIVE src AS (
+      SELECT source,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS tokens,
+             CAST(sum(CASE WHEN len(string_split(lower(text), ' ')) >= 90
+                           THEN 1 ELSE 0 END) AS BIGINT) AS good_docs
+      FROM documents GROUP BY source
+    ), budget AS (
+      SELECT CAST(sum(tokens) * 6 // 10 AS BIGINT) AS b,
+             CAST((sum(tokens) * 6 // 10 + {_KNAP_CELLS} - 1)
+                  // {_KNAP_CELLS} AS BIGINT) AS unit
+      FROM src
+    ), items AS (
+      SELECT row_number() OVER (ORDER BY s.source) AS rn,
+             CAST((s.tokens + b.unit - 1) // b.unit AS BIGINT) AS wu,
+             s.good_docs AS v
+      FROM src s CROSS JOIN budget b
+    ), dp(rn, best) AS (
+      SELECT CAST(0 AS BIGINT),
+             [CAST(0 AS BIGINT) for g in range({_KNAP_CELLS} + 1)]
+      UNION ALL
+      SELECT i.rn,
+             [greatest(d.best[g + 1],
+                       CASE WHEN g >= i.wu
+                            THEN d.best[g - i.wu + 1] + i.v
+                            ELSE CAST(0 AS BIGINT) END)
+              for g in range({_KNAP_CELLS} + 1)]
+      FROM dp d JOIN items i ON i.rn = d.rn + 1
+    ), last AS (
+      SELECT best FROM dp WHERE rn = (SELECT max(rn) FROM dp)
+    )
+    SELECT CAST(g AS BIGINT) AS budget_units,
+           CAST(g * b.unit AS BIGINT) AS budget_tokens,
+           CAST(l.best[CAST(g AS INT) + 1] AS BIGINT) AS best_good_docs
+    FROM last l CROSS JOIN budget b,
+         unnest(range({_KNAP_CELLS} + 1)) t(g)
+    ORDER BY budget_units
+    """,
+)
+def q_knapsack_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 0/1 knapsack frontier for whole-source curation: take
+    whole sources to maximize good documents (>= 90 words) under a
+    token budget, reported as the optimal value at every
+    budget-grid cell (unit = ceil(60%-budget / 24)) — the optimality
+    reference the greedy and water-filling allocators are judged
+    against.
+
+    Scale: sources collapse to one (tokens, good_docs) row each; the
+    DP folds the 20-item list over a 25-cell BIGINT array — driver-
+    trivial state, one corpus pass, everything exact integers so the
+    engines agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    nw = F.size(F.split(F.lower(F.col("text")), " "))
+    src = docs.groupBy("source").agg(
+        F.sum(nw).cast("bigint").alias("tokens"),
+        F.sum(F.when(nw >= 90, 1).otherwise(0))
+        .cast("bigint")
+        .alias("good_docs"),
+    )
+    budget = src.agg(
+        F.floor(F.sum("tokens") * 6 / 10).cast("bigint").alias("b")
+    ).select(
+        "b",
+        F.floor(
+            (F.col("b") + _KNAP_CELLS - 1) / _KNAP_CELLS
+        ).cast("bigint").alias("unit"),
+    )
+    items = (
+        src.crossJoin(F.broadcast(budget))
+        .select(
+            "source",
+            F.floor(
+                (F.col("tokens") + F.col("unit") - 1) / F.col("unit")
+            ).cast("bigint").alias("wu"),
+            F.col("good_docs").alias("v"),
+        )
+    )
+    G = _KNAP_CELLS
+    folded = items.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "wu", "v"))),
+            F.array_repeat(F.lit(0).cast("bigint"), G + 1),
+            lambda best, it: F.transform(
+                F.sequence(F.lit(0), F.lit(G)),
+                lambda g: F.greatest(
+                    F.element_at(best, g.cast("int") + 1),
+                    F.when(
+                        g >= it["wu"],
+                        F.element_at(
+                            best, (g - it["wu"]).cast("int") + 1
+                        )
+                        + it["v"],
+                    ).otherwise(F.lit(0).cast("bigint")),
+                ),
+            ),
+        ).alias("best")
+    )
+    return (
+        folded.crossJoin(F.broadcast(budget))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(G))).alias("g"),
+            "best",
+            "unit",
+        )
+        .select(
+            F.col("g").cast("bigint").alias("budget_units"),
+            (F.col("g") * F.col("unit")).cast("bigint").alias(
+                "budget_tokens"
+            ),
+            F.element_at("best", F.col("g").cast("int") + 1)
+            .cast("bigint")
+            .alias("best_good_docs"),
+        )
+        .orderBy("budget_units")
+    )

@@ -655,3 +655,35 @@ def test_audio_features_frames_and_energy_conserve(spark, sf_dir):
             - round(math.sqrt(sum(v * v for v in first) / 64 + 1e-9), 4)
         ) < 2e-4
         assert 0 <= r.total_zero_crossings < len(pcm)
+
+
+def test_knapsack_frontier_is_monotone_and_dominates_greedy(spark, sf_dir):
+    from pyspark.sql import functions as SF
+    from sparrow_spark.sources import load_table
+
+    rows = sorted(_run(spark, sf_dir, "q_knapsack_frontier"),
+                  key=lambda r: r.budget_units)
+    assert [r.budget_units for r in rows] == list(range(25))
+    vals = [r.best_good_docs for r in rows]
+    assert vals == sorted(vals)  # more budget never hurts
+    assert vals[0] == 0
+    # At full budget the DP must match (or beat) a brute-force greedy
+    # density fill computed here driver-side over the 20 sources.
+    docs = load_table(spark, sf_dir, "documents")
+    nw = SF.size(SF.split(SF.lower(SF.col("text")), " "))
+    src = docs.groupBy("source").agg(
+        SF.sum(nw).alias("tokens"),
+        SF.sum(SF.when(nw >= 90, 1).otherwise(0)).alias("v"),
+    ).collect()
+    total = sum(r.tokens for r in src)
+    budget = total * 6 // 10
+    unit = -(-budget // 24)
+    items = sorted(
+        ((-(r.v / max(r.tokens, 1)), -(-r.tokens // unit), r.v) for r in src)
+    )
+    cap, greedy = 24, 0
+    for _, wu, v in items:
+        if wu <= cap:
+            cap -= wu
+            greedy += v
+    assert vals[-1] >= greedy
