@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "q_brier_decomposition",
     "q_audio_features_stub",
     "q_knapsack_frontier",
+    "q_energy_distance",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -3069,3 +3069,127 @@ def q_did_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rel_day")
     )
+
+
+# --------------------------------------------------------------------------
+# Energy-distance two-sample test (r9, Szekely & Rizzo). KS
+# (q_ks_test) compares ECDFs through their single largest gap;
+# the energy statistic E = 2 E|X-Y| - E|X-X'| - E|Y-Y'| weighs the
+# WHOLE distance distribution and generalizes to vectors — the
+# modern default for distribution drift. Weekday vs weekend daily
+# revenue: the series collapses to days first, so the three pairwise
+# means are day-count-bounded; each is a sorted fold over the
+# absolute differences so the floats are bit-stable.
+# --------------------------------------------------------------------------
+@query(
+    "q_energy_distance",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, CAST(sum(value) AS DOUBLE) AS x,
+             dayofweek(date_trunc('day', ts)) IN (0, 6) AS wknd
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), xy AS (
+      SELECT list_reduce(list_sort(list(abs(a.x - b.x))), (p, q) -> p + q)
+               / (count(*)) AS e_xy
+      FROM daily a JOIN daily b ON a.wknd AND NOT b.wknd
+    ), xx AS (
+      SELECT list_reduce(list_sort(list(abs(a.x - b.x))), (p, q) -> p + q)
+               / (count(*)) AS e_xx
+      FROM daily a JOIN daily b ON a.wknd AND b.wknd
+    ), yy AS (
+      SELECT list_reduce(list_sort(list(abs(a.x - b.x))), (p, q) -> p + q)
+               / (count(*)) AS e_yy
+      FROM daily a JOIN daily b ON NOT a.wknd AND NOT b.wknd
+    ), nn AS (
+      SELECT CAST(sum(CASE WHEN wknd THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN wknd THEN 0 ELSE 1 END) AS BIGINT) AS n2
+      FROM daily
+    )
+    SELECT nn.n1 AS n_weekend, nn.n2 AS n_weekday,
+           round(xy.e_xy, 4) AS mean_cross_dist,
+           round(xx.e_xx, 4) AS mean_within_weekend,
+           round(yy.e_yy, 4) AS mean_within_weekday,
+           round(2 * xy.e_xy - xx.e_xx - yy.e_yy, 4) AS energy_distance,
+           round((2 * xy.e_xy - xx.e_xx - yy.e_yy)
+                 * nn.n1 * nn.n2 / (nn.n1 + nn.n2), 4) AS e_statistic
+    FROM xy CROSS JOIN xx CROSS JOIN yy CROSS JOIN nn
+    """,
+)
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between weekend and weekday daily purchase
+    revenue: twice the mean cross-group distance minus both
+    within-group means — the V-statistic form (diagonal self-pairs
+    included), which is nonnegative by Szekely's inequality and zero
+    iff the distributions are equal — plus
+    the n1*n2/(n1+n2)-scaled E-statistic used for the permutation
+    test at scale.
+
+    Scale: the fact table collapses to one row per day; the three
+    pairwise stages are day-bounded theta joins whose distance sums
+    run as sorted folds — bit-stable and tiny regardless of event
+    volume."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum("value").cast("double").alias("x"))
+        .withColumn(
+            "wknd", (F.dayofweek("d") - 1).isin(0, 6)
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def pair_mean(cond, name):
+        a = daily.select(
+            F.col("d").alias("ad"), F.col("x").alias("ax"),
+            F.col("wknd").alias("aw"),
+        )
+        b = daily.select(
+            F.col("d").alias("bd"), F.col("x").alias("bx"),
+            F.col("wknd").alias("bw"),
+        )
+        return (
+            a.join(b, cond)
+            .agg(
+                (
+                    F.aggregate(
+                        F.array_sort(
+                            F.collect_list(F.abs(F.col("ax") - F.col("bx")))
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    / F.count(F.lit(1))
+                ).alias(name)
+            )
+        )
+
+    xy = pair_mean(F.col("aw") & ~F.col("bw"), "e_xy")
+    xx = pair_mean(F.col("aw") & F.col("bw"), "e_xx")
+    yy = pair_mean(~F.col("aw") & ~F.col("bw"), "e_yy")
+    nn = daily.agg(
+        F.sum(F.when(F.col("wknd"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("wknd"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    e = 2 * F.col("e_xy") - F.col("e_xx") - F.col("e_yy")
+    return (
+        xy.crossJoin(F.broadcast(xx))
+        .crossJoin(F.broadcast(yy))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n1").alias("n_weekend"),
+            F.col("n2").alias("n_weekday"),
+            rnd("e_xy", 4).alias("mean_cross_dist"),
+            rnd("e_xx", 4).alias("mean_within_weekend"),
+            rnd("e_yy", 4).alias("mean_within_weekday"),
+            rnd(e, 4).alias("energy_distance"),
+            rnd(
+                e * F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")),
+                4,
+            ).alias("e_statistic"),
+        )
+    )

@@ -687,3 +687,19 @@ def test_knapsack_frontier_is_monotone_and_dominates_greedy(spark, sf_dir):
             cap -= wu
             greedy += v
     assert vals[-1] >= greedy
+
+
+def test_energy_distance_nonnegative_and_decomposes(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_energy_distance")
+    assert r.n_weekend > 0 and r.n_weekday > 0
+    # E >= 0 with equality iff identical distributions (Szekely);
+    # all three component means are positive distances.
+    assert r.energy_distance >= -1e-9
+    for v in (r.mean_cross_dist, r.mean_within_weekend,
+              r.mean_within_weekday):
+        assert v > 0
+    expect = 2 * r.mean_cross_dist - r.mean_within_weekend \
+        - r.mean_within_weekday
+    assert abs(r.energy_distance - expect) < 2e-4
+    scale = r.n_weekend * r.n_weekday / (r.n_weekend + r.n_weekday)
+    assert abs(r.e_statistic - r.energy_distance * scale) < 0.05
