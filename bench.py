@@ -241,6 +241,9 @@ BENCH_QUERIES = [
     "q_audio_features_stub",
     "q_knapsack_frontier",
     "q_energy_distance",
+    "q_spearman_corr",
+    "q_cramer_von_mises",
+    "q_average_precision",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

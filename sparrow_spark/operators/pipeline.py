@@ -2906,3 +2906,134 @@ def q_knapsack_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("budget_units")
     )
+
+
+# ---------------------------------------------------------------------------
+# Average precision / PR-curve summary (r9). q_filter_eval_auc reports
+# ROC-AUC, which is insensitive to class imbalance; ranked corpus
+# filters are evaluated on the PRECISION-RECALL side, where average
+# precision (the area under the PR curve, computed as the mean of
+# precision@rank over the positive ranks) is the standard single
+# number. AP has a pure rank-algebra form: with documents ranked by
+# (score DESC, doc_id) and positives ranked among themselves in the
+# same order, precision at the k-th positive is pos_rank/global_rank —
+# so AP = mean(pos_rank_i / rank_i) over positives.
+# ---------------------------------------------------------------------------
+@query(
+    "q_average_precision",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS score,
+             (len(w) >= 40 AND list_contains(w, 'the')) AS label
+      FROM t
+    ), ranked AS (
+      SELECT doc_id, label,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM scored
+    ), pos AS (
+      SELECT rn, row_number() OVER (ORDER BY rn) AS pr
+      FROM ranked WHERE label
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pos,
+             list_reduce(list_sort(list(CAST(pr AS DOUBLE) / rn)),
+                         (a, b) -> a + b) AS s
+      FROM pos
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM ranked
+    ), rp AS (
+      SELECT CAST(count(*) AS BIGINT) AS hits_at_npos
+      FROM pos, agg WHERE pos.rn <= agg.n_pos
+    ), p50 AS (
+      SELECT CAST(count(*) AS BIGINT) AS hits_at_50
+      FROM pos WHERE rn <= 50
+    )
+    SELECT n, n_pos,
+           round(s / n_pos, 6) AS average_precision,
+           round(hits_at_npos / CAST(n_pos AS DOUBLE), 6) AS r_precision,
+           round(hits_at_50 / 50.0, 6) AS p_at_50
+    FROM agg, tot, rp, p50
+    """,
+)
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision of the distinct-word-ratio quality signal
+    against the length + stop-word reference label (the same
+    score/label pair as q_filter_eval_auc, so AUC and AP read off the
+    same ranking), plus R-precision (precision at rank n_pos) and
+    precision@50.
+
+    Cross-engine exactness: both rank families are row_numbers over
+    the (score DESC, doc_id) total order; each precision@positive is
+    an exact integer ratio, and the AP sum is a sorted fold so the
+    float total is bit-identical regardless of partitioning.
+
+    Scale: ranks come from global_sort_ranks (range-partition +
+    per-partition row_number + broadcast offsets — no single-task
+    window) applied twice, full table then positives; the AP fold
+    collects one float per POSITIVE onto the final row, fine at any
+    test-set size a human labelled — for corpus-wide labels, bucket
+    by score quantile and fold per-bucket partial sums instead."""
+    from sparrow_spark.operators.dedup import global_sort_ranks
+
+    scored = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.split(F.lower("text"), " ").alias("w")
+        )
+        .select(
+            "doc_id",
+            (
+                F.size(F.array_distinct("w")).cast("double")
+                / F.size("w")
+            ).alias("score"),
+            (
+                (F.size("w") >= 40)
+                & F.array_contains("w", "the")
+            ).alias("label"),
+        )
+        .withColumn("neg_score", -F.col("score"))
+    )
+    # The five downstream branches (pos/agg/tot/rp/p50) would each
+    # re-derive the tokenize+rank pipeline; freeze the rank table once
+    # (three narrow columns, eval-set-sized) so the scan runs once.
+    ranked = global_sort_ranks(scored, ["neg_score", "doc_id"]).select(
+        "doc_id", "label", "rn"
+    ).localCheckpoint(eager=True)
+    pos = global_sort_ranks(
+        ranked.filter("label").select(F.col("rn").alias("grn")), ["grn"]
+    ).withColumnRenamed("rn", "pr").localCheckpoint(eager=True)
+    agg = pos.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pos"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.col("pr").cast("double") / F.col("grn"))
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("s"),
+    )
+    tot = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rp = (
+        pos.crossJoin(F.broadcast(agg.select("n_pos")))
+        .filter(F.col("grn") <= F.col("n_pos"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits_at_npos"))
+    )
+    p50 = pos.filter(F.col("grn") <= 50).agg(
+        F.count(F.lit(1)).cast("bigint").alias("hits_at_50")
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(rp))
+        .crossJoin(F.broadcast(p50))
+        .select(
+            "n",
+            "n_pos",
+            rnd(F.col("s") / F.col("n_pos"), 6).alias("average_precision"),
+            rnd(
+                F.col("hits_at_npos") / F.col("n_pos").cast("double"), 6
+            ).alias("r_precision"),
+            rnd(F.col("hits_at_50") / 50.0, 6).alias("p_at_50"),
+        )
+    )

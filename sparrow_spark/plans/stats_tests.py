@@ -3193,3 +3193,171 @@ def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e_statistic"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation (r9). q_corr_matrix measures LINEAR
+# association; Spearman is Pearson on midranks — monotone association
+# robust to outliers and nonlinearity, the standard companion number
+# in any metric-drift report. Daily order count vs daily revenue: the
+# fact table collapses to one row per day first, so the rank windows
+# run over a calendar-bounded table (the documented day-table escape),
+# and midranks are averages of consecutive integers — half-integers,
+# exact in double at any merge order.
+# --------------------------------------------------------------------------
+@query(
+    "q_spearman_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(count(*) AS DOUBLE) AS n_ord,
+             CAST(sum(o_totalprice) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ), rx AS (
+      SELECT d, n_ord, rev,
+             avg(rn) OVER (PARTITION BY n_ord) AS r_x
+      FROM (SELECT *, CAST(row_number() OVER (ORDER BY n_ord, d)
+                           AS DOUBLE) AS rn FROM daily)
+    ), rxy AS (
+      SELECT d, n_ord, rev, r_x,
+             avg(rn) OVER (PARTITION BY rev) AS r_y
+      FROM (SELECT *, CAST(row_number() OVER (ORDER BY rev, d)
+                           AS DOUBLE) AS rn FROM rx)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(r_x, r_y), 6) AS spearman_rho,
+           round(corr(n_ord, rev), 6) AS pearson_r
+    FROM rxy
+    """,
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily order count and daily
+    revenue, with the Pearson coefficient alongside for the
+    linear-vs-monotone contrast. Midranks are tie-averaged
+    (avg of row_number within each tied value group), so tied counts
+    get identical ranks in both engines.
+
+    Scale: the fact table collapses to one row per day before any
+    window; the rank windows order a calendar-bounded table (the
+    documented day-table escape — at 100 TB this table is still
+    #days rows). Midranks are half-integers (exact in double), and
+    corr() is the same sample Pearson on both engines."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_ord"),
+            F.sum("o_totalprice").cast("double").alias("rev"),
+        )
+    )
+    rw = Window.orderBy("n_ord", "d")
+    daily = daily.withColumn(
+        "r_x",
+        F.avg(F.row_number().over(rw).cast("double")).over(
+            Window.partitionBy("n_ord")
+        ),
+    )
+    rw2 = Window.orderBy("rev", "d")
+    daily = daily.withColumn(
+        "r_y",
+        F.avg(F.row_number().over(rw2).cast("double")).over(
+            Window.partitionBy("rev")
+        ),
+    )
+    return daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        rnd(F.corr("r_x", "r_y"), 6).alias("spearman_rho"),
+        rnd(F.corr("n_ord", "rev"), 6).alias("pearson_r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cramer-von Mises two-sample test (r9, Anderson's rank form). KS
+# reads the ECDF gap at ONE point and the energy statistic weighs raw
+# distances; CvM integrates the SQUARED ECDF gap over the whole
+# support — more power against spread/shape differences than KS while
+# staying rank-only. U = n*sum((r_i - i)^2) + m*sum((s_j - j)^2) over
+# combined vs within-sample ranks is pure BIGINT algebra — exact at
+# any partitioning.
+# --------------------------------------------------------------------------
+@query(
+    "q_cramer_von_mises",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, CAST(sum(value) AS DOUBLE) AS x,
+             dayofweek(date_trunc('day', ts)) IN (0, 6) AS wknd
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), ranked AS (
+      SELECT wknd,
+             row_number() OVER (ORDER BY x, d) AS rn,
+             row_number() OVER (PARTITION BY wknd ORDER BY x, d) AS i
+      FROM daily
+    ), grp AS (
+      SELECT wknd, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum((rn - i) * (rn - i)) AS BIGINT) AS ss
+      FROM ranked GROUP BY wknd
+    ), nn AS (
+      SELECT max(CASE WHEN wknd THEN cnt END) AS n1,
+             max(CASE WHEN NOT wknd THEN cnt END) AS n2,
+             max(CASE WHEN wknd THEN ss END) AS sx,
+             max(CASE WHEN NOT wknd THEN ss END) AS sy
+      FROM grp
+    )
+    SELECT n1 AS n_weekend, n2 AS n_weekday,
+           CAST(n1 * sx + n2 * sy AS BIGINT) AS u_stat,
+           round(CAST(n1 * sx + n2 * sy AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * n2 * (n1 + n2))
+                 - (4.0 * n1 * n2 - 1) / (6.0 * (n1 + n2)), 6) AS t_stat
+    FROM nn
+    """,
+)
+def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramer-von Mises criterion on weekend vs weekday
+    daily purchase revenue, in Anderson's rank formulation:
+    U = n*sum((r_i - i)^2) + m*sum((s_j - j)^2) with r/s the combined
+    ranks and i/j the within-sample ranks, then
+    T = U/(n*m*N) - (4nm - 1)/(6N). Under H0, T has mean 1/6.
+
+    Cross-engine exactness: both rank families are row_numbers over
+    the (x, d) total order, U is BIGINT arithmetic, and only the
+    final T does float division.
+
+    Scale: one row per day before any window — the rank windows order
+    a calendar-bounded table (documented day-table escape)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum("value").cast("double").alias("x"))
+        .withColumn("wknd", (F.dayofweek("d") - 1).isin(0, 6))
+    )
+    ranked = daily.select(
+        "wknd",
+        F.row_number().over(Window.orderBy("x", "d")).alias("rn"),
+        F.row_number()
+        .over(Window.partitionBy("wknd").orderBy("x", "d"))
+        .alias("i"),
+    )
+    grp = ranked.groupBy("wknd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum((F.col("rn") - F.col("i")) * (F.col("rn") - F.col("i")))
+        .cast("bigint")
+        .alias("ss"),
+    )
+    nn = grp.agg(
+        F.max(F.when(F.col("wknd"), F.col("cnt"))).alias("n1"),
+        F.max(F.when(~F.col("wknd"), F.col("cnt"))).alias("n2"),
+        F.max(F.when(F.col("wknd"), F.col("ss"))).alias("sx"),
+        F.max(F.when(~F.col("wknd"), F.col("ss"))).alias("sy"),
+    )
+    u = F.col("n1") * F.col("sx") + F.col("n2") * F.col("sy")
+    n1d = F.col("n1").cast("double")
+    t = u / (n1d * F.col("n2") * (F.col("n1") + F.col("n2"))) - (
+        4.0 * F.col("n1") * F.col("n2") - 1
+    ) / (6.0 * (F.col("n1") + F.col("n2")))
+    return nn.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        u.cast("bigint").alias("u_stat"),
+        rnd(t, 6).alias("t_stat"),
+    )

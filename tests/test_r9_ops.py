@@ -703,3 +703,44 @@ def test_energy_distance_nonnegative_and_decomposes(spark, sf_dir):
     assert abs(r.energy_distance - expect) < 2e-4
     scale = r.n_weekend * r.n_weekday / (r.n_weekend + r.n_weekday)
     assert abs(r.e_statistic - r.energy_distance * scale) < 0.05
+
+
+def test_spearman_in_range_and_sensible_vs_pearson(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_spearman_corr")
+    assert r.n_days > 10
+    assert -1.0 <= r.spearman_rho <= 1.0
+    assert -1.0 <= r.pearson_r <= 1.0
+    # Daily order count and daily revenue are strongly monotone-linked
+    # (revenue is a sum of per-order prices), so both should be
+    # decisively positive and broadly agree.
+    assert r.spearman_rho > 0.5
+    assert r.pearson_r > 0.5
+
+
+def test_cramer_von_mises_rank_identities(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_cramer_von_mises")
+    n, m = r.n_weekend, r.n_weekday
+    assert n > 0 and m > 0
+    # U is a sum of squared rank displacements — nonnegative and
+    # bounded by its theoretical maximum (all of one sample above the
+    # other): U <= n*m*(n+m) covers it loosely via T's range.
+    assert r.u_stat >= 0
+    # T >= the exact two-sample minimum 1/(6N) - 1/(4nm) ... use the
+    # loose lower bound that T can't sink below -(4nm-1)/(6N).
+    N = n + m
+    assert r.t_stat >= -(4.0 * n * m - 1) / (6.0 * N) - 1e-9
+
+
+def test_average_precision_bounds_and_consistency(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_average_precision")
+    assert 0 < r.n_pos < r.n
+    for v in (r.average_precision, r.r_precision, r.p_at_50):
+        assert 0.0 <= v <= 1.0
+    # AP is bounded below by random-ranking expectation only in
+    # aggregate, but R-precision can never exceed 1 and hits@50 can
+    # never exceed min(50, n_pos)/50.
+    assert r.p_at_50 <= min(50, r.n_pos) / 50.0 + 1e-9
+    # The first positive contributes pr/rn <= 1, every later one < 1:
+    # AP <= 1 strictly when any negative outranks a positive.
+    if r.r_precision < 1.0:
+        assert r.average_precision < 1.0
