@@ -244,6 +244,9 @@ BENCH_QUERIES = [
     "q_spearman_corr",
     "q_cramer_von_mises",
     "q_average_precision",
+    "q_price_index",
+    "q_newsvendor_quantile",
+    "q_lorenz_curve",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

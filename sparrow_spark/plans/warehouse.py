@@ -1736,3 +1736,226 @@ def q_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state_at_purchase")
     )
+
+
+# ---------------------------------------------------------------------------
+# Price-index decomposition (r9). The revenue bridge (q_revenue_bridge)
+# splits revenue change into price/volume/mix; index-number theory
+# summarizes the PRICE side alone: Laspeyres (base-quantity weights),
+# Paasche (current-quantity weights), and Fisher (their geometric
+# mean — the superlative index national statistics use). Monthly
+# part-level prices vs the first month on record.
+# ---------------------------------------------------------------------------
+@query(
+    "q_price_index",
+    oracle="""
+    WITH pm AS (
+      SELECT date_trunc('month', l_shipdate) AS m, l_partkey,
+             CAST(sum(l_quantity) AS DOUBLE) AS q,
+             sum(l_extendedprice) / sum(l_quantity) AS p
+      FROM lineitem GROUP BY 1, 2
+    ), base AS (
+      SELECT l_partkey, q AS q0, p AS p0
+      FROM pm WHERE m = (SELECT min(m) FROM pm)
+    ), joined AS (
+      SELECT pm.m, pm.q, pm.p, base.q0, base.p0
+      FROM pm JOIN base USING (l_partkey)
+      WHERE pm.m > (SELECT min(m) FROM pm)
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(p * q0) / sum(p0 * q0), 6) AS laspeyres,
+           round(sum(p * q) / sum(p0 * q), 6) AS paasche,
+           round(sqrt((sum(p * q0) / sum(p0 * q0))
+                      * (sum(p * q) / sum(p0 * q))), 6) AS fisher
+    FROM joined GROUP BY m ORDER BY month
+    """,
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly Laspeyres, Paasche, and Fisher price indices of the
+    part catalog against the first shipping month: part-month unit
+    prices are quantity-weighted (sum(extendedprice)/sum(quantity)),
+    the base basket is the first month's parts, and each index
+    aggregates only parts present in both months.
+
+    Scale: the fact table collapses to (month x part) in one keyed
+    agg; the base basket is one month of that (part-dimension-sized,
+    broadcast), and the index sums are month-keyed aggs over the
+    joined table — no window, no global sort."""
+    pm = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").alias("m"), "l_partkey"
+        )
+        .agg(
+            F.sum("l_quantity").cast("double").alias("q"),
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    m0 = pm.agg(F.min("m").alias("m0"))
+    base = (
+        pm.join(F.broadcast(m0), pm["m"] == m0["m0"])
+        .select(
+            "l_partkey", F.col("q").alias("q0"), F.col("p").alias("p0")
+        )
+    )
+    joined = (
+        pm.crossJoin(F.broadcast(m0))
+        .filter(F.col("m") > F.col("m0"))
+        .join(base, "l_partkey")
+    )
+    lasp = F.sum(F.col("p") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0"))
+    paas = F.sum(F.col("p") * F.col("q")) / F.sum(F.col("p0") * F.col("q"))
+    return (
+        joined.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            rnd(lasp, 6).alias("laspeyres"),
+            rnd(paas, 6).alias("paasche"),
+            rnd(F.sqrt(lasp * paas), 6).alias("fisher"),
+        )
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            "n_parts",
+            "laspeyres",
+            "paasche",
+            "fisher",
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Newsvendor stocking quantiles (r9). The classic single-period
+# inventory result: with underage cost cu and overage cost co, the
+# optimal stock is the cu/(cu+co) quantile of the demand
+# distribution — NOT the mean. Per-brand daily demand with a 9:1
+# cost ratio (service level 0.9) vs the median-stocking baseline.
+# ---------------------------------------------------------------------------
+@query(
+    "q_newsvendor_quantile",
+    oracle="""
+    WITH daily AS (
+      SELECT p.p_brand AS brand, date_trunc('day', l.l_shipdate) AS d,
+             CAST(sum(l.l_quantity) AS DOUBLE) AS demand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT brand, CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(demand), 4) AS mean_demand,
+           round(quantile_cont(demand, 0.5), 4) AS stock_p50,
+           round(quantile_cont(demand, 0.9), 4) AS stock_p90,
+           round(quantile_cont(demand, 0.9) - avg(demand), 4)
+             AS safety_stock
+    FROM daily GROUP BY brand ORDER BY brand
+    """,
+)
+def q_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking levels per part brand: the critical
+    fractile cu/(cu+co) = 9/(9+1) = 0.9 of the daily demand
+    distribution (the profit-maximizing stock when lost sales cost
+    9x holding), the median for contrast, and the implied safety
+    stock over mean demand.
+
+    Cross-engine exactness: Spark percentile() and DuckDB
+    quantile_cont() share the same linear interpolation on DOUBLE.
+
+    Scale: demand collapses to (brand x day) in one keyed agg off
+    the part join (part dim broadcast); the quantile runs per brand
+    over day-count-bounded groups."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("day", "l_shipdate").alias("d"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("demand"))
+    )
+    return (
+        daily.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            rnd(F.avg("demand"), 4).alias("mean_demand"),
+            rnd(F.percentile("demand", F.lit(0.5)), 4).alias("stock_p50"),
+            rnd(F.percentile("demand", F.lit(0.9)), 4).alias("stock_p90"),
+            rnd(
+                F.percentile("demand", F.lit(0.9)) - F.avg("demand"), 4
+            ).alias("safety_stock"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve deciles (r9). q_gini_revenue reports the single Gini
+# number; the Lorenz curve is the distribution behind it — cumulative
+# revenue share by customer decile, the standard concentration
+# exhibit ("the top 10% of customers carry X% of revenue").
+# ---------------------------------------------------------------------------
+@query(
+    "q_lorenz_curve",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_custkey
+    ), tiled AS (
+      SELECT rev, ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+      FROM cust
+    ), per AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             sum(rev) AS rev
+      FROM tiled GROUP BY decile
+    ), tot AS (
+      SELECT sum(rev) AS total FROM per
+    )
+    SELECT decile, n_customers,
+           round(rev / total, 6) AS rev_share,
+           round(sum(rev) OVER (ORDER BY decile) / total, 6)
+             AS cum_rev_share
+    FROM per, tot ORDER BY decile
+    """,
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue concentration: customers
+    ranked into revenue deciles (ntile over the (rev, custkey) total
+    order), each decile's revenue share, and the cumulative share —
+    the curve whose area deficit is the Gini coefficient
+    (q_gini_revenue).
+
+    Scale: one keyed agg to customer grain; ntile's global window is
+    the documented single-task escape for rank-based binning — at
+    100 TB replace with global_sort_ranks + explicit decile
+    arithmetic (the q_curriculum_buckets pattern); the decile table
+    itself is 10 rows."""
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    tiled = cust.select(
+        "rev",
+        F.ntile(10).over(Window.orderBy("rev", "o_custkey")).alias("decile"),
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev").alias("rev"),
+    )
+    tot = per.agg(F.sum("rev").alias("total"))
+    cw = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            rnd(F.col("rev") / F.col("total"), 6).alias("rev_share"),
+            rnd(F.sum("rev").over(cw) / F.col("total"), 6).alias(
+                "cum_rev_share"
+            ),
+        )
+        .orderBy("decile")
+    )

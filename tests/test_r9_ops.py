@@ -744,3 +744,41 @@ def test_average_precision_bounds_and_consistency(spark, sf_dir):
     # AP <= 1 strictly when any negative outranks a positive.
     if r.r_precision < 1.0:
         assert r.average_precision < 1.0
+
+
+def test_price_index_fisher_between_laspeyres_paasche(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_price_index")
+    assert len(rows) > 5
+    for r in rows:
+        assert r.n_parts > 0
+        lo, hi = sorted((r.laspeyres, r.paasche))
+        # Fisher is the geometric mean of the two: always between them.
+        assert lo - 1e-9 <= r.fisher <= hi + 1e-9
+        # Positivity is the only bound that holds at sf0.001, where a
+        # ~dozen-part basket lets single parts swing the index 10x.
+        assert r.laspeyres > 0 and r.paasche > 0
+
+
+def test_newsvendor_quantile_ordering(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_newsvendor_quantile")
+    assert len(rows) == 25  # one row per part brand
+    for r in rows:
+        # p50 <= p90 always; safety stock = p90 - mean by construction.
+        assert r.stock_p50 <= r.stock_p90 + 1e-9
+        assert abs(r.safety_stock - (r.stock_p90 - r.mean_demand)) < 2e-4
+        assert r.n_days > 0 and r.mean_demand > 0
+
+
+def test_lorenz_curve_monotone_and_sums(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_lorenz_curve")
+    assert [r.decile for r in rows] == list(range(1, 11))
+    cum = 0.0
+    prev_share = -1.0
+    for r in rows:
+        # Deciles are rev-ordered, so shares are nondecreasing and the
+        # cumulative share is the running sum of the per-decile shares.
+        assert r.rev_share >= prev_share - 1e-9
+        prev_share = r.rev_share
+        cum += r.rev_share
+        assert abs(r.cum_rev_share - cum) < 2e-6
+    assert abs(cum - 1.0) < 1e-6
