@@ -247,6 +247,9 @@ BENCH_QUERIES = [
     "q_price_index",
     "q_newsvendor_quantile",
     "q_lorenz_curve",
+    "q_jackknife_variance",
+    "q_qq_compare",
+    "q_silhouette_centroid",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -2450,3 +2450,114 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd("rel", 4).alias("rel"),
         rnd("mmr", 4).alias("mmr"),
     ).orderBy("query_id", "pick")
+
+
+# ---------------------------------------------------------------------------
+# Centroid-based simplified silhouette (r9). The cluster-quality
+# audit for the kmeans/semantic-dedup family: the classic silhouette
+# needs all pairwise distances (O(n^2)); the simplified silhouette
+# (Hruschka et al.) replaces mean member distance with distance to
+# the cluster CENTROID — O(n*k) and fully map-side after a k-row
+# broadcast, which is the only form that survives 100 TB.
+# ---------------------------------------------------------------------------
+@query(
+    "q_silhouette_centroid",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), comp AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS clabel, list(m ORDER BY pos) AS v
+      FROM (SELECT label, pos, avg(x) AS m FROM comp GROUP BY label, pos)
+      GROUP BY label
+    ), sims AS (
+      SELECT a.vec_id, a.label, b.clabel,
+             {_COS_SQL.replace('b.v', 'b.v')} AS cos
+      FROM e a JOIN cent b ON true
+    ), per AS (
+      SELECT vec_id, label,
+             1 - max(CASE WHEN clabel = label THEN cos END) AS da,
+             1 - max(CASE WHEN clabel <> label THEN cos END) AS db
+      FROM sims GROUP BY vec_id, label
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(CASE WHEN greatest(da, db) > 0
+                          THEN (db - da) / greatest(da, db)
+                          ELSE 0 END), 4) AS avg_silhouette,
+           round(avg(da), 4) AS avg_intra_dist,
+           round(avg(db), 4) AS avg_nearest_other_dist
+    FROM per GROUP BY label ORDER BY label
+    """,
+)
+def q_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette of the labeled embedding clusters in
+    cosine distance: per vector, a = distance to its OWN label
+    centroid, b = distance to the nearest OTHER centroid, and
+    s = (b - a)/max(a, b); reported per label with the intra and
+    nearest-other distances that explain the score. This is the
+    quality gate for the clustering family (q_kmeans_iterate,
+    q_semantic_dedup, q_cluster_balanced_sample): silhouette near 0
+    means the label partition does not separate in embedding space.
+
+    Cross-engine exactness: centroids are per-(label, position)
+    avgs, cosines share the ordered-fold dot product, and all
+    ratios round at 4 with the nudge.
+
+    Scale: centroid build = one (label, pos) keyed agg (k x dim
+    groups, map-side partial); the k-row centroid table collapses to
+    ONE broadcast row and scoring is a map-side transform over the
+    corpus — no shuffle touches the vectors, same discipline as
+    assign_to_centroids."""
+    vecs = _vecs(spark, sf_dir)
+    comp = vecs.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    )
+    seeds = cent.select(
+        F.struct(F.col("clabel"), F.col("cv")).alias("s")
+    ).agg(F.array_sort(F.collect_list("s")).alias("seeds"))
+    scored = F.transform(
+        F.col("seeds"),
+        lambda s: F.struct(
+            s["clabel"].alias("clabel"),
+            cosine(F.col("v"), s["cv"]).alias("cos"),
+        ),
+    )
+    own = F.lit(1.0) - F.array_max(
+        F.transform(
+            F.filter(scored, lambda s: s["clabel"] == F.col("label")),
+            lambda s: s["cos"],
+        )
+    )
+    other = F.lit(1.0) - F.array_max(
+        F.transform(
+            F.filter(scored, lambda s: s["clabel"] != F.col("label")),
+            lambda s: s["cos"],
+        )
+    )
+    per = vecs.crossJoin(F.broadcast(seeds)).select(
+        "label", own.alias("da"), other.alias("db")
+    )
+    g = F.greatest(F.col("da"), F.col("db"))
+    sil = F.when(g > 0, (F.col("db") - F.col("da")) / g).otherwise(0.0)
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            rnd(F.avg(sil), 4).alias("avg_silhouette"),
+            rnd(F.avg("da"), 4).alias("avg_intra_dist"),
+            rnd(F.avg("db"), 4).alias("avg_nearest_other_dist"),
+        )
+        .orderBy("label")
+    )

@@ -3361,3 +3361,181 @@ def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.cast("bigint").alias("u_stat"),
         rnd(t, 6).alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Delete-one-group jackknife (r9). The bootstrap CI (q_bootstrap_ci)
+# resamples rows; the grouped jackknife is the survey-statistics
+# variance estimator for RATIO statistics whose leave-one-out
+# replicates are pure algebra over per-group totals — no resampling
+# pass over the data at all. Reference semantics: Quenouille/Tukey
+# delete-a-group jackknife as used for stratified survey weights.
+# ---------------------------------------------------------------------------
+@query(
+    "q_jackknife_variance",
+    oracle="""
+    WITH g AS (
+      SELECT date_trunc('month', l_shipdate) AS m,
+             sum(l_extendedprice * (1 - l_discount)) AS s,
+             CAST(sum(l_quantity) AS DOUBLE) AS q
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT sum(s) AS ts, sum(q) AS tq,
+             CAST(count(*) AS BIGINT) AS ng
+      FROM g
+    ), reps AS (
+      SELECT (ts - s) / (tq - q) AS r, ts, tq, ng FROM g, tot
+    ), rb AS (
+      SELECT avg(r) AS rbar FROM reps
+    )
+    SELECT ng AS n_groups,
+           round(ts / tq, 6) AS ratio_hat,
+           round(sqrt((ng - 1.0) / ng * sum((r - rbar) * (r - rbar))), 6)
+             AS jack_se,
+           round(ts / tq - 1.96 * sqrt((ng - 1.0) / ng
+                 * sum((r - rbar) * (r - rbar))), 6) AS ci_lo,
+           round(ts / tq + 1.96 * sqrt((ng - 1.0) / ng
+                 * sum((r - rbar) * (r - rbar))), 6) AS ci_hi
+    FROM reps, rb GROUP BY ng, ts, tq, rbar
+    """,
+)
+def q_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife standard error of the revenue-per-
+    unit ratio estimator R = sum(discounted price)/sum(quantity),
+    with ship-months as the jackknife groups: each leave-one-month
+    replicate R_(i) = (S - s_i)/(Q - q_i) is derived algebraically
+    from the per-month totals, and var_jack = (G-1)/G *
+    sum((R_(i) - Rbar)^2). The 95% CI uses the normal quantile.
+
+    Cross-engine exactness: replicates are exact arithmetic over the
+    same per-month sums; the only float reductions are the month-
+    count-bounded sum of squares, rounded at 6 with the nudge.
+
+    Scale: ONE keyed aggregation over the fact table (map-side
+    partial), then all jackknife algebra runs on the G-row month
+    table — replicate construction never rescans the data, which is
+    what makes grouped jackknife the at-scale variance estimator
+    (a row bootstrap would be G full passes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # Freeze the G-row month table: tot/reps/rb all branch off it, and
+    # without the checkpoint each branch re-scans the fact table.
+    g = (
+        li.groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("s"),
+            F.sum("l_quantity").cast("double").alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = g.agg(
+        F.sum("s").alias("ts"),
+        F.sum("q").alias("tq"),
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+    )
+    reps = g.crossJoin(F.broadcast(tot)).select(
+        ((F.col("ts") - F.col("s")) / (F.col("tq") - F.col("q"))).alias("r"),
+        "ts", "tq", "ng",
+    )
+    rb = reps.agg(F.avg("r").alias("rbar"))
+    dev = (F.col("r") - F.col("rbar")) * (F.col("r") - F.col("rbar"))
+    se = F.sqrt((F.col("ng") - 1.0) / F.col("ng") * F.sum(dev))
+    ratio = F.col("ts") / F.col("tq")
+    return (
+        reps.crossJoin(F.broadcast(rb))
+        .groupBy("ng", "ts", "tq", "rbar")
+        .agg(F.sum(dev).alias("_ssq"))
+        .select(
+            F.col("ng").alias("n_groups"),
+            rnd(ratio, 6).alias("ratio_hat"),
+            rnd(
+                F.sqrt((F.col("ng") - 1.0) / F.col("ng") * F.col("_ssq")), 6
+            ).alias("jack_se"),
+            rnd(
+                ratio
+                - 1.96
+                * F.sqrt((F.col("ng") - 1.0) / F.col("ng") * F.col("_ssq")),
+                6,
+            ).alias("ci_lo"),
+            rnd(
+                ratio
+                + 1.96
+                * F.sqrt((F.col("ng") - 1.0) / F.col("ng") * F.col("_ssq")),
+                6,
+            ).alias("ci_hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# QQ comparison table (r9). KS and CvM compress the two-sample
+# contrast to one statistic; the quantile-quantile table is the
+# diagnostic behind them — WHERE the distributions diverge. Deciles
+# of weekend vs weekday daily purchase revenue.
+# ---------------------------------------------------------------------------
+@query(
+    "q_qq_compare",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, CAST(sum(value) AS DOUBLE) AS x,
+             dayofweek(date_trunc('day', ts)) IN (0, 6) AS wknd
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), qs AS (
+      SELECT wknd,
+             quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5,
+                               0.6, 0.7, 0.8, 0.9]) AS ql
+      FROM daily GROUP BY wknd
+    ), ex AS (
+      SELECT wknd, generate_subscripts(ql, 1) AS i, unnest(ql) AS qv
+      FROM qs
+    )
+    SELECT round(i * 0.1, 1) AS p,
+           round(max(CASE WHEN wknd THEN qv END), 4) AS q_weekend,
+           round(max(CASE WHEN NOT wknd THEN qv END), 4) AS q_weekday,
+           round(max(CASE WHEN wknd THEN qv END)
+                 - max(CASE WHEN NOT wknd THEN qv END), 4) AS qq_gap
+    FROM ex GROUP BY i ORDER BY p
+    """,
+)
+def q_qq_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-grid quantile-quantile comparison of weekend vs weekday
+    daily purchase revenue: both samples' linear-interpolated deciles
+    side by side with the QQ gap — the location/scale/tail diagnostic
+    behind the one-number KS and CvM tests (a constant gap = location
+    shift, a widening gap = heavier weekend tail).
+
+    Cross-engine exactness: Spark percentile() and DuckDB
+    quantile_cont() share linear interpolation on DOUBLE, and the
+    grid index arithmetic (i * 0.1) is identical on both sides.
+
+    Scale: one row per day before the percentile agg (map-side
+    partial into day-count-bounded groups); the decile table is 9
+    rows. The percentile agg holds per-group sorted values — bounded
+    here by the calendar, the documented day-table escape."""
+    pcts = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum("value").cast("double").alias("x"))
+        .withColumn("wknd", (F.dayofweek("d") - 1).isin(0, 6))
+    )
+    qs = daily.groupBy("wknd").agg(
+        F.percentile("x", F.array(*[F.lit(p) for p in pcts])).alias("ql")
+    )
+    ex = qs.select("wknd", F.posexplode("ql").alias("i0", "qv"))
+    return (
+        ex.groupBy((F.col("i0") + 1).alias("i"))
+        .agg(
+            F.max(F.when(F.col("wknd"), F.col("qv"))).alias("qw"),
+            F.max(F.when(~F.col("wknd"), F.col("qv"))).alias("qd"),
+        )
+        .select(
+            rnd(F.col("i") * 0.1, 1).alias("p"),
+            rnd(F.col("qw"), 4).alias("q_weekend"),
+            rnd(F.col("qd"), 4).alias("q_weekday"),
+            rnd(F.col("qw") - F.col("qd"), 4).alias("qq_gap"),
+        )
+        .orderBy("p")
+    )

@@ -782,3 +782,36 @@ def test_lorenz_curve_monotone_and_sums(spark, sf_dir):
         cum += r.rev_share
         assert abs(r.cum_rev_share - cum) < 2e-6
     assert abs(cum - 1.0) < 1e-6
+
+
+def test_jackknife_variance_algebra(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_jackknife_variance")
+    assert r.n_groups > 10
+    assert r.jack_se > 0
+    # CI is symmetric about the point estimate at the normal quantile.
+    assert abs((r.ci_hi + r.ci_lo) / 2 - r.ratio_hat) < 2e-6
+    assert abs((r.ci_hi - r.ci_lo) / 2 - 1.96 * r.jack_se) < 2e-4
+    # The per-unit revenue ratio is a price-scale number.
+    assert 0 < r.ratio_hat < 1e6
+
+
+def test_qq_compare_monotone_grid(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_qq_compare")
+    assert [round(r.p, 1) for r in rows] == [round(0.1 * i, 1) for i in range(1, 10)]
+    for prev, cur in zip(rows, rows[1:]):
+        # Quantile functions are nondecreasing in p for both samples.
+        assert cur.q_weekend >= prev.q_weekend - 1e-9
+        assert cur.q_weekday >= prev.q_weekday - 1e-9
+    for r in rows:
+        assert abs(r.qq_gap - (r.q_weekend - r.q_weekday)) < 2e-4
+
+
+def test_silhouette_centroid_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_silhouette_centroid")
+    assert len(rows) >= 2  # at least two labels, else b is undefined
+    for r in rows:
+        assert r.n_vecs > 0
+        # Silhouette lives in [-1, 1]; cosine distances in [0, 2].
+        assert -1.0 - 1e-9 <= r.avg_silhouette <= 1.0 + 1e-9
+        assert 0.0 <= r.avg_intra_dist <= 2.0 + 1e-9
+        assert 0.0 <= r.avg_nearest_other_dist <= 2.0 + 1e-9
