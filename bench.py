@@ -250,6 +250,9 @@ BENCH_QUERIES = [
     "q_jackknife_variance",
     "q_qq_compare",
     "q_silhouette_centroid",
+    "q_capture_recapture",
+    "q_gumbel_return_level",
+    "q_overdispersion_nb",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

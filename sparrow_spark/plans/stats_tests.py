@@ -3539,3 +3539,226 @@ def q_qq_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p")
     )
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture population estimate (r9). The ecology estimator
+# applied to corpus/user-base sizing: how many distinct purchasers
+# exist, estimated from two capture occasions and their overlap —
+# the Chapman-corrected Lincoln-Petersen estimator, the standard
+# tool for "how much of the population did our sample see"
+# (coverage of a crawl, dedup-cluster undercount, user-base size
+# from two independent logs).
+# ---------------------------------------------------------------------------
+@query(
+    "q_capture_recapture",
+    oracle="""
+    WITH occ AS (
+      SELECT user_id,
+             max(CASE WHEN day(ts) % 2 = 1 THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN day(ts) % 2 = 0 THEN 1 ELSE 0 END) AS in_b
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), cc AS (
+      SELECT CAST(sum(in_a) AS BIGINT) AS n1,
+             CAST(sum(in_b) AS BIGINT) AS n2,
+             CAST(sum(in_a * in_b) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS true_distinct
+      FROM occ
+    )
+    SELECT n1, n2, m AS m_recaptured, true_distinct,
+           round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1, 2)
+             AS chapman_estimate,
+           round(((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1)
+                 / true_distinct, 4) AS estimate_over_truth
+    FROM cc
+    """,
+)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman-corrected Lincoln-Petersen estimate of the distinct
+    purchaser population from two capture occasions — odd vs even
+    days of month — validated against the directly-counted truth:
+    N_hat = (n1+1)(n2+1)/(m+1) - 1 with m the users captured in
+    both. estimate_over_truth near 1 means the independence
+    assumption holds for this split.
+
+    Cross-engine exactness: every input to the estimator is BIGINT
+    (capture flags are max-folded 0/1 per user); only the final
+    estimate divides as DOUBLE, rounded with the nudge.
+
+    Scale: one user-keyed aggregation with map-side partials (the
+    capture flags combine associatively), then a single 4-counter
+    fold — the population algebra never sees row-level data."""
+    occ = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.dayofmonth("ts") % 2 == 1, 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.dayofmonth("ts") % 2 == 0, 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    cc = occ.agg(
+        F.sum("in_a").cast("bigint").alias("n1"),
+        F.sum("in_b").cast("bigint").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("true_distinct"),
+    )
+    est = (
+        (F.col("n1") + 1).cast("double") * (F.col("n2") + 1)
+    ) / (F.col("m") + 1) - 1
+    return cc.select(
+        "n1",
+        "n2",
+        F.col("m").alias("m_recaptured"),
+        "true_distinct",
+        rnd(est, 2).alias("chapman_estimate"),
+        rnd(est / F.col("true_distinct"), 4).alias("estimate_over_truth"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel return level (r9). Extreme-value companion to the VaR and
+# control-chart queries: block maxima (daily max of hourly
+# revenue) fit to a Gumbel distribution by method of moments, then
+# inverted for the T-block return level — "the hourly revenue we
+# expect to be exceeded once a month". The capacity-planning
+# number behind peak provisioning. Blocks are days (the test data
+# spans one calendar month, so day blocks give a real ~30-point
+# fit where month blocks would be a single degenerate block).
+# ---------------------------------------------------------------------------
+@query(
+    "q_gumbel_return_level",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(sum(value) AS DOUBLE) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), blocks AS (
+      SELECT date_trunc('day', h) AS d, max(x) AS mx
+      FROM hourly GROUP BY 1
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+             avg(mx) AS mean_max, stddev_samp(mx) AS sd_max
+      FROM blocks
+    )
+    SELECT n_blocks, round(mean_max, 4) AS mean_max,
+           round(sd_max, 4) AS sd_max,
+           round(sd_max * sqrt(6) / pi(), 4) AS gumbel_beta,
+           round(mean_max - 0.57721566490153286
+                 * sd_max * sqrt(6) / pi(), 4) AS gumbel_mu,
+           round(mean_max - 0.57721566490153286
+                   * sd_max * sqrt(6) / pi()
+                 - sd_max * sqrt(6) / pi()
+                   * ln(-ln(1 - 1.0 / 30)), 4) AS return_level_30d
+    FROM mom
+    """,
+)
+def q_gumbel_return_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel block-maxima fit of daily maximum hourly purchase
+    revenue by method of moments (beta = sd*sqrt(6)/pi, mu = mean -
+    gamma*beta with Euler's gamma), inverted at T = 30 blocks for
+    the once-a-month return level x_T = mu - beta*ln(-ln(1 - 1/T)).
+
+    Cross-engine exactness: both engines compute the same two
+    moments over the day-count-bounded block table, then identical
+    closed-form constants; everything rounds at 4 with the nudge.
+
+    Scale: hour-keyed agg with map-side partials, then a day-keyed
+    max over the hour table, then one 3-number fold — the fit is
+    O(blocks) after a single pass over the facts."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum("value").cast("double").alias("x"))
+    )
+    blocks = hourly.groupBy(F.date_trunc("day", "h").alias("d")).agg(
+        F.max("x").alias("mx")
+    )
+    mom = blocks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.avg("mx").alias("mean_max"),
+        F.stddev_samp("mx").alias("sd_max"),
+    )
+    import math as _math
+
+    beta = F.col("sd_max") * _math.sqrt(6) / _math.pi
+    mu = F.col("mean_max") - 0.57721566490153286 * beta
+    ret = mu - beta * _math.log(-_math.log(1 - 1.0 / 30))
+    return mom.select(
+        "n_blocks",
+        rnd(F.col("mean_max"), 4).alias("mean_max"),
+        rnd(F.col("sd_max"), 4).alias("sd_max"),
+        rnd(beta, 4).alias("gumbel_beta"),
+        rnd(mu, 4).alias("gumbel_mu"),
+        rnd(ret, 4).alias("return_level_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Negative-binomial overdispersion audit (r9). Poisson models of
+# per-user event counts underpin engagement forecasting; real count
+# data is overdispersed. The dispersion index var/mean per event
+# type, with the method-of-moments NB size r = mean^2/(var - mean)
+# — the number a count model actually needs.
+# ---------------------------------------------------------------------------
+@query(
+    "q_overdispersion_nb",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(c), 4) AS mean_count,
+           round(var_pop(c), 4) AS var_count,
+           round(var_pop(c) / avg(c), 4) AS dispersion_index,
+           round(CASE WHEN var_pop(c) > avg(c)
+                      THEN avg(c) * avg(c) / (var_pop(c) - avg(c))
+                 END, 4) AS nb_size_r
+    FROM per_user GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_overdispersion_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion audit of per-user event counts by event type:
+    dispersion index var/mean (1 under Poisson) and the
+    method-of-moments negative-binomial size r = mean^2/(var-mean),
+    NULL when the data is NOT overdispersed and Poisson suffices.
+    This is the modeling gate before any count-based engagement
+    forecast (Poisson vs NB regression).
+
+    Cross-engine exactness: var_pop/avg parity is the q_corr_matrix
+    precedent; the NB algebra is identical closed form, rounded at
+    4 with the nudge.
+
+    Scale: one (type, user) keyed agg with map-side partials, then
+    a type-keyed moment agg — cardinality bounded by users x types,
+    and the output by |types|."""
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    mean_c = F.avg("c")
+    var_c = F.var_pop("c")
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            rnd(mean_c, 4).alias("mean_count"),
+            rnd(var_c, 4).alias("var_count"),
+            rnd(var_c / mean_c, 4).alias("dispersion_index"),
+            rnd(
+                F.when(
+                    var_c > mean_c, mean_c * mean_c / (var_c - mean_c)
+                ),
+                4,
+            ).alias("nb_size_r"),
+        )
+        .orderBy("event_type")
+    )

@@ -815,3 +815,41 @@ def test_silhouette_centroid_bounds(spark, sf_dir):
         assert -1.0 - 1e-9 <= r.avg_silhouette <= 1.0 + 1e-9
         assert 0.0 <= r.avg_intra_dist <= 2.0 + 1e-9
         assert 0.0 <= r.avg_nearest_other_dist <= 2.0 + 1e-9
+
+
+def test_capture_recapture_identities(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_capture_recapture")
+    # Overlap can't exceed either occasion; both occasions undercount
+    # the union, and the union is the true distinct count.
+    assert 0 < r.m_recaptured <= min(r.n1, r.n2)
+    assert max(r.n1, r.n2) <= r.true_distinct <= r.n1 + r.n2 - r.m_recaptured + r.true_distinct
+    assert r.n1 + r.n2 - r.m_recaptured == r.true_distinct or r.n1 + r.n2 - r.m_recaptured < r.true_distinct
+    # Chapman estimate must be at least the larger occasion count.
+    assert r.chapman_estimate >= max(r.n1, r.n2) - 1
+    assert abs(r.estimate_over_truth - r.chapman_estimate / r.true_distinct) < 2e-4
+
+
+def test_gumbel_return_level_ordering(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_gumbel_return_level")
+    assert r.n_blocks > 3 and r.mean_max > 0
+    assert r.sd_max > 0 and r.gumbel_beta > 0
+    # mu sits below the block-maxima mean by gamma*beta.
+    assert r.gumbel_mu < r.mean_max
+    # The 30-block return level exceeds the location parameter and,
+    # for any reasonable spread, the mean of the maxima.
+    assert r.return_level_30d > r.gumbel_mu
+    assert r.return_level_30d > r.mean_max
+
+
+def test_overdispersion_nb_poisson_gate(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_overdispersion_nb")
+    assert len(rows) >= 3
+    for r in rows:
+        assert r.n_users > 0 and r.mean_count > 0
+        assert r.var_count >= 0
+        assert abs(r.dispersion_index - r.var_count / r.mean_count) < 2e-3
+        # nb_size_r is defined exactly when overdispersed.
+        if r.dispersion_index > 1.001:
+            assert r.nb_size_r is not None and r.nb_size_r > 0
+        if r.dispersion_index < 0.999:
+            assert r.nb_size_r is None
