@@ -253,6 +253,7 @@ BENCH_QUERIES = [
     "q_capture_recapture",
     "q_gumbel_return_level",
     "q_overdispersion_nb",
+    "q_multiple_regression",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

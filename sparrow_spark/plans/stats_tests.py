@@ -3762,3 +3762,161 @@ def q_overdispersion_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiple regression via normal equations (r9). The one-feature
+# regressions (q_price_elasticity regr_slope, q_retention_halflife)
+# stop at covar/var; the 3x3 normal-equation solve is the smallest
+# real MULTIPLE regression — intercept + two features — and its
+# closed-form cofactor inverse is exact algebra both engines
+# reproduce bit-for-bit from the same ten moments. Daily purchase
+# revenue explained by event volume and the weekend flag.
+# ---------------------------------------------------------------------------
+@query(
+    "q_multiple_regression",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(sum(value) AS DOUBLE) AS y,
+             CAST(count(*) AS DOUBLE) AS x1,
+             CASE WHEN dayofweek(date_trunc('day', ts)) IN (0, 6)
+                  THEN 1.0 ELSE 0.0 END AS x2
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), mo AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+             sum(x2 * x2) AS s22,
+             sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
+             sum(y * y) AS syy
+      FROM daily
+    ), det AS (
+      SELECT *,
+             n * (s11 * s22 - s12 * s12)
+             - s1 * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s12 - s11 * s2) AS dd
+      FROM mo
+    ), beta AS (
+      SELECT *,
+             (sy * (s11 * s22 - s12 * s12)
+              - s1y * (s1 * s22 - s2 * s12)
+              + s2y * (s1 * s12 - s2 * s11)) / dd AS b0,
+             (n * (s1y * s22 - s12 * s2y)
+              - sy * (s1 * s22 - s2 * s12)
+              + s2 * (s1 * s2y - s1y * s2)) / dd AS b1,
+             (n * (s11 * s2y - s1y * s12)
+              - s1 * (s1 * s2y - s1y * s2)
+              + sy * (s1 * s12 - s11 * s2)) / dd AS b2
+      FROM det
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(b0, 4) AS beta_intercept,
+           round(b1, 4) AS beta_volume,
+           round(b2, 4) AS beta_weekend,
+           round(1 - (syy + n * b0 * b0 + b1 * b1 * s11 + b2 * b2 * s22
+                      - 2 * b0 * sy - 2 * b1 * s1y - 2 * b2 * s2y
+                      + 2 * b0 * b1 * s1 + 2 * b0 * b2 * s2
+                      + 2 * b1 * b2 * s12)
+                     / (syy - sy * sy / n), 4) AS r_squared
+    FROM beta
+    """,
+)
+def q_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-parameter OLS (intercept, event volume, weekend flag) on
+    daily purchase revenue, solved in closed form from the 3x3 normal
+    equations by cofactor expansion — and R-squared derived from the
+    SAME ten moments (SSE = Syy + b'X'Xb - 2b'X'y expanded), so the
+    whole fit is one aggregation plus scalar algebra, no second data
+    pass and no iterative solver.
+
+    Cross-engine exactness: both engines expand identical cofactor
+    and SSE formulas over the same moment sums; output rounds at 4
+    with the nudge.
+
+    Scale: one day-keyed agg with map-side partials, one 10-number
+    moment fold, then O(1) algebra — the regression never rescans
+    or shuffles the facts, the same discipline as q_logreg's
+    gradient step. At 100 TB with p features this becomes the
+    p^2-moment Gram fold of q_pca_power_iteration."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.sum("value").cast("double").alias("y"),
+            F.count(F.lit(1)).cast("double").alias("x1"),
+        )
+        .withColumn(
+            "x2",
+            F.when((F.dayofweek("d") - 1).isin(0, 6), 1.0).otherwise(0.0),
+        )
+    )
+    mo = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    c = F.col
+    det = mo.withColumn(
+        "dd",
+        c("n") * (c("s11") * c("s22") - c("s12") * c("s12"))
+        - c("s1") * (c("s1") * c("s22") - c("s12") * c("s2"))
+        + c("s2") * (c("s1") * c("s12") - c("s11") * c("s2")),
+    )
+    beta = (
+        det.withColumn(
+            "b0",
+            (
+                c("sy") * (c("s11") * c("s22") - c("s12") * c("s12"))
+                - c("s1y") * (c("s1") * c("s22") - c("s2") * c("s12"))
+                + c("s2y") * (c("s1") * c("s12") - c("s2") * c("s11"))
+            )
+            / c("dd"),
+        )
+        .withColumn(
+            "b1",
+            (
+                c("n") * (c("s1y") * c("s22") - c("s12") * c("s2y"))
+                - c("sy") * (c("s1") * c("s22") - c("s2") * c("s12"))
+                + c("s2") * (c("s1") * c("s2y") - c("s1y") * c("s2"))
+            )
+            / c("dd"),
+        )
+        .withColumn(
+            "b2",
+            (
+                c("n") * (c("s11") * c("s2y") - c("s1y") * c("s12"))
+                - c("s1") * (c("s1") * c("s2y") - c("s1y") * c("s2"))
+                + c("sy") * (c("s1") * c("s12") - c("s11") * c("s2"))
+            )
+            / c("dd"),
+        )
+    )
+    sse = (
+        c("syy")
+        + c("n") * c("b0") * c("b0")
+        + c("b1") * c("b1") * c("s11")
+        + c("b2") * c("b2") * c("s22")
+        - 2 * c("b0") * c("sy")
+        - 2 * c("b1") * c("s1y")
+        - 2 * c("b2") * c("s2y")
+        + 2 * c("b0") * c("b1") * c("s1")
+        + 2 * c("b0") * c("b2") * c("s2")
+        + 2 * c("b1") * c("b2") * c("s12")
+    )
+    sst = c("syy") - c("sy") * c("sy") / c("n")
+    return beta.select(
+        c("n").cast("bigint").alias("n_days"),
+        rnd(c("b0"), 4).alias("beta_intercept"),
+        rnd(c("b1"), 4).alias("beta_volume"),
+        rnd(c("b2"), 4).alias("beta_weekend"),
+        rnd(1 - sse / sst, 4).alias("r_squared"),
+    )

@@ -853,3 +853,13 @@ def test_overdispersion_nb_poisson_gate(spark, sf_dir):
             assert r.nb_size_r is not None and r.nb_size_r > 0
         if r.dispersion_index < 0.999:
             assert r.nb_size_r is None
+
+
+def test_multiple_regression_fit_quality(spark, sf_dir):
+    (r,) = _run(spark, sf_dir, "q_multiple_regression")
+    assert r.n_days > 10
+    assert 0.0 - 1e-9 <= r.r_squared <= 1.0 + 1e-9
+    # Revenue scales with event volume: the volume beta is positive
+    # and explains most of the variance on this synthetic data.
+    assert r.beta_volume > 0
+    assert r.r_squared > 0.5
