@@ -1642,12 +1642,24 @@ def global_sort_ranks(
     is #partitions rows, so its cumulative window is trivially small.
     This is the classic two-phase distributed ranking; every stage
     scales with executors. Key columns must form a strict total order
-    (append a unique id) or ranks at range boundaries are undefined."""
+    (append a unique id) or ranks at range boundaries are undefined.
+
+    The _pid-stamped table is PINNED (localCheckpoint) before the two
+    downstream references: the local-rank window and the offset table
+    must agree on _pid, but spark_partition_id() is evaluated by
+    whichever stage reads the range exchange, and under AQE two
+    reader stages of the same shuffle can apply different coalesced
+    partition specs — the offsets then describe a different
+    numbering than the ranks and the global ranks silently corrupt
+    (observed as run-to-run drift in q_zonemap_skipping before this
+    pin). Materializing once makes _pid plain column data."""
     from pyspark.sql import Window
 
     cols = [F.col(c) for c in key_cols]
-    r = df.repartitionByRange(partitions, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    r = (
+        df.repartitionByRange(partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     lw = Window.partitionBy("_pid").orderBy(*cols)
     r = r.withColumn("_lrank", F.row_number().over(lw))
@@ -1681,12 +1693,20 @@ def global_running_sums(
     are cardinality-bounded, so correctness never depended on the
     fix — plan shape at 100 TB did. Key columns must form a strict
     total order; rows sharing a full key would get order-dependent
-    partial sums (callers here pass distinct-key tables)."""
+    partial sums (callers here pass distinct-key tables).
+
+    Pinned (localCheckpoint) for the same reason as
+    global_sort_ranks: the local-cumsum window and the totals table
+    both key on _pid, and AQE can hand two reader stages of one
+    shuffle different coalesced partition specs, desynchronizing
+    spark_partition_id() between them."""
     from pyspark.sql import Window
 
     cols = [F.col(c) for c in key_cols]
-    r = df.repartitionByRange(partitions, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    r = (
+        df.repartitionByRange(partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     lw = (
         Window.partitionBy("_pid")
