@@ -254,6 +254,14 @@ BENCH_QUERIES = [
     "q_gumbel_return_level",
     "q_overdispersion_nb",
     "q_multiple_regression",
+    "q_exact_quantile_refine",
+    "q_heavy_hitters_mg",
+    "q_kcore",
+    "q_target_encoding_cv",
+    "q_ngram_novelty",
+    "q_pinball_loss",
+    "q_zonemap_skipping",
+    "q_platt_scaling",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1,0 +1,931 @@
+"""Round-ten scale-pattern operators: algorithms whose POINT is the
+100 TB execution shape — exact quantiles without a global sort,
+sketch-guided heavy hitters whose shuffle carries only candidates,
+and bounded-round graph peeling.
+
+Reference parity: the reference engine (wqc200/sparrow) has no
+order-statistic aggregate, no frequent-items surface, and no graph
+operators at all (its aggregate surface is count/sum/min/max/avg,
+src/meta/initial.rs); these extend the beyond-reference tier in the
+same oracle-paired style as the rest of the registry.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparrow_spark.operators.dedup import _MINHASH_BANDS_CTE, minhash_lsh_pairs
+from sparrow_spark.operators.text import tokens
+from sparrow_spark.registry import query
+from sparrow_spark.rounding import rnd
+from sparrow_spark.sources import load_table, widen
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles by histogram refinement (no global sort)
+# ---------------------------------------------------------------------------
+
+_QUANTILES = [0.5, 0.9, 0.99]
+_NBUCKETS = 4096
+_REFINE_ROUNDS = 2
+
+
+@query(
+    "q_exact_quantile_refine",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+    cum AS (
+      SELECT cents, sum(cnt) OVER (ORDER BY cents) AS cb
+      FROM (SELECT cents, count(*) AS cnt FROM c GROUP BY cents)
+    ),
+    qs AS (SELECT 50 AS q100 UNION ALL SELECT 90 UNION ALL SELECT 99)
+    SELECT q100 / 100.0 AS q, min(cents) / 100.0 AS value
+    FROM qs JOIN cum ON cb >= (q100 * (SELECT n FROM n) + 99) // 100
+    GROUP BY q100 ORDER BY q
+    """,
+)
+def q_exact_quantile_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT P50/P90/P99 of l_extendedprice ("smallest v with
+    count(<=v) >= ceil(q*n)") via iterative histogram refinement —
+    the at-scale replacement for a global sort: each round is one
+    full-scan aggregation into 4096 fixed-width buckets over the
+    surviving value range, so after R rounds the candidate range
+    holds ~n/4096^R rows. Driver state is one 4096-row histogram per
+    round (bounded by a constant, never by n); the final exact step
+    runs a single-task ordered cumsum over that residual sliver —
+    at 10^12 rows and two refine rounds the sliver is ~60 rows. The
+    oracle does what we refuse to do: a full sort-order window over
+    every distinct value.
+
+    The integer-cents domain makes every count exact BIGINT
+    arithmetic — no float-sum ordering anywhere, so the result is
+    bit-stable under any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents_col = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    c = widen(li).select(cents_col.alias("cents"))
+
+    stats = c.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n_rows = stats["n"]
+
+    out = []
+    for q in _QUANTILES:
+        # ceil(q*n) in exact integer arithmetic (q has 2 decimals) —
+        # float ceil(0.9 * n) overshoots by 1 whenever 10 | n because
+        # 0.9 is not binary-representable; the oracle uses the same
+        # (q100 * n + 99) // 100 form.
+        target = (int(round(q * 100)) * n_rows + 99) // 100
+        lo, hi, residual = stats["lo"], stats["hi"], target
+        for _ in range(_REFINE_ROUNDS):
+            width = (hi - lo) // _NBUCKETS + 1
+            hist = (
+                c.filter((F.col("cents") >= lo) & (F.col("cents") <= hi))
+                .groupBy(
+                    ((F.col("cents") - lo) / width).cast("bigint").alias("b")
+                )
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy("b")
+                .collect()
+            )
+            cum = 0
+            for row in hist:
+                if cum + row["cnt"] >= residual:
+                    residual -= cum
+                    lo, hi = (
+                        lo + row["b"] * width,
+                        min(hi, lo + (row["b"] + 1) * width - 1),
+                    )
+                    break
+                cum += row["cnt"]
+        # Exact step over the residual sliver (bounded: range width
+        # <= (domain)/4096^R; single task is the documented escape).
+        w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+        sliver = (
+            c.filter((F.col("cents") >= lo) & (F.col("cents") <= hi))
+            .groupBy("cents")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("cb", F.sum("cnt").over(w))
+            .filter(F.col("cb") >= residual)
+            .agg(F.min("cents").alias("cents"))
+            .collect()[0]
+        )
+        out.append((q, sliver["cents"]))
+
+    res = spark.createDataFrame(out, "q double, cents bigint")
+    return res.select("q", (F.col("cents") / 100.0).alias("value")).orderBy(
+        "q"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidates + exact verification pass
+# ---------------------------------------------------------------------------
+
+_MG_K = 256
+_HH_THRESHOLD = 0.01  # final exact support threshold (1% of tokens)
+
+
+def _make_mg_candidates(k: int):
+    """Factory for the per-partition Misra-Gries mapInPandas worker
+    (CLOSURE so cloudpickle serializes it by value — the worker
+    process must not need this package importable, same convention as
+    operators/multimodal.py). MG with k counters (mergeable
+    summaries, Agarwal et al. 2012): fold each Arrow batch's exact
+    counts in, then apply the MG reduction — subtract the (k+1)-th
+    largest weight from every counter and drop the non-positive ones.
+    Guarantees: a token with partition frequency > 1/k survives, so a
+    token with GLOBAL frequency >= 1/k survives in at least one
+    partition (pigeonhole) — no false negatives for the 1% >> 1/256
+    threshold regardless of partitioning; false positives are removed
+    by the exact verify pass, making the final output deterministic."""
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, cnt in pdf["tok"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c - cut > 0
+                }
+        yield _pd.DataFrame({"tok": list(counters.keys())})
+
+    return mg
+
+
+@query(
+    "q_heavy_hitters_mg",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ), counts AS (
+      SELECT tok, count(*) AS n FROM tok GROUP BY tok
+    ), total AS (SELECT sum(n) AS t FROM counts)
+    SELECT tok, CAST(n AS BIGINT) AS n,
+           round(n / (SELECT t FROM total), 6) AS freq
+    FROM counts
+    WHERE n >= 0.01 * (SELECT t FROM total)
+    ORDER BY n DESC, tok
+    """,
+)
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (tokens >= 1% of all tokens) via the
+    sketch-guided two-pass: pass 1 runs a per-partition Misra-Gries
+    summary (256 counters, Arrow-batched) and unions the candidate
+    sets — NO token-keyed shuffle over the corpus, just <= 256 rows
+    per partition; pass 2 exact-counts ONLY the candidates (map-side
+    broadcast semi-filter before the groupBy, so the shuffle carries
+    a few hundred distinct keys instead of the whole vocabulary).
+    Compare q_vocab_heavy_hitters (operators/text.py), which shuffles
+    the full token-count table: same answer — the hash-match proves
+    it — at a fraction of the shuffle volume. The MG union keeps
+    every true heavy hitter (see _mg_candidates), and the final
+    filter uses exact BIGINT counts, so the output is deterministic
+    under any partitioning."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    cand = tok.mapInPandas(_make_mg_candidates(_MG_K), "tok string").distinct()
+    exact = (
+        tok.join(F.broadcast(cand), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        exact.join(F.broadcast(total))
+        .filter(F.col("n") >= _HH_THRESHOLD * F.col("t"))
+        .select(
+            "tok",
+            F.col("n").cast("bigint").alias("n"),
+            rnd(F.col("n") / F.col("t"), 6).alias("freq"),
+        )
+        .orderBy(F.col("n").desc(), "tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition by bounded-round peeling
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+@query(
+    "q_kcore",
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    , edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ), sym AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ), alive0 AS (SELECT DISTINCT u AS id FROM sym),
+    alive1 AS (
+      SELECT u AS id FROM sym
+      WHERE u IN (SELECT id FROM alive0) AND v IN (SELECT id FROM alive0)
+      GROUP BY u HAVING count(*) >= 2
+    ), alive2 AS (
+      SELECT u AS id FROM sym
+      WHERE u IN (SELECT id FROM alive1) AND v IN (SELECT id FROM alive1)
+      GROUP BY u HAVING count(*) >= 2
+    ), alive3 AS (
+      SELECT u AS id FROM sym
+      WHERE u IN (SELECT id FROM alive2) AND v IN (SELECT id FROM alive2)
+      GROUP BY u HAVING count(*) >= 2
+    ), alive4 AS (
+      SELECT u AS id, CAST(count(*) AS BIGINT) AS core_deg FROM sym
+      WHERE u IN (SELECT id FROM alive3) AND v IN (SELECT id FROM alive3)
+      GROUP BY u HAVING count(*) >= 2
+    )
+    SELECT a0.id AS doc_id,
+           CASE WHEN a4.id IS NOT NULL THEN 1 ELSE 0 END AS in_2core,
+           coalesce(a4.core_deg, 0) AS core_deg
+    FROM alive0 a0 LEFT JOIN alive4 a4 ON a0.id = a4.id
+    ORDER BY doc_id
+    """,
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the MinHash-LSH near-duplicate graph by synchronous
+    peeling: 4 fixed rounds of "drop every node whose degree among
+    surviving nodes is < 2". The 2-core separates genuine duplicate
+    clusters (which close into cycles) from chains of incidental
+    band collisions (trees peel away) — the structural complement of
+    q_triangle_count's clustering coefficient.
+
+    Scale: every round is two semi-joins of the symmetric edge list
+    against the current survivor set plus one keyed count — all
+    pair-list-sized, never corpus-sized, the same discipline as the
+    alternating-CC and LPA loops; localCheckpoint per round pins the
+    iterated plan at constant size. Fixed round count (not
+    loop-until-fixpoint) keeps the output deterministic and the
+    oracle expressible as unrolled CTEs; 4 rounds peel chains up to
+    length 8, beyond the diameter any band-collision tree reaches at
+    these shingle settings (asserted by the survivor-degree >= 2
+    invariant test)."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        minhash_lsh_pairs(docs)
+        .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    all_nodes = sym.select(F.col("u").alias("id")).distinct()
+    alive = all_nodes
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            sym.join(alive.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("id", "v"), "v", "left_semi")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+            .filter(F.col("core_deg") >= _KCORE_K)
+            .localCheckpoint(eager=True)
+        )
+        alive = deg.select("id")
+    return (
+        all_nodes.join(deg, "id", "left")
+        .select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            F.when(F.col("core_deg").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("in_2core"),
+            F.coalesce(F.col("core_deg"), F.lit(0))
+            .cast("bigint")
+            .alias("core_deg"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold target encoding (leakage-safe categorical feature)
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+_TE_SMOOTH_M = 100
+
+
+@query(
+    "q_target_encoding_cv",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             o.o_orderkey % 5 AS fold,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per AS (
+      SELECT seg, fold,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM j GROUP BY seg, fold
+    ), tot AS (
+      SELECT seg, CAST(sum(s) AS BIGINT) AS ts, CAST(sum(n) AS BIGINT) AS tn
+      FROM per GROUP BY seg
+    ), gtot AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS gs, CAST(count(*) AS BIGINT) AS gn
+      FROM j
+    )
+    SELECT p.seg, CAST(p.fold AS INT) AS fold, p.n AS n_fold,
+           round((t.ts - p.s) / (100.0 * (t.tn - p.n)), 4) AS oof_mean,
+           round(((t.ts - p.s) / 100.0
+                  + 100 * (SELECT gs FROM gtot)
+                        / (100.0 * (SELECT gn FROM gtot)))
+                 / ((t.tn - p.n) + 100), 4) AS enc_smoothed
+    FROM per p JOIN tot t ON p.seg = t.seg
+    ORDER BY p.seg, p.fold
+    """,
+)
+def q_target_encoding_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe target encoding of c_mktsegment against order
+    value: the encoding a fold sees is the mean target of every OTHER
+    fold (out-of-fold), with m=100 smoothing toward the global prior
+    — the standard high-cardinality categorical feature for GBDT/
+    linear models, built so the feature never leaks its own row's
+    label.
+
+    Scale: one fact-dim broadcast join, then everything is
+    (category, fold)-keyed aggregation over exact integer cents —
+    the per-category x fold table is tiny regardless of fact size,
+    and the OOF subtraction (total minus own fold) turns K
+    leave-one-out passes into ONE pass + a broadcast self-join.
+    Exact BIGINT sums throughout; divisions happen once on exact
+    scalars, so the output is partition-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = (
+        widen(o)
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            (F.col("o_orderkey") % _TE_FOLDS).alias("fold"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    per = j.groupBy("seg", "fold").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    tot = per.groupBy("seg").agg(
+        F.sum("s").alias("ts"), F.sum("n").alias("tn")
+    )
+    glob = j.agg(
+        F.sum("cents").alias("gs"), F.count(F.lit(1)).alias("gn")
+    )
+    oof_s = F.col("ts") - F.col("s")
+    oof_n = F.col("tn") - F.col("n")
+    prior = F.col("gs") / (100.0 * F.col("gn"))
+    return (
+        per.join(F.broadcast(tot), "seg")
+        .join(F.broadcast(glob))
+        .select(
+            "seg",
+            F.col("fold").cast("int").alias("fold"),
+            F.col("n").cast("bigint").alias("n_fold"),
+            rnd(oof_s / (100.0 * oof_n), 4).alias("oof_mean"),
+            rnd(
+                (oof_s / 100.0 + _TE_SMOOTH_M * prior)
+                / (oof_n + _TE_SMOOTH_M),
+                4,
+            ).alias("enc_smoothed"),
+        )
+        .orderBy("seg", "fold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Marginal n-gram novelty: does the corpus still add new content?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                    || t[i+3] || ' ' || t[i+4])) AS g
+      FROM toks WHERE len(t) >= 5
+    ), first_seen AS (
+      SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+    ), n_docs AS (SELECT count(*) AS nd FROM documents),
+    per_gram AS (
+      SELECT gr.doc_id,
+             CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END AS novel
+      FROM grams gr JOIN first_seen f ON gr.g = f.g
+    )
+    SELECT least(9, doc_id * 10 // (SELECT nd FROM n_docs)) AS decile,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(novel) AS BIGINT) AS n_novel,
+           round(sum(novel) / CAST(count(*) AS DOUBLE), 6) AS novel_frac
+    FROM per_gram
+    GROUP BY decile ORDER BY decile
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal novelty curve: for each ingestion decile (doc_id
+    order stands in for crawl order), the fraction of its 5-gram
+    positions whose 5-gram has never appeared in ANY earlier document
+    — the diminishing-returns signal data curation teams use to
+    decide when another crawl snapshot stops adding content (novelty
+    falling toward 0 means new data is rehash). Complements
+    q_boilerplate_interdoc (which asks "is this shared?"; novelty
+    asks "who was first?").
+
+    Scale: first-seen attribution is ONE min-aggregation keyed on the
+    gram (at corpus scale the gram key is a 64-bit hash) and one
+    gram-keyed join back — no self-join, no window, no per-doc state;
+    the decile rollup is a 10-row aggregate. All counts exact BIGINT;
+    one division at the end."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    grams = toks.filter(F.size("t") >= 5).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 4),"
+                " i -> concat_ws(' ', t[i-1], t[i], t[i+1], t[i+2], t[i+3]))"
+            )
+        ).alias("g"),
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    per_gram = (
+        grams.join(first_seen, "g")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.when(F.col("first_doc") == F.col("doc_id"), 1)
+            .otherwise(0)
+            .alias("novel"),
+            F.least(
+                F.lit(9),
+                (F.col("doc_id") * 10 / F.col("nd")).cast("bigint"),
+            ).alias("decile"),
+        )
+    )
+    return (
+        per_gram.groupBy("decile")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("novel").cast("bigint").alias("n_novel"),
+            rnd(
+                F.sum("novel") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("novel_frac"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pinball-loss evaluation of rolling quantile forecasts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pinball_loss",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY day
+    ), hist AS (
+      SELECT day, rev,
+             list_sort(list(rev) OVER (ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS arr
+      FROM daily
+    ), evald AS (
+      SELECT t.tau100, h.rev,
+             h.arr[CAST((t.tau100 * len(h.arr) + 99) // 100 AS BIGINT)]
+               AS fc
+      FROM hist h
+      JOIN (SELECT 50 AS tau100 UNION ALL SELECT 90) t ON true
+      WHERE len(h.arr) = 7
+    )
+    SELECT tau100 / 100.0 AS tau,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(CASE WHEN rev >= fc
+                         THEN tau100 * (rev - fc)
+                         ELSE (100 - tau100) * (fc - rev) END) AS BIGINT)
+                 / (10000.0 * count(*)), 4) AS avg_pinball,
+           round(CAST(sum(CASE WHEN rev <= fc THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(count(*) AS DOUBLE), 4) AS coverage
+    FROM evald GROUP BY tau100 ORDER BY tau
+    """,
+)
+def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of a rolling 7-day discrete-quantile
+    forecast of daily revenue, at tau = 0.5 and 0.9 — the standard
+    scoring rule for probabilistic forecasts (lower is better;
+    coverage near tau means the quantile is calibrated). The
+    forecast for day d is the tau-quantile of the PREVIOUS 7 days
+    ("smallest v with rank >= ceil(tau*7)"), so evaluation never
+    peeks at the target day.
+
+    Scale: the fact scan collapses to one day-keyed agg first; the
+    rolling window runs over the DAY table (calendar-bounded — the
+    documented day-bounded escape) with a 7-element sorted array per
+    row. Loss terms are exact integer centi-cent products folded as
+    BIGINT, so the average is partition-stable; divisions happen
+    once at the end."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        widen(o)
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    hist = daily.withColumn(
+        "arr", F.sort_array(F.collect_list("rev").over(w))
+    ).filter(F.size("arr") == 7)
+    taus = spark.createDataFrame([(50,), (90,)], "tau100 int")
+    fc_idx = ((F.col("tau100") * F.size("arr") + 99) / 100).cast("int")
+    evald = hist.join(F.broadcast(taus)).select(
+        "tau100",
+        "rev",
+        F.element_at("arr", fc_idx).alias("fc"),
+    )
+    loss = F.when(
+        F.col("rev") >= F.col("fc"),
+        F.col("tau100") * (F.col("rev") - F.col("fc")),
+    ).otherwise((100 - F.col("tau100")) * (F.col("fc") - F.col("rev")))
+    return (
+        evald.groupBy("tau100")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            rnd(
+                F.sum(loss).cast("bigint")
+                / (10000.0 * F.count(F.lit(1))),
+                4,
+            ).alias("avg_pinball"),
+            rnd(
+                F.sum(
+                    F.when(F.col("rev") <= F.col("fc"), 1).otherwise(0)
+                ).cast("bigint")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("coverage"),
+        )
+        .select(
+            (F.col("tau100") / 100.0).alias("tau"),
+            "n_days",
+            "avg_pinball",
+            "coverage",
+        )
+        .orderBy("tau")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map skipping audit: what does data layout buy the scan?
+# ---------------------------------------------------------------------------
+
+_ZM_ROWS_PER_FILE = 512
+_ZM_BITS = 16
+_ZM_DAY_LO, _ZM_DAY_HI = 100, 129  # 30-day predicate window
+
+
+def _z_interleave_sql(day: str, pk: str) -> str:
+    """Morton-order bit interleave as portable SQL (DuckDB and Spark
+    both accept >>, & and <<): day bits land on even positions, part
+    bits on odd — so a z-sorted layout clusters BOTH dimensions."""
+    terms = [
+        f"((({day} >> {b}) & 1) << {2 * b})"
+        f" + ((({pk} >> {b}) & 1) << {2 * b + 1})"
+        for b in range(_ZM_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZM_BASE_CTE = f"""
+    WITH mm AS (
+      SELECT min(CAST(l_shipdate AS DATE)) AS d0,
+             max(l_partkey) AS pk_max
+      FROM lineitem
+    ), base AS (
+      SELECT l_orderkey, l_linenumber,
+             date_diff('day', (SELECT d0 FROM mm),
+                       CAST(l_shipdate AS DATE)) & 65535 AS day_idx,
+             l_partkey & 65535 AS pk_idx
+      FROM lineitem
+    ), zb AS (
+      SELECT *, {_z_interleave_sql("day_idx", "pk_idx")} AS z FROM base
+    ), ranked AS (
+      SELECT 'insertion' AS layout,
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+                                day_idx, pk_idx) AS rn,
+             day_idx, pk_idx
+      FROM zb
+      UNION ALL
+      SELECT 'shipdate',
+             row_number() OVER (ORDER BY day_idx, l_orderkey,
+                                l_linenumber, pk_idx),
+             day_idx, pk_idx
+      FROM zb
+      UNION ALL
+      SELECT 'zorder',
+             row_number() OVER (ORDER BY z, l_orderkey, l_linenumber,
+                                day_idx, pk_idx),
+             day_idx, pk_idx
+      FROM zb
+    ), zones AS (
+      SELECT layout, (rn - 1) // {_ZM_ROWS_PER_FILE} AS file_id,
+             min(day_idx) AS d_min, max(day_idx) AS d_max,
+             min(pk_idx) AS p_min, max(pk_idx) AS p_max,
+             count(*) AS n_rows
+      FROM ranked GROUP BY layout, file_id
+    ), verdicts AS (
+      SELECT layout, n_rows,
+             CASE WHEN d_max < {_ZM_DAY_LO} OR d_min > {_ZM_DAY_HI}
+                    OR p_min > (SELECT pk_max FROM mm) // 5
+                  THEN 1 ELSE 0 END AS skipped
+      FROM zones
+    ), matched AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM zb
+      WHERE day_idx BETWEEN {_ZM_DAY_LO} AND {_ZM_DAY_HI}
+        AND pk_idx <= (SELECT pk_max FROM mm) // 5
+    )
+"""
+
+
+@query(
+    "q_zonemap_skipping",
+    oracle=_ZM_BASE_CTE
+    + """
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(skipped) AS BIGINT) AS n_skipped,
+           round(sum(skipped) / CAST(count(*) AS DOUBLE), 4) AS skip_frac,
+           CAST(sum(CASE WHEN skipped = 0 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_scanned,
+           (SELECT n FROM matched) AS rows_matched
+    FROM verdicts GROUP BY layout ORDER BY layout
+    """,
+)
+def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout audit: model the SAME table laid out three ways —
+    insertion order, sorted by ship date, and Morton/z-order on
+    (ship-day, part) — cut each into fixed-size files, keep per-file
+    min/max zone maps, and measure how many files a two-dimension
+    predicate (30-day window AND low part range) can skip. This is
+    the quantitative case for clustering/OPTIMIZE ZORDER before a
+    100 TB scan: insertion order skips almost nothing, single-key
+    sort skips only its own dimension, z-order skips on both. The
+    same zone-map logic is what parquet row-group pruning and
+    Delta/Iceberg file skipping execute for real.
+
+    Scale: file ids come from global_sort_ranks (range-partition +
+    local rank + broadcast offsets — operators/dedup.py:1633), never
+    a bare Window.orderBy; zone maps are one (layout, file)-keyed
+    agg; the verdict table is file-count-sized. All arithmetic is
+    integer, so the audit is partition-stable."""
+    from sparrow_spark.operators.dedup import global_sort_ranks
+
+    li = load_table(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min(F.to_date("l_shipdate")).alias("d0"),
+        F.max("l_partkey").alias("pk_max"),
+    )
+    base = (
+        widen(li)
+        .join(F.broadcast(mm))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.to_date("l_shipdate"), F.col("d0"))
+            .bitwiseAND(65535)
+            .alias("day_idx"),
+            F.col("l_partkey").bitwiseAND(65535).alias("pk_idx"),
+            F.col("pk_max"),
+        )
+        .withColumn(
+            "z", F.expr(_z_interleave_sql("day_idx", "pk_idx"))
+        )
+        # Pin the base once: global_sort_ranks references its input
+        # twice (local ranks + the offset table), and an un-pinned
+        # round-robin-repartitioned input can re-evaluate with
+        # different partition contents between those two references —
+        # the offsets then describe a different partitioning than the
+        # local ranks and the global ranks come out wrong (observed as
+        # run-to-run drift in file sizes). localCheckpoint makes both
+        # references — and all three layout rankings — read the same
+        # materialized partitions.
+        .localCheckpoint(eager=True)
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in this data, so each
+    # key list ends with the zone-map dimensions: rows still tied after
+    # that are IDENTICAL in (day_idx, pk_idx), and identical rows are
+    # interchangeable for file stats — any assignment yields the same
+    # zone maps and counts, keeping the audit deterministic.
+    layouts = {
+        "insertion": ["l_orderkey", "l_linenumber", "day_idx", "pk_idx"],
+        "shipdate": ["day_idx", "l_orderkey", "l_linenumber", "pk_idx"],
+        "zorder": ["z", "l_orderkey", "l_linenumber", "day_idx", "pk_idx"],
+    }
+    ranked = None
+    for name, keys in layouts.items():
+        r = global_sort_ranks(base, keys).select(
+            F.lit(name).alias("layout"),
+            ((F.col("rn") - 1) / _ZM_ROWS_PER_FILE)
+            .cast("bigint")
+            .alias("file_id"),
+            "day_idx",
+            "pk_idx",
+            "pk_max",
+        )
+        ranked = r if ranked is None else ranked.unionByName(r)
+    zones = ranked.groupBy("layout", "file_id").agg(
+        F.min("day_idx").alias("d_min"),
+        F.max("day_idx").alias("d_max"),
+        F.min("pk_idx").alias("p_min"),
+        F.max("pk_idx").alias("p_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.first("pk_max").alias("pk_max"),
+    )
+    pk_hi = (F.col("pk_max") / 5).cast("bigint")
+    skipped = (
+        (F.col("d_max") < _ZM_DAY_LO)
+        | (F.col("d_min") > _ZM_DAY_HI)
+        | (F.col("p_min") > pk_hi)
+    ).cast("int")
+    matched = (
+        base.filter(
+            F.col("day_idx").between(_ZM_DAY_LO, _ZM_DAY_HI)
+            & (F.col("pk_idx") <= (F.col("pk_max") / 5).cast("bigint"))
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_matched"))
+    )
+    return (
+        zones.withColumn("skipped", skipped)
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("skipped").cast("bigint").alias("n_skipped"),
+            rnd(
+                F.sum("skipped") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("skip_frac"),
+            F.sum(
+                F.when(F.col("skipped") == 0, F.col("n_rows")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rows_scanned"),
+        )
+        .join(F.broadcast(matched))
+        .orderBy("layout")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Platt-style probability calibration via sufficient-statistic descent
+# ---------------------------------------------------------------------------
+
+_PLATT_STEPS = 3
+_PLATT_ETA = 0.5
+
+
+def _platt_step_sql(i: int) -> str:
+    """One gradient step as SQL CTEs: per-bucket terms under the
+    current (a, b), then two ORDER-PINNED folds (list(... ORDER BY
+    xb) + list_reduce) so DuckDB sums in exactly the ascending-bucket
+    order the Spark-side driver loop uses — double addition is
+    order-sensitive, pinning the order makes both engines bit-equal.
+    The link is the RATIONAL sigmoid s(t) = 0.5 + t / (2*(1+|t|)):
+    division/multiplication/addition are exactly specified by IEEE
+    754, unlike exp(), whose last-ulp rounding differs between libm
+    implementations — with exp() the two engines' fitted (a, b)
+    could drift apart. Same shape, same calibration role."""
+    return f"""
+    , terms{i} AS (
+      SELECT xb, x, n, pos,
+             0.5 + (a + b * x) / (2 * (1 + abs(a + b * x))) AS p,
+             0.5 / ((1 + abs(a + b * x)) * (1 + abs(a + b * x))) AS sp
+      FROM hist, step{i}
+    ), grads{i} AS (
+      SELECT
+        list_reduce(list(2 * (p - pos / CAST(n AS DOUBLE)) * sp
+                         ORDER BY xb), (acc, v) -> acc + v) AS g_a,
+        list_reduce(list(2 * (p - pos / CAST(n AS DOUBLE)) * sp * x
+                         ORDER BY xb), (acc, v) -> acc + v) AS g_b
+      FROM terms{i}
+    ), step{i + 1} AS (
+      SELECT a - {_PLATT_ETA} * g_a / (SELECT nb FROM nbuckets) AS a,
+             b - {_PLATT_ETA} * g_b / (SELECT nb FROM nbuckets) AS b
+      FROM step{i}, grads{i}
+    )"""
+
+
+@query(
+    "q_platt_scaling",
+    oracle="""
+    WITH hist AS (
+      SELECT n_chars // 100 AS xb,
+             (n_chars // 100) / 10.0 AS x,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos
+      FROM documents GROUP BY n_chars // 100
+    ), nbuckets AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM hist),
+    step0 AS (SELECT 0.0 AS a, 0.0 AS b)
+    """
+    + "".join(_platt_step_sql(i) for i in range(_PLATT_STEPS))
+    + f"""
+    SELECT h.xb, h.n, h.pos,
+           round(h.pos / CAST(h.n AS DOUBLE), 6) AS p_emp,
+           round(0.5 + (s.a + s.b * h.x)
+                 / (2 * (1 + abs(s.a + s.b * h.x))), 6) AS p_cal,
+           round(s.a, 6) AS a_fit, round(s.b, 6) AS b_fit
+    FROM hist h, step{_PLATT_STEPS} s
+    ORDER BY h.xb
+    """,
+)
+def q_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt-style probability calibration of a document score
+    (length bucket -> P(lang = en)) by fitting a two-parameter link
+    on SUFFICIENT STATISTICS: one corpus pass aggregates the
+    per-bucket (n, positives) histogram — exact BIGINT counts — and
+    the 3 fixed gradient steps then run on the driver over that
+    bounded table (one row per score bucket, never per document).
+    This is the at-scale shape for ANY low-dimensional fit: reduce
+    the corpus to sufficient stats once, iterate on kilobytes.
+
+    Cross-engine determinism: the driver folds gradient terms in
+    ascending-bucket order and the oracle pins the identical order
+    with list(... ORDER BY xb) + list_reduce; the link is the
+    rational sigmoid 0.5 + t/(2(1+|t|)) — IEEE-exact arithmetic only,
+    no libm exp() whose rounding differs between engines (swap the
+    logistic link in deployment; the distributed shape is
+    identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist_df = (
+        widen(docs)
+        .groupBy((F.col("n_chars") / 100).cast("bigint").alias("xb"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("pos"),
+        )
+    )
+    hist = sorted(
+        [(r["xb"], r["n"], r["pos"]) for r in hist_df.collect()]
+    )
+    nb = float(len(hist))
+    a, b = 0.0, 0.0
+    for _ in range(_PLATT_STEPS):
+        g_a, g_b = 0.0, 0.0
+        for xb, n, pos in hist:  # ascending xb — matches the oracle fold
+            x = xb / 10.0
+            t = a + b * x
+            p = 0.5 + t / (2 * (1 + abs(t)))
+            sp = 0.5 / ((1 + abs(t)) * (1 + abs(t)))
+            g_a = g_a + 2 * (p - pos / float(n)) * sp
+            g_b = g_b + 2 * (p - pos / float(n)) * sp * x
+        a -= _PLATT_ETA * g_a / nb
+        b -= _PLATT_ETA * g_b / nb
+    x = F.col("xb") / 10.0
+    t = F.lit(a) + F.lit(b) * x
+    p_cal = 0.5 + t / (2 * (1 + F.abs(t)))
+    return (
+        hist_df.select(
+            "xb",
+            "n",
+            "pos",
+            rnd(F.col("pos") / F.col("n").cast("double"), 6).alias("p_emp"),
+            rnd(p_cal, 6).alias("p_cal"),
+            rnd(F.lit(a), 6).alias("a_fit"),
+            rnd(F.lit(b), 6).alias("b_fit"),
+        )
+        .orderBy("xb")
+    )
