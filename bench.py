@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "q_pinball_loss",
     "q_zonemap_skipping",
     "q_platt_scaling",
+    "q_bucketed_join_colocated",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -929,3 +929,107 @@ def q_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("xb")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: the no-shuffle join the 100 TB plan wants
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+
+@query(
+    "q_bucketed_join_colocated",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             round(sum(o.o_totalprice), 2) AS total_price
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT p.path, a.n_rows, a.total_price,
+           CASE p.path WHEN 'bucketed' THEN 0 ELSE 2 END
+             AS join_input_shuffles
+    FROM (SELECT unnest(['bucketed', 'plain']) AS path) p
+    CROSS JOIN agg a
+    ORDER BY p.path
+    """,
+)
+def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketing as physical co-location: orders and customer written
+    with bucketBy(8, custkey) + sortBy join WITHOUT shuffling either
+    input — the bucketed scans already satisfy the sort-merge join's
+    clustering requirement — while the same join over plain parquet
+    must exchange both sides. The join_input_shuffles column is
+    measured FROM THE PHYSICAL PLAN (Exchange count below the
+    aggregate, minus the aggregate's own single exchange) and
+    hash-checked against the expected 0-vs-2 by the oracle, so a
+    regression that silently reintroduces the shuffle fails the
+    correctness gate, not just a bench number. Both paths must also
+    produce identical aggregates — result equivalence is what
+    licenses the layout choice, exactly as with the join-strategy
+    hints (plans/warehouse.py q_join_strategy_equivalence).
+
+    Scale: at 100 TB this is THE fact-fact join strategy — bucket
+    both tables on the join key at write time (one shuffle, paid
+    once) and every subsequent join is exchange-free; merge hints pin
+    SMJ so the comparison is like-for-like. The throwaway catalog
+    database + tempdir warehouse are dropped after the result is
+    frozen to a LocalRelation (the q_engine_dml discipline)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    db = f"buckx_{uuid.uuid4().hex[:8]}"
+    wh = tempfile.mkdtemp(prefix="sparrow-buck-")
+    spark.sql(f"CREATE DATABASE `{db}` LOCATION '{wh}/db'")
+    try:
+        (
+            orders.write.format("parquet")
+            .bucketBy(_BUCKETS, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable(f"{db}.orders_b")
+        )
+        (
+            customer.write.format("parquet")
+            .bucketBy(_BUCKETS, "c_custkey")
+            .sortBy("c_custkey")
+            .mode("overwrite")
+            .saveAsTable(f"{db}.customer_b")
+        )
+        ob = spark.table(f"{db}.orders_b")
+        cb = spark.table(f"{db}.customer_b")
+
+        def measured(path: str, left: DataFrame, right: DataFrame,
+                     lkey: str, rkey: str) -> DataFrame:
+            j = left.join(right.hint("merge"), left[lkey] == right[rkey])
+            agg = j.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                rnd(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            # executedPlan (initial adaptive plan, after
+            # EnsureRequirements): the join inputs shuffle as
+            # "Exchange hashpartitioning"; the global aggregate's own
+            # exchange is SinglePartition, so counting the hash
+            # exchanges isolates exactly what the JOIN INPUTS paid.
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            n_join_ex = plan.count("Exchange hashpartitioning")
+            return agg.select(
+                F.lit(path).alias("path"),
+                "n_rows",
+                "total_price",
+                F.lit(n_join_ex).cast("int").alias("join_input_shuffles"),
+            )
+
+        out = measured("bucketed", ob, cb, "o_custkey", "c_custkey").unionByName(
+            measured("plain", orders, customer, "o_custkey", "c_custkey")
+        )
+        rows = out.collect()
+        frozen = spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
+        shutil.rmtree(wh, ignore_errors=True)
+    return frozen.orderBy("path")

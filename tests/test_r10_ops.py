@@ -164,3 +164,13 @@ def test_platt_calibration_reduces_weighted_error(spark, sf_dir):
     se_fit = sum(r.n * (r.p_cal - r.p_emp) ** 2 for r in rows)
     se_zero = sum(r.n * (0.5 - r.p_emp) ** 2 for r in rows)
     assert se_fit <= se_zero + 1e-9
+
+
+def test_bucketed_join_is_exchange_free_and_equivalent(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_bucketed_join_colocated")
+    by = {r.path: r for r in rows}
+    assert set(by) == {"bucketed", "plain"}
+    assert by["bucketed"].join_input_shuffles == 0
+    assert by["plain"].join_input_shuffles == 2
+    assert by["bucketed"].n_rows == by["plain"].n_rows
+    assert by["bucketed"].total_price == by["plain"].total_price
