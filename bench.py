@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "q_zonemap_skipping",
     "q_platt_scaling",
     "q_bucketed_join_colocated",
+    "q_dbscan_grid",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1033,3 +1033,135 @@ def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
         shutil.rmtree(wh, ignore_errors=True)
     return frozen.orderBy("path")
+
+
+# ---------------------------------------------------------------------------
+# Grid-based density clustering (DBSCAN on cell counts, not point pairs)
+# ---------------------------------------------------------------------------
+
+_GRID_W = 0.08
+_GRID_MINPTS = 4
+_GRID_ROUNDS = 5
+_GRID_OFF = 1000
+_GRID_M = 100000
+
+
+def _dbscan_label_cte(i: int) -> str:
+    return f"""
+    , lab{i + 1} AS (
+      SELECT e.u AS id, min(l.lab) AS lab
+      FROM edges e JOIN lab{i} l ON e.v = l.id
+      GROUP BY e.u
+    )"""
+
+
+@query(
+    "q_dbscan_grid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id,
+             CAST(floor(embedding[1] / {_GRID_W}) AS BIGINT) AS cx,
+             CAST(floor(embedding[2] / {_GRID_W}) AS BIGINT) AS cy
+      FROM embeddings
+    ), cells AS (
+      SELECT cx, cy, CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY cx, cy
+    ), core AS (
+      SELECT cx, cy, n,
+             (cx + {_GRID_OFF}) * {_GRID_M} + (cy + {_GRID_OFF}) AS cell
+      FROM cells WHERE n >= {_GRID_MINPTS}
+    ), edges AS (
+      SELECT a.cell AS u, b.cell AS v
+      FROM core a JOIN core b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+    ), lab0 AS (SELECT cell AS id, cell AS lab FROM core)
+    """
+    + "".join(_dbscan_label_cte(i) for i in range(_GRID_ROUNDS))
+    + f"""
+    SELECT l.lab AS cluster,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(c.n) AS BIGINT) AS n_points
+    FROM lab{_GRID_ROUNDS} l JOIN core c ON l.id = c.cell
+    GROUP BY l.lab
+    UNION ALL
+    SELECT -1 AS cluster,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS n_points
+    FROM cells WHERE n < {_GRID_MINPTS}
+    ORDER BY cluster
+    """,
+)
+def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering of the embedding cloud WITHOUT point-pair
+    work: quantize the first two dimensions onto a fixed grid (at
+    scale those are the top PCA components — q_pca_power_iteration),
+    call a cell "core" when it holds >= minPts points, and connect
+    core cells through their 8-neighborhood — the cell graph is the
+    cluster structure (GriDBSCAN/grid-DBSCAN family). Points in
+    non-core cells report as the noise row (cluster = -1).
+
+    Scale: the corpus contributes ONE cell-keyed count aggregate;
+    everything after runs on the CELL table (orders of magnitude
+    smaller — bounded by occupied grid cells, not points). Neighbor
+    edges come from a 9-offset explode + equi-join on cell keys,
+    never a distance self-join; cluster ids are fixed-round
+    synchronous min-label propagation over the cell graph (the
+    alternating-CC discipline, unrolled in the oracle). Cell
+    assignment is floor(float/width) — IEEE-identical in both
+    engines — and every count is BIGINT, so output is
+    partition-stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = widen(emb).select(
+        "vec_id",
+        F.floor(F.element_at("embedding", 1) / _GRID_W)
+        .cast("bigint")
+        .alias("cx"),
+        F.floor(F.element_at("embedding", 2) / _GRID_W)
+        .cast("bigint")
+        .alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    core = cells.filter(F.col("n") >= _GRID_MINPTS).withColumn(
+        "cell",
+        (F.col("cx") + _GRID_OFF) * _GRID_M + (F.col("cy") + _GRID_OFF),
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx int, dy int",
+    )
+    probes = core.join(F.broadcast(offsets)).select(
+        F.col("cell").alias("u"),
+        (F.col("cx") + F.col("dx")).alias("nx"),
+        (F.col("cy") + F.col("dy")).alias("ny"),
+    )
+    nbr = core.select(
+        F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+        F.col("cell").alias("v"),
+    )
+    edges = probes.join(nbr, ["nx", "ny"]).select("u", "v")
+    edges = edges.localCheckpoint(eager=True)
+    labels = core.select(F.col("cell").alias("id"), F.col("cell").alias("lab"))
+    for _ in range(_GRID_ROUNDS):
+        labels = (
+            edges.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    clusters = (
+        labels.join(core.withColumnRenamed("cell", "id"), "id")
+        .groupBy("lab")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("n").cast("bigint").alias("n_points"),
+        )
+        .select(F.col("lab").alias("cluster"), "n_cells", "n_points")
+    )
+    noise = cells.filter(F.col("n") < _GRID_MINPTS).agg(
+        F.lit(-1).cast("bigint").alias("cluster"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_points"),
+    )
+    return clusters.unionByName(noise).orderBy("cluster")

@@ -174,3 +174,22 @@ def test_bucketed_join_is_exchange_free_and_equivalent(spark, sf_dir):
     assert by["plain"].join_input_shuffles == 2
     assert by["bucketed"].n_rows == by["plain"].n_rows
     assert by["bucketed"].total_price == by["plain"].total_price
+
+
+def test_dbscan_grid_conserves_points_and_separates_noise(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_dbscan_grid")
+    from sparrow_spark.sources import load_table
+
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_points for r in rows) == n_total
+    clusters = [r for r in rows if r.cluster != -1]
+    noise = [r for r in rows if r.cluster == -1]
+    assert len(noise) == 1
+    for r in clusters:
+        # A core cell holds >= minPts points, so any cluster holds at
+        # least that many.
+        assert r.n_points >= 4 * 1  # minPts per core cell, >=1 cell
+        assert r.n_cells >= 1
+    # Cluster labels are cell ids of members: distinct by construction.
+    labs = [r.cluster for r in clusters]
+    assert len(labs) == len(set(labs))
