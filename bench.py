@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "q_platt_scaling",
     "q_bucketed_join_colocated",
     "q_dbscan_grid",
+    "q_neyman_allocation",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

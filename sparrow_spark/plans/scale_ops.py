@@ -1165,3 +1165,172 @@ def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_points"),
     )
     return clusters.unionByName(noise).orderBy("cluster")
+
+
+# ---------------------------------------------------------------------------
+# Neyman (optimal) stratified-sample allocation vs proportional
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+
+@query(
+    "q_neyman_allocation",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag || '/' || l_linestatus AS stratum,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), s AS (
+      SELECT stratum,
+             CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(cents) AS BIGINT) AS sm,
+             sum(CAST(cents AS HUGEINT) * cents) AS sq
+      FROM c GROUP BY stratum
+    ), v AS (
+      SELECT stratum, n_h,
+             sqrt((CAST(sq AS DOUBLE)
+                   - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / n_h)
+                  / (n_h - 1)) / 100.0 AS sd
+      FROM s
+    ), w AS (
+      SELECT stratum, n_h, sd, n_h * sd AS wt FROM v
+    ), tots AS (
+      SELECT sum(wt) AS tw, CAST(sum(n_h) AS BIGINT) AS tn FROM w
+    ), quota AS (
+      SELECT stratum, n_h, sd,
+             {_NEYMAN_BUDGET} * wt / (SELECT tw FROM tots) AS ney_exact,
+             floor({_NEYMAN_BUDGET} * wt / (SELECT tw FROM tots)) AS ney_base,
+             {_NEYMAN_BUDGET} * n_h / CAST((SELECT tn FROM tots) AS DOUBLE)
+               AS prop_exact,
+             floor({_NEYMAN_BUDGET} * n_h
+                   / CAST((SELECT tn FROM tots) AS DOUBLE)) AS prop_base
+      FROM w
+    ), short AS (
+      SELECT CAST({_NEYMAN_BUDGET} - sum(ney_base) AS BIGINT) AS ks,
+             CAST({_NEYMAN_BUDGET} - sum(prop_base) AS BIGINT) AS kp
+      FROM quota
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY ney_exact - ney_base DESC, stratum)
+               AS rn_n,
+             row_number() OVER (ORDER BY prop_exact - prop_base DESC,
+                                stratum) AS rn_p
+      FROM quota
+    )
+    SELECT stratum, n_h, round(sd, 4) AS sd,
+           CAST(ney_base + CASE WHEN rn_n <= (SELECT ks FROM short)
+                                THEN 1 ELSE 0 END AS BIGINT) AS neyman_n,
+           CAST(prop_base + CASE WHEN rn_p <= (SELECT kp FROM short)
+                                 THEN 1 ELSE 0 END AS BIGINT) AS prop_n
+    FROM ranked
+    ORDER BY stratum
+    """,
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal (Neyman) allocation of a fixed 1000-row sample budget
+    across the lineitem strata: sample size per stratum proportional
+    to N_h * S_h — high-variance strata earn more rows than their
+    population share — side by side with plain proportional
+    allocation, both made integer-exact by largest-remainder
+    rounding (q_apportion_largest_remainder's discipline, exact-sum
+    to the budget by construction). This is the survey-sampling
+    counterpart of the PPS/priority samplers already registered: it
+    decides the per-stratum BUDGET those samplers then execute.
+
+    Scale: one stratum-keyed aggregation over exact integer cents
+    (second moments fold as DECIMAL(38,0)/HUGEINT, converted to
+    double once at the end, so the stratum stats are
+    partition-stable); everything after runs on the |strata|-row
+    table, windows included — the bounded-cardinality escape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = widen(li).select(
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("stratum"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    s = c.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("cents").alias("sm"),
+        F.sum(
+            F.col("cents").cast("decimal(19,0)")
+            * F.col("cents").cast("decimal(19,0)")
+        ).alias("sq"),
+    )
+    sd = (
+        F.sqrt(
+            (
+                F.col("sq").cast("double")
+                - F.col("sm").cast("double")
+                * F.col("sm").cast("double")
+                / F.col("n_h")
+            )
+            / (F.col("n_h") - 1)
+        )
+        / 100.0
+    )
+    # Pin the |strata|-row stats table: quota/short/ranked each branch
+    # from it, and without the pin every branch re-runs the corpus
+    # aggregation (plan audit showed 4 scans for one logical pass).
+    w = (
+        s.select("stratum", "n_h", sd.alias("sd"))
+        .withColumn("wt", F.col("n_h") * F.col("sd"))
+        .localCheckpoint(eager=True)
+    )
+    tots = w.agg(
+        F.sum("wt").alias("tw"), F.sum("n_h").cast("bigint").alias("tn")
+    )
+    ney_exact = _NEYMAN_BUDGET * F.col("wt") / F.col("tw")
+    prop_exact = _NEYMAN_BUDGET * F.col("n_h") / F.col("tn").cast("double")
+    quota = w.crossJoin(F.broadcast(tots)).select(
+        "stratum",
+        "n_h",
+        "sd",
+        ney_exact.alias("ney_exact"),
+        F.floor(ney_exact).alias("ney_base"),
+        prop_exact.alias("prop_exact"),
+        F.floor(prop_exact).alias("prop_base"),
+    )
+    short = quota.agg(
+        (_NEYMAN_BUDGET - F.sum("ney_base")).cast("bigint").alias("ks"),
+        (_NEYMAN_BUDGET - F.sum("prop_base")).cast("bigint").alias("kp"),
+    )
+    ranked = (
+        quota.withColumn(
+            "rn_n",
+            F.row_number().over(
+                Window.orderBy(
+                    F.desc(F.col("ney_exact") - F.col("ney_base")), "stratum"
+                )
+            ),
+        )
+        .withColumn(
+            "rn_p",
+            F.row_number().over(
+                Window.orderBy(
+                    F.desc(F.col("prop_exact") - F.col("prop_base")),
+                    "stratum",
+                )
+            ),
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(short))
+        .select(
+            "stratum",
+            "n_h",
+            rnd("sd", 4).alias("sd"),
+            (
+                F.col("ney_base")
+                + F.when(F.col("rn_n") <= F.col("ks"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("neyman_n"),
+            (
+                F.col("prop_base")
+                + F.when(F.col("rn_p") <= F.col("kp"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("prop_n"),
+        )
+        .orderBy("stratum")
+    )

@@ -193,3 +193,22 @@ def test_dbscan_grid_conserves_points_and_separates_noise(spark, sf_dir):
     # Cluster labels are cell ids of members: distinct by construction.
     labs = [r.cluster for r in clusters]
     assert len(labs) == len(set(labs))
+
+
+def test_neyman_allocation_sums_to_budget_and_tracks_variance(
+    spark, sf_dir
+):
+    rows = _run(spark, sf_dir, "q_neyman_allocation")
+    assert sum(r.neyman_n for r in rows) == 1000
+    assert sum(r.prop_n for r in rows) == 1000
+    # Neyman gains budget exactly where sd exceeds the population's
+    # weighted-average sd (ney share n_h*sd_h/sum >= prop share
+    # n_h/N iff sd_h >= avg), up to largest-remainder rounding slack.
+    n_total = sum(r.n_h for r in rows)
+    avg_sd = sum(r.n_h * r.sd for r in rows) / n_total
+    for r in rows:
+        assert r.sd >= 0.0
+        if r.sd > avg_sd * 1.001:
+            assert r.neyman_n >= r.prop_n - 1
+        elif r.sd < avg_sd * 0.999:
+            assert r.neyman_n <= r.prop_n + 1
