@@ -153,7 +153,9 @@ def _make_mg_candidates(k: int):
         import pandas as _pd
 
         counters: dict[str, int] = {}
+        seen = 0
         for pdf in batches:
+            seen += len(pdf)
             for tok, cnt in pdf["tok"].value_counts().items():
                 counters[tok] = counters.get(tok, 0) + int(cnt)
             if len(counters) > k:
@@ -161,7 +163,14 @@ def _make_mg_candidates(k: int):
                 counters = {
                     t: c - cut for t, c in counters.items() if c - cut > 0
                 }
-        yield _pd.DataFrame({"tok": list(counters.keys())})
+        # One NULL-token row per partition carries the exact partition
+        # token count, so the corpus total needs no third scan.
+        yield _pd.DataFrame(
+            {
+                "tok": list(counters.keys()) + [None],
+                "pt": [0] * len(counters) + [seen],
+            }
+        )
 
     return mg
 
@@ -197,13 +206,19 @@ def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     under any partitioning."""
     docs = widen(load_table(spark, sf_dir, "documents"))
     tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
-    cand = tok.mapInPandas(_make_mg_candidates(_MG_K), "tok string").distinct()
+    # The summary pass emits candidates AND the partition token counts
+    # (NULL-token rows), so candidates + corpus total cost ONE scan;
+    # pinned because both branches below read it.
+    summary = tok.mapInPandas(
+        _make_mg_candidates(_MG_K), "tok string, pt bigint"
+    ).localCheckpoint(eager=True)
+    cand = summary.filter(F.col("tok").isNotNull()).select("tok").distinct()
+    total = summary.agg(F.sum("pt").alias("t"))
     exact = (
         tok.join(F.broadcast(cand), "tok", "left_semi")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    total = tok.agg(F.count(F.lit(1)).alias("t"))
     return (
         exact.join(F.broadcast(total))
         .filter(F.col("n") >= _HH_THRESHOLD * F.col("t"))
