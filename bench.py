@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "q_bucketed_join_colocated",
     "q_dbscan_grid",
     "q_neyman_allocation",
+    "q_textrank_keywords",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

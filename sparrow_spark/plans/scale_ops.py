@@ -1349,3 +1349,114 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (PageRank over word co-occurrence)
+# ---------------------------------------------------------------------------
+
+_TR_ROUNDS = 3
+_TR_DAMP = 0.85
+_TR_TOPK = 20
+
+
+def _tr_round_cte(i: int) -> str:
+    return f"""
+    , pr{i + 1} AS (
+      SELECT s.a AS node,
+             0.15 / (SELECT nn FROM nN)
+             + {_TR_DAMP} * sum(p.score * s.w / d.wd) AS score
+      FROM sym s
+      JOIN pr{i} p ON p.node = s.b
+      JOIN deg d ON d.node = s.b
+      GROUP BY s.a
+    )"""
+
+
+@query(
+    "q_textrank_keywords",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), big AS (
+      SELECT least(t[i], t[i+1]) AS a, greatest(t[i], t[i+1]) AS b
+      FROM toks, unnest(range(1, len(t))) AS r(i)
+      WHERE t[i] <> t[i+1] AND t[i] <> '' AND t[i+1] <> ''
+    ), edges AS (
+      SELECT a, b, CAST(count(*) AS DOUBLE) AS w FROM big GROUP BY a, b
+    ), sym AS (
+      SELECT a, b, w FROM edges UNION ALL SELECT b AS a, a AS b, w FROM edges
+    ), deg AS (
+      SELECT a AS node, sum(w) AS wd FROM sym GROUP BY a
+    ), nN AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
+    pr0 AS (SELECT node, 1.0 / (SELECT nn FROM nN) AS score FROM deg)
+    """
+    + "".join(_tr_round_cte(i) for i in range(_TR_ROUNDS))
+    + f"""
+    SELECT node AS word, round(score, 6) AS score
+    FROM pr{_TR_ROUNDS}
+    ORDER BY round(score, 6) DESC, word
+    LIMIT {_TR_TOPK}
+    """,
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: PageRank over the corpus-wide
+    word co-occurrence graph (adjacent-token edges, weight =
+    co-occurrence count), 3 fixed damped rounds, top-20 words — the
+    unsupervised keyword/keyphrase baseline (Mihalcea & Tarau 2004)
+    that needs no labels and no model, a standard corpus-triage tool
+    next to TF-IDF and the collocation PMI pack.
+
+    Scale: edge extraction is map-side (adjacent pairs from the token
+    array); the graph then lives at VOCABULARY size, not corpus size
+    — every round is one join + one keyed agg over the
+    vocabulary-sized edge list, localCheckpoint-pinned per round like
+    the other fixed-round graph loops. Ranking uses the ROUNDED score
+    (word tiebreak) so ulp-level summation differences cannot reorder
+    the cut; the oracle unrolls the same 3 rounds."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(tokens(F.col("text")).alias("t"))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, size(t) - 1),"
+                " i -> struct(least(t[i-1], t[i]) AS a,"
+                "             greatest(t[i-1], t[i]) AS b)),"
+                " p -> p.a <> p.b AND p.a <> '' AND p.b <> '')"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = big.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.sum("w").alias("wd"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    pr = deg.join(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("nn")).alias("score")
+    )
+    for _ in range(_TR_ROUNDS):
+        contrib = (
+            sym.join(pr.withColumnRenamed("node", "b"), "b")
+            .join(deg.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(
+                F.sum(F.col("score") * F.col("w") / F.col("wd")).alias("c")
+            )
+        )
+        pr = (
+            contrib.join(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (0.15 / F.col("nn") + _TR_DAMP * F.col("c")).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        pr.select("node", rnd("score", 6).alias("score"))
+        .select(F.col("node").alias("word"), "score")
+        .orderBy(F.col("score").desc(), "word")
+        .limit(_TR_TOPK)
+    )

@@ -212,3 +212,15 @@ def test_neyman_allocation_sums_to_budget_and_tracks_variance(
             assert r.neyman_n >= r.prop_n - 1
         elif r.sd < avg_sd * 0.999:
             assert r.neyman_n <= r.prop_n + 1
+
+
+def test_textrank_scores_are_a_probability_like_ranking(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_textrank_keywords")
+    assert len(rows) == 20
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.score > 0.0
+    # Damped PageRank over a connected-ish word graph: no single word
+    # may absorb the whole mass.
+    assert scores[0] < 0.5
