@@ -266,6 +266,8 @@ BENCH_QUERIES = [
     "q_dbscan_grid",
     "q_neyman_allocation",
     "q_textrank_keywords",
+    "q_tokenizer_fertility",
+    "q_l_diversity",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1460,3 +1460,146 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "word")
         .limit(_TR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language (BPE quality on multilingual data)
+# ---------------------------------------------------------------------------
+
+
+def _fertility_oracle_sql() -> str:
+    from sparrow_spark.operators.text import BPE_TRAIN_MERGES, _bpe_oracle_sql
+
+    k = BPE_TRAIN_MERGES
+    chain = _bpe_oracle_sql(k)
+    chain = chain[: chain.index("    SELECT 1 AS it")]
+    return (
+        chain
+        + f"""    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(trim(v.syms, '|'), '|'))) AS BIGINT)
+             AS n_symbols,
+           round(sum(len(string_split(trim(v.syms, '|'), '|'))) /
+                 CAST(count(*) AS DOUBLE), 4) AS fertility,
+           round(sum(length(v.word)) /
+                 CAST(sum(len(string_split(trim(v.syms, '|'), '|')))
+                      AS DOUBLE), 4) AS chars_per_symbol
+    FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+          FROM documents) d
+    JOIN v{k} v ON v.word = d.t
+    WHERE d.t <> ''
+    GROUP BY d.lang
+    ORDER BY d.lang"""
+    )
+
+
+@query("q_tokenizer_fertility", oracle=_fertility_oracle_sql())
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language: symbols emitted per
+    whitespace word under the BPE merges q_bpe_train learns — the
+    standard multilingual-tokenizer health metric (a language with
+    fertility far above the corpus average pays more sequence length
+    per word, trains slower, and signals an under-represented
+    vocabulary; chars-per-symbol is the inverse view). Closes the
+    loop train -> encode (q_bpe_encode, per document) -> EVALUATE
+    (per language).
+
+    Scale: identical shape to the encoder — the corpus joins the
+    trained word->segmentation table (vocabulary-sized, broadcast at
+    scale) and folds exact BIGINT counts per language; one keyed
+    shuffle on lang."""
+    from sparrow_spark.operators.text import _bpe_vocab, bpe_train_rounds
+
+    _, final_state = bpe_train_rounds(_bpe_vocab(spark, sf_dir))
+    seg = final_state.select(
+        "word",
+        F.length("word").cast("bigint").alias("n_chars_w"),
+        F.size(F.split(F.expr("trim(BOTH '|' FROM syms)"), "[|]"))
+        .cast("bigint")
+        .alias("n_syms_w"),
+    )
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        tok.join(seg, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_syms_w").cast("bigint").alias("n_symbols"),
+            rnd(
+                F.sum("n_syms_w") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("fertility"),
+            rnd(
+                F.sum("n_chars_w") / F.sum("n_syms_w").cast("double"), 4
+            ).alias("chars_per_symbol"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (sensitive-attribute companion to k-anonymity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_l_diversity",
+    oracle="""
+    WITH cls AS (
+      SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_band,
+             lang, count(*) AS cnt
+      FROM documents GROUP BY 1, 2, 3
+    ), per_class AS (
+      SELECT source, len_band,
+             CAST(sum(cnt) AS BIGINT) AS group_n,
+             CAST(count(*) AS BIGINT) AS l_distinct,
+             CAST(max(cnt) AS BIGINT) AS top_cnt
+      FROM cls GROUP BY source, len_band
+    )
+    SELECT source, len_band, group_n, l_distinct,
+           round(top_cnt / CAST(group_n AS DOUBLE), 4) AS top_frac,
+           l_distinct >= 3 AND top_cnt * 2 <= group_n AS diverse
+    FROM per_class
+    ORDER BY source, len_band
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the sensitive-attribute companion to
+    q_k_anonymity (operators/pipeline.py): a QI class (source, length
+    band) that is large enough can STILL leak its members' sensitive
+    value (here: lang) if nearly all of them share it. Reports
+    distinct sensitive values per class and the dominant-value
+    fraction; `diverse` applies distinct l >= 3 plus a 50%
+    dominance cap (the practical recursive-(c,l) check, Machanavajjhala
+    et al. 2007). Exact integer counts and one final division keep
+    the audit partition-stable — no entropy term, whose float
+    summation would reintroduce the r7 class of cross-engine flake.
+
+    Scale: two keyed aggregates, both bounded by the QI x sensitive
+    domain product, never corpus size."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    cls = docs.groupBy(
+        "source",
+        (F.col("n_chars") / 100).cast("bigint").alias("len_band"),
+        "lang",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_class = cls.groupBy("source", "len_band").agg(
+        F.sum("cnt").cast("bigint").alias("group_n"),
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+        F.max("cnt").cast("bigint").alias("top_cnt"),
+    )
+    return per_class.select(
+        "source",
+        "len_band",
+        "group_n",
+        "l_distinct",
+        rnd(F.col("top_cnt") / F.col("group_n").cast("double"), 4).alias(
+            "top_frac"
+        ),
+        (
+            (F.col("l_distinct") >= 3)
+            & (F.col("top_cnt") * 2 <= F.col("group_n"))
+        ).alias("diverse"),
+    ).orderBy("source", "len_band")

@@ -224,3 +224,30 @@ def test_textrank_scores_are_a_probability_like_ranking(spark, sf_dir):
     # Damped PageRank over a connected-ish word graph: no single word
     # may absorb the whole mass.
     assert scores[0] < 0.5
+
+
+def test_fertility_is_at_least_one_and_reconciles_with_encoder(
+    spark, sf_dir
+):
+    rows = _run(spark, sf_dir, "q_tokenizer_fertility")
+    assert len(rows) >= 2
+    total_words = sum(r.n_words for r in rows)
+    total_syms = sum(r.n_symbols for r in rows)
+    for r in rows:
+        # A word maps to at least one symbol; fertility >= 1.
+        assert r.fertility >= 1.0
+        assert r.chars_per_symbol >= 1.0
+    # Same segmentation table as the per-doc encoder: corpus totals
+    # must reconcile.
+    enc = _run(spark, sf_dir, "q_bpe_encode")
+    assert sum(e.n_tokens for e in enc) == total_words
+    assert sum(e.n_symbols for e in enc) == total_syms
+
+
+def test_l_diversity_bounds_and_dominance_logic(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_l_diversity")
+    for r in rows:
+        assert 1 <= r.l_distinct <= r.group_n
+        assert 0.0 < r.top_frac <= 1.0
+        if r.diverse:
+            assert r.l_distinct >= 3 and r.top_frac <= 0.5
