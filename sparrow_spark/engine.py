@@ -831,6 +831,102 @@ class Engine:
         self._overwrite_data(schema, table, keep.unionByName(with_rowid))
         return Result("ok", affected_rows=n_rows)
 
+    def _insert_odku(self, insert_part: str, assign_sql: str) -> Result:
+        """INSERT ... ON DUPLICATE KEY UPDATE (MySQL upsert-in-place):
+        rows that collide with a stored row on the primary or a unique
+        key apply the assignment list to the EXISTING row — `VALUES(c)`
+        inside an assignment refers to the incoming row's value, bare
+        column names to the stored row (MySQL semantics) — and
+        non-colliding rows insert normally. Copy-on-write set algebra,
+        no per-row loop: one anti-join splits insert-vs-update, one
+        inner join pairs stored rows with their incoming twin, the
+        assignments evaluate set-at-a-time. affected_rows follows the
+        MySQL convention: 1 per inserted row, 2 per updated row.
+
+        The reference only ERRORS on duplicates (error 1062,
+        src/execute_impl/insert.rs:208); ODKU, REPLACE (_replace) and
+        MERGE (_merge) are this engine's upsert supersets."""
+        m = re.match(
+            r"INSERT\s+INTO\s+([\w`.]+)\s*(\(([^)]*)\))?\s*VALUES\s*(.+)$",
+            insert_part,
+            re.I | re.S,
+        )
+        if not m:
+            raise SparrowError(1064, f"syntax error in INSERT: {insert_part[:80]}")
+        schema, table, tdef, new_rows, _ = self._rows_from_values(m)
+        key_sets = tdef.key_sets()
+        if not key_sets:
+            raise SparrowError(
+                1062,
+                "INSERT ... ON DUPLICATE KEY UPDATE requires a PRIMARY KEY "
+                "or UNIQUE constraint",
+            )
+        # Intra-batch duplicates error, like REPLACE (MySQL applies the
+        # update twice in-batch — stricter is safer here).
+        for index_name, cols in key_sets:
+            dup = (
+                new_rows.groupBy(*cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                key = "-".join(str(dup[0][c]) for c in cols)
+                raise SparrowError(
+                    1062, f"Duplicate entry '{key}' for key '{index_name}'"
+                )
+        # Parse the assignment list; VALUES(c) -> the incoming row's c.
+        assigns: list[tuple[str, str]] = []
+        for part in split_top_level(assign_sql):
+            am = re.match(r"\s*`?(\w+)`?\s*=\s*(.+)$", part, re.S)
+            if not am:
+                raise SparrowError(1064, f"bad assignment: {part[:60]}")
+            cname = check_ident(am.group(1))
+            if not tdef.column(cname):
+                raise SparrowError(1054, f"Unknown column '{cname}' in 'field list'")
+            expr_sql = re.sub(
+                r"VALUES\s*\(\s*`?(\w+)`?\s*\)", r"`__new_\1`", am.group(2),
+                flags=re.I,
+            )
+            assigns.append((cname, expr_sql))
+
+        existing = self._read_physical(schema, table, tdef)
+        col_names = [c.name for c in tdef.columns]
+        incoming = new_rows.select(
+            *[F.col(c).alias(f"__new_{c}") for c in col_names]
+        )
+        untouched, updated = existing, None
+        to_insert = new_rows
+        for _, cols in key_sets:
+            cond = [
+                untouched[c].eqNullSafe(incoming[f"__new_{c}"]) for c in cols
+            ]
+            pair = untouched.join(incoming, on=cond, how="inner")
+            upd = pair.select(
+                ROWID,
+                *[
+                    F.expr(dict(assigns)[c]).cast(tdef.column(c).spark_type).alias(c)
+                    if c in dict(assigns)
+                    else F.col(c)
+                    for c in col_names
+                ],
+            )
+            updated = upd if updated is None else updated.unionByName(upd)
+            untouched = untouched.join(
+                new_rows.select(*cols), on=cols, how="left_anti"
+            )
+            to_insert = to_insert.join(
+                existing.select(*cols), on=cols, how="left_anti"
+            )
+        n_updated = updated.count()
+        inserted = to_insert.select(F.expr("uuid()").alias(ROWID), *col_names)
+        n_inserted = inserted.count()
+        self._overwrite_data(
+            schema, table, untouched.unionByName(updated).unionByName(inserted)
+        )
+        return Result("ok", affected_rows=n_inserted + 2 * n_updated)
+
     def _merge(self, stmt: str) -> Result:
         """MERGE INTO target USING src ON cond
         [WHEN MATCHED THEN UPDATE SET c = expr, ... | DELETE]
@@ -991,6 +1087,14 @@ class Engine:
         return Result("ok", affected_rows=affected)
 
     def _insert(self, stmt: str) -> Result:
+        odku = re.match(
+            r"(INSERT\s+INTO\s+[\w`.]+\s*(?:\([^)]*\))?\s*VALUES\s*.+?)"
+            r"\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.+)$",
+            stmt,
+            re.I | re.S,
+        )
+        if odku:
+            return self._insert_odku(odku.group(1), odku.group(2))
         sel = re.match(
             r"INSERT\s+INTO\s+([\w`.]+)\s*(\(([^)]*)\))?\s*"
             r"((?:SELECT|WITH|TABLE)\b.*)$",

@@ -777,3 +777,49 @@ def test_partitioned_table_pruned_cow(engine):
     assert res.affected_rows == 4
     rows = engine.sql("SELECT count(*) AS n FROM ev").rows()
     assert rows[0]["n"] == 11
+
+
+def test_insert_on_duplicate_key_update(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS odkudb")
+    engine.sql("USE odkudb")
+    engine.sql("CREATE TABLE acct (id INT, hits INT, name CHAR, PRIMARY KEY(id))")
+    engine.sql("INSERT INTO acct VALUES (1, 10, 'a'), (2, 20, 'b')")
+    # key 2 collides -> update in place (VALUES() + stored-column mix);
+    # key 3 is new -> plain insert. MySQL affected_rows: 1 + 2 = 3.
+    r = engine.sql(
+        "INSERT INTO acct VALUES (2, 5, 'B'), (3, 30, 'c') "
+        "ON DUPLICATE KEY UPDATE hits = hits + VALUES(hits), "
+        "name = VALUES(name)"
+    )
+    assert r.affected_rows == 3
+    rows = engine.sql("SELECT id, hits, name FROM acct ORDER BY id").df.collect()
+    assert [(x.id, x.hits, x.name) for x in rows] == [
+        (1, 10, "a"),
+        (2, 25, "B"),
+        (3, 30, "c"),
+    ]
+    # all-duplicates batch: every row updates, none insert
+    r = engine.sql(
+        "INSERT INTO acct VALUES (1, 1, 'z'), (2, 1, 'z') "
+        "ON DUPLICATE KEY UPDATE hits = hits + VALUES(hits)"
+    )
+    assert r.affected_rows == 4
+    rows = engine.sql("SELECT id, hits FROM acct ORDER BY id").df.collect()
+    assert [(x.id, x.hits) for x in rows] == [(1, 11), (2, 26), (3, 30)]
+    import pytest as _pytest
+
+    from sparrow_spark.engine import SparrowError
+
+    # intra-batch duplicate still errors (stricter than MySQL)
+    with _pytest.raises(SparrowError, match="Duplicate entry"):
+        engine.sql(
+            "INSERT INTO acct VALUES (7, 1, 'x'), (7, 2, 'y') "
+            "ON DUPLICATE KEY UPDATE hits = VALUES(hits)"
+        )
+    # no unique key -> rejected
+    engine.sql("CREATE TABLE nokey2 (a INT)")
+    with _pytest.raises(SparrowError, match="PRIMARY KEY"):
+        engine.sql(
+            "INSERT INTO nokey2 VALUES (1) ON DUPLICATE KEY UPDATE a = 2"
+        )
+    engine.sql("DROP TABLE acct, nokey2")
