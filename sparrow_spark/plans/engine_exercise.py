@@ -61,20 +61,22 @@ def _freeze_and_cleanup(
     "q_engine_dml",
     oracle="""
     SELECT id, name, CAST(bal AS DOUBLE) AS bal FROM (VALUES
-      (1, 'a',  15.0),
+      (1, 'a1', 16.0),
       (2, 'b2', 99.0),
       (4, 'd',  40.0),
       (5, 'e',  50.0),
-      (6, 'm',  60.0)
+      (6, 'm',  60.0),
+      (7, 'g',  70.0)
     ) t(id, name, bal)
     """,
 )
 def q_engine_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2/S3/S4 + REPLACE + MERGE + prepared statements end-to-end:
-    INSERT (append files), UPDATE (file-pruned COW), DELETE, REPLACE
-    upsert, MERGE with both arms, binary-path prepared INSERT — then
-    the surviving rows, hash-checked against the literal expected
-    state."""
+    """S2/S3/S4 + REPLACE + ON DUPLICATE KEY UPDATE + MERGE + prepared
+    statements end-to-end: INSERT (append files), UPDATE (file-pruned
+    COW), DELETE, REPLACE upsert, ODKU upsert-in-place (r10 — id 1
+    takes bal+VALUES(bal) and the incoming name, id 7 inserts), MERGE
+    with both arms, binary-path prepared INSERT — then the surviving
+    rows, hash-checked against the literal expected state."""
     eng, schema, wh = _fresh_engine(spark)
     eng.script(
         """
@@ -89,6 +91,8 @@ def q_engine_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON t.id = s.id
           WHEN MATCHED THEN UPDATE SET bal = t.bal
           WHEN NOT MATCHED THEN INSERT (id, name, bal) VALUES (s.id, s.name, s.bal);
+        INSERT INTO accounts VALUES (1, 'a1', 1.0), (7, 'g', 70.0)
+          ON DUPLICATE KEY UPDATE bal = bal + VALUES(bal), name = VALUES(name);
         """
     )
     stmt_id, n = eng.prepare("INSERT INTO accounts VALUES (?, ?, ?)")
