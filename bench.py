@@ -280,6 +280,7 @@ BENCH_QUERIES = [
 # DataFrame would just re-read old verdict parquet) and runs once —
 # one drain IS its steady state.
 AUX_QUERIES = [
+    "q_stream_engine_upsert",
     "q_stream_tws_running_totals",
     "q_stream_incremental_dedup",
     "q_stream_drift_monitor",

@@ -165,4 +165,5 @@ def load_all() -> None:
     import sparrow_spark.streaming.incremental_agg  # noqa: F401
     import sparrow_spark.streaming.enrich_dedup  # noqa: F401
     import sparrow_spark.streaming.tws_counter  # noqa: F401
+    import sparrow_spark.streaming.engine_upsert  # noqa: F401
     _reorder_for_driver_window()

