@@ -305,6 +305,8 @@ class Engine:
             return self._locked_dml(stmt, self._alter_table)
         if head == "INSERT":
             return self._locked_dml(stmt, self._insert)
+        if two == "TRUNCATE TABLE" or head == "TRUNCATE":
+            return self._locked_dml(stmt, self._truncate)
         if head == "REPLACE":
             return self._locked_dml(stmt, self._replace)
         if head == "MERGE":
@@ -831,6 +833,69 @@ class Engine:
         self._overwrite_data(schema, table, keep.unionByName(with_rowid))
         return Result("ok", affected_rows=n_rows)
 
+    def _insert_ignore(self, stmt: str) -> Result:
+        """INSERT IGNORE (MySQL): rows that would raise duplicate-key
+        error 1062 — against stored rows OR earlier rows of the same
+        batch (MySQL keeps the FIRST) — are silently skipped instead;
+        affected_rows counts only what actually landed. Set-at-a-time:
+        one window per key set drops intra-batch later duplicates, one
+        anti-join per key set drops stored collisions."""
+        m = re.match(
+            r"INSERT\s+INTO\s+([\w`.]+)\s*(\(([^)]*)\))?\s*VALUES\s*(.+)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise SparrowError(1064, f"syntax error in INSERT: {stmt[:80]}")
+        schema, table, tdef, new_rows, _ = self._rows_from_values(m)
+        key_sets = tdef.key_sets()
+        col_names = [c.name for c in tdef.columns]
+        if key_sets:
+            # VALUES evaluates to a single-partition LocalRelation, so
+            # monotonically_increasing_id preserves tuple order — the
+            # "first row wins" MySQL contract needs that order.
+            ordered = new_rows.coalesce(1).withColumn(
+                "__ord", F.monotonically_increasing_id()
+            )
+            from pyspark.sql import Window as _W
+
+            for _, cols in key_sets:
+                w = _W.partitionBy(*cols).orderBy("__ord")
+                ordered = (
+                    ordered.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            survivors = ordered.drop("__ord")
+            existing = self._read_physical(schema, table, tdef)
+            for _, cols in key_sets:
+                survivors = survivors.join(
+                    existing.select(*cols), on=cols, how="left_anti"
+                )
+            new_rows = survivors.select(*col_names)
+        with_rowid = new_rows.select(F.expr("uuid()").alias(ROWID), "*")
+        n_rows = with_rowid.count()
+        if n_rows:
+            self._partitioned_writer(tdef, with_rowid, "append").parquet(
+                self.catalog.data_path(schema, table)
+            )
+            self._sync_partitions(schema, table, tdef)
+        return Result("ok", affected_rows=n_rows)
+
+    def _truncate(self, stmt: str) -> Result:
+        """TRUNCATE [TABLE] t — MySQL's fast table reset. Same physical
+        action as the unconditional DELETE (swap in an empty dir) but
+        with MySQL's contract: affected_rows reports 0, not the removed
+        row count."""
+        m = re.match(r"TRUNCATE\s+(?:TABLE\s+)?([\w`.]+)\s*$", stmt, re.I)
+        if not m:
+            raise SparrowError(1064, f"syntax error in TRUNCATE: {stmt[:80]}")
+        schema, table = self._resolve_table_name(m.group(1))
+        tdef = self.catalog.load(schema, table)
+        data = self._read_physical(schema, table, tdef)
+        self._overwrite_data(schema, table, data.limit(0))
+        return Result("ok", affected_rows=0)
+
     def _insert_odku(self, insert_part: str, assign_sql: str) -> Result:
         """INSERT ... ON DUPLICATE KEY UPDATE (MySQL upsert-in-place):
         rows that collide with a stored row on the primary or a unique
@@ -1087,6 +1152,9 @@ class Engine:
         return Result("ok", affected_rows=affected)
 
     def _insert(self, stmt: str) -> Result:
+        ign = re.match(r"INSERT\s+IGNORE\s+(INTO\s+.+)$", stmt, re.I | re.S)
+        if ign:
+            return self._insert_ignore("INSERT " + ign.group(1))
         odku = re.match(
             r"(INSERT\s+INTO\s+[\w`.]+\s*(?:\([^)]*\))?\s*VALUES\s*.+?)"
             r"\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.+)$",

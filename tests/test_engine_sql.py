@@ -823,3 +823,29 @@ def test_insert_on_duplicate_key_update(engine):
             "INSERT INTO nokey2 VALUES (1) ON DUPLICATE KEY UPDATE a = 2"
         )
     engine.sql("DROP TABLE acct, nokey2")
+
+
+def test_insert_ignore_and_truncate(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS igndb")
+    engine.sql("USE igndb")
+    engine.sql("CREATE TABLE t (id INT, v CHAR, PRIMARY KEY(id))")
+    engine.sql("INSERT INTO t VALUES (1, 'a')")
+    # stored collision (1) skipped, intra-batch later dup (3,'y')
+    # skipped keeping the FIRST, fresh rows land
+    r = engine.sql(
+        "INSERT IGNORE INTO t VALUES (1, 'X'), (2, 'b'), (3, 'x'), (3, 'y')"
+    )
+    assert r.affected_rows == 2
+    rows = engine.sql("SELECT id, v FROM t ORDER BY id").df.collect()
+    assert [(x.id, x.v) for x in rows] == [(1, "a"), (2, "b"), (3, "x")]
+    # all-duplicate batch: nothing lands, no error
+    r = engine.sql("INSERT IGNORE INTO t VALUES (1, 'z')")
+    assert r.affected_rows == 0
+    # TRUNCATE: table empties, MySQL reports affected_rows 0
+    r = engine.sql("TRUNCATE TABLE t")
+    assert r.affected_rows == 0
+    assert engine.sql("SELECT count(*) AS n FROM t").df.collect()[0].n == 0
+    # table is still writable after truncate
+    engine.sql("INSERT INTO t VALUES (9, 'q')")
+    assert engine.sql("SELECT count(*) AS n FROM t").df.collect()[0].n == 1
+    engine.sql("DROP TABLE t")
