@@ -63,14 +63,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver row yet go first — new additions are inserted HERE in the
 # same commit that registers them (the r3/r4 lesson: additions past
 # the frozen window stay unverified a full round); (2) red rows
-# re-enter immediately; (3) then the stalest families. r9 window: the
-# r8-red q_quality_classifier leads (root cause this time: DuckDB's
-# C-style round emits -0.0 for tiny negatives where Spark's
-# BigDecimal round cannot — fixed by signed-zero normalization in
-# rounding.nudge_rounds_sql), followed by the first 49 of the 82
-# still-never-driver-checked queries in raw registration order
-# (computed from the union of CORRECTNESS_r1..r8 keys), leaving a
-# 33-query backlog for r10. New r9 additions queue PAST the window
+# re-enter immediately; (3) then the stalest families. r10 window:
+# CARRIED OVER from r9 unchanged — round 9 ended without a driver
+# correctness run (like r6), so this 50 (the r8-red
+# q_quality_classifier under the signed-zero fix + the first 49
+# never-driver-checked queries as of r9) has still never been
+# externally checked; rotating per the old pre-commitment would have
+# orphaned it. Re-verified at r10 start with the perturbed selfcheck
+# (50/50). The shifted pre-commitments (r11 list, r12 overflow) live
+# in COVERAGE.md's ledger; r9/r10 additions queue PAST the window
 # while the backlog lasts (zero-sum among never-checked; the r7
 # batch-3 precedent).
 _WINDOW_PRIORITY: list[str] = [
