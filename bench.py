@@ -268,6 +268,7 @@ BENCH_QUERIES = [
     "q_textrank_keywords",
     "q_tokenizer_fertility",
     "q_l_diversity",
+    "q_grid_knn_join",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1603,3 +1603,168 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("top_cnt") * 2 <= F.col("group_n"))
         ).alias("diverse"),
     ).orderBy("source", "len_band")
+
+
+# ---------------------------------------------------------------------------
+# Grid-blocked kNN join with an exact recall audit
+# ---------------------------------------------------------------------------
+
+_GK_SAMPLE = 50
+
+
+@query(
+    "q_grid_knn_join",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             CAST(floor(embedding[1] / {_GRID_W}) AS BIGINT) AS cx,
+             CAST(floor(embedding[2] / {_GRID_W}) AS BIGINT) AS cy
+      FROM embeddings
+    ), cand AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) /
+             (sqrt(list_sum([x * x for x in a.v])) *
+              sqrt(list_sum([x * x for x in b.v]))) AS cos
+      FROM e a JOIN e b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       AND a.vec_id <> b.vec_id
+    ), approx AS (
+      SELECT query_id, neighbor_id AS a_nb, cos AS a_cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand QUALIFY rk = 1
+    ), exact AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS e_nb,
+             list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) /
+             (sqrt(list_sum([x * x for x in a.v])) *
+              sqrt(list_sum([x * x for x in b.v]))) AS cos,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY
+             list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) /
+             (sqrt(list_sum([x * x for x in a.v])) *
+              sqrt(list_sum([x * x for x in b.v]))) DESC, b.vec_id) AS rk
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < {_GK_SAMPLE}
+      QUALIFY rk = 1
+    ), audit AS (
+      SELECT x.query_id, x.e_nb, x.cos AS e_cos, ap.a_nb, ap.a_cos
+      FROM exact x LEFT JOIN approx ap ON ap.query_id = x.query_id
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_points,
+      (SELECT CAST(count(*) AS BIGINT) FROM approx) AS n_with_candidate,
+      round((SELECT count(*) FROM approx)
+            / (SELECT CAST(count(*) AS DOUBLE) FROM e), 4) AS coverage,
+      (SELECT CAST(count(*) AS BIGINT) FROM audit) AS n_sample,
+      (SELECT CAST(sum(CASE WHEN a_nb = e_nb THEN 1 ELSE 0 END) AS BIGINT)
+       FROM audit) AS n_exact_match,
+      round((SELECT sum(CASE WHEN a_nb = e_nb THEN 1 ELSE 0 END)
+             FROM audit)
+            / (SELECT CAST(count(*) AS DOUBLE) FROM audit), 4) AS recall_at_1
+    """,
+)
+def q_grid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-BLOCKED nearest-neighbor join: each point compares only
+    against the 9 grid cells around it (the same fixed cells as
+    q_dbscan_grid) instead of the whole corpus — the spatial-blocking
+    member of the ANN family next to IVF (cluster-blocked) and LSH
+    (hash-blocked). The recall audit runs the brute-force exact
+    nearest neighbor for a 50-query sample and reports how often the
+    blocked search finds the true top-1, plus corpus coverage (points
+    with any in-block candidate at all) — low coverage or recall says
+    the cell width is too small for the data density.
+
+    Scale: candidate generation is a 9-offset explode + equi-join on
+    cell keys, so pair volume is bounded by per-cell occupancy, never
+    O(n^2); only the audit SAMPLE pays a brute-force pass (broadcast
+    of 50 queries). Cosine folds are order-fixed array reductions
+    (the q_similarity_topk convention), ties break on neighbor id,
+    and every count is exact BIGINT."""
+    from sparrow_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = widen(emb).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.floor(F.element_at("embedding", 1) / _GRID_W)
+        .cast("bigint")
+        .alias("cx"),
+        F.floor(F.element_at("embedding", 2) / _GRID_W)
+        .cast("bigint")
+        .alias("cy"),
+    ).localCheckpoint(eager=True)
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx int, dy int",
+    )
+    probes = vecs.join(F.broadcast(offsets)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        (F.col("cx") + F.col("dx")).alias("nx"),
+        (F.col("cy") + F.col("dy")).alias("ny"),
+    )
+    nbr = vecs.select(
+        F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+    )
+    cand = (
+        probes.join(nbr, ["nx", "ny"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    approx = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("neighbor_id").alias("a_nb"))
+    )
+    qsample = vecs.filter(F.col("vec_id") < _GK_SAMPLE).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    allc = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    exact = (
+        allc.join(F.broadcast(qsample), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("neighbor_id").alias("e_nb"))
+    )
+    audit = exact.join(approx, "query_id", "left")
+    n_points = vecs.agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    n_approx = approx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_with_candidate")
+    )
+    aud = audit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.sum(F.when(F.col("a_nb") == F.col("e_nb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_match"),
+    )
+    return (
+        n_points.join(F.broadcast(n_approx))
+        .join(F.broadcast(aud))
+        .select(
+            "n_points",
+            "n_with_candidate",
+            rnd(
+                F.col("n_with_candidate") / F.col("n_points").cast("double"),
+                4,
+            ).alias("coverage"),
+            "n_sample",
+            "n_exact_match",
+            rnd(
+                F.col("n_exact_match") / F.col("n_sample").cast("double"), 4
+            ).alias("recall_at_1"),
+        )
+    )

@@ -251,3 +251,15 @@ def test_l_diversity_bounds_and_dominance_logic(spark, sf_dir):
         assert 0.0 < r.top_frac <= 1.0
         if r.diverse:
             assert r.l_distinct >= 3 and r.top_frac <= 0.5
+
+
+def test_grid_knn_audit_is_internally_consistent(spark, sf_dir):
+    r = _run(spark, sf_dir, "q_grid_knn_join")[0]
+    assert r.n_with_candidate <= r.n_points
+    assert 0.0 <= r.coverage <= 1.0
+    assert r.n_exact_match <= r.n_sample
+    assert 0.0 <= r.recall_at_1 <= 1.0
+    # A point's own cell always holds itself; with any co-located
+    # point the approx side finds a candidate — coverage can only be
+    # hurt by singleton cells, never exceed 1.
+    assert r.n_sample == min(50, r.n_points)
