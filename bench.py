@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     "q_tokenizer_fertility",
     "q_l_diversity",
     "q_grid_knn_join",
+    "q_croston",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1768,3 +1768,100 @@ def q_grid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_1"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Croston's method: forecasting intermittent demand
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_croston",
+    oracle="""
+    WITH RECURSIVE pk AS (
+      SELECT min(l_partkey) AS p FROM lineitem
+    ), nz AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, CAST(sum(l_quantity) AS DOUBLE) AS x
+      FROM lineitem WHERE l_partkey = (SELECT p FROM pk)
+      GROUP BY d
+    ), idx AS (
+      SELECT row_number() OVER (ORDER BY d) AS i, d, x,
+             date_diff('day', lag(d) OVER (ORDER BY d), d) AS q
+      FROM nz
+    ), rec AS (
+      SELECT 1 AS i,
+             (SELECT x FROM idx WHERE i = 1) AS z,
+             CAST((SELECT q FROM idx WHERE i = 2) AS DOUBLE) AS p
+      UNION ALL
+      SELECT r.i + 1,
+             0.2 * n.x + 0.8 * r.z,
+             0.2 * n.q + 0.8 * r.p
+      FROM rec r JOIN idx n ON n.i = r.i + 1
+    )
+    SELECT CAST((SELECT max(i) FROM idx) AS BIGINT) AS n_demand_points,
+           CAST(date_diff('day', (SELECT min(d) FROM nz),
+                          (SELECT max(d) FROM nz)) + 1 AS BIGINT)
+             AS span_days,
+           round(z, 4) AS size_ewma,
+           round(p, 4) AS interval_ewma,
+           round(z / p, 4) AS croston_rate,
+           round((1 - 0.2 / 2) * z / p, 4) AS sba_rate
+    FROM rec WHERE i = (SELECT max(i) FROM idx)
+    """,
+)
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (alpha = 0.2): the
+    sparsest forecasting regime — a single part ships on a few dozen
+    scattered days across years, so ordinary smoothing of the daily
+    series just decays toward zero between demands. Croston smooths
+    TWO series instead: nonzero demand sizes and the intervals
+    between them; rate = size/interval, plus the Syntetos-Boylan
+    (1 - alpha/2) bias correction — the standard spare-parts /
+    long-tail-SKU forecast next to the Holt and Holt-Winters members
+    already registered.
+
+    Scale: the fact scan filters to the part (partition-prunable at
+    scale) and collapses to nonzero demand days; the recursion is an
+    order-fixed struct fold over that bounded array (the q_holt_linear
+    convention — recursive CTE on the DuckDB side because list_reduce
+    mis-evaluates multi-field struct accumulators)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = li.agg(F.min("l_partkey").alias("p"))
+    nz = (
+        widen(li)
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p"))
+        .groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(F.sum("l_quantity").cast("double").alias("x"))
+    )
+    series = nz.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("s")
+    ).select(
+        F.expr("transform(s, e -> e.x)").alias("xs"),
+        F.expr(
+            "transform(slice(s, 2, size(s) - 1), (e, i) ->"
+            " datediff(e.d, s[i].d))"
+        ).alias("qs"),
+        F.expr("datediff(s[size(s) - 1].d, s[0].d) + 1").alias("span_days"),
+    )
+    acc = F.expr(
+        """
+        aggregate(
+          sequence(1, size(xs) - 1),
+          struct(xs[0] AS z, cast(qs[0] AS double) AS p),
+          (a, i) -> struct(
+            0.2 * xs[i] + 0.8 * a.z AS z,
+            0.2 * qs[i - 1] + 0.8 * a.p AS p))
+        """
+    )
+    return series.select(
+        F.size("xs").cast("bigint").alias("n_demand_points"),
+        F.col("span_days").cast("bigint").alias("span_days"),
+        acc.alias("acc"),
+    ).select(
+        "n_demand_points",
+        "span_days",
+        rnd("acc.z", 4).alias("size_ewma"),
+        rnd("acc.p", 4).alias("interval_ewma"),
+        rnd(F.col("acc.z") / F.col("acc.p"), 4).alias("croston_rate"),
+        rnd(0.9 * F.col("acc.z") / F.col("acc.p"), 4).alias("sba_rate"),
+    )

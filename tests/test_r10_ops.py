@@ -263,3 +263,12 @@ def test_grid_knn_audit_is_internally_consistent(spark, sf_dir):
     # point the approx side finds a candidate — coverage can only be
     # hurt by singleton cells, never exceed 1.
     assert r.n_sample == min(50, r.n_points)
+
+
+def test_croston_rates_are_positive_and_sba_discounts(spark, sf_dir):
+    r = _run(spark, sf_dir, "q_croston")[0]
+    assert r.n_demand_points >= 2
+    assert r.span_days >= r.n_demand_points  # intermittent: gaps exist
+    assert r.size_ewma > 0 and r.interval_ewma >= 1.0
+    assert abs(r.croston_rate - round(r.size_ewma / r.interval_ewma, 4)) < 1e-3
+    assert r.sba_rate < r.croston_rate  # (1 - alpha/2) < 1
