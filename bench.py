@@ -270,6 +270,11 @@ BENCH_QUERIES = [
     "q_l_diversity",
     "q_grid_knn_join",
     "q_croston",
+    "q_expectation_audit",
+    "q_ivm_delta_agg",
+    "q_conformal_interval",
+    "q_als_step",
+    "q_keyword_tagging",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -160,6 +160,7 @@ def load_all() -> None:
     import sparrow_spark.operators.corpus  # noqa: F401
     import sparrow_spark.plans.engine_exercise  # noqa: F401
     import sparrow_spark.plans.scale_ops  # noqa: F401
+    import sparrow_spark.plans.reliability  # noqa: F401
     import sparrow_spark.sources.formats  # noqa: F401
     import sparrow_spark.streaming.ingest  # noqa: F401
     import sparrow_spark.streaming.incremental_dedup  # noqa: F401

@@ -1,0 +1,155 @@
+"""Invariant tests for the round-ten reliability/modeling batch.
+Each pins a property the DuckDB differential oracle can't express —
+the IVM merge equalling a recompute, the conformal calibration
+guarantee, ALS optimality against perturbed factors — on the
+sf0.001 fixture."""
+
+import duckdb
+
+from sparrow_spark import registry
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, sf_dir, name):
+    return registry.QUERIES[name](spark, sf_dir).collect()
+
+
+def test_expectation_audit_reports_known_data_facts(spark, sf_dir):
+    rows = {r.check_name: r for r in _run(spark, sf_dir, "q_expectation_audit")}
+    assert len(rows) == 6
+    # Row count is the same on every row and equals the table size.
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert all(r.n_rows == n for r in rows.values())
+    # This synthetic generator reuses line numbers within an order —
+    # the uniqueness constraint must honestly FAIL...
+    assert not rows["unique_orderkey_linenumber"].passed
+    assert rows["unique_orderkey_linenumber"].violations > 0
+    # ...while the others genuinely hold.
+    for name in (
+        "completeness_l_quantity",
+        "range_discount_0_to_10pct",
+        "set_returnflag_anr",
+        "positive_extendedprice",
+        "referential_orderkey_in_orders",
+    ):
+        assert rows[name].passed and rows[name].violations == 0
+    # passed is derived, never asserted independently of violations.
+    for r in rows.values():
+        assert r.passed == (r.violations == 0)
+
+
+def test_ivm_merge_equals_recompute_on_every_group(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_ivm_delta_agg")
+    assert rows, "IVM produced no groups"
+    assert all(r.ivm_ok for r in rows)
+    # Cross-check one group's merged count against a direct count.
+    r0 = rows[0]
+    n = duckdb.sql(
+        f"""SELECT count(*) FROM '{SF}/lineitem.parquet'
+        WHERE l_returnflag = '{r0.l_returnflag}'
+          AND l_linestatus = '{r0.l_linestatus}'
+          AND l_shipdate < TIMESTAMP '1999-04-01'"""
+    ).fetchone()[0]
+    assert r0.cnt == n
+
+
+def test_conformal_qhat_satisfies_the_calibration_rank_definition(
+    spark, sf_dir
+):
+    """q-hat must be exactly the k-th smallest calibration residual:
+    at least k calibration residuals are <= q-hat, and fewer than k
+    are < q-hat (so shrinking q-hat breaks the rank condition)."""
+    rows = {r.target_pct: r for r in _run(spark, sf_dir, "q_conformal_interval")}
+    assert set(rows) == {50, 90}
+    resids = [
+        r[0]
+        for r in duckdb.sql(
+            f"""WITH daily AS (
+              SELECT CAST(l_shipdate AS DATE) AS day,
+                     sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                       AS rev
+              FROM '{SF}/lineitem.parquet'
+              WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                AND l_shipdate < TIMESTAMP '1999-01-01'
+              GROUP BY 1
+            ), s AS (
+              SELECT day, rev, lag(rev, 7) OVER (ORDER BY day) AS fc
+              FROM daily
+            )
+            SELECT abs(rev - fc) FROM s
+            WHERE fc IS NOT NULL AND day < DATE '1998-10-01'"""
+        ).fetchall()
+    ]
+    for pct, r in rows.items():
+        assert r.n_cal == len(resids)
+        k = ((len(resids) + 1) * pct + 99) // 100
+        assert r.k == k
+        assert sum(1 for x in resids if x <= r.qhat_micro) >= k
+        assert sum(1 for x in resids if x < r.qhat_micro) < k
+        assert r.qhat_micro in resids
+        assert 0 <= r.n_covered <= r.n_test
+    # Monotonicity: a higher target can never give a smaller radius.
+    assert rows[90].qhat_micro >= rows[50].qhat_micro
+
+
+def test_als_step_minimizes_the_ridge_loss(spark, sf_dir):
+    """The closed-form factors must beat every +-0.01 coordinate
+    perturbation on the true regularized objective, rebuilt from the
+    raw ratings — the defining property of the normal-equations
+    solve (convexity makes local optimality global)."""
+    rows = _run(spark, sf_dir, "q_als_step")
+    assert rows
+    items = duckdb.sql(
+        f"""WITH r AS (
+          SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,
+                 sum(CAST(round(l.l_quantity) AS BIGINT)) AS r
+          FROM '{SF}/lineitem.parquet' l
+          JOIN '{SF}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2
+        )
+        SELECT custkey,
+               ((partkey * 2654435761) % 201 - 100) / 100.0,
+               ((partkey * 40503 + 7) % 201 - 100) / 100.0,
+               r
+        FROM r"""
+    ).fetchall()
+    by_user = {}
+    for ck, f1, f2, r in items:
+        by_user.setdefault(ck, []).append((f1, f2, float(r)))
+
+    lam = 0.1
+
+    def loss(u1, u2, pts):
+        return (
+            sum((r - u1 * f1 - u2 * f2) ** 2 for f1, f2, r in pts)
+            + lam * (u1 * u1 + u2 * u2)
+        )
+
+    for row in rows[:25]:
+        pts = by_user[row.custkey]
+        assert row.n_items == len(pts)
+        base = loss(row.u1, row.u2, pts)
+        for du1, du2 in ((0.01, 0), (-0.01, 0), (0, 0.01), (0, -0.01)):
+            assert base <= loss(row.u1 + du1, row.u2 + du2, pts) + 1e-9
+
+
+def test_keyword_tagging_counts_reconcile(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_keyword_tagging")
+    assert rows
+    assert all(r.hits >= r.docs > 0 for r in rows)
+    # Summing docs over sources >= distinct docs containing the
+    # keyword (a doc counts once per source it appears under).
+    total = duckdb.sql(
+        f"""SELECT count(DISTINCT doc_id)
+        FROM (SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS tok
+              FROM '{SF}/documents.parquet')
+        WHERE tok = 'join'"""
+    ).fetchone()[0]
+    assert sum(r.docs for r in rows if r.keyword == "join") == total
