@@ -275,6 +275,9 @@ BENCH_QUERIES = [
     "q_conformal_interval",
     "q_als_step",
     "q_keyword_tagging",
+    "q_sax_motifs",
+    "q_binseg_changepoints",
+    "q_ridge_cv_moments",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

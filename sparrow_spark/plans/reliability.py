@@ -611,3 +611,437 @@ def q_keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("keyword", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared daily series: revenue in integer kilo-dollars, 1996-1998
+# ---------------------------------------------------------------------------
+
+_SERIES_START = "1996-01-01 00:00:00"
+_SERIES_END = "1999-01-01 00:00:00"
+
+# Kilo-dollar floor-division units: micro-cents DIV 1e7. The unit is a
+# SCALE choice, not a precision hack — it keeps every second moment
+# (sum of squares over ~1100 days) inside BIGINT/double-exact range at
+# the fixture scale factors; at a larger SF the same algebra holds
+# after one more decimal shift (the moments are unit-covariant).
+_DAILY_KUSD_SQL = f"""
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(sum({_REV_MICRO_SQL}) // 10000000 AS BIGINT) AS y,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_SERIES_START}'
+        AND l_shipdate < TIMESTAMP '{_SERIES_END}'
+      GROUP BY 1
+"""
+
+
+def _daily_kusd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(_SERIES_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_SERIES_END).cast("timestamp"))
+        )
+        .groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+                " DIV 10000000 AS BIGINT)"
+            ).alias("y"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolic discretization + motif counting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sax_motifs",
+    oracle=f"""
+    WITH daily AS (
+      {_DAILY_KUSD_SQL}
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    cum AS (
+      SELECT y, sum(cnt) OVER (ORDER BY y) AS cb
+      FROM (SELECT y, count(*) AS cnt FROM daily GROUP BY y)
+    ), brk AS (
+      SELECT
+        (SELECT min(y) FROM cum, n WHERE cb >= (25 * n + 99) // 100) AS q25,
+        (SELECT min(y) FROM cum, n WHERE cb >= (50 * n + 99) // 100) AS q50,
+        (SELECT min(y) FROM cum, n WHERE cb >= (75 * n + 99) // 100) AS q75
+    ), sym AS (
+      SELECT day,
+             CASE WHEN y <= q25 THEN 'a' WHEN y <= q50 THEN 'b'
+                  WHEN y <= q75 THEN 'c' ELSE 'd' END AS s
+      FROM daily, brk
+    ), grams AS (
+      SELECT s || lead(s, 1) OVER w || lead(s, 2) OVER w AS motif
+      FROM sym WINDOW w AS (ORDER BY day)
+    )
+    SELECT motif, CAST(count(*) AS BIGINT) AS cnt
+    FROM grams WHERE motif IS NOT NULL AND length(motif) = 3
+    GROUP BY motif ORDER BY motif
+    """,
+)
+def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style symbolic discretization of the daily-revenue series
+    (Lin et al.'s Symbolic Aggregate approXimation, with exact
+    EQUI-DEPTH breakpoints instead of Gaussian ones so every boundary
+    is an integer order statistic, never a float mean/stddev) and
+    3-gram motif counting over the symbol string. The corpus
+    contributes ONE partition-pruned day-keyed aggregate; breakpoints
+    come from the min-where-cumcount>=k idiom over the grouped
+    (distinct-value-bounded) table; symbolization is a broadcast
+    CASE against the 1-row breakpoint table; motifs are two leads
+    over the day-bounded window (<=1100 rows — the documented
+    bounded-series escape). Motif counts over a 4-symbol alphabet
+    are a <=64-row result — the symbolic index that makes similarity
+    search over a 100 TB series archive a string problem. Everything
+    is integer/ordinal: no float enters any comparison."""
+    daily = _daily_kusd(spark, sf_dir).localCheckpoint()
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cum = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "cb",
+            F.sum("cnt").over(
+                Window.orderBy("y").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    ).localCheckpoint()
+
+    def q_at(pct: int, alias: str) -> DataFrame:
+        return (
+            cum.crossJoin(n)
+            .filter(F.col("cb") >= F.expr(f"({pct} * n + 99) DIV 100"))
+            .agg(F.min("y").alias(alias))
+        )
+
+    brk = q_at(25, "q25").crossJoin(q_at(50, "q50")).crossJoin(q_at(75, "q75"))
+    sym = daily.crossJoin(F.broadcast(brk)).select(
+        "day",
+        F.when(F.col("y") <= F.col("q25"), "a")
+        .when(F.col("y") <= F.col("q50"), "b")
+        .when(F.col("y") <= F.col("q75"), "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    w = Window.orderBy("day")
+    grams = sym.select(
+        F.concat(
+            F.col("s"), F.lead("s", 1).over(w), F.lead("s", 2).over(w)
+        ).alias("motif")
+    ).filter(F.col("motif").isNotNull() & (F.length("motif") == 3))
+    return (
+        grams.groupBy("motif")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("motif")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Offline changepoints: binary segmentation, two splits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_binseg_changepoints",
+    oracle=f"""
+    WITH daily AS (
+      {_DAILY_KUSD_SQL}
+    ), idx AS (
+      SELECT day, y,
+             row_number() OVER (ORDER BY day) AS i,
+             sum(y) OVER (ORDER BY day) AS s1,
+             sum(y * y) OVER (ORDER BY day) AS s2
+      FROM daily
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS g1,
+             CAST(sum(y * y) AS BIGINT) AS g2
+      FROM daily
+    ), cand1 AS (
+      SELECT i, day, s1, s2, n, g1, g2,
+             (s2 - CAST(s1 AS DOUBLE) * s1 / i)
+             + ((g2 - s2) - CAST(g1 - s1 AS DOUBLE) * (g1 - s1) / (n - i))
+               AS cost
+      FROM idx, tot WHERE i < n
+    ), w1 AS (
+      SELECT * FROM cand1 ORDER BY cost, i LIMIT 1
+    ), cand2 AS (
+      SELECT c.i, c.day,
+             CASE WHEN c.i < w.i THEN
+               (w.s2 - CAST(w.s1 AS DOUBLE) * w.s1 / w.i)
+               - ((c.s2 - CAST(c.s1 AS DOUBLE) * c.s1 / c.i)
+                  + ((w.s2 - c.s2)
+                     - CAST(w.s1 - c.s1 AS DOUBLE) * (w.s1 - c.s1)
+                       / (w.i - c.i)))
+             ELSE
+               ((w.g2 - w.s2)
+                - CAST(w.g1 - w.s1 AS DOUBLE) * (w.g1 - w.s1)
+                  / (w.n - w.i))
+               - (((c.s2 - w.s2)
+                   - CAST(c.s1 - w.s1 AS DOUBLE) * (c.s1 - w.s1)
+                     / (c.i - w.i))
+                  + ((w.g2 - c.s2)
+                     - CAST(w.g1 - c.s1 AS DOUBLE) * (w.g1 - c.s1)
+                       / (w.n - c.i)))
+             END AS reduction
+      FROM cand1 c, w1 w
+      WHERE c.i <> w.i AND c.i < w.n
+    ), w2 AS (
+      SELECT * FROM cand2 ORDER BY reduction DESC, i LIMIT 1
+    )
+    SELECT 1 AS split_no, w1.day AS cp_day,
+           round(w1.cost, 2) AS cost_after FROM w1
+    UNION ALL
+    SELECT 2, w2.day, round(w1.cost - w2.reduction, 2)
+    FROM w1, w2
+    ORDER BY split_no
+    """,
+)
+def q_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint detection by binary segmentation (Scott &
+    Knott's recursive split, the batch complement to the repo's
+    sequential CUSUM / Page-Hinkley detectors): split 1 minimizes the
+    two-segment sum of squared errors over every cut of the daily
+    series; split 2 re-splits whichever side yields the larger SSE
+    reduction. Every candidate cost is O(1) algebra over BIGINT
+    prefix sums (sum, sum-of-squares), so evaluating all n-1 cuts is
+    one windowed pass over the DAY-BOUNDED table (<=1100 rows — the
+    documented bounded-series escape); the corpus contributes one
+    partition-pruned day-keyed aggregate and is never re-scanned per
+    candidate. Argmins order by (cost, i) so exact float ties (the
+    prefix sums are exact integers, costs are deterministic IEEE
+    expressions over them — identical in both engines) break on the
+    earlier day, never on partitioning."""
+    daily = _daily_kusd(spark, sf_dir).localCheckpoint()
+    wday = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    idx = daily.select(
+        "day",
+        "y",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.sum("y").over(wday).alias("s1"),
+        F.sum(F.col("y") * F.col("y")).over(wday).alias("s2"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("g1"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("g2"),
+    )
+    c = F.col
+    cand1 = (
+        idx.crossJoin(F.broadcast(tot))
+        .filter(c("i") < c("n"))
+        .withColumn(
+            "cost",
+            (
+                c("s2") - c("s1").cast("double") * c("s1") / c("i")
+            )
+            + (
+                (c("g2") - c("s2"))
+                - (c("g1") - c("s1")).cast("double")
+                * (c("g1") - c("s1"))
+                / (c("n") - c("i"))
+            ),
+        )
+    ).localCheckpoint()
+    w1 = cand1.orderBy("cost", "i").limit(1)
+    wv = F.broadcast(
+        w1.select(
+            c("i").alias("wi"),
+            c("s1").alias("ws1"),
+            c("s2").alias("ws2"),
+            c("n").alias("wn"),
+            c("g1").alias("wg1"),
+            c("g2").alias("wg2"),
+            c("day").alias("wday"),
+            c("cost").alias("wcost"),
+        )
+    )
+    left_red = (
+        c("ws2") - c("ws1").cast("double") * c("ws1") / c("wi")
+    ) - (
+        (c("s2") - c("s1").cast("double") * c("s1") / c("i"))
+        + (
+            (c("ws2") - c("s2"))
+            - (c("ws1") - c("s1")).cast("double")
+            * (c("ws1") - c("s1"))
+            / (c("wi") - c("i"))
+        )
+    )
+    right_red = (
+        (c("wg2") - c("ws2"))
+        - (c("wg1") - c("ws1")).cast("double")
+        * (c("wg1") - c("ws1"))
+        / (c("wn") - c("wi"))
+    ) - (
+        (
+            (c("s2") - c("ws2"))
+            - (c("s1") - c("ws1")).cast("double")
+            * (c("s1") - c("ws1"))
+            / (c("i") - c("wi"))
+        )
+        + (
+            (c("wg2") - c("s2"))
+            - (c("wg1") - c("s1")).cast("double")
+            * (c("wg1") - c("s1"))
+            / (c("wn") - c("i"))
+        )
+    )
+    cand2 = (
+        cand1.select("i", "day", "s1", "s2")
+        .crossJoin(wv)
+        .filter((c("i") != c("wi")) & (c("i") < c("wn")))
+        .withColumn(
+            "reduction",
+            F.when(c("i") < c("wi"), left_red).otherwise(right_red),
+        )
+    )
+    w2 = cand2.orderBy(F.desc("reduction"), "i").limit(1)
+    row1 = w1.select(
+        F.lit(1).alias("split_no"),
+        c("day").alias("cp_day"),
+        rnd(c("cost"), 2).alias("cost_after"),
+    )
+    row2 = (
+        w2.select(
+            F.lit(2).alias("split_no"),
+            c("day").alias("cp_day"),
+            rnd(c("wcost") - c("reduction"), 2).alias("cost_after"),
+        )
+    )
+    return row1.unionAll(row2).orderBy("split_no")
+
+
+# ---------------------------------------------------------------------------
+# Ridge regression with k-fold CV from one-pass moments
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDAS = [0, 1000, 100000]
+_RIDGE_FOLDS = 5
+
+
+@query(
+    "q_ridge_cv_moments",
+    oracle=f"""
+    WITH daily AS (
+      {_DAILY_KUSD_SQL}
+    ), fm AS (
+      SELECT CAST(dayofyear(day) % {_RIDGE_FOLDS} AS INT) AS fold,
+             CAST(count(*) AS BIGINT) AS n_f,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM daily GROUP BY 1
+    ), tm AS (
+      SELECT CAST(sum(n_f) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS tsx,
+             CAST(sum(sy) AS BIGINT) AS tsy,
+             CAST(sum(sxx) AS BIGINT) AS tsxx,
+             CAST(sum(sxy) AS BIGINT) AS tsxy
+      FROM fm
+    ), lams AS (
+      SELECT unnest([{", ".join(str(v) for v in _RIDGE_LAMBDAS)}]) AS lam
+    ), fit AS (
+      SELECT lam, fold, n_f, sx, sy, sxx, sxy, syy,
+             CAST((tsy - sy) * ((tsxx - sxx) + lam)
+                  - (tsx - sx) * (tsxy - sxy) AS DOUBLE)
+             / CAST(((n - n_f) + lam) * ((tsxx - sxx) + lam)
+                    - (tsx - sx) * (tsx - sx) AS DOUBLE) AS a,
+             CAST(((n - n_f) + lam) * (tsxy - sxy)
+                  - (tsx - sx) * (tsy - sy) AS DOUBLE)
+             / CAST(((n - n_f) + lam) * ((tsxx - sxx) + lam)
+                    - (tsx - sx) * (tsx - sx) AS DOUBLE) AS b
+      FROM lams, fm, tm
+    )
+    SELECT CAST(lam AS BIGINT) AS lam, fold, n_f AS n_fold,
+           round(b, 6) AS b_hat,
+           CAST(round((syy - 2 * a * sy - 2 * b * sxy + a * a * n_f
+                       + 2 * a * b * sx + b * b * sxx) / n_f * 10000, 0)
+                AS BIGINT) AS mse_e4
+    FROM fit ORDER BY lam, fold
+    """,
+)
+def q_ridge_cv_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression (daily revenue on daily quantity, intercept +
+    slope, both penalized — documented choice that keeps the solve a
+    symmetric 2x2) with 5-fold cross-validation evaluated ENTIRELY
+    from one-pass sufficient statistics: the corpus contributes ONE
+    day-keyed aggregate, folds are deterministic (dayofyear mod 5),
+    and each (lambda, fold) model trains on (total - fold) moment
+    algebra — no second pass, no per-fold re-scan. That is the
+    100 TB hyperparameter-search shape: 15 candidate fits cost 15
+    rows of arithmetic over a 5-row moment table, not 15 scans.
+    Every moment is an exact BIGINT (kilo-dollar y, unit x), both
+    engines divide the same integers (closed-form cofactor solve;
+    lambda > 0 or the data itself keeps the system nonsingular), and
+    the per-fold MSE is emitted as an integer e4 fixed-point so no
+    cross-fold float summation ever happens — fold rows are the
+    output, CV totals are exact integer sums downstream."""
+    daily = _daily_kusd(spark, sf_dir)
+    fm = daily.groupBy(
+        (F.dayofyear("day") % _RIDGE_FOLDS).cast("int").alias("fold")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_f"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    ).localCheckpoint()
+    tm = fm.agg(
+        F.sum("n_f").cast("bigint").alias("n"),
+        F.sum("sx").cast("bigint").alias("tsx"),
+        F.sum("sy").cast("bigint").alias("tsy"),
+        F.sum("sxx").cast("bigint").alias("tsxx"),
+        F.sum("sxy").cast("bigint").alias("tsxy"),
+    )
+    lams = spark.createDataFrame(
+        [(v,) for v in _RIDGE_LAMBDAS], "lam bigint"
+    )
+    c = F.col
+    det = (
+        ((c("n") - c("n_f")) + c("lam"))
+        * ((c("tsxx") - c("sxx")) + c("lam"))
+        - (c("tsx") - c("sx")) * (c("tsx") - c("sx"))
+    ).cast("double")
+    a = (
+        (c("tsy") - c("sy")) * ((c("tsxx") - c("sxx")) + c("lam"))
+        - (c("tsx") - c("sx")) * (c("tsxy") - c("sxy"))
+    ).cast("double") / det
+    b = (
+        ((c("n") - c("n_f")) + c("lam")) * (c("tsxy") - c("sxy"))
+        - (c("tsx") - c("sx")) * (c("tsy") - c("sy"))
+    ).cast("double") / det
+    fit = (
+        lams.crossJoin(fm)
+        .crossJoin(F.broadcast(tm))
+        .withColumn("a", a)
+        .withColumn("b", b)
+    )
+    mse = (
+        c("syy")
+        - 2 * c("a") * c("sy")
+        - 2 * c("b") * c("sxy")
+        + c("a") * c("a") * c("n_f")
+        + 2 * c("a") * c("b") * c("sx")
+        + c("b") * c("b") * c("sxx")
+    ) / c("n_f")
+    return fit.select(
+        c("lam").cast("bigint").alias("lam"),
+        "fold",
+        c("n_f").alias("n_fold"),
+        rnd(c("b"), 6).alias("b_hat"),
+        rnd(mse * 10000, 0).cast("bigint").alias("mse_e4"),
+    ).orderBy("lam", "fold")

@@ -153,3 +153,84 @@ def test_keyword_tagging_counts_reconcile(spark, sf_dir):
         WHERE tok = 'join'"""
     ).fetchone()[0]
     assert sum(r.docs for r in rows if r.keyword == "join") == total
+
+
+def test_sax_motif_counts_cover_every_window(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_sax_motifs")
+    assert all(
+        len(r.motif) == 3 and set(r.motif) <= set("abcd") for r in rows
+    )
+    n_days = duckdb.sql(
+        f"""SELECT count(DISTINCT CAST(l_shipdate AS DATE))
+        FROM '{SF}/lineitem.parquet'
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'"""
+    ).fetchone()[0]
+    # Every 3-day sliding window contributes exactly one motif.
+    assert sum(r.cnt for r in rows) == n_days - 2
+
+
+def _daily_kusd_rows():
+    return [
+        (d, int(y))
+        for d, y in duckdb.sql(
+            f"""SELECT CAST(l_shipdate AS DATE) AS day,
+                 sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                 // 10000000 AS y
+            FROM '{SF}/lineitem.parquet'
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1999-01-01'
+            GROUP BY 1 ORDER BY 1"""
+        ).fetchall()
+    ]
+
+
+def test_binseg_first_split_is_the_brute_force_argmin(spark, sf_dir):
+    rows = {r.split_no: r for r in _run(spark, sf_dir, "q_binseg_changepoints")}
+    assert set(rows) == {1, 2}
+    ys = [y for _, y in _daily_kusd_rows()]
+    days = [d for d, _ in _daily_kusd_rows()]
+    n = len(ys)
+
+    def sse(seg):
+        m = sum(seg) / len(seg)
+        return sum((v - m) ** 2 for v in seg)
+
+    best = min(
+        (sse(ys[:t]) + sse(ys[t:]), t) for t in range(1, n)
+    )
+    assert days[best[1] - 1] == rows[1].cp_day
+    assert abs(best[0] - rows[1].cost_after) < 0.02
+    # The second split can only reduce the total cost further.
+    assert rows[2].cost_after <= rows[1].cost_after + 1e-9
+
+
+def test_ridge_cv_matches_a_direct_normal_equations_solve(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_ridge_cv_moments")
+    assert len(rows) == 15  # 3 lambdas x 5 folds
+    pts = duckdb.sql(
+        f"""SELECT CAST(dayofyear(day) % 5 AS INT) AS fold, x, y FROM (
+          SELECT CAST(l_shipdate AS DATE) AS day,
+                 sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                 // 10000000 AS y,
+                 sum(CAST(round(l_quantity) AS BIGINT)) AS x
+          FROM '{SF}/lineitem.parquet'
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1999-01-01'
+          GROUP BY 1)"""
+    ).fetchall()
+    for r in rows:
+        train = [(float(x), float(y)) for f, x, y in pts if f != r.fold]
+        lam = float(r.lam)
+        sn = len(train) + lam
+        sx = sum(x for x, _ in train)
+        sy = sum(y for _, y in train)
+        sxx = sum(x * x for x, _ in train) + lam
+        sxy = sum(x * y for x, y in train)
+        det = sn * sxx - sx * sx
+        b = (sn * sxy - sx * sy) / det
+        assert abs(b - r.b_hat) < 1e-4
+        assert r.mse_e4 >= 0
+        assert r.n_fold == sum(1 for f, _, _ in pts if f == r.fold)
