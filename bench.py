@@ -278,6 +278,8 @@ BENCH_QUERIES = [
     "q_sax_motifs",
     "q_binseg_changepoints",
     "q_ridge_cv_moments",
+    "q_nn_descent",
+    "q_vopt_histogram",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -2561,3 +2561,131 @@ def q_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# NN-descent: one graph-refinement round for ANN-graph construction
+# ---------------------------------------------------------------------------
+
+_NND_K = 4
+
+
+@query(
+    "q_nn_descent",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+    init AS (
+      SELECT DISTINCT a.vec_id AS u,
+             (a.vec_id * 48271 + j.j * 1009) % nn.n AS w
+      FROM e a, (SELECT unnest([1, 2, 3, 4]) AS j) j, nn
+      WHERE (a.vec_id * 48271 + j.j * 1009) % nn.n <> a.vec_id
+    ), cand AS (
+      SELECT u, w FROM init
+      UNION
+      SELECT i1.u, i2.w FROM init i1 JOIN init i2 ON i1.w = i2.u
+      WHERE i2.w <> i1.u
+    ), sims AS (
+      SELECT c.u, c.w, {_COS_SQL} AS cos,
+             CASE WHEN i.u IS NOT NULL THEN 1 ELSE 0 END AS is_init
+      FROM cand c
+      JOIN e a ON a.vec_id = c.u
+      JOIN e b ON b.vec_id = c.w
+      LEFT JOIN init i ON i.u = c.u AND i.w = c.w
+    ), best1 AS (
+      SELECT u, w, cos,
+             row_number() OVER (PARTITION BY u ORDER BY cos DESC, w) AS r
+      FROM sims
+    ), best0 AS (
+      SELECT u, w, cos,
+             row_number() OVER (PARTITION BY u ORDER BY cos DESC, w) AS r
+      FROM sims WHERE is_init = 1
+    )
+    SELECT b0.u AS vec_id,
+           b0.w AS init_best_id, round(b0.cos, 4) AS init_best_cos,
+           b1.w AS round1_best_id, round(b1.cos, 4) AS round1_best_cos
+    FROM best0 b0 JOIN best1 b1 ON b0.u = b1.u
+    WHERE b0.r = 1 AND b1.r = 1
+    ORDER BY vec_id
+    """,
+)
+def q_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-descent refinement round (Dong, Moses & Li, WWW'11) for
+    ANN-graph construction — the build primitive behind NSW/HNSW-
+    style graph indexes: start from a deterministic pseudo-random
+    K=4 graph (hash of vec_id — a real build would carry the prior
+    round's graph) and score only NEIGHBORS-OF-NEIGHBORS as
+    candidates. The whole round is graph-shaped: the candidate set
+    is one self-join of the K-regular edge list (<= n*K^2 pairs),
+    scored with one vector join — never the n^2 all-pairs matrix,
+    which is what makes graph construction feasible at 10^9 vectors
+    (per-round cost O(n*K^2*d), shuffles keyed on vec_id). Output
+    pairs each node's best initial neighbor with its best
+    after-round neighbor; since the candidate set contains the
+    initial edges, round1_best_cos >= init_best_cos holds for every
+    node (the NND monotone-improvement invariant, pinned in tests).
+    Ranking orders by (cos DESC, w): both engines fold the 64-dim
+    dot product in index order, so scores are IEEE-identical and
+    ties break on the neighbor id, never on partitioning."""
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    n = vecs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    js = spark.createDataFrame([(1,), (2,), (3,), (4,)], "j int")
+    init = (
+        vecs.select("vec_id")
+        .crossJoin(F.broadcast(js))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("vec_id").alias("u"),
+            ((F.col("vec_id") * 48271 + F.col("j") * 1009) % F.col("n")).alias("w"),
+        )
+        .filter(F.col("u") != F.col("w"))
+        .distinct()
+    ).localCheckpoint()
+    hop2 = (
+        init.alias("i1")
+        .join(init.alias("i2"), F.col("i1.w") == F.col("i2.u"))
+        .select(F.col("i1.u").alias("u"), F.col("i2.w").alias("w"))
+        .filter(F.col("u") != F.col("w"))
+    )
+    cand = init.union(hop2).distinct()
+    a = vecs.select(F.col("vec_id").alias("u"), F.col("v").alias("av"))
+    b = vecs.select(F.col("vec_id").alias("w"), F.col("v").alias("bv"))
+    init_flag = init.withColumn("is_init", F.lit(1))
+    sims = (
+        cand.join(a, "u")
+        .join(b, "w")
+        .withColumn("cos", cosine(F.col("av"), F.col("bv")))
+        .join(init_flag, ["u", "w"], "left")
+        .select("u", "w", "cos", F.coalesce("is_init", F.lit(0)).alias("is_init"))
+    )
+    w1 = Window.partitionBy("u").orderBy(F.col("cos").desc(), F.col("w"))
+    best1 = (
+        sims.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("u"),
+            F.col("w").alias("round1_best_id"),
+            rnd(F.col("cos"), 4).alias("round1_best_cos"),
+        )
+    )
+    best0 = (
+        sims.filter(F.col("is_init") == 1)
+        .withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("u").alias("vec_id"),
+            F.col("w").alias("init_best_id"),
+            rnd(F.col("cos"), 4).alias("init_best_cos"),
+        )
+    )
+    return (
+        best0.join(best1, best0["vec_id"] == best1["u"])
+        .select(
+            "vec_id",
+            "init_best_id",
+            "init_best_cos",
+            "round1_best_id",
+            "round1_best_cos",
+        )
+        .orderBy("vec_id")
+    )

@@ -1045,3 +1045,177 @@ def q_ridge_cv_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(c("b"), 6).alias("b_hat"),
         rnd(mse * 10000, 0).cast("bigint").alias("mse_e4"),
     ).orderBy("lam", "fold")
+
+
+# ---------------------------------------------------------------------------
+# V-optimal histogram: 4 buckets by exact DP over the bounded series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_vopt_histogram",
+    oracle=f"""
+    WITH daily AS (
+      {_DAILY_KUSD_SQL}
+    ), idx AS (
+      SELECT day, y, row_number() OVER (ORDER BY day) AS i,
+             sum(y) OVER (ORDER BY day) AS s1,
+             sum(y * y) OVER (ORDER BY day) AS s2
+      FROM daily
+    ), dp1 AS (
+      SELECT i, s1, s2, s2 - CAST(s1 AS DOUBLE) * s1 / i AS c FROM idx
+    ), dp2 AS (
+      SELECT i, j, c2,
+             row_number() OVER (PARTITION BY i ORDER BY c2, j) AS r
+      FROM (
+        SELECT hi.i AS i, lo.i AS j,
+               lo.c + (hi.s2 - lo.s2)
+               - CAST(hi.s1 - lo.s1 AS DOUBLE) * (hi.s1 - lo.s1)
+                 / (hi.i - lo.i) AS c2
+        FROM dp1 hi JOIN dp1 lo ON lo.i < hi.i)
+    ), dp2m AS (SELECT i, j AS argj, c2 AS c FROM dp2 WHERE r = 1),
+    dp3 AS (
+      SELECT i, j, c3,
+             row_number() OVER (PARTITION BY i ORDER BY c3, j) AS r
+      FROM (
+        SELECT hi.i AS i, m.i AS j,
+               m.c + (hi.s2 - lo.s2)
+               - CAST(hi.s1 - lo.s1 AS DOUBLE) * (hi.s1 - lo.s1)
+                 / (hi.i - lo.i) AS c3
+        FROM idx hi JOIN dp2m m ON m.i < hi.i JOIN idx lo ON lo.i = m.i)
+    ), dp3m AS (SELECT i, j AS argj, c3 AS c FROM dp3 WHERE r = 1),
+    nfin AS (SELECT max(i) AS n FROM idx),
+    dp4 AS (
+      SELECT j, c4, row_number() OVER (ORDER BY c4, j) AS r
+      FROM (
+        SELECT m.i AS j,
+               m.c + (hi.s2 - lo.s2)
+               - CAST(hi.s1 - lo.s1 AS DOUBLE) * (hi.s1 - lo.s1)
+                 / (hi.i - lo.i) AS c4
+        FROM dp3m m
+        JOIN idx lo ON lo.i = m.i, idx hi, nfin
+        WHERE hi.i = nfin.n AND m.i < nfin.n)
+    ),
+    b3 AS (SELECT j FROM dp4 WHERE r = 1),
+    b2 AS (SELECT m.argj AS j FROM dp3m m, b3 WHERE m.i = b3.j),
+    b1 AS (SELECT m.argj AS j FROM dp2m m, b2 WHERE m.i = b2.j),
+    bounds AS (
+      SELECT 1 AS bucket_no, 1 AS lo_i, b1.j AS hi_i FROM b1
+      UNION ALL SELECT 2, b1.j + 1, b2.j FROM b1, b2
+      UNION ALL SELECT 3, b2.j + 1, b3.j FROM b2, b3
+      UNION ALL SELECT 4, b3.j + 1, nfin.n FROM b3, nfin
+    )
+    SELECT bucket_no, min(x.day) AS start_day, max(x.day) AS end_day,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(x.y) AS DOUBLE) / count(*), 2) AS mean_y,
+           round(sum(x.y * x.y)
+                 - CAST(sum(x.y) AS DOUBLE) * sum(x.y) / count(*), 2)
+             AS sse
+    FROM bounds b JOIN idx x ON x.i BETWEEN b.lo_i AND b.hi_i
+    GROUP BY bucket_no ORDER BY bucket_no
+    """,
+)
+def q_vopt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-optimal histogram (Jagadish et al., VLDB'98): partition the
+    daily-revenue series into 4 variance-minimizing buckets by EXACT
+    dynamic programming — the optimizer-statistics synopsis that
+    equi-depth (q_equidepth_histogram) approximates. The DP is
+    unrolled into 3 bounded joins (one per added boundary) over the
+    day-bounded prefix-sum table: every segment SSE is O(1) algebra
+    over BIGINT prefix sums, each dp_k level is an
+    O(|days|^2)-candidate join with a per-i argmin window, and the
+    backtrack is three 1-row joins. The corpus contributes ONE
+    partition-pruned day-keyed aggregate; everything after is
+    |days|-bounded (<=1100 rows, ~600k DP candidates) — the synopsis-
+    construction shape: heavy optimization on the bounded summary,
+    never on the 100 TB base. Argmins order by (cost, j) on
+    IEEE-identical doubles derived from exact integers, so boundary
+    ties always break on the earlier day."""
+    daily = _daily_kusd(spark, sf_dir).localCheckpoint()
+    c = F.col
+    wday = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    idx = daily.select(
+        "day",
+        "y",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.sum("y").over(wday).cast("bigint").alias("s1"),
+        F.sum(c("y") * c("y")).over(wday).cast("bigint").alias("s2"),
+    ).localCheckpoint()
+
+    def seg_sse(hi_s1, lo_s1, hi_s2, lo_s2, hi_i, lo_i):
+        return (hi_s2 - lo_s2) - (hi_s1 - lo_s1).cast("double") * (
+            hi_s1 - lo_s1
+        ) / (hi_i - lo_i)
+
+    dp1 = idx.select(
+        "i", "s1", "s2", (c("s2") - c("s1").cast("double") * c("s1") / c("i")).alias("c")
+    )
+
+    def level(prev_m: DataFrame) -> DataFrame:
+        # prev_m: (i, c[, argj]) with prefix sums re-attached via idx.
+        lo = prev_m.join(idx.select("i", "s1", "s2"), "i").select(
+            c("i").alias("j"),
+            c("c").alias("pc"),
+            c("s1").alias("ls1"),
+            c("s2").alias("ls2"),
+        )
+        hi = idx.select(
+            c("i").alias("i"), c("s1").alias("hs1"), c("s2").alias("hs2")
+        )
+        candn = (
+            hi.join(lo, c("j") < c("i"))
+            .withColumn(
+                "cn",
+                c("pc")
+                + seg_sse(c("hs1"), c("ls1"), c("hs2"), c("ls2"), c("i"), c("j")),
+            )
+        )
+        w = Window.partitionBy("i").orderBy("cn", "j")
+        return (
+            candn.withColumn("r", F.row_number().over(w))
+            .filter(c("r") == 1)
+            .select("i", c("j").alias("argj"), c("cn").alias("c"))
+        )
+
+    dp2m = level(dp1.select("i", "c")).localCheckpoint()
+    dp3m = level(dp2m.select("i", "c")).localCheckpoint()
+    nfin = idx.agg(F.max("i").alias("n"))
+    dp4m = (
+        level(dp3m.select("i", "c"))
+        .join(F.broadcast(nfin), c("i") == c("n"))
+        .select(c("argj").alias("j3"))
+    )
+    b3 = dp4m
+    b2 = dp3m.join(b3, dp3m["i"] == c("j3")).select(c("argj").alias("j2"), "j3")
+    b1 = dp2m.join(b2, dp2m["i"] == c("j2")).select(
+        c("argj").alias("j1"), "j2", "j3"
+    )
+    bt = b1.crossJoin(F.broadcast(nfin))
+    bounds = bt.select(
+        F.expr(
+            "stack(4,"
+            " 1, CAST(1 AS INT), CAST(j1 AS INT),"
+            " 2, CAST(j1 + 1 AS INT), CAST(j2 AS INT),"
+            " 3, CAST(j2 + 1 AS INT), CAST(j3 AS INT),"
+            " 4, CAST(j3 + 1 AS INT), CAST(n AS INT)"
+            ") AS (bucket_no, lo_i, hi_i)"
+        )
+    )
+    return (
+        bounds.join(
+            idx, (idx["i"] >= c("lo_i")) & (idx["i"] <= c("hi_i"))
+        )
+        .groupBy("bucket_no")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            rnd(F.sum("y").cast("double") / F.count(F.lit(1)), 2).alias("mean_y"),
+            rnd(
+                F.sum(c("y") * c("y"))
+                - F.sum("y").cast("double") * F.sum("y") / F.count(F.lit(1)),
+                2,
+            ).alias("sse"),
+        )
+        .orderBy("bucket_no")
+    )

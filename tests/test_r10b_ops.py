@@ -234,3 +234,49 @@ def test_ridge_cv_matches_a_direct_normal_equations_solve(spark, sf_dir):
         assert abs(b - r.b_hat) < 1e-4
         assert r.mse_e4 >= 0
         assert r.n_fold == sum(1 for f, _, _ in pts if f == r.fold)
+
+
+def test_nn_descent_round_never_degrades_any_node(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_nn_descent")
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert len(rows) == n
+    # The candidate set contains every initial edge, so the
+    # after-round best can never be worse (NND monotonicity).
+    assert all(r.round1_best_cos >= r.init_best_cos - 1e-9 for r in rows)
+    # The round must actually help somewhere, else the op is a no-op.
+    assert any(r.round1_best_cos > r.init_best_cos for r in rows)
+    assert all(r.vec_id != r.round1_best_id for r in rows)
+
+
+def test_vopt_histogram_beats_equal_width_and_covers_all_days(
+    spark, sf_dir
+):
+    rows = sorted(
+        _run(spark, sf_dir, "q_vopt_histogram"), key=lambda r: r.bucket_no
+    )
+    assert [r.bucket_no for r in rows] == [1, 2, 3, 4]
+    ys = [y for _, y in _daily_kusd_rows()]
+    n = len(ys)
+    assert sum(r.n_days for r in rows) == n
+    # Buckets tile the day range contiguously.
+    for a, b in zip(rows, rows[1:]):
+        assert a.end_day < b.start_day
+
+    def sse(seg):
+        m = sum(seg) / len(seg)
+        return sum((v - m) ** 2 for v in seg)
+
+    total = sum(r.sse for r in rows)
+    # DP-optimal must be <= the naive equal-width 4-way split.
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    naive = sum(sse(ys[cuts[k]:cuts[k + 1]]) for k in range(4))
+    assert total <= naive + 1e-6
+    # And <= the equi-depth-style split is the same thing here; also
+    # sanity: each reported sse matches a direct recompute.
+    pos = 0
+    for r in rows:
+        seg = ys[pos:pos + r.n_days]
+        assert abs(sse(seg) - r.sse) < 0.05
+        pos += r.n_days
