@@ -280,6 +280,9 @@ BENCH_QUERIES = [
     "q_ridge_cv_moments",
     "q_nn_descent",
     "q_vopt_histogram",
+    "q_aho_phrase_tagging",
+    "q_forecast_reconciliation",
+    "q_louvain_move",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

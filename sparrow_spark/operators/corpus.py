@@ -590,3 +590,133 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_vocab", F.sum("n_new_types").over(w))
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Aho-Corasick multi-phrase tagging (Arrow tier)
+# ---------------------------------------------------------------------------
+
+_AC_PHRASES = [
+    "agg part",
+    "data slow",
+    "order fast",
+    "part filter",
+    "stream column",
+    "window join",
+]
+
+
+def _build_aho(phrases: list[str]):
+    """Word-symbol Aho-Corasick automaton: goto/fail/output tables.
+    Built once per executor (module-level cache keyed on the phrase
+    tuple) — the broadcast-dictionary pattern for multi-pattern
+    matching."""
+    goto: list[dict[str, int]] = [{}]
+    out: list[list[int]] = [[]]
+    for pi, p in enumerate(phrases):
+        s = 0
+        for w in p.split(" "):
+            if w not in goto[s]:
+                goto.append({})
+                out.append([])
+                goto[s][w] = len(goto) - 1
+            s = goto[s][w]
+        out[s].append(pi)
+    fail = [0] * len(goto)
+    queue = list(goto[0].values())
+    while queue:
+        s = queue.pop(0)
+        for w, t in goto[s].items():
+            queue.append(t)
+            f = fail[s]
+            while f and w not in goto[f]:
+                f = fail[f]
+            fail[t] = goto[f].get(w, 0) if goto[f].get(w, 0) != t else 0
+            out[t] = out[t] + out[fail[t]]
+    return goto, fail, out
+
+
+_AC_CACHE: dict[tuple, tuple] = {}
+
+
+def _ac_scan_batches(phrases: list[str]):
+    key = tuple(phrases)
+
+    def scan(batches):
+        import pandas as pd
+
+        if key not in _AC_CACHE:
+            _AC_CACHE[key] = _build_aho(list(key))
+        goto, fail, out = _AC_CACHE[key]
+        for pdf in batches:
+            ids, names, hits = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                counts = [0] * len(key)
+                s = 0
+                for w in str(text).lower().split(" "):
+                    while s and w not in goto[s]:
+                        s = fail[s]
+                    s = goto[s].get(w, 0)
+                    for pi in out[s]:
+                        counts[pi] += 1
+                for pi, c in enumerate(counts):
+                    if c:
+                        ids.append(doc_id)
+                        names.append(key[pi])
+                        hits.append(c)
+            yield pd.DataFrame(
+                {"doc_id": ids, "phrase": names, "hits": hits}
+            )
+
+    return scan
+
+
+@query(
+    "q_aho_phrase_tagging",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+    )
+    SELECT bg AS phrase,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS docs,
+           CAST(count(*) AS BIGINT) AS hits
+    FROM bg
+    WHERE bg IN ({", ".join(f"'{p}'" for p in _AC_PHRASES)})
+    GROUP BY bg ORDER BY phrase
+    """,
+)
+def q_aho_phrase_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-PHRASE dictionary tagging with a real Aho-Corasick
+    automaton (word-symbol goto/fail/output tables) inside
+    mapInPandas — the Arrow-tier counterpart to q_keyword_tagging's
+    JVM In-set filter, for when patterns are multi-token and the
+    dictionary is thousands strong: AC matches ALL patterns in one
+    pass over each token stream regardless of dictionary size,
+    including overlapping occurrences, where per-phrase LIKE scans
+    would cost O(|dict|) passes. The automaton is built once per
+    executor from the broadcast phrase list (module-level cache);
+    blobs of work stay partition-local and only (doc, phrase, hits)
+    triples — matching docs only — enter the final
+    |dictionary|-bounded aggregate. The fixture dictionary is
+    2-word phrases so the DuckDB oracle stays SQL-expressible as
+    overlap-correct adjacent-bigram counting; the automaton itself
+    is length-generic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from sparrow_spark.sources import widen
+
+    tagged = widen(docs).mapInPandas(
+        _ac_scan_batches(_AC_PHRASES),
+        schema="doc_id bigint, phrase string, hits bigint",
+    )
+    return (
+        tagged.groupBy("phrase")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("docs"),
+            F.sum("hits").cast("bigint").alias("hits"),
+        )
+        .orderBy("phrase")
+    )

@@ -1219,3 +1219,137 @@ def q_vopt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical forecast reconciliation: bottom-up vs top-down coherence
+# ---------------------------------------------------------------------------
+
+_REC_HIST_START = "1998-11-01 00:00:00"
+_REC_HIST_END = "1998-11-29 00:00:00"   # 28 full days of history
+_REC_TGT_START = "1998-12-01 00:00:00"
+_REC_TGT_END = "1999-01-01 00:00:00"    # 31-day target month
+
+
+@query(
+    "q_forecast_reconciliation",
+    oracle=f"""
+    WITH li AS (
+      SELECT p.p_brand AS brand, l.l_shipdate AS ship,
+             {_REV_MICRO_SQL} // 10000 AS usd
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), hist AS (
+      SELECT brand, CAST(sum(usd) AS BIGINT) AS h
+      FROM li
+      WHERE ship >= TIMESTAMP '{_REC_HIST_START}'
+        AND ship < TIMESTAMP '{_REC_HIST_END}'
+      GROUP BY brand
+    ), grand AS (SELECT CAST(sum(h) AS BIGINT) AS g FROM hist),
+    fc AS (SELECT CAST(g * 31 // 28 AS BIGINT) AS tot_fc, g FROM grand),
+    base AS (
+      SELECT brand, h,
+             CAST(h * 31 // 28 AS BIGINT) AS bu_usd,
+             CAST(tot_fc * h // g AS BIGINT) AS td_base,
+             CAST(tot_fc * h % g AS BIGINT) AS rem
+      FROM hist, fc
+    ), short AS (
+      SELECT CAST(tot_fc - sum(td_base) AS BIGINT) AS k FROM base, fc
+      GROUP BY tot_fc
+    ), ranked AS (
+      SELECT brand, h, bu_usd, td_base,
+             row_number() OVER (ORDER BY rem DESC, brand) AS r
+      FROM base
+    ), actual AS (
+      SELECT brand, CAST(sum(usd) AS BIGINT) AS actual_usd
+      FROM li
+      WHERE ship >= TIMESTAMP '{_REC_TGT_START}'
+        AND ship < TIMESTAMP '{_REC_TGT_END}'
+      GROUP BY brand
+    )
+    SELECT rk.brand, rk.bu_usd,
+           CAST(rk.td_base + CASE WHEN rk.r <= short.k THEN 1 ELSE 0 END
+                AS BIGINT) AS td_usd,
+           coalesce(a.actual_usd, 0) AS actual_usd
+    FROM ranked rk CROSS JOIN short
+    LEFT JOIN actual a ON a.brand = rk.brand
+    ORDER BY rk.brand
+    """,
+)
+def q_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecast reconciliation (the Hyndman coherence
+    problem): a naive per-brand trailing-28-day forecast scaled to a
+    31-day month (bottom-up) does NOT sum to the same total as the
+    top-level forecast, because each level rounds independently; the
+    top-down column re-allocates the TOTAL forecast to brands by
+    historical share with largest-remainder rounding, so sum(td_usd)
+    == total forecast EXACTLY (pinned in tests) — the property BI
+    and planning systems require before fan-out. Everything is
+    integer dollars (floor division; micro-cents would overflow the
+    share product tot_fc * h in BIGINT at large SF — the unit shift
+    is the documented rescale discipline, same as the kUSD series
+    ops). Corpus work is two partition-pruned brand-keyed aggregates
+    behind a broadcast part join; the allocation runs on the
+    |brands|-bounded table (~25 rows), where the remainder-rank
+    window is the standard largest-remainder escape shared with
+    q_apportion_largest_remainder."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_shipdate").alias("ship"),
+        F.expr(
+            "CAST((CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+            " DIV 10000 AS BIGINT)"
+        ).alias("usd"),
+    )
+
+    def brand_sum(df: DataFrame, lo: str, hi: str, alias: str) -> DataFrame:
+        return (
+            df.filter(
+                (F.col("ship") >= F.lit(lo).cast("timestamp"))
+                & (F.col("ship") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy("brand")
+            .agg(F.sum("usd").cast("bigint").alias(alias))
+        )
+
+    hist = brand_sum(joined, _REC_HIST_START, _REC_HIST_END, "h").localCheckpoint()
+    actual = brand_sum(joined, _REC_TGT_START, _REC_TGT_END, "actual_usd")
+    grand = hist.agg(F.sum("h").cast("bigint").alias("g"))
+    fc = grand.select(
+        F.expr("CAST(g * 31 DIV 28 AS BIGINT)").alias("tot_fc"), "g"
+    )
+    base = hist.crossJoin(F.broadcast(fc)).select(
+        "brand",
+        "h",
+        F.expr("CAST(h * 31 DIV 28 AS BIGINT)").alias("bu_usd"),
+        F.expr("CAST(tot_fc * h DIV g AS BIGINT)").alias("td_base"),
+        F.expr("CAST(tot_fc * h % g AS BIGINT)").alias("rem"),
+        "tot_fc",
+    )
+    short = base.groupBy("tot_fc").agg(
+        (F.first("tot_fc") - F.sum("td_base")).cast("bigint").alias("k")
+    ).select("k")
+    ranked = base.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("rem"), "brand"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(short))
+        .join(actual, "brand", "left")
+        .select(
+            "brand",
+            "bu_usd",
+            (
+                F.col("td_base")
+                + F.when(F.col("r") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("td_usd"),
+            F.coalesce("actual_usd", F.lit(0)).cast("bigint").alias("actual_usd"),
+        )
+        .orderBy("brand")
+    )

@@ -1865,3 +1865,97 @@ def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("acc.z") / F.col("acc.p"), 4).alias("croston_rate"),
         rnd(0.9 * F.col("acc.z") / F.col("acc.p"), 4).alias("sba_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Louvain local-moving round over the LSH near-duplicate graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_louvain_move",
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs
+    ), deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS k FROM edges GROUP BY u
+    ), m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+    scored AS (
+      SELECT e.u, e.v, du.k AS ku, dv.k AS kv,
+             4 * m.m - 2 * du.k * dv.k AS gain_num,
+             row_number() OVER (
+               PARTITION BY e.u
+               ORDER BY 4 * m.m - 2 * du.k * dv.k DESC, e.v
+             ) AS r
+      FROM edges e
+      JOIN deg du ON du.u = e.u
+      JOIN deg dv ON dv.u = e.v
+      CROSS JOIN m
+    )
+    SELECT u AS doc_id, ku AS degree, v AS best_target,
+           CAST(gain_num AS BIGINT) AS gain_num,
+           gain_num > 0 AS moved
+    FROM scored WHERE r = 1
+    ORDER BY doc_id
+    """,
+)
+def q_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous Louvain local-moving round (Blondel et al.
+    2008) from singleton communities over the LSH near-duplicate
+    graph: node i joins neighbor j's community iff the modularity
+    gain is positive. From singletons the gain for unit edges
+    reduces to (4m - 2*k_i*k_j) / (2m)^2 — the numerator is EXACT
+    BIGINT (the denominator is a shared positive constant, so argmax
+    and the sign test need integers only; no float enters any
+    comparison). The argmax therefore selects the minimum-degree
+    neighbor with id tiebreak — reported per node with its gain so
+    the next round's community table is this output. Scale shape:
+    edges come from the band-bucket join (never all-pairs), degrees
+    are one edge-keyed aggregate, and the move decision is one
+    neighbor-keyed window over the pair-list-sized directed edge
+    table — identical cost to a PageRank round, hub-safe because
+    state per node is O(1). The modularity-GAIN criterion is what
+    distinguishes this from q_label_propagation's majority vote: a
+    hub with many low-degree neighbors attracts them only while
+    k_i * k_j < 2m, the degree-product null model."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).localCheckpoint()
+    edges = pairs.selectExpr("a_id AS u", "b_id AS v").union(
+        pairs.selectExpr("b_id AS u", "a_id AS v")
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    m = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    du = deg.select(F.col("u").alias("u"), F.col("k").alias("ku"))
+    dv = deg.select(F.col("u").alias("v"), F.col("k").alias("kv"))
+    scored = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "gain_num", 4 * F.col("m") - 2 * F.col("ku") * F.col("kv")
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("u").orderBy(
+                    F.desc("gain_num"), F.col("v")
+                )
+            ),
+        )
+        .filter(F.col("r") == 1)
+    )
+    return scored.select(
+        F.col("u").alias("doc_id"),
+        F.col("ku").alias("degree"),
+        F.col("v").alias("best_target"),
+        F.col("gain_num").cast("bigint").alias("gain_num"),
+        (F.col("gain_num") > 0).alias("moved"),
+    ).orderBy("doc_id")

