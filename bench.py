@@ -283,6 +283,9 @@ BENCH_QUERIES = [
     "q_aho_phrase_tagging",
     "q_forecast_reconciliation",
     "q_louvain_move",
+    "q_cascade_filter_ordering",
+    "q_key_skew_audit",
+    "q_join_order_rank",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

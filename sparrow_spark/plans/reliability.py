@@ -1353,3 +1353,363 @@ def q_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cascade filter ordering: exact expected-cost ranking of all 4! orders
+# ---------------------------------------------------------------------------
+
+# (bit, short name, per-doc evaluation cost in abstract units)
+_CASCADE_FILTERS = [
+    (0, "L", 1),   # lang = 'en'            (metadata equality)
+    (1, "C", 1),   # n_chars >= 500         (metadata range)
+    (2, "D", 3),   # text contains 'dup'    (substring scan)
+    (3, "T", 5),   # >= 40 whitespace tokens (tokenize)
+]
+
+
+def _cascade_orders():
+    """All 24 evaluation orders with their prefix masks and costs."""
+    from itertools import permutations
+
+    rows = []
+    for perm in permutations(range(4)):
+        bits = [_CASCADE_FILTERS[i][0] for i in perm]
+        names = [_CASCADE_FILTERS[i][1] for i in perm]
+        costs = [_CASCADE_FILTERS[i][2] for i in perm]
+        m1 = 1 << bits[0]
+        m12 = m1 | (1 << bits[1])
+        m123 = m12 | (1 << bits[2])
+        rows.append(
+            (">".join(names), costs[0], costs[1], costs[2], costs[3],
+             m1, m12, m123)
+        )
+    return rows
+
+
+_CASCADE_ORDERS_SQL = ", ".join(
+    f"('{o}', {c1}, {c2}, {c3}, {c4}, {m1}, {m12}, {m123})"
+    for o, c1, c2, c3, c4, m1, m12, m123 in _cascade_orders()
+)
+
+
+@query(
+    "q_cascade_filter_ordering",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars >= 500 THEN 2 ELSE 0 END)
+           + (CASE WHEN contains(lower(text), 'dup') THEN 4 ELSE 0 END)
+           + (CASE WHEN len(string_split(lower(text), ' ')) >= 40
+                   THEN 8 ELSE 0 END) AS flags
+      FROM documents
+    ), groups AS (
+      SELECT flags, CAST(count(*) AS BIGINT) AS n_g
+      FROM flagged GROUP BY flags
+    ), masks AS (SELECT unnest(range(0, 16)) AS m),
+    subset AS (
+      SELECT m, CAST(sum(CASE WHEN (flags & m) = m THEN n_g ELSE 0 END)
+                     AS BIGINT) AS cnt
+      FROM masks, groups GROUP BY m
+    ), orders AS (
+      SELECT * FROM (VALUES {_CASCADE_ORDERS_SQL})
+        AS t(order_str, c1, c2, c3, c4, m1, m12, m123)
+    )
+    SELECT o.order_str,
+           CAST(o.c1 * s0.cnt + o.c2 * s1.cnt + o.c3 * s2.cnt
+                + o.c4 * s3.cnt AS BIGINT) AS cost_units,
+           CAST(row_number() OVER (
+             ORDER BY o.c1 * s0.cnt + o.c2 * s1.cnt + o.c3 * s2.cnt
+                      + o.c4 * s3.cnt, o.order_str) AS INT) AS cost_rank
+    FROM orders o
+    JOIN subset s0 ON s0.m = 0
+    JOIN subset s1 ON s1.m = o.m1
+    JOIN subset s2 ON s2.m = o.m12
+    JOIN subset s3 ON s3.m = o.m123
+    ORDER BY cost_rank
+    """,
+)
+def q_cascade_filter_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact expected-cost ranking of every evaluation order of a
+    4-filter curation cascade (language, length, substring, token
+    count) — the predicate-ordering problem a 100 TB pipeline pays
+    for in CPU-hours. Unlike the textbook cost/(1-p) rule, which
+    assumes independent filters, this uses the JOINT pass counts:
+    ONE corpus pass reduces to a <=16-row subset-mask histogram
+    (groupBy the 4-bit pass flags), the superset sums cnt[m] come
+    from a 16x16 bounded cross, and all 24 orders are scored with
+    exact BIGINT arithmetic — cost(order) = sum over positions of
+    cost_k * docs-surviving-the-prefix. No floats, no independence
+    assumption, no per-order scans: the plan search costs 24 rows of
+    integer algebra regardless of corpus size. The same shape scores
+    any short cascade (2^F masks for F filters); beyond ~15 filters
+    you fall back to the greedy ratio rule, which this operator can
+    validate offline."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = (
+        F.when(F.col("lang") == "en", 1).otherwise(0)
+        + F.when(F.col("n_chars") >= 500, 2).otherwise(0)
+        + F.when(F.lower(F.col("text")).contains("dup"), 4).otherwise(0)
+        + F.when(
+            F.size(F.split(F.lower(F.col("text")), " ")) >= 40, 8
+        ).otherwise(0)
+    )
+    groups = (
+        docs.select(flags.alias("flags"))
+        .groupBy("flags")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_g"))
+    ).localCheckpoint()
+    masks = spark.createDataFrame([(m,) for m in range(16)], "m int")
+    subset = (
+        masks.crossJoin(groups)
+        .groupBy("m")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("(flags & m) = m"), F.col("n_g")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("cnt")
+        )
+    )
+    orders = spark.createDataFrame(
+        _cascade_orders(),
+        "order_str string, c1 int, c2 int, c3 int, c4 int,"
+        " m1 int, m12 int, m123 int",
+    )
+    s = subset
+    j = (
+        orders.join(
+            F.broadcast(s.selectExpr("m AS mz", "cnt AS n_all")),
+            F.col("mz") == 0,
+        )
+        .join(
+            F.broadcast(s.selectExpr("m AS ma", "cnt AS n1")),
+            F.col("ma") == F.col("m1"),
+        )
+        .join(
+            F.broadcast(s.selectExpr("m AS mb", "cnt AS n12")),
+            F.col("mb") == F.col("m12"),
+        )
+        .join(
+            F.broadcast(s.selectExpr("m AS mc", "cnt AS n123")),
+            F.col("mc") == F.col("m123"),
+        )
+        .withColumn(
+            "cost_units",
+            (
+                F.col("c1") * F.col("n_all")
+                + F.col("c2") * F.col("n1")
+                + F.col("c3") * F.col("n12")
+                + F.col("c4") * F.col("n123")
+            ).cast("bigint"),
+        )
+    )
+    return (
+        j.withColumn(
+            "cost_rank",
+            F.row_number()
+            .over(Window.orderBy("cost_units", "order_str"))
+            .cast("int"),
+        )
+        .select("order_str", "cost_units", "cost_rank")
+        .orderBy("cost_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew audit with a salt-factor recommendation
+# ---------------------------------------------------------------------------
+
+_SKEW_PARALLELISM = 32
+
+
+def _skew_stats_sql(key: str) -> str:
+    return f"""
+      SELECT '{key}' AS key_name,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS total_rows,
+             CAST(max(c) AS BIGINT) AS max_cnt,
+             CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS max_share_e6,
+             CAST((SELECT min(c) FROM (
+                SELECT c, sum(nk) OVER (ORDER BY c) AS ck,
+                       sum(nk) OVER () AS tk
+                FROM (SELECT c, count(*) AS nk FROM k{key} GROUP BY c))
+                WHERE ck >= (99 * tk + 99) // 100) AS BIGINT) AS p99_cnt,
+             CAST(greatest(1, (max(c) * {_SKEW_PARALLELISM} + sum(c) - 1)
+                              // sum(c)) AS BIGINT) AS suggested_salt
+      FROM k{key}
+    """
+
+
+@query(
+    "q_key_skew_audit",
+    oracle=f"""
+    WITH kl_orderkey AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), kl_suppkey AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    )
+    SELECT * FROM ({_skew_stats_sql("l_orderkey")})
+    UNION ALL
+    SELECT * FROM ({_skew_stats_sql("l_suppkey")})
+    ORDER BY key_name
+    """,
+)
+def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit for shuffle planning: per candidate key
+    (order key — the fact-fact join key — and supplier key, the
+    dimension fan-out), ONE key-grouped count yields the
+    distribution facts a planner needs — key cardinality, max key
+    share (e6 fixed-point, exact integer floor division), the P99
+    key frequency (min-where-cumcount>=k over the COUNT-OF-COUNTS
+    table, bounded by distinct frequency values), and a salt-factor
+    recommendation: ceil(max_cnt / balanced-rows-per-task) at the
+    session parallelism — the multiplier q_skew_join_salted applies.
+    Everything is integer arithmetic over the key-count aggregate;
+    the corpus contributes one scan per audited key. At 100 TB this
+    audit IS how you decide between plain hash join, AQE skew
+    handling, and explicit salting before committing a 6-hour job —
+    the planner companion to the zone-map and bucketing audits."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def stats(key: str) -> DataFrame:
+        kc = li.groupBy(key).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        ).localCheckpoint()
+        base = kc.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("c").cast("bigint").alias("total_rows"),
+            F.max("c").cast("bigint").alias("max_cnt"),
+        )
+        cc = (
+            kc.groupBy("c")
+            .agg(F.count(F.lit(1)).alias("nk"))
+            .withColumn(
+                "ck",
+                F.sum("nk").over(
+                    Window.orderBy("c").rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                ),
+            )
+            .crossJoin(
+                kc.groupBy("c")
+                .agg(F.count(F.lit(1)).alias("nk2"))
+                .agg(F.sum("nk2").alias("tk"))
+            )
+        )
+        p99 = cc.filter(
+            F.col("ck") >= F.expr("(99 * tk + 99) DIV 100")
+        ).agg(F.min("c").cast("bigint").alias("p99_cnt"))
+        return base.crossJoin(p99).select(
+            F.lit(key).alias("key_name"),
+            "n_keys",
+            "total_rows",
+            "max_cnt",
+            F.expr("CAST(max_cnt * 1000000 DIV total_rows AS BIGINT)").alias(
+                "max_share_e6"
+            ),
+            "p99_cnt",
+            F.expr(
+                f"CAST(greatest(1, (max_cnt * {_SKEW_PARALLELISM}"
+                " + total_rows - 1) DIV total_rows) AS BIGINT)"
+            ).alias("suggested_salt"),
+        )
+
+    return stats("l_orderkey").unionAll(stats("l_suppkey")).orderBy("key_name")
+
+
+# ---------------------------------------------------------------------------
+# Greedy join-order ranking against exact cardinalities
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_order_rank",
+    oracle="""
+    WITH nl AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+    no_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+    lo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+    ), oc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer)
+    ), plans AS (
+      SELECT '(lineitem JOIN orders) JOIN customer' AS plan,
+             lo.n AS intermediate_rows, TRUE AS keyed FROM lo
+      UNION ALL
+      SELECT '(orders JOIN customer) JOIN lineitem', oc.n, TRUE FROM oc
+      UNION ALL
+      SELECT '(lineitem JOIN customer) JOIN orders',
+             nl.n * nc.n, FALSE FROM nl, nc
+    )
+    SELECT plan, intermediate_rows, keyed,
+           CAST(row_number() OVER (ORDER BY intermediate_rows, plan)
+                AS INT) AS cost_rank
+    FROM plans ORDER BY cost_rank
+    """,
+)
+def q_join_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join ordering demonstrated against EXACT
+    cardinalities: the three left-deep orders of the customer ->
+    orders -> lineitem chain, ranked by the size of the intermediate
+    they materialize. The two keyed plans measure their intermediate
+    with a semi-join count (one scan each — in a planner these come
+    from statistics, here they are ground truth for conformance);
+    the key-less order (lineitem x customer first) is scored
+    arithmetically as |L| * |C| WITHOUT materializing the cross
+    product — the audit shows WHY a cost-based optimizer must reject
+    it: at sf0.1 it is ~5 orders of magnitude larger, and at 100 TB
+    it is a cluster-killer. Complements q_join_cardinality_est
+    (estimation) and q_join_strategy_equivalence (physical strategy)
+    with the third planner dimension: order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nl = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_l"))
+    nc = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+    lo = (
+        li.join(
+            orders.select("o_orderkey").hint("broadcast"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lo"))
+    )
+    oc = (
+        orders.join(
+            cust.select("c_custkey").hint("broadcast"),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_oc"))
+    )
+    plans = (
+        lo.crossJoin(oc)
+        .crossJoin(nl)
+        .crossJoin(nc)
+        .select(
+            F.expr(
+                "stack(3,"
+                " '(lineitem JOIN orders) JOIN customer', n_lo, TRUE,"
+                " '(orders JOIN customer) JOIN lineitem', n_oc, TRUE,"
+                " '(lineitem JOIN customer) JOIN orders', n_l * n_c, FALSE"
+                ") AS (plan, intermediate_rows, keyed)"
+            )
+        )
+    )
+    return (
+        plans.withColumn(
+            "cost_rank",
+            F.row_number()
+            .over(Window.orderBy("intermediate_rows", "plan"))
+            .cast("int"),
+        )
+        .orderBy("cost_rank")
+    )

@@ -374,3 +374,71 @@ def test_louvain_move_picks_min_degree_neighbor_with_positive_gain(
         assert r.best_target == best
         assert r.gain_num == 4 * m - 2 * len(nbrs) * len(adj[best])
         assert r.moved == (r.gain_num > 0)
+
+
+def test_cascade_ordering_is_exact_over_all_permutations(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_cascade_filter_ordering")
+    assert len(rows) == 24
+    assert sorted(r.cost_rank for r in rows) == list(range(1, 25))
+    # Rebuild the joint pass counts directly and re-score every order.
+    flags = duckdb.sql(
+        f"""SELECT (CASE WHEN lang='en' THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars >= 500 THEN 2 ELSE 0 END)
+            + (CASE WHEN contains(lower(text),'dup') THEN 4 ELSE 0 END)
+            + (CASE WHEN len(string_split(lower(text),' ')) >= 40
+                    THEN 8 ELSE 0 END) AS f, count(*) AS n
+        FROM '{SF}/documents.parquet' GROUP BY 1"""
+    ).fetchall()
+
+    def cnt(mask):
+        return sum(n for f, n in flags if (f & mask) == mask)
+
+    from sparrow_spark.plans.reliability import _cascade_orders
+
+    expect = {}
+    for o, c1, c2, c3, c4, m1, m12, m123 in _cascade_orders():
+        expect[o] = (
+            c1 * cnt(0) + c2 * cnt(m1) + c3 * cnt(m12) + c4 * cnt(m123)
+        )
+    for r in rows:
+        assert r.cost_units == expect[r.order_str]
+    best = min(expect.items(), key=lambda kv: (kv[1], kv[0]))
+    assert rows[0].order_str == best[0]
+
+
+def test_key_skew_audit_matches_direct_distribution(spark, sf_dir):
+    rows = {r.key_name: r for r in _run(spark, sf_dir, "q_key_skew_audit")}
+    assert set(rows) == {"l_orderkey", "l_suppkey"}
+    for key, r in rows.items():
+        counts = [
+            c
+            for (c,) in duckdb.sql(
+                f"SELECT count(*) FROM '{SF}/lineitem.parquet' GROUP BY {key}"
+            ).fetchall()
+        ]
+        assert r.n_keys == len(counts)
+        assert r.total_rows == sum(counts)
+        assert r.max_cnt == max(counts)
+        assert r.max_share_e6 == max(counts) * 1000000 // sum(counts)
+        # P99 frequency: min c with cum key count >= ceil(.99 * n_keys).
+        k = (99 * len(counts) + 99) // 100
+        sc = sorted(counts)
+        assert r.p99_cnt == sc[k - 1]
+        assert r.suggested_salt >= 1
+
+
+def test_join_order_rank_prefers_keyed_plans(spark, sf_dir):
+    rows = sorted(
+        _run(spark, sf_dir, "q_join_order_rank"), key=lambda r: r.cost_rank
+    )
+    # The cross-product plan must rank dead last, by orders of
+    # magnitude, and be flagged keyless.
+    assert rows[-1].keyed is False
+    assert rows[-1].intermediate_rows > 100 * rows[0].intermediate_rows
+    n_l = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/lineitem.parquet'"
+    ).fetchone()[0]
+    n_c = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/customer.parquet'"
+    ).fetchone()[0]
+    assert rows[-1].intermediate_rows == n_l * n_c
