@@ -202,3 +202,20 @@ class EngineCatalog:
         if not self.has_table(schema, table):
             raise ValueError(f"Unknown table '{schema}.{table}'")
         shutil.rmtree(self.table_path(schema, table))
+
+    def rename_table(
+        self, schema: str, table: str, new_schema: str, new_table: str
+    ) -> TableDef:
+        """Move a table directory (data + meta travel together — one
+        filesystem rename, the same unit-of-atomicity the reference gets
+        from its sled key prefix move) and rewrite the identity fields
+        in meta.json."""
+        tdef = self.load(schema, table)
+        os.rename(
+            self.table_path(schema, table),
+            self.table_path(new_schema, new_table),
+        )
+        tdef.schema = new_schema
+        tdef.name = new_table
+        self.save(tdef)
+        return tdef

@@ -303,6 +303,8 @@ class Engine:
             return self._drop_table(stmt)
         if two == "ALTER TABLE":
             return self._locked_dml(stmt, self._alter_table)
+        if two == "RENAME TABLE":
+            return self._locked_dml(stmt, self._rename_table)
         if head == "INSERT":
             return self._locked_dml(stmt, self._insert)
         if two == "TRUNCATE TABLE" or head == "TRUNCATE":
@@ -707,7 +709,112 @@ class Engine:
             self.spark.sql(f"DROP TABLE IF EXISTS `{schema}`.`{table}`")
         return Result("ok")
 
+    def _rename_table(self, stmt: str) -> Result:
+        """RENAME TABLE a TO b [, c TO d] — MySQL multi-pair rename.
+        Each pair is one filesystem move of the table directory plus a
+        Spark-catalog re-registration; all pairs are validated before
+        any is applied (MySQL's all-or-nothing contract, which we can
+        honor up front because validation is pure catalog metadata)."""
+        body = re.sub(r"^RENAME\s+TABLE\s+", "", stmt.strip(), flags=re.I)
+        pairs = []
+        for clause in split_top_level(body):
+            m = re.match(r"(\S+)\s+TO\s+(\S+)$", clause.strip(), re.I)
+            if not m:
+                raise SparrowError(
+                    1064, f"syntax error in RENAME TABLE: {clause[:80]}"
+                )
+            src = self._resolve_table_name(m.group(1))
+            dst = self._resolve_table_name(m.group(2))
+            pairs.append((src, dst))
+        renamed_away = set()
+        created = set()
+        for (ss, st), (ds, dt) in pairs:
+            if (
+                not self.catalog.has_table(ss, st) or (ss, st) in renamed_away
+            ) and (ss, st) not in created:
+                raise SparrowError(1146, f"Table '{ss}.{st}' doesn't exist")
+            if not self.catalog.has_schema(ds):
+                raise SparrowError(1049, f"Unknown database '{ds}'")
+            if (
+                self.catalog.has_table(ds, dt) and (ds, dt) not in renamed_away
+            ) or (ds, dt) in created:
+                raise SparrowError(1050, f"Table '{dt}' already exists")
+            renamed_away.add((ss, st))
+            created.add((ds, dt))
+        for (ss, st), (ds, dt) in pairs:
+            tdef = self.catalog.rename_table(ss, st, ds, dt)
+            self.spark.sql(f"DROP TABLE IF EXISTS `{ss}`.`{st}`")
+            self._register_spark_table(tdef)
+        return Result("ok")
+
+    def _alter_rename(self, stmt: str) -> Result | None:
+        """ALTER TABLE t RENAME [TO|AS] u and ALTER TABLE t RENAME
+        COLUMN a TO b (MySQL 8 surface). Returns None when the ALTER is
+        not a rename form so _alter_table falls through to ADD/DROP."""
+        m = re.match(
+            r"ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\S+)\s+TO\s+(\S+)\s*$",
+            stmt,
+            re.I,
+        )
+        if m:
+            name_raw, old_raw, new_raw = m.groups()
+            schema, table = self._resolve_table_name(name_raw)
+            tdef = self.catalog.load(schema, table)
+            old, new = check_ident(old_raw), check_ident(new_raw)
+            cdef = tdef.column(old)
+            if not cdef:
+                raise SparrowError(
+                    1054, f"Unknown column '{old}' in '{table}'"
+                )
+            if tdef.column(new):
+                raise SparrowError(1060, f"Duplicate column name '{new}'")
+            if old in tdef.partition_by:
+                # The column IS the directory layout (same constraint as
+                # DROP COLUMN on a partition column).
+                raise SparrowError(
+                    3855,
+                    f"Column '{old}' has a partitioning function "
+                    "dependency and cannot be renamed",
+                )
+            # Parquet embeds column names per file, so a rename is a COW
+            # rewrite with the column aliased — the same physical
+            # primitive as DROP COLUMN, keeping old files unreadable
+            # never: the rewrite replaces the data dir atomically.
+            data = self._read_physical(schema, table, tdef)
+            new_data = data.select(
+                ROWID,
+                *[
+                    F.col(c.name).alias(new if c.name == old else c.name)
+                    for c in tdef.columns
+                ],
+            )
+            self._overwrite_data(schema, table, new_data)
+            cdef.name = new
+            tdef.primary_key = [new if c == old else c for c in tdef.primary_key]
+            tdef.uniques = [
+                [new if c == old else c for c in u] for u in tdef.uniques
+            ]
+            self.catalog.save(tdef)
+            self._recreate_spark_table(tdef)
+            return Result("ok")
+        m = re.match(
+            r"ALTER\s+TABLE\s+(\S+)\s+RENAME\s+(?:TO\s+|AS\s+)?(\S+)\s*$",
+            stmt,
+            re.I,
+        )
+        if m:
+            src = self._resolve_table_name(m.group(1))
+            dst = self._resolve_table_name(m.group(2))
+            return self._rename_table(
+                f"RENAME TABLE {src[0]}.{src[1]} TO {dst[0]}.{dst[1]}"
+            )
+        return None
+
     def _alter_table(self, stmt: str) -> Result:
+        if re.match(r"ALTER\s+TABLE\s+\S+\s+RENAME\b", stmt, re.I):
+            out = self._alter_rename(stmt)
+            if out is not None:
+                return out
         m = re.match(
             r"ALTER\s+TABLE\s+(\S+)\s+(ADD|DROP)\s+(?:COLUMN\s+)?(.*)$", stmt, re.I | re.S
         )

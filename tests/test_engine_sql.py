@@ -849,3 +849,55 @@ def test_insert_ignore_and_truncate(engine):
     engine.sql("INSERT INTO t VALUES (9, 'q')")
     assert engine.sql("SELECT count(*) AS n FROM t").df.collect()[0].n == 1
     engine.sql("DROP TABLE t")
+
+
+def test_rename_table_and_alter_rename(engine):
+    import pytest as _pytest
+
+    engine.sql("CREATE DATABASE IF NOT EXISTS rendb")
+    engine.sql("USE rendb")
+    engine.sql("CREATE TABLE src (id INT, v CHAR, PRIMARY KEY(id))")
+    engine.sql("INSERT INTO src VALUES (1, 'a'), (2, 'b')")
+    # Plain rename: data, PK enforcement, and SHOW follow the new name.
+    engine.sql("RENAME TABLE src TO dst")
+    assert engine.sql("SELECT count(*) AS n FROM dst").df.collect()[0].n == 2
+    with _pytest.raises(SparrowError, match="cannot be found|doesn't exist"):
+        engine.sql("SELECT * FROM src")
+    with _pytest.raises(SparrowError) as e:
+        engine.sql("INSERT INTO dst VALUES (1, 'x')")
+    assert e.value.code == 1062  # PK survived the rename
+    names = [r[0] for r in engine.sql("SHOW TABLES").df.collect()]
+    assert "dst" in names and "src" not in names
+    # Multi-pair swap via a temp name (the MySQL idiom).
+    engine.sql("CREATE TABLE other (id INT)")
+    engine.sql("INSERT INTO other VALUES (7)")
+    engine.sql(
+        "RENAME TABLE dst TO tmp_sw, other TO dst, tmp_sw TO other"
+    )
+    assert engine.sql("SELECT count(*) AS n FROM dst").df.collect()[0].n == 1
+    assert engine.sql("SELECT count(*) AS n FROM other").df.collect()[0].n == 2
+    # Validation is all-or-nothing: a bad pair leaves everything alone.
+    with _pytest.raises(SparrowError) as e:
+        engine.sql("RENAME TABLE dst TO dst2, missing TO x")
+    assert e.value.code == 1146
+    assert engine.sql("SELECT count(*) AS n FROM dst").df.collect()[0].n == 1
+    with _pytest.raises(SparrowError) as e:
+        engine.sql("RENAME TABLE dst TO other")
+    assert e.value.code == 1050
+    # ALTER TABLE ... RENAME TO.
+    engine.sql("ALTER TABLE dst RENAME TO dst3")
+    assert engine.sql("SELECT count(*) AS n FROM dst3").df.collect()[0].n == 1
+    # ALTER TABLE ... RENAME COLUMN: data + PK + uniqueness follow.
+    engine.sql("ALTER TABLE other RENAME COLUMN v TO label")
+    rows = engine.sql("SELECT id, label FROM other ORDER BY id").df.collect()
+    assert [(x.id, x.label) for x in rows] == [(1, "a"), (2, "b")]
+    with _pytest.raises(SparrowError) as e:
+        engine.sql("INSERT INTO other VALUES (2, 'dup')")
+    assert e.value.code == 1062
+    with _pytest.raises(SparrowError) as e:
+        engine.sql("ALTER TABLE other RENAME COLUMN nope TO x")
+    assert e.value.code == 1054
+    with _pytest.raises(SparrowError) as e:
+        engine.sql("ALTER TABLE other RENAME COLUMN id TO label")
+    assert e.value.code == 1060
+    engine.sql("DROP TABLE dst3, other")
