@@ -286,6 +286,8 @@ BENCH_QUERIES = [
     "q_cascade_filter_ordering",
     "q_key_skew_audit",
     "q_join_order_rank",
+    "q_rolling_origin_backtest",
+    "q_emd_distribution_shift",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

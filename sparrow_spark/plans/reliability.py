@@ -1713,3 +1713,224 @@ def q_join_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cost_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-origin (walk-forward) forecast backtest
+# ---------------------------------------------------------------------------
+
+_BACKTEST_ORIGINS = [
+    "1998-07-01", "1998-08-01", "1998-09-01",
+    "1998-10-01", "1998-11-01", "1998-12-01",
+]
+_BT_HIST_DAYS = 28
+_BT_HORIZON_DAYS = 7
+
+
+@query(
+    "q_rolling_origin_backtest",
+    oracle=f"""
+    WITH daily AS (
+      {_DAILY_KUSD_SQL}
+    ), origins AS (
+      SELECT unnest([{", ".join(f"DATE '{o}'" for o in _BACKTEST_ORIGINS)}])
+        AS origin
+    ), hist AS (
+      SELECT o.origin,
+             CAST(sum(d.y) AS BIGINT) AS h_sum,
+             CAST(count(*) AS BIGINT) AS n_hist
+      FROM origins o JOIN daily d
+        ON d.day >= o.origin - INTERVAL {_BT_HIST_DAYS} DAY
+       AND d.day < o.origin
+      GROUP BY o.origin
+    ), fc AS (
+      SELECT origin, n_hist,
+             CAST(h_sum // n_hist AS BIGINT) AS fc_kusd
+      FROM hist
+    ), scored AS (
+      SELECT f.origin, f.n_hist, f.fc_kusd,
+             CAST(count(*) AS BIGINT) AS n_horizon,
+             CAST(sum(abs(d.y - f.fc_kusd)) AS BIGINT) AS sum_abs_err
+      FROM fc f JOIN daily d
+        ON d.day >= f.origin
+       AND d.day < f.origin + INTERVAL {_BT_HORIZON_DAYS} DAY
+      GROUP BY f.origin, f.n_hist, f.fc_kusd
+    )
+    SELECT origin, n_hist, fc_kusd, n_horizon, sum_abs_err,
+           CAST(sum_abs_err * 100 // n_horizon AS BIGINT) AS mae_e2
+    FROM scored ORDER BY origin
+    """,
+)
+def q_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (walk-forward) backtest — the evaluation
+    protocol every forecaster in this repo (Holt, Holt-Winters,
+    Croston, conformal, baselines) should be judged under, because a
+    single train/test split leaks the analyst's choice of split into
+    the score: six monthly origins each fit a trailing-28-day mean
+    (integer floor division) and score MAE over the next 7 days.
+    All arithmetic is exact BIGINT kilo-dollars (sum of absolute
+    integer errors; mae_e2 is integer fixed-point), so no float
+    enters any result. The corpus contributes ONE partition-pruned
+    day-keyed aggregate (pinned); origins x days is a bounded range
+    join over the <=1100-row day table — adding origins costs
+    nothing corpus-side, which is the property that makes
+    walk-forward affordable at 100 TB where refitting per origin
+    over raw data would not be."""
+    daily = _daily_kusd(spark, sf_dir).localCheckpoint()
+    origins = spark.createDataFrame(
+        [(o,) for o in _BACKTEST_ORIGINS], "origin_s string"
+    ).select(F.col("origin_s").cast("date").alias("origin"))
+    d = daily.select("day", "y")
+    hist = (
+        origins.join(
+            d,
+            (d["day"] >= F.date_sub(F.col("origin"), _BT_HIST_DAYS))
+            & (d["day"] < F.col("origin")),
+        )
+        .groupBy("origin")
+        .agg(
+            F.sum("y").cast("bigint").alias("h_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hist"),
+        )
+    )
+    fc = hist.select(
+        "origin",
+        "n_hist",
+        F.expr("CAST(h_sum DIV n_hist AS BIGINT)").alias("fc_kusd"),
+    )
+    scored = (
+        fc.join(
+            d,
+            (d["day"] >= F.col("origin"))
+            & (d["day"] < F.date_add(F.col("origin"), _BT_HORIZON_DAYS)),
+        )
+        .groupBy("origin", "n_hist", "fc_kusd")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_horizon"),
+            F.sum(F.abs(F.col("y") - F.col("fc_kusd")))
+            .cast("bigint")
+            .alias("sum_abs_err"),
+        )
+    )
+    return scored.select(
+        "origin",
+        "n_hist",
+        "fc_kusd",
+        "n_horizon",
+        "sum_abs_err",
+        F.expr("CAST(sum_abs_err * 100 DIV n_horizon AS BIGINT)").alias(
+            "mae_e2"
+        ),
+    ).orderBy("origin")
+
+
+# ---------------------------------------------------------------------------
+# 1-D earth mover's distance between two order-value distributions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_emd_distribution_shift",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(round(o_totalprice) AS BIGINT) // 1000 AS bin,
+             CASE WHEN isodow(CAST(o_orderdate AS DATE)) IN (6, 7)
+                  THEN 1 ELSE 0 END AS wk
+      FROM orders
+    ), counts AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM o GROUP BY bin
+    ), tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM counts
+    ), cum AS (
+      SELECT bin,
+             sum(c1) OVER (ORDER BY bin) AS f1,
+             sum(c2) OVER (ORDER BY bin) AS f2,
+             lead(bin) OVER (ORDER BY bin) AS nxt
+      FROM counts
+    ), terms AS (
+      SELECT CAST(abs(f1 * n2 - f2 * n1) * (nxt - bin) AS BIGINT) AS t
+      FROM cum, tot WHERE nxt IS NOT NULL
+    )
+    SELECT tot.n1 AS n_weekday, tot.n2 AS n_weekend,
+           CAST(sum(t.t) AS BIGINT) AS emd_scaled,
+           round(CAST(sum(t.t) AS DOUBLE) / (tot.n1 * tot.n2), 4)
+             AS emd_kusd
+    FROM terms t, tot GROUP BY tot.n1, tot.n2
+    """,
+)
+def q_emd_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D earth mover's (Wasserstein-1) distance between the weekday
+    and weekend order-value distributions — the distribution-shift
+    metric that, unlike the repo's JS-divergence and mixture-shift
+    ops, respects the METRIC structure of the support: moving mass
+    from the $10k bin to the $11k bin costs 100x less than to the
+    $110k bin, so EMD catches gradual value drift that bin-wise
+    divergences under-report. On a 1-D support EMD is exactly the
+    area between CDFs: one grouped count on (bin, segment), one
+    cumulative window over the value-distinct (bounded) bin table,
+    and an exact BIGINT sum of |F1*n2 - F2*n1| * gap terms —
+    cross-multiplied so no normalization float exists until the one
+    final division of two exact integers. Corpus cost: ONE scan into
+    a |bins|-sized aggregate; the documented rescale discipline (a
+    coarser bin at larger SF) bounds both the support and the BIGINT
+    magnitudes."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.expr(
+            "CAST(round(o_totalprice) AS BIGINT) DIV 1000"
+        ).alias("bin"),
+        F.when(
+            F.expr("weekday(o_orderdate)").isin(5, 6), 1
+        ).otherwise(0).alias("wk"),
+    )
+    counts = o.groupBy("bin").agg(
+        F.sum(F.when(F.col("wk") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("wk") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    ).localCheckpoint()
+    tot = counts.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    w = Window.orderBy("bin")
+    cum = counts.select(
+        "bin",
+        F.sum("c1").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("f1"),
+        F.sum("c2").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("f2"),
+        F.lead("bin").over(w).alias("nxt"),
+    )
+    terms = (
+        cum.filter(F.col("nxt").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+                * (F.col("nxt") - F.col("bin"))
+            )
+            .cast("bigint")
+            .alias("t"),
+            "n1",
+            "n2",
+        )
+    )
+    return (
+        terms.groupBy("n1", "n2")
+        .agg(F.sum("t").cast("bigint").alias("emd_scaled"))
+        .select(
+            F.col("n1").alias("n_weekday"),
+            F.col("n2").alias("n_weekend"),
+            "emd_scaled",
+            rnd(
+                F.col("emd_scaled").cast("double")
+                / (F.col("n1") * F.col("n2")),
+                4,
+            ).alias("emd_kusd"),
+        )
+    )

@@ -442,3 +442,62 @@ def test_join_order_rank_prefers_keyed_plans(spark, sf_dir):
         f"SELECT count(*) FROM '{SF}/customer.parquet'"
     ).fetchone()[0]
     assert rows[-1].intermediate_rows == n_l * n_c
+
+
+def test_rolling_origin_backtest_matches_a_direct_walk_forward(
+    spark, sf_dir
+):
+    rows = {str(r.origin): r for r in _run(spark, sf_dir, "q_rolling_origin_backtest")}
+    assert len(rows) == 6
+    days = dict(_daily_kusd_rows())
+    import datetime
+
+    for o_s, r in rows.items():
+        o = datetime.date.fromisoformat(o_s)
+        hist = [
+            y for d, y in days.items()
+            if o - datetime.timedelta(days=28) <= d < o
+        ]
+        horizon = [
+            y for d, y in days.items()
+            if o <= d < o + datetime.timedelta(days=7)
+        ]
+        assert r.n_hist == len(hist)
+        fc = sum(hist) // len(hist)
+        assert r.fc_kusd == fc
+        assert r.n_horizon == len(horizon)
+        sae = sum(abs(y - fc) for y in horizon)
+        assert r.sum_abs_err == sae
+        assert r.mae_e2 == sae * 100 // len(horizon)
+
+
+def test_emd_is_the_area_between_cdfs_and_detects_no_shift_on_self(
+    spark, sf_dir
+):
+    row = _run(spark, sf_dir, "q_emd_distribution_shift")[0]
+    vals = duckdb.sql(
+        f"""SELECT CAST(round(o_totalprice) AS BIGINT) // 1000 AS bin,
+               CASE WHEN isodow(CAST(o_orderdate AS DATE)) IN (6,7)
+                    THEN 1 ELSE 0 END AS wk
+        FROM '{SF}/orders.parquet'"""
+    ).fetchall()
+    wd = sorted(b for b, w in vals if w == 0)
+    we = sorted(b for b, w in vals if w == 1)
+    assert row.n_weekday == len(wd) and row.n_weekend == len(we)
+    # Direct EMD via scipy-free integer algebra on the union support.
+    support = sorted(set(wd) | set(we))
+    emd_scaled = 0
+    f1 = f2 = 0
+    import bisect
+
+    for a, b in zip(support, support[1:]):
+        f1 = bisect.bisect_right(wd, a)
+        f2 = bisect.bisect_right(we, a)
+        emd_scaled += abs(f1 * len(we) - f2 * len(wd)) * (b - a)
+    assert row.emd_scaled == emd_scaled
+    # Self-distance sanity: EMD(weekday, weekday) must be zero.
+    assert (
+        sum(abs(bisect.bisect_right(wd, a) * len(wd)
+                - bisect.bisect_right(wd, a) * len(wd))
+            for a in support) == 0
+    )
