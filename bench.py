@@ -288,6 +288,8 @@ BENCH_QUERIES = [
     "q_join_order_rank",
     "q_rolling_origin_backtest",
     "q_emd_distribution_shift",
+    "q_multimodal_pack_mix",
+    "q_ipf_raking",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

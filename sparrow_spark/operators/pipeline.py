@@ -3037,3 +3037,240 @@ def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("hits_at_50") / 50.0, 6).alias("p_at_50"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal packing: modality composition of packed training sequences
+# ---------------------------------------------------------------------------
+
+_IMG_PATCH_TOKENS = 64  # fixed vision-patch block per attached image
+
+
+@query(
+    "q_multimodal_pack_mix",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_text,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN {_IMG_PATCH_TOKENS}
+                       ELSE 0 END AS BIGINT) AS n_img
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, lang, n_text, n_img,
+             sum(n_text + n_img) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+               - (n_text + n_img) AS st
+      FROM tok
+    ), spans AS (
+      SELECT lang, doc_id,
+             u.s.modality_no AS modality_no, u.s.lo AS lo, u.s.hi AS hi
+      FROM packed,
+           unnest([struct_pack(modality_no := 1, lo := st,
+                               hi := st + n_text),
+                   struct_pack(modality_no := 2, lo := st + n_text,
+                               hi := st + n_text + n_img)]) AS u(s)
+      WHERE u.s.hi > u.s.lo
+    ), cut AS (
+      SELECT lang, doc_id, modality_no, lo, hi,
+             unnest(range(CAST(lo // {PACK_BUDGET} AS BIGINT),
+                          CAST((hi - 1) // {PACK_BUDGET} + 1 AS BIGINT)))
+               AS seq_id
+      FROM spans
+    )
+    SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(sum(CASE WHEN modality_no = 1 THEN
+             least(hi, (seq_id + 1) * {PACK_BUDGET})
+             - greatest(lo, seq_id * {PACK_BUDGET}) ELSE 0 END)
+             AS BIGINT) AS text_tokens,
+           CAST(sum(CASE WHEN modality_no = 2 THEN
+             least(hi, (seq_id + 1) * {PACK_BUDGET})
+             - greatest(lo, seq_id * {PACK_BUDGET}) ELSE 0 END)
+             AS BIGINT) AS image_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM cut
+    GROUP BY lang, seq_id
+    ORDER BY lang, seq_id
+    """,
+)
+def q_multimodal_pack_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality composition of packed multimodal training sequences:
+    every third document carries a fixed 64-token vision-patch block
+    (the deterministic stand-in this repo's multimodal tier uses —
+    a real pipeline joins a media table for per-image patch counts;
+    the packing algebra is identical), documents concatenate in
+    stable doc_id order per language shard (the same straddling
+    layout as q_sequence_packing), and each document contributes TWO
+    spans — text then image — whose intersections with the 256-token
+    sequence grid are summed per (lang, seq_id, modality). The output
+    is the modality-balance audit a multimodal trainer runs before
+    committing a mixture: sequences whose image fraction drifts from
+    the corpus ratio indicate clumping in the pack order. All span
+    algebra is exact BIGINT interval arithmetic; one shuffle on lang,
+    one window, one explode bounded by spans-per-sequence — the same
+    100 TB shape as the text-only packing ops."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_text = F.size(tokens(F.col("text"))).cast("bigint")
+    n_img = (
+        F.when(F.col("doc_id") % 3 == 0, _IMG_PATCH_TOKENS)
+        .otherwise(0)
+        .cast("bigint")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select(
+        "doc_id", "lang", n_text.alias("n_text"), n_img.alias("n_img")
+    )
+    tot = F.col("n_text") + F.col("n_img")
+    packed = sized.withColumn("st", F.sum(tot).over(w) - tot)
+    spans = packed.select(
+        "lang",
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("modality_no"),
+                    F.col("st").alias("lo"),
+                    (F.col("st") + F.col("n_text")).alias("hi"),
+                ),
+                F.struct(
+                    F.lit(2).alias("modality_no"),
+                    (F.col("st") + F.col("n_text")).alias("lo"),
+                    (F.col("st") + F.col("n_text") + F.col("n_img")).alias(
+                        "hi"
+                    ),
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        "lang", "doc_id", "s.modality_no", "s.lo", "s.hi"
+    ).filter(F.col("hi") > F.col("lo"))
+    cut = spans.select(
+        "lang",
+        "doc_id",
+        "modality_no",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST(lo DIV {PACK_BUDGET} AS BIGINT)"),
+                F.expr(f"CAST((hi - 1) DIV {PACK_BUDGET} AS BIGINT)"),
+            )
+        ).alias("seq_id"),
+    )
+    seg = F.least(
+        F.col("hi"), (F.col("seq_id") + 1) * PACK_BUDGET
+    ) - F.greatest(F.col("lo"), F.col("seq_id") * PACK_BUDGET)
+    return (
+        cut.groupBy("lang", "seq_id")
+        .agg(
+            F.sum(F.when(F.col("modality_no") == 1, seg).otherwise(0))
+            .cast("bigint")
+            .alias("text_tokens"),
+            F.sum(F.when(F.col("modality_no") == 2, seg).otherwise(0))
+            .cast("bigint")
+            .alias("image_tokens"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iterative proportional fitting (raking) of the lang x source table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ipf_raking",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_lang,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_src
+      FROM cells
+    ), w0 AS (
+      SELECT lang, source, n, CAST(1.0 AS DOUBLE) AS w FROM cells
+    ), r1 AS (
+      SELECT w0.lang, w0.source, w0.n,
+             w0.w * ((CAST(tot.total AS DOUBLE) / tot.n_lang)
+                     / sum(w0.n * w0.w) OVER (PARTITION BY w0.lang)) AS w
+      FROM w0, tot
+    ), c1 AS (
+      SELECT r1.lang, r1.source, r1.n,
+             r1.w * ((CAST(tot.total AS DOUBLE) / tot.n_src)
+                     / sum(r1.n * r1.w) OVER (PARTITION BY r1.source)) AS w
+      FROM r1, tot
+    ), r2 AS (
+      SELECT c1.lang, c1.source, c1.n,
+             c1.w * ((CAST(tot.total AS DOUBLE) / tot.n_lang)
+                     / sum(c1.n * c1.w) OVER (PARTITION BY c1.lang)) AS w
+      FROM c1, tot
+    ), c2 AS (
+      SELECT r2.lang, r2.source, r2.n,
+             r2.w * ((CAST(tot.total AS DOUBLE) / tot.n_src)
+                     / sum(r2.n * r2.w) OVER (PARTITION BY r2.source)) AS w
+      FROM r2, tot
+    )
+    SELECT lang, source, n, round(w, 6) AS rake_weight,
+           round(n * w, 4) AS raked_mass
+    FROM c2 ORDER BY lang, source
+    """,
+)
+def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey-style raking (iterative proportional fitting, Deming &
+    Stephan 1940) of the documents' lang x source contingency table
+    to UNIFORM target marginals — the post-stratification weighting a
+    curation team applies when the crawl over-represents some
+    language or source: after two unrolled IPF rounds (row-scale,
+    column-scale, twice) each cell carries a rake weight such that
+    weighted language masses match total/|langs| and source masses
+    approach total/|sources| (IPF converges geometrically; two
+    rounds is the demonstration depth, and the final column pass
+    makes source marginals exact). The corpus contributes ONE
+    (lang, source)-keyed count; every IPF round is two windowed
+    scalings over the |langs| x |sources| BOUNDED cell table — at
+    100 TB the iteration cost is independent of corpus size, which
+    is why raking scales where per-document reweighting loops do
+    not. Weights are deterministic IEEE expressions over exact
+    integer counts, identical in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).localCheckpoint()
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.countDistinct("lang").cast("bigint").alias("n_lang"),
+        F.countDistinct("source").cast("bigint").alias("n_src"),
+    )
+    cur = cells.crossJoin(F.broadcast(tot)).withColumn(
+        "w", F.lit(1.0).cast("double")
+    )
+    for part, tcol in (
+        ("lang", "n_lang"),
+        ("source", "n_src"),
+        ("lang", "n_lang"),
+        ("source", "n_src"),
+    ):
+        mass = F.sum(F.col("n") * F.col("w")).over(Window.partitionBy(part))
+        cur = cur.withColumn(
+            "w",
+            F.col("w")
+            * (
+                (F.col("total").cast("double") / F.col(tcol))
+                / mass
+            ),
+        )
+    return cur.select(
+        "lang",
+        "source",
+        "n",
+        rnd(F.col("w"), 6).alias("rake_weight"),
+        rnd(F.col("n") * F.col("w"), 4).alias("raked_mass"),
+    ).orderBy("lang", "source")

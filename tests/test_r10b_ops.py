@@ -501,3 +501,52 @@ def test_emd_is_the_area_between_cdfs_and_detects_no_shift_on_self(
                 - bisect.bisect_right(wd, a) * len(wd))
             for a in support) == 0
     )
+
+
+def test_multimodal_pack_mix_conserves_tokens(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_multimodal_pack_mix")
+    assert rows
+    tok = duckdb.sql(
+        f"""SELECT lang,
+               sum(len(string_split(lower(text), ' '))) AS t,
+               sum(CASE WHEN doc_id % 3 = 0 THEN 64 ELSE 0 END) AS i
+        FROM '{SF}/documents.parquet' GROUP BY lang"""
+    ).fetchall()
+    by_lang = {}
+    for r in rows:
+        t, i = by_lang.get(r.lang, (0, 0))
+        by_lang[r.lang] = (t + r.text_tokens, i + r.image_tokens)
+        # Every sequence except possibly the shard's last is full.
+        assert 0 < r.text_tokens + r.image_tokens <= 256
+    # Span algebra conserves every token of both modalities.
+    for lang, t, i in tok:
+        assert by_lang[lang] == (t, i)
+    # Sequences are densely numbered from 0 within each lang.
+    for lang in by_lang:
+        ids = sorted(r.seq_id for r in rows if r.lang == lang)
+        assert ids == list(range(len(ids)))
+
+
+def test_ipf_raking_hits_the_target_marginals(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_ipf_raking")
+    assert rows
+    total = sum(r.n for r in rows)
+    langs = {r.lang for r in rows}
+    sources = {r.source for r in rows}
+    # The final pass scales columns, so source marginals are exact
+    # (up to rounding of the reported masses).
+    by_src = {}
+    for r in rows:
+        by_src[r.source] = by_src.get(r.source, 0) + r.raked_mass
+    for s, m in by_src.items():
+        assert abs(m - total / len(sources)) < 0.01
+    # Language marginals converge toward target: after 2 rounds each
+    # is within 20% of total/|langs| (geometric convergence).
+    by_lang = {}
+    for r in rows:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + r.raked_mass
+    for lg, m in by_lang.items():
+        assert abs(m - total / len(langs)) < 0.2 * total / len(langs)
+    # Total mass is conserved by the final exact column scaling.
+    assert abs(sum(by_src.values()) - total) < 0.1
+    assert all(r.rake_weight > 0 for r in rows)
