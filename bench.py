@@ -290,6 +290,7 @@ BENCH_QUERIES = [
     "q_emd_distribution_shift",
     "q_multimodal_pack_mix",
     "q_ipf_raking",
+    "q_cms_width_sweep",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -670,3 +670,109 @@ def q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true_negatives_probed",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min width sweep: measured error vs the epsilon = e/width bound
+# ---------------------------------------------------------------------------
+
+_CMS_SWEEP_WIDTHS = [64, 256, 1024]
+
+
+def _cms_sweep_oracle() -> str:
+    def structs(w: int) -> str:
+        return ", ".join(
+            f"struct_pack(d := {d}, bucket := " + _bucket_sql("tok", d, w) + ")"
+            for d in range(CM_DEPTH)
+        )
+
+    per_width = []
+    for w in _CMS_SWEEP_WIDTHS:
+        per_width.append(f"""
+    sk_{w} AS (
+      SELECT d, bucket, CAST(sum(exact) AS BIGINT) AS c
+      FROM (SELECT exact, unnest([{structs(w)}], recursive := true)
+            FROM exact)
+      GROUP BY d, bucket
+    ), est_{w} AS (
+      SELECT p.tok, CAST(min(s.c) AS BIGINT) AS est
+      FROM (SELECT tok, unnest([{structs(w)}], recursive := true)
+            FROM exact) p
+      JOIN sk_{w} s ON p.d = s.d AND p.bucket = s.bucket
+      GROUP BY p.tok
+    ), r_{w} AS (
+      SELECT {w} AS width,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(e.exact) AS BIGINT) AS total_mass,
+             CAST(max(q.est - e.exact) AS BIGINT) AS max_overcount,
+             CAST(sum(q.est - e.exact) * 10000 // count(*) AS BIGINT)
+               AS mean_overcount_e4,
+             CAST(2718 * sum(e.exact) // (1000 * {w}) AS BIGINT)
+               AS eps_bound
+      FROM exact e JOIN est_{w} q ON e.tok = q.tok
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT * FROM r_{w}" for w in _CMS_SWEEP_WIDTHS
+    )
+    return (
+        """
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ), exact AS (
+      SELECT tok, count(*) AS exact FROM tok GROUP BY tok
+    ),"""
+        + ",".join(per_width)
+        + f" SELECT * FROM ({selects}) ORDER BY width"
+    )
+
+
+@query("q_cms_width_sweep", oracle=_cms_sweep_oracle())
+def q_cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sizing audit: the SAME vocabulary counted through
+    sketches of width 64 / 256 / 1024 (depth 4), probing EVERY item
+    and reporting measured max / mean overcount next to the
+    theoretical epsilon*N = e*N/width bound — the table an engineer
+    reads to size a sketch before deploying it against a 100 TB
+    stream (quadrupling width should roughly quarter the mean
+    overcount; the audit shows whether the corpus' skew makes the
+    bound loose or tight). ONE corpus pass builds the exact count
+    table (pinned); each width's sketch build and full-vocabulary
+    probe are vocab-sized explodes over that table — sweeping more
+    widths costs nothing corpus-side. All error statistics are exact
+    BIGINTs (mean as e4 fixed-point integer division); CM guarantees
+    est >= exact so every overcount is non-negative, pinned in
+    tests."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    exact = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .localCheckpoint()
+    )
+    outs = []
+    for w in _CMS_SWEEP_WIDTHS:
+        sketch = countmin_from_counts(exact, "tok", "exact", width=w)
+        est = countmin_estimate(
+            exact.select("tok"), sketch, "tok", width=w
+        )
+        joined = exact.join(est, "tok")
+        outs.append(
+            joined.agg(
+                F.lit(w).alias("width"),
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum("exact").cast("bigint").alias("total_mass"),
+                F.max(F.col("est") - F.col("exact"))
+                .cast("bigint")
+                .alias("max_overcount"),
+                F.expr(
+                    "CAST(sum(est - exact) * 10000 DIV count(*) AS BIGINT)"
+                ).alias("mean_overcount_e4"),
+                F.expr(
+                    f"CAST(2718 * sum(exact) DIV (1000 * {w}) AS BIGINT)"
+                ).alias("eps_bound"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("width")

@@ -550,3 +550,21 @@ def test_ipf_raking_hits_the_target_marginals(spark, sf_dir):
     # Total mass is conserved by the final exact column scaling.
     assert abs(sum(by_src.values()) - total) < 0.1
     assert all(r.rake_weight > 0 for r in rows)
+
+
+def test_cms_width_sweep_error_shrinks_with_width(spark, sf_dir):
+    rows = sorted(_run(spark, sf_dir, "q_cms_width_sweep"),
+                  key=lambda r: r.width)
+    assert [r.width for r in rows] == [64, 256, 1024]
+    # Same corpus under every width.
+    assert len({(r.n_items, r.total_mass) for r in rows}) == 1
+    for r in rows:
+        # CM never undercounts.
+        assert r.max_overcount >= 0 and r.mean_overcount_e4 >= 0
+        assert r.eps_bound == 2718 * r.total_mass // (1000 * r.width)
+    # Widening the sketch can only help on average.
+    assert (rows[0].mean_overcount_e4 >= rows[1].mean_overcount_e4
+            >= rows[2].mean_overcount_e4)
+    # And the widest sketch should be far better than the narrowest.
+    if rows[0].mean_overcount_e4 > 0:
+        assert rows[2].mean_overcount_e4 < rows[0].mean_overcount_e4
