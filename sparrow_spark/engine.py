@@ -1771,6 +1771,17 @@ class Engine:
                 ["Collation", "Charset", "Id", "Default", "Compiled", "Sortlen"],
                 [("utf8mb4_general_ci", "utf8mb4", 45, "Yes", "Yes", 1)],
             )
+        if re.match(r"SHOW\s+COUNT\(\*\)\s+(WARNINGS|ERRORS)", stmt, re.I):
+            return self._const_df(["Count"], [(0,)])
+        if up.startswith("SHOW WARNINGS") or up.startswith("SHOW ERRORS"):
+            # Statements either succeed or raise (no warning queue, like
+            # the reference); clients that poll after every statement
+            # (e.g. mysql CLI with \W) expect an EMPTY result set with
+            # MySQL's three-column shape, not an error.
+            df = self.spark.createDataFrame(
+                [], "Level string, Code int, Message string"
+            )
+            return Result("resultset", df)
         if up.startswith("SHOW GRANTS"):
             return self._const_df(
                 ["Grants"], [("GRANT ALL PRIVILEGES ON *.* TO 'root'@'%'",)]

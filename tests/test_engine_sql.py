@@ -901,3 +901,12 @@ def test_rename_table_and_alter_rename(engine):
         engine.sql("ALTER TABLE other RENAME COLUMN id TO label")
     assert e.value.code == 1060
     engine.sql("DROP TABLE dst3, other")
+
+
+def test_show_warnings_and_errors_empty(engine):
+    r = engine.sql("SHOW WARNINGS")
+    assert [f.name for f in r.df.schema.fields] == ["Level", "Code", "Message"]
+    assert r.df.collect() == []
+    assert engine.sql("SHOW ERRORS").df.collect() == []
+    r = engine.sql("SHOW COUNT(*) WARNINGS")
+    assert [x.Count for x in r.df.collect()] == [0]
