@@ -291,6 +291,8 @@ BENCH_QUERIES = [
     "q_multimodal_pack_mix",
     "q_ipf_raking",
     "q_cms_width_sweep",
+    "q_t_closeness",
+    "q_consistent_hash_ring",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -3274,3 +3274,116 @@ def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("w"), 6).alias("rake_weight"),
         rnd(F.col("n") * F.col("w"), 4).alias("raked_mass"),
     ).orderBy("lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# t-closeness: the third leg of the release-privacy triple
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_t_closeness",
+    oracle="""
+    WITH cls AS (
+      SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_band,
+             lang, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2, 3
+    ), gdist AS (
+      SELECT lang, CAST(sum(cnt) AS BIGINT) AS g FROM cls GROUP BY lang
+    ), tot AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM gdist),
+    classes AS (
+      SELECT source, len_band, CAST(sum(cnt) AS BIGINT) AS n_class
+      FROM cls GROUP BY 1, 2
+    ), terms AS (
+      SELECT c.source, c.len_band, c.n_class,
+             CAST(sum(abs(coalesce(x.cnt, 0) * tot.n
+                          - gdist.g * c.n_class)) AS BIGINT) AS t_scaled
+      FROM classes c
+      CROSS JOIN gdist
+      CROSS JOIN tot
+      LEFT JOIN cls x ON x.source = c.source AND x.len_band = c.len_band
+                     AND x.lang = gdist.lang
+      GROUP BY c.source, c.len_band, c.n_class
+    )
+    SELECT t.source, t.len_band, t.n_class, t.t_scaled,
+           round(CAST(t.t_scaled AS DOUBLE) / (2.0 * t.n_class * tot.n), 6)
+             AS t_dist,
+           2 * t.t_scaled <= t.n_class * tot.n AS t_close
+    FROM terms t, tot
+    ORDER BY source, len_band
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third leg of the release-privacy triple next to q_k_anonymity and
+    q_l_diversity, on the same conventions (QI class = (source,
+    length band), sensitive attribute = lang): a class is t-close
+    when the distance between its sensitive-value distribution and
+    the GLOBAL one is at most t, closing l-diversity's skewness
+    loophole (a class can be 3-diverse yet 95% one language). For a
+    nominal sensitive attribute the distance is total variation,
+    computed here with cross-multiplied exact BIGINTs — t_scaled =
+    sum_langs |cnt_class_lang * N - global_lang * n_class|, so
+    t = t_scaled / (2 * n_class * N) and the t <= 0.25 verdict is
+    the EXACT integer comparison 2*t_scaled <= n_class*N (no float
+    enters any decision; the reported t_dist is one final division).
+    Scale: one (QI, lang)-keyed aggregate; everything after runs on
+    the |QI| x |langs| bounded table against a broadcast |langs|-row
+    global distribution."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    cls = docs.groupBy(
+        "source",
+        (F.col("n_chars") / 100).cast("bigint").alias("len_band"),
+        "lang",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt")).localCheckpoint()
+    glob = cls.groupBy("lang").agg(F.sum("cnt").cast("bigint").alias("g"))
+    tot = glob.agg(F.sum("g").cast("bigint").alias("n"))
+    classes = cls.groupBy("source", "len_band").agg(
+        F.sum("cnt").cast("bigint").alias("n_class")
+    )
+    x = cls.select(
+        F.col("source").alias("xs"),
+        F.col("len_band").alias("xb"),
+        F.col("lang").alias("xl"),
+        "cnt",
+    )
+    terms = (
+        classes.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            x,
+            (F.col("xs") == F.col("source"))
+            & (F.col("xb") == F.col("len_band"))
+            & (F.col("xl") == F.col("lang")),
+            "left",
+        )
+        .groupBy("source", "len_band", "n_class")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.coalesce(F.col("cnt"), F.lit(0)) * F.col("n")
+                    - F.col("g") * F.col("n_class")
+                )
+            )
+            .cast("bigint")
+            .alias("t_scaled")
+        )
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "len_band",
+            "n_class",
+            "t_scaled",
+            rnd(
+                F.col("t_scaled").cast("double")
+                / (2.0 * F.col("n_class") * F.col("n")),
+                6,
+            ).alias("t_dist"),
+            (2 * F.col("t_scaled") <= F.col("n_class") * F.col("n")).alias(
+                "t_close"
+            ),
+        )
+        .orderBy("source", "len_band")
+    )

@@ -1934,3 +1934,154 @@ def q_emd_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("emd_kusd"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hashing ring audit: balance + minimal rebalance on scale-out
+# ---------------------------------------------------------------------------
+
+_RING_SHARDS = 8
+_RING_VNODES = 16
+
+
+def _ring(n_shards: int) -> list[tuple[int, int]]:
+    """(position, shard) vnode ring — plan-time constants (the ring is
+    data-independent), sorted by position."""
+    import hashlib
+
+    pts = []
+    for s in range(n_shards):
+        for v in range(_RING_VNODES):
+            h = hashlib.md5(f"{s}:{v}".encode()).hexdigest()[:8]
+            pts.append((int(h, 16), s))
+    return sorted(pts)
+
+
+def _assign_sql(ring: list[tuple[int, int]], kpos: str) -> str:
+    lst = ", ".join(f"struct_pack(p := {p}, sh := {s})" for p, s in ring)
+    return (
+        f"coalesce(list_extract([r.sh FOR r IN [{lst}] IF r.p >= {kpos}], 1),"
+        f" {ring[0][1]})"
+    )
+
+
+def _assign_col(ring: list[tuple[int, int]], kpos) -> "F.Column":
+    arr = F.array(
+        *[
+            F.struct(F.lit(p).alias("p"), F.lit(s).alias("sh"))
+            for p, s in ring
+        ]
+    )
+    first_ge = F.filter(arr, lambda r: r["p"] >= kpos)
+    # F.get (0-based) returns NULL past the end — element_at raises
+    # under ANSI mode when the filtered array is empty (wraparound).
+    return F.coalesce(F.get(first_ge, 0)["sh"], F.lit(ring[0][1]))
+
+
+@query(
+    "q_consistent_hash_ring",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT l_orderkey AS k FROM lineitem
+    ), pos AS (
+      SELECT k,
+             CAST(('0x' || substr(md5('key:' || CAST(k AS VARCHAR)), 1, 8))
+                  ::UBIGINT AS BIGINT) AS kpos
+      FROM keys
+    ), assigned AS (
+      SELECT k,
+             {_assign_sql(_ring(_RING_SHARDS), "kpos")} AS s8,
+             {_assign_sql(_ring(_RING_SHARDS + 1), "kpos")} AS s9,
+             kpos % {_RING_SHARDS} AS m8,
+             kpos % {_RING_SHARDS + 1} AS m9
+      FROM pos
+    ), shards AS (SELECT unnest(range(0, {_RING_SHARDS + 1})) AS shard)
+    SELECT s.shard,
+           CAST(coalesce(r8.n, 0) AS BIGINT) AS n_ring8,
+           CAST(coalesce(r9.n, 0) AS BIGINT) AS n_ring9,
+           CAST(coalesce(ri.n, 0) AS BIGINT) AS ring_inflow,
+           CAST(coalesce(m9.n, 0) AS BIGINT) AS n_mod9,
+           CAST(coalesce(mi.n, 0) AS BIGINT) AS mod_inflow
+    FROM shards s
+    LEFT JOIN (SELECT s8, count(*) AS n FROM assigned GROUP BY s8) r8
+      ON r8.s8 = s.shard
+    LEFT JOIN (SELECT s9, count(*) AS n FROM assigned GROUP BY s9) r9
+      ON r9.s9 = s.shard
+    LEFT JOIN (SELECT s9, count(*) AS n FROM assigned
+               WHERE s8 <> s9 GROUP BY s9) ri ON ri.s9 = s.shard
+    LEFT JOIN (SELECT m9, count(*) AS n FROM assigned GROUP BY m9) m9
+      ON m9.m9 = s.shard
+    LEFT JOIN (SELECT m9, count(*) AS n FROM assigned
+               WHERE m8 <> m9 GROUP BY m9) mi ON mi.m9 = s.shard
+    ORDER BY shard
+    """,
+)
+def q_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing ring audit (Karger et al. 1997): place 8
+    shards x 16 virtual nodes on a 32-bit hash ring (the ring is
+    DATA-INDEPENDENT, so its 128 positions are plan-time literals in
+    both engines), assign every distinct order key to its clockwise
+    successor vnode, then add a 9th shard and measure what moved —
+    next to the same scale-out under plain mod-hashing. The numbers
+    make the classic argument quantitatively: consistent hashing
+    relocates ~1/9 of keys (only inflow INTO the new shard; pinned
+    in tests), mod-hashing relocates ~8/9, which at 100 TB is the
+    difference between warming one node's cache and invalidating the
+    whole fleet's. Key positions use the engine-reproducible
+    md5-prefix idiom shared with the sketch family; assignment is a
+    map-side filter over the broadcast literal ring (no join), and
+    the audit is five bounded shard-keyed aggregates over the
+    distinct-key table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select(F.col("l_orderkey").alias("k")).distinct()
+    kpos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("key:"), F.col("k").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+    )
+    assigned = keys.select(
+        "k",
+        _assign_col(_ring(_RING_SHARDS), kpos).alias("s8"),
+        _assign_col(_ring(_RING_SHARDS + 1), kpos).alias("s9"),
+        (kpos % _RING_SHARDS).alias("m8"),
+        (kpos % (_RING_SHARDS + 1)).alias("m9"),
+    ).localCheckpoint()
+    shards = spark.createDataFrame(
+        [(i,) for i in range(_RING_SHARDS + 1)], "shard int"
+    )
+
+    def agg(col: str, flt=None, name: str = "n") -> DataFrame:
+        df = assigned if flt is None else assigned.filter(flt)
+        return df.groupBy(F.col(col).alias("shard")).agg(
+            F.count(F.lit(1)).cast("bigint").alias(name)
+        )
+
+    out = (
+        shards.join(agg("s8", name="n_ring8"), "shard", "left")
+        .join(agg("s9", name="n_ring9"), "shard", "left")
+        .join(
+            agg("s9", F.col("s8") != F.col("s9"), "ring_inflow"),
+            "shard",
+            "left",
+        )
+        .join(agg("m9", name="n_mod9"), "shard", "left")
+        .join(
+            agg("m9", F.col("m8") != F.col("m9"), "mod_inflow"),
+            "shard",
+            "left",
+        )
+    )
+    return out.select(
+        "shard",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+            for c in ("n_ring8", "n_ring9", "ring_inflow", "n_mod9", "mod_inflow")
+        ],
+    ).orderBy("shard")

@@ -568,3 +568,54 @@ def test_cms_width_sweep_error_shrinks_with_width(spark, sf_dir):
     # And the widest sketch should be far better than the narrowest.
     if rows[0].mean_overcount_e4 > 0:
         assert rows[2].mean_overcount_e4 < rows[0].mean_overcount_e4
+
+
+def test_t_closeness_verdict_is_exact_and_triple_consistent(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_t_closeness")
+    assert rows
+    facts = duckdb.sql(
+        f"""SELECT source, n_chars // 100 AS band, lang, count(*)
+        FROM '{SF}/documents.parquet' GROUP BY 1, 2, 3"""
+    ).fetchall()
+    from collections import defaultdict
+
+    cls = defaultdict(dict)
+    glob = defaultdict(int)
+    for src, band, lang, n in facts:
+        cls[(src, band)][lang] = n
+        glob[lang] += n
+    n_total = sum(glob.values())
+    for r in rows:
+        dist = cls[(r.source, r.len_band)]
+        n_class = sum(dist.values())
+        assert r.n_class == n_class
+        t_scaled = sum(
+            abs(dist.get(lg, 0) * n_total - g * n_class)
+            for lg, g in glob.items()
+        )
+        assert r.t_scaled == t_scaled
+        assert r.t_close == (2 * t_scaled <= n_class * n_total)
+    # Total variation is bounded in [0, 1].
+    assert all(0.0 <= r.t_dist <= 1.0 for r in rows)
+
+
+def test_consistent_hash_moves_an_order_of_magnitude_less_than_mod(
+    spark, sf_dir
+):
+    rows = _run(spark, sf_dir, "q_consistent_hash_ring")
+    assert len(rows) == 9
+    n_keys = duckdb.sql(
+        f"SELECT count(DISTINCT l_orderkey) FROM '{SF}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_ring8 for r in rows) == n_keys
+    assert sum(r.n_ring9 for r in rows) == n_keys
+    assert sum(r.n_mod9 for r in rows) == n_keys
+    ring_moved = sum(r.ring_inflow for r in rows)
+    mod_moved = sum(r.mod_inflow for r in rows)
+    # Consistent hashing relocates ~1/9 of keys; mod-hash ~8/9.
+    assert ring_moved < n_keys / 3
+    assert mod_moved > n_keys / 2
+    assert ring_moved * 3 < mod_moved
+    # Shard 8 is new: everything it serves under ring9 is inflow.
+    s8 = [r for r in rows if r.shard == 8][0]
+    assert s8.n_ring8 == 0 and s8.ring_inflow == s8.n_ring9 > 0
