@@ -293,6 +293,8 @@ BENCH_QUERIES = [
     "q_cms_width_sweep",
     "q_t_closeness",
     "q_consistent_hash_ring",
+    "q_merkle_range_digest",
+    "q_bitmap_index_intersection",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -2085,3 +2085,232 @@ def q_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("n_ring8", "n_ring9", "ring_inflow", "n_mod9", "mod_inflow")
         ],
     ).orderBy("shard")
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style anti-entropy: range digests find replica divergence
+# ---------------------------------------------------------------------------
+
+_MERKLE_RANGE = 1000  # orderkeys per digest range
+
+
+@query(
+    "q_merkle_range_digest",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                   || o_orderstatus || '|'
+                   || CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) AS h
+      FROM orders
+    ), b AS (
+      SELECT * FROM a WHERE k % 997 <> 0
+    ), da AS (
+      SELECT k // {_MERKLE_RANGE} AS range_id,
+             CAST(sum(h) AS BIGINT) AS digest_a,
+             CAST(count(*) AS BIGINT) AS rows_a
+      FROM a GROUP BY 1
+    ), db AS (
+      SELECT k // {_MERKLE_RANGE} AS range_id,
+             CAST(sum(h) AS BIGINT) AS digest_b,
+             CAST(count(*) AS BIGINT) AS rows_b
+      FROM b GROUP BY 1
+    )
+    SELECT coalesce(da.range_id, db.range_id) AS range_id,
+           coalesce(da.rows_a, 0) AS rows_a,
+           coalesce(db.rows_b, 0) AS rows_b,
+           coalesce(da.digest_a, 0) AS digest_a,
+           coalesce(db.digest_b, 0) AS digest_b,
+           coalesce(da.digest_a, 0) = coalesce(db.digest_b, 0)
+             AND coalesce(da.rows_a, 0) = coalesce(db.rows_b, 0)
+             AS in_sync
+    FROM da FULL OUTER JOIN db ON da.range_id = db.range_id
+    ORDER BY range_id
+    """,
+)
+def q_merkle_range_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy range digests (the Merkle-tree repair idiom from
+    Dynamo/Cassandra): each replica reduces every 1000-key range of
+    the orders table to an order-independent digest — the BIGINT sum
+    of a per-row content hash — so two replicas can find WHICH ranges
+    diverge by exchanging |keys|/1000 digests instead of shipping
+    rows. Replica B is simulated by deterministically dropping every
+    997th key (a lost-write incident); the output flags exactly the
+    ranges containing a dropped key as out of sync (pinned in tests:
+    a range is in_sync iff it contains no k % 997 = 0 key, and
+    digests are ORDER-INDEPENDENT exact integer sums, so partitioning
+    can never flip a verdict — the property that lets each replica
+    compute digests with map-side combine and no sort). At 100 TB the
+    digest table is 5 orders of magnitude smaller than the data, and
+    only out-of-sync ranges pay row-level repair."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_orderstatus"),
+                        F.round(F.col("o_totalprice") * 100)
+                        .cast("bigint")
+                        .cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+    )
+    a = orders.select(F.col("o_orderkey").alias("k"), h.alias("h"))
+    b = a.filter(F.col("k") % 997 != 0)
+
+    def digests(df: DataFrame, dcol: str, rcol: str) -> DataFrame:
+        return df.groupBy(
+            F.expr(f"k DIV {_MERKLE_RANGE}").alias("range_id")
+        ).agg(
+            F.sum("h").cast("bigint").alias(dcol),
+            F.count(F.lit(1)).cast("bigint").alias(rcol),
+        )
+
+    da = digests(a, "digest_a", "rows_a").alias("da")
+    db = digests(b, "digest_b", "rows_b").alias("db")
+    j = da.join(db, F.col("da.range_id") == F.col("db.range_id"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("da.range_id"), F.col("db.range_id")).alias("range_id"),
+        F.coalesce("rows_a", F.lit(0)).cast("bigint").alias("rows_a"),
+        F.coalesce("rows_b", F.lit(0)).cast("bigint").alias("rows_b"),
+        F.coalesce("digest_a", F.lit(0)).cast("bigint").alias("digest_a"),
+        F.coalesce("digest_b", F.lit(0)).cast("bigint").alias("digest_b"),
+        (
+            (F.coalesce("digest_a", F.lit(0)) == F.coalesce("digest_b", F.lit(0)))
+            & (F.coalesce("rows_a", F.lit(0)) == F.coalesce("rows_b", F.lit(0)))
+        ).alias("in_sync"),
+    ).orderBy("range_id")
+
+
+# ---------------------------------------------------------------------------
+# Bitmap index: word-packed membership with popcount set algebra
+# ---------------------------------------------------------------------------
+
+_BM_WORD = 63  # bits per word; avoids the BIGINT sign bit
+
+
+@query(
+    "q_bitmap_index_intersection",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT DISTINCT l.l_orderkey AS k, l.l_returnflag AS flag,
+             o.o_orderpriority AS prio
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), bm_flag AS (
+      SELECT k // {_BM_WORD} AS word_id,
+             bit_or(CAST(1 AS BIGINT) << CAST(k % {_BM_WORD} AS INT))
+               AS w
+      FROM keyed WHERE flag = 'R' GROUP BY 1
+    ), bm_prio AS (
+      SELECT k // {_BM_WORD} AS word_id,
+             bit_or(CAST(1 AS BIGINT) << CAST(k % {_BM_WORD} AS INT))
+               AS w
+      FROM keyed WHERE prio = '1-URGENT' GROUP BY 1
+    ), anded AS (
+      SELECT CAST(sum(bit_count(f.w & p.w)) AS BIGINT) AS popcount_and,
+             CAST(count(*) AS BIGINT) AS common_words
+      FROM bm_flag f JOIN bm_prio p ON f.word_id = p.word_id
+    ), exact AS (
+      SELECT CAST(count(DISTINCT k) AS BIGINT) AS exact_and
+      FROM keyed a
+      WHERE a.flag = 'R'
+        AND EXISTS (SELECT 1 FROM keyed b
+                    WHERE b.k = a.k AND b.prio = '1-URGENT')
+    ), sizes AS (
+      SELECT CAST(sum(bit_count(w)) AS BIGINT) AS n_flag,
+             (SELECT CAST(sum(bit_count(w)) AS BIGINT) FROM bm_prio)
+               AS n_prio
+      FROM bm_flag
+    )
+    SELECT sizes.n_flag, sizes.n_prio, anded.common_words,
+           anded.popcount_and, exact.exact_and,
+           anded.popcount_and = exact.exact_and AS bitmap_correct
+    FROM anded, exact, sizes
+    """,
+)
+def q_bitmap_index_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-packed bitmap index with popcount set algebra: membership
+    of order keys in two predicates (any returned line; urgent
+    priority) packs into 63-bit BIGINT words via bit_or aggregation,
+    and the conjunctive cardinality |R AND URGENT| is one equi-join
+    on word_id plus sum(bit_count(a & b)) — the roaring-bitmap idiom
+    that answers multi-predicate counts from the INDEX without
+    touching the fact table again. The oracle proves the popcount
+    count equals the exact distinct-key intersection (emitted as the
+    bitmap_correct verdict). Words use 63 bits so no shift ever
+    lands on the BIGINT sign bit (DuckDB raises on signed overflow;
+    Spark wraps — 63 keeps both engines in identical territory).
+    Scale: bitmaps are |keys|/63 words per predicate, built with
+    map-side bit_or combine; every set operation after is word-level
+    integer algebra on the bounded index tables."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_orderkey").alias("k"),
+            F.col("l_returnflag").alias("flag"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .distinct()
+    ).localCheckpoint()
+
+    def bitmap(flt) -> DataFrame:
+        return (
+            keyed.filter(flt)
+            .select("k")
+            .distinct()
+            .groupBy(F.expr(f"k DIV {_BM_WORD}").alias("word_id"))
+            .agg(
+                F.expr(
+                    f"bit_or(shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(k % {_BM_WORD} AS INT)))"
+                ).alias("w")
+            )
+        )
+
+    bm_flag = bitmap(F.col("flag") == "R")
+    bm_prio = bitmap(F.col("prio") == "1-URGENT")
+    f, p = bm_flag.alias("f"), bm_prio.alias("p")
+    anded = f.join(p, F.col("f.word_id") == F.col("p.word_id")).agg(
+        F.sum(F.expr("bit_count(f.w & p.w)")).cast("bigint").alias("popcount_and"),
+        F.count(F.lit(1)).cast("bigint").alias("common_words"),
+    )
+    r_keys = keyed.filter(F.col("flag") == "R").select("k").distinct()
+    u_keys = keyed.filter(F.col("prio") == "1-URGENT").select("k").distinct()
+    exact = (
+        r_keys.join(u_keys, "k", "left_semi")
+        .agg(F.countDistinct("k").cast("bigint").alias("exact_and"))
+    )
+    sizes = bm_flag.agg(
+        F.sum(F.expr("bit_count(w)")).cast("bigint").alias("n_flag")
+    ).crossJoin(
+        bm_prio.agg(
+            F.sum(F.expr("bit_count(w)")).cast("bigint").alias("n_prio")
+        )
+    )
+    return (
+        anded.crossJoin(exact)
+        .crossJoin(sizes)
+        .select(
+            "n_flag",
+            "n_prio",
+            "common_words",
+            "popcount_and",
+            "exact_and",
+            (F.col("popcount_and") == F.col("exact_and")).alias(
+                "bitmap_correct"
+            ),
+        )
+    )

@@ -619,3 +619,40 @@ def test_consistent_hash_moves_an_order_of_magnitude_less_than_mod(
     # Shard 8 is new: everything it serves under ring9 is inflow.
     s8 = [r for r in rows if r.shard == 8][0]
     assert s8.n_ring8 == 0 and s8.ring_inflow == s8.n_ring9 > 0
+
+
+def test_merkle_digest_flags_exactly_the_dropped_ranges(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_merkle_range_digest")
+    assert rows
+    keys = [
+        k
+        for (k,) in duckdb.sql(
+            f"SELECT o_orderkey FROM '{SF}/orders.parquet'"
+        ).fetchall()
+    ]
+    dropped_ranges = {k // 1000 for k in keys if k % 997 == 0}
+    all_ranges = {k // 1000 for k in keys}
+    assert {r.range_id for r in rows} == all_ranges
+    for r in rows:
+        assert r.in_sync == (r.range_id not in dropped_ranges)
+        if r.in_sync:
+            assert r.digest_a == r.digest_b and r.rows_a == r.rows_b
+        else:
+            assert r.rows_a > r.rows_b
+    # The incident actually dropped something at this scale.
+    assert dropped_ranges
+
+
+def test_bitmap_popcount_equals_exact_intersection(spark, sf_dir):
+    row = _run(spark, sf_dir, "q_bitmap_index_intersection")[0]
+    assert row.bitmap_correct
+    direct = duckdb.sql(
+        f"""SELECT count(DISTINCT l.l_orderkey)
+        FROM '{SF}/lineitem.parquet' l
+        JOIN '{SF}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R' AND o.o_orderpriority = '1-URGENT'"""
+    ).fetchone()[0]
+    assert row.popcount_and == row.exact_and == direct
+    # Intersection can never exceed either side.
+    assert row.popcount_and <= min(row.n_flag, row.n_prio)
+    assert row.n_flag > 0 and row.n_prio > 0
