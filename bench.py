@@ -295,6 +295,7 @@ BENCH_QUERIES = [
     "q_consistent_hash_ring",
     "q_merkle_range_digest",
     "q_bitmap_index_intersection",
+    "q_cube_materialization_greedy",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

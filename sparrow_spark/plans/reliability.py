@@ -2314,3 +2314,194 @@ def q_bitmap_index_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy cube materialization (Harinarayan-Rajaraman-Ullman)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cube_materialization_greedy",
+    oracle="""
+    WITH lat AS (
+      SELECT 4 * (1 - grouping(l_returnflag))
+           + 2 * (1 - grouping(l_linestatus))
+           + (1 - grouping(mo)) AS mask,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM (SELECT l_returnflag, l_linestatus,
+                   CAST(date_trunc('month', l_shipdate) AS DATE) AS mo
+            FROM lineitem)
+      GROUP BY CUBE (l_returnflag, l_linestatus, mo)
+    ), sizes AS (
+      SELECT mask, CAST(count(*) AS BIGINT) AS v_rows
+      FROM lat GROUP BY mask
+    ), top AS (SELECT v_rows AS base_cost FROM sizes WHERE mask = 7),
+    b1 AS (
+      SELECT v.mask,
+             CAST(sum(CASE WHEN top.base_cost > v.v_rows
+                           THEN top.base_cost - v.v_rows
+                           ELSE 0 END) AS BIGINT) AS benefit
+      FROM sizes v
+      JOIN sizes w ON (w.mask & v.mask) = w.mask
+      CROSS JOIN top
+      WHERE v.mask <> 7
+      GROUP BY v.mask, v.v_rows
+    ), v1 AS (
+      SELECT b1.mask, s.v_rows FROM b1 JOIN sizes s ON s.mask = b1.mask
+      ORDER BY b1.benefit DESC, b1.mask LIMIT 1
+    ), cost1 AS (
+      SELECT w.mask,
+             CASE WHEN (w.mask & v1.mask) = w.mask
+                       AND v1.v_rows < top.base_cost
+                  THEN v1.v_rows ELSE top.base_cost END AS c
+      FROM sizes w, v1, top
+    ), b2 AS (
+      SELECT v.mask,
+             CAST(sum(CASE WHEN c1.c > v.v_rows THEN c1.c - v.v_rows
+                           ELSE 0 END) AS BIGINT) AS benefit
+      FROM sizes v
+      JOIN sizes w ON (w.mask & v.mask) = w.mask
+      JOIN cost1 c1 ON c1.mask = w.mask
+      CROSS JOIN v1
+      WHERE v.mask <> 7 AND v.mask <> v1.mask
+      GROUP BY v.mask, v.v_rows
+    ), v2 AS (
+      SELECT b2.mask, s.v_rows FROM b2 JOIN sizes s ON s.mask = b2.mask
+      ORDER BY b2.benefit DESC, b2.mask LIMIT 1
+    )
+    SELECT w.mask,
+           CAST(w.v_rows AS BIGINT) AS n_rows,
+           CAST(CASE WHEN w.mask = 7 THEN 0
+                     WHEN w.mask = v1.mask THEN 1
+                     WHEN w.mask = v2.mask THEN 2
+                     ELSE -1 END AS INT) AS picked_round,
+           CAST(least(top.base_cost,
+                CASE WHEN (w.mask & v1.mask) = w.mask THEN v1.v_rows
+                     ELSE top.base_cost END,
+                CASE WHEN (w.mask & v2.mask) = w.mask THEN v2.v_rows
+                     ELSE top.base_cost END) AS BIGINT)
+             AS final_query_cost
+    FROM sizes w, v1, v2, top
+    ORDER BY w.mask
+    """,
+)
+def q_cube_materialization_greedy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy cube-view materialization (Harinarayan, Rajaraman &
+    Ullman, SIGMOD'96): over the 8-view lattice of (returnflag,
+    linestatus, ship month), pick 2 views to materialize under the
+    linear cost model — every query answers from its smallest
+    materialized ancestor, and each greedy round picks the view with
+    the largest total benefit (HRU prove this is within 63% of
+    optimal). The entire lattice sizes in ONE corpus pass: GROUP BY
+    CUBE emits all 8 group-bys in a single aggregate (Catalyst
+    expands the grouping sets; the map side combines per set), and
+    the greedy itself is two bounded rounds of subset-mask joins on
+    the 8-row lattice table — BIGINT benefits, (benefit DESC, mask)
+    tiebreak, no floats anywhere. The at-scale point is the planning
+    economics: a 100 TB cube's materialization decision costs one
+    CUBE aggregate, while the benefit of getting it right is every
+    dashboard query answering from the small view instead of the
+    base."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("mo"),
+    )
+    lat = base.cube("l_returnflag", "l_linestatus", "mo").agg(
+        (
+            4 * (1 - F.grouping("l_returnflag"))
+            + 2 * (1 - F.grouping("l_linestatus"))
+            + (1 - F.grouping("mo"))
+        ).alias("mask")
+    ).select("mask")
+    sizes = lat.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v_rows")
+    ).localCheckpoint()
+    top = sizes.filter(F.col("mask") == 7).select(
+        F.col("v_rows").alias("base_cost")
+    )
+    w = sizes.select(F.col("mask").alias("w_mask"), F.col("v_rows").alias("w_rows"))
+    b1 = (
+        sizes.filter(F.col("mask") != 7)
+        .join(w, F.expr("(w_mask & mask) = w_mask"))
+        .crossJoin(F.broadcast(top))
+        .groupBy("mask", "v_rows")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("base_cost") > F.col("v_rows"),
+                    F.col("base_cost") - F.col("v_rows"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("benefit")
+        )
+    )
+    v1 = b1.orderBy(F.desc("benefit"), "mask").limit(1).select(
+        F.col("mask").alias("m1"), F.col("v_rows").alias("r1")
+    )
+    cost1 = (
+        w.crossJoin(F.broadcast(v1))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "w_mask",
+            F.when(
+                F.expr("(w_mask & m1) = w_mask")
+                & (F.col("r1") < F.col("base_cost")),
+                F.col("r1"),
+            )
+            .otherwise(F.col("base_cost"))
+            .alias("c"),
+        )
+    )
+    b2 = (
+        sizes.crossJoin(F.broadcast(v1))
+        .filter((F.col("mask") != 7) & (F.col("mask") != F.col("m1")))
+        .join(w, F.expr("(w_mask & mask) = w_mask"))
+        .join(cost1, "w_mask")
+        .groupBy("mask", "v_rows")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("c") > F.col("v_rows"),
+                    F.col("c") - F.col("v_rows"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("benefit")
+        )
+    )
+    v2 = b2.orderBy(F.desc("benefit"), "mask").limit(1).select(
+        F.col("mask").alias("m2"), F.col("v_rows").alias("r2")
+    )
+    return (
+        sizes.crossJoin(F.broadcast(v1))
+        .crossJoin(F.broadcast(v2))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "mask",
+            F.col("v_rows").cast("bigint").alias("n_rows"),
+            F.when(F.col("mask") == 7, 0)
+            .when(F.col("mask") == F.col("m1"), 1)
+            .when(F.col("mask") == F.col("m2"), 2)
+            .otherwise(-1)
+            .cast("int")
+            .alias("picked_round"),
+            F.least(
+                F.col("base_cost"),
+                F.when(
+                    F.expr("(mask & m1) = mask"), F.col("r1")
+                ).otherwise(F.col("base_cost")),
+                F.when(
+                    F.expr("(mask & m2) = mask"), F.col("r2")
+                ).otherwise(F.col("base_cost")),
+            )
+            .cast("bigint")
+            .alias("final_query_cost"),
+        )
+        .orderBy("mask")
+    )

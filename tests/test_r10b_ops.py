@@ -656,3 +656,48 @@ def test_bitmap_popcount_equals_exact_intersection(spark, sf_dir):
     # Intersection can never exceed either side.
     assert row.popcount_and <= min(row.n_flag, row.n_prio)
     assert row.n_flag > 0 and row.n_prio > 0
+
+
+def test_hru_greedy_matches_a_direct_lattice_simulation(spark, sf_dir):
+    rows = sorted(_run(spark, sf_dir, "q_cube_materialization_greedy"),
+                  key=lambda r: r.mask)
+    assert [r.mask for r in rows] == list(range(8))
+    facts = duckdb.sql(
+        f"""SELECT l_returnflag, l_linestatus,
+               date_trunc('month', l_shipdate) AS mo
+        FROM '{SF}/lineitem.parquet'"""
+    ).fetchall()
+    def vrows(mask):
+        key = lambda t: tuple(
+            t[i] for i, bit in enumerate((4, 2, 1)) if mask & bit
+        )
+        return max(1, len({key(t) for t in facts})) if mask else 1
+    sizes = {m: vrows(m) for m in range(8)}
+    for r in rows:
+        assert r.n_rows == sizes[r.mask]
+    # Replay HRU greedy directly.
+    base = sizes[7]
+    def benefit(v, costs):
+        return sum(
+            max(0, costs[w] - sizes[v]) for w in range(8)
+            if (w & v) == w
+        )
+    costs = {w: base for w in range(8)}
+    v1 = min((m for m in range(7)),
+             key=lambda m: (-benefit(m, costs), m))
+    for w in range(8):
+        if (w & v1) == w:
+            costs[w] = min(costs[w], sizes[v1])
+    v2 = min((m for m in range(7) if m != v1),
+             key=lambda m: (-benefit(m, costs), m))
+    picked = {r.mask: r.picked_round for r in rows}
+    assert picked[7] == 0 and picked[v1] == 1 and picked[v2] == 2
+    for w in range(8):
+        if (w & v2) == w:
+            costs[w] = min(costs[w], sizes[v2])
+    for r in rows:
+        assert r.final_query_cost == costs[r.mask]
+    # Materialized views always answer their own queries at own size.
+    for r in rows:
+        if r.picked_round >= 0:
+            assert r.final_query_cost == r.n_rows
