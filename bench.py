@@ -296,6 +296,7 @@ BENCH_QUERIES = [
     "q_merkle_range_digest",
     "q_bitmap_index_intersection",
     "q_cube_materialization_greedy",
+    "q_hilbert_curve_layout",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

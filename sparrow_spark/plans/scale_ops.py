@@ -1959,3 +1959,192 @@ def q_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gain_num").cast("bigint").alias("gain_num"),
         (F.col("gain_num") > 0).alias("moved"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout vs Morton/z-order: the locality rematch
+# ---------------------------------------------------------------------------
+
+
+def _hilbert_round_exprs() -> list[tuple[str, str, str]]:
+    """16 unrolled rounds of the classic xy2d Hilbert walk (the
+    Wikipedia/Warren formulation): per round with s = 2^(15-i),
+    rx/ry are the current quadrant bits, d accrues s^2 * (3*rx XOR
+    ry) — written XOR-free as 3*rx + ry - 2*rx*ry since both are
+    bits — and (x, y) rotate/flip when ry = 0. Emitted as SQL text
+    used VERBATIM by both engines (shared &, >>, CASE syntax), so
+    the arithmetic is structurally identical."""
+    rounds = []
+    for i in range(16):
+        s = 1 << (15 - i)
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        d = (
+            f"hd + CAST({s} AS BIGINT) * {s} * "
+            f"(3 * {rx} + {ry} - 2 * {rx} * {ry})"
+        )
+        x = (
+            f"CASE WHEN (hy & {s}) > 0 THEN hx "
+            f"WHEN (hx & {s}) > 0 THEN 65535 - hy ELSE hy END"
+        )
+        y = (
+            f"CASE WHEN (hy & {s}) > 0 THEN hy "
+            f"WHEN (hx & {s}) > 0 THEN 65535 - hx ELSE hx END"
+        )
+        rounds.append((d, x, y))
+    return rounds
+
+
+def _hilbert_cte_chain() -> str:
+    ctes = [
+        "h0 AS (SELECT l_orderkey, l_linenumber, day_idx, pk_idx, z,"
+        " day_idx AS hx, pk_idx AS hy, CAST(0 AS BIGINT) AS hd FROM zb)"
+    ]
+    for i, (d, x, y) in enumerate(_hilbert_round_exprs()):
+        ctes.append(
+            f"h{i + 1} AS (SELECT l_orderkey, l_linenumber, day_idx,"
+            f" pk_idx, z, {x} AS hx, {y} AS hy, {d} AS hd FROM h{i})"
+        )
+    return ", ".join(ctes)
+
+
+@query(
+    "q_hilbert_curve_layout",
+    oracle=_ZM_BASE_CTE.replace(") , ranked", "), ranked").split("), ranked")[0]
+    + f"""
+    ), {_hilbert_cte_chain()}, ranked AS (
+      SELECT 'zorder' AS layout,
+             row_number() OVER (ORDER BY z, l_orderkey, l_linenumber,
+                                day_idx, pk_idx) AS rn,
+             day_idx, pk_idx
+      FROM h16
+      UNION ALL
+      SELECT 'hilbert',
+             row_number() OVER (ORDER BY hd, l_orderkey, l_linenumber,
+                                day_idx, pk_idx),
+             day_idx, pk_idx
+      FROM h16
+    ), zones AS (
+      SELECT layout, (rn - 1) // {_ZM_ROWS_PER_FILE} AS file_id,
+             min(day_idx) AS d_min, max(day_idx) AS d_max,
+             min(pk_idx) AS p_min, max(pk_idx) AS p_max,
+             count(*) AS n_rows
+      FROM ranked GROUP BY layout, file_id
+    ), verdicts AS (
+      SELECT layout, n_rows,
+             (d_max - d_min + 1) * (p_max - p_min + 1) AS area,
+             CASE WHEN d_max < {_ZM_DAY_LO} OR d_min > {_ZM_DAY_HI}
+                    OR p_min > (SELECT pk_max FROM mm) // 5
+                  THEN 1 ELSE 0 END AS skipped
+      FROM zones
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(skipped) AS BIGINT) AS n_skipped,
+           CAST(sum(CASE WHEN skipped = 0 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_scanned,
+           CAST(sum(area) * 100 // count(*) AS BIGINT) AS avg_zone_area_e2
+    FROM verdicts GROUP BY layout ORDER BY layout
+    """,
+)
+def q_hilbert_curve_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout vs Morton/z-order on the SAME table, file
+    size, and 2-D predicate as q_zonemap_skipping — the locality
+    rematch behind Databricks' liquid clustering and Iceberg's
+    hilbert ordering: Morton's bit interleave has long diagonal
+    jumps (adjacent codes can be far apart in space), while the
+    Hilbert walk is fully contiguous, so Hilbert files bound TIGHTER
+    rectangles (reported as avg zone area) and skip at least as well
+    on box predicates. The Hilbert index is the classic xy2d walk
+    unrolled into 16 bit-arithmetic rounds emitted as IDENTICAL SQL
+    text for both engines (XOR-free bit algebra, exact BIGINTs), so
+    the code — like the z-interleave next to it — is a pure
+    expression Catalyst pipelines into the scan stage: at 100 TB the
+    clustering key costs one projection, and file ids come from
+    global_sort_ranks, never a single-task sort. The invariant test
+    pins the SQL walk bit-exactly to a reference Python xy2d over
+    sampled points."""
+    from sparrow_spark.operators.dedup import global_sort_ranks
+
+    li = load_table(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min(F.to_date("l_shipdate")).alias("d0"),
+        F.max("l_partkey").alias("pk_max"),
+    )
+    base = (
+        widen(li)
+        .join(F.broadcast(mm))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.to_date("l_shipdate"), F.col("d0"))
+            .bitwiseAND(65535)
+            .alias("day_idx"),
+            F.col("l_partkey").bitwiseAND(65535).alias("pk_idx"),
+            F.col("pk_max"),
+        )
+        .withColumn("z", F.expr(_z_interleave_sql("day_idx", "pk_idx")))
+        .withColumn("hx", F.col("day_idx"))
+        .withColumn("hy", F.col("pk_idx"))
+        .withColumn("hd", F.lit(0).cast("bigint"))
+    )
+    keep = ["l_orderkey", "l_linenumber", "day_idx", "pk_idx", "pk_max", "z"]
+    cur = base
+    for d, x, y in _hilbert_round_exprs():
+        cur = cur.select(
+            *keep,
+            F.expr(x).alias("hx"),
+            F.expr(y).alias("hy"),
+            F.expr(d).alias("hd"),
+        )
+    # Same pinning rationale as q_zonemap_skipping: both rank passes
+    # and the offset tables must read one materialization.
+    cur = cur.localCheckpoint(eager=True)
+    layouts = {
+        "zorder": ["z", "l_orderkey", "l_linenumber", "day_idx", "pk_idx"],
+        "hilbert": ["hd", "l_orderkey", "l_linenumber", "day_idx", "pk_idx"],
+    }
+    ranked = None
+    for name, keys in layouts.items():
+        r = global_sort_ranks(cur, keys).select(
+            F.lit(name).alias("layout"),
+            ((F.col("rn") - 1) / _ZM_ROWS_PER_FILE).cast("bigint").alias("file_id"),
+            "day_idx",
+            "pk_idx",
+            "pk_max",
+        )
+        ranked = r if ranked is None else ranked.unionByName(r)
+    zones = ranked.groupBy("layout", "file_id").agg(
+        F.min("day_idx").alias("d_min"),
+        F.max("day_idx").alias("d_max"),
+        F.min("pk_idx").alias("p_min"),
+        F.max("pk_idx").alias("p_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.first("pk_max").alias("pk_max"),
+    )
+    skipped = (
+        (F.col("d_max") < _ZM_DAY_LO)
+        | (F.col("d_min") > _ZM_DAY_HI)
+        | (F.col("p_min") > F.expr("pk_max DIV 5"))
+    ).cast("int")
+    area = (F.col("d_max") - F.col("d_min") + 1) * (
+        F.col("p_max") - F.col("p_min") + 1
+    )
+    return (
+        zones.withColumn("skipped", skipped)
+        .withColumn("area", area)
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("skipped").cast("bigint").alias("n_skipped"),
+            F.sum(
+                F.when(F.col("skipped") == 0, F.col("n_rows")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.expr(
+                "CAST(sum(area) * 100 DIV count(*) AS BIGINT)"
+            ).alias("avg_zone_area_e2"),
+        )
+        .orderBy("layout")
+    )

@@ -701,3 +701,53 @@ def test_hru_greedy_matches_a_direct_lattice_simulation(spark, sf_dir):
     for r in rows:
         if r.picked_round >= 0:
             assert r.final_query_cost == r.n_rows
+
+
+def _xy2d(n_bits, x, y):
+    n = 1 << n_bits
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_sql_walk_matches_reference_xy2d(spark, sf_dir):
+    """The 16-round unrolled SQL walk must be bit-exact with the
+    classic xy2d loop on adversarial points (corners, diagonals,
+    hash-scattered interior)."""
+    from sparrow_spark.plans.scale_ops import _hilbert_round_exprs
+
+    pts = [(0, 0), (65535, 65535), (0, 65535), (65535, 0), (1, 0),
+           (0, 1), (32768, 32767)]
+    pts += [((i * 2654435761) % 65536, (i * 40503 + 7) % 65536)
+            for i in range(40)]
+    df = spark.createDataFrame(pts, "hx int, hy int").selectExpr(
+        "hx AS x0", "hy AS y0", "hx", "hy", "CAST(0 AS BIGINT) AS hd"
+    )
+    for d, x, y in _hilbert_round_exprs():
+        df = df.selectExpr("x0", "y0", f"{x} AS hx", f"{y} AS hy",
+                           f"{d} AS hd")
+    for r in df.collect():
+        assert r.hd == _xy2d(16, r.x0, r.y0), (r.x0, r.y0)
+
+
+def test_hilbert_zones_are_tighter_than_zorder(spark, sf_dir):
+    rows = {r.layout: r for r in _run(spark, sf_dir, "q_hilbert_curve_layout")}
+    assert set(rows) == {"hilbert", "zorder"}
+    # Same table, same file size -> same file count.
+    assert rows["hilbert"].n_files == rows["zorder"].n_files
+    # The Hilbert walk's contiguity bounds tighter rectangles.
+    assert (rows["hilbert"].avg_zone_area_e2
+            < rows["zorder"].avg_zone_area_e2)
+    for r in rows.values():
+        assert 0 <= r.n_skipped <= r.n_files
+        assert r.rows_scanned >= 0
