@@ -297,6 +297,7 @@ BENCH_QUERIES = [
     "q_bitmap_index_intersection",
     "q_cube_materialization_greedy",
     "q_hilbert_curve_layout",
+    "q_learned_index_error",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

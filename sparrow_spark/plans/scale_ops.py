@@ -2148,3 +2148,112 @@ def q_hilbert_curve_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned-index error audit: how far is rank(key) from linear?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_learned_index_error",
+    oracle="""
+    WITH keys AS (
+      SELECT DISTINCT l_orderkey AS k FROM lineitem
+    ), ranked AS (
+      SELECT k, row_number() OVER (ORDER BY k) AS rn FROM keys
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(k) AS BIGINT) AS sk,
+             CAST(sum(rn) AS BIGINT) AS sr,
+             CAST(sum(k * k) AS BIGINT) AS skk,
+             CAST(sum(k * rn) AS BIGINT) AS skr
+      FROM ranked
+    ), wide AS (
+      SELECT n, sk, sr,
+             CAST(CAST(n AS HUGEINT) * skr
+                  - CAST(sk AS HUGEINT) * sr AS DOUBLE) AS num,
+             CAST(CAST(n AS HUGEINT) * skk
+                  - CAST(sk AS HUGEINT) * sk AS DOUBLE) AS den
+      FROM m
+    ), fit AS (
+      SELECT n, num / den AS b,
+             (sr - (num / den) * sk) / n AS a
+      FROM wide
+    ), errs AS (
+      SELECT fit.n, fit.a, fit.b,
+             CAST(round(abs(rn - (fit.a + fit.b * k)) * 10000, 0)
+                  AS BIGINT) AS e4
+      FROM ranked, fit
+    )
+    SELECT n AS n_keys,
+           round(b, 9) AS slope,
+           round(a, 4) AS intercept,
+           CAST(max(e4) AS BIGINT) AS max_err_e4,
+           CAST(sum(e4) // n AS BIGINT) AS mean_err_e4
+    FROM errs GROUP BY n, a, b
+    """,
+)
+def q_learned_index_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-index error audit (Kraska et al., SIGMOD'18): fit the
+    single-segment linear model position ~ key over the sorted
+    distinct order keys and report the max and mean absolute
+    prediction error — max_err IS the last-mile search window a
+    one-segment RMI would need on this key distribution (a
+    near-uniform synthetic key space should be almost perfectly
+    linear; real skew shows up as a fat max/mean gap telling you how
+    many model segments to budget). The fit is closed-form OLS on
+    five exact BIGINT moments from ONE pass over the ranked key
+    table; ranks come from global_sort_ranks (range partition +
+    local rank + broadcast offsets — the oracle does the single-task
+    window we refuse); per-key errors are rounded to e4 fixed-point
+    BEFORE summing so the mean is an exact integer division, immune
+    to float partial-aggregation order (the r7 flake class). Moment
+    magnitudes bound BIGINT up to ~sf1; beyond that the documented
+    rescale (keys DIV 10) applies."""
+    from sparrow_spark.operators.dedup import global_sort_ranks
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select(F.col("l_orderkey").alias("k")).distinct()
+    ranked = global_sort_ranks(keys, ["k"]).select("k", "rn").localCheckpoint()
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum("rn").cast("bigint").alias("sr"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+        F.sum(F.col("k") * F.col("rn")).cast("bigint").alias("skr"),
+    )
+    # The cross products exceed BIGINT at sf0.1+ — compute them in
+    # exact DECIMAL(38,0) (the oracle uses HUGEINT) and round to
+    # double ONCE, so both engines divide the same two exact values.
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    num = (dec("n") * dec("skr") - dec("sk") * dec("sr")).cast("double")
+    den = (dec("n") * dec("skk") - dec("sk") * dec("sk")).cast("double")
+    b = num / den
+    fit = m.select(
+        "n",
+        b.alias("b"),
+        ((F.col("sr") - b * F.col("sk")) / F.col("n")).alias("a"),
+    )
+    errs = ranked.crossJoin(F.broadcast(fit)).select(
+        "n",
+        "a",
+        "b",
+        rnd(
+            F.abs(F.col("rn") - (F.col("a") + F.col("b") * F.col("k")))
+            * 10000,
+            0,
+        )
+        .cast("bigint")
+        .alias("e4"),
+    )
+    return errs.groupBy("n", "a", "b").agg(
+        F.max("e4").cast("bigint").alias("max_err_e4"),
+        F.expr("CAST(sum(e4) DIV n AS BIGINT)").alias("mean_err_e4"),
+    ).select(
+        F.col("n").alias("n_keys"),
+        rnd(F.col("b"), 9).alias("slope"),
+        rnd(F.col("a"), 4).alias("intercept"),
+        "max_err_e4",
+        "mean_err_e4",
+    )

@@ -751,3 +751,26 @@ def test_hilbert_zones_are_tighter_than_zorder(spark, sf_dir):
     for r in rows.values():
         assert 0 <= r.n_skipped <= r.n_files
         assert r.rows_scanned >= 0
+
+
+def test_learned_index_fit_matches_direct_ols(spark, sf_dir):
+    row = _run(spark, sf_dir, "q_learned_index_error")[0]
+    keys = sorted(
+        k for (k,) in duckdb.sql(
+            f"SELECT DISTINCT l_orderkey FROM '{SF}/lineitem.parquet'"
+        ).fetchall()
+    )
+    n = len(keys)
+    assert row.n_keys == n
+    ranks = list(range(1, n + 1))
+    sk, sr = sum(keys), sum(ranks)
+    skk = sum(k * k for k in keys)
+    skr = sum(k * r for k, r in zip(keys, ranks))
+    b = (n * skr - sk * sr) / (n * skk - sk * sk)
+    a = (sr - b * sk) / n
+    assert abs(row.slope - b) < 1e-6
+    assert abs(row.intercept - a) < 1e-2
+    errs = [abs(r - (a + b * k)) for k, r in zip(keys, ranks)]
+    assert abs(row.max_err_e4 - round(max(errs) * 10000)) <= 1
+    # Mean error never exceeds the max; both non-negative.
+    assert 0 <= row.mean_err_e4 <= row.max_err_e4
