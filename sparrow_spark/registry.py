@@ -63,68 +63,65 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver row yet go first — new additions are inserted HERE in the
 # same commit that registers them (the r3/r4 lesson: additions past
 # the frozen window stay unverified a full round); (2) red rows
-# re-enter immediately; (3) then the stalest families. r10 window:
-# CARRIED OVER from r9 unchanged — round 9 ended without a driver
-# correctness run (like r6), so this 50 (the r8-red
-# q_quality_classifier under the signed-zero fix + the first 49
-# never-driver-checked queries as of r9) has still never been
-# externally checked; rotating per the old pre-commitment would have
-# orphaned it. Re-verified at r10 start with the perturbed selfcheck
-# (50/50). The shifted pre-commitments (r11 list, r12 overflow) live
-# in COVERAGE.md's ledger; r9/r10 additions queue PAST the window
-# while the backlog lasts (zero-sum among never-checked; the r7
-# batch-3 precedent).
+# re-enter immediately; (3) then the stalest families. r11 window:
+# the exact pre-committed list from COVERAGE.md's r10 ledger (the
+# first 50 never-driver-checked queries in raw registration order) —
+# CORRECTNESS_r10.json exists and is 50/50 green, so the r10 window
+# rotates out and this block rotates in, as pre-committed. The
+# 43-query overflow (also enumerated in the ledger) waits for r12;
+# r11 additions are throttled (≤10) and queue BEHIND the overflow so
+# the never-checked backlog keeps draining.
 _WINDOW_PRIORITY: list[str] = [
-    "q_quality_classifier",
-    "q_set_ops_all",
-    "q_filtered_aggs",
-    "q_sliding_window_rollup",
-    "q_variance_decomposition",
-    "q_logreg_gradient_step",
-    "q_kfold_balance",
-    "q_value_at_risk",
-    "q_forecast_baselines",
-    "q_decision_stump",
-    "q_diff_in_diff",
-    "q_mix_shift",
-    "q_markov_entropy",
-    "q_importance_ess",
-    "q_control_chart",
-    "q_rolling_mau",
-    "q_retention_halflife",
-    "q_hhi_concentration",
-    "q_revenue_bridge",
-    "q_price_elasticity",
-    "q_cluster_purity",
-    "q_knn_classifier_eval",
-    "q_kmeans_elbow",
-    "q_hybrid_rrf",
-    "q_bpe_merge_step",
-    "q_token_entropy",
-    "q_perplexity_bigram",
-    "q_winnowing_pairs",
-    "q_bpe_encode",
-    "q_bpe_train",
-    "q_repetition_ngram_fracs",
-    "q_langid_confusion",
-    "q_negative_sampling",
-    "q_perplexity_kneser_ney",
-    "q_retrieval_mrr",
-    "q_term_burstiness",
-    "q_dataset_card",
-    "q_zipf_alpha",
-    "q_js_divergence_sources",
-    "q_vocab_coverage",
-    "q_minhash_jaccard_est",
-    "q_dedup_edit_distance",
-    "q_lsh_tuning",
-    "q_triangle_count",
-    "q_lsh_recall_audit",
-    "q_bfs_levels",
-    "q_cluster_size_dist",
-    "q_lsh_bucket_skew",
-    "q_graph_assortativity",
-    "q_dedup_savings",
+    "q_seasonality_strength",
+    "q_gap_fill_interpolate",
+    "q_holt_winters",
+    "q_esd_outliers",
+    "q_cohens_kappa",
+    "q_theil_sen_mk",
+    "q_page_hinkley",
+    "q_simpson_paradox",
+    "q_gmm_estep",
+    "q_iptw_ate",
+    "q_wilcoxon_signed_rank",
+    "q_uplift_deciles",
+    "q_sprt_sequential",
+    "q_hmm_forward",
+    "q_effect_size_suite",
+    "q_did_event_study",
+    "q_energy_distance",
+    "q_spearman_corr",
+    "q_cramer_von_mises",
+    "q_attribution_position",
+    "q_funnel_windowed",
+    "q_association_rules",
+    "q_shapley_attribution",
+    "q_ucb_replay",
+    "q_markov_attribution",
+    "q_attribution_window_sensitivity",
+    "q_compaction_planner",
+    "q_scd2_asof_join",
+    "q_matryoshka_eval",
+    "q_pca_power_iteration",
+    "q_mutual_knn",
+    "q_mmr_rerank",
+    "q_retrieval_ndcg",
+    "q_label_propagation",
+    "q_graph_modularity",
+    "q_record_linkage_fs",
+    "q_bleu_pairs",
+    "q_hits_hubs_auth",
+    "q_link_prediction",
+    "q_hll_union",
+    "q_kmv_distinct",
+    "q_kmv_intersection",
+    "q_bloom_fpr",
+    "q_image_phash_dedup",
+    "q_audio_features_stub",
+    "q_sequence_packing_masked",
+    "q_salted_agg",
+    "q_systematic_sample",
+    "q_fk_integrity",
+    "q_filter_eval_auc",
 ]
 
 
