@@ -1664,10 +1664,22 @@ def global_sort_ranks(
     lw = Window.partitionBy("_pid").orderBy(*cols)
     r = r.withColumn("_lrank", F.row_number().over(lw))
     counts = r.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_n").over(ow), F.lit(0))
-    ).select("_pid", "_off")
+    # Predecessor counts via a triangular self-join of the
+    # #partitions-row table rather than a partition-less window: the
+    # result is identical (exact BIGINT sums) and the plan never
+    # contains a WindowExec with no partition key — so the
+    # explain-audit's single-task-window check stays meaningful
+    # instead of whitelisting every ranking helper call site.
+    offsets = (
+        counts.alias("a")
+        .join(
+            counts.alias("b"),
+            F.col("b._pid") < F.col("a._pid"),
+            "left",
+        )
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum(F.col("b._n")), F.lit(0)).alias("_off"))
+    )
     return (
         r.join(F.broadcast(offsets), "_pid")
         .withColumn("rn", (F.col("_lrank") + F.col("_off")).cast("bigint"))
@@ -1718,13 +1730,28 @@ def global_running_sums(
     totals = r.groupBy("_pid").agg(
         *[F.sum(v).alias(f"_t_{v}") for v in value_cols]
     )
-    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_pid",
-        *[
-            F.coalesce(F.sum(f"_t_{v}").over(ow), F.lit(0)).alias(f"_off_{v}")
-            for v in value_cols
-        ],
+    # Predecessor totals via a triangular self-join (see
+    # global_sort_ranks): no partition-less WindowExec in the plan.
+    # For DOUBLE value columns this sums the ≤#partitions per-partition
+    # totals in agg order instead of _pid order — both are "a sum of
+    # the partial totals", the same reordering freedom partial
+    # aggregation already has (every caller is perturb-checked).
+    offsets = (
+        totals.alias("a")
+        .join(
+            totals.alias("b"),
+            F.col("b._pid") < F.col("a._pid"),
+            "left",
+        )
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(
+            *[
+                F.coalesce(F.sum(F.col(f"b._t_{v}")), F.lit(0)).alias(
+                    f"_off_{v}"
+                )
+                for v in value_cols
+            ]
+        )
     )
     out = r.join(F.broadcast(offsets), "_pid")
     for v in value_cols:
@@ -1732,6 +1759,54 @@ def global_running_sums(
             f"cum_{v}", F.col(f"_lcum_{v}") + F.col(f"_off_{v}")
         ).drop(f"_lcum_{v}", f"_off_{v}")
     return out.drop("_pid")
+
+
+def global_ntile(
+    df: DataFrame,
+    n: int,
+    key_cols: list[str],
+    out_col: str = "tile",
+    partitions: int = SN_RANGE_PARTITIONS,
+) -> DataFrame:
+    """EXACT ``ntile(n) OVER (ORDER BY key_cols ASC)`` without the
+    single-task global window (``Window.orderBy`` with no partition
+    key drags the whole table through ONE task — Spark's own
+    "No Partition Defined for Window operation" warning). Two phases:
+    :func:`global_sort_ranks` assigns the exact global row_number
+    ``rn`` (range-partitioned, every stage scales with executors),
+    then a 1-row broadcast total count turns ranks into tiles with
+    the standard ntile arithmetic — the first ``N mod n`` buckets get
+    ``floor(N/n)+1`` rows, the rest ``floor(N/n)``. Bit-identical to
+    the window ntile for any N, n.
+
+    ``key_cols`` must form a strict total order (append a unique id)
+    and sort ASCENDING — for a DESC axis pass a pre-negated numeric
+    column (exact for BIGINT/DOUBLE). Integer division is done as
+    ``(a - a mod b) / b`` so the double intermediate is an exact
+    integer (< 2^53 for any realistic rank)."""
+    ranked = global_sort_ranks(df, key_cols, partitions)
+    total = ranked.agg(F.count(F.lit(1)).alias("_N"))
+
+    def idiv(a, b):  # exact integer floor-div for non-negative a, b>0
+        return ((a - a % b) / b).cast("bigint")
+
+    q = idiv(F.col("_N"), F.lit(n))  # base bucket size
+    r = F.col("_N") % n  # first r buckets get one extra row
+    cutoff = r * (q + 1)
+    # greatest(q,1): when N < n the else-branch is never taken for any
+    # real row, but ANSI mode would still reject a literal div-by-zero.
+    tile = (
+        F.when(F.col("rn") <= cutoff, 1 + idiv(F.col("rn") - 1, q + 1))
+        .otherwise(
+            r + 1 + idiv(F.col("rn") - cutoff - 1, F.greatest(q, F.lit(1)))
+        )
+        .cast("int")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(out_col, tile)
+        .drop("rn", "_N")
+    )
 
 
 @query(

@@ -54,11 +54,14 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is deterministic on both engines.
 
     Scale: one user-keyed agg bounds everything to user cardinality;
-    the three ntile windows are global sorts OVER THE USER TABLE (not
-    the event stream) — at true scale those become percentile-bucket
-    joins (compute 4 cut points, broadcast, CASE into quintiles)
-    instead of total orders, the same trade q_curriculum_buckets
-    documents."""
+    each quintile axis is an EXACT distributed ntile (``global_ntile``:
+    range-partitioned two-phase global ranks + broadcast tile
+    arithmetic — no single-task global window; DESC axes pass a
+    negated key, exact for BIGINT counts and the summed DOUBLE). The
+    three axis tables re-join on user_id, sharing one hash
+    partitioning."""
+    from sparrow_spark.operators.dedup import global_ntile
+
     ev = load_table(spark, sf_dir, "events")
     anchor = ev.agg(F.max("ts").alias("t_max"))
     per_user = (
@@ -77,12 +80,32 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0),
             ).alias("monetary"),
         )
+        .withColumn("neg_frequency", -F.col("frequency"))
+        .withColumn("neg_monetary", -F.col("monetary"))
     )
-    scored = per_user.select(
-        "monetary",
-        F.ntile(5).over(Window.orderBy(F.asc("recency_s"), "user_id")).alias("r"),
-        F.ntile(5).over(Window.orderBy(F.desc("frequency"), "user_id")).alias("f"),
-        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "user_id")).alias("m"),
+    r_t = global_ntile(
+        per_user.select("user_id", "recency_s"),
+        5,
+        ["recency_s", "user_id"],
+        "r",
+    ).select("user_id", "r")
+    f_t = global_ntile(
+        per_user.select("user_id", "neg_frequency"),
+        5,
+        ["neg_frequency", "user_id"],
+        "f",
+    ).select("user_id", "f")
+    m_t = global_ntile(
+        per_user.select("user_id", "neg_monetary"),
+        5,
+        ["neg_monetary", "user_id"],
+        "m",
+    ).select("user_id", "m")
+    scored = (
+        per_user.select("user_id", "monetary")
+        .join(r_t, "user_id")
+        .join(f_t, "user_id")
+        .join(m_t, "user_id")
     )
     return (
         scored.groupBy("r", "f", "m")
@@ -737,11 +760,15 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     instant (delta asc), so a session ending exactly when another
     starts does not inflate the peak.
 
-    Scale: sessionization shuffles once on user_id; the sweep is a
-    global sort over 2 rows PER SESSION (not per event). At true
-    scale the sweep shards by coarse time bucket with per-bucket
-    offsets (two passes), the same pattern as the PPS cumulative
-    line."""
+    Scale: sessionization shuffles once on user_id; the sweep (2 rows
+    PER SESSION, not per event) runs as an EXACT distributed running
+    sum (``global_running_sums``: range-partition on the sweep order,
+    local cumsum per partition, broadcast per-partition predecessor
+    totals — no single-task global window; (t, delta, user_id,
+    session_id) is a strict total order because a session's start and
+    end rows differ in delta even when s == e)."""
+    from sparrow_spark.operators.dedup import global_running_sums
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -766,10 +793,9 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_id",
         )
     )
-    wsweep = Window.orderBy("t", "delta", "user_id", "session_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    sweep = deltas.select("t", F.sum("delta").over(wsweep).alias("concurrent"))
+    sweep = global_running_sums(
+        deltas, ["t", "delta", "user_id", "session_id"], ["delta"]
+    ).select("t", F.col("cum_delta").alias("concurrent"))
     peak = sweep.agg(F.max("concurrent").alias("peak"))
     n_sessions = bounds.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions")

@@ -2558,10 +2558,15 @@ def q_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     this band); a band missing an arm reports null uplift and
     contributes its raw treated conversions to Qini.
 
-    Scale: one keyed agg collapses events to users, one ntile window
-    over the user table, then a 10-row cell table — counts are exact
-    BIGINTs, the window ordering fully tied down by (n_events,
-    user_id). The Qini running sum adds one 10-row window."""
+    Scale: one keyed agg collapses events to users; the quintile
+    assignment is an EXACT distributed ntile (``global_ntile``:
+    two-phase range-partitioned global ranks + broadcast tile
+    arithmetic — no single-task global window; the DESC axis passes
+    the negated BIGINT count), then a 5-row cell table — counts are
+    exact BIGINTs, the ordering fully tied down by (n_events,
+    user_id). The Qini running sum adds one 5-row window."""
+    from sparrow_spark.operators.dedup import global_ntile
+
     u = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -2575,48 +2580,66 @@ def q_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("converted"),
         )
     )
-    w = Window.orderBy(F.col("n_events").desc(), "user_id")
-    scored = u.select(
-        "treated", "converted", F.ntile(5).over(w).alias("quintile")
-    )
-    cells = scored.groupBy("quintile").agg(
-        F.sum("treated").cast("bigint").alias("n_t"),
-        F.sum(1 - F.col("treated")).cast("bigint").alias("n_c"),
-        F.sum(F.col("treated") * F.col("converted"))
-        .cast("bigint")
-        .alias("conv_t"),
-        F.sum((1 - F.col("treated")) * F.col("converted"))
-        .cast("bigint")
-        .alias("conv_c"),
-    )
-    wq = Window.orderBy("quintile")
-    return cells.select(
+    scored = global_ntile(
+        u.withColumn("neg_n_events", -F.col("n_events")),
+        5,
+        ["neg_n_events", "user_id"],
         "quintile",
-        "n_t",
-        "n_c",
-        "conv_t",
-        "conv_c",
-        rnd(
+    ).select("treated", "converted", "quintile")
+    # The Qini accumulation runs as a triangular self-join over the
+    # 5-row cell table (pinned once — the upstream is a full corpus
+    # agg) instead of a partition-less window, so the plan carries no
+    # single-task WindowExec at all.
+    cells = (
+        scored.groupBy("quintile")
+        .agg(
+            F.sum("treated").cast("bigint").alias("n_t"),
+            F.sum(1 - F.col("treated")).cast("bigint").alias("n_c"),
+            F.sum(F.col("treated") * F.col("converted"))
+            .cast("bigint")
+            .alias("conv_t"),
+            F.sum((1 - F.col("treated")) * F.col("converted"))
+            .cast("bigint")
+            .alias("conv_c"),
+        )
+        .withColumn(
+            "qini_term",
             F.when(
-                (F.col("n_t") > 0) & (F.col("n_c") > 0),
-                F.col("conv_t").cast("double") / F.col("n_t")
-                - F.col("conv_c").cast("double") / F.col("n_c"),
-            ),
-            6,
-        ).alias("uplift"),
-        rnd(
-            F.sum(
+                F.col("n_c") > 0,
+                F.col("conv_t").cast("double")
+                - F.col("conv_c").cast("double")
+                * F.col("n_t")
+                / F.col("n_c"),
+            ).otherwise(F.col("conv_t").cast("double")),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cum = (
+        cells.alias("a")
+        .join(cells.alias("b"), F.col("b.quintile") <= F.col("a.quintile"))
+        .groupBy(F.col("a.quintile").alias("quintile"))
+        .agg(F.sum(F.col("b.qini_term")).alias("qini_raw"))
+    )
+    return (
+        cells.join(cum, "quintile")
+        .select(
+            "quintile",
+            "n_t",
+            "n_c",
+            "conv_t",
+            "conv_c",
+            rnd(
                 F.when(
-                    F.col("n_c") > 0,
-                    F.col("conv_t").cast("double")
-                    - F.col("conv_c").cast("double")
-                    * F.col("n_t")
-                    / F.col("n_c"),
-                ).otherwise(F.col("conv_t").cast("double"))
-            ).over(wq),
-            4,
-        ).alias("qini_cum"),
-    ).orderBy("quintile")
+                    (F.col("n_t") > 0) & (F.col("n_c") > 0),
+                    F.col("conv_t").cast("double") / F.col("n_t")
+                    - F.col("conv_c").cast("double") / F.col("n_c"),
+                ),
+                6,
+            ).alias("uplift"),
+            rnd(F.col("qini_raw"), 4).alias("qini_cum"),
+        )
+        .orderBy("quintile")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -487,17 +487,21 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_join_cardinality_est consumes exactly this shape) and the
     ANALYZE TABLE primitive a cost-based planner persists.
 
-    Scale: the build here is an exact ntile (global sort of the
-    column); the production form computes 9 approx-percentile cut
-    points in one pass and buckets by broadcast CASE — this plan's
-    downstream (per-bin agg) is identical either way."""
+    Scale: the bin assignment is an EXACT distributed ntile
+    (``global_ntile``: two-phase range-partitioned global ranks +
+    broadcast tile arithmetic — no single-task global window); the
+    approx-percentile one-pass variant remains the cheaper production
+    form when exact equal-depth boundaries are not required — this
+    plan's downstream (per-bin agg) is identical either way."""
+    from sparrow_spark.operators.dedup import global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
-    b = orders.select(
-        "o_totalprice",
-        F.ntile(10)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("bin"),
-    )
+    b = global_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        10,
+        ["o_totalprice", "o_orderkey"],
+        "bin",
+    ).select("o_totalprice", "bin")
     return (
         b.groupBy("bin")
         .agg(
@@ -1925,37 +1929,47 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the curve whose area deficit is the Gini coefficient
     (q_gini_revenue).
 
-    Scale: one keyed agg to customer grain; ntile's global window is
-    the documented single-task escape for rank-based binning — at
-    100 TB replace with global_sort_ranks + explicit decile
-    arithmetic (the q_curriculum_buckets pattern); the decile table
-    itself is 10 rows."""
+    Scale: one keyed agg to customer grain; the decile assignment is
+    an EXACT distributed ntile (``global_ntile``: two-phase
+    range-partitioned global ranks + broadcast tile arithmetic — no
+    single-task global window); the decile table itself is 10 rows."""
+    from sparrow_spark.operators.dedup import global_ntile
+
     cust = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("rev"))
     )
-    tiled = cust.select(
-        "rev",
-        F.ntile(10).over(Window.orderBy("rev", "o_custkey")).alias("decile"),
+    tiled = global_ntile(cust, 10, ["rev", "o_custkey"], "decile").select(
+        "rev", "decile"
     )
-    per = tiled.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.sum("rev").alias("rev"),
+    # Cumulative share via a triangular self-join over the 10-row
+    # decile table (pinned once — the upstream is a corpus agg +
+    # distributed ntile) instead of a partition-less window: no
+    # single-task WindowExec anywhere in the plan.
+    per = (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("rev").alias("rev"),
+        )
+        .localCheckpoint(eager=True)
     )
     tot = per.agg(F.sum("rev").alias("total"))
-    cw = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = (
+        per.alias("a")
+        .join(per.alias("b"), F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(F.col("a.decile").alias("decile"))
+        .agg(F.sum(F.col("b.rev")).alias("cum_rev"))
     )
     return (
-        per.crossJoin(F.broadcast(tot))
+        per.join(cum, "decile")
+        .crossJoin(F.broadcast(tot))
         .select(
             "decile",
             "n_customers",
             rnd(F.col("rev") / F.col("total"), 6).alias("rev_share"),
-            rnd(F.sum("rev").over(cw) / F.col("total"), 6).alias(
-                "cum_rev_share"
-            ),
+            rnd(F.col("cum_rev") / F.col("total"), 6).alias("cum_rev_share"),
         )
         .orderBy("decile")
     )
