@@ -29,8 +29,158 @@ AUDIT = [
     "q_time_bucket_rollup",
 ]
 
+# Queries allowed to execute a partition-less Window node (the
+# single-task class the --windows audit fails on). Every entry must
+# name the BOUNDED intermediate the window runs over — a table whose
+# cardinality does not grow with corpus size (day/calendar series,
+# fixed grids, k-row sketch/limit outputs, entity-type crossings) —
+# so "it passes today" is never the justification. Unlisted hits fail
+# the audit; listed names that no longer hit are reported stale so
+# the whitelist cannot rot. (Windows guarded by a Final
+# WindowGroupLimit are excused automatically — their single task sees
+# at most partitions x k rows.)
+WINDOW_WHITELIST: dict[str, str] = {
+    "q_apportion_largest_remainder": "remainder rank over the |sources|-row allocation table",
+    "q_bh_fdr": "BH sweep over one row per test segment",
+    "q_bpe_merge_step": "rank over the 20-row TakeOrderedAndProject output",
+    "q_budget_allocation": "cumulative allocation over the ~20-row source table",
+    "q_cascade_filter_ordering": "rank over the fixed filter-set permutation table",
+    "q_chi2_terms": "margin totals over the vocab x lang grid (vocab-bounded, Heaps-sublinear)",
+    "q_cluster_purity": "windows over the k x labels contingency table",
+    "q_conformal_interval": "lag + residual cumsum over the <=365-row day table",
+    "q_cramer_von_mises": "rank windows over the day-bounded table",
+    "q_dp_exponential_topk": "rank over the ~25-row brand table",
+    "q_effect_size_suite": "midrank window over the distinct-value table",
+    "q_emd_distribution_shift": "cumulative over the fixed histogram-bin table",
+    "q_forecast_baselines": "lag windows over the bounded daily series",
+    "q_forecast_reconciliation": "remainder rank over the ~25-row brand table",
+    "q_gap_fill_interpolate": "interpolation windows over the calendar spine",
+    "q_heaps_law": "cumulatives over the bucket-cardinality table",
+    "q_join_order_rank": "rank over the join-order permutation table",
+    "q_js_divergence_sources": "rank over the |sources|-row divergence table",
+    "q_key_skew_audit": "cumsum over the count-of-counts histogram",
+    "q_kmv_intersection": "rank over the 2k-row union sketch",
+    "q_markov_entropy": "windows over the |types|^2 transition table",
+    "q_negative_sampling": "vocab-table cumulative (documented bucket escape at 1M+ vocab)",
+    "q_neyman_allocation": "windows over the |strata|-row table",
+    "q_pinball_loss": "rolling window over the day table",
+    "q_ratio_to_parent": "parent ratios over the 25-row nation table",
+    "q_sax_motifs": "symbol lead windows over the day series",
+    "q_spearman_corr": "rank windows over the day table",
+    "q_sprt_sequential": "LLR cumsum over the day series",
+    "q_top_paths": "rank over the |types|^3 path table",
+    "q_value_at_risk": "lag over the daily series",
+    "q_variance_decomposition": "centered window over the daily series",
+    "q_vocab_coverage": "rank+cumsum over the vocab table (documented global_sort_ranks escape at web vocab)",
+    "q_weighted_reservoir": "rank over the LIMIT-k output",
+    "q_wilcoxon_signed_rank": "midrank window over distinct |diff| values of the day-pair table",
+}
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level [...] groups of a plan node's argument string."""
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def partitionless_windows(final_plan: str) -> list[str]:
+    """Window / WindowGroupLimit nodes in an executed-plan string whose
+    partition spec is empty — Spark funnels the whole input through ONE
+    task for these ("No Partition Defined for Window operation").
+
+    Node argStrings omit empty child lists, so arity + content tells
+    the specs apart: partition entries are bare attributes, order
+    entries carry ASC/DESC. ``Window [funcs],[part],[order]`` (3
+    groups) and ``Window [funcs],[part]`` (2 groups, no sort marker)
+    are partitioned; ``Window [funcs],[order]`` and ``Window [funcs]``
+    are not. ``WindowGroupLimit [part],[order],fn,k,mode`` is
+    partitioned; the 1-group form is not."""
+    # Order specs of Final-mode WindowGroupLimits: a partition-less
+    # Window sorted the same way is fed at most partitions x k rows
+    # (per-partition Partial limit before the shuffle), so its single
+    # task is bounded by construction — excuse it.
+    wgl_final_orders = {
+        g[0]
+        for m in re.finditer(
+            r"(?m)^[\s:+\-*()0-9]*WindowGroupLimit (.*), Final\s*$", final_plan
+        )
+        if (g := _bracket_groups(m.group(1)))
+    }
+    hits = []
+    for m in re.finditer(
+        r"(?m)^[\s:+\-*()0-9]*(Window(?:GroupLimit)?) (.*)$", final_plan
+    ):
+        node, args = m.group(1), m.group(2)
+        groups = _bracket_groups(args)
+        if node == "Window":
+            bad = len(groups) == 1 or (
+                len(groups) == 2
+                and (" ASC" in groups[1] or " DESC" in groups[1])
+            )
+            if bad and len(groups) == 2 and groups[1] in wgl_final_orders:
+                bad = False
+        else:
+            bad = len(groups) == 1 and groups[0] not in wgl_final_orders
+        if bad:
+            hits.append(f"{node} {args[:160]}")
+    return hits
+
+
+def audit_windows(sf_dir: str, names: list[str]) -> int:
+    """Run each query, execute it, and fail on any partition-less
+    Window node not covered by WINDOW_WHITELIST. Also fails on stale
+    whitelist entries. Returns a process exit code."""
+    registry.load_all()
+    spark = get_spark("sparrow-window-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    offenders: dict[str, list[str]] = {}
+    for name in names:
+        df = registry.QUERIES[name](spark, sf_dir)
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        hits = partitionless_windows(final)
+        if hits:
+            offenders[name] = hits
+    unexplained = {n: h for n, h in offenders.items() if n not in WINDOW_WHITELIST}
+    stale = [n for n in WINDOW_WHITELIST if n in set(names) and n not in offenders]
+    for n, hs in offenders.items():
+        tag = "WHITELISTED" if n in WINDOW_WHITELIST else "FAIL"
+        print(f"{tag} {n}: {len(hs)} partition-less window node(s)")
+        for h in hs:
+            print(f"    {h}")
+        if n in WINDOW_WHITELIST:
+            print(f"    justification: {WINDOW_WHITELIST[n]}")
+    for n in stale:
+        print(f"STALE whitelist entry (no longer hits): {n}")
+    print(
+        f"\nwindow audit: {len(names)} queries, "
+        f"{len(offenders)} with partition-less windows, "
+        f"{len(unexplained)} unexplained, {len(stale)} stale"
+    )
+    return 1 if unexplained or stale else 0
+
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--windows":
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+        registry.load_all()
+        names = sys.argv[3:] or sorted(
+            n for n in registry.QUERIES if not n.startswith("q_stream")
+        )
+        raise SystemExit(audit_windows(sf_dir, names))
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     args = [a for a in sys.argv[2:] if a != "--full"]
     if args == ["--all"]:

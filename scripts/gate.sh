@@ -16,6 +16,9 @@ FAST="${1:-}"
 echo "== gate: pytest =="
 python -m pytest tests/ -q
 
+echo "== gate: window audit (partition-less WindowExec over non-whitelisted sources) =="
+python scripts/explain_audit.py --windows /root/testdata/sf0.001 2>/dev/null | tail -2
+
 if [ "$FAST" = "--fast" ]; then
   echo "== gate: selfcheck (sf0.001) =="
   python scripts/selfcheck.py /root/testdata/sf0.001 | tail -1

@@ -115,12 +115,9 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    rk = F.row_number().over(
-        Window.orderBy(F.col("pmi").desc(), "w1", "w2")
-    )
     return (
-        pmi.withColumn("rk", rk)
-        .filter(F.col("rk") <= 20)
+        pmi.orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
         .select(
             "w1",
             "w2",
@@ -200,10 +197,9 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi = margins.groupBy("w").agg(
         F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2")
     )
-    rk = F.row_number().over(Window.orderBy(F.col("chi2").desc(), "w"))
     return (
-        chi.withColumn("rk", rk)
-        .filter(F.col("rk") <= 20)
+        chi.orderBy(F.col("chi2").desc(), "w")
+        .limit(20)
         .select(F.col("w").alias("term"), rnd("chi2", 4).alias("chi2"))
         .orderBy(F.col("chi2").desc(), "term")
     )
@@ -374,15 +370,18 @@ def q_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream token statistics unbiased. The deterministic anchor
     (step/2) replaces the random start so both engines agree.
 
-    Scale: one running-sum window over the size column + per-row
-    arithmetic; at true scale the cumulative line is computed per
-    partition with a scan-and-offset (two passes), never a global
-    single-task window — the same pattern as the shard exporter."""
+    Scale: the cumulative line runs as an EXACT distributed running
+    sum (``global_running_sums``: range-partition on doc_id, local
+    cumsum, broadcast per-partition predecessor totals — the
+    scan-and-offset two-pass form executed, not just documented;
+    n_chars is BIGINT so the partial sums are exact), then per-row
+    arithmetic."""
+    from sparrow_spark.operators.dedup import global_running_sums
+
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    c = docs.select(
-        "doc_id", "n_chars", F.sum("n_chars").over(w).alias("cum")
-    )
+    c = global_running_sums(
+        docs.select("doc_id", "n_chars"), ["doc_id"], ["n_chars"]
+    ).select("doc_id", "n_chars", F.col("cum_n_chars").alias("cum"))
     tot = docs.agg(F.sum("n_chars").cast("double").alias("t"))
     step = F.col("t") / 25
     anchor = F.col("t") / 50

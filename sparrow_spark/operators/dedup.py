@@ -1761,6 +1761,55 @@ def global_running_sums(
     return out.drop("_pid")
 
 
+def global_running_max(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "run_max",
+    inclusive: bool = True,
+    partitions: int = SN_RANGE_PARTITIONS,
+) -> DataFrame:
+    """EXACT running max of ``value_col`` over the total order given by
+    ``key_cols`` without a single-task global window — the max twin of
+    :func:`global_running_sums`: range-partition on the key, local
+    running max per partition, then fold in each partition's
+    predecessor maxima from a #partitions-row broadcast table via a
+    triangular self-join. Max is order-insensitive, so the result is
+    bit-exact regardless of partitioning. ``inclusive=False`` gives
+    the strict-prefix max (NULL when no predecessor exists — the
+    sort-based skyline's "best among strictly better rows").
+    Key columns must form a strict total order."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) for c in key_cols]
+    r = (
+        df.repartitionByRange(partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    end = 0 if inclusive else -1
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    r = r.withColumn("_lmax", F.max(value_col).over(lw))
+    totals = r.groupBy("_pid").agg(F.max(value_col).alias("_t"))
+    offsets = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.max(F.col("b._t")).alias("_off"))
+    )
+    # greatest() skips NULLs: first row of a partition (exclusive) has
+    # NULL _lmax and takes the offset; partition 0 has NULL _off.
+    return (
+        r.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.greatest("_lmax", "_off"))
+        .drop("_pid", "_lmax", "_off")
+    )
+
+
 def global_ntile(
     df: DataFrame,
     n: int,

@@ -535,12 +535,12 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets priority u^(1/weight); the global top-k by priority is a
     weighted sample (here weight = token count, favoring long docs).
     Deterministic -> reproducible across runs/engines/partitionings,
-    unlike RNG-based sampling. Scale: one linear pass + a top-k
-    (partial per partition, then a k-row final) — no full sort of the
-    corpus; priorities are rounded before ranking so the cross-engine
-    float ulp cannot flip an order (ties break on doc_id)."""
-    from pyspark.sql import Window
-
+    unlike RNG-based sampling. Scale: one linear pass + a top-k via
+    orderBy+limit, which compiles to TakeOrderedAndProject (partial
+    per-partition heap, then a k-row final merge) — no full sort and
+    no global window over the corpus; priorities are rounded before
+    ranking so the cross-engine float ulp cannot flip an order (ties
+    break on doc_id)."""
     docs = widen(load_table(spark, sf_dir, "documents"))
     weight = F.size(tokens(F.col("text"))).cast("double")
     u = (
@@ -553,10 +553,9 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight.cast("bigint").alias("weight"),
         rnd(F.pow(u, F.lit(1.0) / weight), 6).alias("priority"),
     )
-    w_rank = Window.orderBy(F.col("priority").desc(), "doc_id")
     return (
-        pri.withColumn("rnk", F.row_number().over(w_rank))
-        .filter(F.col("rnk") <= 100)
+        pri.orderBy(F.col("priority").desc(), "doc_id")
+        .limit(100)
         .select("doc_id", "lang", "weight", "priority")
     )
 
@@ -582,22 +581,20 @@ def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential reservoirs don't distribute, but bottom-k by a uniform
     key is mergeable (per-partition top-k, then a k-row final merge) and
     reproducible across runs/engines/partitionings. The integer key
-    avoids any float rounding concern. Catalyst rewrites the global
-    row_number + limit into TakeOrderedAndProject (no single-partition
-    full sort — same verified rewrite as q_weighted_sample)."""
-    from pyspark.sql import Window
-
+    avoids any float rounding concern. The bottom-k runs as
+    orderBy+limit — TakeOrderedAndProject, a per-partition heap and a
+    k-row driver merge, never a global window or single-partition
+    sort."""
     ev = load_table(spark, sf_dir, "events")
     key = F.conv(
         F.substring(F.md5(F.concat(F.lit("rs:"), F.col("event_id").cast("string"))), 1, 15),
         16,
         10,
     ).cast("bigint")
-    w_rank = Window.orderBy(F.col("sample_key").asc(), "event_id")
     return (
         ev.select("event_id", "user_id", "event_type", key.alias("sample_key"))
-        .withColumn("rnk", F.row_number().over(w_rank))
-        .filter(F.col("rnk") <= 200)
+        .orderBy(F.col("sample_key").asc(), "event_id")
+        .limit(200)
         .select("event_id", "user_id", "event_type", "sample_key")
     )
 
@@ -1174,10 +1171,13 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = pairs.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("n"))
     from pyspark.sql import Window
 
+    # Top-20 via orderBy+limit (TakeOrderedAndProject — per-partition
+    # heap, 20-row final merge); the rank window then orders only the
+    # 20 surviving rows, never the full pair table.
+    top = counted.orderBy(F.col("n").desc(), "pair").limit(20)
     w = Window.orderBy(F.col("n").desc(), F.col("pair"))
     return (
-        counted.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .orderBy("rank")
     )
 

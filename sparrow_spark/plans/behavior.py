@@ -419,21 +419,23 @@ def q_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     withWatermark's delay (pair with q_gap_histogram, which sizes the
     session gap).
 
-    Scale: one arrival-ordered running max (at true scale arrival
-    order is per-partition Kafka offset order, making the frontier a
-    per-partition scan, exactly how Spark computes its own
-    watermark), a map-side lateness projection, and a 5-row
-    candidate-grid agg via a broadcast cross join."""
+    Scale: the arrival-ordered frontier runs as an EXACT distributed
+    running max (``global_running_max``: range-partition on event_id,
+    local running max, broadcast predecessor maxima — max is
+    order-insensitive so the two-phase fold is bit-exact; at true
+    scale arrival order is per-partition Kafka offset order, making
+    the frontier per-partition exactly like Spark's own watermark),
+    then a map-side lateness projection and a 5-row candidate-grid
+    agg via a broadcast cross join."""
+    from sparrow_spark.operators.dedup import global_running_max
+
     ev = load_table(spark, sf_dir, "events")
-    warr = Window.orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    lateness = ev.select(
-        (
-            F.max(F.col("ts").cast("long")).over(warr)
-            - F.col("ts").cast("long")
-        ).alias("late_s")
-    )
+    lateness = global_running_max(
+        ev.select("event_id", F.col("ts").cast("long").alias("ts_l")),
+        ["event_id"],
+        "ts_l",
+        "frontier",
+    ).select((F.col("frontier") - F.col("ts_l")).alias("late_s"))
     wm = spark.createDataFrame(
         [(60,), (600,), (1800,), (3600,), (21600,)], "watermark_s bigint"
     )

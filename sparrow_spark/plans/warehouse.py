@@ -48,16 +48,22 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     question no single ORDER BY can answer; a staple of the OLAP
     operator literature (Börzsönyi et al., ICDE 2001).
 
-    Computed by the sort-based skyline: rank by (qty DESC, revenue
-    DESC, key) and keep rows whose revenue strictly exceeds the
-    running max of all better-qty prefixes — one bounded window over
-    the supplier-cardinality aggregate, no O(n^2) dominance self-join
-    (the oracle uses the NOT EXISTS textbook form to prove the
-    window formulation equals it). Equal-qty ties need the max of
-    STRICTLY-better-qty rows, hence the range frame on qty.
+    Computed by the sort-based skyline: collapse to one row per
+    DISTINCT qty (group max revenue), take the strict-prefix running
+    max over qty DESC, and keep suppliers whose revenue strictly
+    exceeds the best revenue among all strictly-better-qty rows — no
+    O(n^2) dominance self-join (the oracle uses the NOT EXISTS
+    textbook form to prove this formulation equals it). Equal-qty
+    ties need the max of STRICTLY-better-qty rows, hence the
+    exclusive prefix over the distinct-qty table.
 
     Scale: the fact-table shuffle is one supplier-keyed agg; the
-    skyline window runs over |suppliers| rows."""
+    prefix max is the two-phase distributed ``global_running_max``
+    (range-partitioned, order-insensitive, bit-exact) over the
+    distinct-qty table, joined back on qty — no single-task global
+    window over the supplier-cardinality aggregate."""
+    from sparrow_spark.operators.dedup import global_running_max
+
     li = load_table(spark, sf_dir, "lineitem")
     per_supp = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
         F.sum("l_quantity").alias("total_qty"),
@@ -65,20 +71,19 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
-    # Running max revenue over rows with STRICTLY greater qty:
-    # rangeBetween needs a numeric sort key, so order by -qty ASC and
-    # exclude the current value's range (ties share a qty, so the
-    # -1 range bound stops at the previous DISTINCT qty).
-    flagged = per_supp.withColumn(
-        "best_rev_better_qty",
-        F.max("revenue").over(
-            Window.orderBy((-F.col("total_qty")))
-            .rangeBetween(Window.unboundedPreceding, -1)
-        ),
-    ).withColumn(
-        "best_rev_same_qty",
-        F.max("revenue").over(Window.partitionBy("total_qty")),
+    grp = (
+        per_supp.groupBy("total_qty")
+        .agg(F.max("revenue").alias("best_rev_same_qty"))
+        .withColumn("neg_qty", -F.col("total_qty"))
     )
+    pref = global_running_max(
+        grp,
+        ["neg_qty"],
+        "best_rev_same_qty",
+        "best_rev_better_qty",
+        inclusive=False,
+    ).select("total_qty", "best_rev_same_qty", "best_rev_better_qty")
+    flagged = per_supp.join(pref, "total_qty")
     # Not dominated iff: revenue > max revenue among strictly-better-qty
     # rows (or no such row), AND no same-qty row has strictly more
     # revenue while... same-qty+same-revenue rows never dominate each
@@ -766,24 +771,29 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE each part so the part that crosses a boundary still
     belongs to the head class (the standard convention).
 
-    Scale: one part-keyed agg bounds the running-share window to part
-    cardinality; at true scale the global revenue sort becomes a
-    two-pass percentile-threshold classification, same as the RFM
-    note."""
+    Scale: one part-keyed agg bounds everything to part cardinality;
+    the cumulative revenue line runs as an EXACT distributed running
+    sum (``global_running_sums``: range-partition on (rev DESC via
+    negated key, partkey), local cumsum, broadcast predecessor
+    totals — no single-task global window over the entity-cardinality
+    part table), and the grand total is a 1-row broadcast agg."""
+    from sparrow_spark.operators.dedup import global_running_sums
+
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "rev"
         )
     )
-    wcum = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.partitionBy()
-    ranked = per_part.select(
-        "rev",
-        F.sum("rev").over(wcum).alias("cum_rev"),
-        F.sum("rev").over(wall).alias("total_rev"),
+    tot = per_part.agg(F.sum("rev").alias("total_rev"))
+    ranked = (
+        global_running_sums(
+            per_part.withColumn("neg_rev", -F.col("rev")),
+            ["neg_rev", "l_partkey"],
+            ["rev"],
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("rev", "cum_rev", "total_rev")
     )
     before_share = (F.col("cum_rev") - F.col("rev")) / F.col("total_rev")
     classed = ranked.select(
@@ -843,8 +853,11 @@ def q_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes (the 'Reddit comment sort' estimator), pointed here at a
     quality-control question.
 
-    Scale: one part-keyed agg, per-row arithmetic on the bounded
-    part table, one rank for the top-k."""
+    Scale: one part-keyed agg, per-row arithmetic on the part table,
+    and the top-k as orderBy+limit (TakeOrderedAndProject: partial
+    per-partition heap + k-row final merge — the part table is
+    entity-cardinality, so a global rank window would be a
+    single-task sort of millions of rows at 100 TB)."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = (
         li.groupBy("l_partkey")
@@ -864,12 +877,9 @@ def q_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = per_part.select(
         "l_partkey", "n", "r", p.alias("p"), wilson.alias("wilson_lb")
     )
-    rk = F.row_number().over(
-        Window.orderBy(F.desc("wilson_lb"), "l_partkey")
-    )
     return (
-        scored.withColumn("rk", rk)
-        .filter(F.col("rk") <= 20)
+        scored.orderBy(F.desc("wilson_lb"), "l_partkey")
+        .limit(20)
         .select(
             "l_partkey",
             F.col("n").cast("bigint").alias("n_lines"),
