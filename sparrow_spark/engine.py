@@ -865,11 +865,9 @@ class Engine:
     # ------------------------------------------------------------------
     # DML
     # ------------------------------------------------------------------
-    def _insert_select(self, m: "re.Match[str]") -> Result:
-        """INSERT INTO t [cols] SELECT … — superset of the reference's
-        VALUES-only surface, same unique-key enforcement and rowid
-        assignment as the VALUES path."""
-        name_raw, _, collist, query_sql = m.groups()
+    def _rows_from_select(self, name_raw: str, collist, query_sql: str):
+        """Shared SELECT-source evaluation for INSERT [IGNORE] / ODKU:
+        returns (schema, table, tdef, typed new_rows)."""
         schema, table = self._resolve_table_name(name_raw)
         tdef = self.catalog.load(schema, table)
         target_cols = (
@@ -896,7 +894,42 @@ class Engine:
                         1364, f"Field '{c.name}' doesn't have a default value"
                     )
                 new_rows = new_rows.withColumn(c.name, F.lit(None).cast(c.spark_type))
-        new_rows = new_rows.select(*[c.name for c in tdef.columns])
+        return schema, table, tdef, new_rows.select(*[c.name for c in tdef.columns])
+
+    def _insert_rows_any(self, insert_part: str):
+        """Rows for INSERT INTO t [cols] (VALUES … | SELECT …):
+        returns (schema, table, tdef, new_rows, from_values). Both
+        INSERT IGNORE and ON DUPLICATE KEY UPDATE accept either source
+        (MySQL does too); plain INSERT dispatches separately."""
+        m = re.match(
+            r"INSERT\s+INTO\s+([\w`.]+)\s*(\(([^)]*)\))?\s*VALUES\s*(.+)$",
+            insert_part,
+            re.I | re.S,
+        )
+        if m:
+            schema, table, tdef, new_rows, _ = self._rows_from_values(m)
+            return schema, table, tdef, new_rows, True
+        sm = re.match(
+            r"INSERT\s+INTO\s+([\w`.]+)\s*(\(([^)]*)\))?\s*"
+            r"((?:SELECT|WITH|TABLE)\b.*)$",
+            insert_part,
+            re.I | re.S,
+        )
+        if sm:
+            schema, table, tdef, new_rows = self._rows_from_select(
+                sm.group(1), sm.group(3), sm.group(4)
+            )
+            return schema, table, tdef, new_rows, False
+        raise SparrowError(1064, f"syntax error in INSERT: {insert_part[:80]}")
+
+    def _insert_select(self, m: "re.Match[str]") -> Result:
+        """INSERT INTO t [cols] SELECT … — superset of the reference's
+        VALUES-only surface, same unique-key enforcement and rowid
+        assignment as the VALUES path."""
+        name_raw, _, collist, query_sql = m.groups()
+        schema, table, tdef, new_rows = self._rows_from_select(
+            name_raw, collist, query_sql
+        )
         self._check_unique(tdef, new_rows)
         with_rowid = new_rows.select(F.expr("uuid()").alias(ROWID), "*")
         n_rows = with_rowid.count()
@@ -946,33 +979,46 @@ class Engine:
         batch (MySQL keeps the FIRST) — are silently skipped instead;
         affected_rows counts only what actually landed. Set-at-a-time:
         one window per key set drops intra-batch later duplicates, one
-        anti-join per key set drops stored collisions."""
-        m = re.match(
-            r"INSERT\s+INTO\s+([\w`.]+)\s*(\(([^)]*)\))?\s*VALUES\s*(.+)$",
-            stmt,
-            re.I | re.S,
+        anti-join per key set drops stored collisions. NULLs never
+        conflict in a unique index (MySQL), so rows with any NULL in a
+        key set bypass that set's dedup window entirely (the plain-
+        equality anti-join already lets them through). Accepts a
+        SELECT source as well as VALUES; a SELECT has no defined row
+        order, so "first" among its in-batch duplicates is whichever
+        row the scan yields first (MySQL without ORDER BY is equally
+        unspecified)."""
+        schema, table, tdef, new_rows, from_values = self._insert_rows_any(
+            stmt
         )
-        if not m:
-            raise SparrowError(1064, f"syntax error in INSERT: {stmt[:80]}")
-        schema, table, tdef, new_rows, _ = self._rows_from_values(m)
         key_sets = tdef.key_sets()
         col_names = [c.name for c in tdef.columns]
         if key_sets:
             # VALUES evaluates to a single-partition LocalRelation, so
             # monotonically_increasing_id preserves tuple order — the
-            # "first row wins" MySQL contract needs that order.
-            ordered = new_rows.coalesce(1).withColumn(
+            # "first row wins" MySQL contract needs that order. (For a
+            # SELECT source the id is per-partition monotonic: a
+            # deterministic keeper per key, arbitrary order.)
+            ordered = new_rows
+            if from_values:
+                ordered = ordered.coalesce(1)
+            ordered = ordered.withColumn(
                 "__ord", F.monotonically_increasing_id()
             )
             from pyspark.sql import Window as _W
 
             for _, cols in key_sets:
+                has_null = F.lit(False)
+                for c in cols:
+                    has_null = has_null | F.col(c).isNull()
+                null_keyed = ordered.filter(has_null)
+                keyed = ordered.filter(~has_null)
                 w = _W.partitionBy(*cols).orderBy("__ord")
-                ordered = (
-                    ordered.withColumn("__rn", F.row_number().over(w))
+                keyed = (
+                    keyed.withColumn("__rn", F.row_number().over(w))
                     .filter(F.col("__rn") == 1)
                     .drop("__rn")
                 )
+                ordered = keyed.unionByName(null_keyed)
             survivors = ordered.drop("__ord")
             existing = self._read_physical(schema, table, tdef)
             for _, cols in key_sets:
@@ -1015,17 +1061,22 @@ class Engine:
         assignments evaluate set-at-a-time. affected_rows follows the
         MySQL convention: 1 per inserted row, 2 per updated row.
 
+        MySQL-semantics notes (also in README "Dialect compatibility"):
+        NULLs never conflict in a unique index, so NULL-keyed incoming
+        rows fall through to plain insert (plain-equality joins
+        throughout — never eqNullSafe, which would pair NULL with NULL
+        and double-write the stored row). An incoming row that collides
+        with DIFFERENT stored rows on different indexes updates only
+        the row matched by the FIRST key set in index order (MySQL
+        updates one row per incoming row); the remaining collisions
+        suppress the insert but apply no second update. Intra-batch
+        duplicate keys still error 1062 (MySQL folds them sequentially;
+        documented deviation — stricter is safer set-at-a-time).
+
         The reference only ERRORS on duplicates (error 1062,
         src/execute_impl/insert.rs:208); ODKU, REPLACE (_replace) and
         MERGE (_merge) are this engine's upsert supersets."""
-        m = re.match(
-            r"INSERT\s+INTO\s+([\w`.]+)\s*(\(([^)]*)\))?\s*VALUES\s*(.+)$",
-            insert_part,
-            re.I | re.S,
-        )
-        if not m:
-            raise SparrowError(1064, f"syntax error in INSERT: {insert_part[:80]}")
-        schema, table, tdef, new_rows, _ = self._rows_from_values(m)
+        schema, table, tdef, new_rows, _ = self._insert_rows_any(insert_part)
         key_sets = tdef.key_sets()
         if not key_sets:
             raise SparrowError(
@@ -1034,10 +1085,14 @@ class Engine:
                 "or UNIQUE constraint",
             )
         # Intra-batch duplicates error, like REPLACE (MySQL applies the
-        # update twice in-batch — stricter is safer here).
+        # update sequentially in-batch — documented deviation). Rows
+        # with a NULL in the key never conflict and are exempt.
         for index_name, cols in key_sets:
+            nn = new_rows
+            for c in cols:
+                nn = nn.filter(F.col(c).isNotNull())
             dup = (
-                new_rows.groupBy(*cols)
+                nn.groupBy(*cols)
                 .count()
                 .filter(F.col("count") > 1)
                 .limit(1)
@@ -1071,8 +1126,12 @@ class Engine:
         untouched, updated = existing, None
         to_insert = new_rows
         for _, cols in key_sets:
+            # Plain equality, NOT eqNullSafe: NULL-keyed incoming rows
+            # must never pair (NULLs don't conflict in unique indexes)
+            # or the same stored ROWID lands in both `updated` and
+            # `untouched` while the incoming row also inserts.
             cond = [
-                untouched[c].eqNullSafe(incoming[f"__new_{c}"]) for c in cols
+                untouched[c] == incoming[f"__new_{c}"] for c in cols
             ]
             pair = untouched.join(incoming, on=cond, how="inner")
             upd = pair.select(
@@ -1085,8 +1144,16 @@ class Engine:
                 ],
             )
             updated = upd if updated is None else updated.unionByName(upd)
+            # Remove exactly the stored rows paired THIS pass (by
+            # ROWID), and consume the incoming rows that matched so a
+            # later key set cannot pair them with a second stored row
+            # (MySQL updates one row per incoming row).
             untouched = untouched.join(
-                new_rows.select(*cols), on=cols, how="left_anti"
+                pair.select(ROWID), on=ROWID, how="left_anti"
+            )
+            matched_in = pair.select(*[f"__new_{c}" for c in cols])
+            incoming = incoming.join(
+                matched_in, on=[f"__new_{c}" for c in cols], how="left_anti"
             )
             to_insert = to_insert.join(
                 existing.select(*cols), on=cols, how="left_anti"
@@ -1263,7 +1330,8 @@ class Engine:
         if ign:
             return self._insert_ignore("INSERT " + ign.group(1))
         odku = re.match(
-            r"(INSERT\s+INTO\s+[\w`.]+\s*(?:\([^)]*\))?\s*VALUES\s*.+?)"
+            r"(INSERT\s+INTO\s+[\w`.]+\s*(?:\([^)]*\))?\s*"
+            r"(?:VALUES\s*|(?=SELECT\b|WITH\b|TABLE\b)).+?)"
             r"\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.+)$",
             stmt,
             re.I | re.S,
