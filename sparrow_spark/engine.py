@@ -278,6 +278,9 @@ class Engine:
         words = first_words(stmt)
         head = words[0] if words else ""
         two = " ".join(words[:2])
+        # Statement kind for snapshot-commit op metadata (best-effort
+        # label, not control flow).
+        self._stmt_kind = head.lower()
 
         if head in ("SELECT", "WITH", "VALUES", "TABLE"):
             return self._query(stmt)
@@ -328,6 +331,10 @@ class Engine:
             return self._optimize_table(stmt)
         if two == "ANALYZE TABLE":
             return self._analyze_table(stmt)
+        if two == "RESTORE TABLE":
+            return self._locked_dml(stmt, self._restore_table)
+        if head == "VACUUM":
+            return self._locked_dml(stmt, self._vacuum)
         if head in ("COMMIT", "ROLLBACK", "BEGIN") or two == "START TRANSACTION":
             return Result("ok")  # no transactions, like the reference
         raise SparrowError(1105, f"Unknown error: unsupported statement: {stmt[:80]}")
@@ -411,6 +418,8 @@ class Engine:
         sql = substitute_variables(stmt, self.system_vars, self.user_vars)
         sql = strip_dual(sql)
         sql = self._rewrite_information_schema(sql)
+        if re.search(r"VERSION\s+AS\s+OF", sql, re.I):
+            sql = self._rewrite_version_as_of(sql)
         try:
             return Result("resultset", self.spark.sql(sql))
         except Exception as e:  # noqa: BLE001 — analyzer errors → MySQL-ish codes
@@ -657,6 +666,9 @@ class Engine:
                 )
         self.catalog.save(tdef)
         self._register_spark_table(tdef)
+        if tdef.engine == "snapshot":
+            # v0 = the empty table, so history starts at creation.
+            self._snapshot_commit(schema, table, tdef, op="create")
         return Result("ok")
 
     def _parse_column_def(self, item: str, tdef: TableDef) -> ColumnDef:
@@ -1521,7 +1533,8 @@ class Engine:
 
     _DML_TARGET_RE = re.compile(
         r"^(?:INSERT\s+(?:IGNORE\s+)?INTO|REPLACE\s+INTO|MERGE\s+INTO"
-        r"|UPDATE|DELETE\s+FROM|ALTER\s+TABLE)\s+([\w`.]+)",
+        r"|UPDATE|DELETE\s+FROM|ALTER\s+TABLE|RESTORE\s+TABLE|VACUUM)"
+        r"\s+([\w`.]+)",
         re.I,
     )
 
@@ -1674,6 +1687,11 @@ class Engine:
         tdef = tdef or self.catalog.load(schema, table)
         if tdef.partition_by:
             self.spark.sql(f"MSCK REPAIR TABLE `{schema}`.`{table}`")
+        if tdef.engine == "snapshot":
+            # Every write path funnels through here; committing after
+            # the physical write makes the manifest the durable record
+            # of the new file set (no-op when the set is unchanged).
+            self._snapshot_commit(schema, table, tdef)
 
     def _matched_files(self, schema, table, tdef, pred) -> tuple[int, list[str]]:
         """One pass over the table: per-parquet-file matched-row counts
@@ -1764,6 +1782,242 @@ class Engine:
         self._sync_partitions(schema, table, tdef)
         self.spark.sql(f"REFRESH TABLE `{schema}`.`{table}`")
 
+    # ------------------------------------------------------------------
+    # snapshot versioning (ENGINE=SNAPSHOT) — a Delta-style commit log
+    # over the existing COW primitives (design from the public Delta
+    # Lake paper, Armbrust et al., VLDB 2020: immutable data files + an
+    # ordered log of manifests, commit = one atomic small-file create).
+    # The live read path (Spark-catalog parquet table over data/) is
+    # unchanged; what SNAPSHOT adds is a consistent, immutable version
+    # history: every write that changes the table's file set appends
+    # manifest v{N+1} listing the files, with each file hard-linked
+    # into an immutable pool so later COW deletes never destroy history.
+    # Surface: SHOW VERSIONS FROM t, SELECT ... FROM t VERSION AS OF k,
+    # RESTORE TABLE t TO VERSION k, VACUUM t [RETAIN n VERSIONS].
+    # Scale: a manifest is O(#files) JSON and the commit is one
+    # exclusive-create — on an object store the same design uses a
+    # conditional put; data files are never copied, only linked.
+    # ------------------------------------------------------------------
+    def _snap_log_dir(self, schema: str, table: str) -> str:
+        return os.path.join(self.catalog.table_path(schema, table), "_log")
+
+    def _snap_pool_dir(self, schema: str, table: str) -> str:
+        return os.path.join(self._snap_log_dir(schema, table), "pool")
+
+    def _snap_versions(self, schema: str, table: str) -> list[int]:
+        log_dir = self._snap_log_dir(schema, table)
+        if not os.path.isdir(log_dir):
+            return []
+        out = []
+        for fn in os.listdir(log_dir):
+            m = re.match(r"v(\d{12})\.json$", fn)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _snap_manifest(self, schema: str, table: str, v: int) -> dict:
+        import json
+
+        path = os.path.join(self._snap_log_dir(schema, table), f"v{v:012d}.json")
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise SparrowError(
+                1105, f"Unknown error: version {v} of `{schema}`.`{table}` "
+                "does not exist (vacuumed or never committed)"
+            ) from None
+
+    def _require_snapshot(self, schema: str, table: str) -> TableDef:
+        tdef = self.catalog.load(schema, table)
+        if tdef.engine != "snapshot":
+            raise SparrowError(
+                1105,
+                f"Unknown error: `{schema}`.`{table}` is ENGINE="
+                f"{tdef.engine}; versioning requires ENGINE=SNAPSHOT",
+            )
+        return tdef
+
+    def _snapshot_commit(
+        self, schema: str, table: str, tdef: TableDef, op: str | None = None
+    ) -> None:
+        """Append a manifest for the data dir's current file set. Files
+        are hard-linked into the pool first (content survives COW
+        deletes; the link is O(1), no copy). A commit that would repeat
+        the previous file set is skipped, so refresh-only paths add no
+        empty versions. The manifest create is O_EXCL-atomic; on a
+        collision (concurrent committer — normally excluded by the
+        write lock) the version number advances and retries."""
+        import json
+        import time
+
+        data_dir = self.catalog.data_path(schema, table)
+        pool = self._snap_pool_dir(schema, table)
+        os.makedirs(pool, exist_ok=True)
+        rels = []
+        if os.path.isdir(data_dir):
+            for root, _dirs, fns in os.walk(data_dir):
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        rels.append(
+                            os.path.relpath(os.path.join(root, fn), data_dir)
+                        )
+        rels.sort()
+        versions = self._snap_versions(schema, table)
+        latest = versions[-1] if versions else None
+        if latest is not None:
+            if self._snap_manifest(schema, table, latest)["files"] == rels:
+                return
+        for rel in rels:
+            dst = os.path.join(pool, rel)
+            if not os.path.exists(dst):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.link(os.path.join(data_dir, rel), dst)
+        v = 0 if latest is None else latest + 1
+        man = {
+            "version": v,
+            "op": op or getattr(self, "_stmt_kind", None) or "write",
+            "ts": time.time(),
+            "files": rels,
+        }
+        while True:
+            path = os.path.join(
+                self._snap_log_dir(schema, table), f"v{v:012d}.json"
+            )
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                v += 1
+                man["version"] = v
+                continue
+            os.write(fd, json.dumps(man).encode())
+            os.close(fd)
+            return
+
+    def _snap_read(self, schema: str, table: str, v: int) -> DataFrame:
+        """Snapshot-consistent read of version v from the immutable
+        pool (includes the hidden rowid; callers drop it for user
+        surfaces). Partition-column values are recovered from the
+        preserved <col>=<val>/ relative paths via basePath."""
+        tdef = self._require_snapshot(schema, table)
+        man = self._snap_manifest(schema, table, v)
+        fields = [f"`{ROWID}` string"] + [
+            f"`{c.name}` {c.spark_type}" for c in tdef.columns
+        ]
+        reader_schema = ", ".join(fields)
+        if not man["files"]:
+            return self.spark.createDataFrame([], reader_schema)
+        pool = self._snap_pool_dir(schema, table)
+        reader = self.spark.read.schema(reader_schema)
+        if tdef.partition_by:
+            reader = reader.option("basePath", pool)
+        return reader.parquet(*[os.path.join(pool, r) for r in man["files"]])
+
+    def _show_versions(self, stmt: str) -> Result:
+        m = re.match(
+            r"SHOW\s+VERSIONS\s+(?:FROM|IN)\s+([\w`.]+)\s*$", stmt, re.I
+        )
+        if not m:
+            raise SparrowError(1064, f"syntax error in SHOW VERSIONS: {stmt[:80]}")
+        schema, table = self._resolve_table_name(m.group(1))
+        self._require_snapshot(schema, table)
+        import datetime
+
+        rows = []
+        for v in self._snap_versions(schema, table):
+            man = self._snap_manifest(schema, table, v)
+            rows.append(
+                (
+                    v,
+                    str(man.get("op", "write")),
+                    len(man["files"]),
+                    datetime.datetime.fromtimestamp(
+                        man["ts"], datetime.timezone.utc
+                    ).strftime("%Y-%m-%d %H:%M:%S"),
+                )
+            )
+        df = self.spark.createDataFrame(
+            rows, "version bigint, op string, n_files bigint, committed_at string"
+        )
+        return Result("resultset", df)
+
+    def _restore_table(self, stmt: str) -> Result:
+        """RESTORE TABLE t TO VERSION k: rewrite the live table from
+        the immutable snapshot (rows keep their rowids), committing the
+        restore as a NEW version — history is append-only, like Delta's
+        RESTORE."""
+        m = re.match(
+            r"RESTORE\s+TABLE\s+([\w`.]+)\s+TO\s+VERSION\s+(\d+)\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise SparrowError(1064, f"syntax error in RESTORE: {stmt[:80]}")
+        schema, table = self._resolve_table_name(m.group(1))
+        self._require_snapshot(schema, table)
+        snap = self._snap_read(schema, table, int(m.group(2)))
+        self._stmt_kind = "restore"
+        n = snap.count()
+        self._overwrite_data(schema, table, snap)
+        return Result("ok", affected_rows=n)
+
+    def _vacuum(self, stmt: str) -> Result:
+        """VACUUM t [RETAIN n VERSIONS] (default 1): drop manifests
+        older than the retained window and delete pool files no kept
+        manifest references. Bounds history storage; the live data dir
+        is untouched."""
+        m = re.match(
+            r"VACUUM\s+([\w`.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise SparrowError(1064, f"syntax error in VACUUM: {stmt[:80]}")
+        schema, table = self._resolve_table_name(m.group(1))
+        self._require_snapshot(schema, table)
+        keep = max(1, int(m.group(2) or 1))
+        versions = self._snap_versions(schema, table)
+        kept, dropped = versions[-keep:], versions[:-keep]
+        referenced: set[str] = set()
+        for v in kept:
+            referenced.update(self._snap_manifest(schema, table, v)["files"])
+        log_dir = self._snap_log_dir(schema, table)
+        for v in dropped:
+            os.remove(os.path.join(log_dir, f"v{v:012d}.json"))
+        pool = self._snap_pool_dir(schema, table)
+        removed = 0
+        for root, _dirs, fns in os.walk(pool, topdown=False):
+            for fn in fns:
+                rel = os.path.relpath(os.path.join(root, fn), pool)
+                if rel not in referenced:
+                    os.remove(os.path.join(root, fn))
+                    removed += 1
+            if root != pool:
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+        return Result("ok", affected_rows=removed)
+
+    _VERSION_AS_OF_RE = re.compile(
+        r"(`?\w+`?(?:\s*\.\s*`?\w+`?)?)\s+VERSION\s+AS\s+OF\s+(\d+)", re.I
+    )
+
+    def _rewrite_version_as_of(self, sql: str) -> str:
+        """SELECT ... FROM t VERSION AS OF k — time travel for SNAPSHOT
+        tables: each versioned reference becomes a temp view over the
+        manifest's pool files (Spark SQL has no v1 time-travel syntax,
+        so the engine resolves it before the analyzer sees the text)."""
+        def sub(m: "re.Match[str]") -> str:
+            schema, table = self._resolve_table_name(m.group(1))
+            v = int(m.group(2))
+            df = self._snap_read(schema, table, v).drop(ROWID)
+            view = f"__snapshot_{schema}_{table}_v{v}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return self._VERSION_AS_OF_RE.sub(sub, sql)
+
     def _spark_create_db(self, schema: str) -> None:
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{schema}`")
 
@@ -1804,6 +2058,8 @@ class Engine:
         up = stmt.upper()
         if up.startswith("SHOW DATABASES"):
             return self._show_databases()
+        if re.match(r"SHOW\s+VERSIONS\s+(FROM|IN)\s+", stmt, re.I):
+            return self._show_versions(stmt)
         if re.match(r"SHOW\s+(FULL\s+)?TABLES", stmt, re.I):
             return self._show_tables(stmt)
         if re.match(r"SHOW\s+(FULL\s+)?COLUMNS\s+FROM", stmt, re.I) or up.startswith(

@@ -162,3 +162,61 @@ def q_engine_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT region, id, val FROM pev ORDER BY region, id"
     ).df
     return _freeze_and_cleanup(spark, final, schema, wh)
+
+
+@query(
+    "q_engine_snapshot",
+    oracle="""
+    SELECT src, id, val FROM (VALUES
+      ('hist', 0, 'create'),
+      ('hist', 1, 'insert'),
+      ('hist', 2, 'update'),
+      ('hist', 3, 'restore'),
+      ('live', 1, '10'),
+      ('live', 2, '20'),
+      ('live', 3, '30'),
+      ('asof2', 1, '10'),
+      ('asof2', 2, '99'),
+      ('asof2', 3, '30')
+    ) t(src, id, val)
+    ORDER BY src, id
+    """,
+)
+def q_engine_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE=SNAPSHOT versioning end-to-end through the dispatcher
+    (the Delta-style commit log over COW primitives, engine.py
+    _snapshot_commit): insert/update versions accrue, VERSION AS OF
+    reads an immutable historical snapshot from the hard-linked pool,
+    and RESTORE rolls the live table back as an append-only new
+    version. Output = the version history (id=version, val=op), the
+    post-restore live rows, and the AS-OF-2 snapshot — deterministic
+    (no file counts: those vary with writer parallelism), hash-checked
+    against the literal oracle."""
+    from pyspark.sql import functions as F
+
+    eng, schema, wh = _fresh_engine(spark)
+    eng.script(
+        """
+        CREATE TABLE st (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT;
+        INSERT INTO st VALUES (1, 10), (2, 20), (3, 30);
+        UPDATE st SET v = 99 WHERE id = 2;
+        RESTORE TABLE st TO VERSION 1;
+        """
+    )
+    hist = (
+        eng.sql("SHOW VERSIONS FROM st")
+        .df.select(
+            F.lit("hist").alias("src"),
+            F.col("version").cast("int").alias("id"),
+            F.col("op").alias("val"),
+        )
+    )
+    live = eng.sql(
+        "SELECT 'live' AS src, id, CAST(v AS STRING) AS val FROM st"
+    ).df
+    asof = eng.sql(
+        "SELECT 'asof2' AS src, id, CAST(v AS STRING) AS val "
+        "FROM st VERSION AS OF 2"
+    ).df
+    out = hist.unionByName(live).unionByName(asof).orderBy("src", "id")
+    return _freeze_and_cleanup(spark, out, schema, wh)

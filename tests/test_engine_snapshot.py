@@ -1,0 +1,128 @@
+"""ENGINE=SNAPSHOT versioning: commit log over COW primitives (the
+Delta-style design from Armbrust et al., VLDB 2020). Pins the whole
+surface: version history per write, time travel (VERSION AS OF),
+RESTORE as an append-only new version, VACUUM retention, partitioned
+snapshot reads, and the no-empty-commit rule."""
+
+import pytest
+
+from sparrow_spark.engine import SparrowError
+
+
+def _versions(engine, table):
+    rows = engine.sql(f"SHOW VERSIONS FROM {table}").df.collect()
+    return [(r.version, r.op, r.n_files) for r in rows]
+
+
+def test_snapshot_history_and_time_travel(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.sql(
+        "CREATE TABLE s (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT"
+    )
+    engine.sql("INSERT INTO s VALUES (1, 10), (2, 20)")
+    engine.sql("INSERT INTO s VALUES (3, 30)")
+    engine.sql("UPDATE s SET v = 99 WHERE id = 2")
+    engine.sql("DELETE FROM s WHERE id = 1")
+    hist = _versions(engine, "s")
+    assert [h[0] for h in hist] == [0, 1, 2, 3, 4]
+    assert hist[0][1] == "create" and hist[0][2] == 0
+    assert [h[1] for h in hist[1:]] == ["insert", "insert", "update", "delete"]
+    # live state
+    live = engine.sql("SELECT id, v FROM s ORDER BY id").df.collect()
+    assert [(r.id, r.v) for r in live] == [(2, 99), (3, 30)]
+    # time travel to each version
+    v1 = engine.sql("SELECT id, v FROM s VERSION AS OF 1 ORDER BY id").df.collect()
+    assert [(r.id, r.v) for r in v1] == [(1, 10), (2, 20)]
+    v2 = engine.sql("SELECT id, v FROM s VERSION AS OF 2 ORDER BY id").df.collect()
+    assert [(r.id, r.v) for r in v2] == [(1, 10), (2, 20), (3, 30)]
+    v3 = engine.sql("SELECT id, v FROM s VERSION AS OF 3 ORDER BY id").df.collect()
+    assert [(r.id, r.v) for r in v3] == [(1, 10), (2, 99), (3, 30)]
+    # a versioned and the live table joinable in one statement
+    j = engine.sql(
+        "SELECT count(*) AS n FROM s a JOIN s VERSION AS OF 2 b ON a.id = b.id"
+    ).df.collect()
+    assert j[0].n == 2
+    engine.sql("DROP TABLE s")
+
+
+def test_snapshot_restore_appends_version(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.sql("CREATE TABLE r (id INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT")
+    engine.sql("INSERT INTO r VALUES (1), (2)")
+    engine.sql("DELETE FROM r WHERE id = 2")
+    res = engine.sql("RESTORE TABLE r TO VERSION 1")
+    assert res.affected_rows == 2
+    rows = engine.sql("SELECT id FROM r ORDER BY id").df.collect()
+    assert [r.id for r in rows] == [1, 2]
+    hist = _versions(engine, "r")
+    assert hist[-1][1] == "restore" and hist[-1][0] == 3
+    engine.sql("DROP TABLE r")
+
+
+def test_snapshot_vacuum_retention(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.sql("CREATE TABLE vac (id INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT")
+    for i in range(3):
+        engine.sql(f"INSERT INTO vac VALUES ({i})")
+    assert [h[0] for h in _versions(engine, "vac")] == [0, 1, 2, 3]
+    engine.sql("VACUUM vac RETAIN 2 VERSIONS")
+    assert [h[0] for h in _versions(engine, "vac")] == [2, 3]
+    # vacuumed version no longer readable
+    with pytest.raises(SparrowError, match="does not exist"):
+        engine.sql("SELECT * FROM vac VERSION AS OF 1")
+    # retained versions still read
+    rows = engine.sql("SELECT id FROM vac VERSION AS OF 2 ORDER BY id").df.collect()
+    assert [r.id for r in rows] == [0, 1]
+    # live table unaffected
+    assert engine.sql("SELECT count(*) AS n FROM vac").df.collect()[0].n == 3
+    engine.sql("DROP TABLE vac")
+
+
+def test_snapshot_partitioned_time_travel(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.sql(
+        "CREATE TABLE p (id INT, region CHAR, PRIMARY KEY(id)) "
+        "ENGINE=SNAPSHOT PARTITIONED BY (region)"
+    )
+    engine.sql("INSERT INTO p VALUES (1, 'eu'), (2, 'us')")
+    engine.sql("DELETE FROM p WHERE region = 'eu'")
+    # partition-column values must survive the pool round-trip
+    v1 = engine.sql(
+        "SELECT id, region FROM p VERSION AS OF 1 ORDER BY id"
+    ).df.collect()
+    assert [(r.id, r.region) for r in v1] == [(1, "eu"), (2, "us")]
+    live = engine.sql("SELECT id, region FROM p ORDER BY id").df.collect()
+    assert [(r.id, r.region) for r in live] == [(2, "us")]
+    engine.sql("DROP TABLE p")
+
+
+def test_snapshot_requires_engine_option(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.sql("CREATE TABLE plainpq (id INT, PRIMARY KEY(id))")
+    engine.sql("INSERT INTO plainpq VALUES (1)")
+    for bad in (
+        "SHOW VERSIONS FROM plainpq",
+        "RESTORE TABLE plainpq TO VERSION 0",
+        "VACUUM plainpq",
+        "SELECT * FROM plainpq VERSION AS OF 0",
+    ):
+        with pytest.raises(SparrowError, match="ENGINE=SNAPSHOT"):
+            engine.sql(bad)
+    engine.sql("DROP TABLE plainpq")
+
+
+def test_snapshot_no_empty_commits(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.sql("CREATE TABLE ne (id INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT")
+    engine.sql("INSERT INTO ne VALUES (1)")
+    n_before = len(_versions(engine, "ne"))
+    # a DELETE matching nothing rewrites no files -> no new version
+    engine.sql("DELETE FROM ne WHERE id = 999")
+    assert len(_versions(engine, "ne")) == n_before
+    engine.sql("DROP TABLE ne")
