@@ -220,3 +220,48 @@ def q_engine_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
     out = hist.unionByName(live).unionByName(asof).orderBy("src", "id")
     return _freeze_and_cleanup(spark, out, schema, wh)
+
+
+@query(
+    "q_engine_snapshot_cdf",
+    oracle="""
+    SELECT ver, change, id, val FROM (VALUES
+      (1, 'insert',           1, 10),
+      (1, 'insert',           2, 20),
+      (1, 'insert',           3, 30),
+      (2, 'update_preimage',  2, 20),
+      (2, 'update_postimage', 2, 99),
+      (3, 'delete',           3, 30),
+      (4, 'insert',           4, 40)
+    ) t(ver, change, id, val)
+    ORDER BY ver, change, id
+    """,
+)
+def q_engine_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed over the ENGINE=SNAPSHOT commit log (engine.py
+    _snap_changes — the Delta-CDF-style incremental read): after an
+    insert/update/delete/insert script, `SELECT ... FROM t CHANGES
+    BETWEEN 0 AND 4` returns every row-level change with its commit
+    version and change type. Each version step reads ONLY the files
+    that commit added or removed (immutable files cannot contain
+    changes), and copy-on-write survivors rewritten with unchanged
+    content are suppressed by a null-safe all-column compare — so the
+    feed is deterministic whatever the physical file layout, and its
+    cost tracks logical churn, not rewrite amplification. Hash-checked
+    against the literal expected feed."""
+    eng, schema, wh = _fresh_engine(spark)
+    eng.script(
+        """
+        CREATE TABLE cf (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT;
+        INSERT INTO cf VALUES (1, 10), (2, 20), (3, 30);
+        UPDATE cf SET v = 99 WHERE id = 2;
+        DELETE FROM cf WHERE id = 3;
+        INSERT INTO cf VALUES (4, 40);
+        """
+    )
+    out = eng.sql(
+        "SELECT CAST(_commit_version AS INT) AS ver, _change_type AS change, "
+        "id, v AS val FROM cf CHANGES BETWEEN 0 AND 4 "
+        "ORDER BY ver, change, id"
+    ).df
+    return _freeze_and_cleanup(spark, out, schema, wh)

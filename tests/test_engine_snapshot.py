@@ -126,3 +126,106 @@ def test_snapshot_no_empty_commits(engine):
     engine.sql("DELETE FROM ne WHERE id = 999")
     assert len(_versions(engine, "ne")) == n_before
     engine.sql("DROP TABLE ne")
+
+
+def _changes(engine, table, a, b):
+    rows = engine.sql(
+        f"SELECT _commit_version, _change_type, id, v FROM {table} "
+        f"CHANGES BETWEEN {a} AND {b} "
+        "ORDER BY _commit_version, _change_type, id"
+    ).df.collect()
+    return [(r._commit_version, r._change_type, r.id, r.v) for r in rows]
+
+
+def test_snapshot_cdf_full_history(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.sql("CREATE TABLE cdf (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT")
+    engine.sql("INSERT INTO cdf VALUES (1, 10), (2, 20), (3, 30)")  # v1
+    engine.sql("UPDATE cdf SET v = 99 WHERE id = 2")  # v2
+    engine.sql("DELETE FROM cdf WHERE id = 3")  # v3
+    engine.sql("INSERT INTO cdf VALUES (4, 40)")  # v4
+    assert _changes(engine, "cdf", 0, 4) == [
+        (1, "insert", 1, 10),
+        (1, "insert", 2, 20),
+        (1, "insert", 3, 30),
+        (2, "update_postimage", 2, 99),
+        (2, "update_preimage", 2, 20),
+        (3, "delete", 3, 30),
+        (4, "insert", 4, 40),
+    ]
+    # sub-ranges slice the same feed
+    assert _changes(engine, "cdf", 1, 2) == [
+        (2, "update_postimage", 2, 99),
+        (2, "update_preimage", 2, 20),
+    ]
+    assert _changes(engine, "cdf", 3, 4) == [(4, "insert", 4, 40)]
+    # empty step range -> empty feed
+    assert _changes(engine, "cdf", 4, 4) == []
+    engine.sql("DROP TABLE cdf")
+
+
+def test_snapshot_cdf_suppresses_unchanged_cow_rewrites(engine):
+    """Copy-on-write rewrites whole files, so survivors of an UPDATE
+    travel into the new file with unchanged content — the feed must
+    carry only the logical change, whatever the physical layout."""
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.sql("CREATE TABLE cdfs (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT")
+    engine.sql("INSERT INTO cdfs VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+    engine.sql("UPDATE cdfs SET v = -1 WHERE id = 1")
+    feed = _changes(engine, "cdfs", 1, 2)
+    assert feed == [
+        (2, "update_postimage", 1, -1),
+        (2, "update_preimage", 1, 10),
+    ]
+    engine.sql("DROP TABLE cdfs")
+
+
+def test_snapshot_cdf_restore_emits_reverting_changes(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.sql("CREATE TABLE cdfr (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT")
+    engine.sql("INSERT INTO cdfr VALUES (1, 10)")  # v1
+    engine.sql("UPDATE cdfr SET v = 99 WHERE id = 1")  # v2
+    engine.sql("RESTORE TABLE cdfr TO VERSION 1")  # v3: 99 -> 10
+    assert _changes(engine, "cdfr", 2, 3) == [
+        (3, "update_postimage", 1, 10),
+        (3, "update_preimage", 1, 99),
+    ]
+    engine.sql("DROP TABLE cdfr")
+
+
+def test_snapshot_cdf_validation(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.sql("CREATE TABLE cdfv (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT")
+    engine.sql("INSERT INTO cdfv VALUES (1, 10)")
+    with pytest.raises(SparrowError, match="does not exist"):
+        engine.sql("SELECT * FROM cdfv CHANGES BETWEEN 0 AND 7")
+    with pytest.raises(SparrowError, match="empty range"):
+        engine.sql("SELECT * FROM cdfv CHANGES BETWEEN 1 AND 0")
+    engine.sql("CREATE TABLE plaincdf (id INT, PRIMARY KEY(id))")
+    with pytest.raises(SparrowError, match="ENGINE=SNAPSHOT"):
+        engine.sql("SELECT * FROM plaincdf CHANGES BETWEEN 0 AND 1")
+    engine.sql("DROP TABLE cdfv")
+    engine.sql("DROP TABLE plaincdf")
+
+
+def test_snapshot_cdf_partitioned(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.sql(
+        "CREATE TABLE cdfp (id INT, v INT, region CHAR, PRIMARY KEY(id)) "
+        "ENGINE=SNAPSHOT PARTITIONED BY (region)"
+    )
+    engine.sql("INSERT INTO cdfp VALUES (1, 10, 'eu'), (2, 20, 'us')")  # v1
+    engine.sql("DELETE FROM cdfp WHERE region = 'us'")  # v2
+    rows = engine.sql(
+        "SELECT _commit_version, _change_type, id, v, region FROM cdfp "
+        "CHANGES BETWEEN 1 AND 2"
+    ).df.collect()
+    assert [(r._commit_version, r._change_type, r.id, r.v, r.region) for r in rows] == [
+        (2, "delete", 2, 20, "us")
+    ]
+    engine.sql("DROP TABLE cdfp")
