@@ -298,6 +298,9 @@ BENCH_QUERIES = [
     "q_cube_materialization_greedy",
     "q_hilbert_curve_layout",
     "q_learned_index_error",
+    # r11 additions — benched on arrival (throttled round; engine
+    # exercises stay out per the module note).
+    "q_dpp_runtime_prune",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

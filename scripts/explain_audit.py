@@ -140,13 +140,18 @@ def partitionless_windows(final_plan: str) -> list[str]:
 
 
 def audit_windows(sf_dir: str, names: list[str]) -> int:
-    """Run each query, execute it, and fail on any partition-less
-    Window node not covered by WINDOW_WHITELIST. Also fails on stale
-    whitelist entries. Returns a process exit code."""
+    """Run each query, execute it, and fail on (a) any partition-less
+    Window node not covered by WINDOW_WHITELIST, (b) any stale
+    whitelist entry, and (c) any CartesianProduct node anywhere — the
+    two-sided-shuffle cartesian has no legitimate use in this repo
+    (bounded k-row theta joins must broadcast one side, compiling to
+    BroadcastNestedLoopJoin; the r11 sweep converted the only two
+    sites). Returns a process exit code."""
     registry.load_all()
     spark = get_spark("sparrow-window-audit")
     spark.sparkContext.setLogLevel("ERROR")
     offenders: dict[str, list[str]] = {}
+    cartesians: dict[str, int] = {}
     for name in names:
         df = registry.QUERIES[name](spark, sf_dir)
         df.collect()
@@ -154,6 +159,9 @@ def audit_windows(sf_dir: str, names: list[str]) -> int:
         hits = partitionless_windows(final)
         if hits:
             offenders[name] = hits
+        n_cp = len(re.findall(r"(?m)^[\s:+\-*()0-9]*CartesianProduct", final))
+        if n_cp:
+            cartesians[name] = n_cp
     unexplained = {n: h for n, h in offenders.items() if n not in WINDOW_WHITELIST}
     stale = [n for n in WINDOW_WHITELIST if n in set(names) and n not in offenders]
     for n, hs in offenders.items():
@@ -165,12 +173,15 @@ def audit_windows(sf_dir: str, names: list[str]) -> int:
             print(f"    justification: {WINDOW_WHITELIST[n]}")
     for n in stale:
         print(f"STALE whitelist entry (no longer hits): {n}")
+    for n, c in cartesians.items():
+        print(f"FAIL {n}: {c} CartesianProduct node(s) — broadcast the bounded side")
     print(
         f"\nwindow audit: {len(names)} queries, "
         f"{len(offenders)} with partition-less windows, "
-        f"{len(unexplained)} unexplained, {len(stale)} stale"
+        f"{len(unexplained)} unexplained, {len(stale)} stale, "
+        f"{len(cartesians)} with CartesianProduct"
     )
-    return 1 if unexplained or stale else 0
+    return 1 if unexplained or stale or cartesians else 0
 
 
 def main() -> None:

@@ -2616,7 +2616,13 @@ def q_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = (
         cells.alias("a")
-        .join(cells.alias("b"), F.col("b.quintile") <= F.col("a.quintile"))
+        .join(
+            # broadcast the 5-row side: theta join as a
+            # BroadcastNestedLoopJoin, not a two-sided-shuffle
+            # CartesianProduct (flagged by the r11 plan sweep).
+            F.broadcast(cells.alias("b")),
+            F.col("b.quintile") <= F.col("a.quintile"),
+        )
         .groupBy(F.col("a.quintile").alias("quintile"))
         .agg(F.sum(F.col("b.qini_term")).alias("qini_raw"))
     )

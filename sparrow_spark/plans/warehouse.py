@@ -1968,7 +1968,13 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per.agg(F.sum("rev").alias("total"))
     cum = (
         per.alias("a")
-        .join(per.alias("b"), F.col("b.decile") <= F.col("a.decile"))
+        .join(
+            # broadcast the 10-row side: the theta join compiles to a
+            # BroadcastNestedLoopJoin instead of a two-sided-shuffle
+            # CartesianProduct (flagged by the r11 plan sweep).
+            F.broadcast(per.alias("b")),
+            F.col("b.decile") <= F.col("a.decile"),
+        )
         .groupBy(F.col("a.decile").alias("decile"))
         .agg(F.sum(F.col("b.rev")).alias("cum_rev"))
     )

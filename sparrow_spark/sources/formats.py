@@ -435,3 +435,94 @@ def _register_schema_evolution() -> None:
 
 
 _register_schema_evolution()
+
+
+def _register_dpp_prune() -> None:
+    """Register the dynamic-partition-pruning audit (deferred import)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from sparrow_spark.registry import query
+    from sparrow_spark.rounding import rnd
+    from sparrow_spark.sources import load_table
+
+    @query(
+        "q_dpp_runtime_prune",
+        oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value,
+               CAST(TRUE AS BOOLEAN) AS dpp_applied
+        FROM events
+        WHERE event_type IN ('purchase', 'signup')
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+    )
+    def q_dpp_runtime_prune(spark, sf_dir):
+        """Dynamic partition pruning audit — the RUNTIME companion to
+        q_partition_prune's static case: the partition-key filter is
+        not in the query text at all; it lives on a joined dimension
+        (category = 'conv'), and Catalyst injects a DynamicPruning
+        subquery into the fact scan's PartitionFilters that reuses the
+        dimension's broadcast result to skip non-qualifying partition
+        directories at execution time. The plan is asserted, not
+        assumed: dpp_applied is computed from the executed fact plan
+        (the `dynamicpruning` marker) and hash-checked by the oracle;
+        the values must equal a plain predicate aggregate, proving the
+        pruning is lossless.
+
+        Scale: star-schema joins at 100 TB live or die on this — the
+        fact side is partitioned by the join key, the dim filter
+        arrives only at runtime, and DPP turns "scan the lake, then
+        join" into "broadcast the dim, then scan only the qualifying
+        directories". No stats or manual predicate duplication needed."""
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        root = tempfile.mkdtemp(prefix=f"dpp_{uuid.uuid4().hex[:8]}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = os.path.join(root, "events_by_type")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        fact = spark.read.parquet(path)
+        # Dimension derived from the partitioned layout itself (a
+        # partition-column-only distinct is a listing-sized scan);
+        # the category mapping is the runtime-only filter.
+        dim = (
+            fact.select("event_type")
+            .distinct()
+            .withColumn(
+                "category",
+                F.when(
+                    F.col("event_type").isin("purchase", "signup"), "conv"
+                ).otherwise("other"),
+            )
+        )
+        agg = (
+            fact.join(
+                F.broadcast(dim).filter(F.col("category") == "conv"),
+                "event_type",
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                rnd(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+        rows = agg.collect()
+        pruned = "dynamicpruning" in (
+            agg._jdf.queryExecution().executedPlan().toString().lower()
+        )
+        return spark.createDataFrame(
+            [(r.event_type, r.n_events, float(r.total_value), pruned) for r in rows],
+            "event_type string, n_events bigint, total_value double, "
+            "dpp_applied boolean",
+        ).orderBy("event_type")
+
+
+_register_dpp_prune()

@@ -229,3 +229,28 @@ def test_snapshot_cdf_partitioned(engine):
         (2, "delete", 2, 20, "us")
     ]
     engine.sql("DROP TABLE cdfp")
+
+
+def test_snapshot_optimize_commits_version_with_empty_feed(engine):
+    """OPTIMIZE TABLE on a SNAPSHOT table compacts small files into a
+    fresh layout — a new commit (the file set changed) whose change
+    feed must be EMPTY: pure physical rewrite, zero logical churn.
+    This is the property that makes background compaction safe to run
+    under live CDF consumers."""
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.sql("CREATE TABLE opt (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT")
+    for i in range(3):  # three commits -> several small files
+        engine.sql(f"INSERT INTO opt VALUES ({i}, {i * 10})")
+    n_before = len(engine.sql("SHOW VERSIONS FROM opt").df.collect())
+    engine.sql("OPTIMIZE TABLE opt")
+    hist = engine.sql("SHOW VERSIONS FROM opt").df.collect()
+    assert len(hist) == n_before + 1
+    last = hist[-1].version
+    feed = engine.sql(
+        f"SELECT * FROM opt CHANGES BETWEEN {last - 1} AND {last}"
+    ).df.collect()
+    assert feed == []
+    # live rows survive compaction
+    rows = engine.sql("SELECT id, v FROM opt ORDER BY id").df.collect()
+    assert [(r.id, r.v) for r in rows] == [(0, 0), (1, 10), (2, 20)]
