@@ -254,3 +254,92 @@ def test_snapshot_optimize_commits_version_with_empty_feed(engine):
     # live rows survive compaction
     rows = engine.sql("SELECT id, v FROM opt ORDER BY id").df.collect()
     assert [(r.id, r.v) for r in rows] == [(0, 0), (1, 10), (2, 20)]
+
+
+def test_streaming_upsert_into_snapshot_table(engine, spark, sf_dir, tmp_path):
+    """The lakehouse loop end-to-end: a file stream drains through
+    foreachBatch MERGE upserts into an ENGINE=SNAPSHOT table — each
+    applied microbatch commits exactly one version (ledger-absorbed
+    replays commit nothing), and replaying the change feed over the
+    whole history reconstructs the final serving state. This is the
+    streaming ingestion + versioned storage + CDF integration a
+    downstream replica would consume."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparrow_spark.engine import SparrowError
+    from sparrow_spark.sources import load_table
+    from sparrow_spark.streaming.engine_upsert import apply_batch
+
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.script(
+        """CREATE TABLE profiles (user_id BIGINT, n_events BIGINT,
+               sum_value DOUBLE, PRIMARY KEY(user_id)) ENGINE=SNAPSHOT;
+           CREATE TABLE applied_batches (batch_id INT, PRIMARY KEY(batch_id))"""
+    )
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .filter(F.col("user_id") <= 50)
+    )
+    src = str(tmp_path / "src")
+    chunks = [
+        events.filter(F.col("event_id") % 2 == 0),
+        events.filter(F.col("event_id") % 2 == 1),
+    ]
+    for i, c in enumerate(chunks):
+        c.coalesce(1).write.parquet(os.path.join(src, f"chunk-{i:03d}"))
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: apply_batch(engine, batch, bid)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream drain timed out"
+    # replay of batch 0: ledger absorbs it -> NO new snapshot version
+    hist_before = engine.sql("SHOW VERSIONS FROM profiles").df.collect()
+    apply_batch(engine, spark.read.parquet(os.path.join(src, "chunk-000")), 0)
+    hist_after = engine.sql("SHOW VERSIONS FROM profiles").df.collect()
+    assert len(hist_after) == len(hist_before)
+    # create + one MERGE commit per applied batch
+    assert [r.version for r in hist_after] == [0, 1, 2]
+    assert [r.op for r in hist_after[1:]] == ["merge", "merge"]
+    # CDF replay over the full history == live serving state
+    last = hist_after[-1].version
+    state = {}
+    feed = engine.sql(
+        f"SELECT _commit_version AS cv, _change_type AS ct, user_id, n_events, "
+        f"sum_value FROM profiles CHANGES BETWEEN 0 AND {last} ORDER BY cv"
+    ).df.collect()
+    for r in feed:
+        if r.ct in ("insert", "update_postimage"):
+            state[r.user_id] = (r.n_events, round(r.sum_value, 6))
+        elif r.ct == "delete":
+            del state[r.user_id]
+    live = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in engine.sql(
+            "SELECT user_id, n_events, sum_value FROM profiles"
+        ).df.collect()
+    }
+    assert state == live
+    # and the live state equals the plain batch aggregate of the input
+    expected = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert live == expected
+    engine.sql("DROP TABLE profiles")
+    engine.sql("DROP TABLE applied_batches")
