@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     # r11 additions — benched on arrival (throttled round; engine
     # exercises stay out per the module note).
     "q_dpp_runtime_prune",
+    "q_aqe_skew_split",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

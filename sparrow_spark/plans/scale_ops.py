@@ -2257,3 +2257,105 @@ def q_learned_index_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_err_e4",
         "mean_err_e4",
     )
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join split audit — the AUTOMATIC twin of q_skew_join_salted
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_aqe_skew_split",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN event_id % 10 < 9 THEN 0
+                  ELSE event_id % 97 + 1 END AS k,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), dim AS (
+      SELECT i AS k, CAST(i * 2 AS BIGINT) AS w FROM range(0, 98) t(i)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents * w) AS BIGINT) AS weighted_cents,
+           CAST(TRUE AS BOOLEAN) AS skew_split_applied
+    FROM fact JOIN dim USING (k)
+    """,
+)
+def q_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime skew-join split audit — the AUTOMATIC twin of
+    q_skew_join_salted's manual salting: a deliberately skewed fact
+    (~90% of rows on one hot key) sort-merge-joins a 98-row dim with
+    broadcast disabled, and AQE must split the hot reduce partition at
+    runtime (the executed plan shows SortMergeJoin(skew=true) over an
+    `AQEShuffleRead skewed`). The plan is asserted, not assumed:
+    skew_split_applied comes from the executed plan and is
+    hash-checked by the oracle; the exact-BIGINT join aggregate proves
+    the split is lossless (skew slices replicate the dim side, so a
+    bug would double-count).
+
+    Two scale lessons are load-bearing here: (1) AQE splits a skewed
+    reduce partition into MAPPER-RANGE slices, so a single-mapper
+    upstream stage is unsplittable — the fact side is explicitly
+    repartitioned to 8 map tasks first, the same reason tiny-file or
+    coalesce(1) stages defeat skew handling on real clusters; (2) the
+    skew thresholds are bytes of shuffle data, so the audit scopes
+    them (restored in finally) to fire at fixture scale — production
+    leaves the 256 MB defaults. A third constraint shapes the query
+    itself: the operator ABOVE the join must not require the join
+    output's hash partitioning (a keyed or distinct aggregate would),
+    because splitting the hot partition breaks that guarantee and AQE
+    then declines the rewrite rather than insert an extra exchange —
+    so the audit aggregates globally. Salting (the manual twin)
+    remains the portable fallback when the engine lacks AQE."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "value")
+        # 8 map tasks: skew slices are mapper ranges (lesson 1 above).
+        .repartition(8, "event_id")
+    )
+    fact = ev.select(
+        F.when(F.col("event_id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("event_id") % 97 + 1)
+        .alias("k"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    dim = spark.range(0, 98).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("bigint").alias("w")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "512b",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256b",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        agg = fact.join(dim, "k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("cents") * F.col("w")).cast("bigint").alias(
+                "weighted_cents"
+            ),
+        )
+        # collect() (not first(): that plans its own limited
+        # QueryExecution) so executedPlan() below is the plan that
+        # actually ran — the q_agg_pushdown discipline.
+        rows = agg.collect()
+        split = "skew=true" in (
+            agg._jdf.queryExecution().executedPlan().toString()
+        )
+        row = rows[0]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [(row.n_rows, row.weighted_cents, split)],
+        "n_rows bigint, weighted_cents bigint, skew_split_applied boolean",
+    )
