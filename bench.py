@@ -302,6 +302,7 @@ BENCH_QUERIES = [
     # exercises stay out per the module note).
     "q_dpp_runtime_prune",
     "q_aqe_skew_split",
+    "q_aqe_coalesce_audit",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -2359,3 +2359,50 @@ def q_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(row.n_rows, row.weighted_cents, split)],
         "n_rows bigint, weighted_cents bigint, skew_split_applied boolean",
     )
+
+
+@query(
+    "q_aqe_coalesce_audit",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS chars,
+           CAST(TRUE AS BOOLEAN) AS shuffle_coalesced
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_aqe_coalesce_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE shuffle-partition coalescing audit — the third leg of the
+    runtime-optimizer trio (with q_dpp_runtime_prune and
+    q_aqe_skew_split): a plain grouped aggregate shuffles into the
+    session's static partition count (32), and AQE must fuse the
+    resulting undersized reduce partitions at runtime — the executed
+    plan shows `AQEShuffleRead coalesced` between the exchange and the
+    final aggregate. Asserted from the executed plan as an
+    oracle-checked boolean next to the exact aggregate values (the
+    q_agg_pushdown pattern); no confs are touched — this is the
+    session's standing configuration doing its job.
+
+    Scale: static shuffle.partitions is sized for the LARGEST stage of
+    the LARGEST query; every smaller stage would otherwise fragment
+    into thousands of near-empty tasks (scheduler overhead + tiny-file
+    outputs). Runtime coalescing is what makes one global setting
+    workable across a 100 TB workload mix — the number of reduce
+    tasks tracks actual map-output bytes (ceil(bytes/advisory size)),
+    not the static knob."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("chars"),
+        )
+        .orderBy("lang")
+    )
+    rows = agg.collect()
+    coalesced = "coalesced" in (
+        agg._jdf.queryExecution().executedPlan().toString()
+    )
+    return spark.createDataFrame(
+        [(r.lang, r.n_docs, r.chars, coalesced) for r in rows],
+        "lang string, n_docs bigint, chars bigint, shuffle_coalesced boolean",
+    ).orderBy("lang")
