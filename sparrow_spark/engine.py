@@ -1084,13 +1084,19 @@ class Engine:
         the row matched by the FIRST key set in index order (MySQL
         updates one row per incoming row); the remaining collisions
         suppress the insert but apply no second update. Intra-batch
-        duplicate keys still error 1062 (MySQL folds them sequentially;
-        documented deviation — stricter is safer set-at-a-time).
+        duplicate keys fold sequentially like MySQL for the
+        well-defined case (_insert_odku_sequential: VALUES batch,
+        single key set, key columns not reassigned); SELECT sources /
+        multi-index / key-mutating duplicates still error 1062
+        (documented deviation — MySQL's own fold order is undefined or
+        discouraged there).
 
         The reference only ERRORS on duplicates (error 1062,
         src/execute_impl/insert.rs:208); ODKU, REPLACE (_replace) and
         MERGE (_merge) are this engine's upsert supersets."""
-        schema, table, tdef, new_rows, _ = self._insert_rows_any(insert_part)
+        schema, table, tdef, new_rows, from_values = self._insert_rows_any(
+            insert_part
+        )
         key_sets = tdef.key_sets()
         if not key_sets:
             raise SparrowError(
@@ -1098,25 +1104,6 @@ class Engine:
                 "INSERT ... ON DUPLICATE KEY UPDATE requires a PRIMARY KEY "
                 "or UNIQUE constraint",
             )
-        # Intra-batch duplicates error, like REPLACE (MySQL applies the
-        # update sequentially in-batch — documented deviation). Rows
-        # with a NULL in the key never conflict and are exempt.
-        for index_name, cols in key_sets:
-            nn = new_rows
-            for c in cols:
-                nn = nn.filter(F.col(c).isNotNull())
-            dup = (
-                nn.groupBy(*cols)
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                key = "-".join(str(dup[0][c]) for c in cols)
-                raise SparrowError(
-                    1062, f"Duplicate entry '{key}' for key '{index_name}'"
-                )
         # Parse the assignment list; VALUES(c) -> the incoming row's c.
         assigns: list[tuple[str, str]] = []
         for part in split_top_level(assign_sql):
@@ -1131,6 +1118,46 @@ class Engine:
                 flags=re.I,
             )
             assigns.append((cname, expr_sql))
+        # Intra-batch duplicate keys: MySQL applies the UPDATE clause
+        # sequentially (first occurrence inserts-or-updates, each later
+        # one updates the accumulated row). That is implemented below
+        # for the well-defined case — a literal VALUES batch, a single
+        # key set, and assignments that don't rewrite key columns — by
+        # occurrence-rank passes (pass count = max multiplicity, each
+        # pass set-at-a-time). Outside that case (SELECT sources, whose
+        # fold order MySQL itself leaves undefined; multiple unique
+        # indexes, which MySQL's own docs say to avoid with ODKU; or
+        # key-mutating assignments, which cascade) it stays error 1062
+        # — documented in README "Dialect compatibility". Rows with a
+        # NULL in the key never conflict and are exempt throughout.
+        has_dups = False
+        for index_name, cols in key_sets:
+            nn = new_rows
+            for c in cols:
+                nn = nn.filter(F.col(c).isNotNull())
+            dup = (
+                nn.groupBy(*cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                has_dups = True
+                assigned = {c for c, _ in assigns}
+                if (
+                    not from_values
+                    or len(key_sets) > 1
+                    or assigned & set(cols)
+                ):
+                    key = "-".join(str(dup[0][c]) for c in cols)
+                    raise SparrowError(
+                        1062, f"Duplicate entry '{key}' for key '{index_name}'"
+                    )
+        if has_dups:
+            return self._insert_odku_sequential(
+                schema, table, tdef, new_rows, key_sets[0][1], assigns
+            )
 
         existing = self._read_physical(schema, table, tdef)
         col_names = [c.name for c in tdef.columns]
@@ -1179,6 +1206,86 @@ class Engine:
             schema, table, untouched.unionByName(updated).unionByName(inserted)
         )
         return Result("ok", affected_rows=n_inserted + 2 * n_updated)
+
+    def _insert_odku_sequential(
+        self,
+        schema: str,
+        table: str,
+        tdef,
+        new_rows: DataFrame,
+        key_cols: list[str],
+        assigns: list[tuple[str, str]],
+    ) -> Result:
+        """ODKU with intra-batch duplicate keys, MySQL's sequential
+        semantics: the first occurrence of a key inserts (or updates
+        the stored row), each later occurrence applies the assignment
+        list to the ACCUMULATED row. Folded in occurrence-rank passes:
+        pass i carries every key's i-th occurrence and runs as one
+        set-at-a-time pair-join + assignment against the state left by
+        pass i-1, so the loop count is the batch's max key
+        multiplicity, not its row count. The batch is a literal VALUES
+        list (the caller guarantees it), so collecting it for rank
+        assignment is statement-text-sized driver state; per-pass
+        localCheckpoint keeps the composed state's plan constant-sized.
+        affected_rows follows MySQL: 1 per insert + 2 per applied
+        update (a key hit K times counts 1 + 2*(K-1) when new, 2*K
+        when stored)."""
+        col_names = [c.name for c in tdef.columns]
+        rows = new_rows.collect()  # VALUES order (LocalRelation)
+        passes: list[list] = []
+        null_key_rows = []
+        seen: dict[tuple, int] = {}
+        for r in rows:
+            key = tuple(r[c] for c in key_cols)
+            if any(v is None for v in key):
+                null_key_rows.append(r)  # NULLs never conflict: plain insert
+                continue
+            occ = seen.get(key, 0)
+            seen[key] = occ + 1
+            while len(passes) <= occ:
+                passes.append([])
+            passes[occ].append(r)
+        state = self._read_physical(schema, table, tdef)
+        total_ins, total_upd = 0, 0
+        for batch_rows in passes:
+            batch = self.spark.createDataFrame(batch_rows, new_rows.schema)
+            incoming = batch.select(
+                *[F.col(c).alias(f"__new_{c}") for c in col_names]
+            )
+            cond = [state[c] == incoming[f"__new_{c}"] for c in key_cols]
+            pair = state.join(incoming, on=cond, how="inner")
+            upd = pair.select(
+                ROWID,
+                *[
+                    F.expr(dict(assigns)[c])
+                    .cast(tdef.column(c).spark_type)
+                    .alias(c)
+                    if c in dict(assigns)
+                    else F.col(c)
+                    for c in col_names
+                ],
+            )
+            unmatched = batch.join(
+                state.select(*key_cols), on=key_cols, how="left_anti"
+            )
+            ins = unmatched.select(F.expr("uuid()").alias(ROWID), *col_names)
+            n_upd, n_ins = upd.count(), ins.count()
+            total_upd += n_upd
+            total_ins += n_ins
+            state = (
+                state.join(pair.select(ROWID), on=ROWID, how="left_anti")
+                .unionByName(upd)
+                .unionByName(ins)
+                .localCheckpoint(eager=True)
+            )
+        if null_key_rows:
+            nk = self.spark.createDataFrame(null_key_rows, new_rows.schema)
+            state = state.unionByName(
+                nk.select(F.expr("uuid()").alias(ROWID), *col_names)
+            )
+            total_ins += len(null_key_rows)
+        self._overwrite_data(schema, table, state)
+        return Result("ok", affected_rows=total_ins + 2 * total_upd)
 
     def _merge(self, stmt: str) -> Result:
         """MERGE INTO target USING src ON cond

@@ -115,3 +115,68 @@ def test_odku_select_source(engine):
     rows = engine.sql("SELECT id, v FROM dstb ORDER BY id").df.collect()
     assert [(x.id, x.v) for x in rows] == [(1, 11), (2, 20)]
     engine.sql("DROP TABLE srcb, dstb")
+
+
+def test_odku_intra_batch_duplicates_fold_sequentially(engine):
+    """MySQL applies ODKU sequentially within one batch: the first
+    occurrence of a new key inserts, each later one applies the UPDATE
+    clause to the accumulated row (the CDC multi-row upsert pattern)."""
+    engine.sql("CREATE SCHEMA seqf")
+    engine.sql("USE seqf")
+    engine.sql("CREATE TABLE t (id INT, name CHAR, bal DOUBLE, PRIMARY KEY(id))")
+    engine.sql("INSERT INTO t VALUES (1, 'stored', 100.0)")
+    res = engine.sql(
+        "INSERT INTO t VALUES (1, 'a', 10.0), (2, 'b', 5.0), (1, 'c', 7.0), "
+        "(2, 'd', 3.0), (2, 'e', 1.0) "
+        "ON DUPLICATE KEY UPDATE bal = bal + VALUES(bal), name = VALUES(name)"
+    )
+    # id 1 stored: two updates = 4; id 2 new: 1 insert + two updates = 5
+    assert res.affected_rows == 9
+    rows = engine.sql("SELECT id, name, bal FROM t ORDER BY id").rows()
+    assert rows == [(1, "c", 117.0), (2, "e", 9.0)]
+    engine.sql("DROP SCHEMA seqf")
+
+
+def test_odku_sequential_fold_with_null_keys_and_stored_rows(engine):
+    engine.sql("CREATE SCHEMA seqf2")
+    engine.sql("USE seqf2")
+    engine.sql("CREATE TABLE t (k INT, v INT, UNIQUE KEY uk (k))")
+    engine.sql("INSERT INTO t VALUES (7, 1)")
+    res = engine.sql(
+        "INSERT INTO t VALUES (7, 10), (NULL, 5), (7, 20), (NULL, 6) "
+        "ON DUPLICATE KEY UPDATE v = v + VALUES(v)"
+    )
+    # 7 folds twice (2+2); the NULL-keyed rows never conflict: 2 inserts
+    assert res.affected_rows == 6
+    rows = engine.sql("SELECT k, v FROM t ORDER BY v").rows()
+    assert rows == [(None, 5), (None, 6), (7, 31)]
+    engine.sql("DROP SCHEMA seqf2")
+
+
+def test_odku_duplicates_still_error_outside_the_defined_case(engine):
+    import pytest
+
+    from sparrow_spark.engine import SparrowError
+
+    engine.sql("CREATE SCHEMA seqf3")
+    engine.sql("USE seqf3")
+    # multiple unique indexes: fold stays an error (MySQL discourages it)
+    engine.sql(
+        "CREATE TABLE multi (id INT, em CHAR, v INT, PRIMARY KEY(id), "
+        "UNIQUE KEY uem (em))"
+    )
+    with pytest.raises(SparrowError) as ei:
+        engine.sql(
+            "INSERT INTO multi VALUES (1, 'a', 1), (1, 'b', 2) "
+            "ON DUPLICATE KEY UPDATE v = VALUES(v)"
+        )
+    assert ei.value.code == 1062
+    # key-mutating assignment: fold stays an error (cascades)
+    engine.sql("CREATE TABLE keymut (id INT, v INT, PRIMARY KEY(id))")
+    with pytest.raises(SparrowError) as ei2:
+        engine.sql(
+            "INSERT INTO keymut VALUES (1, 1), (1, 2) "
+            "ON DUPLICATE KEY UPDATE id = id + 1"
+        )
+    assert ei2.value.code == 1062
+    engine.sql("DROP SCHEMA seqf3")

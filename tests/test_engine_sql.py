@@ -810,12 +810,16 @@ def test_insert_on_duplicate_key_update(engine):
 
     from sparrow_spark.engine import SparrowError
 
-    # intra-batch duplicate still errors (stricter than MySQL)
-    with _pytest.raises(SparrowError, match="Duplicate entry"):
-        engine.sql(
-            "INSERT INTO acct VALUES (7, 1, 'x'), (7, 2, 'y') "
-            "ON DUPLICATE KEY UPDATE hits = VALUES(hits)"
-        )
+    # intra-batch duplicates fold sequentially (MySQL semantics, r11):
+    # 7 inserts as (7,1,'x'), then the second occurrence applies the
+    # UPDATE clause -> hits = 2. affected_rows = 1 insert + 2 update.
+    r = engine.sql(
+        "INSERT INTO acct VALUES (7, 1, 'x'), (7, 2, 'y') "
+        "ON DUPLICATE KEY UPDATE hits = VALUES(hits)"
+    )
+    assert r.affected_rows == 3
+    rows = engine.sql("SELECT hits, name FROM acct WHERE id = 7").df.collect()
+    assert [(x.hits, x.name) for x in rows] == [(2, "x")]
     # no unique key -> rejected
     engine.sql("CREATE TABLE nokey2 (a INT)")
     with _pytest.raises(SparrowError, match="PRIMARY KEY"):
