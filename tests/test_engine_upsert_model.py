@@ -24,8 +24,17 @@ def _expected_affected(kind, model, rows):
                 seen.add(k)
         return landed
     if kind == "odku":
-        ins = sum(1 for k, _v in rows if k not in model)
-        return ins + 2 * (len(rows) - ins)
+        # sequential fold (r11): a key's first occurrence inserts when
+        # new, every later occurrence in the same batch updates.
+        n = 0
+        seen = set()
+        for k, _v in rows:
+            if k in model or k in seen:
+                n += 2
+            else:
+                n += 1
+                seen.add(k)
+        return n
     if kind == "replace":
         return len(rows)
     return None
@@ -70,8 +79,14 @@ def test_upsert_family_matches_dict_model(engine):
                 del model[k]
             continue
         # batches with intra-batch-unique keys (plain INSERT with a
-        # stored collision must error and leave state unchanged)
-        keys = rng.sample(range(20), rng.randrange(1, 4))
+        # stored collision must error and leave state unchanged) —
+        # except ODKU, whose batches draw WITH replacement so
+        # intra-batch duplicate keys exercise the sequential fold
+        # (the dict model's in-order walk IS MySQL's fold).
+        if kind == "odku":
+            keys = rng.choices(range(20), k=rng.randrange(1, 5))
+        else:
+            keys = rng.sample(range(20), rng.randrange(1, 4))
         rows = [(k, rng.randrange(100)) for k in keys]
         values = ", ".join(f"({k}, {v})" for k, v in rows)
         if kind == "insert":
