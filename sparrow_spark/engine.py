@@ -420,6 +420,8 @@ class Engine:
         sql = self._rewrite_information_schema(sql)
         if re.search(r"VERSION\s+AS\s+OF", sql, re.I):
             sql = self._rewrite_version_as_of(sql)
+        if re.search(r"TIMESTAMP\s+AS\s+OF", sql, re.I):
+            sql = self._rewrite_timestamp_as_of(sql)
         if re.search(r"CHANGES\s+BETWEEN", sql, re.I):
             sql = self._rewrite_changes_between(sql)
         try:
@@ -2220,6 +2222,60 @@ class Engine:
             return view
 
         return self._VERSION_AS_OF_RE.sub(sub, sql)
+
+    _TIMESTAMP_AS_OF_RE = re.compile(
+        r"(`?\w+`?(?:\s*\.\s*`?\w+`?)?)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
+        re.I,
+    )
+
+    def _rewrite_timestamp_as_of(self, sql: str) -> str:
+        """SELECT ... FROM t TIMESTAMP AS OF 'yyyy-mm-dd[ hh:mm:ss[.ffffff]]'
+        — time travel by wall clock (Delta parity): resolves to the
+        LATEST version whose manifest committed at or before the given
+        UTC instant, then reads like VERSION AS OF."""
+        import datetime
+
+        def sub(m: "re.Match[str]") -> str:
+            schema, table = self._resolve_table_name(m.group(1))
+            self._require_snapshot(schema, table)
+            raw = m.group(2)
+            ts = None
+            for fmt in (
+                "%Y-%m-%d %H:%M:%S.%f",
+                "%Y-%m-%d %H:%M:%S",
+                "%Y-%m-%d",
+            ):
+                try:
+                    ts = (
+                        datetime.datetime.strptime(raw, fmt)
+                        .replace(tzinfo=datetime.timezone.utc)
+                        .timestamp()
+                    )
+                    break
+                except ValueError:
+                    continue
+            if ts is None:
+                raise SparrowError(
+                    1105, f"Unknown error: bad TIMESTAMP AS OF literal '{raw}'"
+                )
+            cands = [
+                v
+                for v in self._snap_versions(schema, table)
+                if self._snap_manifest(schema, table, v)["ts"] <= ts
+            ]
+            if not cands:
+                raise SparrowError(
+                    1105,
+                    f"Unknown error: no version of `{schema}`.`{table}` "
+                    f"committed at or before '{raw}'",
+                )
+            v = max(cands)
+            df = self._snap_read(schema, table, v).drop(ROWID)
+            view = f"__snapshot_{schema}_{table}_v{v}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return self._TIMESTAMP_AS_OF_RE.sub(sub, sql)
 
     _CHANGES_BETWEEN_RE = re.compile(
         r"(`?\w+`?(?:\s*\.\s*`?\w+`?)?)\s+CHANGES\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)",

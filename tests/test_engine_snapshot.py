@@ -343,3 +343,42 @@ def test_streaming_upsert_into_snapshot_table(engine, spark, sf_dir, tmp_path):
     assert live == expected
     engine.sql("DROP TABLE profiles")
     engine.sql("DROP TABLE applied_batches")
+
+
+def test_snapshot_timestamp_as_of(engine):
+    """Time travel by wall clock: TIMESTAMP AS OF resolves to the
+    latest version committed at or before the given UTC instant."""
+    import datetime
+    import time
+
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.sql("CREATE TABLE tta (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT")
+    engine.sql("INSERT INTO tta VALUES (1, 10)")  # v1
+    time.sleep(1.2)
+    engine.sql("UPDATE tta SET v = 99 WHERE id = 1")  # v2
+    hist = engine.sql("SHOW VERSIONS FROM tta").df.collect()
+    # an instant strictly between v1 and v2: committed_at truncates to
+    # the second, so trunc(v1)+1.0 >= the real v1 instant (fraction <1)
+    # and < the real v2 instant (the 1.2 s sleep) — both bounds hold
+    # for ANY sub-second fraction, unlike a +0.9 offset (flaked once).
+    t1 = datetime.datetime.strptime(
+        hist[1].committed_at, "%Y-%m-%d %H:%M:%S"
+    ) + datetime.timedelta(seconds=1.0)
+    lit = t1.strftime("%Y-%m-%d %H:%M:%S.%f")
+    rows = engine.sql(
+        f"SELECT id, v FROM tta TIMESTAMP AS OF '{lit}'"
+    ).df.collect()
+    assert [(r.id, r.v) for r in rows] == [(1, 10)]
+    # at-or-after the last commit -> live state
+    future = (t1 + datetime.timedelta(hours=1)).strftime("%Y-%m-%d %H:%M:%S")
+    rows = engine.sql(
+        f"SELECT id, v FROM tta TIMESTAMP AS OF '{future}'"
+    ).df.collect()
+    assert [(r.id, r.v) for r in rows] == [(1, 99)]
+    # before the table existed -> error
+    with pytest.raises(SparrowError, match="at or before"):
+        engine.sql("SELECT * FROM tta TIMESTAMP AS OF '1999-01-01'")
+    with pytest.raises(SparrowError, match="bad TIMESTAMP"):
+        engine.sql("SELECT * FROM tta TIMESTAMP AS OF 'not-a-time'")
+    engine.sql("DROP TABLE tta")
