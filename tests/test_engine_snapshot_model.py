@@ -31,13 +31,32 @@ def _versions(engine):
     ]
 
 
-def _live(engine):
+def _region(i):
+    # partitioned variant: the partition value is derived from the id,
+    # so reads must recover it from the <col>=<val>/ pool paths — the
+    # basePath subtlety the flat variant cannot exercise.
+    return f"r{i % 3}"
+
+
+def _live(engine, part):
+    if part:
+        return {
+            r.id: (r.v, r.region)
+            for r in engine.sql("SELECT id, v, region FROM m").df.collect()
+        }
     return {
         r.id: r.v for r in engine.sql("SELECT id, v FROM m").df.collect()
     }
 
 
-def _asof(engine, v):
+def _asof(engine, v, part):
+    if part:
+        return {
+            r.id: (r.v, r.region)
+            for r in engine.sql(
+                f"SELECT id, v, region FROM m VERSION AS OF {v}"
+            ).df.collect()
+        }
     return {
         r.id: r.v
         for r in engine.sql(
@@ -46,13 +65,25 @@ def _asof(engine, v):
     }
 
 
-@pytest.mark.parametrize("seed", [7, 23])
-def test_snapshot_version_model_walk(engine, seed):
+def _expect(state, part):
+    if part:
+        return {i: (v, _region(i)) for i, v in state.items()}
+    return dict(state)
+
+
+@pytest.mark.parametrize("seed,part", [(7, False), (23, False), (7, True)])
+def test_snapshot_version_model_walk(engine, seed, part):
     engine.sql("CREATE DATABASE IF NOT EXISTS snapmodel")
     engine.sql("USE snapmodel")
-    engine.sql(
-        "CREATE TABLE m (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT"
-    )
+    if part:
+        engine.sql(
+            "CREATE TABLE m (id INT, v INT, region CHAR, PRIMARY KEY(id)) "
+            "ENGINE=SNAPSHOT PARTITIONED BY (region)"
+        )
+    else:
+        engine.sql(
+            "CREATE TABLE m (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT"
+        )
     rng = random.Random(seed)
     # model: states[k] = dict state AS OF version k; live = states[-1]
     states = [{}]  # v0 = create (empty)
@@ -71,7 +102,12 @@ def test_snapshot_version_model_walk(engine, seed):
             for _ in range(n):
                 next_id += 1
                 st[next_id] = next_id * 10
-                rows.append(f"({next_id}, {next_id * 10})")
+                if part:
+                    rows.append(
+                        f"({next_id}, {next_id * 10}, '{_region(next_id)}')"
+                    )
+                else:
+                    rows.append(f"({next_id}, {next_id * 10})")
             engine.sql(f"INSERT INTO m VALUES {', '.join(rows)}")
             states.append(st)
         elif op == "update":
@@ -110,11 +146,15 @@ def test_snapshot_version_model_walk(engine, seed):
             f"step {step} ({op}): version ids {[h[0] for h in hist]} "
             f"!= model 0..{len(states) - 1}"
         )
-        assert _live(engine) == states[-1], f"step {step} ({op}): live mismatch"
+        assert _live(engine, part) == _expect(states[-1], part), (
+            f"step {step} ({op}): live mismatch"
+        )
 
     # every retained version time-travels to the modeled state
     for k in range(len(states)):
-        assert _asof(engine, k) == states[k], f"AS OF {k} mismatch"
+        assert _asof(engine, k, part) == _expect(states[k], part), (
+            f"AS OF {k} mismatch"
+        )
 
     # the change feed replays the oldest state into the live state
     last = len(states) - 1
@@ -151,8 +191,8 @@ def test_snapshot_version_model_walk(engine, seed):
     kept = [h[0] for h in _versions(engine)]
     assert kept == list(range(len(states) - 3, len(states)))
     for k in kept:
-        assert _asof(engine, k) == states[k]
+        assert _asof(engine, k, part) == _expect(states[k], part)
     with pytest.raises(SparrowError, match="does not exist"):
         engine.sql(f"SELECT * FROM m VERSION AS OF {kept[0] - 1}")
-    assert _live(engine) == states[-1]
+    assert _live(engine, part) == _expect(states[-1], part)
     engine.sql("DROP TABLE m")
