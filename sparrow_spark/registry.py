@@ -63,65 +63,68 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver row yet go first — new additions are inserted HERE in the
 # same commit that registers them (the r3/r4 lesson: additions past
 # the frozen window stay unverified a full round); (2) red rows
-# re-enter immediately; (3) then the stalest families. r11 window:
-# the exact pre-committed list from COVERAGE.md's r10 ledger (the
-# first 50 never-driver-checked queries in raw registration order) —
-# CORRECTNESS_r10.json exists and is 50/50 green, so the r10 window
-# rotates out and this block rotates in, as pre-committed. The
-# 43-query overflow (also enumerated in the ledger) waits for r12;
-# r11 additions are throttled (≤10) and queue BEHIND the overflow so
-# the never-checked backlog keeps draining.
+# re-enter immediately; (3) then the stalest families. r12 window:
+# the exact pre-committed list from COVERAGE.md's r11 ledger —
+# CORRECTNESS_r11.json exists and is 50/50 green, so the r11 window
+# rotates out and this block rotates in, as pre-committed: the
+# 43-query never-driver-checked overflow (q_k_anonymity …
+# q_multiple_regression, raw registration order) plus the stalest
+# driver-green rows (last checked r3, registration order) in the
+# remaining slots. r12 additions are throttled (≤10); per rule 1 an
+# addition enters the window at slot 44 (behind the overflow, ahead
+# of the stale re-checks), displacing the stale tail — the 50
+# still-never-checked r10/r11 additions queue for r13.
 _WINDOW_PRIORITY: list[str] = [
-    "q_seasonality_strength",
-    "q_gap_fill_interpolate",
-    "q_holt_winters",
-    "q_esd_outliers",
-    "q_cohens_kappa",
-    "q_theil_sen_mk",
-    "q_page_hinkley",
-    "q_simpson_paradox",
-    "q_gmm_estep",
-    "q_iptw_ate",
-    "q_wilcoxon_signed_rank",
-    "q_uplift_deciles",
-    "q_sprt_sequential",
-    "q_hmm_forward",
-    "q_effect_size_suite",
-    "q_did_event_study",
-    "q_energy_distance",
-    "q_spearman_corr",
-    "q_cramer_von_mises",
-    "q_attribution_position",
-    "q_funnel_windowed",
-    "q_association_rules",
-    "q_shapley_attribution",
-    "q_ucb_replay",
-    "q_markov_attribution",
-    "q_attribution_window_sensitivity",
-    "q_compaction_planner",
-    "q_scd2_asof_join",
-    "q_matryoshka_eval",
-    "q_pca_power_iteration",
-    "q_mutual_knn",
-    "q_mmr_rerank",
-    "q_retrieval_ndcg",
-    "q_label_propagation",
-    "q_graph_modularity",
-    "q_record_linkage_fs",
-    "q_bleu_pairs",
-    "q_hits_hubs_auth",
-    "q_link_prediction",
-    "q_hll_union",
-    "q_kmv_distinct",
-    "q_kmv_intersection",
-    "q_bloom_fpr",
-    "q_image_phash_dedup",
-    "q_audio_features_stub",
-    "q_sequence_packing_masked",
-    "q_salted_agg",
-    "q_systematic_sample",
-    "q_fk_integrity",
-    "q_filter_eval_auc",
+    "q_k_anonymity",
+    "q_bias_mi",
+    "q_weak_supervision",
+    "q_shard_export",
+    "q_quantile_normalize",
+    "q_dp_noisy_counts",
+    "q_quality_band_mix",
+    "q_budget_allocation",
+    "q_calibration_curve",
+    "q_weighted_reservoir",
+    "q_skew_join_salted",
+    "q_dp_exponential_topk",
+    "q_isotonic_calibration",
+    "q_priority_sampling",
+    "q_water_filling",
+    "q_brier_decomposition",
+    "q_knapsack_frontier",
+    "q_average_precision",
+    "q_collocation_pmi",
+    "q_chi2_terms",
+    "q_rag_chunking",
+    "q_boilerplate_interdoc",
+    "q_pps_systematic",
+    "q_feature_hashing",
+    "q_heaps_law",
+    "q_format_roundtrip",
+    "q_csv_malformed",
+    "q_partition_prune",
+    "q_agg_pushdown",
+    "q_schema_evolution",
+    "q_stream_topk_trending",
+    "q_stream_outer_join",
+    "q_stream_tws_running_totals",
+    "q_price_index",
+    "q_newsvendor_quantile",
+    "q_lorenz_curve",
+    "q_jackknife_variance",
+    "q_qq_compare",
+    "q_silhouette_centroid",
+    "q_capture_recapture",
+    "q_gumbel_return_level",
+    "q_overdispersion_nb",
+    "q_multiple_regression",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q_join_left_outer",
+    "q_join_right_outer",
+    "q_join_full_outer",
 ]
 
 
