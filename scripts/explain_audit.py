@@ -61,7 +61,6 @@ WINDOW_WHITELIST: dict[str, str] = {
     "q_key_skew_audit": "cumsum over the count-of-counts histogram",
     "q_kmv_intersection": "rank over the 2k-row union sketch",
     "q_markov_entropy": "windows over the |types|^2 transition table",
-    "q_negative_sampling": "vocab-table cumulative (documented bucket escape at 1M+ vocab)",
     "q_neyman_allocation": "windows over the |strata|-row table",
     "q_pinball_loss": "rolling window over the day table",
     "q_ratio_to_parent": "parent ratios over the 25-row nation table",
@@ -71,7 +70,6 @@ WINDOW_WHITELIST: dict[str, str] = {
     "q_top_paths": "rank over the |types|^3 path table",
     "q_value_at_risk": "lag over the daily series",
     "q_variance_decomposition": "centered window over the daily series",
-    "q_vocab_coverage": "rank+cumsum over the vocab table (documented global_sort_ranks escape at web vocab)",
     "q_weighted_reservoir": "rank over the LIMIT-k output",
     "q_wilcoxon_signed_rank": "midrank window over distinct |diff| values of the day-pair table",
 }

@@ -2069,30 +2069,34 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     is identical everywhere; all quantities stay far inside exact
     BIGINT/double range.
 
-    Scale: the vocab + cumulative table is vocabulary-sized (built
-    with one keyed agg + one vocab-sized window) and broadcasts; the
-    draws table is docs x slots built map-side; the range lookup is
-    the banded-join pattern (here a broadcast range join against the
-    vocab table — at a 1M+ vocab, bucket the [0, total) axis and
-    equi-join on the bucket exactly like q_range_join_banded)."""
+    Scale: the cumulative ranges come from global_running_sums
+    (range-partition on t + local running sum + broadcast predecessor
+    totals — every stage scales with executors, NO partition-less
+    window even over the vocab table) and the grand total is a 1-row
+    broadcast aggregate; the draws table is docs x slots built
+    map-side; the range lookup is the banded-join pattern (here a
+    broadcast range join against the vocab-sized cum table — at a
+    1M+ vocab, bucket the [0, total) axis and equi-join on the
+    bucket exactly like q_range_join_banded)."""
+    from sparrow_spark.operators.dedup import global_running_sums
+
     docs = widen(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     vocab = tok.groupBy("t").agg(
         F.pow(F.count(F.lit(1)), F.lit(NEG_TABLE_POW)).alias("wt")
     )
-    from pyspark.sql import Window as W
-
-    ow = W.orderBy("t")
+    # lo = exclusive prefix sum (cum - wt: first row's cum IS its wt,
+    # so lo lands exactly on 0.0), hi = inclusive prefix sum, total =
+    # one broadcast row — all without a single-task global window.
+    total = vocab.agg(F.sum("wt").alias("total"))
     cum = (
-        vocab.withColumn(
-            "lo",
-            F.coalesce(
-                F.sum("wt").over(ow.rowsBetween(W.unboundedPreceding, -1)),
-                F.lit(0.0),
-            ),
+        global_running_sums(vocab, ["t"], ["wt"])
+        .select(
+            "t",
+            (F.col("cum_wt") - F.col("wt")).alias("lo"),
+            F.col("cum_wt").alias("hi"),
         )
-        .withColumn("hi", F.sum("wt").over(ow.rowsBetween(W.unboundedPreceding, 0)))
-        .withColumn("total", F.sum("wt").over(W.partitionBy()))
+        .crossJoin(F.broadcast(total))
     )
     slots = spark.range(NEG_SAMPLES_PER_DOC).select(F.col("id").alias("slot"))
     draws = (
@@ -2662,32 +2666,40 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     for its embedding rows; the complement of the curve is the OOV
     rate a K-sized vocab would eat).
 
-    Scale: one explode + one vocab-keyed agg; ranking and the
-    cumulative sum run over the VOCAB-sized table (window note: at a
-    10^7-type web vocab, rank via global_sort_ranks and bucketize the
-    cumsum — the same two-phase trick, unchanged semantics)."""
+    Scale: one explode + one vocab-keyed agg; the DESC frequency rank
+    comes from global_sort_ranks on a pre-negated key (range-partition
+    + local rank + broadcast offsets — NO partition-less window even
+    over the vocab table), the grand total is a 1-row broadcast
+    aggregate, and the cumulative sum only ever matters for the top
+    max(K) rows — a CONSTANT-bounded head — so it is a triangular
+    broadcast self-join of that head, exact because the f values are
+    integer-valued doubles (any summation order is bit-identical
+    below 2^53)."""
+    from sparrow_spark.operators.dedup import global_sort_ranks
+
     docs = widen(load_table(spark, sf_dir, "documents"))
     freq = (
         docs.select(F.explode(tokens(F.col("text"))).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("double").alias("f"))
     )
-    from pyspark.sql import Window as W
-
-    ranked = freq.select(
-        "f",
-        F.row_number().over(W.orderBy(F.col("f").desc(), "t")).alias("rk"),
-        F.sum("f").over(W.partitionBy()).alias("total"),
+    total = freq.agg(F.sum("f").alias("total"))
+    top = (
+        global_sort_ranks(freq.withColumn("_negf", -F.col("f")), ["_negf", "t"])
+        .withColumnRenamed("rn", "rk")
+        .filter(F.col("rk") <= max(_COVERAGE_KS))
+        .select("rk", "f")
     )
-    cum = ranked.select(
-        "rk", "total",
-        F.sum("f").over(W.orderBy("rk").rowsBetween(W.unboundedPreceding, 0)).alias(
-            "cum_f"
-        ),
+    cum = (
+        top.alias("a")
+        .join(F.broadcast(top.alias("b")), F.col("b.rk") <= F.col("a.rk"))
+        .groupBy(F.col("a.rk").alias("rk"))
+        .agg(F.sum("b.f").alias("cum_f"))
     )
     ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k bigint")
     return (
-        cum.join(F.broadcast(ks))
+        cum.crossJoin(F.broadcast(total))
+        .join(F.broadcast(ks))
         .groupBy("k")
         .agg(
             rnd(
