@@ -173,6 +173,13 @@ class Engine:
         # when called directly, the activated one under Session.sql).
         self._default_session = Session(self)
         self._active = self._default_session
+        # Injectable logical clock for SNAPSHOT manifest timestamps:
+        # None -> wall clock. Tests / driver exercises set a callable
+        # returning monotonically increasing epoch seconds so
+        # TIMESTAMP AS OF becomes deterministic (oracle-able) — the
+        # commit protocol itself never reads the clock for ordering
+        # (version numbers do that), so this changes no semantics.
+        self.snapshot_clock = None
         # database() UDF, mirroring the reference's only custom UDF
         # (src/core/execution.rs:135-156). The closure is pickled to the
         # workers at registration time, so it must capture a plain value
@@ -1988,7 +1995,7 @@ class Engine:
         man = {
             "version": v,
             "op": op or getattr(self, "_stmt_kind", None) or "write",
-            "ts": time.time(),
+            "ts": self.snapshot_clock() if self.snapshot_clock else time.time(),
             "files": rels,
         }
         while True:
@@ -2063,13 +2070,23 @@ class Engine:
                 f"Unknown error: CHANGES BETWEEN {v_from} AND {v_to} is an "
                 "empty range",
             )
-        for v in (v_from, v_to):
-            if v not in versions:
-                raise SparrowError(
-                    1105,
-                    f"Unknown error: version {v} of `{schema}`.`{table}` "
-                    "does not exist (vacuumed or never committed)",
-                )
+        # Every version in the CLOSED range must survive, not just the
+        # endpoints: commits are numbered densely (no-op commits do not
+        # consume numbers), so a gap means VACUUM dropped a manifest —
+        # and lumping its changes into the next surviving version would
+        # misattribute commit provenance. Delta's table_changes errors
+        # the same way on a vacuumed range.
+        missing = [
+            v for v in range(v_from, v_to + 1) if v not in set(versions)
+        ]
+        if missing:
+            raise SparrowError(
+                1105,
+                f"Unknown error: version(s) {missing} of "
+                f"`{schema}`.`{table}` does not exist (vacuumed or never "
+                f"committed) — CHANGES BETWEEN requires every version in "
+                "the range",
+            )
         cols = [c.name for c in tdef.columns]
         out_schema = ", ".join(
             [f"`{c.name}` {c.spark_type}" for c in tdef.columns]
@@ -2204,6 +2221,60 @@ class Engine:
                     pass
         return Result("ok", affected_rows=removed)
 
+    @staticmethod
+    def _literal_spans(sql: str) -> list[tuple[int, int]]:
+        """Character spans of quoted string literals ('…' with '' and
+        backslash escapes, "…") and SQL comments (-- …, /* … */), so
+        the snapshot time-travel rewrites never fire inside them —
+        `SELECT 'from t CHANGES BETWEEN 1 AND 2'` must stay a string,
+        not get its contents rewritten into a temp-view reference."""
+        spans: list[tuple[int, int]] = []
+        i, n = 0, len(sql)
+        while i < n:
+            c = sql[i]
+            if c in ("'", '"'):
+                j = i + 1
+                while j < n:
+                    if sql[j] == "\\" and j + 1 < n:
+                        j += 2
+                        continue
+                    if sql[j] == c:
+                        if j + 1 < n and sql[j + 1] == c:  # '' escape
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                end = min(j + 1, n)
+                spans.append((i, end))
+                i = end
+            elif sql.startswith("--", i):
+                j = sql.find("\n", i)
+                end = n if j == -1 else j
+                spans.append((i, end))
+                i = end
+            elif sql.startswith("/*", i):
+                j = sql.find("*/", i)
+                end = n if j == -1 else j + 2
+                spans.append((i, end))
+                i = end
+            else:
+                i += 1
+        return spans
+
+    def _sub_outside_literals(self, pattern, repl, sql: str) -> str:
+        """pattern.sub(repl, sql), skipping matches that START inside a
+        string literal or comment (a match may legitimately CONTAIN a
+        literal — TIMESTAMP AS OF '…' — so only the start matters)."""
+        spans = self._literal_spans(sql)
+
+        def guarded(m: "re.Match[str]") -> str:
+            p = m.start()
+            if any(a <= p < b for a, b in spans):
+                return m.group(0)
+            return repl(m)
+
+        return pattern.sub(guarded, sql)
+
     _VERSION_AS_OF_RE = re.compile(
         r"(`?\w+`?(?:\s*\.\s*`?\w+`?)?)\s+VERSION\s+AS\s+OF\s+(\d+)", re.I
     )
@@ -2221,7 +2292,7 @@ class Engine:
             df.createOrReplaceTempView(view)
             return view
 
-        return self._VERSION_AS_OF_RE.sub(sub, sql)
+        return self._sub_outside_literals(self._VERSION_AS_OF_RE, sub, sql)
 
     _TIMESTAMP_AS_OF_RE = re.compile(
         r"(`?\w+`?(?:\s*\.\s*`?\w+`?)?)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
@@ -2232,7 +2303,14 @@ class Engine:
         """SELECT ... FROM t TIMESTAMP AS OF 'yyyy-mm-dd[ hh:mm:ss[.ffffff]]'
         — time travel by wall clock (Delta parity): resolves to the
         LATEST version whose manifest committed at or before the given
-        UTC instant, then reads like VERSION AS OF."""
+        instant, then reads like VERSION AS OF. Like Delta, a literal
+        AFTER the latest commit is an error (asking for "the table as
+        of tomorrow" is almost always a typo'd literal, and silently
+        serving the live state would let it change retroactively).
+        Deviation from Delta (documented in README): the literal is
+        interpreted as UTC, not the session timezone — manifest
+        timestamps are epoch seconds and this engine pins its session
+        timezone to UTC throughout."""
         import datetime
 
         def sub(m: "re.Match[str]") -> str:
@@ -2258,16 +2336,24 @@ class Engine:
                 raise SparrowError(
                     1105, f"Unknown error: bad TIMESTAMP AS OF literal '{raw}'"
                 )
-            cands = [
-                v
+            stamps = {
+                v: self._snap_manifest(schema, table, v)["ts"]
                 for v in self._snap_versions(schema, table)
-                if self._snap_manifest(schema, table, v)["ts"] <= ts
-            ]
+            }
+            cands = [v for v, t in stamps.items() if t <= ts]
             if not cands:
                 raise SparrowError(
                     1105,
                     f"Unknown error: no version of `{schema}`.`{table}` "
                     f"committed at or before '{raw}'",
+                )
+            if stamps and ts > max(stamps.values()):
+                raise SparrowError(
+                    1105,
+                    f"Unknown error: TIMESTAMP AS OF '{raw}' is after the "
+                    f"latest commit of `{schema}`.`{table}` — use VERSION "
+                    f"AS OF {max(stamps)} or no time-travel clause for the "
+                    "live state",
                 )
             v = max(cands)
             df = self._snap_read(schema, table, v).drop(ROWID)
@@ -2275,7 +2361,7 @@ class Engine:
             df.createOrReplaceTempView(view)
             return view
 
-        return self._TIMESTAMP_AS_OF_RE.sub(sub, sql)
+        return self._sub_outside_literals(self._TIMESTAMP_AS_OF_RE, sub, sql)
 
     _CHANGES_BETWEEN_RE = re.compile(
         r"(`?\w+`?(?:\s*\.\s*`?\w+`?)?)\s+CHANGES\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)",
@@ -2295,7 +2381,7 @@ class Engine:
             df.createOrReplaceTempView(view)
             return view
 
-        return self._CHANGES_BETWEEN_RE.sub(sub, sql)
+        return self._sub_outside_literals(self._CHANGES_BETWEEN_RE, sub, sql)
 
     def _spark_create_db(self, schema: str) -> None:
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{schema}`")

@@ -265,3 +265,59 @@ def q_engine_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY ver, change, id"
     ).df
     return _freeze_and_cleanup(spark, out, schema, wh)
+
+
+@query(
+    "q_engine_snapshot_asof_ts",
+    oracle="""
+    SELECT src, id, val FROM (VALUES
+      ('t1', 1, 10),
+      ('t1', 2, 20),
+      ('t2', 1, 10),
+      ('t2', 2, 99),
+      ('t3', 1, 10),
+      ('t3', 2, 99),
+      ('t3', 3, 30)
+    ) t(src, id, val)
+    ORDER BY src, id
+    """,
+)
+def q_engine_snapshot_asof_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF wall-clock time travel, made hash-verifiable by
+    the engine's injectable logical clock (engine.snapshot_clock):
+    commits stamp base=1700000000 (2023-11-14 22:13:20 UTC), +60 s per
+    commit, so each literal below resolves deterministically to the
+    latest version committed at or before it — t1 lands between v1 and
+    v2 (reads v1), t2 hits v2's exact instant (inclusive), t3 lands
+    after v3's commit but is clamped to the last commit via an exact
+    literal (a ts past the latest commit errors, Delta parity). The
+    wall-clock default path keeps its own pytest
+    (test_snapshot_timestamp_as_of)."""
+    eng, schema, wh = _fresh_engine(spark)
+    base = 1_700_000_000
+    ticks = iter(range(100))
+    eng.snapshot_clock = lambda: base + 60 * next(ticks)
+    try:
+        eng.script(
+            """
+            CREATE TABLE ta (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT;
+            INSERT INTO ta VALUES (1, 10), (2, 20);
+            UPDATE ta SET v = 99 WHERE id = 2;
+            INSERT INTO ta VALUES (3, 30);
+            """
+        )  # v0 @ 22:13:20, v1 @ 22:14:20, v2 @ 22:15:20, v3 @ 22:16:20
+    finally:
+        eng.snapshot_clock = None
+    reads = [
+        ("t1", "2023-11-14 22:14:30"),  # between v1 and v2 -> v1
+        ("t2", "2023-11-14 22:15:20"),  # exactly v2 -> v2 (inclusive)
+        ("t3", "2023-11-14 22:16:20"),  # exactly v3 (the last commit)
+    ]
+    out = None
+    for src, lit in reads:
+        df = eng.sql(
+            f"SELECT '{src}' AS src, id, v AS val "
+            f"FROM ta TIMESTAMP AS OF '{lit}'"
+        ).df
+        out = df if out is None else out.unionByName(df)
+    return _freeze_and_cleanup(spark, out.orderBy("src", "id"), schema, wh)

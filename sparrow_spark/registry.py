@@ -118,13 +118,15 @@ _WINDOW_PRIORITY: list[str] = [
     "q_gumbel_return_level",
     "q_overdispersion_nb",
     "q_multiple_regression",
+    # r12 addition (rule 1: driver row on arrival), displacing the
+    # stale-tail q_join_full_outer to the r14 queue:
+    "q_engine_snapshot_asof_ts",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
     "q_join_left_outer",
     "q_join_right_outer",
-    "q_join_full_outer",
 ]
 
 

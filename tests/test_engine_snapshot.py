@@ -370,15 +370,104 @@ def test_snapshot_timestamp_as_of(engine):
         f"SELECT id, v FROM tta TIMESTAMP AS OF '{lit}'"
     ).df.collect()
     assert [(r.id, r.v) for r in rows] == [(1, 10)]
-    # at-or-after the last commit -> live state
+    # after the last commit -> error (Delta parity: a future literal is
+    # almost always a typo, and the live state would change under it)
     future = (t1 + datetime.timedelta(hours=1)).strftime("%Y-%m-%d %H:%M:%S")
-    rows = engine.sql(
-        f"SELECT id, v FROM tta TIMESTAMP AS OF '{future}'"
-    ).df.collect()
-    assert [(r.id, r.v) for r in rows] == [(1, 99)]
+    with pytest.raises(SparrowError, match="after the latest commit"):
+        engine.sql(f"SELECT id, v FROM tta TIMESTAMP AS OF '{future}'")
     # before the table existed -> error
     with pytest.raises(SparrowError, match="at or before"):
         engine.sql("SELECT * FROM tta TIMESTAMP AS OF '1999-01-01'")
     with pytest.raises(SparrowError, match="bad TIMESTAMP"):
         engine.sql("SELECT * FROM tta TIMESTAMP AS OF 'not-a-time'")
     engine.sql("DROP TABLE tta")
+
+
+def test_snapshot_logical_clock_asof_deterministic(engine):
+    """With an injectable logical clock the TIMESTAMP AS OF resolution
+    is fully deterministic: commits stamp 1700000000, +60, +120, … so
+    each minute boundary picks exactly one version."""
+    import datetime
+
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    base = 1_700_000_000  # 2023-11-14 22:13:20 UTC
+    ticks = iter(range(0, 100))
+    engine.snapshot_clock = lambda: base + 60 * next(ticks)
+    try:
+        engine.sql(
+            "CREATE TABLE tlc (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT"
+        )  # v0 @ base
+        engine.sql("INSERT INTO tlc VALUES (1, 10)")  # v1 @ base+60
+        engine.sql("UPDATE tlc SET v = 20 WHERE id = 1")  # v2 @ base+120
+    finally:
+        engine.snapshot_clock = None
+
+    def lit(off):
+        return datetime.datetime.fromtimestamp(
+            base + off, datetime.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S")
+
+    # between v1 and v2 -> v1; exactly v2 -> v2; after v2 -> error
+    rows = engine.sql(
+        f"SELECT v FROM tlc TIMESTAMP AS OF '{lit(90)}'"
+    ).df.collect()
+    assert [r.v for r in rows] == [10]
+    rows = engine.sql(
+        f"SELECT v FROM tlc TIMESTAMP AS OF '{lit(120)}'"
+    ).df.collect()
+    assert [r.v for r in rows] == [20]
+    with pytest.raises(SparrowError, match="after the latest commit"):
+        engine.sql(f"SELECT v FROM tlc TIMESTAMP AS OF '{lit(121)}'")
+    engine.sql("DROP TABLE tlc")
+
+
+def test_time_travel_phrases_inside_string_literals_untouched(engine):
+    """The VERSION AS OF / TIMESTAMP AS OF / CHANGES BETWEEN rewrites
+    must not fire inside quoted strings or comments — the phrase is
+    legitimate DATA (e.g. a log message column)."""
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.sql(
+        "CREATE TABLE tls (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT"
+    )
+    engine.sql("INSERT INTO tls VALUES (1, 10)")
+    rows = engine.sql(
+        "SELECT id, 'tls VERSION AS OF 0' AS a, "
+        "'tls TIMESTAMP AS OF ''2020-01-01''' AS b, "
+        "'from tls CHANGES BETWEEN 0 AND 1' AS c "
+        "FROM tls -- tls VERSION AS OF 99"
+    ).df.collect()
+    assert rows[0].a == "tls VERSION AS OF 0"
+    assert rows[0].b == "tls TIMESTAMP AS OF '2020-01-01'"
+    assert rows[0].c == "from tls CHANGES BETWEEN 0 AND 1"
+    # outside a literal the rewrite still fires in the same statement
+    rows = engine.sql(
+        "SELECT id, 'x VERSION AS OF 7' AS tag FROM tls VERSION AS OF 1"
+    ).df.collect()
+    assert [(r.id, r.tag) for r in rows] == [(1, "x VERSION AS OF 7")]
+    engine.sql("DROP TABLE tls")
+
+
+def test_changes_between_rejects_vacuumed_range(engine):
+    """CDF over a range with vacuumed interior versions errors (Delta
+    table_changes parity) instead of silently lumping the vacuumed
+    commit's changes into the next surviving version."""
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.sql(
+        "CREATE TABLE tcv (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT"
+    )
+    engine.sql("INSERT INTO tcv VALUES (1, 10)")  # v1
+    engine.sql("UPDATE tcv SET v = 20 WHERE id = 1")  # v2
+    engine.sql("INSERT INTO tcv VALUES (2, 30)")  # v3
+    engine.sql("VACUUM tcv RETAIN 2 VERSIONS")  # keeps v2, v3
+    # surviving contiguous range still works
+    rows = engine.sql(
+        "SELECT _change_type AS ct, id FROM tcv CHANGES BETWEEN 2 AND 3"
+    ).df.collect()
+    assert {(r.ct, r.id) for r in rows} == {("insert", 2)}
+    # range spanning the vacuumed v0/v1 errors and names the gap
+    with pytest.raises(SparrowError, match=r"\[0, 1\].*does not exist"):
+        engine.sql("SELECT * FROM tcv CHANGES BETWEEN 0 AND 3")
+    engine.sql("DROP TABLE tcv")
