@@ -324,6 +324,59 @@ AUX_QUERIES = [
 ]
 
 
+def _calibrate(spark) -> float:
+    """Machine-load sentinel: wall time of a FIXED CPU-bound 32-task
+    run (32 partitions x 2M-row local sum, no shuffle, no I/O). Its
+    cost is constant across rounds by construction, so a drift between
+    two bench artifacts' calibration times measures co-tenant machine
+    load, not this repo's code — the evidence the r11 forensics had to
+    reconstruct from git archaeology (untouched streaming code timing
+    2.4x slower under a loaded driver run). Run first and last so the
+    artifact also shows load CHANGE during the run."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    (
+        spark.range(0, 32 * 2_000_000, 1, 32)
+        .select(F.sum((F.col("id") % 1_000_003) * 2 + 1).alias("s"))
+        .collect()
+    )
+    return round(time.time() - t0, 3)
+
+
+from pyspark.sql.streaming import StreamingQueryListener  # noqa: E402
+
+
+class _DrainListener(StreamingQueryListener):
+    """StreamingQueryListener accumulating per-drain batch count and
+    busy time (sum of triggerExecution durations), so an aux-timing
+    regression distinguishes availableNow trigger-wait from real
+    state-store slowdown (the r11 2.44x aux inflation needed manual
+    forensics to attribute)."""
+
+    def __init__(self) -> None:
+        self.batches = 0
+        self.busy_ms = 0.0
+
+    def reset(self) -> None:
+        self.batches = 0
+        self.busy_ms = 0.0
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (listener API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        self.batches += 1
+        d = event.progress.durationMs or {}
+        self.busy_ms += float(d.get("triggerExecution", 0))
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry.load_all()
@@ -331,6 +384,11 @@ def main() -> None:
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not session startup.
     registry.QUERIES["q6_forecast_revenue"](spark, sf_dir).collect()
+    _calibrate(spark)  # warm the calibration plan's codegen, untimed —
+    # otherwise calib_first carries a one-time compile cost that the
+    # closing calib_last never pays and the first/last delta lies.
+    loadavg_before = [round(x, 2) for x in os.getloadavg()]
+    calib_first = _calibrate(spark)
 
     # Each query runs three times; we report the best (steady-state)
     # time. The first run includes per-plan whole-stage-codegen
@@ -361,18 +419,45 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
 
-    aux: dict[str, float] = {}
+    listener = _DrainListener()
+    spark.streams.addListener(listener)
+    aux: dict[str, dict[str, float]] = {}
     for name in AUX_QUERIES:
+        listener.reset()
         t0 = time.time()
         df = registry.RAW_QUERIES[name](spark, sf_dir)
         _ = len(df.toPandas())
-        aux[name] = round(time.time() - t0, 3)
+        total = round(time.time() - t0, 3)
+        # Listener events arrive on a background thread; wait until the
+        # batch count is stable (drains have already terminated, so
+        # this is a flush, bounded at 3 s).
+        seen, waited = -1, 0.0
+        while listener.batches != seen and waited < 3.0:
+            seen = listener.batches
+            time.sleep(0.2)
+            waited += 0.2
+        aux[name] = {
+            "total_sec": total,
+            "batches": listener.batches,
+            "busy_sec": round(listener.busy_ms / 1000.0, 3),
+        }
+    spark.streams.removeListener(listener)
+
+    calib_last = _calibrate(spark)
+    loadavg_after = [round(x, 2) for x in os.getloadavg()]
+    sentinel = {
+        "calib_first_sec": calib_first,
+        "calib_last_sec": calib_last,
+        "loadavg_before": loadavg_before,
+        "loadavg_after": loadavg_after,
+    }
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     detail = {
         "metric": "headline_query_wall_time_detail",
         "queries": timings,
         "aux_queries": aux,
+        "load_sentinel": sentinel,
         "sf": sf,
     }
     # The driver captures only the LAST ~2000 chars of stdout and
@@ -393,8 +478,14 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
-                "aux_total_sec": round(sum(aux.values()), 3),
+                "aux_total_sec": round(
+                    sum(a["total_sec"] for a in aux.values()), 3
+                ),
+                "aux_busy_sec": round(
+                    sum(a["busy_sec"] for a in aux.values()), 3
+                ),
                 "n_aux": len(aux),
+                "load_sentinel": sentinel,
             }
         )
     )

@@ -24,13 +24,24 @@ REGRESSION_X = 1.5
 MIN_ABS_SEC = 0.05  # ignore sub-50ms noise
 
 
+def _calib(doc: dict) -> float | None:
+    """Mean of the artifact's first/last calibration runs (the fixed
+    32-task CPU sentinel bench.py emits since r12), or None for
+    pre-sentinel artifacts."""
+    s = doc.get("load_sentinel") or {}
+    vals = [s.get("calib_first_sec"), s.get("calib_last_sec")]
+    vals = [v for v in vals if isinstance(v, (int, float))]
+    return sum(vals) / len(vals) if vals else None
+
+
 def main() -> int:
     if len(sys.argv) < 2:
         print(__doc__)
         return 2
-    old = json.load(open(sys.argv[1]))["queries"]
+    old_doc = json.load(open(sys.argv[1]))
     new_path = sys.argv[2] if len(sys.argv) > 2 else "bench_detail.json"
-    new = json.load(open(new_path))["queries"]
+    new_doc = json.load(open(new_path))
+    old, new = old_doc["queries"], new_doc["queries"]
     common = sorted(set(old) & set(new))
     if not common:
         print("no common queries")
@@ -41,13 +52,31 @@ def main() -> int:
         f"common queries: {len(common)}  old={t_old:.3f}s  "
         f"new={t_new:.3f}s  ratio={t_new / max(t_old, 1e-9):.2f}x"
     )
+    c_old, c_new = _calib(old_doc), _calib(new_doc)
+    calib_x = None
+    if c_old and c_new:
+        calib_x = c_new / c_old
+        print(
+            f"load sentinel: old calib={c_old:.3f}s  new calib={c_new:.3f}s"
+            f"  machine-load ratio={calib_x:.2f}x"
+            + (
+                "  <- NEW run is on a loaded machine; discount"
+                if calib_x > 1.2
+                else ""
+            )
+        )
+    else:
+        print("load sentinel: absent in one artifact (pre-r12 bench)")
     regressions = [
         (q, old[q], new[q])
         for q in common
         if new[q] > REGRESSION_X * old[q] and new[q] - old[q] > MIN_ABS_SEC
     ]
     for q, a, b in sorted(regressions, key=lambda x: x[1] - x[2]):
-        print(f"  REGRESSION {q}: {a:.3f}s -> {b:.3f}s ({b / a:.1f}x)")
+        note = ""
+        if calib_x and calib_x > 1.0 and (b / a) <= calib_x * 1.3:
+            note = f"  [within {calib_x:.2f}x sentinel load delta]"
+        print(f"  REGRESSION {q}: {a:.3f}s -> {b:.3f}s ({b / a:.1f}x){note}")
     if not regressions:
         print("no per-query regressions >", REGRESSION_X, "x")
     print(f"new-only queries: {len(set(new) - set(old))}")
