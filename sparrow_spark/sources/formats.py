@@ -437,6 +437,9 @@ def _register_schema_evolution() -> None:
 _register_schema_evolution()
 
 
+_DPP_LAYOUT_CACHE: dict[tuple[str, str], str] = {}
+
+
 def _register_dpp_prune() -> None:
     """Register the dynamic-partition-pruning audit (deferred import)."""
     import atexit
@@ -484,10 +487,19 @@ def _register_dpp_prune() -> None:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "value"
         )
-        root = tempfile.mkdtemp(prefix=f"dpp_{uuid.uuid4().hex[:8]}_")
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        path = os.path.join(root, "events_by_type")
-        ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        # One partitioned copy per (application, sf_dir) for the
+        # process lifetime — bench runs this three times and repeated
+        # selfchecks more; without the cache every invocation rewrote
+        # the full events table to a fresh tempdir (cleanup deferred
+        # to atexit, so copies accumulated on disk all process long).
+        key = (spark.sparkContext.applicationId, sf_dir)
+        path = _DPP_LAYOUT_CACHE.get(key)
+        if path is None:
+            root = tempfile.mkdtemp(prefix=f"dpp_{uuid.uuid4().hex[:8]}_")
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
+            path = os.path.join(root, "events_by_type")
+            ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+            _DPP_LAYOUT_CACHE[key] = path
         fact = spark.read.parquet(path)
         # Dimension derived from the partitioned layout itself (a
         # partition-column-only distinct is a listing-sized scan);

@@ -254,6 +254,7 @@ def test_snapshot_optimize_commits_version_with_empty_feed(engine):
     # live rows survive compaction
     rows = engine.sql("SELECT id, v FROM opt ORDER BY id").df.collect()
     assert [(r.id, r.v) for r in rows] == [(0, 0), (1, 10), (2, 20)]
+    engine.sql("DROP TABLE opt")
 
 
 def test_streaming_upsert_into_snapshot_table(engine, spark, sf_dir, tmp_path):
