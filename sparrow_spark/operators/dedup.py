@@ -1816,6 +1816,7 @@ def global_ntile(
     key_cols: list[str],
     out_col: str = "tile",
     partitions: int = SN_RANGE_PARTITIONS,
+    total: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT ``ntile(n) OVER (ORDER BY key_cols ASC)`` without the
     single-task global window (``Window.orderBy`` with no partition
@@ -1832,9 +1833,15 @@ def global_ntile(
     and sort ASCENDING — for a DESC axis pass a pre-negated numeric
     column (exact for BIGINT/DOUBLE). Integer division is done as
     ``(a - a mod b) / b`` so the double intermediate is an exact
-    integer (< 2^53 for any realistic rank)."""
+    integer (< 2^53 for any realistic rank).
+
+    ``total``: optional pre-computed 1-row count DataFrame (column
+    ``_N``) — callers tiling the SAME input on several axes (the RFM
+    pattern) compute it once on a pinned input instead of paying one
+    count job per axis."""
     ranked = global_sort_ranks(df, key_cols, partitions)
-    total = ranked.agg(F.count(F.lit(1)).alias("_N"))
+    if total is None:
+        total = ranked.agg(F.count(F.lit(1)).alias("_N"))
 
     def idiv(a, b):  # exact integer floor-div for non-negative a, b>0
         return ((a - a % b) / b).cast("bigint")

@@ -58,6 +58,10 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned two-phase global ranks + broadcast tile
     arithmetic — no single-task global window; DESC axes pass a
     negated key, exact for BIGINT counts and the summed DOUBLE). The
+    per-user aggregate is PINNED once (localCheckpoint) so the three
+    axis pipelines and the final join all read the user-cardinality
+    table instead of re-running the events aggregation four times,
+    and the shared row count N feeds all three tile computations. The
     three axis tables re-join on user_id, sharing one hash
     partitioning."""
     from sparrow_spark.operators.dedup import global_ntile
@@ -82,24 +86,29 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("neg_frequency", -F.col("frequency"))
         .withColumn("neg_monetary", -F.col("monetary"))
+        .localCheckpoint(eager=True)
     )
+    total = per_user.agg(F.count(F.lit(1)).alias("_N"))
     r_t = global_ntile(
         per_user.select("user_id", "recency_s"),
         5,
         ["recency_s", "user_id"],
         "r",
+        total=total,
     ).select("user_id", "r")
     f_t = global_ntile(
         per_user.select("user_id", "neg_frequency"),
         5,
         ["neg_frequency", "user_id"],
         "f",
+        total=total,
     ).select("user_id", "f")
     m_t = global_ntile(
         per_user.select("user_id", "neg_monetary"),
         5,
         ["neg_monetary", "user_id"],
         "m",
+        total=total,
     ).select("user_id", "m")
     scored = (
         per_user.select("user_id", "monetary")
