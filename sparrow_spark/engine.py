@@ -1749,14 +1749,48 @@ class Engine:
         return out
 
     def _optimize_table(self, stmt: str) -> Result:
-        """OPTIMIZE TABLE (MySQL maintenance; superset — absent in the
-        reference): compact the table's accumulated data files into one
-        fresh write. The companion to append-only INSERT + file-level
-        COW — at 100 TB this is the periodic small-file compaction every
-        lakehouse table needs."""
+        """OPTIMIZE TABLE [MIN FILES k] (MySQL maintenance; superset —
+        absent in the reference): compact the table's accumulated data
+        files into one fresh write. The companion to append-only
+        INSERT + file-level COW — at 100 TB this is the periodic
+        small-file compaction every lakehouse table needs.
+
+        MIN FILES k is the compaction POLICY knob: a table currently
+        holding fewer than k data files is skipped ("note" row, no
+        rewrite). For ENGINE=SNAPSHOT tables this is what lets a
+        scheduled OPTIMIZE compose with version history — compaction
+        always renames files and therefore always commits a version,
+        so an unconditional nightly OPTIMIZE would churn one no-op
+        version per night; with the threshold, already-compact tables
+        commit nothing (verified against the manifest log in tests).
+        Default k=1 keeps the unconditional-rewrite behavior."""
+        min_files = 1
+        m = re.search(r"\s+MIN\s+FILES\s+(\d+)\s*$", stmt, re.I)
+        if m:
+            min_files = max(1, int(m.group(1)))
+            stmt = stmt[: m.start()]
         rows = []
         for schema, table in self._maintenance_targets(stmt, "OPTIMIZE"):
             tdef = self.catalog.load(schema, table)
+            if min_files > 1:
+                data_dir = self.catalog.data_path(schema, table)
+                n_files = 0
+                if os.path.isdir(data_dir):
+                    for _root, _dirs, fns in os.walk(data_dir):
+                        n_files += sum(
+                            1 for fn in fns if fn.endswith(".parquet")
+                        )
+                if n_files < min_files:
+                    rows.append(
+                        (
+                            f"{schema}.{table}",
+                            "optimize",
+                            "note",
+                            f"skipped: {n_files} file(s) < MIN FILES "
+                            f"{min_files}",
+                        )
+                    )
+                    continue
             data = self._read_physical(schema, table, tdef).coalesce(1)
             if tdef.primary_key:
                 # Sort by PK for range-scan locality: parquet row-group

@@ -472,3 +472,36 @@ def test_changes_between_rejects_vacuumed_range(engine):
     with pytest.raises(SparrowError, match=r"\[0, 1\].*does not exist"):
         engine.sql("SELECT * FROM tcv CHANGES BETWEEN 0 AND 3")
     engine.sql("DROP TABLE tcv")
+
+
+def test_optimize_min_files_policy_composes_with_versions(engine):
+    """OPTIMIZE ... MIN FILES k over a SNAPSHOT table: a scheduled
+    compaction only rewrites (and therefore only commits a version)
+    when the table has actually fragmented past the threshold — an
+    already-compact table commits NOTHING, so nightly OPTIMIZE does
+    not churn the version history."""
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.sql(
+        "CREATE TABLE omf (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT"
+    )
+    for i in range(3):
+        engine.sql(f"INSERT INTO omf VALUES ({i}, {i})")  # v1..v3
+    n_before = len(_versions(engine, "omf"))
+    # fragmented (>= 3 files) -> compacts, commits one version
+    rows = engine.sql("OPTIMIZE TABLE omf MIN FILES 3").rows()
+    assert [(r.Msg_type, r.Msg_text) for r in rows] == [("status", "OK")]
+    assert len(_versions(engine, "omf")) == n_before + 1
+    assert _versions(engine, "omf")[-1][1] == "optimize"
+    # already compact -> skipped, NO new version
+    rows = engine.sql("OPTIMIZE TABLE omf MIN FILES 3").rows()
+    assert rows[0].Msg_type == "note" and "skipped" in rows[0].Msg_text
+    assert len(_versions(engine, "omf")) == n_before + 1
+    # default (no MIN FILES) keeps the unconditional rewrite
+    rows = engine.sql("OPTIMIZE TABLE omf").rows()
+    assert [(r.Msg_type, r.Msg_text) for r in rows] == [("status", "OK")]
+    assert len(_versions(engine, "omf")) == n_before + 2
+    # rows survive throughout
+    got = engine.sql("SELECT id FROM omf ORDER BY id").df.collect()
+    assert [r.id for r in got] == [0, 1, 2]
+    engine.sql("DROP TABLE omf")
