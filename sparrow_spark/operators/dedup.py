@@ -1290,7 +1290,9 @@ def setsim_prefix_tokens(
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     )
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    return ranked.filter(F.col("rk") <= prefix_len).select(id_col, "token")
+    return ranked.filter(F.col("rk") <= prefix_len).select(
+        id_col, "token", "n"
+    )
 
 
 @query(
@@ -1343,12 +1345,29 @@ def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(_shingles_of(F.col("w"), 3)).alias("tset")
     )
     prefixes = setsim_prefix_tokens(tsets, SETSIM_T)
-    probe = prefixes.filter(
-        F.col("doc_id") % SETSIM_PROBE_MOD == 0
-    ).withColumnRenamed("doc_id", "probe_id")
+    probe = (
+        prefixes.filter(F.col("doc_id") % SETSIM_PROBE_MOD == 0)
+        .withColumnRenamed("doc_id", "probe_id")
+        .withColumnRenamed("n", "a_n")
+    )
+    # AllPairs length filter (lossless): J(a,b) >= t forces
+    # t*|a| <= |b| <= |a|/t, so cross-length candidates die BEFORE the
+    # distinct + verification joins. The 1e-9 slack keeps the integer
+    # bounds safe against binary-fraction rounding of t*|a| (a too
+    # tight ceil would silently drop true pairs; slack only admits a
+    # few extra candidates that verification kills anyway).
+    eps = 1e-9
     cands = (
-        probe.join(prefixes.withColumnRenamed("doc_id", "match_id"), "token")
-        .filter(F.col("probe_id") != F.col("match_id"))
+        probe.join(
+            prefixes.withColumnRenamed("doc_id", "match_id")
+            .withColumnRenamed("n", "b_n"),
+            "token",
+        )
+        .filter(
+            (F.col("probe_id") != F.col("match_id"))
+            & (F.col("b_n") >= F.ceil(F.lit(SETSIM_T) * F.col("a_n") - eps))
+            & (F.col("b_n") <= F.floor(F.col("a_n") / F.lit(SETSIM_T) + eps))
+        )
         .select("probe_id", "match_id")
         .distinct()
     )
@@ -1599,11 +1618,24 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_id", "probe_id")
     )
     posting = tsets.select(
-        F.col("doc_id").alias("host_id"), F.explode("tset").alias("token")
+        F.col("doc_id").alias("host_id"),
+        F.size("tset").alias("b_n"),
+        F.explode("tset").alias("token"),
     )
+    # Containment length filter (lossless, one-sided): C(a,b) >= t
+    # forces |b| >= |a n b| >= t*|a| — hosts smaller than that die
+    # before the distinct + verification joins (no upper bound: a
+    # huge host can still contain a tiny probe). Same 1e-9 ceil slack
+    # as the symmetric join.
     cands = (
         probe_prefix.join(posting, "token")
-        .filter(F.col("probe_id") != F.col("host_id"))
+        .filter(
+            (F.col("probe_id") != F.col("host_id"))
+            & (
+                F.col("b_n")
+                >= F.ceil(F.lit(CONTAIN_T) * F.col("n") - F.lit(1e-9))
+            )
+        )
         .select("probe_id", "host_id")
         .distinct()
     )
