@@ -1748,12 +1748,92 @@ class Engine:
             out.append((schema, table))
         return out
 
+    def _zorder_sort(
+        self, tdef: TableDef, data: DataFrame, zcols: list[str]
+    ) -> DataFrame:
+        """Order a compaction write along a Morton (Z-order) curve of
+        the given columns — Delta Lake's OPTIMIZE ZORDER BY design:
+        multi-column data clustering so parquet row-group min/max
+        stats stay tight on EVERY zorder column at once, and zone-map
+        skipping prunes on any of them (the single-column PK sort only
+        helps PK predicates). Each column is min/max-normalized into
+        2^bits range buckets (one 1-row broadcast aggregate for the
+        whole column set), the bucket bits are interleaved
+        (bit b of column i lands at position b*ncols + i), and the
+        write sorts by the interleave. At cluster scale the coalesce
+        becomes repartitionByRange on the z value — same curve, many
+        z-contiguous files. Numeric, date, and timestamp columns only:
+        a string axis needs range-id binning, refused with a clear
+        error rather than hash-binned (hashing destroys the locality
+        zordering exists to create)."""
+        by_name = {c.name: c for c in tdef.columns}
+        numeric = {
+            "tinyint", "smallint", "int", "integer", "bigint", "long",
+            "float", "double", "decimal",
+        }
+        keys = []
+        for c in zcols:
+            if c not in by_name:
+                raise SparrowError(
+                    1054, f"Unknown column '{c}' in ZORDER BY"
+                )
+            if c in (tdef.partition_by or []):
+                raise SparrowError(
+                    1105,
+                    f"Unknown error: ZORDER BY column '{c}' is a "
+                    "partition column — it is already a directory axis",
+                )
+            t = by_name[c].spark_type.lower().split("(")[0]
+            if t in ("date", "timestamp"):
+                keys.append(F.col(f"`{c}`").cast("timestamp").cast("double"))
+            elif t in numeric:
+                keys.append(F.col(f"`{c}`").cast("double"))
+            else:
+                raise SparrowError(
+                    1105,
+                    f"Unknown error: ZORDER BY column '{c}' has type "
+                    f"{by_name[c].spark_type}; only numeric/date/"
+                    "timestamp axes are supported",
+                )
+        n = len(zcols)
+        bits = min(16, 62 // n)
+        nb = 1 << bits
+        aggs = []
+        for i, k in enumerate(keys):
+            aggs += [F.min(k).alias(f"_mn{i}"), F.max(k).alias(f"_mx{i}")]
+        stats = data.agg(*aggs)
+        out = data.crossJoin(F.broadcast(stats))
+        for i, k in enumerate(keys):
+            span = F.col(f"_mx{i}") - F.col(f"_mn{i}")
+            bucket = F.when(
+                k.isNull() | (span <= 0), F.lit(0)
+            ).otherwise(
+                F.least(
+                    F.floor((k - F.col(f"_mn{i}")) / span * nb).cast("long"),
+                    F.lit(nb - 1),
+                )
+            )
+            out = out.withColumn(f"_zb{i}", bucket)
+        terms = [
+            f"(((_zb{i} >> {b}) & 1) << {b * n + i})"
+            for b in range(bits)
+            for i in range(n)
+        ]
+        out = out.withColumn("_z", F.expr(" + ".join(terms)))
+        helper = [f"_mn{i}" for i in range(n)] + [f"_mx{i}" for i in range(n)]
+        return (
+            out.sortWithinPartitions("_z")
+            .drop("_z", *helper, *[f"_zb{i}" for i in range(n)])
+        )
+
     def _optimize_table(self, stmt: str) -> Result:
-        """OPTIMIZE TABLE [MIN FILES k] (MySQL maintenance; superset —
-        absent in the reference): compact the table's accumulated data
-        files into one fresh write. The companion to append-only
-        INSERT + file-level COW — at 100 TB this is the periodic
-        small-file compaction every lakehouse table needs.
+        """OPTIMIZE TABLE [MIN FILES k] [ZORDER BY (c1, ...)] (MySQL
+        maintenance; superset — absent in the reference): compact the
+        table's accumulated data files into one fresh write. The
+        companion to append-only INSERT + file-level COW — at 100 TB
+        this is the periodic small-file compaction every lakehouse
+        table needs. ZORDER BY replaces the default PK sort with a
+        Morton-curve sort over the named columns (see _zorder_sort).
 
         MIN FILES k is the compaction POLICY knob: a table currently
         holding fewer than k data files is skipped ("note" row, no
@@ -1764,6 +1844,17 @@ class Engine:
         version per night; with the threshold, already-compact tables
         commit nothing (verified against the manifest log in tests).
         Default k=1 keeps the unconditional-rewrite behavior."""
+        zcols: list[str] = []
+        mz = re.search(r"\s+ZORDER\s+BY\s*\(([^)]*)\)\s*$", stmt, re.I)
+        if mz:
+            zcols = [
+                c.strip().strip("`")
+                for c in mz.group(1).split(",")
+                if c.strip()
+            ]
+            if not zcols:
+                raise SparrowError(1064, "empty ZORDER BY column list")
+            stmt = stmt[: mz.start()]
         min_files = 1
         m = re.search(r"\s+MIN\s+FILES\s+(\d+)\s*$", stmt, re.I)
         if m:
@@ -1792,7 +1883,9 @@ class Engine:
                     )
                     continue
             data = self._read_physical(schema, table, tdef).coalesce(1)
-            if tdef.primary_key:
+            if zcols:
+                data = self._zorder_sort(tdef, data, zcols)
+            elif tdef.primary_key:
                 # Sort by PK for range-scan locality: parquet row-group
                 # min/max stats then prune point/range predicates.
                 data = data.sortWithinPartitions(*tdef.primary_key)
