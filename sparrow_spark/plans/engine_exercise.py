@@ -321,3 +321,124 @@ def q_engine_snapshot_asof_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).df
         out = df if out is None else out.unionByName(df)
     return _freeze_and_cleanup(spark, out.orderBy("src", "id"), schema, wh)
+
+
+@query(
+    "q_engine_optimize_zorder",
+    oracle="""
+    SELECT CAST(200 AS BIGINT) AS n_rows,
+           TRUE AS z_monotone,
+           TRUE AS pk_order_broken,
+           CAST(4900 AS BIGINT) AS sum_x
+    """,
+)
+def q_engine_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY through the real dispatcher, with the
+    PHYSICAL layout verified independently: after compacting 200
+    deterministic rows along the (x, y) Morton curve, the single
+    output file's rows are re-read in physical order and the
+    interleave is recomputed from first principles (min/max range
+    buckets, bit interleave — the same arithmetic as
+    engine._zorder_sort but re-derived here, not called), asserting
+    the z sequence is nondecreasing AND is not the primary-key order
+    (so the zorder branch demonstrably took over from the default PK
+    sort). Bounded collect: one 200-row file, engine-exercise class.
+    Layout determinism: x = (i*7) % 50, y = (i*13) % 50 fixes every
+    bucket, and coalesce(1) fixes the file count, so the booleans and
+    checksums are constants the literal oracle hash-checks."""
+    import os
+
+    eng, schema, wh = _fresh_engine(spark)
+    eng.sql("CREATE TABLE zx (id INT, x INT, y INT, PRIMARY KEY(id))")
+    vals = ", ".join(
+        f"({i}, {(i * 7) % 50}, {(i * 13) % 50})" for i in range(200)
+    )
+    eng.sql(f"INSERT INTO zx VALUES {vals}")
+    eng.sql("OPTIMIZE TABLE zx ZORDER BY (x, y)")
+    data_dir = eng.catalog.data_path(schema, "zx")
+    files = sorted(
+        os.path.join(r, fn)
+        for r, _d, fns in os.walk(data_dir)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    assert len(files) == 1
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(files[0], columns=["id", "x", "y"])
+    ids = t.column("id").to_pylist()
+    xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+    mnx, mxx, mny, mxy = min(xs), max(xs), min(ys), max(ys)
+    bits, n, nb = 16, 2, 1 << 16
+
+    def bucket(v, mn, mx):
+        return 0 if mx <= mn else min(int((v - mn) / (mx - mn) * nb), nb - 1)
+
+    def z(x, y):
+        bx, by = bucket(x, mnx, mxx), bucket(y, mny, mxy)
+        return sum(
+            (((bx >> b) & 1) << (b * n)) + (((by >> b) & 1) << (b * n + 1))
+            for b in range(bits)
+        )
+
+    zs = [z(x, y) for x, y in zip(xs, ys)]
+    out = spark.createDataFrame(
+        [
+            (
+                len(ids),
+                zs == sorted(zs),
+                ids != sorted(ids),
+                sum(xs),
+            )
+        ],
+        "n_rows bigint, z_monotone boolean, pk_order_broken boolean, "
+        "sum_x bigint",
+    )
+    return _freeze_and_cleanup(spark, out, schema, wh)
+
+
+@query(
+    "q_engine_optimize_minfiles",
+    oracle="""
+    SELECT ver, op FROM (VALUES
+      (0, 'create'),
+      (1, 'insert'),
+      (2, 'insert'),
+      (3, 'insert'),
+      (4, 'optimize')
+    ) t(ver, op)
+    ORDER BY ver
+    """,
+)
+def q_engine_optimize_minfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MIN FILES compaction policy composing with SNAPSHOT version
+    history, driver-verifiable end-to-end: three single-row inserts
+    fragment the table to >= 3 files, OPTIMIZE MIN FILES 3 compacts
+    (committing exactly one 'optimize' version), and a second
+    identical OPTIMIZE skips — the table now holds exactly 1 file
+    (coalesce(1) fixes the count) — committing NOTHING. The version
+    history is therefore a deterministic 5-row constant regardless of
+    writer parallelism (file COUNTS never appear in the output, only
+    version ids and ops), hash-checked by the literal oracle."""
+    from pyspark.sql import functions as F
+
+    eng, schema, wh = _fresh_engine(spark)
+    eng.script(
+        """
+        CREATE TABLE mf (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT;
+        INSERT INTO mf VALUES (1, 10);
+        INSERT INTO mf VALUES (2, 20);
+        INSERT INTO mf VALUES (3, 30);
+        OPTIMIZE TABLE mf MIN FILES 3;
+        OPTIMIZE TABLE mf MIN FILES 3;
+        """
+    )
+    out = (
+        eng.sql("SHOW VERSIONS FROM mf")
+        .df.select(
+            F.col("version").cast("int").alias("ver"),
+            F.col("op"),
+        )
+        .orderBy("ver")
+    )
+    return _freeze_and_cleanup(spark, out, schema, wh)

@@ -118,15 +118,16 @@ _WINDOW_PRIORITY: list[str] = [
     "q_gumbel_return_level",
     "q_overdispersion_nb",
     "q_multiple_regression",
-    # r12 addition (rule 1: driver row on arrival), displacing the
-    # stale-tail q_join_full_outer to the r14 queue:
+    # r12 additions (rule 1: driver row on arrival), displacing the
+    # stale-tail re-checks q_join_full_outer / q_join_right_outer /
+    # q_join_left_outer (all still r3-green) to the r14 queue:
     "q_engine_snapshot_asof_ts",
+    "q_engine_optimize_zorder",
+    "q_engine_optimize_minfiles",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
-    "q_join_left_outer",
-    "q_join_right_outer",
 ]
 
 
