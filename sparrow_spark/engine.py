@@ -1821,8 +1821,17 @@ class Engine:
         ]
         out = out.withColumn("_z", F.expr(" + ".join(terms)))
         helper = [f"_mn{i}" for i in range(n)] + [f"_mx{i}" for i in range(n)]
+        # Lead the sort with the partition columns: the dynamic-
+        # partition writer re-sorts unsorted input by partition keys
+        # (an UNSTABLE sort that would scramble z within each
+        # directory); input already ordered by them satisfies the
+        # writer's required ordering, so the z order survives into
+        # every partition's file.
+        sort_cols = [
+            F.col(f"`{c}`") for c in (tdef.partition_by or [])
+        ] + [F.col("_z")]
         return (
-            out.sortWithinPartitions("_z")
+            out.sortWithinPartitions(*sort_cols)
             .drop("_z", *helper, *[f"_zb{i}" for i in range(n)])
         )
 

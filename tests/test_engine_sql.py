@@ -984,3 +984,65 @@ def test_optimize_zorder_rejects_bad_axes(engine):
     with pytest.raises(SparrowError, match="only numeric"):
         engine.sql("OPTIMIZE TABLE zbad ZORDER BY (name)")
     engine.sql("DROP TABLE zbad")
+
+
+def test_optimize_zorder_partitioned_preserves_z_per_directory(engine):
+    """ZORDER on a PARTITIONED table: the dynamic-partition writer
+    re-sorts unsorted input by partition keys (unstable), so the
+    compaction sort leads with the partition columns — the z order
+    must survive into EVERY partition directory's file."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    boot(engine)
+    engine.sql(
+        "CREATE TABLE zp (id INT, region CHAR, x INT, y INT, "
+        "PRIMARY KEY(id)) PARTITIONED BY (region)"
+    )
+    rows = [
+        (i, "eu" if i % 2 == 0 else "us", (i * 7) % 40, (i * 13) % 40)
+        for i in range(120)
+    ]
+    engine.sql(
+        "INSERT INTO zp VALUES "
+        + ", ".join(f"({i}, '{r}', {x}, {y})" for i, r, x, y in rows)
+    )
+    engine.sql("OPTIMIZE TABLE zp ZORDER BY (x, y)")
+    data_dir = engine.catalog.data_path("test_db", "zp")
+    # global min/max over the whole table (the normalization basis)
+    allx = [x for _, _, x, _ in rows]
+    ally = [y for _, _, _, y in rows]
+    mnx, mxx, mny, mxy = min(allx), max(allx), min(ally), max(ally)
+    bits, n, nb = 16, 2, 1 << 16
+
+    def bucket(v, mn, mx):
+        return 0 if mx <= mn else min(int((v - mn) / (mx - mn) * nb), nb - 1)
+
+    def z(x, y):
+        bx, by = bucket(x, mnx, mxx), bucket(y, mny, mxy)
+        return sum(
+            (((bx >> b) & 1) << (b * n)) + (((by >> b) & 1) << (b * n + 1))
+            for b in range(bits)
+        )
+
+    n_dirs = 0
+    for root, _dirs, fns in os.walk(data_dir):
+        pfiles = [fn for fn in fns if fn.endswith(".parquet")]
+        if not pfiles:
+            continue
+        n_dirs += 1
+        assert "region=" in root
+        for fn in pfiles:
+            t = pq.read_table(os.path.join(root, fn), columns=["x", "y"])
+            zs = [
+                z(x, y)
+                for x, y in zip(
+                    t.column("x").to_pylist(), t.column("y").to_pylist()
+                )
+            ]
+            assert zs == sorted(zs), f"z order broken in {root}/{fn}"
+    assert n_dirs == 2
+    got = engine.sql("SELECT count(*) AS c FROM zp").rows()[0]
+    assert got.c == 120
+    engine.sql("DROP TABLE zp")
