@@ -303,6 +303,10 @@ BENCH_QUERIES = [
     "q_dpp_runtime_prune",
     "q_aqe_skew_split",
     "q_aqe_coalesce_audit",
+    # r12: track the converted two-phase vocab-coverage plan
+    # round-over-round (q_negative_sampling, the other conversion, was
+    # already benched).
+    "q_vocab_coverage",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

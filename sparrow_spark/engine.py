@@ -2281,21 +2281,31 @@ class Engine:
         self._require_snapshot(schema, table)
         import datetime
 
+        pool = self._snap_pool_dir(schema, table)
         rows = []
         for v in self._snap_versions(schema, table):
             man = self._snap_manifest(schema, table, v)
+            size = 0
+            for rel in man["files"]:
+                try:
+                    size += os.path.getsize(os.path.join(pool, rel))
+                except OSError:
+                    pass  # pool file vacuumed concurrently — size is advisory
             rows.append(
                 (
                     v,
                     str(man.get("op", "write")),
                     len(man["files"]),
+                    size,
                     datetime.datetime.fromtimestamp(
                         man["ts"], datetime.timezone.utc
                     ).strftime("%Y-%m-%d %H:%M:%S"),
                 )
             )
         df = self.spark.createDataFrame(
-            rows, "version bigint, op string, n_files bigint, committed_at string"
+            rows,
+            "version bigint, op string, n_files bigint, size_bytes bigint, "
+            "committed_at string",
         )
         return Result("resultset", df)
 
