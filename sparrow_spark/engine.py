@@ -2330,12 +2330,16 @@ class Engine:
         return Result("ok", affected_rows=n)
 
     def _vacuum(self, stmt: str) -> Result:
-        """VACUUM t [RETAIN n VERSIONS] (default 1): drop manifests
-        older than the retained window and delete pool files no kept
-        manifest references. Bounds history storage; the live data dir
-        is untouched."""
+        """VACUUM t [RETAIN n VERSIONS] [DRY RUN] (default RETAIN 1):
+        drop manifests older than the retained window and delete pool
+        files no kept manifest references. Bounds history storage; the
+        live data dir is untouched. DRY RUN (Delta parity) deletes
+        nothing and returns the versions and pool files that a real
+        VACUUM would remove — the look-before-you-leap step for a
+        retention change, priced by SHOW VERSIONS' size_bytes."""
         m = re.match(
-            r"VACUUM\s+([\w`.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*$",
+            r"VACUUM\s+([\w`.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?"
+            r"(\s+DRY\s+RUN)?\s*$",
             stmt,
             re.I,
         )
@@ -2344,15 +2348,36 @@ class Engine:
         schema, table = self._resolve_table_name(m.group(1))
         self._require_snapshot(schema, table)
         keep = max(1, int(m.group(2) or 1))
+        dry = bool(m.group(3))
         versions = self._snap_versions(schema, table)
         kept, dropped = versions[-keep:], versions[:-keep]
         referenced: set[str] = set()
         for v in kept:
             referenced.update(self._snap_manifest(schema, table, v)["files"])
         log_dir = self._snap_log_dir(schema, table)
+        pool = self._snap_pool_dir(schema, table)
+        doomed: list[tuple[str, int]] = []
+        for root, _dirs, fns in os.walk(pool, topdown=False):
+            for fn in fns:
+                rel = os.path.relpath(os.path.join(root, fn), pool)
+                if rel not in referenced:
+                    try:
+                        size = os.path.getsize(os.path.join(root, fn))
+                    except OSError:
+                        size = 0
+                    doomed.append((rel, size))
+        if dry:
+            df = self.spark.createDataFrame(
+                [
+                    (v, "manifest", f"v{v:012d}.json", 0)
+                    for v in dropped
+                ]
+                + [(-1, "pool_file", rel, size) for rel, size in doomed],
+                "version bigint, kind string, path string, size_bytes bigint",
+            )
+            return Result("resultset", df)
         for v in dropped:
             os.remove(os.path.join(log_dir, f"v{v:012d}.json"))
-        pool = self._snap_pool_dir(schema, table)
         removed = 0
         for root, _dirs, fns in os.walk(pool, topdown=False):
             for fn in fns:

@@ -505,3 +505,51 @@ def test_optimize_min_files_policy_composes_with_versions(engine):
     got = engine.sql("SELECT id FROM omf ORDER BY id").df.collect()
     assert [r.id for r in got] == [0, 1, 2]
     engine.sql("DROP TABLE omf")
+
+
+def test_vacuum_dry_run_reports_without_deleting(engine):
+    """VACUUM ... DRY RUN lists exactly what a real VACUUM would drop
+    (manifests outside the retained window + unreferenced pool files)
+    and deletes NOTHING: history still time-travels afterwards, and
+    the subsequent real VACUUM removes the same file count."""
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.sql("CREATE TABLE vdr (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT")
+    engine.sql("INSERT INTO vdr VALUES (0, 0)")
+    engine.sql("INSERT INTO vdr VALUES (1, 1)")
+    # the UPDATE rewrites every file (COW), so the pre-update pool
+    # files are referenced ONLY by the to-be-dropped manifests
+    engine.sql("UPDATE vdr SET v = v + 10")
+    rows = engine.sql("VACUUM vdr RETAIN 1 VERSIONS DRY RUN").df.collect()
+    manifests = [r for r in rows if r.kind == "manifest"]
+    pool_files = [r for r in rows if r.kind == "pool_file"]
+    assert [r.version for r in manifests] == [0, 1, 2]
+    assert pool_files and all(r.size_bytes > 0 for r in pool_files)
+    # nothing deleted: every version still readable
+    assert [h[0] for h in _versions(engine, "vdr")] == [0, 1, 2, 3]
+    rows_v1 = engine.sql("SELECT id FROM vdr VERSION AS OF 1").df.collect()
+    assert [r.id for r in rows_v1] == [0]
+    # the real vacuum removes exactly the dry run's pool-file count
+    res = engine.sql("VACUUM vdr RETAIN 1 VERSIONS")
+    assert res.affected_rows == len(pool_files)
+    assert [h[0] for h in _versions(engine, "vdr")] == [3]
+    engine.sql("DROP TABLE vdr")
+
+
+def test_literal_spans_edge_cases(engine):
+    """The rewrite guard's literal/comment scanner on pathological
+    inputs: doubled-quote escapes, backslash escapes, unterminated
+    strings, and both comment styles — spans must cover the literals
+    exactly so a guarded match inside survives and one outside fires."""
+    spans = engine._literal_spans
+    sql = "SELECT 'a''b', \"c\\\"d\", x -- tail VERSION AS OF 1\nFROM t"
+    got = spans(sql)
+    covered = [sql[a:b] for a, b in got]
+    assert covered[0] == "'a''b'"
+    assert covered[1] == '"c\\"d"'
+    assert covered[2].startswith("-- tail")
+    # block comment + unterminated string both close at end-of-text
+    got2 = engine._literal_spans("SELECT /* VERSION AS OF 9 */ 'open")
+    texts = ["SELECT /* VERSION AS OF 9 */ 'open"[a:b] for a, b in got2]
+    assert texts[0] == "/* VERSION AS OF 9 */"
+    assert texts[1] == "'open"
