@@ -55,7 +55,6 @@ WINDOW_WHITELIST: dict[str, str] = {
     "q_forecast_baselines": "lag windows over the bounded daily series",
     "q_forecast_reconciliation": "remainder rank over the ~25-row brand table",
     "q_gap_fill_interpolate": "interpolation windows over the calendar spine",
-    "q_heaps_law": "cumulatives over the bucket-cardinality table",
     "q_join_order_rank": "rank over the join-order permutation table",
     "q_js_divergence_sources": "rank over the |sources|-row divergence table",
     "q_key_skew_audit": "cumsum over the count-of-counts histogram",

@@ -37,6 +37,63 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def arrow_class(t) -> str | None:
+    """Coarse type class of an Arrow type — the granularity the
+    driver's value hash is sensitive to. DuckDB's un-cast integer
+    window sums come back HUGEINT -> decimal128(38,0) while Spark
+    emits int64: values identical, hash red (the r12 q_heaps_law
+    lesson, the schema-level twin of the r7 -0.0 canon rule). None
+    means "skip" (all-NULL column has arrow type null)."""
+    import pyarrow.types as pat
+
+    if pat.is_null(t):
+        return None
+    if pat.is_boolean(t):
+        return "bool"
+    if pat.is_integer(t):
+        return "int"
+    if pat.is_floating(t):
+        return "float"
+    if pat.is_decimal(t):
+        return "decimal"
+    if pat.is_string(t) or pat.is_large_string(t):
+        return "string"
+    if pat.is_binary(t) or pat.is_large_binary(t):
+        return "binary"
+    if pat.is_date(t):
+        return "date"
+    if pat.is_timestamp(t):
+        return "timestamp"
+    if pat.is_list(t) or pat.is_large_list(t) or pat.is_fixed_size_list(t):
+        return "array"
+    if pat.is_struct(t):
+        return "struct"
+    if pat.is_map(t):
+        return "map"
+    return str(t)
+
+
+def spark_class(dt) -> str:
+    """Coarse type class of a Spark DataType, same labels as
+    :func:`arrow_class`."""
+    name = dt.typeName()
+    if name in ("byte", "short", "integer", "long"):
+        return "int"
+    if name in ("float", "double"):
+        return "float"
+    if name.startswith("decimal"):
+        return "decimal"
+    if name == "boolean":
+        return "bool"
+    if name in ("string", "varchar", "char"):
+        return "string"
+    if name in ("timestamp", "timestamp_ntz"):
+        return "timestamp"
+    if name == "void":
+        return "null"
+    return name
+
+
 def canon(v):
     if v is None:
         return "NULL"
@@ -97,6 +154,7 @@ def main() -> int:
                 print(f"FAIL {name}: 0 rows from rows-only query")
             continue
         try:
+            atbl = con.execute(oracle).fetch_arrow_table()
             res = con.execute(oracle)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
@@ -110,6 +168,20 @@ def main() -> int:
         if [c.lower() for c in scols] != [c.lower() for c in dcols]:
             status.append(f"columns {scols} vs {dcols}")
         else:
+            # Type-class audit: the driver's hash is type-sensitive
+            # (Arrow-level), while fetchall() converts HUGEINT to
+            # Python int — invisible to the value canon below. Compare
+            # the oracle's Arrow type class per column against Spark's
+            # so a decimal128-vs-int64 divergence fails HERE, not on
+            # the driver (CORRECTNESS_r12 q_heaps_law).
+            sfields = sdf.schema.fields
+            for i, fld in enumerate(atbl.schema):
+                ac, sc = arrow_class(fld.type), spark_class(sfields[i].dataType)
+                if ac is not None and sc != "null" and ac != sc:
+                    status.append(
+                        f"type class of {dcols[i]!r}: oracle {fld.type} "
+                        f"({ac}) vs spark {sfields[i].dataType.simpleString()} ({sc})"
+                    )
             order = sorted(range(len(scols)), key=lambda i: scols[i].lower())
             sset = rowset([tuple(r[i] for i in order) for r in srows])
             dset = rowset([tuple(r[i] for i in order) for r in drows])

@@ -546,10 +546,11 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.bucket,
            t.n_tokens,
-           sum(t.n_tokens) OVER (ORDER BY t.bucket) AS cum_tokens,
+           CAST(sum(t.n_tokens) OVER (ORDER BY t.bucket) AS BIGINT)
+             AS cum_tokens,
            coalesce(n.n_new_types, 0) AS n_new_types,
-           sum(coalesce(n.n_new_types, 0)) OVER (ORDER BY t.bucket)
-             AS cum_vocab
+           CAST(sum(coalesce(n.n_new_types, 0)) OVER (ORDER BY t.bucket)
+             AS BIGINT) AS cum_vocab
     FROM tokens_per_bucket t
     LEFT JOIN new_types n ON n.bucket = t.bucket
     ORDER BY t.bucket
@@ -565,8 +566,13 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_vocab_coverage sizes the head; this tracks the frontier).
 
     Scale: first occurrence is one token-keyed min agg (no ordered
-    scan of the corpus); bucket rollups and the cumulative windows
-    run over the bucket-cardinality table."""
+    scan of the corpus); bucket rollups shuffle on bucket, and the
+    cumulatives use ``global_running_sums`` (range-partition + local
+    cumsum + broadcast predecessor offsets) because the bucket table
+    is doc_id/50 — it GROWS with the corpus, so a bare
+    ``Window.orderBy`` would drag n_docs/50 rows through one task."""
+    from sparrow_spark.operators.dedup import global_running_sums
+
     tok = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
@@ -577,16 +583,25 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_types = first_seen.groupBy(
         F.floor(F.col("first_doc") / 50).cast("bigint").alias("bucket")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_new_types"))
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    return (
+    joined = (
         tokens_per_bucket.join(F.broadcast(new_types), "bucket", "left")
         .select(
             "bucket",
             "n_tokens",
-            F.sum("n_tokens").over(w).alias("cum_tokens"),
-            F.coalesce("n_new_types", F.lit(0)).alias("n_new_types"),
+            F.coalesce("n_new_types", F.lit(0))
+            .cast("bigint")
+            .alias("n_new_types"),
         )
-        .withColumn("cum_vocab", F.sum("n_new_types").over(w))
+    )
+    return (
+        global_running_sums(joined, ["bucket"], ["n_tokens", "n_new_types"])
+        .select(
+            "bucket",
+            "n_tokens",
+            F.col("cum_n_tokens").cast("bigint").alias("cum_tokens"),
+            "n_new_types",
+            F.col("cum_n_new_types").cast("bigint").alias("cum_vocab"),
+        )
         .orderBy("bucket")
     )
 
