@@ -63,71 +63,68 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver row yet go first — new additions are inserted HERE in the
 # same commit that registers them (the r3/r4 lesson: additions past
 # the frozen window stay unverified a full round); (2) red rows
-# re-enter immediately; (3) then the stalest families. r12 window:
-# the exact pre-committed list from COVERAGE.md's r11 ledger —
-# CORRECTNESS_r11.json exists and is 50/50 green, so the r11 window
-# rotates out and this block rotates in, as pre-committed: the
-# 43-query never-driver-checked overflow (q_k_anonymity …
-# q_multiple_regression, raw registration order) plus the stalest
-# driver-green rows (last checked r3, registration order) in the
-# remaining slots. r12 additions are throttled (≤10); per rule 1 an
-# addition enters the window at slot 44 (behind the overflow, ahead
-# of the stale re-checks), displacing the stale tail — the 50
-# still-never-checked r10/r11 additions queue for r13.
+# re-enter immediately; (3) then the stalest families. r13 window:
+# CORRECTNESS_r12.json exists and is 49/50 green, so the r12 window
+# rotates out and the pre-committed r13 list from COVERAGE.md's r12
+# ledger rotates in — the r12 red row `q_heaps_law` (hash-only;
+# oracle HUGEINT/decimal128 vs Spark int64, fixed by BIGINT casts +
+# the global_running_sums conversion) re-enters at the HEAD per rule
+# 2, displacing the pre-committed tail entry `q_stream_engine_upsert`
+# to the r14 queue; slots 2-50 are the first 49 of the 50-query
+# never-driver-checked backlog in raw registration order (verified
+# mechanically: registry order minus the union of CORRECTNESS_r1-r12
+# keys). Ending never-checked: 1 (the displaced tail), zero at r14.
 _WINDOW_PRIORITY: list[str] = [
-    "q_k_anonymity",
-    "q_bias_mi",
-    "q_weak_supervision",
-    "q_shard_export",
-    "q_quantile_normalize",
-    "q_dp_noisy_counts",
-    "q_quality_band_mix",
-    "q_budget_allocation",
-    "q_calibration_curve",
-    "q_weighted_reservoir",
-    "q_skew_join_salted",
-    "q_dp_exponential_topk",
-    "q_isotonic_calibration",
-    "q_priority_sampling",
-    "q_water_filling",
-    "q_brier_decomposition",
-    "q_knapsack_frontier",
-    "q_average_precision",
-    "q_collocation_pmi",
-    "q_chi2_terms",
-    "q_rag_chunking",
-    "q_boilerplate_interdoc",
-    "q_pps_systematic",
-    "q_feature_hashing",
     "q_heaps_law",
-    "q_format_roundtrip",
-    "q_csv_malformed",
-    "q_partition_prune",
-    "q_agg_pushdown",
-    "q_schema_evolution",
-    "q_stream_topk_trending",
-    "q_stream_outer_join",
-    "q_stream_tws_running_totals",
-    "q_price_index",
-    "q_newsvendor_quantile",
-    "q_lorenz_curve",
-    "q_jackknife_variance",
-    "q_qq_compare",
-    "q_silhouette_centroid",
-    "q_capture_recapture",
-    "q_gumbel_return_level",
-    "q_overdispersion_nb",
-    "q_multiple_regression",
-    # r12 additions (rule 1: driver row on arrival), displacing the
-    # stale-tail re-checks q_join_full_outer / q_join_right_outer /
-    # q_join_left_outer (all still r3-green) to the r14 queue:
-    "q_engine_snapshot_asof_ts",
-    "q_engine_optimize_zorder",
-    "q_engine_optimize_minfiles",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
+    "q_nn_descent",
+    "q_cms_width_sweep",
+    "q_multimodal_pack_mix",
+    "q_ipf_raking",
+    "q_t_closeness",
+    "q_aho_phrase_tagging",
+    "q_engine_snapshot",
+    "q_engine_snapshot_cdf",
+    "q_exact_quantile_refine",
+    "q_heavy_hitters_mg",
+    "q_kcore",
+    "q_target_encoding_cv",
+    "q_ngram_novelty",
+    "q_pinball_loss",
+    "q_zonemap_skipping",
+    "q_platt_scaling",
+    "q_bucketed_join_colocated",
+    "q_dbscan_grid",
+    "q_neyman_allocation",
+    "q_textrank_keywords",
+    "q_tokenizer_fertility",
+    "q_l_diversity",
+    "q_grid_knn_join",
+    "q_croston",
+    "q_louvain_move",
+    "q_hilbert_curve_layout",
+    "q_learned_index_error",
+    "q_aqe_skew_split",
+    "q_aqe_coalesce_audit",
+    "q_expectation_audit",
+    "q_ivm_delta_agg",
+    "q_conformal_interval",
+    "q_als_step",
+    "q_keyword_tagging",
+    "q_sax_motifs",
+    "q_binseg_changepoints",
+    "q_ridge_cv_moments",
+    "q_vopt_histogram",
+    "q_forecast_reconciliation",
+    "q_cascade_filter_ordering",
+    "q_key_skew_audit",
+    "q_join_order_rank",
+    "q_rolling_origin_backtest",
+    "q_emd_distribution_shift",
+    "q_consistent_hash_ring",
+    "q_merkle_range_digest",
+    "q_bitmap_index_intersection",
+    "q_cube_materialization_greedy",
+    "q_dpp_runtime_prune",
 ]
 
 
