@@ -43,6 +43,18 @@ detail = json.load(open("bench_detail.json"))
 assert len(detail["queries"]) == d["n_queries"], "detail/summary query count mismatch"
 print(f"bench ok: {d['value']}s over {d['n_queries']} queries")
 EOF
+
+  # Per-query regression adjudication against the last committed
+  # clean baseline (the newest bench_baseline_r*.json). The gate runs
+  # on an otherwise-idle box, so a flag here is a real regression —
+  # not the co-tenant noise that burned r11's 1.43x false alarm.
+  BASELINE=$(ls -1 bench_baseline_r*.json 2>/dev/null | sort -V | tail -1 || true)
+  if [ -n "$BASELINE" ]; then
+    echo "== gate: bench_compare vs $BASELINE =="
+    python scripts/bench_compare.py "$BASELINE" bench_detail.json
+  else
+    echo "== gate: bench_compare skipped (no bench_baseline_r*.json) =="
+  fi
 fi
 
 echo "== gate: PASS =="

@@ -169,8 +169,12 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly this), zero cells included via the term x lang grid.
 
     Scale: presence dedup and cell counts are hash aggs keyed on
-    vocab-bounded (term, lang); the grid cross join and margin windows
-    run over |vocab| x |langs| rows only."""
+    vocab-bounded (term, lang); margins are plain aggregations joined
+    back (term margin = vocab-keyed shuffle join; lang margin and the
+    grand total broadcast) — no windows at all, because the vocab
+    grows with the corpus (Heaps-sublinear but unbounded), so even a
+    lang-partitioned window would push |vocab| rows through one task
+    per language."""
     pres = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
@@ -186,12 +190,14 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cells, ["w", "lang"], "left")
         .select("w", "lang", F.coalesce("o", F.lit(0.0)).alias("o"))
     )
-    margins = grid.select(
-        "w",
-        "o",
-        F.sum("o").over(Window.partitionBy("w")).alias("row_tot"),
-        F.sum("o").over(Window.partitionBy("lang")).alias("col_tot"),
-        F.sum("o").over(Window.partitionBy()).alias("n"),
+    row_tot = cells.groupBy("w").agg(F.sum("o").alias("row_tot"))
+    col_tot = cells.groupBy("lang").agg(F.sum("o").alias("col_tot"))
+    n_tot = cells.agg(F.sum("o").alias("n"))
+    margins = (
+        grid.join(row_tot, "w")
+        .join(F.broadcast(col_tot), "lang")
+        .crossJoin(F.broadcast(n_tot))
+        .select("w", "o", "row_tot", "col_tot", "n")
     )
     e = F.col("row_tot") * F.col("col_tot") / F.col("n")
     chi = margins.groupBy("w").agg(

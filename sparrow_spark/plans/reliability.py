@@ -1585,17 +1585,20 @@ def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("total_rows"),
             F.max("c").cast("bigint").alias("max_cnt"),
         )
+        # The count-of-counts table grows with the corpus (distinct
+        # frequency values ~ O(sqrt(rows)) for the fan-out key:
+        # 9 -> 64 -> 130 across sf0.001/0.01/0.1), so the CDF cumsum
+        # uses global_running_sums rather than a single-task ordered
+        # window.
+        from sparrow_spark.operators.dedup import global_running_sums
+
         cc = (
-            kc.groupBy("c")
-            .agg(F.count(F.lit(1)).alias("nk"))
-            .withColumn(
-                "ck",
-                F.sum("nk").over(
-                    Window.orderBy("c").rowsBetween(
-                        Window.unboundedPreceding, 0
-                    )
-                ),
+            global_running_sums(
+                kc.groupBy("c").agg(F.count(F.lit(1)).alias("nk")),
+                ["c"],
+                ["nk"],
             )
+            .withColumnRenamed("cum_nk", "ck")
             .crossJoin(
                 kc.groupBy("c")
                 .agg(F.count(F.lit(1)).alias("nk2"))

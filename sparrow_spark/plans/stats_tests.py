@@ -2932,9 +2932,14 @@ def q_effect_size_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly from the midrank Mann-Whitney U — no pairwise join.
 
     Scale: one scan feeds both the moment aggregates and the
-    distinct-value midrank window (value-cardinality-bounded); every
-    pairwise quantity comes from rank algebra, so the O(n^2)
-    comparison never materializes."""
+    distinct-value midranks; the distinct-value table grows WITH the
+    corpus (continuous purchase values: ~1 distinct per row), so the
+    running count uses ``global_running_sums`` (range-partition +
+    local cumsum + broadcast predecessor offsets) instead of a
+    single-task ordered window; every pairwise quantity comes from
+    rank algebra, so the O(n^2) comparison never materializes."""
+    from sparrow_spark.operators.dedup import global_running_sums
+
     s = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
@@ -2955,10 +2960,9 @@ def q_effect_size_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g1").cast("double").alias("c1"),
         F.count(F.lit(1)).cast("double").alias("cnt"),
     )
-    wr = Window.orderBy("value")
-    ranked = vals.withColumn(
+    ranked = global_running_sums(vals, ["value"], ["cnt"]).withColumn(
         "avg_rank",
-        F.sum("cnt").over(wr) - F.col("cnt") + (F.col("cnt") + 1) / 2,
+        F.col("cum_cnt") - F.col("cnt") + (F.col("cnt") + 1) / 2,
     )
     u = ranked.agg(F.sum(F.col("avg_rank") * F.col("c1")).alias("r1"))
     d = m.crossJoin(F.broadcast(u)).select(
