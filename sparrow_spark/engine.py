@@ -31,6 +31,7 @@ Design decisions vs the reference:
 
 from __future__ import annotations
 
+import itertools
 import os
 import re
 import shutil
@@ -1798,29 +1799,44 @@ class Engine:
         n = len(zcols)
         bits = min(16, 62 // n)
         nb = 1 << bits
+        # Helper columns must not shadow real table columns: a fixed
+        # "_z"/"_zb0" name would silently REPLACE (withColumn) a user
+        # column of the same name and then drop() would destroy its
+        # data in the rewrite, while "_mn0"/"_mx0" collisions turn the
+        # crossJoin into an ambiguous-name error. Suffix until free.
+        existing = {c.name for c in tdef.columns}
+        tag = "h"
+        while any(
+            f"_{p}{tag}{s}" in existing
+            for p in ("z", "zb", "mn", "mx")
+            for s in [""] + [str(i) for i in range(n)]
+        ):
+            tag += "h"
+        zc, zbc = f"_z{tag}", f"_zb{tag}"
+        mnc, mxc = f"_mn{tag}", f"_mx{tag}"
         aggs = []
         for i, k in enumerate(keys):
-            aggs += [F.min(k).alias(f"_mn{i}"), F.max(k).alias(f"_mx{i}")]
+            aggs += [F.min(k).alias(f"{mnc}{i}"), F.max(k).alias(f"{mxc}{i}")]
         stats = data.agg(*aggs)
         out = data.crossJoin(F.broadcast(stats))
         for i, k in enumerate(keys):
-            span = F.col(f"_mx{i}") - F.col(f"_mn{i}")
+            span = F.col(f"{mxc}{i}") - F.col(f"{mnc}{i}")
             bucket = F.when(
                 k.isNull() | (span <= 0), F.lit(0)
             ).otherwise(
                 F.least(
-                    F.floor((k - F.col(f"_mn{i}")) / span * nb).cast("long"),
+                    F.floor((k - F.col(f"{mnc}{i}")) / span * nb).cast("long"),
                     F.lit(nb - 1),
                 )
             )
-            out = out.withColumn(f"_zb{i}", bucket)
+            out = out.withColumn(f"{zbc}{i}", bucket)
         terms = [
-            f"(((_zb{i} >> {b}) & 1) << {b * n + i})"
+            f"((({zbc}{i} >> {b}) & 1) << {b * n + i})"
             for b in range(bits)
             for i in range(n)
         ]
-        out = out.withColumn("_z", F.expr(" + ".join(terms)))
-        helper = [f"_mn{i}" for i in range(n)] + [f"_mx{i}" for i in range(n)]
+        out = out.withColumn(zc, F.expr(" + ".join(terms)))
+        helper = [f"{mnc}{i}" for i in range(n)] + [f"{mxc}{i}" for i in range(n)]
         # Lead the sort with the partition columns: the dynamic-
         # partition writer re-sorts unsorted input by partition keys
         # (an UNSTABLE sort that would scramble z within each
@@ -1829,10 +1845,10 @@ class Engine:
         # every partition's file.
         sort_cols = [
             F.col(f"`{c}`") for c in (tdef.partition_by or [])
-        ] + [F.col("_z")]
+        ] + [F.col(zc)]
         return (
             out.sortWithinPartitions(*sort_cols)
-            .drop("_z", *helper, *[f"_zb{i}" for i in range(n)])
+            .drop(zc, *helper, *[f"{zbc}{i}" for i in range(n)])
         )
 
     def _optimize_table(self, stmt: str) -> Result:
@@ -1853,22 +1869,36 @@ class Engine:
         version per night; with the threshold, already-compact tables
         commit nothing (verified against the manifest log in tests).
         Default k=1 keeps the unconditional-rewrite behavior."""
+        # The two optional clauses may appear in either order (both are
+        # end-anchored, so strip in a loop until neither matches —
+        # `... ZORDER BY (x) MIN FILES 3` previously left the ZORDER
+        # text glued to the table name and silently ignored it).
         zcols: list[str] = []
-        mz = re.search(r"\s+ZORDER\s+BY\s*\(([^)]*)\)\s*$", stmt, re.I)
-        if mz:
-            zcols = [
-                c.strip().strip("`")
-                for c in mz.group(1).split(",")
-                if c.strip()
-            ]
-            if not zcols:
-                raise SparrowError(1064, "empty ZORDER BY column list")
-            stmt = stmt[: mz.start()]
         min_files = 1
-        m = re.search(r"\s+MIN\s+FILES\s+(\d+)\s*$", stmt, re.I)
-        if m:
-            min_files = max(1, int(m.group(1)))
-            stmt = stmt[: m.start()]
+        while True:
+            mz = re.search(r"\s+ZORDER\s+BY\s*\(([^)]*)\)\s*$", stmt, re.I)
+            if mz:
+                zcols = [
+                    c.strip().strip("`")
+                    for c in mz.group(1).split(",")
+                    if c.strip()
+                ]
+                if not zcols:
+                    raise SparrowError(1064, "empty ZORDER BY column list")
+                stmt = stmt[: mz.start()]
+                continue
+            m = re.search(r"\s+MIN\s+FILES\s+(\d+)\s*$", stmt, re.I)
+            if m:
+                min_files = max(1, int(m.group(1)))
+                stmt = stmt[: m.start()]
+                continue
+            break
+        if re.search(r"\bZORDER\b|\bMIN\s+FILES\b", stmt, re.I):
+            raise SparrowError(
+                1064,
+                "malformed OPTIMIZE clause: ZORDER BY (...) and "
+                "MIN FILES n must be trailing clauses",
+            )
         rows = []
         for schema, table in self._maintenance_targets(stmt, "OPTIMIZE"):
             tdef = self.catalog.load(schema, table)
@@ -2211,14 +2241,32 @@ class Engine:
         # consume numbers), so a gap means VACUUM dropped a manifest —
         # and lumping its changes into the next surviving version would
         # misattribute commit provenance. Delta's table_changes errors
-        # the same way on a vacuumed range.
-        missing = [
-            v for v in range(v_from, v_to + 1) if v not in set(versions)
-        ]
-        if missing:
+        # the same way on a vacuumed range. The check is O(|versions|)
+        # — count the survivors inside the range, never materialize
+        # range(v_from, v_to + 1): a bogus user-supplied bound (e.g.
+        # BETWEEN 0 AND 10^14 — syntactically valid) must error fast,
+        # not drive a 10^14-iteration driver loop. The first few gaps
+        # are enumerated lazily for the message (each generator step is
+        # either one of the <=10 emitted gaps or one of the <=|versions|
+        # survivors, so it too is bounded by real history).
+        vs = set(versions)
+        span = v_to - v_from + 1
+        present = sum(1 for v in vs if v_from <= v <= v_to)
+        if present < span:
+            shown = list(
+                itertools.islice(
+                    (v for v in range(v_from, v_to + 1) if v not in vs), 10
+                )
+            )
+            n_missing = span - present
+            more = (
+                f" (+{n_missing - len(shown)} more)"
+                if n_missing > len(shown)
+                else ""
+            )
             raise SparrowError(
                 1105,
-                f"Unknown error: version(s) {missing} of "
+                f"Unknown error: version(s) {shown}{more} of "
                 f"`{schema}`.`{table}` does not exist (vacuumed or never "
                 f"committed) — CHANGES BETWEEN requires every version in "
                 "the range",

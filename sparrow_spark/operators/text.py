@@ -2078,22 +2078,33 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast range join against the vocab-sized cum table — at a
     1M+ vocab, bucket the [0, total) axis and equi-join on the
     bucket exactly like q_range_join_banded)."""
-    from sparrow_spark.operators.dedup import global_running_sums
+    from sparrow_spark.operators.dedup import (
+        global_running_sums,
+        global_sort_ranks,
+    )
 
     docs = widen(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     vocab = tok.groupBy("t").agg(
         F.pow(F.count(F.lit(1)), F.lit(NEG_TABLE_POW)).alias("wt")
     )
-    # lo = exclusive prefix sum (cum - wt: first row's cum IS its wt,
-    # so lo lands exactly on 0.0), hi = inclusive prefix sum, total =
-    # one broadcast row — all without a single-task global window.
+    # lo must be the PREDECESSOR'S inclusive cumulative bit-for-bit
+    # (rank self-join), not fl(cum - wt): subtracting wt can differ
+    # from the true exclusive prefix by an ulp, letting consecutive
+    # [lo, hi) ranges overlap (a boundary draw matches two tokens) or
+    # gap (a draw silently drops). With lo_i := hi_{i-1} the ranges
+    # tile [0, total) exactly, so every draw matches exactly one
+    # token — same guarantee the oracle's exclusive/inclusive window
+    # pair gives. total = one broadcast row; still no single-task
+    # global window anywhere.
     total = vocab.agg(F.sum("wt").alias("total"))
+    cum = global_running_sums(global_sort_ranks(vocab, ["t"]), ["t"], ["wt"])
+    prev = cum.select((F.col("rn") + 1).alias("rn"), F.col("cum_wt").alias("lo"))
     cum = (
-        global_running_sums(vocab, ["t"], ["wt"])
+        cum.join(prev, "rn", "left")
         .select(
             "t",
-            (F.col("cum_wt") - F.col("wt")).alias("lo"),
+            F.coalesce("lo", F.lit(0.0)).alias("lo"),
             F.col("cum_wt").alias("hi"),
         )
         .crossJoin(F.broadcast(total))

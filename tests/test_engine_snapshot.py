@@ -553,3 +553,27 @@ def test_literal_spans_edge_cases(engine):
     texts = ["SELECT /* VERSION AS OF 9 */ 'open"[a:b] for a, b in got2]
     assert texts[0] == "/* VERSION AS OF 9 */"
     assert texts[1] == "'open"
+
+
+def test_changes_between_huge_bound_errors_fast(engine):
+    """A syntactically valid but absurd upper bound (BETWEEN 0 AND
+    10^14) must error in O(|versions|) — the validator previously
+    iterated the full Python range (and rebuilt set(versions) per
+    iteration), hanging the engine — and the gap list in the message
+    is truncated."""
+    import time
+
+    engine.sql("CREATE DATABASE IF NOT EXISTS snapdb")
+    engine.sql("USE snapdb")
+    engine.sql(
+        "CREATE TABLE thuge (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT"
+    )
+    engine.sql("INSERT INTO thuge VALUES (1, 10)")  # v1
+    t0 = time.time()
+    with pytest.raises(SparrowError, match=r"more\).*does not exist"):
+        engine.sql("SELECT * FROM thuge CHANGES BETWEEN 0 AND 99999999999999")
+    assert time.time() - t0 < 5.0, "range validation is not O(|versions|)"
+    # a short gap list is still printed in full, untruncated
+    with pytest.raises(SparrowError, match=r"\[2, 3\](?!.*more\)).*does not exist"):
+        engine.sql("SELECT * FROM thuge CHANGES BETWEEN 0 AND 3")
+    engine.sql("DROP TABLE thuge")

@@ -1046,3 +1046,73 @@ def test_optimize_zorder_partitioned_preserves_z_per_directory(engine):
     got = engine.sql("SELECT count(*) AS c FROM zp").rows()[0]
     assert got.c == 120
     engine.sql("DROP TABLE zp")
+
+
+def test_optimize_zorder_helper_names_cannot_shadow_user_columns(engine):
+    """Columns literally named `_z` / `_zb0` / `_mn0` / `_mx0` must
+    survive OPTIMIZE ... ZORDER BY untouched: the Morton helper
+    columns previously used those fixed names, so withColumn silently
+    REPLACED the user's `_z` and the trailing drop destroyed its data
+    in the rewritten file (and `_mn0` hit a crossJoin ambiguity)."""
+    boot(engine)
+    engine.sql(
+        "CREATE TABLE zcol (id INT, x INT, `_z` INT, `_zb0` INT, "
+        "`_mn0` INT, `_mx0` INT, PRIMARY KEY(id))"
+    )
+    rows = [(i, (i * 7) % 50, i + 1, i + 2, i + 3, i + 4) for i in range(40)]
+    engine.sql(
+        "INSERT INTO zcol VALUES "
+        + ", ".join(f"({a}, {b}, {c}, {d}, {e}, {f})" for a, b, c, d, e, f in rows)
+    )
+    res = engine.sql("OPTIMIZE TABLE zcol ZORDER BY (x)").rows()
+    assert [(r.Msg_type, r.Msg_text) for r in res] == [("status", "OK")]
+    got = engine.sql(
+        "SELECT id, `_z`, `_zb0`, `_mn0`, `_mx0` FROM zcol ORDER BY id"
+    ).rows()
+    assert [(r.id, r["_z"], r["_zb0"], r["_mn0"], r["_mx0"]) for r in got] == [
+        (i, i + 1, i + 2, i + 3, i + 4) for i in range(40)
+    ]
+    engine.sql("DROP TABLE zcol")
+
+
+def test_optimize_clauses_parse_in_either_order(engine):
+    """ZORDER BY and MIN FILES are both trailing clauses and must
+    compose in either order — `ZORDER BY (x) MIN FILES 3` previously
+    stripped only MIN FILES and handed `t ZORDER BY (x)` to the
+    table-name resolver, silently dropping the zorder request."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sparrow_spark.engine import SparrowError
+
+    boot(engine)
+    engine.sql("CREATE TABLE zboth (id INT, x INT, PRIMARY KEY(id))")
+    rows = [(i, (i * 31) % 97) for i in range(120)]
+    engine.sql(
+        "INSERT INTO zboth VALUES " + ", ".join(f"({i}, {x})" for i, x in rows)
+    )
+
+    def x_order():
+        files = sorted(_data_files(engine, "test_db", "zboth"))
+        assert len(files) == 1
+        path = os.path.join(
+            engine.catalog.data_path("test_db", "zboth"), files[0]
+        )
+        return pq.read_table(path, columns=["id", "x"]).column("id").to_pylist()
+
+    res = engine.sql("OPTIMIZE TABLE zboth ZORDER BY (x) MIN FILES 1").rows()
+    assert [(r.Msg_type, r.Msg_text) for r in res] == [("status", "OK")]
+    ids_a = x_order()
+    assert ids_a != sorted(ids_a), "ZORDER BY before MIN FILES was ignored"
+    res = engine.sql("OPTIMIZE TABLE zboth MIN FILES 1 ZORDER BY (x)").rows()
+    assert [(r.Msg_type, r.Msg_text) for r in res] == [("status", "OK")]
+    ids_b = x_order()
+    assert ids_b != sorted(ids_b)
+    # residual clause text anywhere else is a syntax error, not a
+    # bogus table name
+    with pytest.raises(SparrowError, match="trailing clauses"):
+        engine.sql("OPTIMIZE TABLE ZORDER BY (x) zboth")
+    got = engine.sql("SELECT count(*) AS n, sum(x) AS sx FROM zboth").rows()[0]
+    assert (got.n, got.sx) == (120, sum(x for _, x in rows))
+    engine.sql("DROP TABLE zboth")
