@@ -1724,6 +1724,7 @@ def global_running_sums(
     key_cols: list[str],
     value_cols: list[str],
     partitions: int = SN_RANGE_PARTITIONS,
+    reset_cols: list[str] | None = None,
 ) -> DataFrame:
     """EXACT inclusive running sums of ``value_cols`` over the total
     order given by ``key_cols``, without the single-task trap of a
@@ -1739,6 +1740,18 @@ def global_running_sums(
     total order; rows sharing a full key would get order-dependent
     partial sums (callers here pass distinct-key tables).
 
+    ``reset_cols`` generalizes this to GROUPED running sums — the
+    distributed replacement for ``Window.partitionBy(enum).orderBy(
+    growing_key)`` when the partition key is a bounded enum (lang,
+    event_type, returnflag) but each group grows with the corpus, so
+    the vanilla window pushes n/|enum| rows through one task per
+    group. Ranges are taken over (*reset_cols, *key_cols) — groups
+    are laid out contiguously and a big group spans MANY partitions —
+    the local cumsum keys on (_pid, *reset_cols), and the offset
+    table carries one row per (partition x group seen in it), still
+    broadcast-sized (<= partitions x |enum|). (*reset_cols,
+    *key_cols) must form a strict total order.
+
     Pinned (localCheckpoint) for the same reason as
     global_sort_ranks: the local-cumsum window and the totals table
     both key on _pid, and AQE can hand two reader stages of one
@@ -1746,20 +1759,21 @@ def global_running_sums(
     spark_partition_id() between them."""
     from pyspark.sql import Window
 
-    cols = [F.col(c) for c in key_cols]
+    reset_cols = reset_cols or []
+    cols = [F.col(c) for c in [*reset_cols, *key_cols]]
     r = (
         df.repartitionByRange(partitions, *cols)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
     lw = (
-        Window.partitionBy("_pid")
-        .orderBy(*cols)
+        Window.partitionBy("_pid", *reset_cols)
+        .orderBy(*[F.col(c) for c in key_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     for v in value_cols:
         r = r.withColumn(f"_lcum_{v}", F.sum(v).over(lw))
-    totals = r.groupBy("_pid").agg(
+    totals = r.groupBy("_pid", *reset_cols).agg(
         *[F.sum(v).alias(f"_t_{v}") for v in value_cols]
     )
     # Predecessor totals via a triangular self-join (see
@@ -1768,14 +1782,16 @@ def global_running_sums(
     # totals in agg order instead of _pid order — both are "a sum of
     # the partial totals", the same reordering freedom partial
     # aggregation already has (every caller is perturb-checked).
+    same_group = F.col("b._pid") < F.col("a._pid")
+    for g in reset_cols:
+        same_group = same_group & F.col(f"b.{g}").eqNullSafe(F.col(f"a.{g}"))
     offsets = (
         totals.alias("a")
-        .join(
-            totals.alias("b"),
-            F.col("b._pid") < F.col("a._pid"),
-            "left",
+        .join(totals.alias("b"), same_group, "left")
+        .groupBy(
+            F.col("a._pid").alias("_pid"),
+            *[F.col(f"a.{g}").alias(g) for g in reset_cols],
         )
-        .groupBy(F.col("a._pid").alias("_pid"))
         .agg(
             *[
                 F.coalesce(F.sum(F.col(f"b._t_{v}")), F.lit(0)).alias(
@@ -1785,7 +1801,7 @@ def global_running_sums(
             ]
         )
     )
-    out = r.join(F.broadcast(offsets), "_pid")
+    out = r.join(F.broadcast(offsets), ["_pid", *reset_cols])
     for v in value_cols:
         out = out.withColumn(
             f"cum_{v}", F.col(f"_lcum_{v}") + F.col(f"_off_{v}")

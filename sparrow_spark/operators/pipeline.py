@@ -110,21 +110,22 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id order and cut training sequences every 256 tokens — the
     standard pretraining packing layout (documents straddle sequence
     boundaries; the attention mask handles joins). Packing is
-    partitioned per language shard so the running sum parallelizes —
-    one shuffle on lang, then a linear window pass per shard; a global
-    pack order would serialize the corpus through one partition at
-    100 TB."""
+    sharded per language, and the per-shard running sum uses GROUPED
+    global_running_sums (range-partitioned on (lang, doc_id), local
+    cumsum, broadcast per-(partition, lang) offsets): a
+    Window.partitionBy(lang) would push n/|langs| documents through
+    ONE task per language at 100 TB — the lang enum is fixed at 5,
+    so lang partitioning alone caps parallelism at 5 tasks."""
+    from sparrow_spark.operators.dedup import global_running_sums
+
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(tokens(F.col("text"))).cast("bigint")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     sized = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
-    cum = F.sum("n_tokens").over(w)
-    start = cum - F.col("n_tokens")
-    return sized.select(
+    cum = global_running_sums(
+        sized, ["doc_id"], ["n_tokens"], reset_cols=["lang"]
+    )
+    start = F.col("cum_n_tokens") - F.col("n_tokens")
+    return cum.select(
         "doc_id",
         "lang",
         "n_tokens",
@@ -172,25 +173,25 @@ def q_sequence_packing_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
     one span per sequence it touches, with doc_offset locating the
     span inside the document.
 
-    Scale: identical cost to q_sequence_packing — one shuffle on the
-    lang shard key for the running sum, then the span explode is
-    map-side and output is O(docs + sequences) rows (each doc adds at
-    most ceil(len/budget)+1 spans). The span table is what ships to
-    the trainer, so downstream never re-reads text to rebuild masks."""
+    Scale: identical cost to q_sequence_packing — the per-lang running
+    sum is grouped global_running_sums (range-partitioned on
+    (lang, doc_id), never one task per language), then the span
+    explode is map-side and output is O(docs + sequences) rows (each
+    doc adds at most ceil(len/budget)+1 spans). The span table is what
+    ships to the trainer, so downstream never re-reads text to rebuild
+    masks."""
+    from sparrow_spark.operators.dedup import global_running_sums
+
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(tokens(F.col("text"))).cast("bigint")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     sized = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
-    cum = F.sum("n_tokens").over(w)
-    laid = sized.select(
+    laid = global_running_sums(
+        sized, ["doc_id"], ["n_tokens"], reset_cols=["lang"]
+    ).select(
         "doc_id",
         "lang",
-        (cum - F.col("n_tokens")).alias("st"),
-        cum.alias("cum"),
+        (F.col("cum_n_tokens") - F.col("n_tokens")).alias("st"),
+        F.col("cum_n_tokens").alias("cum"),
     )
     b = F.lit(PACK_BUDGET)
     spans = laid.select(
@@ -3106,9 +3107,13 @@ def q_multimodal_pack_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the modality-balance audit a multimodal trainer runs before
     committing a mixture: sequences whose image fraction drifts from
     the corpus ratio indicate clumping in the pack order. All span
-    algebra is exact BIGINT interval arithmetic; one shuffle on lang,
-    one window, one explode bounded by spans-per-sequence — the same
-    100 TB shape as the text-only packing ops."""
+    algebra is exact BIGINT interval arithmetic; the per-lang running
+    sum is grouped global_running_sums (range-partitioned on
+    (lang, doc_id) — never one task per language), one explode bounded
+    by spans-per-sequence — the same 100 TB shape as the text-only
+    packing ops."""
+    from sparrow_spark.operators.dedup import global_running_sums
+
     docs = load_table(spark, sf_dir, "documents")
     n_text = F.size(tokens(F.col("text"))).cast("bigint")
     n_img = (
@@ -3116,16 +3121,18 @@ def q_multimodal_pack_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("bigint")
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     sized = docs.select(
-        "doc_id", "lang", n_text.alias("n_text"), n_img.alias("n_img")
+        "doc_id",
+        "lang",
+        n_text.alias("n_text"),
+        n_img.alias("n_img"),
+        (n_text + n_img).alias("_tot"),
     )
-    tot = F.col("n_text") + F.col("n_img")
-    packed = sized.withColumn("st", F.sum(tot).over(w) - tot)
+    packed = (
+        global_running_sums(sized, ["doc_id"], ["_tot"], reset_cols=["lang"])
+        .withColumn("st", F.col("cum__tot") - F.col("_tot"))
+        .drop("cum__tot", "_tot")
+    )
     spans = packed.select(
         "lang",
         "doc_id",

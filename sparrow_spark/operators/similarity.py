@@ -1441,11 +1441,19 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = assign_to_centroids(vecs, seeds).select("vec_id", "centroid_id")
     key = F.md5(F.col("vec_id").cast("string"))
     w = Window.partitionBy("centroid_id").orderBy(key, "vec_id")
-    wc = Window.partitionBy("centroid_id")
+    # n_members comes from a keyed agg + broadcast join, not a
+    # count-only window: the unordered WindowExec would still drag
+    # each cluster's full membership (corpus/k rows) through one task
+    # just to stamp a constant on every row. The rank window stays,
+    # but filtered to pick_rank <= 20 BEFORE anything else consumes
+    # it, so WindowGroupLimit keeps per-task state at top-20.
+    counts = a.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
     return (
         a.withColumn("pick_rank", F.row_number().over(w).cast("bigint"))
-        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
         .filter(F.col("pick_rank") <= 20)
+        .join(F.broadcast(counts), "centroid_id")
         .select("centroid_id", "vec_id", "pick_rank", "n_members")
     )
 

@@ -177,9 +177,11 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     without it). Adjusted p_i = min_{j>=i}(p_j * m / j) via a running
     min from the worst rank.
 
-    Scale: per-type ECDFs run over distinct-value tables partitioned by
-    event_type; the BH pass itself is a window over ONE ROW PER TEST
-    (segments, not rows) — trivially bounded."""
+    Scale: per-type ECDFs run over the distinct-value table via
+    grouped global_running_sums (range-partitioned on (type, value) —
+    a type's values span many partitions instead of one task per
+    type); the BH pass itself is a window over ONE ROW PER TEST
+    (segments, not rows) — trivially bounded by the 5-type enum."""
     s = load_table(spark, sf_dir, "events").select(
         "event_type",
         "value",
@@ -193,15 +195,18 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g1").cast("double").alias("c1"),
         F.sum(1 - F.col("g1")).cast("double").alias("c2"),
     )
-    we = (
-        Window.partitionBy("event_type")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    ecdf = vals.select(
+    # Per-type ECDFs via GROUPED running sums (reset_cols): the
+    # distinct-value table grows with the corpus while event_type is a
+    # fixed 5-value enum, so a Window.partitionBy("event_type") would
+    # push n/5 rows through one task per type at scale.
+    from sparrow_spark.operators.dedup import global_running_sums
+
+    ecdf = global_running_sums(
+        vals, ["value"], ["c1", "c2"], reset_cols=["event_type"]
+    ).select(
         "event_type",
-        F.sum("c1").over(we).alias("cum1"),
-        F.sum("c2").over(we).alias("cum2"),
+        F.col("cum_c1").alias("cum1"),
+        F.col("cum_c2").alias("cum2"),
     )
     d = (
         ecdf.join(F.broadcast(n), "event_type")

@@ -329,26 +329,27 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry unequal mass. Lower weighted median: first value whose
     cumulative weight reaches half the total.
 
-    Scale: the running-weight window and both aggs share the
-    l_returnflag partitioning — one shuffle; at true scale the exact
-    within-group sort is replaced by a fixed-grid binned scan (the
-    same trade as binned-KS), which this plan's shape already
-    permits (the window runs per group, not globally)."""
+    Scale: weight mass is first collapsed to one row per (flag,
+    price) — a keyed shuffle agg with map-side combine — then the
+    running weight uses GROUPED global_running_sums (range-partitioned
+    on (flag, price): a flag's prices span many partitions). The old
+    Window.partitionBy(l_returnflag) pushed n/3 RAW lineitem rows
+    through one task per flag — the 3-value enum capped parallelism
+    at 3. Equivalent because the median test only needs the cumulative
+    AT each price (integer-valued quantities sum exactly, and within
+    a tied price the last row's cumulative is order-independent)."""
+    from sparrow_spark.operators.dedup import global_running_sums
+
     li = load_table(spark, sf_dir, "lineitem")
-    wrun = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    by_price = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum("l_quantity").alias("w")
     )
-    wall = Window.partitionBy("l_returnflag")
-    cum = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.sum("l_quantity").over(wrun).alias("cw"),
-        F.sum("l_quantity").over(wall).alias("tw"),
-    )
+    tot = by_price.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
+    cum = global_running_sums(
+        by_price, ["l_extendedprice"], ["w"], reset_cols=["l_returnflag"]
+    ).join(F.broadcast(tot), "l_returnflag")
     return (
-        cum.filter(F.col("cw") >= F.col("tw") / 2)
+        cum.filter(F.col("cum_w") >= F.col("tw") / 2)
         .groupBy("l_returnflag")
         .agg(rnd(F.min("l_extendedprice"), 2).alias("weighted_median_price"))
         .orderBy("l_returnflag")
@@ -434,8 +435,13 @@ def q_topk_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserves the total so the result still sums to full revenue.
 
     Scale: the fact join + part-level agg shuffle once on the group
-    keys; ranking runs per status over part-cardinality rows, and the
-    final rollup only re-buckets that bounded table."""
+    keys. The top-3 set is derived by a rank IMMEDIATELY filtered to
+    rk <= 3 — Spark's WindowGroupLimit turns that into a per-partition
+    top-k pushdown, so no task ever sorts a status's full
+    part-cardinality slice (an unfiltered rank would: |parts| grows
+    with SF while the 3-value status enum caps window parallelism at
+    3) — then broadcast-joined back (<= 3 x |statuses| rows) to tag
+    the OTHER rollup."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     per_part = (
@@ -455,11 +461,18 @@ def q_topk_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.desc("rev"), "l_partkey"
         )
     )
+    top3 = (
+        per_part.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("o_orderstatus", "l_partkey", F.lit(True).alias("_top"))
+    )
     bucket = F.when(
-        F.col("rk") <= 3, F.col("l_partkey").cast("string")
+        F.col("_top"), F.col("l_partkey").cast("string")
     ).otherwise("OTHER")
     return (
-        per_part.withColumn("rk", rk)
+        per_part.join(
+            F.broadcast(top3), ["o_orderstatus", "l_partkey"], "left"
+        )
         .groupBy("o_orderstatus", bucket.alias("part_bucket"))
         .agg(
             rnd(F.sum("rev"), 2).alias("revenue"),

@@ -76,6 +76,37 @@ def test_global_running_sums_matches_a_serial_prefix_sum(spark):
             assert got[(k, t)] == acc, (name, k, t)
 
 
+def test_grouped_running_sums_reset_per_group(spark):
+    """reset_cols gives per-group prefix sums matching a serial
+    per-group fold — the distributed replacement for
+    Window.partitionBy(enum).orderBy(key) when groups grow with the
+    corpus. Groups must not bleed into each other even when one group
+    spans many range partitions (the onekey case: a single group holds
+    ALL rows, so every partition boundary is an intra-group boundary)."""
+    import random
+
+    rng = random.Random(11)
+    for name in ("mixed", "onegroup"):
+        if name == "mixed":
+            rows = [(rng.randrange(5), rng.randrange(10**6), i,
+                     rng.randrange(100)) for i in range(3000)]
+        else:
+            rows = [(7, rng.randrange(50), i, rng.randrange(100))
+                    for i in range(2000)]
+        df = spark.createDataFrame(
+            rows, "g bigint, k bigint, tie bigint, v bigint"
+        )
+        r = global_running_sums(df, ["k", "tie"], ["v"], reset_cols=["g"])
+        got = {
+            (row["g"], row["k"], row["tie"]): row["cum_v"]
+            for row in r.collect()
+        }
+        acc: dict = {}
+        for g, k, t, v in sorted(rows):
+            acc[g] = acc.get(g, 0) + v
+            assert got[(g, k, t)] == acc[g], (name, g, k, t)
+
+
 def test_mg_candidates_never_lose_a_true_heavy_hitter(spark):
     """Pigeonhole guarantee: any token with global frequency >= 1/k
     must survive the per-partition MG union, for every partitioning
