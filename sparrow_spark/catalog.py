@@ -129,6 +129,19 @@ def check_ident(name: str) -> str:
     n = name.strip().strip("`").lower()
     if not _IDENT.match(n):
         raise ValueError(f"invalid identifier: {name!r}")
+    if n.startswith("__"):
+        # The dunder prefix is reserved for engine-internal helper
+        # columns and temp views (__ord/__rn in the INSERT dedup pass,
+        # __file in COW file pruning, __new_<c> in ODKU, __snapshot_*
+        # views): a user column with one of those names would be
+        # silently REPLACED by withColumn mid-plan and then dropped —
+        # the same data-destruction class as the fixed _z ZORDER
+        # helpers — so the whole prefix is rejected at DDL time
+        # instead of suffix-juggling every internal call site.
+        raise ValueError(
+            f"invalid identifier: {name!r} (the '__' prefix is reserved "
+            "for engine-internal columns)"
+        )
     return n
 
 

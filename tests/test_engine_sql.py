@@ -1116,3 +1116,27 @@ def test_optimize_clauses_parse_in_either_order(engine):
     got = engine.sql("SELECT count(*) AS n, sum(x) AS sx FROM zboth").rows()[0]
     assert (got.n, got.sx) == (120, sum(x for _, x in rows))
     engine.sql("DROP TABLE zboth")
+
+
+def test_dunder_column_names_are_reserved(engine):
+    """The `__` identifier prefix is reserved for engine-internal
+    helper columns (__ord/__rn in INSERT dedup, __file in COW file
+    pruning, __new_<c> in ODKU): a user column with one of those names
+    would be silently replaced by withColumn mid-plan and its data
+    destroyed on the next DML rewrite — rejected at DDL time instead."""
+    boot(engine)
+    for ddl in (
+        "CREATE TABLE resv (`__ord` INT)",
+        "CREATE TABLE resv (`__file` INT)",
+        "CREATE TABLE resv (id INT, `__new_id` INT, PRIMARY KEY(id))",
+        "CREATE TABLE `__resv` (id INT)",
+    ):
+        with pytest.raises(ValueError, match="reserved"):
+            engine.sql(ddl)
+    # single leading underscore stays legal (only the dunder prefix is
+    # engine-internal)
+    engine.sql("CREATE TABLE resv_ok (`_note` CHAR, id INT, PRIMARY KEY(id))")
+    engine.sql("INSERT INTO resv_ok VALUES ('a', 1)")
+    got = engine.sql("SELECT `_note` FROM resv_ok").rows()
+    assert [r["_note"] for r in got] == ["a"]
+    engine.sql("DROP TABLE resv_ok")
