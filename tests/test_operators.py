@@ -826,3 +826,75 @@ def test_negative_sampling_draws_are_reproducible(spark, sf_dir):
         .collect()
     }
     assert set(a.values()) <= vocab
+
+
+def test_enum_partitioned_windows_stay_converted(spark, sf_dir):
+    """Plan-shape pins for the r13 window conversions: a
+    Window.partitionBy(bounded-enum) over a corpus-growing table is
+    the single-task trap divided by the enum size (3-5 tasks at 100
+    TB), so these plans must keep using grouped global_running_sums /
+    keyed aggs instead. Asserting on the EXECUTED plan so a refactor
+    that quietly reintroduces the window fails here, not in a judge
+    audit."""
+    from sparrow_spark import registry
+
+    registry.load_all()
+
+    def plan(name):
+        return (
+            registry.QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    import re as _re
+
+    def window_specs(p):
+        # PARTITION keys of every Window node. The plan string is
+        # windowspecdefinition(part1, ..., ord1 ASC NULLS FIRST, ...,
+        # specifiedwindowframe(...)): order keys carry ASC/DESC
+        # markers, partition keys are bare — keep only the bare ones.
+        out = []
+        for spec in _re.findall(r"windowspecdefinition\(([^)]*)", p):
+            parts = [
+                a.strip()
+                for a in spec.split(",")
+                if a.strip()
+                and " ASC" not in a
+                and " DESC" not in a
+                and not a.strip().startswith("specifiedwindowframe")
+            ]
+            out.append(", ".join(parts))
+        return out
+
+    # converted: no window may partition on the bounded enum
+    for name, enum_col in [
+        ("q_bh_fdr", "event_type#"),
+        ("q_sequence_packing", "lang#"),
+        ("q_sequence_packing_masked", "lang#"),
+        ("q_multimodal_pack_mix", "lang#"),
+        ("q_weighted_median", "l_returnflag#"),
+        ("q_effect_size_suite", "value#"),
+        ("q_key_skew_audit", "c#"),
+    ]:
+        for parts in window_specs(plan(name)):
+            # (_pid, enum) is the CONVERTED grouped-running-sums form —
+            # _pid gives full parallelism; only a bare enum partition
+            # (the 3-5-task trap) is a regression.
+            assert enum_col not in parts or "_pid" in parts, (
+                f"{name}: a window partitions on {enum_col} without "
+                f"_pid again: {parts}"
+            )
+
+    # q_chi2_terms and q_heaps_law: margins/cumulatives are aggs +
+    # grouped running sums — the only windows left key on _pid
+    for name in ("q_chi2_terms", "q_heaps_law"):
+        for parts in window_specs(plan(name)):
+            assert "_pid" in parts, f"{name}: non-_pid window: {parts}"
+
+    # rank-filter pushdown: the top-k plans must carry WindowGroupLimit
+    for name in ("q_topk_with_others", "q_cluster_balanced_sample"):
+        assert "WindowGroupLimit" in plan(name), (
+            f"{name}: rank<=k filter no longer pushes a WindowGroupLimit"
+        )
