@@ -307,6 +307,9 @@ BENCH_QUERIES = [
     # round-over-round (q_negative_sampling, the other conversion, was
     # already benched).
     "q_vocab_coverage",
+    # r13 additions — benched on arrival (throttled round).
+    "q_colbert_maxsim",
+    "q_knn_shapley",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -2697,3 +2697,237 @@ def q_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Late-interaction (multi-vector) retrieval and training-data valuation —
+# r13 additions. Both derive deterministic per-token vectors from the
+# fixture's single embedding column (cyclic rotations), so the multi-vector
+# plumbing is real while the fixture stays the driver's parquet.
+# --------------------------------------------------------------------------
+
+_ROT_SQL = "[v[1 + ((i - 1 + t) % len(v))] for i in range(1, len(v) + 1)]"
+
+
+@query(
+    "q_colbert_maxsim",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dt AS (
+      SELECT vec_id AS doc_id, t, {_ROT_SQL} AS tv
+      FROM e CROSS JOIN (VALUES (0), (1), (2)) toks(t)
+    ),
+    qt AS (SELECT doc_id AS query_id, t AS qtok, tv AS qv
+           FROM dt WHERE doc_id < 4),
+    pairs AS (
+      SELECT q.query_id, q.qtok, d.doc_id,
+             list_sum([q.qv[i] * d.tv[i]
+                       for i in range(1, len(q.qv) + 1)]) /
+             (sqrt(list_sum([x * x for x in q.qv])) *
+              sqrt(list_sum([x * x for x in d.tv]))) AS cos
+      FROM qt q JOIN dt d ON q.query_id <> d.doc_id
+    ),
+    mx AS (SELECT query_id, qtok, doc_id, max(cos) AS m
+           FROM pairs GROUP BY 1, 2, 3),
+    sc AS (SELECT query_id, doc_id, sum(m) AS s FROM mx GROUP BY 1, 2)
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, doc_id) AS rank,
+           round(s / 3, 4) AS maxsim
+    FROM sc QUALIFY rank <= 5
+    """,
+)
+def q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    SIGIR 2020): every document and query is a BAG of token vectors;
+    score(q, d) = sum over query tokens of the max cosine against any
+    document token (MaxSim), here mean-normalized by the token count.
+    Token vectors are deterministic cyclic rotations of the fixture
+    embedding (t = 0..2), computed identically in both engines, so the
+    multi-vector schema/join/reduce plumbing is exercised for real.
+
+    Scale: the document-token table is the corpus side and stays
+    partitioned (3x row inflation, map-side transform — no shuffle to
+    build it); the query-token panel is broadcast. The MaxSim reduce
+    is two partial-agg shuffles on (query, qtok, doc) then (query,
+    doc) — both reduce BEFORE the shuffle (partial max/sum), so bytes
+    shuffled are bounded by |Q| x |corpus|, never |Q| x |doc tokens|.
+    Top-5 per query goes through WindowGroupLimit (rank <= k pushes
+    the limit map-side). At 100 TB with a real tokenizer the same
+    plan holds — the token explosion is the scan, not a join."""
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    toks = vecs.select(
+        "vec_id",
+        "v",
+        F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("t"),
+    ).withColumn(
+        "tv",
+        F.expr(
+            "transform(sequence(1, size(v)), "
+            "i -> element_at(v, ((i - 1 + t) % size(v)) + 1))"
+        ),
+    )
+    dt = toks.select(F.col("vec_id").alias("doc_id"), "tv")
+    qt = toks.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("t").alias("qtok"),
+        F.col("tv").alias("qv"),
+    )
+    pairs = dt.join(
+        F.broadcast(qt), F.col("query_id") != F.col("doc_id")
+    ).withColumn("cos", cosine(F.col("qv"), F.col("tv")))
+    mx = pairs.groupBy("query_id", "qtok", "doc_id").agg(
+        F.max("cos").alias("m")
+    )
+    sc = mx.groupBy("query_id", "doc_id").agg(F.sum("m").alias("s"))
+    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), "doc_id")
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            rnd(F.col("s") / 3, 4).alias("maxsim"),
+        )
+    )
+
+
+@query(
+    "q_knn_shapley",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS test_id, v AS tv, label AS ty
+          FROM e WHERE vec_id < 4),
+    tr AS (SELECT vec_id AS train_id, v, label
+           FROM e WHERE vec_id >= 4),
+    d AS (
+      SELECT q.test_id, tr.train_id,
+             CASE WHEN tr.label = q.ty THEN 1.0 ELSE 0.0 END AS ind,
+             list_sum([(q.tv[i] - tr.v[i]) * (q.tv[i] - tr.v[i])
+                       for i in range(1, len(q.tv) + 1)]) AS dist
+      FROM q CROSS JOIN tr
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY test_id
+                                ORDER BY dist, train_id) AS j,
+             count(*) OVER (PARTITION BY test_id) AS n,
+             lead(ind) OVER (PARTITION BY test_id
+                             ORDER BY dist, train_id) AS ind_next
+      FROM d
+    ),
+    dd AS (
+      SELECT *,
+             CASE WHEN j = n THEN ind / n
+                  ELSE (ind - ind_next) / 5.0 * least(5, j) / j
+             END AS dj
+      FROM r
+    ),
+    s AS (
+      SELECT *, sum(dj) OVER (PARTITION BY test_id
+                              ORDER BY j DESC) AS shap_raw
+      FROM dd
+    )
+    SELECT test_id, train_id, j AS dist_rank,
+           CAST(ind AS BIGINT) AS label_match,
+           row_number() OVER (PARTITION BY test_id
+                              ORDER BY shap_raw DESC, train_id) AS rank_s,
+           round(shap_raw, 6) AS shapley
+    FROM s QUALIFY rank_s <= 10
+    """,
+)
+def q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-example Shapley values for a K-NN classifier (Jia et
+    al., VLDB 2019, "Efficient Task-Specific Data Valuation for
+    Nearest Neighbor Algorithms"): for one test point, sort the train
+    set by distance ascending; the farthest point gets 1[y=y_t]/N and
+    each closer point adds (1[y_j=y_t] - 1[y_{j+1}=y_t])/K *
+    min(K,j)/j — a REVERSE cumulative sum over the distance ranking.
+    This is the published exact algorithm (O(N log N) per test point,
+    no Monte Carlo), the standard data-valuation pass for curation:
+    the top-10 most valuable train examples per test probe.
+
+    Scale: distances are map-side (broadcast test panel vs the
+    partitioned corpus). The per-test ranking and both cumulative
+    passes use the two-phase grouped global_running_sums — NEVER
+    Window.partitionBy(test_id) over the corpus, which is the
+    bounded-enum single-task trap (4 tasks total at any corpus size).
+    The successor indicator comes from an equi-join on (test_id,
+    rank+1), a plain shuffle join. Suffix sums are recovered as
+    group_total - prefix + own, so no descending second sort pass is
+    needed. K = 5, squared-L2 distances (monotone to L2)."""
+    from sparrow_spark.operators.dedup import global_running_sums
+
+    vecs = _vecs(spark, sf_dir)
+    tests = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("test_id"),
+        F.col("v").alias("tv"),
+        F.col("label").alias("ty"),
+    )
+    train = vecs.filter(F.col("vec_id") >= 4).select(
+        F.col("vec_id").alias("train_id"), "v", "label"
+    )
+    sq = F.zip_with("tv", "v", lambda x, y: (x - y) * (x - y))
+    d = (
+        train.join(F.broadcast(tests), F.col("test_id") != F.col("train_id"))
+        .withColumn("ind", (F.col("label") == F.col("ty")).cast("double"))
+        .withColumn(
+            "dist", F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+        )
+        .select("test_id", "train_id", "ind", "dist")
+        .withColumn("one", F.lit(1).cast("bigint"))
+    )
+    ranked = global_running_sums(
+        d, key_cols=["dist", "train_id"], value_cols=["one"],
+        reset_cols=["test_id"],
+    ).withColumnRenamed("cum_one", "j")
+    n = ranked.groupBy("test_id").agg(F.count(F.lit(1)).alias("n"))
+    succ = ranked.select(
+        F.col("test_id").alias("s_test_id"),
+        (F.col("j") - 1).alias("j_prev"),
+        F.col("ind").alias("ind_next"),
+    )
+    dd = (
+        ranked.join(F.broadcast(n), "test_id")
+        .join(
+            succ,
+            (F.col("test_id") == F.col("s_test_id"))
+            & (F.col("j") == F.col("j_prev")),
+            "left",
+        )
+        .withColumn(
+            "dj",
+            F.when(F.col("j") == F.col("n"), F.col("ind") / F.col("n"))
+            .otherwise(
+                (F.col("ind") - F.col("ind_next"))
+                / F.lit(5.0)
+                * F.least(F.lit(5), F.col("j"))
+                / F.col("j")
+            ),
+        )
+        .select("test_id", "train_id", "j", "ind", "dj")
+    )
+    cum = global_running_sums(
+        dd, key_cols=["j"], value_cols=["dj"], reset_cols=["test_id"]
+    )
+    tot = cum.groupBy("test_id").agg(F.sum("dj").alias("tot"))
+    s = cum.join(F.broadcast(tot), "test_id").withColumn(
+        "shap_raw", F.col("tot") - F.col("cum_dj") + F.col("dj")
+    )
+    w = Window.partitionBy("test_id").orderBy(
+        F.col("shap_raw").desc(), "train_id"
+    )
+    return (
+        s.withColumn("rank_s", F.row_number().over(w))
+        .filter(F.col("rank_s") <= 10)
+        .select(
+            "test_id",
+            "train_id",
+            F.col("j").alias("dist_rank"),
+            F.col("ind").cast("bigint").alias("label_match"),
+            "rank_s",
+            rnd("shap_raw", 6).alias("shapley"),
+        )
+    )

@@ -1,0 +1,90 @@
+"""Independent differential tests for the r13 operator additions:
+recompute ColBERT MaxSim retrieval and exact kNN-Shapley valuation
+with plain numpy on the sf0.001 fixture and compare against the
+distributed plans — a third implementation, independent of both the
+Spark pipeline and the DuckDB oracle."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from sparrow_spark import registry
+
+registry.load_all()
+
+
+def _embeddings(sf_dir):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id"))
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    labels = np.asarray(t.column("label"))
+    order = np.argsort(ids)
+    return ids[order], vecs[order], labels[order]
+
+
+def _run(spark, sf_dir, name):
+    return registry.QUERIES[name](spark, sf_dir).collect()
+
+
+def test_colbert_maxsim_matches_numpy_brute_force(spark, sf_dir):
+    ids, vecs, _ = _embeddings(sf_dir)
+    toks = {
+        i: np.stack([np.roll(v, -t) for t in range(3)])
+        for i, v in zip(ids, vecs)
+    }
+    rows = _run(spark, sf_dir, "q_colbert_maxsim")
+    assert len(rows) == 4 * 5
+    for qid in ids[ids < 4]:
+        got = sorted(
+            (r for r in rows if r.query_id == qid), key=lambda r: r.rank
+        )
+        assert [r.rank for r in got] == [1, 2, 3, 4, 5]
+        qn = toks[qid] / np.linalg.norm(toks[qid], axis=1, keepdims=True)
+        scores = {}
+        for did in ids:
+            if did == qid:
+                continue
+            dn = toks[did] / np.linalg.norm(toks[did], axis=1, keepdims=True)
+            scores[did] = (qn @ dn.T).max(axis=1).sum() / 3
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert [r.doc_id for r in got] == [d for d, _ in want]
+        for r, (_, s) in zip(got, want):
+            assert abs(r.maxsim - s) < 2e-4  # rounded to 4 decimals
+        # scores are means of cosines
+        assert all(-1.0 <= r.maxsim <= 1.0 for r in got)
+
+
+def _shapley_numpy(ids, vecs, labels, test_id, k=5):
+    tmask = ids == test_id
+    tv, ty = vecs[tmask][0], labels[tmask][0]
+    trmask = ids >= 4
+    tr_ids, tr_v, tr_y = ids[trmask], vecs[trmask], labels[trmask]
+    dist = ((tr_v - tv) ** 2).sum(axis=1)
+    order = np.lexsort((tr_ids, dist))  # dist asc, id asc
+    ind = (tr_y[order] == ty).astype(float)
+    n = len(order)
+    s = np.zeros(n)
+    s[n - 1] = ind[n - 1] / n
+    for j in range(n - 2, -1, -1):  # j is 0-based; paper rank = j+1
+        s[j] = s[j + 1] + (ind[j] - ind[j + 1]) / k * min(k, j + 1) / (j + 1)
+    return {tr_ids[order[j]]: (s[j], j + 1, int(ind[j])) for j in range(n)}
+
+
+def test_knn_shapley_matches_numpy_recursion(spark, sf_dir):
+    ids, vecs, labels = _embeddings(sf_dir)
+    rows = _run(spark, sf_dir, "q_knn_shapley")
+    assert len(rows) == 4 * 10
+    for tid in ids[ids < 4]:
+        got = sorted(
+            (r for r in rows if r.test_id == tid), key=lambda r: r.rank_s
+        )
+        assert [r.rank_s for r in got] == list(range(1, 11))
+        want = _shapley_numpy(ids, vecs, labels, tid)
+        top = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+        assert [r.train_id for r in got] == [t for t, _ in top]
+        for r, (_, (sv, j, m)) in zip(got, top):
+            assert abs(r.shapley - sv) < 2e-6  # rounded to 6 decimals
+            assert r.dist_rank == j
+            assert r.label_match == m
+        # Shapley output is sorted by value within each test point.
+        vals = [r.shapley for r in got]
+        assert vals == sorted(vals, reverse=True)
