@@ -310,6 +310,7 @@ BENCH_QUERIES = [
     # r13 additions — benched on arrival (throttled round).
     "q_colbert_maxsim",
     "q_knn_shapley",
+    "q_unigram_lm_viterbi",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -512,7 +512,7 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_weighted_sample",
     oracle="""
-    WITH w AS (
+    WITH w AS MATERIALIZED (
       SELECT doc_id, lang,
              CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS weight,
              ('0x' || substr(md5('ws:' || doc_id), 1, 8))::UBIGINT
@@ -2869,4 +2869,207 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
         .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer: Viterbi segmentation (SentencePiece counterpart
+# to the BPE trainer above) — r13 addition
+# ---------------------------------------------------------------------------
+
+_UNI_MAXLEN = 12  # explicit word-length cap: bounds the DP unroll
+_UNI_MAXPIECE = 4  # max candidate piece length
+_UNI_TOPMULTI = 30  # multi-char pieces kept in the vocabulary
+
+
+def _unigram_viterbi_oracle_sql() -> str:
+    """Chained-CTE DP (the house pattern for iterative oracles —
+    DuckDB recursive CTEs cannot hold per-key argmax state): d{i}
+    carries the best milli-log score and the min piece count at that
+    score for every word prefix of length i."""
+    parts = [
+        f"""
+    WITH w AS MATERIALIZED (
+      SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+            FROM documents)
+      WHERE t <> '' AND length(t) <= {_UNI_MAXLEN}
+      GROUP BY t
+    ),
+    sub AS MATERIALIZED (
+      SELECT substr(word, i, l) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM w, range(1, {_UNI_MAXLEN + 1}) r(i),
+           range(1, {_UNI_MAXPIECE + 1}) q(l)
+      WHERE i + l - 1 <= length(word)
+      GROUP BY piece
+    ),
+    picked AS MATERIALIZED (
+      SELECT piece, cnt FROM sub WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM sub WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece LIMIT {_UNI_TOPMULTI})
+    ),
+    vocab AS MATERIALIZED (
+      SELECT piece,
+             CAST(round(ln(CAST(cnt AS DOUBLE) /
+                  (SELECT CAST(sum(cnt) AS DOUBLE) FROM picked)) * 1000, 0)
+                  AS BIGINT) AS lp
+      FROM picked
+    ),
+    d0 AS MATERIALIZED (SELECT word, freq, CAST(0 AS BIGINT) AS sc,
+                  CAST(0 AS BIGINT) AS np FROM w)"""
+    ]
+    for i in range(1, _UNI_MAXLEN + 1):
+        js = [j for j in range(max(0, i - _UNI_MAXPIECE), i)]
+        joins, cands, nps = [], [], []
+        for j in js:
+            joins.append(f"LEFT JOIN d{j} a{j} ON a{j}.word = w.word")
+            joins.append(
+                f"LEFT JOIN vocab v{j} "
+                f"ON v{j}.piece = substr(w.word, {j + 1}, {i - j})"
+            )
+            cands.append(f"(a{j}.sc + v{j}.lp)")
+        best = f"greatest({', '.join(cands)})"
+        for j, c in zip(js, cands):
+            nps.append(f"CASE WHEN {c} = {best} THEN a{j}.np + 1 END")
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+      SELECT w.word, w.freq, {best} AS sc,
+             least({', '.join(nps)}) AS np
+      FROM w {' '.join(joins)}
+      WHERE length(w.word) >= {i}
+    )"""
+        )
+    finals = "\n      UNION ALL\n".join(
+        f"      SELECT word, freq, sc, np FROM d{i} WHERE length(word) = {i}"
+        for i in range(1, _UNI_MAXLEN + 1)
+    )
+    return (
+        "".join(parts)
+        + f""", best AS (
+{finals}
+    )
+    SELECT word, freq, np AS n_pieces, sc AS score_milli,
+           round(CAST(length(word) AS DOUBLE) / np, 4) AS avg_piece_len
+    FROM best
+    ORDER BY freq DESC, word LIMIT 20"""
+    )
+
+
+@query("q_unigram_lm_viterbi", oracle=_unigram_viterbi_oracle_sql())
+def q_unigram_lm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer segmentation (Kudo 2018, the SentencePiece
+    default — the other industry-standard subword algorithm next to
+    the BPE trainer above): build a piece vocabulary (every single
+    character + the top-30 multi-char substrings of length 2-4 by
+    corpus-weighted occurrence count), assign each piece an INTEGER
+    milli-log probability round(ln(cnt/total)*1000), and Viterbi-
+    segment each distinct word — maximize the summed piece log-prob;
+    of the maximizing segmentations, report the minimum piece count.
+    Both DP objectives (max score, min pieces at max) are scalars, so
+    the result never depends on an arbitrary argmax PATH tiebreak, and
+    all DP arithmetic is exact BIGINT (the q_record_linkage_fs
+    milli-integer lesson), so no cross-engine float summation-order
+    drift can flip a comparison.
+
+    Distributed shape: the corpus is touched exactly once (the word
+    frequency count); everything after runs on the DISTINCT-WORD table
+    — the same vocabulary-cache trick as q_bpe_encode, which is what
+    makes tokenizer training on a 100 TB corpus a vocabulary-sized
+    job. Substring counting explodes the word table map-side (one
+    keyed sum), the <= ~60-piece vocabulary folds into ONE broadcast
+    map row, and the Viterbi DP is a per-row JVM fold
+    (aggregate over word positions, array-struct state) — no shuffle,
+    no Python, no per-word iteration on the driver. Words longer than
+    12 chars are excluded by an explicit documented cap (none exist in
+    the fixture at any SF; at scale the cap bounds DP state exactly
+    like SentencePiece's max_sentencepiece_length)."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        .filter(
+            (F.col("word") != "") & (F.length("word") <= _UNI_MAXLEN)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        # One corpus pass total: every later stage is vocabulary-sized,
+        # so freeze the word table instead of re-deriving it per
+        # consumer (sub / total / the DP input).
+        .localCheckpoint(eager=True)
+    )
+    sub = (
+        words.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(sequence(1, length(word)),
+                        i -> transform(
+                          sequence(0, least({_UNI_MAXPIECE - 1},
+                                            length(word) - i)),
+                          l -> substring(word, i, l + 1))))"""
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    chars = sub.filter(F.length("piece") == 1)
+    multi = (
+        sub.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(_UNI_TOPMULTI)
+    )
+    picked = chars.unionAll(multi)
+    total = picked.agg(F.sum("cnt").cast("double").alias("tot"))
+    vocab = picked.crossJoin(F.broadcast(total)).select(
+        "piece",
+        rnd(F.log(F.col("cnt") / F.col("tot")) * 1000, 0)
+        .cast("bigint")
+        .alias("lp"),
+    )
+    vmap = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "lp"))
+        ).alias("vmap")
+    )
+    dp_expr = f"""aggregate(
+      sequence(1, length(word)),
+      named_struct('sc', array(CAST(0 AS BIGINT)),
+                   'np', array(CAST(0 AS BIGINT))),
+      (acc, i) -> named_struct(
+        'sc', concat(acc.sc, array(
+          array_max(transform(
+            sequence(greatest(1, i - {_UNI_MAXPIECE - 1}), i),
+            j -> element_at(acc.sc, j) +
+                 element_at(vmap, substring(word, j, i - j + 1)))))),
+        'np', concat(acc.np, array(
+          array_min(transform(
+            sequence(greatest(1, i - {_UNI_MAXPIECE - 1}), i),
+            j -> IF(element_at(acc.sc, j) +
+                    element_at(vmap, substring(word, j, i - j + 1)) =
+                    array_max(transform(
+                      sequence(greatest(1, i - {_UNI_MAXPIECE - 1}), i),
+                      k -> element_at(acc.sc, k) +
+                           element_at(vmap, substring(word, k, i - k + 1)))),
+                    element_at(acc.np, j) + CAST(1 AS BIGINT),
+                    CAST(NULL AS BIGINT))))))),
+      acc -> named_struct('sc', element_at(acc.sc, -1),
+                          'np', element_at(acc.np, -1)))"""
+    return (
+        words.crossJoin(F.broadcast(vmap))
+        .withColumn("dp", F.expr(dp_expr))
+        .select(
+            "word",
+            "freq",
+            F.col("dp.np").alias("n_pieces"),
+            F.col("dp.sc").alias("score_milli"),
+            rnd(
+                F.length("word").cast("double") / F.col("dp.np"), 4
+            ).alias("avg_piece_len"),
+        )
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(20)
     )

@@ -88,3 +88,57 @@ def test_knn_shapley_matches_numpy_recursion(spark, sf_dir):
         # Shapley output is sorted by value within each test point.
         vals = [r.shapley for r in got]
         assert vals == sorted(vals, reverse=True)
+
+
+def test_unigram_viterbi_matches_python_dp(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    words = Counter()
+    for txt in t.column("text").to_pylist():
+        for w in txt.lower().split(" "):
+            if w and len(w) <= 12:
+                words[w] += 1
+    sub = Counter()
+    for w, f in words.items():
+        for i in range(len(w)):
+            for l in range(1, min(4, len(w) - i) + 1):
+                sub[w[i : i + l]] += f
+    chars = {p: c for p, c in sub.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in sub.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:30]
+    picked = dict(chars, **dict(multi))
+    total = float(sum(picked.values()))
+    lp = {
+        p: round(math.log(c / total) * 1000 + 1e-9)
+        for p, c in picked.items()
+    }
+    def viterbi(w):
+        sc = [0] + [None] * len(w)
+        np_ = [0] + [None] * len(w)
+        for i in range(1, len(w) + 1):
+            cands = []
+            for j in range(max(0, i - 4), i):
+                piece = w[j:i]
+                if piece in lp and sc[j] is not None:
+                    cands.append((sc[j] + lp[piece], np_[j] + 1))
+            best = max(c[0] for c in cands)
+            sc[i] = best
+            np_[i] = min(n for s, n in cands if s == best)
+        return sc[len(w)], np_[len(w)]
+
+    want = sorted(
+        ((w, f, *viterbi(w)) for w, f in words.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:20]
+    rows = _run(spark, sf_dir, "q_unigram_lm_viterbi")
+    assert len(rows) == 20
+    got = [(r.word, r.freq, r.score_milli, r.n_pieces) for r in rows]
+    assert got == [(w, f, s, n) for w, f, s, n in want]
+    for r in rows:
+        assert abs(r.avg_piece_len - len(r.word) / r.n_pieces) < 2e-4
+        # every piece has negative log-prob -> scores strictly negative
+        assert r.score_milli < 0 and 1 <= r.n_pieces <= len(r.word)
