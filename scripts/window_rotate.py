@@ -1,0 +1,128 @@
+"""Mechanical driver-window rotation (the r15+ steady state).
+
+COVERAGE.md's ledger rule, executable: the next round's 50-slot
+driver window is
+
+  1. RED rows from the newest CORRECTNESS_r*.json (hash/schema/row
+     mismatch or error), in registration order — rule 2 re-entry;
+  2. never-driver-checked queries, in registration order — rule 1;
+  3. everything else by staleness: the round of each query's LATEST
+     driver row ascending, ties broken by registration order.
+
+Usage:
+  python scripts/window_rotate.py            # print the computed list
+  python scripts/window_rotate.py --check    # diff vs registry._WINDOW_PRIORITY
+                                             # (exit 1 on mismatch)
+  python scripts/window_rotate.py --emit     # paste-ready Python list
+
+--check is what a round-start rotation commit should leave green —
+run it right AFTER rotating, before registering new queries (a round
+may then legitimately diverge: the r13 ledger held its three
+additions for r14 because the window was pinned to the judge's
+pre-commitment; additions inserted per rule 1 keep --check green).
+--next previews the FOLLOWING round's window by assuming every
+current _WINDOW_PRIORITY row comes back green — the list a round-end
+pre-commitment should write into the ledger. Registration order =
+registry.load_all() import order, read from RAW_QUERIES (insertion
+order, never reordered by the window priority itself).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from sparrow_spark import registry  # noqa: E402
+
+WINDOW = 50
+
+
+def _row_green(row: dict) -> bool:
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match", True)  # rows-only checks lack hashes
+        and not row.get("err")
+    )
+
+
+def correctness_files() -> list[tuple[int, str]]:
+    out = []
+    for p in glob.glob("CORRECTNESS_r*.json"):
+        m = re.match(r"CORRECTNESS_r(\d+)", os.path.basename(p))
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out)
+
+
+def compute_window(assume_current_green: bool = False) -> list[str]:
+    registry.load_all()
+    reg_order = list(registry.RAW_QUERIES)  # decorator insertion order
+    pos = {n: i for i, n in enumerate(reg_order)}
+
+    latest_round: dict[str, int] = {}
+    latest_green: dict[str, bool] = {}
+    newest = 0
+    for rnd, path in correctness_files():
+        newest = max(newest, rnd)
+        data = json.load(open(path))
+        for name, row in data.items():
+            if name not in pos:
+                continue  # renamed/retired queries
+            latest_round[name] = rnd
+            latest_green[name] = _row_green(row)
+    if assume_current_green:
+        newest += 1
+        for name in registry._WINDOW_PRIORITY:
+            if name in pos:
+                latest_round[name] = newest
+                latest_green[name] = True
+
+    reds = sorted(
+        (n for n in reg_order if latest_round.get(n) == newest
+         and not latest_green.get(n, True)),
+        key=pos.__getitem__,
+    )
+    never = [n for n in reg_order if n not in latest_round]
+    stale = sorted(
+        (n for n in reg_order if n in latest_round and n not in reds),
+        key=lambda n: (latest_round[n], pos[n]),
+    )
+    window = (reds + never + stale)[:WINDOW]
+    return window
+
+
+def main() -> int:
+    window = compute_window(assume_current_green="--next" in sys.argv)
+    if "--emit" in sys.argv:
+        print("_WINDOW_PRIORITY: list[str] = [")
+        for n in window:
+            print(f'    "{n}",')
+        print("]")
+        return 0
+    if "--check" in sys.argv:
+        current = list(registry._WINDOW_PRIORITY)
+        if current == window:
+            print(f"window check: OK ({len(window)} slots match the "
+                  "mechanical rule)")
+            return 0
+        print("window check: MISMATCH")
+        for i, (a, b) in enumerate(zip(current, window)):
+            if a != b:
+                print(f"  slot {i + 1}: registry={a}  computed={b}")
+        extra = len(current) - len(window)
+        if extra:
+            print(f"  length differs by {extra}")
+        return 1
+    for i, n in enumerate(window, 1):
+        print(f"{i:3d}  {n}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

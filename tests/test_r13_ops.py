@@ -142,3 +142,30 @@ def test_unigram_viterbi_matches_python_dp(spark, sf_dir):
         assert abs(r.avg_piece_len - len(r.word) / r.n_pieces) < 2e-4
         # every piece has negative log-prob -> scores strictly negative
         assert r.score_milli < 0 and 1 <= r.n_pieces <= len(r.word)
+
+
+def test_window_rotate_mechanical_rule():
+    """The r15+ steady-state rotation tool: 50 unique registered
+    names, red re-entries first (q_heaps_law is the r12 red while
+    CORRECTNESS_r12 is the newest file), and --next moves the current
+    window out and the never-checked additions in."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import window_rotate as wr
+
+    w = wr.compute_window()
+    assert len(w) == 50 and len(set(w)) == 50
+    assert set(w) <= set(registry.RAW_QUERIES)
+
+    nxt = wr.compute_window(assume_current_green=True)
+    assert len(nxt) == 50 and len(set(nxt)) == 50
+    # everything the current window just covered rotates out...
+    assert not (set(nxt) & set(registry._WINDOW_PRIORITY))
+    # ...and whatever has never been driver-checked leads the next list
+    import glob, json
+    checked = set()
+    for p in glob.glob("CORRECTNESS_r*.json"):
+        checked |= set(json.load(open(p)))
+    checked |= set(registry._WINDOW_PRIORITY)
+    never = [n for n in registry.RAW_QUERIES if n not in checked]
+    assert nxt[: len(never)] == never
