@@ -894,7 +894,14 @@ def test_enum_partitioned_windows_stay_converted(spark, sf_dir):
             assert "_pid" in parts, f"{name}: non-_pid window: {parts}"
 
     # rank-filter pushdown: the top-k plans must carry WindowGroupLimit
-    for name in ("q_topk_with_others", "q_cluster_balanced_sample"):
+    # (q_colbert_maxsim / q_knn_shapley: the r13 additions' per-query
+    # top-k must stay map-side-limited, their only corpus-sized window)
+    for name in (
+        "q_topk_with_others",
+        "q_cluster_balanced_sample",
+        "q_colbert_maxsim",
+        "q_knn_shapley",
+    ):
         assert "WindowGroupLimit" in plan(name), (
             f"{name}: rank<=k filter no longer pushes a WindowGroupLimit"
         )
