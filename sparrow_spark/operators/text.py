@@ -2957,6 +2957,31 @@ def _unigram_viterbi_oracle_sql() -> str:
     )
 
 
+UNIGRAM_DP_EXPR = f"""aggregate(
+      sequence(1, length(word)),
+      named_struct('sc', array(CAST(0 AS BIGINT)),
+                   'np', array(CAST(0 AS BIGINT))),
+      (acc, i) -> named_struct(
+        'sc', concat(acc.sc, array(
+          array_max(transform(
+            sequence(greatest(1, i - {_UNI_MAXPIECE - 1}), i),
+            j -> element_at(acc.sc, j) +
+                 element_at(vmap, substring(word, j, i - j + 1)))))),
+        'np', concat(acc.np, array(
+          array_min(transform(
+            sequence(greatest(1, i - {_UNI_MAXPIECE - 1}), i),
+            j -> IF(element_at(acc.sc, j) +
+                    element_at(vmap, substring(word, j, i - j + 1)) =
+                    array_max(transform(
+                      sequence(greatest(1, i - {_UNI_MAXPIECE - 1}), i),
+                      k -> element_at(acc.sc, k) +
+                           element_at(vmap, substring(word, k, i - k + 1)))),
+                    element_at(acc.np, j) + CAST(1 AS BIGINT),
+                    CAST(NULL AS BIGINT))))))),
+      acc -> named_struct('sc', element_at(acc.sc, -1),
+                          'np', element_at(acc.np, -1)))"""
+
+
 @query("q_unigram_lm_viterbi", oracle=_unigram_viterbi_oracle_sql())
 def q_unigram_lm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer segmentation (Kudo 2018, the SentencePiece
@@ -3035,29 +3060,7 @@ def q_unigram_lm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("piece", "lp"))
         ).alias("vmap")
     )
-    dp_expr = f"""aggregate(
-      sequence(1, length(word)),
-      named_struct('sc', array(CAST(0 AS BIGINT)),
-                   'np', array(CAST(0 AS BIGINT))),
-      (acc, i) -> named_struct(
-        'sc', concat(acc.sc, array(
-          array_max(transform(
-            sequence(greatest(1, i - {_UNI_MAXPIECE - 1}), i),
-            j -> element_at(acc.sc, j) +
-                 element_at(vmap, substring(word, j, i - j + 1)))))),
-        'np', concat(acc.np, array(
-          array_min(transform(
-            sequence(greatest(1, i - {_UNI_MAXPIECE - 1}), i),
-            j -> IF(element_at(acc.sc, j) +
-                    element_at(vmap, substring(word, j, i - j + 1)) =
-                    array_max(transform(
-                      sequence(greatest(1, i - {_UNI_MAXPIECE - 1}), i),
-                      k -> element_at(acc.sc, k) +
-                           element_at(vmap, substring(word, k, i - k + 1)))),
-                    element_at(acc.np, j) + CAST(1 AS BIGINT),
-                    CAST(NULL AS BIGINT))))))),
-      acc -> named_struct('sc', element_at(acc.sc, -1),
-                          'np', element_at(acc.np, -1)))"""
+    dp_expr = UNIGRAM_DP_EXPR
     return (
         words.crossJoin(F.broadcast(vmap))
         .withColumn("dp", F.expr(dp_expr))

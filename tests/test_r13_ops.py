@@ -169,3 +169,71 @@ def test_window_rotate_mechanical_rule():
     checked |= set(registry._WINDOW_PRIORITY)
     never = [n for n in registry.RAW_QUERIES if n not in checked]
     assert nxt[: len(never)] == never
+
+
+def test_unigram_dp_expression_matches_exhaustive_enumeration(spark):
+    """Property test of the PRODUCTION Viterbi fold expression
+    (text.UNIGRAM_DP_EXPR) on 200 random (word, vocabulary) cases,
+    each row carrying its OWN vocab map: the DP's (max score, min
+    pieces at max) must equal brute-force enumeration of every
+    segmentation into pieces of length <= 4."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from sparrow_spark.operators import text as T
+
+    rng = random.Random(13)
+    rows = []
+    for case in range(200):
+        alpha = "abcd"[: rng.randint(2, 4)]
+        word = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))
+        vocab = {c: -rng.randint(1, 4000) for c in alpha}  # chars always in
+        pieces = {
+            word[i : i + l]
+            for i in range(len(word))
+            for l in (2, 3, 4)
+            if i + l <= len(word)
+        }
+        for p in pieces:
+            if rng.random() < 0.5:
+                vocab[p] = -rng.randint(1, 4000)
+        rows.append((word, vocab))
+
+    def brute(word, vocab):
+        best, npc = None, None
+        for cuts in itertools.product([0, 1], repeat=len(word) - 1):
+            bounds = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [len(word)]
+            segs = [word[a:b] for a, b in zip(bounds, bounds[1:])]
+            if any(len(s) > 4 or s not in vocab for s in segs):
+                continue
+            sc = sum(vocab[s] for s in segs)
+            if best is None or sc > best or (sc == best and len(segs) < npc):
+                best, npc = sc, len(segs)
+        return best, npc
+
+    schema = StructType(
+        [
+            StructField("word", StringType()),
+            StructField("vmap", MapType(StringType(), LongType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "dp", F.expr(T.UNIGRAM_DP_EXPR)
+    )
+    got = {
+        (r.word, tuple(sorted(r.vmap.items()))): (r.dp.sc, r.dp.np)
+        for r in df.collect()
+    }
+    assert len(got) >= 150  # distinct cases (collisions possible)
+    for word, vocab in rows:
+        key = (word, tuple(sorted(vocab.items())))
+        assert got[key] == brute(word, vocab), (word, vocab, got[key])
