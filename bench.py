@@ -311,6 +311,7 @@ BENCH_QUERIES = [
     "q_colbert_maxsim",
     "q_knn_shapley",
     "q_unigram_lm_viterbi",
+    "q_bradley_terry",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

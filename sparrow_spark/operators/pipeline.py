@@ -3394,3 +3394,175 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "len_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Preference-data fitting: Bradley-Terry strengths via MM — r13 addition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bradley_terry",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+    a AS (SELECT doc_id // 2 AS pair, lang, n_chars FROM d
+          WHERE doc_id % 2 = 0),
+    b AS (SELECT doc_id // 2 AS pair, lang, n_chars FROM d
+          WHERE doc_id % 2 = 1),
+    comp AS (
+      SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.lang ELSE b.lang END
+               AS win,
+             CASE WHEN a.n_chars >= b.n_chars THEN b.lang ELSE a.lang END
+               AS lose
+      FROM a JOIN b USING (pair)
+      WHERE a.lang <> b.lang
+    ),
+    m AS (SELECT win, lose, CAST(count(*) AS BIGINT) AS n
+          FROM comp GROUP BY 1, 2),
+    wtot AS (SELECT win AS lang, CAST(sum(n) AS BIGINT) AS wins
+             FROM m GROUP BY 1),
+    pairs AS (
+      SELECT i, j, CAST(sum(n) AS BIGINT) AS nij
+      FROM (SELECT win AS i, lose AS j, n FROM m
+            UNION ALL
+            SELECT lose AS i, win AS j, n FROM m)
+      GROUP BY 1, 2
+    ),
+    items AS (
+      SELECT p.i AS lang, coalesce(w.wins, 0) AS wins,
+             CAST(sum(p.nij) AS BIGINT) AS n_comparisons
+      FROM pairs p LEFT JOIN wtot w ON w.lang = p.i
+      GROUP BY 1, 2
+    ),
+    it1 AS (
+      SELECT lang, wins, n_comparisons,
+             2.0 * wins / n_comparisons AS w1
+      FROM items
+    ),
+    it2 AS (
+      SELECT x.lang, x.wins, x.n_comparisons, x.w1,
+             x.wins / sum(p.nij / (x.w1 + y.w1)) AS w2
+      FROM it1 x
+      JOIN pairs p ON p.i = x.lang
+      JOIN it1 y ON y.lang = p.j
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT lang, wins, n_comparisons,
+           round(w1 / (SELECT sum(w1) FROM it2), 6) AS strength_iter1,
+           round(w2 / (SELECT sum(w2) FROM it2), 6) AS strength_iter2
+    FROM it2 ORDER BY lang
+    """,
+)
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference-strength fitting (the model behind
+    pairwise preference data in post-training pipelines), two rounds
+    of Hunter's MM algorithm (Hunter, Annals of Statistics 2004):
+    w_i <- W_i / sum_j n_ij / (w_i + w_j), starting from w = 1 — so
+    iteration 1 closes to 2*W_i/N_i and iteration 2 uses the full
+    update. Comparisons are synthesized deterministically: documents
+    pair up by floor(doc_id/2), the longer text wins (tie -> the even
+    doc_id), items are languages, same-language pairs are dropped.
+
+    Scale: the corpus appears ONLY in the pairing equi-join on
+    floor(doc_id/2) and the immediate (win, lose) count — the
+    aggregation combines map-side, so what survives the shuffle is the
+    |items|^2 comparison matrix, and both MM iterations run on that
+    bounded matrix (items ~ languages: a broadcast-sized table). This
+    is how Bradley-Terry fits at 100 TB of preference pairs: stream
+    the pairs once into sufficient statistics (W_i, n_ij), then
+    iterate on the statistics, never the raw pairs."""
+    d = widen(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_chars"
+    )
+    a = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.floor(F.col("doc_id") / 2).alias("pair"),
+        F.col("lang").alias("a_lang"),
+        F.col("n_chars").alias("a_n"),
+    )
+    b = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.floor(F.col("doc_id") / 2).alias("pair"),
+        F.col("lang").alias("b_lang"),
+        F.col("n_chars").alias("b_n"),
+    )
+    comp = (
+        a.join(b, "pair")
+        .filter(F.col("a_lang") != F.col("b_lang"))
+        .select(
+            F.when(F.col("a_n") >= F.col("b_n"), F.col("a_lang"))
+            .otherwise(F.col("b_lang"))
+            .alias("win"),
+            F.when(F.col("a_n") >= F.col("b_n"), F.col("b_lang"))
+            .otherwise(F.col("a_lang"))
+            .alias("lose"),
+        )
+    )
+    # One corpus pass total: the (win, lose) matrix is |items|^2-sized,
+    # and every downstream stage (wins, symmetric n_ij, both MM
+    # iterations, the normalizers) re-derives from it — pin it so the
+    # pairing join never re-executes per consumer.
+    m = (
+        comp.groupBy("win", "lose")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    wtot = m.groupBy(F.col("win").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("wins")
+    )
+    pairs = (
+        m.select(F.col("win").alias("i"), F.col("lose").alias("j"), "n")
+        .unionAll(
+            m.select(F.col("lose").alias("i"), F.col("win").alias("j"), "n")
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").cast("bigint").alias("nij"))
+    )
+    items = (
+        pairs.groupBy(F.col("i").alias("lang"))
+        .agg(F.sum("nij").cast("bigint").alias("n_comparisons"))
+        .join(wtot, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("wins"), F.lit(0)).cast("bigint").alias("wins"),
+            "n_comparisons",
+        )
+    )
+    it1 = items.withColumn(
+        "w1", F.lit(2.0) * F.col("wins") / F.col("n_comparisons")
+    )
+    x = it1.select(
+        F.col("lang").alias("i"),
+        F.col("wins").alias("x_wins"),
+        F.col("n_comparisons").alias("x_nc"),
+        F.col("w1").alias("x_w1"),
+    )
+    y = it1.select(F.col("lang").alias("j"), F.col("w1").alias("y_w1"))
+    it2 = (
+        pairs.join(F.broadcast(x), "i")
+        .join(F.broadcast(y), "j")
+        .groupBy(
+            F.col("i").alias("lang"),
+            F.col("x_wins").alias("wins"),
+            F.col("x_nc").alias("n_comparisons"),
+            F.col("x_w1").alias("w1"),
+        )
+        .agg(
+            (
+                F.first("x_wins")
+                / F.sum(F.col("nij") / (F.col("x_w1") + F.col("y_w1")))
+            ).alias("w2")
+        )
+    )
+    tot = it2.agg(
+        F.sum("w1").alias("t1"), F.sum("w2").alias("t2")
+    )
+    return (
+        it2.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "wins",
+            "n_comparisons",
+            rnd(F.col("w1") / F.col("t1"), 6).alias("strength_iter1"),
+            rnd(F.col("w2") / F.col("t2"), 6).alias("strength_iter2"),
+        )
+        .orderBy("lang")
+    )

@@ -237,3 +237,52 @@ def test_unigram_dp_expression_matches_exhaustive_enumeration(spark):
     for word, vocab in rows:
         key = (word, tuple(sorted(vocab.items())))
         assert got[key] == brute(word, vocab), (word, vocab, got[key])
+
+
+def test_bradley_terry_matches_python_mm(spark, sf_dir):
+    from collections import Counter
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    docs = sorted(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("lang").to_pylist(),
+            t.column("n_chars").to_pylist(),
+        )
+    )
+    by_id = {d: (l, n) for d, l, n in docs}
+    m = Counter()
+    for d, (l, n) in by_id.items():
+        if d % 2 == 0 and d + 1 in by_id:
+            l2, n2 = by_id[d + 1]
+            if l != l2:
+                win, lose = (l, l2) if n >= n2 else (l2, l)
+                m[(win, lose)] += 1
+    wins = Counter()
+    nij = Counter()
+    for (w, l), n in m.items():
+        wins[w] += n
+        nij[(w, l)] += n
+        nij[(l, w)] += n
+    langs = sorted({k for p in m for k in p})
+    ncomp = {i: sum(n for (a, _), n in nij.items() if a == i)
+             for i in langs}
+    w1 = {i: 2.0 * wins[i] / ncomp[i] for i in langs}
+    w2 = {
+        i: wins[i]
+        / sum(nij[(i, j)] / (w1[i] + w1[j])
+              for j in langs if nij[(i, j)])
+        for i in langs
+    }
+    t1, t2 = sum(w1.values()), sum(w2.values())
+    rows = _run(spark, sf_dir, "q_bradley_terry")
+    assert [r.lang for r in rows] == langs
+    for r in rows:
+        assert r.wins == wins[r.lang]
+        assert r.n_comparisons == ncomp[r.lang]
+        assert abs(r.strength_iter1 - w1[r.lang] / t1) < 2e-6
+        assert abs(r.strength_iter2 - w2[r.lang] / t2) < 2e-6
+    # strengths are distributions; iteration 2 refines, stays positive
+    assert abs(sum(r.strength_iter1 for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.strength_iter2 for r in rows) - 1.0) < 1e-4
+    assert all(r.strength_iter2 > 0 for r in rows)
