@@ -312,6 +312,7 @@ BENCH_QUERIES = [
     "q_knn_shapley",
     "q_unigram_lm_viterbi",
     "q_bradley_terry",
+    "q_symspell_neighbors",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

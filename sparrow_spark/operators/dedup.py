@@ -3784,3 +3784,84 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("_aa_raw")
     )
+
+
+# ---------------------------------------------------------------------------
+# SymSpell deletes-index fuzzy neighbors — r13 addition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_symspell_neighbors",
+    # The oracle is the brute-force ground truth: ALL word pairs within
+    # Levenshtein distance 2. The Spark side never does all-pairs — it
+    # goes through the deletes index — so the driver's hash match IS
+    # the proof that the index generation has 100% recall at d=2 (the
+    # q_skew_join_salted result-invariance pattern).
+    oracle="""
+    WITH w AS (
+      SELECT DISTINCT t AS word
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+    )
+    SELECT a.word AS word_a, b.word AS word_b,
+           CAST(levenshtein(a.word, b.word) AS BIGINT) AS lev
+    FROM w a JOIN w b ON a.word < b.word
+    WHERE levenshtein(a.word, b.word) <= 2
+    """,
+)
+def q_symspell_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell deletes-index fuzzy matching (Garbe's symmetric delete
+    algorithm, public since 2012): every word indexes all variants
+    reachable by deleting <= 2 characters (including itself); two
+    words within TRUE edit distance 2 are guaranteed to share at least
+    one variant key, so candidate generation is a plain EQUI-JOIN on
+    the variant — no all-pairs, no per-pair distance until the
+    verification filter. The brute-force all-pairs scan appears only
+    in the DuckDB oracle, which makes the hash comparison a 100%-recall
+    proof for the index.
+
+    Scale: the index is vocabulary-sized x ~(2 + L + L^2/2) keys per
+    word (L = word length; the corpus appears only in the distinct-word
+    aggregate) and the candidate join is an equi-join a shuffle
+    partitioner spreads by key; Levenshtein runs only on candidate
+    pairs. Production SymSpell additionally drops ultra-short keys
+    (length <= 1, shared by every short word) to bound hot keys — at
+    this vocabulary the skew is harmless and keeping them preserves the
+    exact d<=2 recall guarantee the oracle checks."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    d1 = (
+        "concat(array(word), transform(sequence(1, length(word)), "
+        "i -> concat(substring(word, 1, i - 1), "
+        "substring(word, i + 1, length(word)))))"
+    )
+    variants = (
+        f"array_distinct(flatten(transform({d1}, "
+        "v -> concat(array(v), transform(sequence(1, length(v)), "
+        "i -> concat(substring(v, 1, i - 1), "
+        "substring(v, i + 1, length(v))))))))"
+    )
+    index = words.select(
+        "word", F.explode(F.expr(variants)).alias("vkey")
+    )
+    a = index.select(F.col("word").alias("word_a"), "vkey")
+    b = index.select(F.col("word").alias("word_b"), "vkey")
+    cands = (
+        a.join(b, "vkey")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b")
+        .distinct()
+    )
+    lev = F.levenshtein("word_a", "word_b")
+    return cands.filter(lev <= 2).select(
+        "word_a", "word_b", lev.cast("bigint").alias("lev")
+    )

