@@ -767,6 +767,25 @@ class Engine:
             created.add((ds, dt))
         for (ss, st), (ds, dt) in pairs:
             tdef = self.catalog.rename_table(ss, st, ds, dt)
+            # The directory move carries the source's .write.lock file
+            # along to the DESTINATION: _locked_dml's release then
+            # no-ops on the old path, and the carried file wedges every
+            # later statement on the new name until the 120 s stale
+            # timeout (it records a live pid — our own). Remove it iff
+            # it is ours; a foreign pid's lock is left for the staleness
+            # sweep (the multi-pair form never locked that source, so a
+            # foreign holder is already racing the move itself).
+            import json as _json
+
+            carried = os.path.join(
+                self.catalog.table_path(ds, dt), ".write.lock"
+            )
+            try:
+                with open(carried) as f:
+                    if _json.load(f).get("pid") == os.getpid():
+                        os.remove(carried)
+            except (FileNotFoundError, ValueError, OSError):
+                pass
             self.spark.sql(f"DROP TABLE IF EXISTS `{ss}`.`{st}`")
             self._register_spark_table(tdef)
         return Result("ok")

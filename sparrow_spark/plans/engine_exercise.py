@@ -442,3 +442,56 @@ def q_engine_optimize_minfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ver")
     )
     return _freeze_and_cleanup(spark, out, schema, wh)
+
+
+@query(
+    "q_engine_rename",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 10, 'x', 'id|quantity|note', true),
+      (2, 21, 'y', 'id|quantity|note', true),
+      (3, 30, 'z', 'id|quantity|note', true),
+      (4, 40, 'w', 'id|quantity|note', true)
+    ) t(id, quantity, note, cols_fp, old_names_gone)
+    """,
+)
+def q_engine_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RENAME surface through the real dispatcher (superset of S9/
+    S10's ALTER forms; reference parity for RENAME TABLE per MySQL 8):
+    ALTER TABLE ... RENAME COLUMN (a COW rewrite — parquet embeds
+    column names per file, engine.py:779), then ALTER TABLE ... RENAME
+    TO, then the multi-pair RENAME TABLE statement. The script proves
+    the renamed column stays updatable, data survives both table
+    renames, inserts land under the intermediate name, SHOW COLUMNS
+    reflects the new column name (cols_fp), and both prior table names
+    are really gone (old_names_gone — each must raise, not resolve)."""
+    from pyspark.sql import functions as F
+
+    eng, schema, wh = _fresh_engine(spark)
+    eng.script(
+        """
+        CREATE TABLE inv (id INT, qty INT, note CHAR, PRIMARY KEY(id));
+        INSERT INTO inv VALUES (1, 10, 'x'), (2, 20, 'y'), (3, 30, 'z');
+        ALTER TABLE inv RENAME COLUMN qty TO quantity;
+        UPDATE inv SET quantity = quantity + 1 WHERE id = 2;
+        ALTER TABLE inv RENAME TO stock;
+        INSERT INTO stock VALUES (4, 40, 'w');
+        RENAME TABLE stock TO stock2
+        """
+    )
+    cols = [r.Field for r in eng.sql("SHOW COLUMNS FROM stock2").df.collect()]
+    gone = 0
+    for old_name in ("inv", "stock"):
+        try:
+            eng.sql(f"SELECT * FROM {old_name}")
+        except Exception:
+            gone += 1
+    df = eng.sql("SELECT id, quantity, note FROM stock2 ORDER BY id").df
+    out = df.select(
+        "id",
+        "quantity",
+        "note",
+        F.lit("|".join(cols)).alias("cols_fp"),
+        F.lit(gone == 2).alias("old_names_gone"),
+    )
+    return _freeze_and_cleanup(spark, out, schema, wh)

@@ -74,8 +74,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # never-driver-checked backlog in raw registration order (verified
 # mechanically: registry order minus the union of CORRECTNESS_r1-r12
 # keys). Ending never-checked: 1 (the displaced tail), zero at r14.
-# The five r13 additions (q_colbert_maxsim, q_knn_shapley,
-# q_unigram_lm_viterbi, q_bradley_terry, q_symspell_neighbors) WAIT FOR
+# The six r13 additions (q_colbert_maxsim, q_knn_shapley,
+# q_unigram_lm_viterbi, q_bradley_terry, q_symspell_neighbors,
+# q_engine_rename) WAIT FOR
 # r14 instead of displacing this window's tail — the window is the
 # entire never-checked backlog and the r12 verdict pins CORRECTNESS_r13
 # to exactly this list; see the R13-additions note in COVERAGE.md.

@@ -1140,3 +1140,38 @@ def test_dunder_column_names_are_reserved(engine):
     got = engine.sql("SELECT `_note` FROM resv_ok").rows()
     assert [r["_note"] for r in got] == ["a"]
     engine.sql("DROP TABLE resv_ok")
+
+
+def test_rename_does_not_carry_the_write_lock(engine):
+    """Regression (r13): the table-directory move of a RENAME carried
+    the source's .write.lock file to the destination — our own lock
+    record, which the post-rename release could no longer find (it
+    removes the OLD path), wedging every later DML on the new name
+    behind a live-pid lock until the 120s stale sweep. The whole chain
+    below must run immediately (the old behavior raised 1205 after the
+    10s lock timeout on the UPDATE)."""
+    import time
+
+    boot(engine)
+    engine.sql("CREATE TABLE inv (id INT, qty INT, PRIMARY KEY(id))")
+    engine.sql("INSERT INTO inv VALUES (1, 10), (2, 20)")
+    t0 = time.time()
+    engine.sql("ALTER TABLE inv RENAME TO stock")
+    engine.sql("UPDATE stock SET qty = qty + 1 WHERE id = 1")
+    engine.sql("RENAME TABLE stock TO stock2")
+    engine.sql("DELETE FROM stock2 WHERE id = 2")
+    assert time.time() - t0 < 8, "a carried lock stalled the DML chain"
+    rows = engine.sql("SELECT id, qty FROM stock2 ORDER BY id").rows()
+    assert [(r.id, r.qty) for r in rows] == [(1, 11)]
+
+
+def test_rename_column_then_update_under_new_name(engine):
+    boot(engine)
+    engine.sql("CREATE TABLE inv (id INT, qty INT, PRIMARY KEY(id))")
+    engine.sql("INSERT INTO inv VALUES (1, 10)")
+    engine.sql("ALTER TABLE inv RENAME COLUMN qty TO quantity")
+    engine.sql("UPDATE inv SET quantity = quantity + 5 WHERE id = 1")
+    rows = engine.sql("SELECT id, quantity FROM inv").rows()
+    assert [(r.id, r.quantity) for r in rows] == [(1, 15)]
+    cols = [r["Field"] for r in engine.sql("SHOW COLUMNS FROM inv").rows()]
+    assert cols == ["id", "quantity"]
