@@ -13,6 +13,9 @@ cd "$(dirname "$0")/.."
 
 FAST="${1:-}"
 
+echo "== gate: window rotation (mechanical rule, skip-if-additions) =="
+python scripts/window_rotate.py --check-if-fresh
+
 echo "== gate: pytest =="
 python -m pytest tests/ -q
 

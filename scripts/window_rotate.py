@@ -51,12 +51,23 @@ def _row_green(row: dict) -> bool:
     )
 
 
+REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
 def correctness_files() -> list[tuple[int, str]]:
     out = []
-    for p in glob.glob("CORRECTNESS_r*.json"):
+    # Anchored to the repo root, not the CWD — run from anywhere a
+    # missing-file result means the files are genuinely absent, not
+    # that we were invoked from the wrong directory.
+    for p in glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")):
         m = re.match(r"CORRECTNESS_r(\d+)", os.path.basename(p))
         if m:
             out.append((int(m.group(1)), p))
+    if not out:
+        raise SystemExit(
+            f"no CORRECTNESS_r*.json found under {REPO_ROOT} — "
+            "cannot compute a staleness window"
+        )
     return sorted(out)
 
 
@@ -97,7 +108,44 @@ def compute_window(assume_current_green: bool = False) -> list[str]:
     return window
 
 
+def rotation_round() -> int:
+    """The round whose window the CURRENT registry should encode:
+    newest CORRECTNESS round + 1."""
+    return correctness_files()[-1][0] + 1
+
+
 def main() -> int:
+    if "--check-if-fresh" in sys.argv:
+        # Gate mode: enforce the window rule only while the rotation
+        # is fresh — i.e. no CORRECTNESS file for the rotation round
+        # exists yet AND no queries were registered after the window
+        # was cut. Mid-round additions enter at the never-checked
+        # head (rule 2 of compute_window), which legitimately
+        # diverges from a pinned list until the next rotation; in
+        # that state this mode reports and passes.
+        registry.load_all()
+        current = list(registry._WINDOW_PRIORITY)
+        window = compute_window()
+        if current == window:
+            print(f"window check: OK ({len(window)} slots match the "
+                  "mechanical rule)")
+            return 0
+        known = set()
+        for _, path in correctness_files():
+            known.update(json.load(open(path)))
+        additions = [n for n in registry.RAW_QUERIES
+                     if n not in known and n not in current]
+        if additions:
+            print("window check: SKIP — "
+                  f"{len(additions)} mid-round addition(s) not in the "
+                  "pinned window (legitimate until next rotation): "
+                  + ", ".join(additions[:10]))
+            return 0
+        print("window check: MISMATCH (no mid-round additions excuse it)")
+        for i, (a, b) in enumerate(zip(current, window)):
+            if a != b:
+                print(f"  slot {i + 1}: registry={a}  computed={b}")
+        return 1
     window = compute_window(assume_current_green="--next" in sys.argv)
     if "--emit" in sys.argv:
         print("_WINDOW_PRIORITY: list[str] = [")

@@ -59,78 +59,78 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # The driver's per-round correctness check covers only the FIRST 50
 # registry entries (insertion order). Rotation history lives in
-# COVERAGE.md's ledger; the rule is mechanical: (1) queries with NO
-# driver row yet go first — new additions are inserted HERE in the
-# same commit that registers them (the r3/r4 lesson: additions past
-# the frozen window stay unverified a full round); (2) red rows
-# re-enter immediately; (3) then the stalest families. r13 window:
-# CORRECTNESS_r12.json exists and is 49/50 green, so the r12 window
-# rotates out and the pre-committed r13 list from COVERAGE.md's r12
-# ledger rotates in — the r12 red row `q_heaps_law` (hash-only;
-# oracle HUGEINT/decimal128 vs Spark int64, fixed by BIGINT casts +
-# the global_running_sums conversion) re-enters at the HEAD per rule
-# 2, displacing the pre-committed tail entry `q_stream_engine_upsert`
-# to the r14 queue; slots 2-50 are the first 49 of the 50-query
-# never-driver-checked backlog in raw registration order (verified
-# mechanically: registry order minus the union of CORRECTNESS_r1-r12
-# keys). Ending never-checked: 1 (the displaced tail), zero at r14.
-# The six r13 additions (q_colbert_maxsim, q_knn_shapley,
-# q_unigram_lm_viterbi, q_bradley_terry, q_symspell_neighbors,
-# q_engine_rename) WAIT FOR
-# r14 instead of displacing this window's tail — the window is the
-# entire never-checked backlog and the r12 verdict pins CORRECTNESS_r13
-# to exactly this list; see the R13-additions note in COVERAGE.md.
+# COVERAGE.md's ledger; the rule is mechanical and EXECUTABLE
+# (scripts/window_rotate.py): (1) red rows from the newest
+# CORRECTNESS file re-enter at the head; (2) never-driver-checked
+# queries next, in registration order — new additions are inserted
+# HERE in the same commit that registers them (the r3/r4 lesson:
+# additions past the frozen window stay unverified a full round);
+# (3) everything else by staleness of its latest driver row. r14
+# window: CORRECTNESS_r13.json is 50/50 green, so no rule-1 reds;
+# slots 1-7 are the whole never-checked residue (the six r13
+# additions + the r12-displaced `q_stream_engine_upsert`) — after
+# this round never-driver-checked hits ZERO for the first time;
+# slots 8-50 are the 43 stalest rows (last green r3, r4 for
+# `q13_customer_distribution`/`q21_suppliers_waiting`/
+# `q_window_topk_per_group`): the full join matrix, set ops,
+# GROUPING SETS family, the TPC-H tail, and the window-function
+# family. This list is the verbatim `window_rotate.py --next` output
+# pre-committed in the r13 ledger (verified: `--check` green at the
+# rotation commit). The six stalest displaced entries
+# (q_window_nth, q_array_funcs, q_lateral_topk, q_engine_dml,
+# q_reservoir_sample, q_weighted_sample) head the r15 staleness
+# queue mechanically.
 _WINDOW_PRIORITY: list[str] = [
-    "q_heaps_law",
-    "q_nn_descent",
-    "q_cms_width_sweep",
-    "q_multimodal_pack_mix",
-    "q_ipf_raking",
-    "q_t_closeness",
-    "q_aho_phrase_tagging",
-    "q_engine_snapshot",
-    "q_engine_snapshot_cdf",
-    "q_exact_quantile_refine",
-    "q_heavy_hitters_mg",
-    "q_kcore",
-    "q_target_encoding_cv",
-    "q_ngram_novelty",
-    "q_pinball_loss",
-    "q_zonemap_skipping",
-    "q_platt_scaling",
-    "q_bucketed_join_colocated",
-    "q_dbscan_grid",
-    "q_neyman_allocation",
-    "q_textrank_keywords",
-    "q_tokenizer_fertility",
-    "q_l_diversity",
-    "q_grid_knn_join",
-    "q_croston",
-    "q_louvain_move",
-    "q_hilbert_curve_layout",
-    "q_learned_index_error",
-    "q_aqe_skew_split",
-    "q_aqe_coalesce_audit",
-    "q_expectation_audit",
-    "q_ivm_delta_agg",
-    "q_conformal_interval",
-    "q_als_step",
-    "q_keyword_tagging",
-    "q_sax_motifs",
-    "q_binseg_changepoints",
-    "q_ridge_cv_moments",
-    "q_vopt_histogram",
-    "q_forecast_reconciliation",
-    "q_cascade_filter_ordering",
-    "q_key_skew_audit",
-    "q_join_order_rank",
-    "q_rolling_origin_backtest",
-    "q_emd_distribution_shift",
-    "q_consistent_hash_ring",
-    "q_merkle_range_digest",
-    "q_bitmap_index_intersection",
-    "q_cube_materialization_greedy",
-    "q_dpp_runtime_prune",
+    "q_colbert_maxsim",
+    "q_knn_shapley",
+    "q_unigram_lm_viterbi",
+    "q_symspell_neighbors",
+    "q_bradley_terry",
+    "q_engine_rename",
+    "q_stream_engine_upsert",
+    "q_join_left_outer",
+    "q_join_right_outer",
+    "q_join_full_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_theta",
+    "q_join_using_natural",
+    "q_agg_stats",
+    "q_count_distinct",
+    "q_approx_distinct",
+    "q_select_distinct",
+    "q_having",
+    "q_rollup",
+    "q_cube",
+    "q_percentiles",
+    "q_union_all",
+    "q_intersect",
+    "q_except",
+    "q_orderby_limit_offset",
+    "q_range_join",
+    "q_subquery_scalar",
+    "q_subquery_in",
+    "q_subquery_correlated_exists",
+    "q_cte_chain",
+    "q12_shipmode",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q_array_agg_sorted",
+    "q_grouping_sets",
+    "q_union_distinct",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q21_suppliers_waiting",
+    "q22_sales_opportunity",
+    "q_window_topk_per_group",
+    "q_window_running_lag_lead",
+    "q_window_frames",
 ]
 
 
