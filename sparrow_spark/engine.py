@@ -32,6 +32,7 @@ Design decisions vs the reference:
 from __future__ import annotations
 
 import itertools
+import json
 import os
 import re
 import shutil
@@ -767,6 +768,8 @@ class Engine:
             created.add((ds, dt))
         for (ss, st), (ds, dt) in pairs:
             tdef = self.catalog.rename_table(ss, st, ds, dt)
+            self.spark.sql(f"DROP TABLE IF EXISTS `{ss}`.`{st}`")
+            self._register_spark_table(tdef)
             # The directory move carries the source's .write.lock file
             # along to the DESTINATION: _locked_dml's release then
             # no-ops on the old path, and the carried file wedges every
@@ -774,20 +777,18 @@ class Engine:
             # timeout (it records a live pid — our own). Remove it iff
             # it is ours; a foreign pid's lock is left for the staleness
             # sweep (the multi-pair form never locked that source, so a
-            # foreign holder is already racing the move itself).
-            import json as _json
-
+            # foreign holder is already racing the move itself). Runs
+            # LAST in the per-pair block so destination mutual exclusion
+            # is held until the Spark re-registration completes.
             carried = os.path.join(
                 self.catalog.table_path(ds, dt), ".write.lock"
             )
             try:
                 with open(carried) as f:
-                    if _json.load(f).get("pid") == os.getpid():
+                    if json.load(f).get("pid") == os.getpid():
                         os.remove(carried)
             except (FileNotFoundError, ValueError, OSError):
                 pass
-            self.spark.sql(f"DROP TABLE IF EXISTS `{ss}`.`{st}`")
-            self._register_spark_table(tdef)
         return Result("ok")
 
     def _alter_rename(self, stmt: str) -> Result | None:
@@ -1671,7 +1672,8 @@ class Engine:
 
     _DML_TARGET_RE = re.compile(
         r"^(?:INSERT\s+(?:IGNORE\s+)?INTO|REPLACE\s+INTO|MERGE\s+INTO"
-        r"|UPDATE|DELETE\s+FROM|ALTER\s+TABLE|RESTORE\s+TABLE|VACUUM)"
+        r"|UPDATE|DELETE\s+FROM|ALTER\s+TABLE|RESTORE\s+TABLE|VACUUM"
+        r"|TRUNCATE(?:\s+TABLE)?)"
         r"\s+([\w`.]+)",
         re.I,
     )
@@ -1688,7 +1690,6 @@ class Engine:
 
     @contextmanager
     def _write_lock(self, schema: str, table: str):
-        import json
         import time
 
         lock_path = os.path.join(
@@ -1919,36 +1920,45 @@ class Engine:
                 "MIN FILES n must be trailing clauses",
             )
         rows = []
+        # Per-table write lock (r14 carried-lock-class sweep): OPTIMIZE
+        # rewrites the data dir via the same COW swap as UPDATE/DELETE,
+        # so an unlocked compaction could interleave with a concurrent
+        # DML's _replace_files and lose its writes. _locked_dml can't
+        # cover the multi-target form, so each target locks here; the
+        # lock file lives in table_path (never moved by the data-dir
+        # swap), so release always finds it.
         for schema, table in self._maintenance_targets(stmt, "OPTIMIZE"):
-            tdef = self.catalog.load(schema, table)
-            if min_files > 1:
-                data_dir = self.catalog.data_path(schema, table)
-                n_files = 0
-                if os.path.isdir(data_dir):
-                    for _root, _dirs, fns in os.walk(data_dir):
-                        n_files += sum(
-                            1 for fn in fns if fn.endswith(".parquet")
+            with self._write_lock(schema, table):
+                tdef = self.catalog.load(schema, table)
+                if min_files > 1:
+                    data_dir = self.catalog.data_path(schema, table)
+                    n_files = 0
+                    if os.path.isdir(data_dir):
+                        for _root, _dirs, fns in os.walk(data_dir):
+                            n_files += sum(
+                                1 for fn in fns if fn.endswith(".parquet")
+                            )
+                    if n_files < min_files:
+                        rows.append(
+                            (
+                                f"{schema}.{table}",
+                                "optimize",
+                                "note",
+                                f"skipped: {n_files} file(s) < MIN FILES "
+                                f"{min_files}",
+                            )
                         )
-                if n_files < min_files:
-                    rows.append(
-                        (
-                            f"{schema}.{table}",
-                            "optimize",
-                            "note",
-                            f"skipped: {n_files} file(s) < MIN FILES "
-                            f"{min_files}",
-                        )
-                    )
-                    continue
-            data = self._read_physical(schema, table, tdef).coalesce(1)
-            if zcols:
-                data = self._zorder_sort(tdef, data, zcols)
-            elif tdef.primary_key:
-                # Sort by PK for range-scan locality: parquet row-group
-                # min/max stats then prune point/range predicates.
-                data = data.sortWithinPartitions(*tdef.primary_key)
-            self._overwrite_data(schema, table, data)
-            rows.append((f"{schema}.{table}", "optimize", "status", "OK"))
+                        continue
+                data = self._read_physical(schema, table, tdef).coalesce(1)
+                if zcols:
+                    data = self._zorder_sort(tdef, data, zcols)
+                elif tdef.primary_key:
+                    # Sort by PK for range-scan locality: parquet
+                    # row-group min/max stats then prune point/range
+                    # predicates.
+                    data = data.sortWithinPartitions(*tdef.primary_key)
+                self._overwrite_data(schema, table, data)
+                rows.append((f"{schema}.{table}", "optimize", "status", "OK"))
         df = self.spark.createDataFrame(
             rows, schema=["Table", "Op", "Msg_type", "Msg_text"]
         )
@@ -2119,7 +2129,6 @@ class Engine:
         return sorted(out)
 
     def _snap_manifest(self, schema: str, table: str, v: int) -> dict:
-        import json
 
         path = os.path.join(self._snap_log_dir(schema, table), f"v{v:012d}.json")
         try:
@@ -2151,7 +2160,6 @@ class Engine:
         empty versions. The manifest create is O_EXCL-atomic; on a
         collision (concurrent committer — normally excluded by the
         write lock) the version number advances and retries."""
-        import json
         import time
 
         data_dir = self.catalog.data_path(schema, table)

@@ -2732,7 +2732,7 @@ _ROT_SQL = "[v[1 + ((i - 1 + t) % len(v))] for i in range(1, len(v) + 1)]"
     sc AS (SELECT query_id, doc_id, sum(m) AS s FROM mx GROUP BY 1, 2)
     SELECT query_id, doc_id,
            row_number() OVER (PARTITION BY query_id
-                              ORDER BY s DESC, doc_id) AS rank,
+                              ORDER BY round(s, 9) DESC, doc_id) AS rank,
            round(s / 3, 4) AS maxsim
     FROM sc QUALIFY rank <= 5
     """,
@@ -2780,7 +2780,15 @@ def q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cos").alias("m")
     )
     sc = mx.groupBy("query_id", "doc_id").agg(F.sum("m").alias("s"))
-    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), "doc_id")
+    # Rank on the ROUNDED score (9 dp, both engines): the two engines
+    # sum the per-token maxima in different float orders, and a sub-ulp
+    # difference on a near-tie would flip row_number. Rounding collapses
+    # anything within the cross-engine drift band (~1e-12) to equal,
+    # where the doc_id tiebreak is deterministic — the milli-integer
+    # lesson from q_unigram_lm_viterbi applied to float ranking.
+    w = Window.partitionBy("query_id").orderBy(
+        rnd(F.col("s"), 9).desc(), "doc_id"
+    )
     return (
         sc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
@@ -2833,7 +2841,8 @@ def q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT test_id, train_id, j AS dist_rank,
            CAST(ind AS BIGINT) AS label_match,
            row_number() OVER (PARTITION BY test_id
-                              ORDER BY shap_raw DESC, train_id) AS rank_s,
+                              ORDER BY round(shap_raw, 9) DESC, train_id)
+             AS rank_s,
            round(shap_raw, 6) AS shapley
     FROM s QUALIFY rank_s <= 10
     """,
@@ -2916,8 +2925,13 @@ def q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = cum.join(F.broadcast(tot), "test_id").withColumn(
         "shap_raw", F.col("tot") - F.col("cum_dj") + F.col("dj")
     )
+    # Ranked on the rounded score (9 dp, mirrored in the oracle's
+    # ORDER BY round(shap_raw, 9)): the suffix sum here is computed as
+    # tot - prefix + own while DuckDB sums dj in descending-j order —
+    # different float summation orders whose sub-ulp drift on
+    # near-tied train points would otherwise flip rank_s.
     w = Window.partitionBy("test_id").orderBy(
-        F.col("shap_raw").desc(), "train_id"
+        rnd("shap_raw", 9).desc(), "train_id"
     )
     return (
         s.withColumn("rank_s", F.row_number().over(w))

@@ -190,3 +190,66 @@ def test_concurrent_snapshot_writers_linear_history(shared_warehouse):
     live = {r.id: r.v for r in e1.sql("SELECT id, v FROM snapc").df.collect()}
     assert state == live == {i: i for i in list(range(100, 104)) + list(range(200, 204))}
     e1.sql("DROP TABLE snapc")
+
+
+def test_optimize_respects_the_write_lock(shared_warehouse, monkeypatch):
+    """r14 carried-lock-class sweep: OPTIMIZE compacts via the same COW
+    data-dir swap as UPDATE, so it must honor the per-table advisory
+    lock — an unlocked compaction racing a DML could drop the DML's
+    file swap."""
+    e1, e2 = shared_warehouse
+    monkeypatch.setattr(Engine, "_LOCK_TIMEOUT_S", 0.3)
+    lock = os.path.join(e1.catalog.table_path("s", "t"), ".write.lock")
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "ts": 0}, f)
+    try:
+        with pytest.raises(SparrowError) as ei:
+            e2.sql("OPTIMIZE TABLE t")
+        assert ei.value.code == 1205
+    finally:
+        os.remove(lock)
+
+
+def test_truncate_respects_the_write_lock(shared_warehouse, monkeypatch):
+    """TRUNCATE is a whole-table COW rewrite; before r14 it slipped
+    through _DML_TARGET_RE and ran unlocked."""
+    e1, e2 = shared_warehouse
+    monkeypatch.setattr(Engine, "_LOCK_TIMEOUT_S", 0.3)
+    lock = os.path.join(e1.catalog.table_path("s", "t"), ".write.lock")
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "ts": 0}, f)
+    try:
+        with pytest.raises(SparrowError) as ei:
+            e2.sql("TRUNCATE TABLE t")
+        assert ei.value.code == 1205
+    finally:
+        os.remove(lock)
+
+
+def test_directory_rewriting_ops_do_not_orphan_locks(shared_warehouse):
+    """RESTORE / OPTIMIZE / VACUUM all rewrite or prune files UNDER the
+    table directory while the lock file sits at its top level; each op
+    followed by an IMMEDIATE DML must run without waiting out a lock
+    timeout, and no .write.lock may survive any of them (the rename
+    carried-lock failure mode, audited across every dir-moving op)."""
+    e1, _e2 = shared_warehouse
+    e1.sql("CREATE TABLE mt (id INT, v INT, PRIMARY KEY(id)) ENGINE=SNAPSHOT")
+    lock = os.path.join(e1.catalog.table_path("s", "mt"), ".write.lock")
+    e1.sql("INSERT INTO mt VALUES (1, 1), (2, 2)")
+    e1.sql("INSERT INTO mt VALUES (3, 3)")
+    chain = [
+        "OPTIMIZE TABLE mt",
+        "UPDATE mt SET v = v + 10 WHERE id = 1",
+        "RESTORE TABLE mt TO VERSION 2",
+        "UPDATE mt SET v = 99 WHERE id = 2",
+        "VACUUM mt RETAIN 1 VERSIONS",
+        "DELETE FROM mt WHERE id = 3",
+        "TRUNCATE TABLE mt",
+        "INSERT INTO mt VALUES (7, 7)",
+    ]
+    for stmt in chain:
+        e1.sql(stmt)
+        assert not os.path.exists(lock), f"orphaned lock after: {stmt}"
+    rows = e1.sql("SELECT id, v FROM mt").rows()
+    assert [(r.id, r.v) for r in rows] == [(7, 7)]
+    e1.sql("DROP TABLE mt")
