@@ -313,6 +313,12 @@ BENCH_QUERIES = [
     "q_unigram_lm_viterbi",
     "q_bradley_terry",
     "q_symspell_neighbors",
+    "q_zipf_fit",
+    "q_good_turing",
+    "q_js_divergence_langs",
+    "q_kneser_ney_bigram",
+    "q_blocking_quality",
+    "q_rank_centrality",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

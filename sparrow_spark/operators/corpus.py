@@ -740,3 +740,259 @@ def q_aho_phrase_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phrase")
     )
+
+
+# ---------------------------------------------------------------------------
+# r14 corpus-statistics additions: Zipf rank-frequency fit, Simple
+# Good-Turing smoothing over trigram counts, Jensen-Shannon divergence
+# between per-language unigram distributions.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_zipf_fit",
+    oracle="""
+    WITH c AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ), ranked AS (
+      SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS r
+      FROM c
+    ), pts AS (
+      SELECT ln(r) AS x, ln(c) AS y FROM ranked WHERE r <= 1000
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(s.n AS BIGINT) AS n_types,
+           (SELECT CAST(sum(c) AS BIGINT) FROM c) AS n_tokens,
+           round((s.n * s.sxy - s.sx * s.sy)
+                 / (s.n * s.sxx - s.sx * s.sx), 4) AS slope,
+           round((s.sy - (s.n * s.sxy - s.sx * s.sy)
+                         / (s.n * s.sxx - s.sx * s.sx) * s.sx) / s.n, 4)
+             AS intercept,
+           round(((s.n * s.sxy - s.sx * s.sy) * (s.n * s.sxy - s.sx * s.sy))
+                 / ((s.n * s.sxx - s.sx * s.sx)
+                    * (s.n * s.syy - s.sy * s.sy)), 4) AS r2
+    FROM s
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law rank-frequency fit: regress ln(frequency) on
+    ln(rank) over the head of the vocabulary (rank <= 1000) and report
+    the power-law slope (~-1 for natural text), intercept, and R^2 —
+    the classic corpus-health diagnostic alongside q_heaps_law's
+    vocabulary-growth curve: machine-generated or template-heavy text
+    shows up as a slope far from -1 or a poor log-log fit.
+
+    Scale: term counts are one vocab-keyed agg; the global frequency
+    rank uses ``global_sort_ranks`` (range partition + local rank +
+    broadcast offsets — never a partition-less window over the
+    vocabulary, which grows with the corpus); the OLS closed form is
+    a single 1-row aggregate over the rank-bounded head."""
+    from sparrow_spark.operators.dedup import global_sort_ranks
+
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n_tok = c.agg(F.sum("c").cast("bigint").alias("n_tokens"))
+    ranked = global_sort_ranks(
+        c.withColumn("negc", -F.col("c")), ["negc", "w"]
+    ).withColumnRenamed("rn", "r")
+    pts = ranked.filter(F.col("r") <= 1000).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.crossJoin(F.broadcast(n_tok)).select(
+        F.col("n").cast("bigint").alias("n_types"),
+        "n_tokens",
+        rnd(slope, 4).alias("slope"),
+        rnd((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+        rnd(
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            )
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            4,
+        ).alias("r2"),
+    )
+
+
+@query(
+    "q_good_turing",
+    oracle="""
+    WITH t AS (
+      SELECT string_split(text, ' ') AS toks FROM documents
+    ), tg AS (
+      SELECT toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+      FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+    ), c AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS r FROM tg GROUP BY g
+    ), fof AS (
+      SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM c GROUP BY r
+    ), n AS (
+      SELECT CAST(sum(r * n_r) AS BIGINT) AS n_total FROM fof
+    )
+    SELECT a.r,
+           a.n_r,
+           b.n_r AS n_r_next,
+           round((a.r + 1.0) * b.n_r / a.n_r, 4) AS r_star,
+           round(((a.r + 1.0) * b.n_r / a.n_r) / n.n_total, 8)
+             AS p_smoothed
+    FROM fof a JOIN fof b ON b.r = a.r + 1 CROSS JOIN n
+    WHERE a.r <= 10
+    ORDER BY a.r
+    """,
+)
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple Good-Turing smoothing (Gale & Sampson, 1995) over the
+    corpus's trigram counts: for each low count r, the Turing estimate
+    r* = (r+1) N_{r+1} / N_r re-allocates probability mass toward
+    unseen events — the adjusted-count table an n-gram language model
+    smooths with, and (via N_1/N) the standard estimate of how much
+    probability mass the corpus has never seen. Trigrams rather than
+    words because the fixture vocabulary is closed — the trigram tail
+    is where rare counts live, exactly as in a real LM pipeline.
+
+    Scale: trigram extraction is a map-side array lambda; counts are
+    one keyed agg; the frequency-of-frequencies table is tiny (one row
+    per distinct count value) and the successor join on r+1 is a
+    broadcast self-join of that table — the corpus is touched once."""
+    tg = load_table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', split(text, ' ')[i-1],"
+                " split(text, ' ')[i], split(text, ' ')[i+1]))"
+            )
+        ).alias("g")
+    )
+    c = tg.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    # Pin the frequency-of-frequencies table (one row per distinct
+    # count value — tiny at any corpus size): its three consumers
+    # (the main rows, the totals, the r+1 successor side) would each
+    # re-derive it from a full corpus scan otherwise.
+    fof = (
+        c.groupBy("r")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_r"))
+        .localCheckpoint(eager=True)
+    )
+    n = fof.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_total")
+    )
+    nxt = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
+    )
+    r_star = (F.col("r") + F.lit(1.0)) * F.col("n_r_next") / F.col("n_r")
+    return (
+        fof.join(F.broadcast(nxt), "r")
+        .filter(F.col("r") <= 10)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "r",
+            "n_r",
+            "n_r_next",
+            rnd(r_star, 4).alias("r_star"),
+            rnd(r_star / F.col("n_total"), 8).alias("p_smoothed"),
+        )
+        .orderBy("r")
+    )
+
+
+@query(
+    "q_js_divergence_langs",
+    oracle="""
+    WITH t AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ), c AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+      FROM t GROUP BY lang, w
+    ), tot AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY lang
+    ), p AS (
+      SELECT c.lang, c.w, c.c / CAST(tot.n AS DOUBLE) AS p
+      FROM c JOIN tot USING (lang)
+    ), pair AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, a.w,
+             a.p AS pa, b.p AS pb
+      FROM p a JOIN p b ON a.w = b.w AND a.lang < b.lang
+    )
+    SELECT lang_a, lang_b,
+           round(sum(0.5 * pa * ln(2.0 * pa / (pa + pb))
+                     + 0.5 * pb * ln(2.0 * pb / (pa + pb))), 6) AS js,
+           round(sqrt(sum(0.5 * pa * ln(2.0 * pa / (pa + pb))
+                          + 0.5 * pb * ln(2.0 * pb / (pa + pb)))), 6)
+             AS js_distance
+    FROM pair GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b
+    """,
+)
+def q_js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-language unigram
+    distributions — the symmetric, bounded corpus-similarity measure a
+    mixture designer reads before weighting domains (Lin 1991; the
+    sqrt is a true metric). The fixture's languages share one closed
+    vocabulary, so every term appears on both sides of each pair and
+    the inner join loses no mass; with open vocabularies the same
+    query adds the one-sided p*ln(2) terms via an outer join.
+
+    Scale: per-language counts are one (lang, term)-keyed agg; the
+    pairwise join runs on the vocab-bounded probability table (|langs|
+    x |vocab| rows), never the corpus; each divergence is a keyed sum
+    — |langs|^2 output rows."""
+    # Pin the (lang, term) count table — |langs| x |vocab| rows, the
+    # corpus's only appearance — so the totals and both pair sides
+    # read the pinned table instead of re-scanning the corpus.
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = c.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    p = c.join(F.broadcast(tot), "lang").select(
+        "lang", "w", (F.col("c") / F.col("n").cast("double")).alias("p")
+    )
+    a = p.select(
+        F.col("lang").alias("lang_a"), "w", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("lang").alias("lang_b"), "w", F.col("p").alias("pb")
+    )
+    term = F.lit(0.5) * F.col("pa") * F.log(
+        F.lit(2.0) * F.col("pa") / (F.col("pa") + F.col("pb"))
+    ) + F.lit(0.5) * F.col("pb") * F.log(
+        F.lit(2.0) * F.col("pb") / (F.col("pa") + F.col("pb"))
+    )
+    return (
+        a.join(F.broadcast(b), "w")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            rnd(F.sum(term), 6).alias("js"),
+            rnd(F.sqrt(F.sum(term)), 6).alias("js_distance"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

@@ -3865,3 +3865,172 @@ def q_symspell_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.filter(lev <= 2).select(
         "word_a", "word_b", lev.cast("bigint").alias("lev")
     )
+
+
+@query(
+    "q_blocking_quality",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt,
+             string_split(lower(text), ' ') AS w
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id,
+             substr(nt, 1, 8) AS k_prefix8,
+             w[1] || '|' || w[len(w)] AS k_first_last,
+             CAST(len(w) AS VARCHAR) AS k_n_tokens,
+             array_to_string(list_sort(list_distinct(w)), ' ') AS setkey
+      FROM d
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM keyed),
+    melted AS (
+      SELECT doc_id, 'prefix8' AS scheme, k_prefix8 AS k FROM keyed
+      UNION ALL
+      SELECT doc_id, 'first_last', k_first_last FROM keyed
+      UNION ALL
+      SELECT doc_id, 'n_tokens', k_n_tokens FROM keyed
+    ), blocks AS (
+      SELECT scheme, k, CAST(count(*) AS BIGINT) AS sz
+      FROM melted GROUP BY scheme, k
+    ), cand AS (
+      SELECT scheme, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+      FROM blocks GROUP BY scheme
+    ), tp AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.k_prefix8 AS pa, b.k_prefix8 AS pb,
+             a.k_first_last AS fa, b.k_first_last AS fb,
+             a.k_n_tokens AS na, b.k_n_tokens AS nb
+      FROM keyed a JOIN keyed b
+        ON a.setkey = b.setkey AND a.doc_id < b.doc_id
+    ), truth AS (SELECT CAST(count(*) AS BIGINT) AS truth_pairs FROM tp),
+    covered AS (
+      SELECT 'prefix8' AS scheme,
+             CAST(count(*) FILTER (pa = pb) AS BIGINT) AS covered_pairs
+      FROM tp
+      UNION ALL
+      SELECT 'first_last', CAST(count(*) FILTER (fa = fb) AS BIGINT)
+      FROM tp
+      UNION ALL
+      SELECT 'n_tokens', CAST(count(*) FILTER (na = nb) AS BIGINT) FROM tp
+    )
+    SELECT c.scheme, c.n_blocks, c.candidate_pairs,
+           t.truth_pairs, v.covered_pairs,
+           round(v.covered_pairs / CAST(t.truth_pairs AS DOUBLE), 6)
+             AS pairs_completeness,
+           round(1.0 - c.candidate_pairs
+                 / (n.n_docs * (n.n_docs - 1) / 2.0), 6)
+             AS reduction_ratio
+    FROM cand c
+    JOIN covered v USING (scheme)
+    CROSS JOIN truth t CROSS JOIN n
+    ORDER BY c.scheme
+    """,
+)
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme quality audit — pairs completeness (recall of
+    true duplicate pairs within blocks) and reduction ratio (fraction
+    of the n^2 comparison space pruned), the two standard
+    entity-resolution blocking metrics (Christen, "Data Matching",
+    2012) — for three cheap blockers: an 8-char normalized-text
+    prefix, a first+last-token key, and a token-count band. Ground
+    truth is permutation duplicates: documents with an identical
+    DISTINCT-token set. This is the look-before-you-leap audit run
+    before committing a blocker at corpus scale.
+
+    Scale: candidate-pair counts come from per-block size
+    combinatorics (sum of C(size, 2) over a keyed agg) — candidate
+    pairs are NEVER materialized, which is the whole point of auditing
+    a blocker without paying its cost; the only pairwise join is the
+    truth-pair self-join on the set-fingerprint key, bounded by
+    duplicate-group sizes, and each truth pair carries the three keys
+    of both endpoints so coverage is a filtered count over the
+    truth-pair list."""
+    d = widen(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("nt"),
+        tokens(F.col("text")).alias("w"),
+    )
+    # Pinned: one narrow (doc_id + 4 key strings) row per document,
+    # computed in ONE corpus pass and read by four consumers (the doc
+    # count, the melted block table, both truth-join sides) — without
+    # the pin each consumer re-runs the normalize/split/sort over the
+    # full text column. The same narrow-projection pin discipline as
+    # global_sort_ranks; at 100 TB the pinned table is keys, not text.
+    keyed = d.select(
+        "doc_id",
+        F.substring("nt", 1, 8).alias("k_prefix8"),
+        F.concat_ws(
+            "|", F.element_at("w", 1), F.element_at("w", -1)
+        ).alias("k_first_last"),
+        F.size("w").cast("string").alias("k_n_tokens"),
+        F.array_join(F.array_sort(F.array_distinct("w")), " ").alias(
+            "setkey"
+        ),
+    ).localCheckpoint(eager=True)
+    n = keyed.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    melted = keyed.selectExpr(
+        "doc_id",
+        "stack(3, 'prefix8', k_prefix8, 'first_last', k_first_last,"
+        " 'n_tokens', k_n_tokens) AS (scheme, k)",
+    )
+    cand = (
+        melted.groupBy("scheme", "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+        .groupBy("scheme")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(
+                F.col("sz") * (F.col("sz") - 1) / 2
+            ).cast("bigint").alias("candidate_pairs"),
+        )
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("setkey"),
+        F.col("k_prefix8").alias("pa"),
+        F.col("k_first_last").alias("fa"),
+        F.col("k_n_tokens").alias("na"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("setkey"),
+        F.col("k_prefix8").alias("pb"),
+        F.col("k_first_last").alias("fb"),
+        F.col("k_n_tokens").alias("nb"),
+    )
+    tp = a.join(b, "setkey").filter(F.col("a_id") < F.col("b_id"))
+    truth = tp.agg(F.count(F.lit(1)).cast("bigint").alias("truth_pairs"))
+    covered = (
+        tp.selectExpr(
+            "stack(3,"
+            " 'prefix8', CAST(pa = pb AS INT),"
+            " 'first_last', CAST(fa = fb AS INT),"
+            " 'n_tokens', CAST(na = nb AS INT)) AS (scheme, hit)"
+        )
+        .groupBy("scheme")
+        .agg(F.sum("hit").cast("bigint").alias("covered_pairs"))
+    )
+    return (
+        cand.join(F.broadcast(covered), "scheme")
+        .crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "scheme",
+            "n_blocks",
+            "candidate_pairs",
+            "truth_pairs",
+            "covered_pairs",
+            rnd(
+                F.col("covered_pairs") / F.col("truth_pairs").cast("double"),
+                6,
+            ).alias("pairs_completeness"),
+            rnd(
+                F.lit(1.0)
+                - F.col("candidate_pairs")
+                / (F.col("n_docs") * (F.col("n_docs") - 1) / F.lit(2.0)),
+                6,
+            ).alias("reduction_ratio"),
+        )
+        .orderBy("scheme")
+    )

@@ -3566,3 +3566,176 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_rank_centrality",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+    a AS (SELECT doc_id // 2 AS pair, lang, n_chars FROM d
+          WHERE doc_id % 2 = 0),
+    b AS (SELECT doc_id // 2 AS pair, lang, n_chars FROM d
+          WHERE doc_id % 2 = 1),
+    comp AS (
+      SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.lang ELSE b.lang END
+               AS win,
+             CASE WHEN a.n_chars >= b.n_chars THEN b.lang ELSE a.lang END
+               AS lose
+      FROM a JOIN b USING (pair)
+      WHERE a.lang <> b.lang
+    ),
+    m AS (SELECT win, lose, CAST(count(*) AS BIGINT) AS n
+          FROM comp GROUP BY 1, 2),
+    nij AS (
+      SELECT i, j, CAST(sum(n) AS BIGINT) AS nij
+      FROM (SELECT win AS i, lose AS j, n FROM m
+            UNION ALL
+            SELECT lose AS i, win AS j, n FROM m)
+      GROUP BY 1, 2
+    ),
+    deg AS (SELECT i, CAST(count(*) AS BIGINT) AS d FROM nij GROUP BY i),
+    dmax AS (SELECT CAST(max(d) AS DOUBLE) AS dmax FROM deg),
+    offdiag AS (
+      SELECT nij.i, nij.j,
+             coalesce(l.n, 0) / CAST(nij.nij AS DOUBLE) / dmax.dmax AS p
+      FROM nij
+      LEFT JOIN m l ON l.win = nij.j AND l.lose = nij.i
+      CROSS JOIN dmax
+    ),
+    p AS (
+      SELECT i, j, p FROM offdiag
+      UNION ALL
+      SELECT i, i AS j, 1.0 - sum(p) AS p FROM offdiag GROUP BY i
+    ),
+    k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM deg),
+    pi1 AS (
+      SELECT p.j AS lang, sum(p.p / k.k) AS v
+      FROM p CROSS JOIN k GROUP BY p.j
+    ),
+    pi2 AS (
+      SELECT p.j AS lang, sum(p.p * pi1.v) AS v
+      FROM p JOIN pi1 ON pi1.lang = p.i GROUP BY p.j
+    ),
+    pi3 AS (
+      SELECT p.j AS lang, sum(p.p * pi2.v) AS v
+      FROM p JOIN pi2 ON pi2.lang = p.i GROUP BY p.j
+    )
+    SELECT deg.i AS lang, deg.d AS n_opponents,
+           round(pi1.v, 6) AS pi_iter1,
+           round(pi2.v, 6) AS pi_iter2,
+           round(pi3.v, 6) AS pi_iter3
+    FROM deg
+    JOIN pi1 ON pi1.lang = deg.i
+    JOIN pi2 ON pi2.lang = deg.i
+    JOIN pi3 ON pi3.lang = deg.i
+    ORDER BY lang
+    """,
+)
+def q_rank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank Centrality (Negahban, Oh & Shah, NeurIPS 2012 / Op. Res.
+    2017): score items from pairwise preferences as the stationary
+    distribution of a random walk that moves from i to j with
+    probability proportional to how often j BEAT i — the spectral
+    alternative to q_bradley_terry's MM likelihood fit on the same
+    deterministic comparisons (documents pair by floor(doc_id/2),
+    longer text wins, items are languages). Three fixed power
+    iterations from the uniform vector; the walk matrix is normalized
+    by the maximum opponent count d_max with the self-loop absorbing
+    the remainder, as in the paper.
+
+    Scale: identical sufficient-statistics discipline to
+    q_bradley_terry — the corpus appears only in the pairing equi-join
+    and the map-side-combined (win, lose) count; the |items|^2 matrix
+    is pinned with localCheckpoint and all three power iterations are
+    broadcast joins over that bounded matrix, never the raw pairs."""
+    d = widen(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_chars"
+    )
+    a = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.floor(F.col("doc_id") / 2).alias("pair"),
+        F.col("lang").alias("a_lang"),
+        F.col("n_chars").alias("a_n"),
+    )
+    b = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.floor(F.col("doc_id") / 2).alias("pair"),
+        F.col("lang").alias("b_lang"),
+        F.col("n_chars").alias("b_n"),
+    )
+    m = (
+        a.join(b, "pair")
+        .filter(F.col("a_lang") != F.col("b_lang"))
+        .select(
+            F.when(F.col("a_n") >= F.col("b_n"), F.col("a_lang"))
+            .otherwise(F.col("b_lang"))
+            .alias("win"),
+            F.when(F.col("a_n") >= F.col("b_n"), F.col("b_lang"))
+            .otherwise(F.col("a_lang"))
+            .alias("lose"),
+        )
+        .groupBy("win", "lose")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    nij = (
+        m.select(F.col("win").alias("i"), F.col("lose").alias("j"), "n")
+        .unionAll(
+            m.select(F.col("lose").alias("i"), F.col("win").alias("j"), "n")
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").cast("bigint").alias("nij"))
+    )
+    deg = nij.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    dmax = deg.agg(F.max("d").cast("double").alias("dmax"))
+    losses = m.select(
+        F.col("win").alias("j"), F.col("lose").alias("i"),
+        F.col("n").alias("l_n"),
+    )
+    offdiag = (
+        nij.join(losses, ["i", "j"], "left")
+        .crossJoin(F.broadcast(dmax))
+        .select(
+            "i",
+            "j",
+            (
+                F.coalesce(F.col("l_n"), F.lit(0))
+                / F.col("nij").cast("double")
+                / F.col("dmax")
+            ).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    p = offdiag.unionAll(
+        offdiag.groupBy("i")
+        .agg((F.lit(1.0) - F.sum("p")).alias("p"))
+        .select("i", F.col("i").alias("j"), "p")
+    ).localCheckpoint(eager=True)
+    k = deg.agg(F.count(F.lit(1)).cast("double").alias("k"))
+    pi1 = (
+        p.crossJoin(F.broadcast(k))
+        .groupBy(F.col("j").alias("lang"))
+        .agg(F.sum(F.col("p") / F.col("k")).alias("v1"))
+    )
+    pi2 = (
+        p.join(F.broadcast(pi1), p["i"] == pi1["lang"])
+        .groupBy(F.col("j").alias("lang"))
+        .agg(F.sum(F.col("p") * F.col("v1")).alias("v2"))
+    )
+    pi3 = (
+        p.join(F.broadcast(pi2), p["i"] == pi2["lang"])
+        .groupBy(F.col("j").alias("lang"))
+        .agg(F.sum(F.col("p") * F.col("v2")).alias("v3"))
+    )
+    return (
+        deg.select(F.col("i").alias("lang"), F.col("d").alias("n_opponents"))
+        .join(F.broadcast(pi1), "lang")
+        .join(F.broadcast(pi2), "lang")
+        .join(F.broadcast(pi3), "lang")
+        .select(
+            "lang",
+            "n_opponents",
+            rnd("v1", 6).alias("pi_iter1"),
+            rnd("v2", 6).alias("pi_iter2"),
+            rnd("v3", 6).alias("pi_iter3"),
+        )
+        .orderBy("lang")
+    )

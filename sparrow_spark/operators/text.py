@@ -3076,3 +3076,110 @@ def q_unigram_lm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "word")
         .limit(20)
     )
+
+
+@query(
+    "q_kneser_ney_bigram",
+    oracle="""
+    WITH t AS (
+      SELECT string_split(text, ' ') AS toks FROM documents
+    ), bg AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+    ), cb AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+      FROM bg GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS fwd_types
+      FROM cb GROUP BY w1
+    ), cont AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS cont_types
+      FROM cb GROUP BY w2
+    ), btypes AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM cb
+    ), scored AS (
+      SELECT cb.w1, cb.w2, cb.c,
+             (cb.c - 0.75) / ctx.c1
+               + 0.75 * ctx.fwd_types / ctx.c1
+                 * cont.cont_types / CAST(b.n_bigram_types AS DOUBLE)
+               AS p_kn,
+             0.75 * ctx.fwd_types / CAST(ctx.c1 AS DOUBLE) AS lambda_w1,
+             cont.cont_types / CAST(b.n_bigram_types AS DOUBLE) AS p_cont
+      FROM cb
+      JOIN ctx USING (w1)
+      JOIN cont USING (w2)
+      CROSS JOIN btypes b
+    )
+    SELECT w1, w2, c AS pair_count,
+           round(p_kn, 6) AS p_kn,
+           round(lambda_w1, 6) AS lambda_w1,
+           round(p_cont, 6) AS p_cont
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY c DESC, w1, w2) AS rk
+      FROM scored
+    ) WHERE rk <= 20
+    ORDER BY pair_count DESC, w1, w2
+    """,
+)
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney
+    1995; Chen & Goodman 1999's interpolated form with a fixed
+    absolute discount D = 0.75) for the corpus's 20 most frequent
+    bigrams: P(w2|w1) = max(c(w1,w2) - D, 0)/c(w1) + lambda(w1) *
+    P_cont(w2), where the continuation probability P_cont counts the
+    DISTINCT left contexts of w2 rather than its raw frequency — the
+    smoothing that made n-gram LMs competitive and still the baseline
+    cross-entropy reference when grading corpus quality against a
+    neural LM. The companion to q_perplexity_bigram's MLE estimates.
+
+    Scale: one corpus pass builds the bigram count table; context
+    totals, fertility (distinct successors), and continuation counts
+    (distinct predecessors) are three vocab-bounded aggs OVER that
+    table, not the corpus; the scoring join composes broadcast-sized
+    count tables and the top-k is rank-bounded with a deterministic
+    tiebreak. Every quantity is exact integer arithmetic until the
+    final divisions."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    cb = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    ctx = cb.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("fwd_types"),
+    )
+    cont = cb.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cont_types")
+    )
+    btypes = cb.agg(F.count(F.lit(1)).cast("bigint").alias("n_bigram_types"))
+    lam = F.lit(0.75) * F.col("fwd_types") / F.col("c1").cast("double")
+    p_cont = F.col("cont_types") / F.col("n_bigram_types").cast("double")
+    p_kn = (F.col("c") - F.lit(0.75)) / F.col("c1") + lam * p_cont
+    return (
+        cb.join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("pair_count"),
+            rnd(p_kn, 6).alias("p_kn"),
+            rnd(lam, 6).alias("lambda_w1"),
+            rnd(p_cont, 6).alias("p_cont"),
+        )
+        .orderBy(F.col("pair_count").desc(), "w1", "w2")
+        .limit(20)
+    )

@@ -67,25 +67,32 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # additions past the frozen window stay unverified a full round);
 # (3) everything else by staleness of its latest driver row. r14
 # window: CORRECTNESS_r13.json is 50/50 green, so no rule-1 reds;
-# slots 1-7 are the whole never-checked residue (the six r13
-# additions + the r12-displaced `q_stream_engine_upsert`) — after
-# this round never-driver-checked hits ZERO for the first time;
-# slots 8-50 are the 43 stalest rows (last green r3, r4 for
-# `q13_customer_distribution`/`q21_suppliers_waiting`/
-# `q_window_topk_per_group`): the full join matrix, set ops,
-# GROUPING SETS family, the TPC-H tail, and the window-function
-# family. This list is the verbatim `window_rotate.py --next` output
-# pre-committed in the r13 ledger (verified: `--check` green at the
-# rotation commit). The six stalest displaced entries
-# (q_window_nth, q_array_funcs, q_lateral_topk, q_engine_dml,
-# q_reservoir_sample, q_weighted_sample) head the r15 staleness
-# queue mechanically.
+# the never-checked head is the r13 residue (six r13 additions + the
+# r12-displaced `q_stream_engine_upsert`) INTERLEAVED, by
+# registration order, with the six r14 additions (q_kneser_ney_bigram,
+# q_blocking_quality, q_rank_centrality, q_zipf_fit, q_good_turing,
+# q_js_divergence_langs — inserted per rule 1 in the same commits
+# that registered them, `--check` re-run green after the re-emit);
+# after this round never-driver-checked hits ZERO for the first
+# time. The tail is the stalest r3/r4-era rows: the full join
+# matrix, set ops, GROUPING SETS family, the TPC-H tail. The r14
+# additions displace the six stalest tail entries
+# (q17_small_quantity, q21_suppliers_waiting, q22_sales_opportunity,
+# q_window_topk_per_group, q_window_running_lag_lead,
+# q_window_frames) to the r15 head, joining the six r13-displaced
+# entries there — all mechanically, via `window_rotate.py --next`.
 _WINDOW_PRIORITY: list[str] = [
     "q_colbert_maxsim",
     "q_knn_shapley",
     "q_unigram_lm_viterbi",
+    "q_kneser_ney_bigram",
     "q_symspell_neighbors",
+    "q_blocking_quality",
     "q_bradley_terry",
+    "q_rank_centrality",
+    "q_zipf_fit",
+    "q_good_turing",
+    "q_js_divergence_langs",
     "q_engine_rename",
     "q_stream_engine_upsert",
     "q_join_left_outer",
@@ -125,12 +132,6 @@ _WINDOW_PRIORITY: list[str] = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_parts_supplier",
-    "q17_small_quantity",
-    "q21_suppliers_waiting",
-    "q22_sales_opportunity",
-    "q_window_topk_per_group",
-    "q_window_running_lag_lead",
-    "q_window_frames",
 ]
 
 
