@@ -319,6 +319,9 @@ BENCH_QUERIES = [
     "q_kneser_ney_bigram",
     "q_blocking_quality",
     "q_rank_centrality",
+    "q_bbit_minhash",
+    "q_multiprobe_lsh",
+    "q_coreset_sensitivity",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

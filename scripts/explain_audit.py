@@ -56,6 +56,7 @@ WINDOW_WHITELIST: dict[str, str] = {
     "q_apportion_largest_remainder": "remainder rank over the allocation table: one row per source (fixed 20-value enum)",
     "q_bh_fdr": "BH sweep over one row per test segment = per event_type (fixed 5-value enum)",
     "q_bpe_merge_step": "rank over the 20-row TakeOrderedAndProject output (explicit LIMIT k=20)",
+    "q_coreset_sensitivity": "rank over the 50-row TakeOrderedAndProject output (explicit LIMIT k=50)",
     "q_budget_allocation": "cumulative allocation over one row per source (fixed 20-value enum)",
     "q_cascade_filter_ordering": "rank over the permutations of a hardcoded filter list (k! for fixed k)",
     "q_cluster_purity": "windows over the k x labels contingency table (fixed k clusters x fixed label enum)",

@@ -4034,3 +4034,140 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scheme")
     )
+
+
+_ODD_HEX = tuple("13579bdf")
+
+
+@query(
+    "q_bbit_minhash",
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ), ssets AS (
+      SELECT doc_id, list_distinct(list(shingle)) AS s FROM sh GROUP BY doc_id
+    ), scored AS (
+      SELECT p.a_id, p.b_id,
+             (CASE WHEN (substr(sa.h0, 8, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f'))
+                      = (substr(sb.h0, 8, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f')) THEN 1 ELSE 0 END
+            + CASE WHEN (substr(sa.h1, 8, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f'))
+                      = (substr(sb.h1, 8, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f')) THEN 1 ELSE 0 END
+            + CASE WHEN (substr(sa.h2, 8, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f'))
+                      = (substr(sb.h2, 8, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f')) THEN 1 ELSE 0 END
+            + CASE WHEN (substr(sa.h3, 8, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f'))
+                      = (substr(sb.h3, 8, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f')) THEN 1 ELSE 0 END
+            + CASE WHEN (substr(sa.h4, 8, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f'))
+                      = (substr(sb.h4, 8, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f')) THEN 1 ELSE 0 END
+            + CASE WHEN (substr(sa.h5, 8, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f'))
+                      = (substr(sb.h5, 8, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f')) THEN 1 ELSE 0 END
+            + CASE WHEN (substr(sa.h6, 8, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f'))
+                      = (substr(sb.h6, 8, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f')) THEN 1 ELSE 0 END
+            + CASE WHEN (substr(sa.h7, 8, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f'))
+                      = (substr(sb.h7, 8, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f')) THEN 1 ELSE 0 END
+             ) / 8.0 AS a_frac,
+             ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END)) / 8.0 AS est_full,
+             len(list_intersect(xa.s, xb.s)) /
+               CAST(len(list_distinct(list_concat(xa.s, xb.s))) AS DOUBLE)
+               AS exact
+      FROM pairs p
+      JOIN sigs sa ON sa.doc_id = p.a_id
+      JOIN sigs sb ON sb.doc_id = p.b_id
+      JOIN ssets xa ON xa.doc_id = p.a_id
+      JOIN ssets xb ON xb.doc_id = p.b_id
+    )
+    SELECT a_id, b_id,
+           round(2.0 * a_frac - 1.0, 4) AS est_1bit,
+           round(est_full, 4) AS est_full,
+           round(exact, 4) AS exact_jaccard,
+           round(abs((2.0 * a_frac - 1.0) - exact), 4) AS err_1bit,
+           round(abs(est_full - exact), 4) AS err_full
+    FROM scored
+    """,
+)
+def q_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing (Li & Konig, WWW 2010 / CACM 2011) with
+    b = 1: store only the lowest bit of each minhash component — an
+    8x-64x signature compression — and recover Jaccard from the bit
+    agreement rate A via the paper's unbiased estimator, which for
+    small sets relative to the hash universe reduces to J = 2A - 1
+    (a random bit agrees half the time). Audited over the SAME LSH
+    candidate pairs as q_minhash_jaccard_est, with the full-width
+    estimate and the exact Jaccard alongside, so the accuracy cost of
+    the compression is measured, not assumed (1 bit doubles the
+    variance per component: stderr ~ sqrt(2 J (1 - J) / k)).
+
+    Scale: identical shape to q_minhash_jaccard_est — candidates from
+    the band equi-join, the pair list broadcast against the signature
+    and shingle-set tables; the b-bit truncation is a map-side
+    projection of the existing signatures (at production scale the
+    1-bit signature table is what ships to the comparison cluster:
+    1 byte per document for k = 8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    bands = bands_from_signatures(sigs)
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "band_sig")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "band_sig")
+    pairs = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+    def bit(col: str):
+        return F.substring(F.col(col), 8, 1).isin(*_ODD_HEX).cast("int")
+
+    sa = sigs.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(N_MINHASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"h{i}").alias(f"b_h{i}") for i in range(N_MINHASHES)],
+    )
+    toks = materialize(
+        widen(docs.select("doc_id", "text")), w=tokens(F.col("text"))
+    ).filter(F.size("w") >= 3)
+    ssets = toks.select(
+        "doc_id", F.array_distinct(_shingles_of(F.col("w"), 3)).alias("s")
+    )
+    xa = ssets.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"))
+    xb = ssets.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"))
+    joined = (
+        sa.join(F.broadcast(pairs), "a_id")
+        .join(sb, "b_id")
+        .join(xa, "a_id")
+        .join(xb, "b_id")
+    )
+    a_frac = sum(
+        (bit(f"a_h{i}") == bit(f"b_h{i}")).cast("int")
+        for i in range(N_MINHASHES)
+    ) / F.lit(float(N_MINHASHES))
+    est_full = sum(
+        (F.col(f"a_h{i}") == F.col(f"b_h{i}")).cast("int")
+        for i in range(N_MINHASHES)
+    ) / F.lit(float(N_MINHASHES))
+    est_1bit = F.lit(2.0) * a_frac - F.lit(1.0)
+    exact = F.size(F.array_intersect("a_s", "b_s")) / F.size(
+        F.array_union("a_s", "b_s")
+    ).cast("double")
+    return joined.select(
+        "a_id",
+        "b_id",
+        rnd(est_1bit, 4).alias("est_1bit"),
+        rnd(est_full, 4).alias("est_full"),
+        rnd(exact, 4).alias("exact_jaccard"),
+        rnd(F.abs(est_1bit - exact), 4).alias("err_1bit"),
+        rnd(F.abs(est_full - exact), 4).alias("err_full"),
+    )

@@ -3739,3 +3739,114 @@ def q_rank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_coreset_sensitivity",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+      SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+      FROM e
+    ),
+    mu AS (SELECT dim, avg(val) AS m FROM dims GROUP BY dim),
+    d2 AS (
+      SELECT vec_id, sum((val - m) * (val - m)) AS dist_sq
+      FROM dims JOIN mu USING (dim) GROUP BY vec_id
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(dist_sq) AS sum_d2 FROM d2
+    ),
+    s AS (
+      SELECT vec_id, dist_sq,
+             0.5 / tot.n + 0.5 * dist_sq / tot.sum_d2 AS sens
+      FROM d2 CROSS JOIN tot
+    )
+    SELECT vec_id,
+           row_number() OVER (ORDER BY round(dist_sq, 9) DESC, vec_id)
+             AS rank,
+           round(dist_sq, 6) AS dist_sq,
+           round(sens, 8) AS sensitivity,
+           round(1.0 / (50.0 * sens), 4) AS coreset_weight
+    FROM s
+    QUALIFY rank <= 50
+    ORDER BY rank
+    """,
+)
+def q_coreset_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lightweight-coreset sensitivity scores for k-means (Bachem,
+    Lucic & Krause, KDD 2018): q(x) = 1/(2n) + d(x, mu)^2 / (2 sum
+    d^2) upper-bounds every point's worst-case contribution to any
+    clustering cost, so sampling m points with probability q and
+    weight 1/(m q(x)) yields a provable k-means coreset in ONE pass
+    over the data — the curation primitive that shrinks an embedding
+    corpus to a weighted summary before expensive iterative
+    clustering. Deterministic audit form: the 50 highest-sensitivity
+    points (the outliers any coreset must keep) with their weights;
+    production replaces the top-m by weighted sampling with the same
+    q. Ranked on the 9-dp-rounded distance with a vec_id tiebreak on
+    both engines (the float-rank discipline from q_knn_shapley).
+
+    Scale: the mean vector is one 64-row aggregate broadcast back;
+    distances are map-side zip_with folds; the n/sum-d2 normalizer is
+    a 1-row broadcast — one corpus pass, no shuffle beyond the two
+    tiny aggregates, exactly the paper's streaming shape."""
+    vecs = widen(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mu = (
+        vecs.select(F.posexplode("v").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.avg("val").alias("m"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda x: x.m,
+            ).alias("mu")
+        )
+    )
+    # Pinned: (vec_id, dist_sq) is the narrow per-point table the
+    # paper's second pass produces; its three consumers (the n/sum
+    # normalizer, the scoring join, the top-k) would each re-scan the
+    # embeddings otherwise. Pass 1 = mean, pass 2 = distances — the
+    # paper's exact two-pass shape.
+    d2 = (
+        vecs.crossJoin(F.broadcast(mu))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("v", "mu", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist_sq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = d2.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("dist_sq").alias("sum_d2"),
+    )
+    s = d2.crossJoin(F.broadcast(tot)).withColumn(
+        "sens",
+        F.lit(0.5) / F.col("n") + F.lit(0.5) * F.col("dist_sq") / F.col("sum_d2"),
+    )
+    # Top-50 via orderBy+limit (TakeOrderedAndProject: each partition
+    # contributes its local top-50, the driver merges — fully
+    # distributed); the rank window then runs over the 50-row result,
+    # never the corpus (LIMIT-k class, whitelisted in explain_audit).
+    top = s.orderBy(rnd("dist_sq", 9).desc(), "vec_id").limit(50)
+    w = Window.orderBy(rnd("dist_sq", 9).desc(), "vec_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "rank",
+            rnd("dist_sq", 6).alias("dist_sq"),
+            rnd("sens", 8).alias("sensitivity"),
+            rnd(F.lit(1.0) / (F.lit(50.0) * F.col("sens")), 4).alias(
+                "coreset_weight"
+            ),
+        )
+        .orderBy("rank")
+    )

@@ -2945,3 +2945,198 @@ def q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("shap_raw", 6).alias("shapley"),
         )
     )
+
+
+@query(
+    "q_multiprobe_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket
+          FROM b WHERE vec_id < 20),
+    probes AS (
+      SELECT query_id, qv,
+             unnest([
+        struct_pack(probe := 0, pb := bucket),
+        struct_pack(probe := 1,
+          pb := substr(bucket, 1, 0) ||
+                (CASE WHEN substr(bucket, 1, 1) = '1'
+                      THEN '0' ELSE '1' END) ||
+                substr(bucket, 2)),
+        struct_pack(probe := 2,
+          pb := substr(bucket, 1, 1) ||
+                (CASE WHEN substr(bucket, 2, 1) = '1'
+                      THEN '0' ELSE '1' END) ||
+                substr(bucket, 3)),
+        struct_pack(probe := 3,
+          pb := substr(bucket, 1, 2) ||
+                (CASE WHEN substr(bucket, 3, 1) = '1'
+                      THEN '0' ELSE '1' END) ||
+                substr(bucket, 4)),
+        struct_pack(probe := 4,
+          pb := substr(bucket, 1, 3) ||
+                (CASE WHEN substr(bucket, 4, 1) = '1'
+                      THEN '0' ELSE '1' END) ||
+                substr(bucket, 5)),
+        struct_pack(probe := 5,
+          pb := substr(bucket, 1, 4) ||
+                (CASE WHEN substr(bucket, 5, 1) = '1'
+                      THEN '0' ELSE '1' END) ||
+                substr(bucket, 6)),
+        struct_pack(probe := 6,
+          pb := substr(bucket, 1, 5) ||
+                (CASE WHEN substr(bucket, 6, 1) = '1'
+                      THEN '0' ELSE '1' END) ||
+                substr(bucket, 7)),
+        struct_pack(probe := 7,
+          pb := substr(bucket, 1, 6) ||
+                (CASE WHEN substr(bucket, 7, 1) = '1'
+                      THEN '0' ELSE '1' END) ||
+                substr(bucket, 8)),
+        struct_pack(probe := 8,
+          pb := substr(bucket, 1, 7) ||
+                (CASE WHEN substr(bucket, 8, 1) = '1'
+                      THEN '0' ELSE '1' END) ||
+                substr(bucket, 9))
+      ], recursive := true)
+      FROM q
+    ), probes2 AS (
+      SELECT query_id, qv, probe, pb AS pbucket FROM probes
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, p.qv, c.vec_id AS neighbor_id, c.v AS cv,
+             min(p.probe) OVER (PARTITION BY p.query_id, c.vec_id)
+               AS best_probe
+      FROM probes2 p JOIN b c
+        ON c.bucket = p.pbucket AND c.vec_id <> p.query_id
+    ),
+    truth AS (
+      SELECT a.vec_id AS query_id, b2.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_COS_SQL.replace('b.v', 'b2.v')} DESC, b2.vec_id)
+               AS trank
+      FROM b a JOIN b b2 ON a.vec_id <> b2.vec_id
+      WHERE a.vec_id < 20
+      QUALIFY trank <= 3
+    )
+    SELECT q.query_id, q.bucket,
+           CAST(count(c.neighbor_id) FILTER (c.best_probe = 0) AS BIGINT)
+             AS n_sp_candidates,
+           CAST(count(c.neighbor_id) AS BIGINT) AS n_mp_candidates,
+           CAST(count(t.neighbor_id)
+                  FILTER (t.neighbor_id IS NOT NULL AND c.best_probe = 0)
+                AS BIGINT) AS hits_sp,
+           CAST(count(t.neighbor_id) AS BIGINT) AS hits_mp,
+           round(count(t.neighbor_id)
+                   FILTER (t.neighbor_id IS NOT NULL AND c.best_probe = 0)
+                 / 3.0, 4) AS recall_sp,
+           round(count(t.neighbor_id) / 3.0, 4) AS recall_mp
+    FROM q
+    LEFT JOIN cand c ON c.query_id = q.query_id
+    LEFT JOIN truth t ON t.query_id = c.query_id
+                     AND t.neighbor_id = c.neighbor_id
+    GROUP BY q.query_id, q.bucket
+    ORDER BY q.query_id
+    """,
+)
+def q_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv, Josephson, Wang, Charikar & Li, VLDB
+    2007): instead of paying recall for a small hash budget, each
+    query probes its home bucket PLUS the 8 buckets at Hamming
+    distance 1 in signature space — the perturbation sequence that
+    recovers most of the recall lost by single-probe LSH at the same
+    table count. The audit reports, per query, the candidate-set
+    sizes and the recall@3 against the exact top-3 for both probing
+    strategies, so the recall/candidate-cost trade is measured on the
+    corpus itself (single-probe recall is strictly a lower bound of
+    multi-probe by construction).
+
+    Scale: the probe fan-out is 9 broadcast-side rows per query —
+    the corpus side still sees ONE equi-join on the bucket key; the
+    exact-truth panel is the same broadcast query-panel x partitioned
+    corpus shape as q_similarity_topk, here bounded to the 20-query
+    audit sample (at production scale truth comes from a held-out
+    labeled set, not a corpus scan)."""
+    vecs = _vecs(spark, sf_dir)
+    b = vecs.select(
+        "vec_id", "v", hyperplane_bucket(F.col("v")).alias("bucket")
+    )
+    q = b.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    flips = [
+        F.struct(
+            F.lit(j + 1).alias("probe"),
+            F.concat(
+                F.substring("bucket", 1, j),
+                F.when(
+                    F.substring("bucket", j + 1, 1) == "1", "0"
+                ).otherwise("1"),
+                F.substring("bucket", j + 2, N_HYPERPLANES - j - 1),
+            ).alias("pb"),
+        )
+        for j in range(N_HYPERPLANES)
+    ]
+    probes = q.select(
+        "query_id",
+        "qv",
+        "bucket",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("probe"), F.col("bucket").alias("pb")
+                ),
+                *flips,
+            )
+        ).alias("p"),
+    ).select("query_id", "qv", "bucket", "p.probe", F.col("p.pb").alias("pbucket"))
+    c = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("bucket").alias("cbucket"),
+    )
+    cand = (
+        c.join(
+            F.broadcast(probes),
+            (F.col("cbucket") == F.col("pbucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("probe").alias("best_probe"))
+    )
+    truth = brute_force_topk(
+        vecs.filter(F.col("vec_id") < 20), vecs, k=3
+    ).select("query_id", "neighbor_id", F.lit(1).alias("is_true"))
+    scored = cand.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
+    return (
+        q.select("query_id", "bucket")
+        .join(F.broadcast(scored), "query_id", "left")
+        .groupBy("query_id", "bucket")
+        .agg(
+            F.count(
+                F.when(F.col("best_probe") == 0, F.lit(1))
+            ).cast("bigint").alias("n_sp_candidates"),
+            F.count("neighbor_id").cast("bigint").alias("n_mp_candidates"),
+            F.count(
+                F.when(
+                    (F.col("best_probe") == 0) & F.col("is_true").isNotNull(),
+                    F.lit(1),
+                )
+            ).cast("bigint").alias("hits_sp"),
+            F.count(F.col("is_true")).cast("bigint").alias("hits_mp"),
+            rnd(
+                F.count(
+                    F.when(
+                        (F.col("best_probe") == 0)
+                        & F.col("is_true").isNotNull(),
+                        F.lit(1),
+                    )
+                )
+                / F.lit(3.0),
+                4,
+            ).alias("recall_sp"),
+            rnd(F.count(F.col("is_true")) / F.lit(3.0), 4).alias("recall_mp"),
+        )
+        .orderBy("query_id")
+    )

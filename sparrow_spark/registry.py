@@ -69,27 +69,33 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # window: CORRECTNESS_r13.json is 50/50 green, so no rule-1 reds;
 # the never-checked head is the r13 residue (six r13 additions + the
 # r12-displaced `q_stream_engine_upsert`) INTERLEAVED, by
-# registration order, with the six r14 additions (q_kneser_ney_bigram,
-# q_blocking_quality, q_rank_centrality, q_zipf_fit, q_good_turing,
-# q_js_divergence_langs — inserted per rule 1 in the same commits
-# that registered them, `--check` re-run green after the re-emit);
-# after this round never-driver-checked hits ZERO for the first
-# time. The tail is the stalest r3/r4-era rows: the full join
-# matrix, set ops, GROUPING SETS family, the TPC-H tail. The r14
-# additions displace the six stalest tail entries
-# (q17_small_quantity, q21_suppliers_waiting, q22_sales_opportunity,
-# q_window_topk_per_group, q_window_running_lag_lead,
-# q_window_frames) to the r15 head, joining the six r13-displaced
-# entries there — all mechanically, via `window_rotate.py --next`.
+# registration order, with the NINE r14 additions
+# (q_kneser_ney_bigram, q_blocking_quality, q_bbit_minhash,
+# q_multiprobe_lsh, q_rank_centrality, q_coreset_sensitivity,
+# q_zipf_fit, q_good_turing, q_js_divergence_langs — inserted per
+# rule 1 in the same commits that registered them, `--check` re-run
+# green after each re-emit); after this round never-driver-checked
+# hits ZERO for the first time. The tail is the stalest r3/r4-era
+# rows: the full join matrix, set ops, GROUPING SETS family, the
+# TPC-H tail. The r14 additions displace the nine stalest tail
+# entries (q13_customer_distribution, q15_top_supplier,
+# q16_parts_supplier, q17_small_quantity, q21_suppliers_waiting,
+# q22_sales_opportunity, q_window_topk_per_group,
+# q_window_running_lag_lead, q_window_frames) to the r15 head,
+# joining the six r13-displaced entries there — all mechanically,
+# via `window_rotate.py --next`.
 _WINDOW_PRIORITY: list[str] = [
     "q_colbert_maxsim",
     "q_knn_shapley",
+    "q_multiprobe_lsh",
     "q_unigram_lm_viterbi",
     "q_kneser_ney_bigram",
     "q_symspell_neighbors",
     "q_blocking_quality",
+    "q_bbit_minhash",
     "q_bradley_terry",
     "q_rank_centrality",
+    "q_coreset_sensitivity",
     "q_zipf_fit",
     "q_good_turing",
     "q_js_divergence_langs",
@@ -129,9 +135,6 @@ _WINDOW_PRIORITY: list[str] = [
     "q_union_distinct",
     "q7_volume_shipping",
     "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier",
 ]
 
 

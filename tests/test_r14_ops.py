@@ -249,3 +249,85 @@ def test_rank_centrality_matches_numpy_power_iteration(spark, sf_dir, docs):
         assert row["pi_iter1"] == pytest.approx(expect[0][idx[l]], abs=1e-5)
         assert row["pi_iter2"] == pytest.approx(expect[1][idx[l]], abs=1e-5)
         assert row["pi_iter3"] == pytest.approx(expect[2][idx[l]], abs=1e-5)
+
+
+def _minhash_sigs_py(docs):
+    """Replicate minhash_signatures: md5('a:'+sh)/md5('b:'+sh) hex,
+    8-char substrings, min per doc."""
+    import hashlib
+
+    sigs = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        w = text.lower().split(" ")
+        if len(w) < 3:
+            continue
+        shingles = {
+            f"{w[i]} {w[i+1]} {w[i+2]}" for i in range(len(w) - 2)
+        }
+        comps = []
+        for salt in ("a:", "b:"):
+            hexes = [
+                hashlib.md5((salt + s).encode()).hexdigest()
+                for s in shingles
+            ]
+            for off in (0, 8, 16, 24):
+                comps.append(min(h[off : off + 8] for h in hexes))
+        sigs[doc_id] = comps
+    return sigs
+
+
+def test_bbit_minhash_matches_hashlib_brute_force(spark, sf_dir, docs):
+    got = _run(spark, sf_dir, "q_bbit_minhash")
+    assert len(got) > 0
+    sigs = _minhash_sigs_py(docs)
+    odd = set("13579bdf")
+    for row in got.itertuples():
+        sa, sb = sigs[row.a_id], sigs[row.b_id]
+        a_frac = sum(
+            (x[-1] in odd) == (y[-1] in odd) for x, y in zip(sa, sb)
+        ) / 8.0
+        full = sum(x == y for x, y in zip(sa, sb)) / 8.0
+        assert row.est_1bit == pytest.approx(2 * a_frac - 1, abs=1e-3)
+        assert row.est_full == pytest.approx(full, abs=1e-3)
+        # 1-bit agreement can never be LESS informative than chance on
+        # an LSH candidate pair set biased toward real duplicates
+        assert -1.0 <= row.est_1bit <= 1.0
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_multiprobe_lsh")
+    assert len(got) == 20
+    # multi-probe candidates are a superset of home-bucket candidates,
+    # so both the candidate count and recall dominate pointwise
+    assert (got["n_mp_candidates"] >= got["n_sp_candidates"]).all()
+    assert (got["recall_mp"] >= got["recall_sp"]).all()
+    assert (got["hits_mp"] <= 3).all()
+    # the 8 extra probes must actually widen the candidate set somewhere
+    assert (got["n_mp_candidates"] > got["n_sp_candidates"]).any()
+
+
+def test_coreset_sensitivity_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    v = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    mu = v.mean(axis=0)
+    d2 = ((v - mu) ** 2).sum(axis=1)
+    n, sum_d2 = len(v), d2.sum()
+    sens = 0.5 / n + 0.5 * d2 / sum_d2
+    order = sorted(
+        range(n), key=lambda i: (-round(d2[i], 9), emb["vec_id"].iloc[i])
+    )[:50]
+    got = _run(spark, sf_dir, "q_coreset_sensitivity")
+    assert len(got) == 50
+    for rank, (row, i) in enumerate(zip(got.itertuples(), order), start=1):
+        assert row.rank == rank
+        assert row.vec_id == emb["vec_id"].iloc[i]
+        assert row.dist_sq == pytest.approx(d2[i], abs=1e-4)
+        assert row.sensitivity == pytest.approx(sens[i], abs=1e-6)
+        assert row.coreset_weight == pytest.approx(
+            1.0 / (50.0 * sens[i]), abs=1e-2
+        )
+    # sensitivities are a (sub-)distribution: the full-corpus sum is
+    # exactly 1 by construction (0.5 + 0.5)
+    assert sens.sum() == pytest.approx(1.0, abs=1e-9)
