@@ -322,6 +322,7 @@ BENCH_QUERIES = [
     "q_bbit_minhash",
     "q_multiprobe_lsh",
     "q_coreset_sensitivity",
+    "q_countsketch_signed",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

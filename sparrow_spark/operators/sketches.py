@@ -776,3 +776,115 @@ def q_cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("width")
+
+
+# ---------------------------------------------------------------------------
+# Count-Sketch (signed) — r14
+# ---------------------------------------------------------------------------
+
+CS_DEPTH = 5
+CS_WIDTH = 64
+
+
+@query(
+    "q_countsketch_signed",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ), exact AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS exact FROM tok GROUP BY tok
+    ), cells AS (
+      SELECT exact AS n, unnest([struct_pack(d := 0, bucket := CAST(('0x' || substr(md5('200:' || tok), 1, 8))::UBIGINT % 64 AS BIGINT), sgn := (1 - 2 * CAST(('0x' || substr(md5('300:' || tok), 1, 8))::UBIGINT % 2 AS BIGINT))), struct_pack(d := 1, bucket := CAST(('0x' || substr(md5('201:' || tok), 1, 8))::UBIGINT % 64 AS BIGINT), sgn := (1 - 2 * CAST(('0x' || substr(md5('301:' || tok), 1, 8))::UBIGINT % 2 AS BIGINT))), struct_pack(d := 2, bucket := CAST(('0x' || substr(md5('202:' || tok), 1, 8))::UBIGINT % 64 AS BIGINT), sgn := (1 - 2 * CAST(('0x' || substr(md5('302:' || tok), 1, 8))::UBIGINT % 2 AS BIGINT))), struct_pack(d := 3, bucket := CAST(('0x' || substr(md5('203:' || tok), 1, 8))::UBIGINT % 64 AS BIGINT), sgn := (1 - 2 * CAST(('0x' || substr(md5('303:' || tok), 1, 8))::UBIGINT % 2 AS BIGINT))), struct_pack(d := 4, bucket := CAST(('0x' || substr(md5('204:' || tok), 1, 8))::UBIGINT % 64 AS BIGINT), sgn := (1 - 2 * CAST(('0x' || substr(md5('304:' || tok), 1, 8))::UBIGINT % 2 AS BIGINT)))], recursive := true) FROM exact
+    ), sketch AS (
+      SELECT d, bucket, CAST(sum(sgn * n) AS BIGINT) AS c
+      FROM cells GROUP BY d, bucket
+    ), heavy AS (
+      SELECT tok, exact FROM exact
+      WHERE exact >= 0.01 * (SELECT sum(exact) FROM exact)
+    ), probes AS (
+      SELECT tok, unnest([struct_pack(d := 0, bucket := CAST(('0x' || substr(md5('200:' || tok), 1, 8))::UBIGINT % 64 AS BIGINT), sgn := (1 - 2 * CAST(('0x' || substr(md5('300:' || tok), 1, 8))::UBIGINT % 2 AS BIGINT))), struct_pack(d := 1, bucket := CAST(('0x' || substr(md5('201:' || tok), 1, 8))::UBIGINT % 64 AS BIGINT), sgn := (1 - 2 * CAST(('0x' || substr(md5('301:' || tok), 1, 8))::UBIGINT % 2 AS BIGINT))), struct_pack(d := 2, bucket := CAST(('0x' || substr(md5('202:' || tok), 1, 8))::UBIGINT % 64 AS BIGINT), sgn := (1 - 2 * CAST(('0x' || substr(md5('302:' || tok), 1, 8))::UBIGINT % 2 AS BIGINT))), struct_pack(d := 3, bucket := CAST(('0x' || substr(md5('203:' || tok), 1, 8))::UBIGINT % 64 AS BIGINT), sgn := (1 - 2 * CAST(('0x' || substr(md5('303:' || tok), 1, 8))::UBIGINT % 2 AS BIGINT))), struct_pack(d := 4, bucket := CAST(('0x' || substr(md5('204:' || tok), 1, 8))::UBIGINT % 64 AS BIGINT), sgn := (1 - 2 * CAST(('0x' || substr(md5('304:' || tok), 1, 8))::UBIGINT % 2 AS BIGINT)))], recursive := true) FROM heavy
+    ), est AS (
+      SELECT p.tok,
+             CAST(quantile_disc(p.sgn * s.c, 0.5) AS BIGINT) AS est
+      FROM probes p JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+      GROUP BY p.tok
+    )
+    SELECT h.tok, h.exact, e.est, (e.est - h.exact) AS err
+    FROM heavy h JOIN est e ON h.tok = e.tok
+    ORDER BY h.exact DESC, h.tok
+    """,
+)
+def q_countsketch_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch frequency estimation (Charikar, Chen &
+    Farach-Colton, ICALP 2002): each of d rows hashes an item to a
+    bucket AND to a sign in {-1, +1}; a cell accumulates the SIGNED
+    counts, and the estimate is the MEDIAN over rows of sgn(x) *
+    C[d][h_d(x)]. The signs make collisions cancel in expectation, so
+    unlike count-min (est >= exact always, q_countmin_sketch) the
+    error here is two-sided and bounded by the l2 norm of the OTHER
+    items' counts — the better sketch for heavy-tailed frequency
+    distributions, and the building block of the Count-Sketch
+    projection used in feature hashing. Both engines take the
+    discrete median (3rd of 5 sorted values), so the comparison is
+    exact BIGINT.
+
+    Scale: identical discipline to q_countmin_sketch — ONE corpus
+    aggregation feeds the sketch (vocab-sized signed explode, keyed
+    groupBy with map-side combine), the heavy-hitter cut, and the
+    probes; estimation joins the broadcast depth x width table."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    exact = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact")
+    )
+
+    def db_structs(col):
+        return F.array(*[
+            F.struct(
+                F.lit(d).alias("d"),
+                _bucket(col, 200 + d, CS_WIDTH).alias("bucket"),
+                (F.lit(1) - F.lit(2) * _bucket(col, 300 + d, 2))
+                .cast("bigint")
+                .alias("sgn"),
+            )
+            for d in range(CS_DEPTH)
+        ])
+
+    cells = exact.select(
+        F.col("exact").alias("n"),
+        F.explode(db_structs(F.col("tok"))).alias("db"),
+    ).select("n", "db.d", "db.bucket", "db.sgn")
+    sketch = cells.groupBy("d", "bucket").agg(
+        F.sum(F.col("sgn") * F.col("n")).cast("bigint").alias("c")
+    )
+    total = exact.agg(F.sum("exact").alias("t"))
+    heavy = (
+        exact.join(F.broadcast(total))
+        .filter(F.col("exact") >= 0.01 * F.col("t"))
+        .select("tok", "exact")
+    )
+    probes = heavy.select(
+        "tok", F.explode(db_structs(F.col("tok"))).alias("db")
+    ).select("tok", "db.d", "db.bucket", "db.sgn")
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.element_at(
+                F.array_sort(F.collect_list(F.col("sgn") * F.col("c"))),
+                (CS_DEPTH + 1) // 2,
+            )
+            .cast("bigint")
+            .alias("est")
+        )
+    )
+    return (
+        heavy.join(est, "tok")
+        .select(
+            "tok",
+            "exact",
+            "est",
+            (F.col("est") - F.col("exact")).cast("bigint").alias("err"),
+        )
+        .orderBy(F.col("exact").desc(), "tok")
+    )

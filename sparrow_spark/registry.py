@@ -69,19 +69,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # window: CORRECTNESS_r13.json is 50/50 green, so no rule-1 reds;
 # the never-checked head is the r13 residue (six r13 additions + the
 # r12-displaced `q_stream_engine_upsert`) INTERLEAVED, by
-# registration order, with the NINE r14 additions
+# registration order, with the TEN r14 additions
 # (q_kneser_ney_bigram, q_blocking_quality, q_bbit_minhash,
 # q_multiprobe_lsh, q_rank_centrality, q_coreset_sensitivity,
-# q_zipf_fit, q_good_turing, q_js_divergence_langs — inserted per
+# q_countsketch_signed, q_zipf_fit, q_good_turing,
+# q_js_divergence_langs — inserted per
 # rule 1 in the same commits that registered them, `--check` re-run
 # green after each re-emit); after this round never-driver-checked
 # hits ZERO for the first time. The tail is the stalest r3/r4-era
 # rows: the full join matrix, set ops, GROUPING SETS family, the
-# TPC-H tail. The r14 additions displace the nine stalest tail
-# entries (q13_customer_distribution, q15_top_supplier,
-# q16_parts_supplier, q17_small_quantity, q21_suppliers_waiting,
-# q22_sales_opportunity, q_window_topk_per_group,
-# q_window_running_lag_lead, q_window_frames) to the r15 head,
+# TPC-H tail. The r14 additions displace the ten stalest tail
+# entries (q8_market_share, q13_customer_distribution,
+# q15_top_supplier, q16_parts_supplier, q17_small_quantity,
+# q21_suppliers_waiting, q22_sales_opportunity,
+# q_window_topk_per_group, q_window_running_lag_lead,
+# q_window_frames) to the r15 head,
 # joining the six r13-displaced entries there — all mechanically,
 # via `window_rotate.py --next`.
 _WINDOW_PRIORITY: list[str] = [
@@ -93,6 +95,7 @@ _WINDOW_PRIORITY: list[str] = [
     "q_symspell_neighbors",
     "q_blocking_quality",
     "q_bbit_minhash",
+    "q_countsketch_signed",
     "q_bradley_terry",
     "q_rank_centrality",
     "q_coreset_sensitivity",
@@ -134,7 +137,6 @@ _WINDOW_PRIORITY: list[str] = [
     "q_grouping_sets",
     "q_union_distinct",
     "q7_volume_shipping",
-    "q8_market_share",
 ]
 
 

@@ -331,3 +331,39 @@ def test_coreset_sensitivity_matches_numpy(spark, sf_dir):
     # sensitivities are a (sub-)distribution: the full-corpus sum is
     # exactly 1 by construction (0.5 + 0.5)
     assert sens.sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_countsketch_matches_hashlib_brute_force(spark, sf_dir, docs):
+    """Full Count-Sketch replication in Python: same md5 bucket/sign
+    hashes, signed cell sums, discrete median of the 5 row estimates."""
+    import hashlib
+
+    def bucket(val, seed, width):
+        return int(hashlib.md5(f"{seed}:{val}".encode()).hexdigest()[:8], 16) % width
+
+    counts = Counter(
+        w for t in docs["text"] for w in t.lower().split(" ")
+    )
+    cells = Counter()
+    for tok, n in counts.items():
+        for d in range(5):
+            b = bucket(tok, 200 + d, 64)
+            sgn = 1 - 2 * bucket(tok, 300 + d, 2)
+            cells[(d, b)] += sgn * n
+    total = sum(counts.values())
+    heavy = {t: n for t, n in counts.items() if n >= 0.01 * total}
+    got = _run(spark, sf_dir, "q_countsketch_signed")
+    assert len(got) == len(heavy)
+    for row in got.itertuples():
+        ests = sorted(
+            (1 - 2 * bucket(row.tok, 300 + d, 2))
+            * cells[(d, bucket(row.tok, 200 + d, 64))]
+            for d in range(5)
+        )
+        median = ests[2]
+        assert row.exact == heavy[row.tok]
+        assert row.est == median
+        assert row.err == median - heavy[row.tok]
+    # two-sided error: unlike count-min, under- AND over-estimates are
+    # both legal; the median must at least be exact for isolated tokens
+    assert (got["err"].abs() <= got["exact"].max()).all()
