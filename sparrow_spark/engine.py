@@ -170,6 +170,12 @@ class Engine:
     def __init__(self, spark: SparkSession, warehouse_dir: str):
         self.spark = spark
         self.catalog = EngineCatalog(warehouse_dir)
+        # Lock-holder identity finer than the pid: two Engine instances
+        # in ONE process (the shared-warehouse test topology, or two
+        # server sessions in one interpreter) must not mistake each
+        # other's lock files for their own — the carried-lock removal
+        # after a rename checks this id, not just the pid.
+        self._engine_id = uuid.uuid4().hex
         # All per-connection state lives in Session objects; the engine
         # always executes on behalf of exactly one (its default session
         # when called directly, the activated one under Session.sql).
@@ -775,18 +781,24 @@ class Engine:
             # no-ops on the old path, and the carried file wedges every
             # later statement on the new name until the 120 s stale
             # timeout (it records a live pid — our own). Remove it iff
-            # it is ours; a foreign pid's lock is left for the staleness
-            # sweep (the multi-pair form never locked that source, so a
-            # foreign holder is already racing the move itself). Runs
-            # LAST in the per-pair block so destination mutual exclusion
-            # is held until the Spark re-registration completes.
+            # it is ours — pid AND engine id, so a sibling Engine in
+            # the same process keeps its lock; a foreign holder's lock
+            # is left for the staleness sweep (the multi-pair form
+            # never locked that source, so a foreign holder is already
+            # racing the move itself). Runs LAST in the per-pair block
+            # so destination mutual exclusion is held until the Spark
+            # re-registration completes.
             carried = os.path.join(
                 self.catalog.table_path(ds, dt), ".write.lock"
             )
             try:
                 with open(carried) as f:
-                    if json.load(f).get("pid") == os.getpid():
-                        os.remove(carried)
+                    holder = json.load(f)
+                if (
+                    holder.get("pid") == os.getpid()
+                    and holder.get("eid") == self._engine_id
+                ):
+                    os.remove(carried)
             except (FileNotFoundError, ValueError, OSError):
                 pass
         return Result("ok")
@@ -1702,7 +1714,11 @@ class Engine:
                 os.write(
                     fd,
                     json.dumps(
-                        {"pid": os.getpid(), "ts": time.time()}
+                        {
+                            "pid": os.getpid(),
+                            "eid": self._engine_id,
+                            "ts": time.time(),
+                        }
                     ).encode(),
                 )
                 os.close(fd)

@@ -253,3 +253,20 @@ def test_directory_rewriting_ops_do_not_orphan_locks(shared_warehouse):
     rows = e1.sql("SELECT id, v FROM mt").rows()
     assert [(r.id, r.v) for r in rows] == [(7, 7)]
     e1.sql("DROP TABLE mt")
+
+
+def test_rename_leaves_sibling_engines_carried_lock(shared_warehouse):
+    """The carried-lock removal after RENAME matches on (pid, engine
+    id), not pid alone: a lock held by a SIBLING Engine in the same
+    process (same pid, different engine id) must survive the move —
+    removing it would break the sibling's mutual exclusion mid-DML."""
+    e1, _e2 = shared_warehouse
+    e1.sql("CREATE TABLE sib (id INT, PRIMARY KEY(id))")
+    lock = os.path.join(e1.catalog.table_path("s", "sib"), ".write.lock")
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "eid": "not-our-engine", "ts": 0}, f)
+    e1.sql("RENAME TABLE sib TO sib2")
+    carried = os.path.join(e1.catalog.table_path("s", "sib2"), ".write.lock")
+    assert os.path.exists(carried), "sibling's lock was wrongly removed"
+    os.remove(carried)
+    e1.sql("DROP TABLE sib2")
