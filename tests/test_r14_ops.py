@@ -367,3 +367,42 @@ def test_countsketch_matches_hashlib_brute_force(spark, sf_dir, docs):
     # two-sided error: unlike count-min, under- AND over-estimates are
     # both legal; the median must at least be exact for isolated tokens
     assert (got["err"].abs() <= got["exact"].max()).all()
+
+
+def test_window_rotate_red_rows_reenter_at_head(tmp_path, monkeypatch):
+    """Rule-1 mechanics, unit-tested with a synthetic newest
+    CORRECTNESS file: a red row in the newest round must lead the
+    computed window, ahead of never-checked and stale rows."""
+    import json as _json
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    import window_rotate as wr
+
+    names = list(registry.RAW_QUERIES)
+    # newest round: first 50 green except one mid-window red
+    red = names[25]
+    fake_rows = {
+        n: {
+            "rows_match": n != red,
+            "schema_match": True,
+            "hash_match": n != red,
+            "err": None,
+        }
+        for n in names[:50]
+    }
+    f99 = tmp_path / "CORRECTNESS_r99.json"
+    f99.write_text(_json.dumps(fake_rows))
+    real = wr.correctness_files()
+    monkeypatch.setattr(
+        wr, "correctness_files", lambda: real + [(99, str(f99))]
+    )
+    w = wr.compute_window()
+    assert w[0] == red, "red row must re-enter at the window head"
+    # everything green in r99 rotates behind both never-checked and
+    # older-round rows
+    green_r99 = set(names[:50]) - {red}
+    assert not green_r99 & set(w), "just-checked green rows re-entered"
