@@ -57,19 +57,25 @@ EOF
     CMP_OUT=$(python scripts/bench_compare.py "$BASELINE" bench_detail.json) \
       && CMP_RC=0 || CMP_RC=$?
     echo "$CMP_OUT"
-    if [ "$CMP_RC" -ne 0 ]; then
+    FLAGGED=$(echo "$CMP_OUT" | sed -n 's/^  REGRESSION \([^:]*\):.*/\1/p' \
+      | paste -sd, -)
+    if [ "$CMP_RC" -eq 1 ] && [ -n "$FLAGGED" ]; then
       # Automated flag adjudication: the bench box is co-tenant, and a
       # mid-run load burst inflates a contiguous block of queries that
       # the two-point calibration sentinel cannot see. Re-measure ONLY
       # the flagged queries at a different moment (min of two
       # independent best-of-3s); a real regression reproduces, a burst
-      # artifact clears. The SECOND compare is the gate verdict.
-      FLAGGED=$(echo "$CMP_OUT" | sed -n 's/^  REGRESSION \([^:]*\):.*/\1/p' \
-        | paste -sd, -)
+      # artifact clears. The SECOND compare is the gate verdict. Only
+      # exit code 1 (real flags) takes this branch — a usage/data
+      # error (exit 2: disjoint query sets, corrupt baseline) must
+      # fail the gate directly, not boot a pointless Spark session.
       echo "== gate: re-measuring flagged queries: $FLAGGED =="
       python bench.py --remeasure "$FLAGGED"
       echo "== gate: bench_compare (post-remeasure) vs $BASELINE =="
       python scripts/bench_compare.py "$BASELINE" bench_detail.json
+    elif [ "$CMP_RC" -ne 0 ]; then
+      echo "== gate: bench_compare failed with code $CMP_RC =="
+      exit "$CMP_RC"
     fi
   else
     echo "== gate: bench_compare skipped (no bench_baseline_r*.json) =="

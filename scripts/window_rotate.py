@@ -141,6 +141,20 @@ def main() -> int:
                   "pinned window (legitimate until next rotation): "
                   + ", ".join(additions[:10]))
             return 0
+        newest_keys = set(json.load(open(correctness_files()[-1][1])))
+        if set(current) <= newest_keys:
+            # The pinned window has already been GRADED (every row
+            # appears in the newest CORRECTNESS file): the registry is
+            # between rounds and divergence from the freshly-computed
+            # next window is expected — the round-start rotation commit
+            # resolves it. Failing here would wedge gate.sh stage 1 for
+            # the whole window between a verdict landing and the next
+            # rotation.
+            print("window check: SKIP — the pinned window is fully "
+                  "graded by the newest CORRECTNESS round; rotation is "
+                  "due at round start (run --emit and update the "
+                  "ledger)")
+            return 0
         print("window check: MISMATCH (no mid-round additions excuse it)")
         for i, (a, b) in enumerate(zip(current, window)):
             if a != b:

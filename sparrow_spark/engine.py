@@ -774,8 +774,6 @@ class Engine:
             created.add((ds, dt))
         for (ss, st), (ds, dt) in pairs:
             tdef = self.catalog.rename_table(ss, st, ds, dt)
-            self.spark.sql(f"DROP TABLE IF EXISTS `{ss}`.`{st}`")
-            self._register_spark_table(tdef)
             # The directory move carries the source's .write.lock file
             # along to the DESTINATION: _locked_dml's release then
             # no-ops on the old path, and the carried file wedges every
@@ -785,22 +783,29 @@ class Engine:
             # the same process keeps its lock; a foreign holder's lock
             # is left for the staleness sweep (the multi-pair form
             # never locked that source, so a foreign holder is already
-            # racing the move itself). Runs LAST in the per-pair block
-            # so destination mutual exclusion is held until the Spark
-            # re-registration completes.
-            carried = os.path.join(
-                self.catalog.table_path(ds, dt), ".write.lock"
-            )
+            # racing the move itself). try/finally: destination mutual
+            # exclusion is held until the Spark re-registration
+            # completes on success, but a failing DROP/re-register must
+            # still release our own carried lock — otherwise the
+            # exception leaves the new name wedged behind a live-pid
+            # lock.
             try:
-                with open(carried) as f:
-                    holder = json.load(f)
-                if (
-                    holder.get("pid") == os.getpid()
-                    and holder.get("eid") == self._engine_id
-                ):
-                    os.remove(carried)
-            except (FileNotFoundError, ValueError, OSError):
-                pass
+                self.spark.sql(f"DROP TABLE IF EXISTS `{ss}`.`{st}`")
+                self._register_spark_table(tdef)
+            finally:
+                carried = os.path.join(
+                    self.catalog.table_path(ds, dt), ".write.lock"
+                )
+                try:
+                    with open(carried) as f:
+                        holder = json.load(f)
+                    if (
+                        holder.get("pid") == os.getpid()
+                        and holder.get("eid") == self._engine_id
+                    ):
+                        os.remove(carried)
+                except (FileNotFoundError, ValueError, OSError):
+                    pass
         return Result("ok")
 
     def _alter_rename(self, stmt: str) -> Result | None:
@@ -1782,7 +1787,13 @@ class Engine:
             schema, table = self._resolve_table_name(raw)
             if not self.catalog.has_table(schema, table):
                 raise SparrowError(1146, f"Table '{schema}.{table}' doesn't exist")
-            out.append((schema, table))
+            # Dedupe resolved targets (OPTIMIZE TABLE t, t — or two
+            # spellings resolving to one table): a duplicate would
+            # rewrite the same table twice and, now that OPTIMIZE
+            # locks per target, re-contend for a lock the statement
+            # itself just held.
+            if (schema, table) not in out:
+                out.append((schema, table))
         return out
 
     def _zorder_sort(

@@ -794,11 +794,16 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single 1-row aggregate over the rank-bounded head."""
     from sparrow_spark.operators.dedup import global_sort_ranks
 
+    # Pinned: the vocabulary count table has two consumers (the token
+    # total and the ranking path) — without the pin each re-runs the
+    # full-corpus explode+groupBy (the same discipline as the other
+    # r14 corpus queries).
     c = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
     )
     n_tok = c.agg(F.sum("c").cast("bigint").alias("n_tokens"))
     ranked = global_sort_ranks(
@@ -880,14 +885,23 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     one keyed agg; the frequency-of-frequencies table is tiny (one row
     per distinct count value) and the successor join on r+1 is a
     broadcast self-join of that table — the corpus is touched once."""
-    tg = load_table(spark, sf_dir, "documents").select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 2),"
-                " i -> concat_ws(' ', split(text, ' ')[i-1],"
-                " split(text, ' ')[i], split(text, ' ')[i+1]))"
-            )
-        ).alias("g")
+    # size >= 3 guard: Spark's sequence(1, n) with n < 1 yields a
+    # DESCENDING [1, 0], not the empty array DuckDB's range(1, n)
+    # produces — a sub-3-token document would emit spurious "trigrams"
+    # on the Spark side only. Latent at fixture sizes (min 10 tokens),
+    # real at any corpus with short documents.
+    tg = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 2),"
+                    " i -> concat_ws(' ', split(text, ' ')[i-1],"
+                    " split(text, ' ')[i], split(text, ' ')[i+1]))"
+                )
+            ).alias("g")
+        )
     )
     c = tg.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
     # Pin the frequency-of-frequencies table (one row per distinct

@@ -3140,8 +3140,13 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     count tables and the top-k is rank-bounded with a deterministic
     tiebreak. Every quantity is exact integer arithmetic until the
     final divisions."""
-    toks = load_table(spark, sf_dir, "documents").select(
-        F.split("text", " ").alias("t")
+    # size >= 2 guard: Spark's sequence(1, n) with n < 1 yields a
+    # DESCENDING [1, 0] (not DuckDB range's empty array), so a 1-token
+    # document would emit null-keyed "bigrams" on the Spark side only.
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
     )
     cb = (
         toks.select(

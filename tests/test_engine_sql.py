@@ -1185,3 +1185,17 @@ def test_rename_column_then_update_under_new_name(engine):
     assert [(r.id, r.quantity) for r in rows] == [(1, 15)]
     cols = [r["Field"] for r in engine.sql("SHOW COLUMNS FROM inv").rows()]
     assert cols == ["id", "quantity"]
+
+
+def test_optimize_duplicate_targets_dedupe(engine):
+    """OPTIMIZE TABLE t, t (or two spellings of one table) compacts
+    once: duplicate resolved targets would rewrite twice and re-contend
+    for the statement's own per-target lock."""
+    boot(engine)
+    engine.sql("CREATE TABLE opt2 (id INT, PRIMARY KEY(id))")
+    engine.sql("INSERT INTO opt2 VALUES (1), (2)")
+    rows = engine.sql("OPTIMIZE TABLE opt2, opt2").rows()
+    assert len(rows) == 1 and rows[0]["Msg_text"] == "OK"
+    got = engine.sql("SELECT id FROM opt2 ORDER BY id").rows()
+    assert [r.id for r in got] == [1, 2]
+    engine.sql("DROP TABLE opt2")
