@@ -65,78 +65,67 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # queries next, in registration order — new additions are inserted
 # HERE in the same commit that registers them (the r3/r4 lesson:
 # additions past the frozen window stay unverified a full round);
-# (3) everything else by staleness of its latest driver row. r14
-# window: CORRECTNESS_r13.json is 50/50 green, so no rule-1 reds;
-# the never-checked head is the r13 residue (six r13 additions + the
-# r12-displaced `q_stream_engine_upsert`) INTERLEAVED, by
-# registration order, with the TEN r14 additions
-# (q_kneser_ney_bigram, q_blocking_quality, q_bbit_minhash,
-# q_multiprobe_lsh, q_rank_centrality, q_coreset_sensitivity,
-# q_countsketch_signed, q_zipf_fit, q_good_turing,
-# q_js_divergence_langs — inserted per
-# rule 1 in the same commits that registered them, `--check` re-run
-# green after each re-emit); after this round never-driver-checked
-# hits ZERO for the first time. The tail is the stalest r3/r4-era
-# rows: the full join matrix, set ops, GROUPING SETS family, the
-# TPC-H tail. The r14 additions displace the ten stalest tail
-# entries (q8_market_share, q13_customer_distribution,
-# q15_top_supplier, q16_parts_supplier, q17_small_quantity,
-# q21_suppliers_waiting, q22_sales_opportunity,
-# q_window_topk_per_group, q_window_running_lag_lead,
-# q_window_frames) to the r15 head,
-# joining the six r13-displaced entries there — all mechanically,
-# via `window_rotate.py --next`.
+# (3) everything else by staleness of its latest driver row. r15
+# window: CORRECTNESS_r14.json is 50/50 green, so no rule-1 reds and
+# (after r14) never-driver-checked is ZERO — the window is pure
+# rule-3 staleness: all 13 remaining r3-era rows (the TPC-H tail and
+# the window-function family) followed by the 37 stalest r4-era rows
+# (sampling, engine DML, the early text/similarity/dedup/multimodal
+# families). Verbatim `window_rotate.py --next` output as
+# pre-committed in the r14 ledger; `--check` green at the rotation
+# commit. After this round the oldest driver row moves from r3 to r4
+# (5 rows remain), pre-committed at the r16 head.
 _WINDOW_PRIORITY: list[str] = [
-    "q_colbert_maxsim",
-    "q_knn_shapley",
-    "q_multiprobe_lsh",
-    "q_unigram_lm_viterbi",
-    "q_kneser_ney_bigram",
-    "q_symspell_neighbors",
-    "q_blocking_quality",
-    "q_bbit_minhash",
-    "q_countsketch_signed",
-    "q_bradley_terry",
-    "q_rank_centrality",
-    "q_coreset_sensitivity",
-    "q_zipf_fit",
-    "q_good_turing",
-    "q_js_divergence_langs",
-    "q_engine_rename",
-    "q_stream_engine_upsert",
-    "q_join_left_outer",
-    "q_join_right_outer",
-    "q_join_full_outer",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_theta",
-    "q_join_using_natural",
-    "q_agg_stats",
-    "q_count_distinct",
-    "q_approx_distinct",
-    "q_select_distinct",
-    "q_having",
-    "q_rollup",
-    "q_cube",
-    "q_percentiles",
-    "q_union_all",
-    "q_intersect",
-    "q_except",
-    "q_orderby_limit_offset",
-    "q_range_join",
-    "q_subquery_scalar",
-    "q_subquery_in",
-    "q_subquery_correlated_exists",
-    "q_cte_chain",
-    "q12_shipmode",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q_array_agg_sorted",
-    "q_grouping_sets",
-    "q_union_distinct",
-    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q21_suppliers_waiting",
+    "q22_sales_opportunity",
+    "q_window_topk_per_group",
+    "q_window_running_lag_lead",
+    "q_window_frames",
+    "q_weighted_sample",
+    "q_reservoir_sample",
+    "q_engine_dml",
+    "q_lateral_topk",
+    "q_window_nth",
+    "q_array_funcs",
+    "q_fuzzy_match",
+    "q_time_bucket_rollup",
+    "q_asof_join",
+    "q_gap_fill",
+    "q_json_extract",
+    "q_zscore_outliers",
+    "q_group_ewma",
+    "q_fingerprint",
+    "q_token_bpe",
+    "q_vocab_heavy_hitters",
+    "q_tfidf",
+    "q_perplexity_unigram",
+    "q_similarity_topk",
+    "q_similarity_ivf",
+    "q_embedding_neardup",
+    "q_similarity_lsh",
+    "q_embedding_quantize",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_pipeline",
+    "q_dedup_clusters",
+    "q_dedup_simhash_hamming",
+    "q_dedup_keeper",
+    "q_countmin_sketch",
+    "q_bloom_filter_semi",
+    "q_multimodal_resize",
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    "q_multimodal_decode",
+    "q_doc_chunking",
+    "q_sequence_packing",
+    "q_repetition_filter",
 ]
 
 
