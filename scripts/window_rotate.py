@@ -71,9 +71,14 @@ def correctness_files() -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def compute_window(assume_current_green: bool = False) -> list[str]:
+def compute_window(
+    assume_current_green: bool = False,
+    exclude: set[str] | None = None,
+) -> list[str]:
     registry.load_all()
-    reg_order = list(registry.RAW_QUERIES)  # decorator insertion order
+    reg_order = [
+        n for n in registry.RAW_QUERIES if not (exclude and n in exclude)
+    ]  # decorator insertion order
     pos = {n: i for i, n in enumerate(reg_order)}
 
     latest_round: dict[str, int] = {}
@@ -130,17 +135,6 @@ def main() -> int:
             print(f"window check: OK ({len(window)} slots match the "
                   "mechanical rule)")
             return 0
-        known = set()
-        for _, path in correctness_files():
-            known.update(json.load(open(path)))
-        additions = [n for n in registry.RAW_QUERIES
-                     if n not in known and n not in current]
-        if additions:
-            print("window check: SKIP — "
-                  f"{len(additions)} mid-round addition(s) not in the "
-                  "pinned window (legitimate until next rotation): "
-                  + ", ".join(additions[:10]))
-            return 0
         newest_keys = set(json.load(open(correctness_files()[-1][1])))
         if set(current) <= newest_keys:
             # The pinned window has already been GRADED (every row
@@ -155,6 +149,33 @@ def main() -> int:
                   "due at round start (run --emit and update the "
                   "ledger)")
             return 0
+        known = set()
+        for _, path in correctness_files():
+            known.update(json.load(open(path)))
+        additions = [n for n in registry.RAW_QUERIES
+                     if n not in known and n not in current]
+        if additions:
+            # Mid-round additions not yet inserted into the pinned
+            # window legitimately diverge until the next rotation —
+            # but the NON-addition slots must still obey the rule:
+            # recompute the window as if the additions did not exist
+            # and require the pinned list to match it exactly, so an
+            # unexcused reordering of existing slots cannot hide
+            # behind an unrelated addition.
+            expected = compute_window(exclude=set(additions))
+            if current == expected:
+                print("window check: OK — non-addition slots match the "
+                      f"mechanical rule; {len(additions)} mid-round "
+                      "addition(s) pending insertion (legitimate until "
+                      "next rotation): " + ", ".join(additions[:10]))
+                return 0
+            print("window check: MISMATCH — non-addition slots diverge "
+                  "from the mechanical rule (additions ignored: "
+                  + ", ".join(additions[:10]) + ")")
+            for i, (a, b) in enumerate(zip(current, expected)):
+                if a != b:
+                    print(f"  slot {i + 1}: registry={a}  computed={b}")
+            return 1
         print("window check: MISMATCH (no mid-round additions excuse it)")
         for i, (a, b) in enumerate(zip(current, window)):
             if a != b:

@@ -799,10 +799,16 @@ class Engine:
                 try:
                     with open(carried) as f:
                         holder = json.load(f)
-                    if (
-                        holder.get("pid") == os.getpid()
-                        and holder.get("eid") == self._engine_id
-                    ):
+                    # A pre-eid lock format (pid only) written by an
+                    # older build and carried through the move is
+                    # still OURS when the pid is this process: treat
+                    # a MISSING eid as own-lock for mixed-version
+                    # operation on one warehouse. A present-but-
+                    # different eid is a sibling Engine in this
+                    # process — keep its lock.
+                    if holder.get("pid") == os.getpid() and holder.get(
+                        "eid", self._engine_id
+                    ) == self._engine_id:
                         os.remove(carried)
                 except (FileNotFoundError, ValueError, OSError):
                     pass
@@ -1744,7 +1750,18 @@ class Engine:
                         except PermissionError:
                             alive = True  # exists, owned by another user
                     stale = time.time() - st.st_mtime > self._LOCK_STALE_S
-                    if stale or not alive:
+                    # Liveness is authoritative for local holders: a
+                    # lock recording a live local pid is NEVER broken
+                    # on age alone — OPTIMIZE/whole-table compactions
+                    # legitimately exceed _LOCK_STALE_S and locks are
+                    # not refreshed mid-operation, so an age-only
+                    # break would re-admit exactly the lost write the
+                    # lock prevents (the waiter raises 1205 instead).
+                    # Age breaks only locks whose holder cannot be
+                    # probed (no parseable pid — e.g. a crashed writer
+                    # from another host in a shared warehouse); a
+                    # confirmed-dead local pid breaks immediately.
+                    if (not alive) if isinstance(pid, int) else stale:
                         os.remove(lock_path)
                         continue
                 except (FileNotFoundError, ValueError, OSError):

@@ -1062,6 +1062,134 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RUN_FLAG_TOKENS = 24
+
+
+@query(
+    "q_dup_span_runs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= {SPAN_TOKENS}
+    ), pos AS (
+      SELECT doc_id, w,
+             unnest(range(1, len(w) - {SPAN_TOKENS} + 2)) AS i
+      FROM tok
+    ), spans AS (
+      SELECT doc_id, i,
+             md5(array_to_string(w[i : i + {SPAN_TOKENS} - 1], ' ')) AS sh
+      FROM pos
+    ), dup_spans AS (
+      SELECT sh FROM (
+        SELECT sh, count(DISTINCT doc_id) AS nd FROM spans GROUP BY sh
+      ) WHERE nd >= 2
+    ), flagged AS (
+      SELECT s.doc_id, s.i, d.sh IS NOT NULL AS is_dup
+      FROM spans s LEFT JOIN dup_spans d ON s.sh = d.sh
+    ), dup AS (
+      SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM flagged WHERE is_dup
+    ), runs AS (
+      SELECT doc_id, grp, count(*) AS run_len FROM dup GROUP BY doc_id, grp
+    ), longest AS (
+      SELECT doc_id, max(run_len) AS longest_run FROM runs GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_spans
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_spans, t.n_dup_spans,
+           CAST(coalesce(l.longest_run, 0) AS BIGINT) AS longest_run,
+           CAST(CASE WHEN coalesce(l.longest_run, 0) > 0
+                     THEN coalesce(l.longest_run, 0) + {SPAN_TOKENS} - 1
+                     ELSE 0 END AS BIGINT) AS longest_dup_tokens,
+           (CASE WHEN coalesce(l.longest_run, 0) > 0
+                 THEN coalesce(l.longest_run, 0) + {SPAN_TOKENS} - 1
+                 ELSE 0 END) >= {RUN_FLAG_TOKENS} AS exceeds_flag
+    FROM totals t LEFT JOIN longest l ON t.doc_id = l.doc_id
+    """,
+)
+def q_dup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest CONTIGUOUS duplicated-token run per document — the
+    criterion Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") actually cut on: their ExactSubstr
+    removes runs of >= 50 consecutive tokens shared verbatim with
+    another document, which q_substring_dedup's duplicated-span
+    FRACTION cannot see (ten scattered spans and one long verbatim
+    block score the same fraction; only the latter is an
+    ExactSubstr hit). The run length comes from gaps-and-islands over
+    duplicated span positions: consecutive positions i with a
+    duplicated {SPAN_TOKENS}-token span share the group key
+    i - row_number(), and a run of R consecutive spans certifies
+    R + {SPAN_TOKENS} - 1 consecutively-duplicated tokens. Flag
+    threshold {RUN_FLAG_TOKENS} tokens (fixture-scaled stand-in for
+    the paper's 50).
+
+    Scale: the same no-suffix-array discipline as q_substring_dedup —
+    span hashing is O(total tokens) with the dup-span flag an
+    equi-join on span hash (shuffle with map-side combine, never
+    pairwise). The run window partitions by doc_id (document-bounded,
+    corpus-independent) and the final join is per-doc rollup vs
+    per-doc longest, both already keyed on doc_id."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = materialize(
+        docs.select("doc_id", "text"), w=F.split(F.lower("text"), " ")
+    ).filter(F.size("w") >= SPAN_TOKENS)
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - SPAN_TOKENS + 1),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice("w", i, SPAN_TOKENS))
+                    ).alias("sh"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.sh").alias("sh"))
+    dup_spans = (
+        spans.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh", F.lit(True).alias("is_dup"))
+    )
+    flagged = spans.join(dup_spans, "sh", "left").select(
+        "doc_id", "i", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+    )
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    runs = (
+        flagged.filter(F.col("is_dup"))
+        .withColumn("grp", F.col("i") - F.row_number().over(w_doc))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    longest = runs.groupBy("doc_id").agg(
+        F.max("run_len").alias("longest_run")
+    )
+    totals = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("is_dup").cast("int")).cast("bigint").alias("n_dup_spans"),
+    )
+    run = F.coalesce(F.col("longest_run"), F.lit(0)).cast("bigint")
+    dup_tokens = F.when(run > 0, run + SPAN_TOKENS - 1).otherwise(
+        F.lit(0)
+    ).cast("bigint")
+    return totals.join(longest, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        run.alias("longest_run"),
+        dup_tokens.alias("longest_dup_tokens"),
+        (dup_tokens >= RUN_FLAG_TOKENS).alias("exceeds_flag"),
+    )
+
+
 @query(
     "q_minhash_jaccard_est",
     oracle=_MINHASH_BANDS_CTE
@@ -4011,24 +4139,42 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("scheme")
         .agg(F.sum("hit").cast("bigint").alias("covered_pairs"))
     )
+    # LEFT join + coalesce: with ZERO truth pairs the stacked groupBy
+    # behind `covered` yields no rows at all, while the oracle's
+    # ungrouped FILTER aggregates still emit one row per scheme with
+    # covered_pairs = 0 — an inner join here would drop all three
+    # output rows and diverge. `cand` always carries the full 3-row
+    # scheme dimension whenever the corpus is non-empty.
     return (
-        cand.join(F.broadcast(covered), "scheme")
+        cand.join(F.broadcast(covered), "scheme", "left")
         .crossJoin(F.broadcast(truth))
         .crossJoin(F.broadcast(n))
+        .withColumn(
+            "covered_pairs",
+            F.coalesce(F.col("covered_pairs"), F.lit(0).cast("bigint")),
+        )
         .select(
             "scheme",
             "n_blocks",
             "candidate_pairs",
             "truth_pairs",
             "covered_pairs",
+            # try_divide: 0 truth pairs (or a 0/1-doc corpus) must
+            # yield NULL like DuckDB's double division by zero, not
+            # the ANSI DIVIDE_BY_ZERO error.
             rnd(
-                F.col("covered_pairs") / F.col("truth_pairs").cast("double"),
+                F.try_divide(
+                    F.col("covered_pairs"),
+                    F.col("truth_pairs").cast("double"),
+                ),
                 6,
             ).alias("pairs_completeness"),
             rnd(
                 F.lit(1.0)
-                - F.col("candidate_pairs")
-                / (F.col("n_docs") * (F.col("n_docs") - 1) / F.lit(2.0)),
+                - F.try_divide(
+                    F.col("candidate_pairs"),
+                    F.col("n_docs") * (F.col("n_docs") - 1) / F.lit(2.0),
+                ),
                 6,
             ).alias("reduction_ratio"),
         )

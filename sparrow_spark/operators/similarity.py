@@ -3140,3 +3140,142 @@ def q_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Rank-Biased Overlap between the exact and the IVF ranking (r15,
+# Webber, Moffat & Zobel 2010, "A Similarity Measure for Indefinite
+# Rankings"). Recall@k (q_ann_recall) treats the top-k as a SET; RBO
+# weights agreement by depth with persistence p, so an ANN index that
+# nails rank 1 but scrambles rank 4-5 scores higher than one that
+# inverts the head — the metric retrieval teams actually tune on.
+# Truncated form: RBO@k = (1-p) * sum_{d=1..k} p^(d-1) * |E_d ∩ A_d|/d
+# (max 0.67232 at p=0.8, k=5 — no extrapolation term, so both engines
+# compute the identical finite sum). Each joined neighbor contributes
+# W(m) = sum_{d=m..k} p^(d-1)/d with m = max(exact_rank, approx_rank);
+# the five W values are precomputed literals identical in both engines.
+# --------------------------------------------------------------------------
+_RBO_P = 0.8
+_RBO_K = 5
+_RBO_W = {
+    1: "1.8232533333333334",
+    2: "0.8232533333333334",
+    3: "0.42325333333333337",
+    4: "0.20992000000000005",
+    5: "0.08192000000000002",
+}
+_RBO_W_SQL = (
+    "CASE greatest(e_rank, a_rank) "
+    + " ".join(f"WHEN {m} THEN {w}" for m, w in _RBO_W.items())
+    + " END"
+)
+
+
+@query(
+    "q_rbo_ranking_overlap",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings),
+    exact_sims AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COS_SQL} DESC, b.vec_id)
+                 AS e_rank
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20
+    ), exact_k AS (
+      SELECT query_id, neighbor_id, e_rank FROM exact_sims
+      WHERE e_rank <= {_RBO_K}
+    ), ivf_sims AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COS_SQL} DESC, b.vec_id)
+                 AS a_rank
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20
+    ), ivf_k AS (
+      SELECT query_id, neighbor_id, a_rank FROM ivf_sims
+      WHERE a_rank <= {_RBO_K}
+    ), joined AS (
+      SELECT x.query_id, {_RBO_W_SQL} AS w
+      FROM exact_k x JOIN ivf_k y
+        ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id
+    ), per_q AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_common,
+             sum(w) AS sw
+      FROM joined GROUP BY query_id
+    )
+    SELECT q.vec_id AS query_id,
+           coalesce(p.n_common, 0) AS n_common,
+           round((1 - {_RBO_P}) * coalesce(p.sw, 0.0), 4) AS rbo
+    FROM (SELECT vec_id FROM e WHERE vec_id < 20) q
+    LEFT JOIN per_q p ON p.query_id = q.vec_id
+    ORDER BY query_id
+    """,
+)
+def q_rbo_ranking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated RBO@{_RBO_K} (p={_RBO_P}) between the exact cosine
+    top-k and the IVF (label-blocked) top-k for the 20-query panel.
+
+    Scale: both rankings reuse the house ANN shapes — the exact side
+    broadcasts the 20-row query panel against the partitioned corpus
+    (one pass, per-query window over broadcast-join output), the IVF
+    side probes only the query's cluster via the label equi-join. The
+    RBO fold itself touches only the two k-row-per-query top-k lists:
+    an equi-join on (query_id, neighbor_id) sized 20*k rows, a 5-way
+    CASE lookup of precomputed depth weights, and a per-query sum —
+    corpus size never enters after the rankings exist."""
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < 20)
+    exact_k = brute_force_topk(queries, vecs, k=_RBO_K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("e_rank")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "label"
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    ivf_k = (
+        c.join(
+            F.broadcast(q),
+            (q.label == c.clabel) & (q.query_id != c.neighbor_id),
+        )
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("a_rank", F.row_number().over(w_q))
+        .filter(F.col("a_rank") <= _RBO_K)
+        .select("query_id", "neighbor_id", "a_rank")
+    )
+    weight = F.expr(
+        "CASE greatest(e_rank, a_rank) "
+        + " ".join(f"WHEN {m} THEN {w}" for m, w in _RBO_W.items())
+        + " END"
+    )
+    per_q = (
+        exact_k.join(ivf_k, ["query_id", "neighbor_id"])
+        .select("query_id", weight.alias("w"))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("w").alias("sw"),
+        )
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_common", F.lit(0).cast("bigint")).alias(
+                "n_common"
+            ),
+            rnd(
+                (1 - _RBO_P) * F.coalesce("sw", F.lit(0.0)), 4
+            ).alias("rbo"),
+        )
+        .orderBy("query_id")
+    )

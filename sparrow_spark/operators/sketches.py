@@ -888,3 +888,149 @@ def q_countsketch_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact").desc(), "tok")
     )
+
+
+# --------------------------------------------------------------------------
+# DDSketch relative-error quantile sketch (r15, Masson, Rim & Lee,
+# VLDB 2019, "DDSketch: A Fast and Fully-Mergeable Quantile Sketch
+# with Relative-Error Guarantees"). Values map to log-spaced buckets
+# i = ceil(log_gamma(x)); a quantile is answered from cumulative
+# bucket counts with estimate 2*gamma^i/(gamma+1), guaranteed within
+# relative error alpha of the true value. Unlike rank-error sketches
+# (percentile_approx's KLL/GK family), the error bound is RELATIVE —
+# p99 latencies and long-tail prices stay alpha-accurate however
+# skewed the distribution — and the sketch is trivially mergeable:
+# bucket counts are a plain keyed agg, so map-side combine IS the
+# merge operation.
+# --------------------------------------------------------------------------
+_DD_ALPHA = 0.01
+_DD_GAMMA = "1.02020202020202"  # (1+alpha)/(1-alpha), identical literal
+_DD_QS = (0.5, 0.95, 0.99)
+
+
+@query(
+    "q_ddsketch_quantiles",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_returnflag AS rflag, CAST(l_extendedprice AS DOUBLE) AS x
+      FROM lineitem WHERE l_extendedprice > 0
+    ), b AS (
+      SELECT rflag, CAST(ceil(ln(x) / ln({_DD_GAMMA})) AS BIGINT) AS i,
+             count(*) AS c
+      FROM li GROUP BY rflag, i
+    ), cum AS (
+      SELECT rflag, i,
+             sum(c) OVER (PARTITION BY rflag ORDER BY i) AS cum
+      FROM b
+    ), n AS (
+      SELECT rflag, CAST(count(*) AS BIGINT) AS n,
+             quantile_cont(x, 0.5) AS e50,
+             quantile_cont(x, 0.95) AS e95,
+             quantile_cont(x, 0.99) AS e99
+      FROM li GROUP BY rflag
+    ), t AS (
+      SELECT rflag, n, q,
+             CAST(floor(1 + q * (n - 1)) AS BIGINT) AS target,
+             CASE q WHEN 0.5 THEN e50 WHEN 0.95 THEN e95 ELSE e99 END
+                 AS exact
+      FROM n, (SELECT unnest([0.5, 0.95, 0.99]::DOUBLE[]) AS q)
+    ), sel AS (
+      SELECT t.rflag, t.q, t.n, t.exact, min(c.i) AS bi
+      FROM t JOIN cum c ON c.rflag = t.rflag AND c.cum >= t.target
+      GROUP BY t.rflag, t.q, t.n, t.exact
+    )
+    SELECT rflag, q, n,
+           round(2 * pow({_DD_GAMMA}, bi) / ({_DD_GAMMA} + 1), 4)
+               AS ddsketch_est,
+           round(exact, 4) AS exact_q,
+           round(abs(2 * pow({_DD_GAMMA}, bi) / ({_DD_GAMMA} + 1) - exact)
+                 / exact, 4) AS rel_err
+    FROM sel
+    ORDER BY rflag, q
+    """,
+)
+def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch p50/p95/p99 of l_extendedprice per return flag, next
+    to the exact interpolated quantile and the realized relative
+    error (must be <= alpha={_DD_ALPHA} by the paper's guarantee —
+    the exact column is the audit, computed here only at test scale).
+
+    Scale: the sketch is ONE keyed agg (rflag, log-bucket) with
+    map-side combine — partial aggregation IS sketch merging, so a
+    1000-executor build costs one shuffle of #groups x #buckets rows,
+    where #buckets is log_gamma(max/min) ~ a few hundred however many
+    rows flow in. Quantile answering runs entirely on the bucket
+    table: a per-group cumulative window (bucket-bounded rows), a
+    3-row quantile dimension joined against per-group counts, and a
+    min-bucket agg. The corpus is touched exactly twice (bucket pass
+    + exact-quantile audit pass); drop the audit columns in
+    production and it is touched once."""
+    from pyspark.sql import Window
+
+    g = float(_DD_GAMMA)
+    li = (
+        widen(load_table(spark, sf_dir, "lineitem"))
+        .select(
+            F.col("l_returnflag").alias("rflag"),
+            F.col("l_extendedprice").cast("double").alias("x"),
+        )
+        .filter(F.col("x") > 0)
+    )
+    b = (
+        li.select(
+            "rflag",
+            F.ceil(F.log("x") / F.log(F.lit(g))).cast("bigint").alias("i"),
+        )
+        .groupBy("rflag", "i")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = b.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("rflag").orderBy("i"))
+    )
+    n = li.groupBy("rflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("percentile(x, 0.5)").alias("e50"),
+        F.expr("percentile(x, 0.95)").alias("e95"),
+        F.expr("percentile(x, 0.99)").alias("e99"),
+    )
+    t = n.select(
+        "rflag",
+        "n",
+        F.explode(F.array(*[F.lit(q) for q in _DD_QS])).alias("q"),
+        "e50",
+        "e95",
+        "e99",
+    ).select(
+        "rflag",
+        "n",
+        "q",
+        F.floor(1 + F.col("q") * (F.col("n") - 1)).cast("bigint").alias(
+            "target"
+        ),
+        F.when(F.col("q") == 0.5, F.col("e50"))
+        .when(F.col("q") == 0.95, F.col("e95"))
+        .otherwise(F.col("e99"))
+        .alias("exact"),
+    )
+    cum_a = cum.select(
+        F.col("rflag").alias("c_rflag"), "i", "cum"
+    )
+    sel = (
+        cum_a.join(
+            F.broadcast(t),
+            (cum_a.c_rflag == t.rflag) & (F.col("cum") >= F.col("target")),
+        )
+        .groupBy("rflag", "q", "n", "exact")
+        .agg(F.min("i").alias("bi"))
+    )
+    est = 2 * F.pow(F.lit(g), F.col("bi")) / (g + 1)
+    return sel.select(
+        "rflag",
+        "q",
+        "n",
+        rnd(est, 4).alias("ddsketch_est"),
+        rnd(F.col("exact"), 4).alias("exact_q"),
+        rnd(F.abs(est - F.col("exact")) / F.col("exact"), 4).alias(
+            "rel_err"
+        ),
+    ).orderBy("rflag", "q")

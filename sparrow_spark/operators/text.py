@@ -3188,3 +3188,146 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction (r15, Rose et al. 2010, "Automatic Keyword
+# Extraction from Individual Documents"). Candidate phrases are maximal
+# stopword-free token runs; each content word scores degree/frequency
+# where degree counts co-occurring words (phrase length) summed over
+# the word's phrase occurrences; a phrase scores the sum of its words.
+# --------------------------------------------------------------------------
+_RAKE_TOP = 20
+
+
+@query(
+    "q_rake_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM tok
+    ), word AS (
+      SELECT doc_id, i, w[i] AS t,
+             w[i] IN ('the', 'a', 'of', 'to', 'and') AS is_stop
+      FROM pos
+    ), content AS (
+      SELECT doc_id, i, t,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM word WHERE NOT is_stop
+    ), phrase AS (
+      SELECT doc_id, grp,
+             array_to_string(list(t ORDER BY i), ' ') AS p,
+             count(*) AS plen
+      FROM content GROUP BY doc_id, grp
+    ), wstat AS (
+      SELECT t,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS degree
+      FROM content c JOIN phrase ph
+        ON c.doc_id = ph.doc_id AND c.grp = ph.grp
+      GROUP BY t
+    ), pscore AS (
+      SELECT ph.p,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             sum(ws.degree / CAST(ws.freq AS DOUBLE)) AS raw
+      FROM phrase ph
+      JOIN content c ON c.doc_id = ph.doc_id AND c.grp = ph.grp
+      JOIN wstat ws ON ws.t = c.t
+      GROUP BY ph.p
+    )
+    SELECT p AS phrase,
+           CAST(n_occurrences / len(string_split(p, ' ')) AS BIGINT)
+               AS n_occurrences,
+           round(raw / n_occurrences * len(string_split(p, ' ')), 4)
+               AS rake_score
+    FROM pscore
+    ORDER BY round(raw / n_occurrences * len(string_split(p, ' ')), 4)
+        DESC, p
+    LIMIT {_RAKE_TOP}
+    """,
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): corpus top-
+    {_RAKE_TOP} candidate phrases by the degree/frequency word score.
+    Phrases are maximal stopword-free runs (gaps-and-islands over
+    content-token positions); word degree sums the lengths of every
+    phrase occurrence containing the word, word frequency counts its
+    content occurrences, and a phrase scores the sum of its member
+    words' degree/freq ratios. The complement to q_textrank_keywords
+    (graph centrality) and q_collocation_pmi (pointwise MI): RAKE is
+    the O(tokens) heuristic production pipelines run first.
+
+    Scale: content-token explode is O(total tokens); the phrase
+    window partitions by doc_id (document-bounded rows). Word stats
+    are a vocab-keyed agg with map-side combine; the phrase-word
+    re-join is on (doc_id, grp) — phrase-list-sized, never pairwise —
+    and wstat joins broadcast (vocabulary-bounded). Final top-k is
+    TakeOrderedAndProject on the distinct-phrase table. Ranking uses
+    rnd(score, 4) with the phrase string as tiebreak on BOTH engines
+    (the r13 float-rank rule)."""
+    from pyspark.sql import Window
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    word = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("i0", "t"),
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        "t",
+        F.col("t").isin(STOP_EN).alias("is_stop"),
+    )
+    content = (
+        word.filter(~F.col("is_stop"))
+        .withColumn(
+            "grp",
+            F.col("i")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("i")
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )  # pinned: read by the phrase agg AND both re-joins below
+    phrase = content.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "t"))),
+                lambda s: s.t,
+            ),
+            " ",
+        ).alias("p"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    wstat = (
+        content.join(phrase, ["doc_id", "grp"])
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("degree"),
+        )
+    )
+    pscore = (
+        phrase.join(content, ["doc_id", "grp"])
+        .join(F.broadcast(wstat), "t")
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words_x_occ"),
+            F.sum(
+                F.col("degree") / F.col("freq").cast("double")
+            ).alias("raw"),
+        )
+    )
+    plen = F.size(F.split(F.col("p"), " "))
+    score = rnd(F.col("raw") / F.col("n_words_x_occ") * plen, 4)
+    return (
+        pscore.select(
+            F.col("p").alias("phrase"),
+            (F.col("n_words_x_occ") / plen).cast("bigint").alias(
+                "n_occurrences"
+            ),
+            score.alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), "phrase")
+        .limit(_RAKE_TOP)
+    )

@@ -73,9 +73,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (sampling, engine DML, the early text/similarity/dedup/multimodal
 # families). Verbatim `window_rotate.py --next` output as
 # pre-committed in the r14 ledger; `--check` green at the rotation
-# commit. After this round the oldest driver row moves from r3 to r4
-# (5 rows remain), pre-committed at the r16 head.
+# commit. The r15 additions then entered at the never-checked head
+# per rule 1 in the same commits that registered them (`--check`
+# re-run green after each re-emit), displacing the stalest tail
+# entries to the r16 head. After this round the oldest driver row
+# moves from r3 to r4.
 _WINDOW_PRIORITY: list[str] = [
+    "q_rbo_ranking_overlap",
+    "q_rake_keywords",
+    "q_dup_span_runs",
+    "q_ddsketch_quantiles",
     "q8_market_share",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -122,10 +129,6 @@ _WINDOW_PRIORITY: list[str] = [
     "q_multimodal_resize",
     "q_multimodal_features",
     "q_multimodal_frame_sample",
-    "q_multimodal_decode",
-    "q_doc_chunking",
-    "q_sequence_packing",
-    "q_repetition_filter",
 ]
 
 

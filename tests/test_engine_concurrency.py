@@ -270,3 +270,70 @@ def test_rename_leaves_sibling_engines_carried_lock(shared_warehouse):
     assert os.path.exists(carried), "sibling's lock was wrongly removed"
     os.remove(carried)
     e1.sql("DROP TABLE sib2")
+
+
+def test_live_holder_lock_survives_staleness_age(shared_warehouse, monkeypatch):
+    """A lock recording a LIVE local pid is never broken on mtime age
+    alone: OPTIMIZE-class compactions can legitimately outlive
+    _LOCK_STALE_S and locks are not refreshed mid-operation, so an
+    age-only break would re-admit the lost write the lock prevents.
+    The waiter must raise 1205 and leave the lock in place."""
+    e1, e2 = shared_warehouse
+    monkeypatch.setattr(Engine, "_LOCK_TIMEOUT_S", 0.3)
+    lock = os.path.join(e1.catalog.table_path("s", "t"), ".write.lock")
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "eid": "other-engine", "ts": 0}, f)
+    os.utime(lock, (0, 0))  # far older than _LOCK_STALE_S
+    try:
+        with pytest.raises(SparrowError) as ei:
+            e2.sql("UPDATE t SET v = 9 WHERE id = 1")
+        assert ei.value.code == 1205
+        assert os.path.exists(lock), "live holder's lock was broken on age"
+    finally:
+        os.remove(lock)
+
+
+def test_unprobeable_holder_lock_breaks_only_when_stale(
+    shared_warehouse, monkeypatch
+):
+    """A lock whose holder pid cannot be probed (no parseable local
+    pid — a crashed writer from another host) is broken by AGE only:
+    fresh → the waiter times out with 1205; stale → swept."""
+    e1, e2 = shared_warehouse
+    monkeypatch.setattr(Engine, "_LOCK_TIMEOUT_S", 0.3)
+    lock = os.path.join(e1.catalog.table_path("s", "t"), ".write.lock")
+    with open(lock, "w") as f:
+        json.dump({"pid": "remote-host-writer", "ts": 0}, f)
+    try:
+        with pytest.raises(SparrowError) as ei:
+            e2.sql("UPDATE t SET v = 9 WHERE id = 1")
+        assert ei.value.code == 1205
+        assert os.path.exists(lock)
+    finally:
+        if os.path.exists(lock):
+            os.remove(lock)
+    with open(lock, "w") as f:
+        json.dump({"pid": "remote-host-writer", "ts": 0}, f)
+    os.utime(lock, (0, 0))
+    e2.sql("UPDATE t SET v = 7 WHERE id = 2")  # sweeps the stale lock
+    (v,) = e1.sql("SELECT v FROM t WHERE id = 2").rows()[0]
+    assert v == 7
+    assert not os.path.exists(lock)
+
+
+def test_rename_removes_pre_eid_format_own_lock(shared_warehouse):
+    """Mixed-version compatibility: a lock written by a pre-eid build
+    records pid only. When the pid is this process's own, the carried
+    lock after RENAME is OURS and must be removed — otherwise the
+    destination stays wedged behind a live-pid lock that the (new)
+    liveness-authoritative sweep will never break."""
+    e1, _e2 = shared_warehouse
+    e1.sql("CREATE TABLE oldfmt (id INT, PRIMARY KEY(id))")
+    lock = os.path.join(e1.catalog.table_path("s", "oldfmt"), ".write.lock")
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "ts": 0}, f)  # no eid field
+    e1.sql("RENAME TABLE oldfmt TO newfmt")
+    carried = os.path.join(e1.catalog.table_path("s", "newfmt"), ".write.lock")
+    assert not os.path.exists(carried), "pre-eid own lock wedged destination"
+    e1.sql("INSERT INTO newfmt VALUES (1)")  # destination usable at once
+    e1.sql("DROP TABLE newfmt")
