@@ -323,6 +323,17 @@ BENCH_QUERIES = [
     "q_multiprobe_lsh",
     "q_coreset_sensitivity",
     "q_countsketch_signed",
+    # r15 additions — benched on arrival (throttled round).
+    "q_dup_span_runs",
+    "q_rake_keywords",
+    "q_rbo_ranking_overlap",
+    "q_ddsketch_quantiles",
+    "q_nucleus_vocab_mass",
+    "q_pass_at_k",
+    "q_cdc_chunk_dedup",
+    "q_geometric_median",
+    "q_sinkhorn_ot",
+    "q_greedy_maxcover",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -1010,3 +1010,213 @@ def q_js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Entropic optimal transport between source vocabularies (r15).
+# q_js_divergence_langs compares distributions pointwise — two
+# corpora whose mass sits on DIFFERENT but nearly-identical tokens
+# ("colour" vs "color") look maximally divergent to JS. Optimal
+# transport instead prices moving mass across the vocabulary under a
+# ground metric (here: length-normalized edit distance), and the
+# Sinkhorn-Knopp entropic relaxation (Cuturi, NeurIPS 2013) turns
+# the LP into fixed matrix-scaling iterations — the form used for
+# corpus/domain distance in data-mixture work (e.g. Alvarez-Melis &
+# Fusi, NeurIPS 2020's OT dataset distance).
+# --------------------------------------------------------------------------
+_OT_VOCAB = 16
+_OT_EPS = 0.25
+_OT_SRC_A = "src0"
+_OT_SRC_B = "src1"
+_OT_ITERS = 3
+
+
+def _sinkhorn_oracle_sql() -> str:
+    parts = [
+        f"""
+    WITH tk AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), g AS (
+      SELECT tok, count(*) AS c FROM tk GROUP BY tok
+    ), vocab AS (
+      SELECT tok FROM g ORDER BY c DESC, tok LIMIT {_OT_VOCAB}
+    ), sa AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk
+      WHERE source = '{_OT_SRC_A}' GROUP BY tok
+    ), sb AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk
+      WHERE source = '{_OT_SRC_B}' GROUP BY tok
+    ), a AS (
+      SELECT v.tok AS i, (coalesce(sa.c, 0) + 1) / CAST(
+        (SELECT sum(coalesce(s2.c, 0) + 1)
+         FROM vocab v2 LEFT JOIN sa s2 ON v2.tok = s2.tok) AS DOUBLE)
+        AS a
+      FROM vocab v LEFT JOIN sa ON v.tok = sa.tok
+    ), b AS (
+      SELECT v.tok AS j, (coalesce(sb.c, 0) + 1) / CAST(
+        (SELECT sum(coalesce(s2.c, 0) + 1)
+         FROM vocab v2 LEFT JOIN sb s2 ON v2.tok = s2.tok) AS DOUBLE)
+        AS b
+      FROM vocab v LEFT JOIN sb ON v.tok = sb.tok
+    ), K AS (
+      SELECT vi.tok AS i, vj.tok AS j,
+             levenshtein(vi.tok, vj.tok)
+               / CAST(greatest(len(vi.tok), len(vj.tok)) AS DOUBLE) AS c,
+             exp(-(levenshtein(vi.tok, vj.tok)
+               / CAST(greatest(len(vi.tok), len(vj.tok)) AS DOUBLE))
+               / {_OT_EPS}) AS k
+      FROM vocab vi, vocab vj
+    ), u0 AS (SELECT tok AS i, 1.0 AS u FROM vocab)"""
+    ]
+    for t in range(1, _OT_ITERS + 1):
+        parts.append(
+            f""",
+    v{t} AS (
+      SELECT K.j, b.b / sum(K.k * u{t - 1}.u) AS v
+      FROM K JOIN u{t - 1} ON K.i = u{t - 1}.i JOIN b ON b.j = K.j
+      GROUP BY K.j, b.b
+    ), u{t} AS (
+      SELECT K.i, a.a / sum(K.k * v{t}.v) AS u
+      FROM K JOIN v{t} ON K.j = v{t}.j JOIN a ON a.i = K.i
+      GROUP BY K.i, a.a
+    ), colsum{t} AS (
+      SELECT K.j, v{t}.v * sum(K.k * u{t}.u) AS cs
+      FROM K JOIN u{t} ON K.i = u{t}.i JOIN v{t} ON v{t}.j = K.j
+      GROUP BY K.j, v{t}.v
+    ), res{t} AS (
+      SELECT {t} AS iter,
+             (SELECT sum(u{t}.u * K.k * v{t}.v * K.c)
+              FROM K JOIN u{t} ON K.i = u{t}.i
+              JOIN v{t} ON v{t}.j = K.j) AS cost,
+             (SELECT sum(abs(colsum{t}.cs - b.b))
+              FROM colsum{t} JOIN b ON b.j = colsum{t}.j) AS gap
+    )"""
+        )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT iter, {_OT_VOCAB} AS n_vocab, round(cost, 6) AS"
+        f" sinkhorn_cost, round(gap, 6) AS col_marginal_gap FROM res{t}"
+        for t in range(1, _OT_ITERS + 1)
+    )
+    parts.append(f"\n    {unions}\n    ORDER BY iter")
+    return "".join(parts)
+
+
+@query("q_sinkhorn_ot", oracle=_sinkhorn_oracle_sql())
+def q_sinkhorn_ot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropic OT distance between src0's and src1's unigram
+    distributions over the pinned global top-16 vocabulary (count
+    desc, token asc; +1 Laplace so both marginals are strictly
+    positive), ground cost = levenshtein/max-length in [0,1],
+    Gibbs kernel K = exp(-C/0.25). Three fixed Sinkhorn-Knopp
+    scaling rounds from u = 1, reporting the transport cost
+    <diag(u) K diag(v), C> and the column-marginal gap after each
+    round — the gap shrinking toward 0 IS the convergence audit.
+
+    Scale: the corpus appears in exactly TWO keyed aggregations (the
+    global vocabulary count and the per-source counts — map-side
+    combined, vocab-bounded output); everything after is matrix
+    scaling on the pinned |V| x |V| = 256-row kernel table via
+    broadcast joins, the q_rank_centrality unrolled-power-iteration
+    discipline (localCheckpoint pins each scaling vector — multi-
+    consumer tables, bounded lineage). |V| is a constant: corpus
+    growth changes the counts, never the iteration cost."""
+    tk = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    vocab = (
+        tk.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(_OT_VOCAB)
+        .select("tok")
+        .localCheckpoint(eager=True)
+    )
+
+    def marginal(src: str, out: str) -> DataFrame:
+        cnt = (
+            tk.filter(F.col("source") == src)
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        sm = vocab.join(cnt, "tok", "left").select(
+            "tok", (F.coalesce(F.col("c"), F.lit(0)) + 1).alias("cl")
+        )
+        tot = sm.agg(F.sum("cl").cast("double").alias("t"))
+        return (
+            sm.crossJoin(F.broadcast(tot))
+            .select(
+                F.col("tok").alias(out),
+                (F.col("cl") / F.col("t")).alias(f"{out}_m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    a = marginal(_OT_SRC_A, "i")
+    b = marginal(_OT_SRC_B, "j")
+    vi = vocab.select(F.col("tok").alias("ti"))
+    vj = vocab.select(F.col("tok").alias("tj"))
+    cost_c = F.levenshtein("ti", "tj") / F.greatest(
+        F.length("ti"), F.length("tj")
+    ).cast("double")
+    kern = (
+        vi.crossJoin(vj)
+        .select(
+            F.col("ti").alias("i"),
+            F.col("tj").alias("j"),
+            cost_c.alias("c"),
+            F.exp(-cost_c / _OT_EPS).alias("k"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    u = vocab.select(F.col("tok").alias("i"), F.lit(1.0).alias("u"))
+    rows = []
+    for t in range(1, _OT_ITERS + 1):
+        v = (
+            kern.join(F.broadcast(u), "i")
+            .groupBy("j")
+            .agg(F.sum(F.col("k") * F.col("u")).alias("kv"))
+            .join(F.broadcast(b), "j")
+            .select("j", (F.col("j_m") / F.col("kv")).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        u = (
+            kern.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("k") * F.col("v")).alias("ku"))
+            .join(F.broadcast(a), "i")
+            .select("i", (F.col("i_m") / F.col("ku")).alias("u"))
+            .localCheckpoint(eager=True)
+        )
+        plan = (
+            kern.join(F.broadcast(u), "i")
+            .join(F.broadcast(v), "j")
+            .localCheckpoint(eager=True)
+        )
+        cost = plan.agg(
+            F.sum(
+                F.col("u") * F.col("k") * F.col("v") * F.col("c")
+            ).alias("cost")
+        )
+        gap = (
+            plan.groupBy("j", "v")
+            .agg(F.sum(F.col("k") * F.col("u")).alias("ks"))
+            .join(F.broadcast(b), "j")
+            .agg(
+                F.sum(F.abs(F.col("v") * F.col("ks") - F.col("j_m"))).alias(
+                    "gap"
+                )
+            )
+        )
+        rows.append(
+            cost.crossJoin(F.broadcast(gap)).select(
+                F.lit(t).cast("int").alias("iter"),
+                F.lit(_OT_VOCAB).cast("int").alias("n_vocab"),
+                rnd("cost", 6).alias("sinkhorn_cost"),
+                rnd("gap", 6).alias("col_marginal_gap"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("iter")

@@ -4317,3 +4317,134 @@ def q_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.abs(est_1bit - exact), 4).alias("err_1bit"),
         rnd(F.abs(est_full - exact), 4).alias("err_full"),
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking dedup (r15). Fixed-size chunking (the
+# q_doc_chunking shape) breaks dedup the moment one token is inserted
+# upstream of a chunk boundary — every later chunk shifts. CDC (the
+# LBFS/FastCDC family: Muthitacharoen et al., SOSP 2001; Xia et al.,
+# ATC 2016) instead cuts wherever a rolling hash of the local content
+# window hits a pinned pattern, so boundaries re-synchronize right
+# after any edit and shared runs between near-identical documents
+# dedup at chunk granularity. Expected chunk length here is 16 tokens
+# (boundary iff the first hex digit of md5(2-token window) = '0').
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cdc_chunk_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT source, string_split(text, ' ') AS t
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+    ), cut AS (
+      SELECT source, t, len(t) AS n,
+             list_filter(range(2, len(t) + 1),
+               i -> i < len(t)
+                    AND substr(md5(t[i-1] || ' ' || t[i]), 1, 1) = '0')
+               AS cuts
+      FROM d
+    ), ch AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(cuts) + 2),
+               k -> array_to_string(
+                      t[(list_prepend(0, cuts))[k] + 1
+                        : (list_append(cuts, n))[k]], ' '))) AS chunk
+      FROM cut
+    ), g AS (
+      SELECT source, chunk, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(len(string_split(chunk, ' ')) AS BIGINT) AS tlen
+      FROM ch GROUP BY source, chunk
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           round(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 6)
+               AS dup_chunk_frac,
+           round(sum((cnt - 1) * tlen)
+                 / CAST(sum(cnt * tlen) AS DOUBLE), 6)
+               AS dedup_savings_frac,
+           round(sum(cnt * tlen) / CAST(sum(cnt) AS DOUBLE), 4)
+               AS mean_chunk_tokens
+    FROM g GROUP BY source ORDER BY source
+    """,
+)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup per source: cut the token
+    stream after position i whenever the first hex digit of
+    md5(t[i-1] + ' ' + t[i]) is '0' (P = 1/16, expected 16-token
+    chunks; never within the last token so chunks are non-empty),
+    then measure chunk-store dedup: total vs distinct chunks, the
+    duplicate-chunk fraction, and the token savings a chunk store
+    would realize (occurrences beyond the first are free).
+
+    Scale: boundary detection and chunk slicing are pure map-side
+    array lambdas inside whole-stage codegen — no joins, no windows,
+    no shuffle until the single (source, chunk) keyed agg (at 100 TB
+    the group key is md5(chunk), not the chunk text) with map-side
+    combine, then a per-source rollup. Exactly ONE corpus pass; the
+    boundary rule depends only on a 2-token window, so partitioning
+    documents across 1000 executors cannot change any cut."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("t")
+    )
+    cut = (
+        docs.filter(F.size("t") >= 5)
+        .select(
+            "source",
+            "t",
+            F.size("t").alias("n"),
+            F.expr(
+                "filter(sequence(2, size(t)),"
+                " i -> i < size(t) AND substr(md5(concat("
+                "element_at(t, i - 1), ' ', element_at(t, i))), 1, 1)"
+                " = '0')"
+            ).alias("cuts"),
+        )
+        .select(
+            "source",
+            "t",
+            F.expr("concat(array(0), cuts)").alias("starts"),
+            F.expr("concat(cuts, array(n))").alias("ends"),
+        )
+    )
+    ch = cut.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(starts)),"
+                " k -> concat_ws(' ', slice(t, element_at(starts, k) + 1,"
+                " element_at(ends, k) - element_at(starts, k))))"
+            )
+        ).alias("chunk"),
+    )
+    g = ch.groupBy("source", "chunk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tlen = F.size(F.split(F.col("chunk"), " ")).cast("bigint")
+    return (
+        g.select("source", "cnt", tlen.alias("tlen"))
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chunks"),
+            rnd(
+                F.lit(1.0)
+                - F.count(F.lit(1)) / F.sum("cnt").cast("double"),
+                6,
+            ).alias("dup_chunk_frac"),
+            rnd(
+                F.sum((F.col("cnt") - 1) * F.col("tlen"))
+                / F.sum(F.col("cnt") * F.col("tlen")).cast("double"),
+                6,
+            ).alias("dedup_savings_frac"),
+            rnd(
+                F.sum(F.col("cnt") * F.col("tlen"))
+                / F.sum("cnt").cast("double"),
+                4,
+            ).alias("mean_chunk_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -3850,3 +3850,234 @@ def q_coreset_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Unbiased pass@k (r15). The Chen et al. 2021 (Codex) estimator: with
+# n trials per problem of which c succeeded, pass@k = 1 - C(n-c, k) /
+# C(n, k) — the probability that a random size-k sample contains at
+# least one success. The naive 1-(1-c/n)^k estimator is biased; this
+# combinatorial form is exactly unbiased and is the standard eval
+# aggregate for sampled LLM generations. Events stand in for trial
+# logs: user_id = problem, value >= 60 = success.
+# --------------------------------------------------------------------------
+_PASS_KS = (1, 5, 10)
+
+
+@query(
+    "q_pass_at_k",
+    oracle="""
+    WITH pr AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value >= 60 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ), ks AS (SELECT unnest([1, 5, 10]::BIGINT[]) AS k),
+    pk AS (
+      SELECT pr.user_id, ks.k,
+             CASE WHEN pr.n - pr.c < ks.k THEN 1.0
+                  ELSE 1.0 - exp(list_aggregate(
+                         list_transform(range(ks.k),
+                           i -> ln((pr.n - pr.c - i)
+                                   / CAST(pr.n - i AS DOUBLE))),
+                         'sum'))
+             END AS p,
+             pr.c / CAST(pr.n AS DOUBLE) AS rate
+      FROM pr, ks WHERE pr.n >= ks.k
+    )
+    SELECT k, CAST(count(*) AS BIGINT) AS n_problems,
+           round(avg(p), 6) AS pass_at_k,
+           round(avg(rate), 6) AS mean_success_rate
+    FROM pk GROUP BY k ORDER BY k
+    """,
+)
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k over per-problem trial logs for k in
+    {1, 5, 10}: per problem (user_id), n = trials and c = successes
+    (value >= 60); pass@k = 1 - C(n-c,k)/C(n,k), computed in
+    log-space as exp(sum ln((n-c-i)/(n-i))) with the identical
+    functional form on both engines (the raw binomials overflow
+    doubles at production n; the ratio-product never leaves [0,1]).
+    Problems with n < k are excluded (the estimator is undefined);
+    n - c < k short-circuits to pass@k = 1 before any ln(<=0).
+
+    Scale: one keyed agg over the trial log (map-side combine), a
+    3-row broadcast k-dimension, and a 3-group rollup — the corpus is
+    touched once, per-problem state is two BIGINTs, and the k-loop is
+    a bounded array fold inside whole-stage codegen, not a join."""
+    ev = load_table(spark, sf_dir, "events")
+    pr = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") >= 60, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k).cast("bigint") for k in _PASS_KS])
+    ).alias("k")
+    log_fail = F.expr(
+        "aggregate(sequence(0L, k - 1L), cast(0.0 as double),"
+        " (acc, i) -> acc + ln((n - c - i) / cast(n - i as double)))"
+    )
+    p = F.when(F.col("n") - F.col("c") < F.col("k"), F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.exp(log_fail)
+    )
+    return (
+        pr.select("user_id", "n", "c", ks)
+        .filter(F.col("n") >= F.col("k"))
+        .select(
+            "k",
+            p.alias("p"),
+            (F.col("c") / F.col("n").cast("double")).alias("rate"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_problems"),
+            rnd(F.avg("p"), 6).alias("pass_at_k"),
+            rnd(F.avg("rate"), 6).alias("mean_success_rate"),
+        )
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# Greedy weighted max-cover data selection (r15). Facility-location /
+# coverage objectives are the standard submodular surrogate for "pick
+# the k most informative documents" (Wei, Iyer & Bilmes, ICML 2015;
+# coreset-style selection in data-pruning work): each step takes the
+# document whose distinct tokens add the most not-yet-covered token
+# mass. Greedy is (1 - 1/e)-optimal for monotone submodular
+# objectives (Nemhauser, Wolsey & Fisher, 1978), so the audit of the
+# realized coverage curve against the budget k IS the quality
+# guarantee.
+# --------------------------------------------------------------------------
+_MAXCOVER_K = 5
+
+
+def _maxcover_oracle_sql() -> str:
+    head = """
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i+1])) AS tok
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents)
+      WHERE len(t) >= 2
+    ), dt AS (
+      SELECT DISTINCT doc_id, tok FROM tk
+    ), w AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS w FROM tk GROUP BY tok
+    ), tot AS (SELECT CAST(sum(w) AS DOUBLE) AS tw FROM w)"""
+    stages = []
+    for s in range(1, _MAXCOVER_K + 1):
+        not_covered = (
+            f" WHERE dt.tok NOT IN (SELECT tok FROM c{s - 1})"
+            if s > 1
+            else ""
+        )
+        cov_prev = (
+            f"SELECT tok FROM c{s - 1} UNION " if s > 1 else ""
+        )
+        stages.append(
+            f""",
+    g{s} AS (
+      SELECT dt.doc_id, CAST(sum(w.w) AS BIGINT) AS g
+      FROM dt JOIN w USING (tok){not_covered}
+      GROUP BY dt.doc_id
+    ), s{s} AS (
+      SELECT doc_id, g FROM g{s} ORDER BY g DESC, doc_id LIMIT 1
+    ), c{s} AS (
+      {cov_prev}SELECT dt.tok FROM dt
+      WHERE dt.doc_id = (SELECT doc_id FROM s{s})
+    )"""
+        )
+    cums = {
+        s: " + ".join(f"(SELECT g FROM s{i})" for i in range(1, s + 1))
+        for s in range(1, _MAXCOVER_K + 1)
+    }
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT {s} AS step, s{s}.doc_id, s{s}.g AS gain_w,"
+        f" CAST({cums[s]} AS BIGINT) AS cum_w,"
+        f" round(({cums[s]}) / tot.tw, 6) AS coverage_frac"
+        f" FROM s{s}, tot"
+        for s in range(1, _MAXCOVER_K + 1)
+    )
+    return f"{head}{''.join(stages)}\n    {unions}\n    ORDER BY step"
+
+
+@query("q_greedy_maxcover", oracle=_maxcover_oracle_sql())
+def q_greedy_maxcover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy weighted max-cover selection of 5 documents: the
+    universe is the distinct BIGRAM vocabulary weighted by global
+    occurrence count (unigrams are degenerate on this corpus — one
+    document can cover the whole type set); each step selects the
+    document adding the most uncovered bigram mass (ties: lowest
+    doc_id) and reports the marginal gain,
+    cumulative covered mass, and coverage fraction — the curve whose
+    flattening tells a curation team when additional selection budget
+    stops paying.
+
+    Scale: the corpus is touched once for the (doc, token) incidence
+    and token weights; each of the 5 fixed rounds is one anti-join
+    against the covered set (token-keyed, at 100 TB a hash of the
+    token) plus one doc-keyed sum — shuffles only on corpus keys,
+    never pairs. The covered set is localCheckpoint-pinned per round;
+    the only driver state is the 1-row argmax per round (k-row
+    bounded collect, the q_kmeans_iterate discipline), exact BIGINT
+    throughout."""
+    tk = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(element_at(t, i), ' ',"
+                    " element_at(t, i + 1)))"
+                )
+            ).alias("tok"),
+        )
+    )
+    dt = tk.distinct().localCheckpoint(eager=True)
+    w = (
+        tk.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    total_w = float(w.agg(F.sum("w").cast("double").alias("t")).collect()[0][0])
+    covered: DataFrame | None = None
+    sel_rows = []
+    cum = 0
+    for step in range(1, _MAXCOVER_K + 1):
+        cand = dt if covered is None else dt.join(covered, "tok", "left_anti")
+        gains = (
+            cand.join(w, "tok")
+            .groupBy("doc_id")
+            .agg(F.sum("w").cast("bigint").alias("g"))
+        )
+        best = gains.orderBy(F.col("g").desc(), "doc_id").limit(1).collect()
+        if not best:
+            break
+        doc, gain = int(best[0]["doc_id"]), int(best[0]["g"])
+        cum += gain
+        sel_rows.append((step, doc, gain, cum, cum / total_w))
+        new_cov = dt.filter(F.col("doc_id") == doc).select("tok")
+        covered = (
+            new_cov
+            if covered is None
+            else covered.union(new_cov).distinct()
+        ).localCheckpoint(eager=True)
+    out = spark.createDataFrame(
+        sel_rows,
+        "step int, doc_id bigint, gain_w bigint, cum_w bigint,"
+        " coverage_frac double",
+    )
+    return out.select(
+        "step",
+        "doc_id",
+        "gain_w",
+        "cum_w",
+        rnd("coverage_frac", 6).alias("coverage_frac"),
+    ).orderBy("step")

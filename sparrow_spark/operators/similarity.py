@@ -3279,3 +3279,186 @@ def q_rbo_ranking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Geometric median via Weiszfeld (r15). The mean embedding that
+# q_kmeans_assign/q_silhouette_centroid build is the L2-optimal
+# centroid but has breakdown point 0 — one poisoned or corrupted
+# vector drags it arbitrarily far. The geometric median (the
+# L1-in-distance minimizer) has breakdown point 1/2 and is the
+# standard robust aggregator (Weiszfeld 1937; Cohen et al., STOC
+# 2016 for the modern treatment; Blanchard et al., NeurIPS 2017 use
+# it against poisoned gradient/embedding aggregation). Three fixed
+# Weiszfeld iterations from the mean, the q_rank_centrality unrolled-
+# power-iteration discipline.
+# --------------------------------------------------------------------------
+_GM_EPS = "1e-9"
+
+
+def _gm_oracle_sql() -> str:
+    dist = (
+        "SELECT e.label, e.vec_id, "
+        "greatest(sqrt(sum(pow(e.x - {m}.m, 2))), {eps}) AS d "
+        "FROM e JOIN {m} ON e.label = {m}.label AND e.dim = {m}.dim "
+        "GROUP BY e.label, e.vec_id"
+    )
+    step = (
+        "SELECT e.label, e.dim, "
+        "sum(e.x / {d}.d) / sum(1.0 / {d}.d) AS m "
+        "FROM e JOIN {d} ON e.label = {d}.label "
+        "AND e.vec_id = {d}.vec_id GROUP BY e.label, e.dim"
+    )
+    eps = _GM_EPS
+    return f"""
+    WITH e AS (
+      SELECT label, vec_id,
+             CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ), m0 AS (
+      SELECT label, dim, avg(x) AS m FROM e GROUP BY label, dim
+    ),
+    d1 AS ({dist.format(m='m0', eps=eps)}),
+    m1 AS ({step.format(d='d1')}),
+    d2 AS ({dist.format(m='m1', eps=eps)}),
+    m2 AS ({step.format(d='d2')}),
+    d3 AS ({dist.format(m='m2', eps=eps)}),
+    m3 AS ({step.format(d='d3')}),
+    d4 AS ({dist.format(m='m3', eps=eps)}),
+    nv AS (
+      SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs
+      FROM e GROUP BY label
+    ),
+    norms AS (
+      SELECT m3.label,
+             sqrt(sum(pow(m3.m, 2))) AS gm_norm,
+             sqrt(sum(pow(m3.m - m0.m, 2))) AS median_shift
+      FROM m3 JOIN m0 ON m3.label = m0.label AND m3.dim = m0.dim
+      GROUP BY m3.label
+    ),
+    dists AS (
+      SELECT d4.label, avg(d4.d) AS mean_dist_gm,
+             avg(d1.d) AS mean_dist_centroid
+      FROM d4 JOIN d1 ON d4.label = d1.label AND d4.vec_id = d1.vec_id
+      GROUP BY d4.label
+    )
+    SELECT nv.label, nv.n_vecs,
+           round(norms.gm_norm, 6) AS gm_norm,
+           round(norms.median_shift, 6) AS median_shift,
+           round(dists.mean_dist_gm, 6) AS mean_dist_gm,
+           round(dists.mean_dist_centroid, 6) AS mean_dist_centroid
+    FROM nv JOIN norms ON nv.label = norms.label
+    JOIN dists ON nv.label = dists.label
+    ORDER BY nv.label
+    """
+
+
+@query("q_geometric_median", oracle=_gm_oracle_sql())
+def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label geometric median of the embedding cloud by three
+    fixed Weiszfeld iterations seeded at the component-wise mean
+    (m' = sum(x_i/d_i) / sum(1/d_i), d_i clamped at 1e-9), reporting
+    the median's norm, how far it moved off the mean (a large shift
+    = heavy-tailed or contaminated cluster), and the mean point
+    distance to the median vs to the mean — the robust-aggregation
+    audit run before trusting per-label centroids built from
+    untrusted data.
+
+    Scale: ONE posexplode pins the (label, vec_id, dim, x) table
+    (localCheckpoint — five consumers); every iteration is two keyed
+    aggs — distances keyed on (label, vec_id), the re-weighted mean
+    keyed on (label, dim) with the label x dim table broadcast back
+    (|labels| x 64 rows however big the corpus) — so the iteration
+    count is fixed and each round shuffles only corpus-keyed
+    aggregates, never pairs."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "label",
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim0", "x"
+            ),
+        )
+        .select("label", "vec_id", (F.col("dim0") + 1).alias("dim"), "x")
+        .localCheckpoint(eager=True)
+    )
+    eps = float(_GM_EPS)
+
+    def dist_to(m: DataFrame) -> DataFrame:
+        return (
+            e.join(F.broadcast(m), ["label", "dim"])
+            .groupBy("label", "vec_id")
+            .agg(
+                F.greatest(
+                    F.sqrt(F.sum(F.pow(F.col("x") - F.col("m"), 2))),
+                    F.lit(eps),
+                ).alias("d")
+            )
+        )
+
+    def weiszfeld_step(d: DataFrame) -> DataFrame:
+        return (
+            e.join(d, ["label", "vec_id"])
+            .groupBy("label", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x") / F.col("d"))
+                    / F.sum(F.lit(1.0) / F.col("d"))
+                ).alias("m")
+            )
+        )
+
+    m0 = (
+        e.groupBy("label", "dim")
+        .agg(F.avg("x").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    d1 = dist_to(m0).localCheckpoint(eager=True)
+    m1 = weiszfeld_step(d1)
+    d2 = dist_to(m1)
+    m2 = weiszfeld_step(d2)
+    d3 = dist_to(m2)
+    m3 = weiszfeld_step(d3).localCheckpoint(eager=True)
+    d4 = dist_to(m3)
+    nv = e.groupBy("label").agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n_vecs")
+    )
+    norms = (
+        m3.join(
+            m0.select("label", "dim", F.col("m").alias("m_mean")),
+            ["label", "dim"],
+        )
+        .groupBy("label")
+        .agg(
+            F.sqrt(F.sum(F.pow("m", 2))).alias("gm_norm"),
+            F.sqrt(F.sum(F.pow(F.col("m") - F.col("m_mean"), 2))).alias(
+                "median_shift"
+            ),
+        )
+    )
+    dists = (
+        d4.join(
+            d1.select("label", "vec_id", F.col("d").alias("d1")),
+            ["label", "vec_id"],
+        )
+        .groupBy("label")
+        .agg(
+            F.avg("d").alias("mean_dist_gm"),
+            F.avg("d1").alias("mean_dist_centroid"),
+        )
+    )
+    return (
+        nv.join(F.broadcast(norms), "label")
+        .join(F.broadcast(dists), "label")
+        .select(
+            "label",
+            "n_vecs",
+            rnd("gm_norm", 6).alias("gm_norm"),
+            rnd("median_shift", 6).alias("median_shift"),
+            rnd("mean_dist_gm", 6).alias("mean_dist_gm"),
+            rnd("mean_dist_centroid", 6).alias("mean_dist_centroid"),
+        )
+        .orderBy("label")
+    )

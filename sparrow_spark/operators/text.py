@@ -3331,3 +3331,98 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rake_score").desc(), "phrase")
         .limit(_RAKE_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Nucleus (top-p) vocabulary mass per language (r15). Sampling-side
+# teams ask "how many vocabulary types cover p of the token mass?" —
+# the concentration audit behind top-p/nucleus truncation (Holtzman et
+# al., ICLR 2020) and behind vocab-size decisions for new tokenizers:
+# a language whose 0.99-nucleus is 40 types is template noise; one
+# whose 0.5-nucleus is half the vocabulary is high-entropy content.
+# Complements q_zipf_fit (parametric fit) and q_token_entropy (a
+# single scalar) with the actual mass-coverage curve at pinned p.
+# --------------------------------------------------------------------------
+_NUCLEUS_PS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "q_nucleus_vocab_mass",
+    oracle="""
+    WITH tk AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM tk GROUP BY lang, tok
+    ), w AS (
+      SELECT lang, cnt,
+             sum(cnt) OVER (
+               PARTITION BY lang ORDER BY cnt DESC, tok
+             ) AS cum,
+             sum(cnt) OVER (PARTITION BY lang) AS t,
+             count(*) OVER (PARTITION BY lang) AS v
+      FROM c
+    )
+    SELECT lang, p,
+           CAST(max(t) AS BIGINT) AS total_tokens,
+           CAST(max(v) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN cum - cnt < p * t THEN 1 ELSE 0 END)
+                AS BIGINT) AS nucleus_size,
+           round(sum(CASE WHEN cum - cnt < p * t THEN 1 ELSE 0 END)
+                 / CAST(max(v) AS DOUBLE), 6) AS nucleus_frac
+    FROM w, (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS p)
+    GROUP BY lang, p
+    ORDER BY lang, p
+    """,
+)
+def q_nucleus_vocab_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per language and p in {0.5, 0.9, 0.99}: the nucleus size — the
+    smallest number of vocabulary types (ranked by frequency, token
+    ascending on ties) whose cumulative count reaches p of the
+    language's token mass — plus the total mass and vocabulary size.
+    A rank r is in the p-nucleus iff the cumulative mass BEFORE r is
+    still short of p*T, so the count of such ranks IS the nucleus
+    size (no argmin join needed).
+
+    Scale: one tokenize-explode pass, one (lang, token) keyed agg with
+    map-side combine, then windows PARTITIONED BY lang over the
+    vocab-bounded count table (a few hundred thousand rows per
+    language however many tokens flowed in — same class as q_zipf_fit)
+    and a 3-row broadcast p-dimension. The corpus is touched once; all
+    counts exact BIGINT; one division at the end."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    c = tk.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_cum = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "tok")
+    w_all = Window.partitionBy("lang")
+    w = c.select(
+        "lang",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("t"),
+        F.count(F.lit(1)).over(w_all).alias("v"),
+    )
+    p = F.explode(F.array(*[F.lit(x) for x in _NUCLEUS_PS])).alias("p")
+    in_nucleus = F.when(
+        F.col("cum") - F.col("cnt") < F.col("p") * F.col("t"), 1
+    ).otherwise(0)
+    return (
+        w.select("lang", "cnt", "cum", "t", "v", p)
+        .groupBy("lang", "p")
+        .agg(
+            F.max("t").cast("bigint").alias("total_tokens"),
+            F.max("v").cast("bigint").alias("vocab_size"),
+            F.sum(in_nucleus).cast("bigint").alias("nucleus_size"),
+            rnd(
+                F.sum(in_nucleus) / F.max("v").cast("double"), 6
+            ).alias("nucleus_frac"),
+        )
+        .orderBy("lang", "p")
+    )

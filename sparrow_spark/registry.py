@@ -80,9 +80,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # moves from r3 to r4.
 _WINDOW_PRIORITY: list[str] = [
     "q_rbo_ranking_overlap",
+    "q_geometric_median",
     "q_rake_keywords",
+    "q_nucleus_vocab_mass",
     "q_dup_span_runs",
+    "q_cdc_chunk_dedup",
     "q_ddsketch_quantiles",
+    "q_pass_at_k",
+    "q_greedy_maxcover",
+    "q_sinkhorn_ot",
     "q8_market_share",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -123,12 +129,6 @@ _WINDOW_PRIORITY: list[str] = [
     "q_dedup_pipeline",
     "q_dedup_clusters",
     "q_dedup_simhash_hamming",
-    "q_dedup_keeper",
-    "q_countmin_sketch",
-    "q_bloom_filter_semi",
-    "q_multimodal_resize",
-    "q_multimodal_features",
-    "q_multimodal_frame_sample",
 ]
 
 

@@ -129,3 +129,246 @@ def test_bench_compare_adjudicates_without_ratcheting_baseline(
     new.write_text(_json.dumps(doc))
     assert bc.main() == 1  # genuine regression reproduces
     assert "REGRESSION qb" in capsys.readouterr().out
+
+
+# ---------------------------------------------------------------------------
+# Brute-force checks for the six r15 additions of this session — each
+# re-derives the expected answer in plain Python (pandas / numpy /
+# hashlib), NOT via the DuckDB oracle, so a shared misunderstanding
+# between query and oracle would still be caught.
+# ---------------------------------------------------------------------------
+import hashlib
+import math
+from collections import Counter
+
+import pandas as pd
+
+
+def _run(spark, sf_dir, name):
+    return registry.RAW_QUERIES[name](spark, sf_dir).toPandas()
+
+
+@pytest.fixture(scope="module")
+def docs(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_nucleus_vocab_mass_brute(spark, sf_dir, docs):
+    got = _run(spark, sf_dir, "q_nucleus_vocab_mass")
+    for lang, sub in docs.groupby("lang"):
+        counts = Counter(
+            w for t in sub["text"] for w in t.lower().split(" ")
+        )
+        total = sum(counts.values())
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for p in (0.5, 0.9, 0.99):
+            cum, size = 0, 0
+            for _, c in ranked:
+                if cum >= p * total:
+                    break
+                cum += c
+                size += 1
+            row = got[(got["lang"] == lang) & (got["p"] == p)].iloc[0]
+            assert row["total_tokens"] == total
+            assert row["vocab_size"] == len(counts)
+            assert row["nucleus_size"] == size, (lang, p)
+
+
+def test_pass_at_k_brute(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    got = _run(spark, sf_dir, "q_pass_at_k")
+    pr = ev.assign(s=(ev["value"] >= 60).astype(int)).groupby("user_id")[
+        "s"
+    ].agg(["count", "sum"])
+    for k in (1, 5, 10):
+        sub = pr[pr["count"] >= k]
+        vals = []
+        for n, c in zip(sub["count"], sub["sum"]):
+            if n - c < k:
+                vals.append(1.0)
+            else:
+                vals.append(1.0 - math.exp(sum(
+                    math.log((n - c - i) / (n - i)) for i in range(k)
+                )))
+        row = got[got["k"] == k].iloc[0]
+        assert row["n_problems"] == len(sub)
+        assert row["pass_at_k"] == pytest.approx(
+            sum(vals) / len(vals), abs=1e-5
+        )
+
+
+def _cdc_chunks(tokens):
+    cuts = [
+        i
+        for i in range(2, len(tokens))
+        if hashlib.md5(
+            f"{tokens[i - 2]} {tokens[i - 1]}".encode()
+        ).hexdigest()[0] == "0"
+    ]
+    bounds = [0] + cuts + [len(tokens)]
+    return [
+        " ".join(tokens[bounds[k] : bounds[k + 1]])
+        for k in range(len(bounds) - 1)
+    ]
+
+
+def test_cdc_chunk_dedup_brute(spark, sf_dir, docs):
+    got = _run(spark, sf_dir, "q_cdc_chunk_dedup").set_index("source")
+    for source, sub in docs.groupby("source"):
+        chunks = []
+        for t in sub["text"]:
+            toks = t.split(" ")
+            if len(toks) >= 5:
+                chunks.extend(_cdc_chunks(toks))
+        cnt = Counter(chunks)
+        n_chunks, n_distinct = len(chunks), len(cnt)
+        total_toks = sum(len(c.split(" ")) for c in chunks)
+        dup_toks = sum(
+            (m - 1) * len(c.split(" ")) for c, m in cnt.items()
+        )
+        row = got.loc[source]
+        assert row["n_chunks"] == n_chunks
+        assert row["n_distinct_chunks"] == n_distinct
+        assert row["dup_chunk_frac"] == pytest.approx(
+            1 - n_distinct / n_chunks, abs=1e-5
+        )
+        assert row["dedup_savings_frac"] == pytest.approx(
+            dup_toks / total_toks, abs=1e-5
+        )
+
+
+def test_cdc_boundaries_resync_after_edit():
+    """The CDC property fixed-size chunking lacks: inserting one token
+    near the front only perturbs chunks up to the next boundary —
+    every chunk after it is byte-identical, so shared suffixes dedup."""
+    base = [f"w{i}" for i in range(200)]
+    edited = base[:1] + ["INSERTED"] + base[1:]
+    a, b = _cdc_chunks(base), _cdc_chunks(edited)
+    # the tails re-synchronize: all but the first few chunks shared
+    shared = set(a) & set(b)
+    assert len(shared) >= len(a) - 3
+    assert a[-1] == b[-1]
+
+
+def test_geometric_median_brute(spark, sf_dir):
+    import numpy as np
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    got = _run(spark, sf_dir, "q_geometric_median").set_index("label")
+    for label, sub in emb.groupby("label"):
+        x = np.stack(sub["embedding"].to_numpy()).astype(float)
+        m0 = x.mean(axis=0)
+        m = m0.copy()
+        for _ in range(3):
+            d = np.maximum(np.linalg.norm(x - m, axis=1), 1e-9)
+            m = (x / d[:, None]).sum(axis=0) / (1.0 / d).sum()
+        d_gm = np.maximum(np.linalg.norm(x - m, axis=1), 1e-9)
+        d_mean = np.maximum(np.linalg.norm(x - m0, axis=1), 1e-9)
+        row = got.loc[label]
+        assert row["n_vecs"] == len(sub)
+        assert row["gm_norm"] == pytest.approx(
+            np.linalg.norm(m), abs=1e-4
+        )
+        assert row["median_shift"] == pytest.approx(
+            np.linalg.norm(m - m0), abs=1e-4
+        )
+        assert row["mean_dist_gm"] == pytest.approx(
+            d_gm.mean(), abs=1e-4
+        )
+        assert row["mean_dist_centroid"] == pytest.approx(
+            d_mean.mean(), abs=1e-4
+        )
+        # Weiszfeld moves toward the cloud: points are on average at
+        # least as close to the median as to the mean (robustness).
+        assert d_gm.mean() <= d_mean.mean() + 1e-9
+
+
+def test_sinkhorn_ot_brute(spark, sf_dir, docs):
+    import numpy as np
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    counts = Counter(
+        w for t in docs["text"] for w in t.lower().split(" ")
+    )
+    vocab = [
+        w
+        for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :16
+        ]
+    ]
+
+    def marg(src):
+        c = Counter(
+            w
+            for t in docs[docs["source"] == src]["text"]
+            for w in t.lower().split(" ")
+        )
+        raw = np.array([c.get(w, 0) + 1 for w in vocab], dtype=float)
+        return raw / raw.sum()
+
+    a, b = marg("src0"), marg("src1")
+    C = np.array(
+        [
+            [lev(x, y) / max(len(x), len(y)) for y in vocab]
+            for x in vocab
+        ]
+    )
+    K = np.exp(-C / 0.25)
+    u = np.ones(16)
+    got = _run(spark, sf_dir, "q_sinkhorn_ot").set_index("iter")
+    for it in (1, 2, 3):
+        v = b / (K.T @ u)
+        u = a / (K @ v)
+        cost = float((u[:, None] * K * v[None, :] * C).sum())
+        gap = float(np.abs(v * (K.T @ u) - b).sum())
+        row = got.loc[it]
+        assert row["sinkhorn_cost"] == pytest.approx(cost, abs=1e-5)
+        assert row["col_marginal_gap"] == pytest.approx(gap, abs=1e-5)
+    # convergence: the column-marginal gap must shrink monotonically
+    gaps = got["col_marginal_gap"].to_list()
+    assert gaps[0] > gaps[1] > gaps[2]
+
+
+def test_greedy_maxcover_brute(spark, sf_dir, docs):
+    grams = []
+    per_doc = {}
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        toks = t.lower().split(" ")
+        gs = [
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        ]
+        grams.extend(gs)
+        per_doc[doc_id] = set(gs)
+    w = Counter(grams)
+    total = sum(w.values())
+    covered: set = set()
+    expect = []
+    cum = 0
+    for step in range(1, 6):
+        best_doc, best_gain = None, -1
+        for doc_id in sorted(per_doc):
+            gain = sum(w[g] for g in per_doc[doc_id] - covered)
+            if gain > best_gain:
+                best_doc, best_gain = doc_id, gain
+        covered |= per_doc[best_doc]
+        cum += best_gain
+        expect.append((step, best_doc, best_gain, cum, cum / total))
+    got = _run(spark, sf_dir, "q_greedy_maxcover")
+    assert len(got) == 5
+    for (step, doc, gain, cum_w, frac), (_, row) in zip(
+        expect, got.iterrows()
+    ):
+        assert row["step"] == step
+        assert row["doc_id"] == doc
+        assert row["gain_w"] == gain
+        assert row["cum_w"] == cum_w
+        assert row["coverage_frac"] == pytest.approx(frac, abs=1e-5)
