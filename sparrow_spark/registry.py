@@ -32,9 +32,20 @@ ORACLES: dict[str, str] = {}
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+# Registration bookkeeping for canonical ordering (see
+# _canonicalize_raw_order): a global sequence number preserves the
+# within-module registration order (a module body always registers
+# top-to-bottom, whenever it happens to be imported), and the module
+# name keys the cross-module canonical position.
+_REG_SEQ: dict[str, int] = {}
+_REG_MODULE: dict[str, str] = {}
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         assert name not in QUERIES, f"duplicate query name: {name}"
+        _REG_SEQ[name] = len(_REG_SEQ)
+        _REG_MODULE[name] = fn.__module__
 
         def prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
             try:
@@ -79,10 +90,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # entries to the r16 head. After this round the oldest driver row
 # moves from r3 to r4.
 _WINDOW_PRIORITY: list[str] = [
-    "q_rbo_ranking_overlap",
-    "q_geometric_median",
     "q_rake_keywords",
     "q_nucleus_vocab_mass",
+    "q_rbo_ranking_overlap",
+    "q_geometric_median",
     "q_dup_span_runs",
     "q_cdc_chunk_dedup",
     "q_ddsketch_quantiles",
@@ -132,10 +143,74 @@ _WINDOW_PRIORITY: list[str] = [
 ]
 
 
+# The canonical module load order. This list — not the accident of
+# which module a given process imported first — defines cross-module
+# "registration order" (the rule-2 tiebreak in scripts/window_rotate
+# and the order ledger lists quote). A test session that imports an
+# operator module directly before load_all() would otherwise shuffle
+# RAW_QUERIES' dict order relative to a fresh driver/script process.
+_MODULE_ORDER = [
+    "sparrow_spark.plans.relational",
+    "sparrow_spark.plans.subqueries",
+    "sparrow_spark.plans.tpch_extra",
+    "sparrow_spark.plans.windows",
+    "sparrow_spark.plans.scalar_funcs",
+    "sparrow_spark.plans.timeseries",
+    "sparrow_spark.plans.stats_tests",
+    "sparrow_spark.plans.behavior",
+    "sparrow_spark.plans.warehouse",
+    # The operators block is listed in its EFFECTIVE historical
+    # execution order (the import graph pulls text/similarity in
+    # before dedup/sketches via helper imports), not the old
+    # load_all() statement order — every ledger list and pinned
+    # window was cut under the effective order, so that is the
+    # contract this list must reproduce.
+    "sparrow_spark.operators.text",
+    "sparrow_spark.operators.similarity",
+    "sparrow_spark.operators.dedup",
+    "sparrow_spark.operators.sketches",
+    "sparrow_spark.operators.multimodal",
+    "sparrow_spark.operators.pipeline",
+    "sparrow_spark.operators.corpus",
+    "sparrow_spark.plans.engine_exercise",
+    "sparrow_spark.plans.scale_ops",
+    "sparrow_spark.plans.reliability",
+    "sparrow_spark.sources.formats",
+    "sparrow_spark.streaming.ingest",
+    "sparrow_spark.streaming.incremental_dedup",
+    "sparrow_spark.streaming.incremental_agg",
+    "sparrow_spark.streaming.enrich_dedup",
+    "sparrow_spark.streaming.tws_counter",
+    "sparrow_spark.streaming.engine_upsert",
+]
+
+
+def _canonicalize_raw_order() -> None:
+    """Rebuild RAW_QUERIES in (canonical module position, intra-module
+    registration sequence) order — process-independent. Intra-module
+    order is safe from the global counter because a module body
+    registers contiguously top-to-bottom whenever it is imported;
+    queries from modules outside _MODULE_ORDER (test fakes) sort last,
+    i.e. 'registered after everything canonical'."""
+    order = {m: i for i, m in enumerate(_MODULE_ORDER)}
+    names = sorted(
+        RAW_QUERIES,
+        key=lambda n: (
+            order.get(_REG_MODULE.get(n, ""), len(order)),
+            _REG_SEQ.get(n, 1 << 30),
+        ),
+    )
+    snapshot = dict(RAW_QUERIES)
+    RAW_QUERIES.clear()
+    RAW_QUERIES.update((n, snapshot[n]) for n in names)
+
+
 def _reorder_for_driver_window() -> None:
-    """Rebuild QUERIES/ORACLES insertion order: window-priority first."""
+    """Rebuild QUERIES/ORACLES insertion order: window-priority first,
+    then canonical registration order (RAW_QUERIES, canonicalized)."""
     ordered = [n for n in _WINDOW_PRIORITY if n in QUERIES]
-    ordered += [n for n in QUERIES if n not in _WINDOW_PRIORITY]
+    ordered += [n for n in RAW_QUERIES if n not in _WINDOW_PRIORITY]
+    ordered += [n for n in QUERIES if n not in set(ordered)]
     for mapping in (QUERIES, ORACLES):
         snapshot = dict(mapping)
         mapping.clear()
@@ -145,31 +220,12 @@ def _reorder_for_driver_window() -> None:
 
 
 def load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
-    import sparrow_spark.plans.relational  # noqa: F401
-    import sparrow_spark.plans.subqueries  # noqa: F401
-    import sparrow_spark.plans.tpch_extra  # noqa: F401
-    import sparrow_spark.plans.windows  # noqa: F401
-    import sparrow_spark.plans.scalar_funcs  # noqa: F401
-    import sparrow_spark.plans.timeseries  # noqa: F401
-    import sparrow_spark.plans.stats_tests  # noqa: F401
-    import sparrow_spark.plans.behavior  # noqa: F401
-    import sparrow_spark.plans.warehouse  # noqa: F401
-    import sparrow_spark.operators.dedup  # noqa: F401
-    import sparrow_spark.operators.sketches  # noqa: F401
-    import sparrow_spark.operators.similarity  # noqa: F401
-    import sparrow_spark.operators.text  # noqa: F401
-    import sparrow_spark.operators.multimodal  # noqa: F401
-    import sparrow_spark.operators.pipeline  # noqa: F401
-    import sparrow_spark.operators.corpus  # noqa: F401
-    import sparrow_spark.plans.engine_exercise  # noqa: F401
-    import sparrow_spark.plans.scale_ops  # noqa: F401
-    import sparrow_spark.plans.reliability  # noqa: F401
-    import sparrow_spark.sources.formats  # noqa: F401
-    import sparrow_spark.streaming.ingest  # noqa: F401
-    import sparrow_spark.streaming.incremental_dedup  # noqa: F401
-    import sparrow_spark.streaming.incremental_agg  # noqa: F401
-    import sparrow_spark.streaming.enrich_dedup  # noqa: F401
-    import sparrow_spark.streaming.tws_counter  # noqa: F401
-    import sparrow_spark.streaming.engine_upsert  # noqa: F401
+    """Import every module that registers queries (idempotent), then
+    pin the canonical registration order regardless of what this
+    process imported beforehand."""
+    import importlib
+
+    for mod in _MODULE_ORDER:
+        importlib.import_module(mod)
+    _canonicalize_raw_order()
     _reorder_for_driver_window()

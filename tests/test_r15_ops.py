@@ -372,3 +372,31 @@ def test_greedy_maxcover_brute(spark, sf_dir, docs):
         assert row["gain_w"] == gain
         assert row["cum_w"] == cum_w
         assert row["coverage_frac"] == pytest.approx(frac, abs=1e-5)
+
+
+def test_registration_order_is_process_independent():
+    """RAW_QUERIES iteration order IS the rule-2 'registration order'
+    contract (window_rotate tiebreaks, ledger lists). It used to be
+    the accident of which module the current PROCESS imported first —
+    a test session importing an operator module directly before
+    load_all() shuffled it relative to a fresh driver/script process
+    (the r15 full-suite flake in
+    test_check_if_fresh_enforces_non_addition_slots). load_all() now
+    canonicalizes by (pinned module order, registration sequence);
+    the in-suite order must equal a fresh interpreter's exactly."""
+    import subprocess
+    import sys
+
+    fresh = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, '/root/repo');"
+            "from sparrow_spark import registry; registry.load_all();"
+            "print('\\n'.join(registry.RAW_QUERIES))",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    assert list(registry.RAW_QUERIES) == fresh
