@@ -75,21 +75,34 @@ def test_check_if_fresh_enforces_non_addition_slots(monkeypatch, capsys):
     import window_rotate as wr
 
     fake = "q_fake_r15_addition"
-    monkeypatch.setitem(registry.RAW_QUERIES, fake, lambda s, d: None)
-    monkeypatch.setattr(sys, "argv", ["window_rotate.py", "--check-if-fresh"])
+    try:
+        monkeypatch.setitem(registry.RAW_QUERIES, fake, lambda s, d: None)
+        monkeypatch.setattr(
+            sys, "argv", ["window_rotate.py", "--check-if-fresh"]
+        )
 
-    # well-formed state: pinned slots = rule output minus the addition
-    assert wr.main() == 0
-    out = capsys.readouterr().out
-    assert "non-addition slots match" in out
-    assert fake in out
+        # well-formed state: pinned slots = rule output minus the addition
+        assert wr.main() == 0
+        out = capsys.readouterr().out
+        assert "non-addition slots match" in out
+        assert fake in out
 
-    # an unexcused swap of two existing slots must now FAIL the gate
-    swapped = list(registry._WINDOW_PRIORITY)
-    swapped[0], swapped[1] = swapped[1], swapped[0]
-    monkeypatch.setattr(registry, "_WINDOW_PRIORITY", swapped)
-    assert wr.main() == 1
-    assert "MISMATCH" in capsys.readouterr().out
+        # an unexcused swap of two existing slots must now FAIL the gate
+        swapped = list(registry._WINDOW_PRIORITY)
+        swapped[0], swapped[1] = swapped[1], swapped[0]
+        with monkeypatch.context() as m:
+            m.setattr(registry, "_WINDOW_PRIORITY", swapped)
+            assert wr.main() == 1
+            assert "MISMATCH" in capsys.readouterr().out
+    finally:
+        # wr.main() -> registry.load_all() reordered the QUERIES dict
+        # under the patched window/addition. The monkeypatch fixture
+        # restores the attributes it touched, but dict ORDER is process
+        # state it cannot see — rebuild the canonical driver order so
+        # the first-50 pin test (which runs later in the suite) sees
+        # the honest state.
+        registry._canonicalize_raw_order()
+        registry._reorder_for_driver_window()
 
 
 def test_bench_compare_adjudicates_without_ratcheting_baseline(
