@@ -423,14 +423,17 @@ def _remeasure(names: list[str], sf_dir: str) -> None:
     the manual idle-box re-measurement loop from r12/r13, made
     machinery.
 
-    The fresh reading is deliberately NOT folded into `queries` (the
-    r14 ADVICE ratchet): bench_detail.json becomes the committed round
-    baseline, so persisting min(old, fresh) would let one anomalously
-    fast best-of-3 permanently tighten a query's baseline below its
-    honest steady state. Instead bench_compare consults `remeasured`
-    for ADJUDICATION only — a flag clears when min(full_run, fresh)
-    is inside the gate — while the persisted baseline keeps the
-    full-run value.
+    Persistence policy (r15, after the r14 ADVICE ratchet fix grew a
+    blind spot of its own): the side-channel records BOTH readings
+    for audit, and the persisted `queries` value — which becomes the
+    committed round baseline — takes the fresh reading ONLY when it
+    is faster, i.e. when the adjudication proves the full-run number
+    was burst-inflated. Keeping a known-burst value in the baseline
+    would let next round's genuine regressions hide under it
+    (anything below burst x 1.5 passes the gate). This is not the r14
+    ratchet: the comparison is within ONE round's readings (never
+    min against a prior baseline), and bench_compare still consults
+    `remeasured` for adjudication of older artifacts.
 
     Caveat (measured r14): the re-measured value is a COLD-SESSION
     floor. A query timed inside the full bench benefits from shared
@@ -462,6 +465,20 @@ def _remeasure(names: list[str], sf_dir: str) -> None:
             "full_run": old,
             "fresh": fresh,
         }
+        # When the fresh reading comes back FASTER, the full-run
+        # number is adjudicated burst-inflated — keeping it in the
+        # persisted detail (which becomes the committed round
+        # baseline) would let next round's real regressions hide
+        # under it (anything below burst x 1.5 passes the gate). The
+        # faster fresh reading replaces it; the burst value stays on
+        # record in the side-channel above. This is NOT the r14
+        # ratchet: `old` is THIS round's reading (never a prior
+        # baseline), replacement happens only in the burst-clearing
+        # direction, and the cold-session fresh reading is biased
+        # SLOWER than a warm full run (the caveat above), so an
+        # anomalously-fast replacement is the unlikely direction.
+        if fresh < old:
+            detail["queries"][name] = fresh
         updated[name] = {"was": old, "fresh": fresh}
     with open("bench_detail.json", "w") as f:
         json.dump(detail, f)

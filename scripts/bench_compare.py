@@ -67,12 +67,14 @@ def main() -> int:
         )
     else:
         print("load sentinel: absent in one artifact (pre-r12 bench)")
-    # Adjudication side-channel: bench.py --remeasure records its
-    # fresh cold-session best-of-3 under `remeasured` WITHOUT folding
-    # it into `queries` (the persisted detail stays the honest
-    # full-run reading — folding the min would permanently ratchet
-    # the committed baseline down). For the regression TEST only, a
-    # flagged query clears if either reading is inside the gate.
+    # Adjudication side-channel: bench.py --remeasure records both
+    # readings under `remeasured` and (since r15) folds the fresh
+    # reading into `queries` only when it is FASTER — i.e. when the
+    # full-run number is adjudicated burst-inflated, so the committed
+    # baseline never keeps a known-burst value for next round's gate.
+    # This consult remains for artifacts written by the r14 layout
+    # (side-channel only): a flagged query clears if either reading
+    # is inside the gate.
     remeasured = new_doc.get("remeasured", {})
 
     def adjudicated(q: str) -> float:

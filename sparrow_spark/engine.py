@@ -1692,6 +1692,14 @@ class Engine:
     # recovery without an external coordinator.
     _LOCK_TIMEOUT_S = 10.0
     _LOCK_STALE_S = 120.0
+    # Hard ceiling: a lock older than this is broken even if its
+    # recorded pid probes alive. Liveness alone cannot distinguish the
+    # real holder from an unrelated process that recycled its pid (or
+    # a same-numbered pid on another host sharing the warehouse), and
+    # without an age backstop that collision wedges the table forever.
+    # Set far above any legitimate operation (30x the stale window) so
+    # the r14 long-OPTIMIZE protection still holds.
+    _LOCK_HARD_STALE_S = 3600.0
 
     _DML_TARGET_RE = re.compile(
         r"^(?:INSERT\s+(?:IGNORE\s+)?INTO|REPLACE\s+INTO|MERGE\s+INTO"
@@ -1735,6 +1743,7 @@ class Engine:
                 os.close(fd)
                 break
             except FileExistsError:
+                pid = None
                 try:
                     st = os.stat(lock_path)
                     with open(lock_path) as f:
@@ -1749,23 +1758,51 @@ class Engine:
                             alive = False
                         except PermissionError:
                             alive = True  # exists, owned by another user
-                    stale = time.time() - st.st_mtime > self._LOCK_STALE_S
+                    age = time.time() - st.st_mtime
+                    stale = age > self._LOCK_STALE_S
                     # Liveness is authoritative for local holders: a
-                    # lock recording a live local pid is NEVER broken
-                    # on age alone — OPTIMIZE/whole-table compactions
-                    # legitimately exceed _LOCK_STALE_S and locks are
-                    # not refreshed mid-operation, so an age-only
-                    # break would re-admit exactly the lost write the
-                    # lock prevents (the waiter raises 1205 instead).
-                    # Age breaks only locks whose holder cannot be
-                    # probed (no parseable pid — e.g. a crashed writer
-                    # from another host in a shared warehouse); a
-                    # confirmed-dead local pid breaks immediately.
-                    if (not alive) if isinstance(pid, int) else stale:
+                    # lock recording a live local pid is not broken at
+                    # _LOCK_STALE_S — OPTIMIZE/whole-table compactions
+                    # legitimately exceed it and locks are not
+                    # refreshed mid-operation, so an age-only break
+                    # would re-admit exactly the lost write the lock
+                    # prevents (the waiter raises 1205 instead). The
+                    # ordinary stale window breaks only locks whose
+                    # holder cannot be probed (no parseable pid — e.g.
+                    # a crashed writer from another host in a shared
+                    # warehouse); a confirmed-dead local pid breaks
+                    # immediately. _LOCK_HARD_STALE_S breaks REGARDLESS
+                    # of liveness: a probed-alive pid may be an
+                    # unrelated process that recycled the dead
+                    # holder's pid, and without the hard ceiling that
+                    # collision wedges the table forever.
+                    dead_or_unprobeable = (
+                        (not alive) if isinstance(pid, int) else stale
+                    )
+                    if dead_or_unprobeable or age > self._LOCK_HARD_STALE_S:
                         os.remove(lock_path)
                         continue
-                except (FileNotFoundError, ValueError, OSError):
-                    continue  # holder released (or wrote) mid-probe; retry
+                except FileNotFoundError:
+                    continue  # holder released mid-probe; retry acquire
+                except (ValueError, OSError):
+                    # Unreadable or corrupt lock (e.g. a writer killed
+                    # between O_CREAT and the json write leaves a
+                    # 0-byte file): an unprobeable holder is broken by
+                    # age. Do NOT `continue` here — that would skip
+                    # the deadline check and the sleep below and spin
+                    # this waiter at 100% CPU forever on a permanently
+                    # corrupt lock.
+                    try:
+                        if (
+                            time.time() - os.stat(lock_path).st_mtime
+                            > self._LOCK_STALE_S
+                        ):
+                            os.remove(lock_path)
+                            continue
+                    except FileNotFoundError:
+                        continue  # released mid-probe; retry acquire
+                    except OSError:
+                        pass  # fall through to deadline + sleep
                 if time.time() > deadline:
                     raise SparrowError(
                         1205,

@@ -3251,11 +3251,9 @@ def q_rbo_ranking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a_rank") <= _RBO_K)
         .select("query_id", "neighbor_id", "a_rank")
     )
-    weight = F.expr(
-        "CASE greatest(e_rank, a_rank) "
-        + " ".join(f"WHEN {m} THEN {w}" for m, w in _RBO_W.items())
-        + " END"
-    )
+    # The SAME string the oracle interpolates — one construction, so
+    # query and oracle cannot silently desynchronize.
+    weight = F.expr(_RBO_W_SQL)
     per_q = (
         exact_k.join(ivf_k, ["query_id", "neighbor_id"])
         .select("query_id", weight.alias("w"))

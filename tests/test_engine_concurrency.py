@@ -273,17 +273,22 @@ def test_rename_leaves_sibling_engines_carried_lock(shared_warehouse):
 
 
 def test_live_holder_lock_survives_staleness_age(shared_warehouse, monkeypatch):
-    """A lock recording a LIVE local pid is never broken on mtime age
-    alone: OPTIMIZE-class compactions can legitimately outlive
-    _LOCK_STALE_S and locks are not refreshed mid-operation, so an
-    age-only break would re-admit the lost write the lock prevents.
-    The waiter must raise 1205 and leave the lock in place."""
+    """A lock recording a LIVE local pid is not broken at the ordinary
+    _LOCK_STALE_S age: OPTIMIZE-class compactions can legitimately
+    outlive it and locks are not refreshed mid-operation, so a
+    stale-window break would re-admit the lost write the lock
+    prevents. The waiter must raise 1205 and leave the lock in place
+    (inside the _LOCK_HARD_STALE_S ceiling — see the next test)."""
+    import time as _time
+
     e1, e2 = shared_warehouse
     monkeypatch.setattr(Engine, "_LOCK_TIMEOUT_S", 0.3)
     lock = os.path.join(e1.catalog.table_path("s", "t"), ".write.lock")
     with open(lock, "w") as f:
         json.dump({"pid": os.getpid(), "eid": "other-engine", "ts": 0}, f)
-    os.utime(lock, (0, 0))  # far older than _LOCK_STALE_S
+    # well past _LOCK_STALE_S but inside the hard ceiling
+    t = _time.time() - Engine._LOCK_STALE_S * 3
+    os.utime(lock, (t, t))
     try:
         with pytest.raises(SparrowError) as ei:
             e2.sql("UPDATE t SET v = 9 WHERE id = 1")
@@ -291,6 +296,55 @@ def test_live_holder_lock_survives_staleness_age(shared_warehouse, monkeypatch):
         assert os.path.exists(lock), "live holder's lock was broken on age"
     finally:
         os.remove(lock)
+
+
+def test_live_pid_lock_breaks_at_hard_ceiling(shared_warehouse, monkeypatch):
+    """A probed-alive pid may be an unrelated process that recycled
+    the dead holder's pid (or a same-numbered pid from another host's
+    lock in a shared warehouse). Liveness alone would wedge the table
+    forever; past _LOCK_HARD_STALE_S the lock breaks regardless."""
+    import time as _time
+
+    e1, e2 = shared_warehouse
+    lock = os.path.join(e1.catalog.table_path("s", "t"), ".write.lock")
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "eid": "other-engine", "ts": 0}, f)
+    t = _time.time() - Engine._LOCK_HARD_STALE_S - 60
+    os.utime(lock, (t, t))
+    r = e2.sql("UPDATE t SET v = 9 WHERE id = 1")
+    assert r.kind == "ok"
+    assert not os.path.exists(lock), "e2 must re-acquire then release"
+
+
+def test_corrupt_lock_file_times_out_then_sweeps(
+    shared_warehouse, monkeypatch
+):
+    """A 0-byte lock (writer killed between O_CREAT and the json
+    write) must NOT busy-loop the waiter forever: while fresh it
+    times out with 1205 (the deadline check and the sleep still run
+    on the unparseable path); once older than _LOCK_STALE_S it is
+    swept like any other unprobeable holder."""
+    import time as _time
+
+    e1, e2 = shared_warehouse
+    monkeypatch.setattr(Engine, "_LOCK_TIMEOUT_S", 0.3)
+    lock = os.path.join(e1.catalog.table_path("s", "t"), ".write.lock")
+    open(lock, "w").close()  # 0 bytes — json.load raises
+    try:
+        t0 = _time.time()
+        with pytest.raises(SparrowError) as ei:
+            e2.sql("UPDATE t SET v = 9 WHERE id = 1")
+        assert ei.value.code == 1205
+        assert _time.time() - t0 < 5, "waiter spun past its deadline"
+        assert os.path.exists(lock)
+        # age it past the stale window: the sweep must now clear it
+        t = _time.time() - Engine._LOCK_STALE_S * 2
+        os.utime(lock, (t, t))
+        r = e2.sql("UPDATE t SET v = 9 WHERE id = 1")
+        assert r.kind == "ok"
+    finally:
+        if os.path.exists(lock):
+            os.remove(lock)
 
 
 def test_unprobeable_holder_lock_breaks_only_when_stale(
