@@ -431,3 +431,154 @@ def test_committed_baseline_has_no_adjudicated_burst_values():
         assert d["queries"][q] <= min(r["full_run"], r["fresh"]) + 1e-9, (
             f"{q}: baseline keeps a burst-inflated reading"
         )
+
+
+def test_dup_span_runs_brute(spark, sf_dir, docs):
+    """Gaps-and-islands run detection re-derived with plain Python:
+    8-token span hashes, dup = span string appears in >= 2 docs,
+    longest consecutive run of dup positions, run R certifies
+    R + 7 consecutively duplicated tokens."""
+    K = 8
+    spans_by_doc = {}
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        w = t.lower().split(" ")
+        if len(w) >= K:
+            spans_by_doc[doc_id] = [
+                " ".join(w[i : i + K]) for i in range(len(w) - K + 1)
+            ]
+    owners = {}
+    for d, spans in spans_by_doc.items():
+        for s in set(spans):
+            owners.setdefault(s, set()).add(d)
+    dup = {s for s, ds in owners.items() if len(ds) >= 2}
+    got = _run(spark, sf_dir, "q_dup_span_runs").set_index("doc_id")
+    for d, spans in spans_by_doc.items():
+        flags = [s in dup for s in spans]
+        longest = run = 0
+        for f in flags:
+            run = run + 1 if f else 0
+            longest = max(longest, run)
+        row = got.loc[d]
+        assert row["n_spans"] == len(spans)
+        assert row["n_dup_spans"] == sum(flags)
+        assert row["longest_run"] == longest
+        expect_tokens = longest + K - 1 if longest else 0
+        assert row["longest_dup_tokens"] == expect_tokens
+        assert bool(row["exceeds_flag"]) == (expect_tokens >= 24)
+
+
+def test_rake_keywords_brute(spark, sf_dir, docs):
+    """RAKE re-derived: phrases = maximal stopword-free token runs;
+    word degree = sum of lengths of phrases containing the word (one
+    count per occurrence); word freq = content occurrences; phrase
+    score = sum over member occurrences of degree/freq."""
+    from sparrow_spark.operators.text import STOP_EN
+
+    stops = set(STOP_EN)
+    phrases = []
+    for t in docs["text"]:
+        cur = []
+        for w in t.lower().split(" "):
+            if w in stops:
+                if cur:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(tuple(cur))
+    freq, degree = Counter(), Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            degree[w] += len(p)
+    scores = {}
+    counts = Counter(phrases)
+    for p, c in counts.items():
+        scores[" ".join(p)] = (
+            c,
+            sum(degree[w] / freq[w] for w in p),
+        )
+    got = _run(spark, sf_dir, "q_rake_keywords")
+    ranked = sorted(
+        (
+            (round(s + 1e-9, 4), ph, n)
+            for ph, (n, s) in scores.items()
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    assert len(got) == len(ranked)
+    for (score, ph, n), (_, row) in zip(ranked, got.iterrows()):
+        assert row["phrase"] == ph
+        assert row["n_occurrences"] == n
+        assert row["rake_score"] == pytest.approx(score, abs=2e-4)
+
+
+def test_rbo_ranking_overlap_brute(spark, sf_dir):
+    import numpy as np
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(float)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    norms = np.linalg.norm(X, axis=1)
+    W = {1: 1.8232533333333334, 2: 0.8232533333333334,
+         3: 0.42325333333333337, 4: 0.20992000000000005,
+         5: 0.08192000000000002}
+
+    def topk(qi, mask):
+        cos = (X @ X[qi]) / (norms * norms[qi])
+        cand = [
+            (-cos[j], ids[j]) for j in range(len(ids))
+            if mask[j] and ids[j] != ids[qi]
+        ]
+        cand.sort()
+        return {nid: r + 1 for r, (_, nid) in enumerate(cand[:5])}
+
+    got = _run(spark, sf_dir, "q_rbo_ranking_overlap").set_index(
+        "query_id"
+    )
+    for qi in range(len(ids)):
+        if ids[qi] >= 20:
+            continue
+        exact = topk(qi, np.ones(len(ids), dtype=bool))
+        ivf = topk(qi, labels == labels[qi])
+        common = set(exact) & set(ivf)
+        sw = sum(W[max(exact[n], ivf[n])] for n in common)
+        row = got.loc[ids[qi]]
+        assert row["n_common"] == len(common)
+        assert row["rbo"] == pytest.approx(
+            round(0.2 * sw + 1e-9, 4), abs=2e-4
+        )
+
+
+def test_ddsketch_quantiles_brute(spark, sf_dir):
+    import numpy as np
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    gamma = 1.02020202020202
+    got = _run(spark, sf_dir, "q_ddsketch_quantiles")
+    for rflag, sub in li[li["l_extendedprice"] > 0].groupby(
+        "l_returnflag"
+    ):
+        x = sub["l_extendedprice"].astype(float).to_numpy()
+        buckets = np.ceil(np.log(x) / np.log(gamma)).astype(int)
+        bc = Counter(buckets)
+        keys = sorted(bc)
+        n = len(x)
+        for q in (0.5, 0.95, 0.99):
+            target = int(np.floor(1 + q * (n - 1)))
+            cum = 0
+            for b in keys:
+                cum += bc[b]
+                if cum >= target:
+                    bi = b
+                    break
+            est = 2 * gamma**bi / (gamma + 1)
+            exact = float(np.percentile(x, q * 100, method="linear"))
+            row = got[(got["rflag"] == rflag) & (got["q"] == q)].iloc[0]
+            assert row["n"] == n
+            assert row["ddsketch_est"] == pytest.approx(est, rel=1e-4)
+            assert row["exact_q"] == pytest.approx(exact, rel=1e-4)
+            # the paper's guarantee: relative error <= alpha = 0.01
+            assert row["rel_err"] <= 0.0101
