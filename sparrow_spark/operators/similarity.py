@@ -3363,42 +3363,56 @@ def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit run before trusting per-label centroids built from
     untrusted data.
 
-    Scale: ONE posexplode pins the (label, vec_id, dim, x) table
-    (localCheckpoint — five consumers); every iteration is two keyed
-    aggs — distances keyed on (label, vec_id), the re-weighted mean
-    keyed on (label, dim) with the label x dim table broadcast back
-    (|labels| x 64 rows however big the corpus) — so the iteration
-    count is fixed and each round shuffles only corpus-keyed
-    aggregates, never pairs."""
-    e = (
+    Scale: the candidate median lives as ONE array row per label
+    (|labels| x 1, broadcast), so each Weiszfeld round is a
+    broadcast join onto the pinned corpus + a map-side zip_with
+    distance (no corpus-keyed shuffle join at all) followed by one
+    (label, dim) keyed agg with map-side combine — the posexplode
+    happens AFTER the per-row distance is attached, so the only
+    shuffle per round is the |labels| x 64 partial-aggregate, not a
+    corpus x 64 join (the first cut of this operator sort-merge
+    joined the exploded table against per-point distances every
+    round; this shape moves 64x less data and zero corpus rows)."""
+    vecs = (
         load_table(spark, sf_dir, "embeddings")
         .select(
             "label",
             "vec_id",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "dim0", "x"
-            ),
+            F.col("embedding").cast("array<double>").alias("v"),
         )
-        .select("label", "vec_id", (F.col("dim0") + 1).alias("dim"), "x")
         .localCheckpoint(eager=True)
     )
     eps = float(_GM_EPS)
 
-    def dist_to(m: DataFrame) -> DataFrame:
-        return (
-            e.join(F.broadcast(m), ["label", "dim"])
-            .groupBy("label", "vec_id")
-            .agg(
-                F.greatest(
-                    F.sqrt(F.sum(F.pow(F.col("x") - F.col("m"), 2))),
-                    F.lit(eps),
-                ).alias("d")
-            )
+    def to_arr(m: DataFrame, out: str) -> DataFrame:
+        # (label, dim, m) -> one array row per label, dim-ordered
+        return m.groupBy("label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias(out)
         )
 
-    def weiszfeld_step(d: DataFrame) -> DataFrame:
+    def dist_col(marr: str) -> Column:
+        diff = F.zip_with(
+            F.col("v"), F.col(marr), lambda x, y: (x - y) * (x - y)
+        )
+        return F.greatest(
+            F.sqrt(F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)),
+            F.lit(eps),
+        )
+
+    def weiszfeld_step(marr_df: DataFrame) -> DataFrame:
+        # broadcast the |labels|-row median table, distance map-side,
+        # THEN explode — the shuffle is only the (label, dim) partials
+        j = vecs.join(F.broadcast(marr_df), "label").withColumn(
+            "d", dist_col("m_arr")
+        )
         return (
-            e.join(d, ["label", "vec_id"])
+            j.select(
+                "label", "d", F.posexplode("v").alias("dim0", "x")
+            )
+            .select("label", "d", (F.col("dim0") + 1).alias("dim"), "x")
             .groupBy("label", "dim")
             .agg(
                 (
@@ -3409,47 +3423,76 @@ def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     m0 = (
-        e.groupBy("label", "dim")
-        .agg(F.avg("x").alias("m"))
-        .localCheckpoint(eager=True)
-    )
-    d1 = dist_to(m0).localCheckpoint(eager=True)
-    m1 = weiszfeld_step(d1)
-    d2 = dist_to(m1)
-    m2 = weiszfeld_step(d2)
-    d3 = dist_to(m2)
-    m3 = weiszfeld_step(d3).localCheckpoint(eager=True)
-    d4 = dist_to(m3)
-    nv = e.groupBy("label").agg(
-        F.countDistinct("vec_id").cast("bigint").alias("n_vecs")
-    )
-    norms = (
-        m3.join(
-            m0.select("label", "dim", F.col("m").alias("m_mean")),
-            ["label", "dim"],
+        vecs.select(
+            "label", F.posexplode("v").alias("dim0", "x")
         )
-        .groupBy("label")
-        .agg(
-            F.sqrt(F.sum(F.pow("m", 2))).alias("gm_norm"),
-            F.sqrt(F.sum(F.pow(F.col("m") - F.col("m_mean"), 2))).alias(
-                "median_shift"
+        .select("label", (F.col("dim0") + 1).alias("dim"), "x")
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("m"))
+    )
+    m0_arr = to_arr(m0, "m_arr").localCheckpoint(eager=True)
+    m1_arr = to_arr(weiszfeld_step(m0_arr), "m_arr")
+    m2_arr = to_arr(weiszfeld_step(m1_arr), "m_arr")
+    m3_arr = to_arr(weiszfeld_step(m2_arr), "m_arr").localCheckpoint(
+        eager=True
+    )
+    both = m3_arr.join(
+        F.broadcast(m0_arr.select("label", F.col("m_arr").alias("c_arr"))),
+        "label",
+    ).localCheckpoint(eager=True)
+    # final pass: per-point distances to the median AND the mean,
+    # both map-side off one broadcast join
+    stats = (
+        vecs.join(F.broadcast(both), "label")
+        .select(
+            "label",
+            F.col("m_arr").alias("m_arr"),
+            dist_col("m_arr").alias("d_gm"),
+            F.zip_with(
+                F.col("v"), F.col("c_arr"), lambda x, y: (x - y) * (x - y)
+            ).alias("cdiff"),
+        )
+        .withColumn(
+            "d_c",
+            F.greatest(
+                F.sqrt(
+                    F.aggregate(
+                        F.col("cdiff"), F.lit(0.0), lambda a, x: a + x
+                    )
+                ),
+                F.lit(eps),
             ),
         )
-    )
-    dists = (
-        d4.join(
-            d1.select("label", "vec_id", F.col("d").alias("d1")),
-            ["label", "vec_id"],
-        )
         .groupBy("label")
         .agg(
-            F.avg("d").alias("mean_dist_gm"),
-            F.avg("d1").alias("mean_dist_centroid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.avg("d_gm").alias("mean_dist_gm"),
+            F.avg("d_c").alias("mean_dist_centroid"),
         )
     )
+    norms = both.select(
+        "label",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("m_arr"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("gm_norm"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("m_arr"),
+                    F.col("c_arr"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("median_shift"),
+    )
     return (
-        nv.join(F.broadcast(norms), "label")
-        .join(F.broadcast(dists), "label")
+        stats.join(F.broadcast(norms), "label")
         .select(
             "label",
             "n_vecs",
