@@ -4017,14 +4017,16 @@ def q_greedy_maxcover(spark: SparkSession, sf_dir: str) -> DataFrame:
     flattening tells a curation team when additional selection budget
     stops paying.
 
-    Scale: the corpus is touched once for the (doc, token) incidence
-    and token weights; each of the 5 fixed rounds is one anti-join
-    against the covered set (token-keyed, at 100 TB a hash of the
-    token) plus one doc-keyed sum — shuffles only on corpus keys,
-    never pairs. The covered set is localCheckpoint-pinned per round;
-    the only driver state is the 1-row argmax per round (k-row
-    bounded collect, the q_kmeans_iterate discipline), exact BIGINT
-    throughout."""
+    Scale: the corpus is touched once for the (doc, token) incidence,
+    weighted ONCE against the token counts and pinned; each of the 5
+    fixed rounds is then a BROADCAST anti-join (the covered set is at
+    most k documents' token lists — bounded by the selection budget,
+    not the corpus) plus one doc-keyed sum with map-side combine —
+    one shuffle of per-doc partials per round, zero re-shuffles of
+    the incidence table, never pairs. The covered set is
+    localCheckpoint-pinned per round; the only driver state is the
+    1-row argmax per round (k-row bounded collect, the
+    q_kmeans_iterate discipline), exact BIGINT throughout."""
     tk = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.split(F.lower("text"), " ").alias("t"))
@@ -4040,22 +4042,28 @@ def q_greedy_maxcover(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tok"),
         )
     )
-    dt = tk.distinct().localCheckpoint(eager=True)
-    w = (
-        tk.groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-        .localCheckpoint(eager=True)
+    dt = tk.distinct()
+    w = tk.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
     )
+    # Weight each (doc, token) incidence ONCE before the loop — the
+    # tok-keyed dt x w join would otherwise re-shuffle the corpus
+    # incidence table every greedy round. After this pin, a round is
+    # a BROADCAST anti-join (the covered set is at most k documents'
+    # tokens — driver-bounded small) plus one doc-keyed aggregate.
+    dt_w = dt.join(w, "tok").localCheckpoint(eager=True)
     total_w = float(w.agg(F.sum("w").cast("double").alias("t")).collect()[0][0])
     covered: DataFrame | None = None
     sel_rows = []
     cum = 0
     for step in range(1, _MAXCOVER_K + 1):
-        cand = dt if covered is None else dt.join(covered, "tok", "left_anti")
-        gains = (
-            cand.join(w, "tok")
-            .groupBy("doc_id")
-            .agg(F.sum("w").cast("bigint").alias("g"))
+        cand = (
+            dt_w
+            if covered is None
+            else dt_w.join(F.broadcast(covered), "tok", "left_anti")
+        )
+        gains = cand.groupBy("doc_id").agg(
+            F.sum("w").cast("bigint").alias("g")
         )
         best = gains.orderBy(F.col("g").desc(), "doc_id").limit(1).collect()
         if not best:
@@ -4063,7 +4071,7 @@ def q_greedy_maxcover(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc, gain = int(best[0]["doc_id"]), int(best[0]["g"])
         cum += gain
         sel_rows.append((step, doc, gain, cum, cum / total_w))
-        new_cov = dt.filter(F.col("doc_id") == doc).select("tok")
+        new_cov = dt_w.filter(F.col("doc_id") == doc).select("tok")
         covered = (
             new_cov
             if covered is None
