@@ -1717,7 +1717,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR date_diff('second', lag(ts) OVER w, ts)
-                          >= {SESSION_GAP_SECONDS}
+                          > {SESSION_GAP_SECONDS}
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -1745,9 +1745,13 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst's UpdatingSessionsExec does the gap-merge — no lag/
     running-sum window chain (that hand-built twin is q_sessionize;
     keeping both proves the plans agree). Session end is
-    last-event-ts + gap with an EXCLUSIVE bound, so an event landing
-    exactly at the gap boundary starts a new session (hence the
-    oracle's >= flag, vs q_sessionize's >).
+    last-event-ts + gap, and Spark MERGES an event landing exactly at
+    that boundary into the session (verified empirically: two events
+    precisely gap apart produce ONE session) — so the oracle flags a
+    new session only on a STRICTLY greater gap, the same rule as
+    q_sessionize. (First cut used >=; it diverged at sf0.1 where the
+    fixture contains one exactly-30:00 pair the sf0.01 driver check
+    never sees.)
 
     Scale: one shuffle on user_id, then sessions merge inside each
     partition in a single pass over ts-sorted rows — strictly fewer

@@ -582,3 +582,49 @@ def test_ddsketch_quantiles_brute(spark, sf_dir):
             assert row["exact_q"] == pytest.approx(exact, rel=1e-4)
             # the paper's guarantee: relative error <= alpha = 0.01
             assert row["rel_err"] <= 0.0101
+
+
+def test_session_window_native_merges_exact_gap_boundary(spark, tmp_path):
+    """Two events EXACTLY gap apart must land in ONE session — Spark's
+    native session_window merges at the inclusive boundary (verified
+    empirically), and the oracle must flag a new session only on a
+    STRICTLY greater gap. Found by the first full sf0.1 differential
+    sweep: the sf0.01 fixture contains no exactly-30:00 pair, so the
+    driver-scale check could never see the >= / > divergence."""
+    import duckdb
+
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-06 22:16:14",
+                    "2024-01-06 22:46:14",  # exactly 30:00 later
+                    "2024-01-07 09:00:00",  # clearly a new session
+                ]
+            ),
+            "user_id": [1, 1, 1],
+            "event_type": ["view"] * 3,
+            "value": [1.0, 2.0, 3.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    d = tmp_path / "sess"
+    d.mkdir()
+    rows.to_parquet(str(d / "events.parquet"))
+    got = (
+        registry.RAW_QUERIES["q_session_window_native"](spark, str(d))
+        .toPandas()
+        .sort_values("session_start")
+    )
+    assert len(got) == 2, "exact-gap pair must merge into one session"
+    assert got.iloc[0]["n_events"] == 2
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+    )
+    oracle = con.execute(
+        registry.ORACLES["q_session_window_native"]
+    ).fetchall()
+    assert len(oracle) == 2
+    assert {r[3] for r in oracle} == {2, 1}
