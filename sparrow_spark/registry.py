@@ -76,70 +76,68 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # queries next, in registration order — new additions are inserted
 # HERE in the same commit that registers them (the r3/r4 lesson:
 # additions past the frozen window stay unverified a full round);
-# (3) everything else by staleness of its latest driver row. r15
-# window: CORRECTNESS_r14.json is 50/50 green, so no rule-1 reds and
-# (after r14) never-driver-checked is ZERO — the window is pure
-# rule-3 staleness: all 13 remaining r3-era rows (the TPC-H tail and
-# the window-function family) followed by the 37 stalest r4-era rows
-# (sampling, engine DML, the early text/similarity/dedup/multimodal
-# families). Verbatim `window_rotate.py --next` output as
-# pre-committed in the r14 ledger; `--check` green at the rotation
-# commit. The r15 additions then entered at the never-checked head
-# per rule 1 in the same commits that registered them (`--check`
-# re-run green after each re-emit), displacing the stalest tail
-# entries to the r16 head. After this round the oldest driver row
-# moves from r3 to r4.
+# (3) everything else by staleness of its latest driver row. r16
+# window: CORRECTNESS_r15.json is 50/50 green, so no rule-1 reds and
+# never-driver-checked is ZERO — the window is pure rule-3
+# staleness: the 10 r15-addition rows displaced from the r15 window
+# tail (graded r15 but their displaced predecessors are staler), the
+# 5 remaining r4-era rows, then the 35 stalest r5-era rows (TPC-H
+# spine head, scalar-function families, timeseries, text-stats,
+# sampling/selection, ANN/kmeans). Verbatim `window_rotate.py
+# --next` output recomputed at r16 start — IDENTICAL to the r15
+# ledger's pre-commitment; `--check` green at the rotation commit.
+# After this round the oldest driver row moves from r4 to r5.
 _WINDOW_PRIORITY: list[str] = [
-    "q_rake_keywords",
-    "q_nucleus_vocab_mass",
-    "q_rbo_ranking_overlap",
-    "q_geometric_median",
-    "q_dup_span_runs",
-    "q_cdc_chunk_dedup",
-    "q_ddsketch_quantiles",
-    "q_pass_at_k",
-    "q_greedy_maxcover",
-    "q_sinkhorn_ot",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity",
-    "q21_suppliers_waiting",
-    "q22_sales_opportunity",
-    "q_window_topk_per_group",
-    "q_window_running_lag_lead",
-    "q_window_frames",
-    "q_weighted_sample",
-    "q_reservoir_sample",
-    "q_engine_dml",
-    "q_lateral_topk",
-    "q_window_nth",
-    "q_array_funcs",
-    "q_fuzzy_match",
-    "q_time_bucket_rollup",
-    "q_asof_join",
-    "q_gap_fill",
-    "q_json_extract",
-    "q_zscore_outliers",
-    "q_group_ewma",
-    "q_fingerprint",
-    "q_token_bpe",
-    "q_vocab_heavy_hitters",
-    "q_tfidf",
-    "q_perplexity_unigram",
-    "q_similarity_topk",
-    "q_similarity_ivf",
-    "q_embedding_neardup",
-    "q_similarity_lsh",
-    "q_embedding_quantize",
-    "q_dedup_exact",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_pipeline",
-    "q_dedup_clusters",
-    "q_dedup_simhash_hamming",
+    "q_dedup_keeper",
+    "q_countmin_sketch",
+    "q_bloom_filter_semi",
+    "q_multimodal_resize",
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    "q_multimodal_decode",
+    "q_doc_chunking",
+    "q_sequence_packing",
+    "q_repetition_filter",
+    "q_pii_scrub",
+    "q_contamination",
+    "q_length_buckets",
+    "q_engine_show",
+    "q_stream_dedup",
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "q_window_ranks",
+    "q_string_funcs",
+    "q_math_funcs",
+    "q_date_funcs",
+    "q_case_like_null",
+    "q_hash_funcs",
+    "q_regexp_funcs",
+    "q_trig_funcs",
+    "q_string_extra",
+    "q_sessionize",
+    "q_asof_forward",
+    "q_range_join_banded",
+    "q_regression_stats",
+    "q_pivot",
+    "q_unpivot",
+    "q_rolling_window",
+    "q_group_ewma_arrow",
+    "q_time_weighted_avg",
+    "q_event_funnel",
+    "q_retention_cohorts",
+    "q_text_stats",
+    "q_text_quality",
+    "q_langid_ngram",
+    "q_rolling_hash",
+    "q_corpus_stats_by_lang",
+    "q_stratified_sample",
+    "q_train_test_split",
+    "q_dsir_selection",
+    "q_ann_recall",
+    "q_kmeans_assign",
+    "q_kmeans_iterate",
+    "q_semantic_dedup",
+    "q_embedding_qa",
 ]
 
 
