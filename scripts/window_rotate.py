@@ -135,7 +135,8 @@ def main() -> int:
             print(f"window check: OK ({len(window)} slots match the "
                   "mechanical rule)")
             return 0
-        newest_keys = set(json.load(open(correctness_files()[-1][1])))
+        newest_data = json.load(open(correctness_files()[-1][1]))
+        newest_keys = set(newest_data)
         if set(current) <= newest_keys:
             # The pinned window has already been GRADED (every row
             # appears in the newest CORRECTNESS file): the registry is
@@ -143,12 +144,29 @@ def main() -> int:
             # next window is expected — the round-start rotation commit
             # resolves it. Failing here would wedge gate.sh stage 1 for
             # the whole window between a verdict landing and the next
-            # rotation.
-            print("window check: SKIP — the pinned window is fully "
-                  "graded by the newest CORRECTNESS round; rotation is "
-                  "due at round start (run --emit and update the "
-                  "ledger)")
-            return 0
+            # rotation. But "graded" is not a free pass (the r15
+            # verdict's demonstrated gap): the driver writes its rows
+            # in the order it graded them — the pinned order at grading
+            # time — so the pinned slots must still match that
+            # artifact's row order exactly, or an unexcused reordering
+            # could hide between the verdict landing and the next
+            # rotation commit.
+            graded_order = [n for n in newest_data if n in set(current)]
+            if current == graded_order:
+                print("window check: SKIP — the pinned window is fully "
+                      "graded by the newest CORRECTNESS round (slot "
+                      "order verified against the graded artifact's "
+                      "row order); rotation is due at round start "
+                      "(run --emit and update the ledger)")
+                return 0
+            print("window check: MISMATCH — the pinned window is fully "
+                  "graded but its slot order diverges from the newest "
+                  "CORRECTNESS artifact's row order (unexcused "
+                  "reordering after grading)")
+            for i, (a, b) in enumerate(zip(current, graded_order)):
+                if a != b:
+                    print(f"  slot {i + 1}: registry={a}  graded={b}")
+            return 1
         known = set()
         for _, path in correctness_files():
             known.update(json.load(open(path)))

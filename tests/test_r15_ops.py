@@ -60,49 +60,129 @@ def test_blocking_quality_empty_truth_set_matches_oracle(spark, nodup_dir):
         assert s[6] == pytest.approx(o[6])
 
 
-def test_check_if_fresh_enforces_non_addition_slots(monkeypatch, capsys):
-    """The r14 ADVICE gap: with a mid-round addition registered but
-    not yet inserted, --check-if-fresh used to skip enforcement
-    entirely, so an unexcused reordering of EXISTING slots passed the
-    gate. It must now diff the non-addition slots against the window
-    recomputed without the additions."""
+def _pin_synthetic_rotation_state(
+    monkeypatch, tmp_path, files, raw_names, pinned
+):
+    """Pin window_rotate + registry to a fully SYNTHETIC rotation
+    state, independent of whatever CORRECTNESS_r*.json the driver has
+    (or has not) dropped into the real repo — the r15 lesson: the old
+    test read live repo state and broke the moment the driver's
+    untracked CORRECTNESS_r15.json landed and flipped the gate into
+    its fully-graded branch.
+
+    `files` is {round: [graded names in row order]}; every synthetic
+    row is green. `raw_names` is the synthetic registration order and
+    `pinned` the synthetic _WINDOW_PRIORITY. Returns the imported
+    window_rotate module."""
     import os
     import sys
 
     sys.path.insert(
         0, os.path.join(os.path.dirname(__file__), "..", "scripts")
     )
+    import json
+
     import window_rotate as wr
 
-    fake = "q_fake_r15_addition"
-    try:
-        monkeypatch.setitem(registry.RAW_QUERIES, fake, lambda s, d: None)
-        monkeypatch.setattr(
-            sys, "argv", ["window_rotate.py", "--check-if-fresh"]
+    paths = []
+    for rnd, names in sorted(files.items()):
+        p = tmp_path / f"CORRECTNESS_r{rnd:02d}.json"
+        p.write_text(
+            json.dumps(
+                {
+                    n: {"rows_match": True, "schema_match": True,
+                        "hash_match": True}
+                    for n in names
+                }
+            )
         )
+        paths.append((rnd, str(p)))
+    monkeypatch.setattr(wr, "correctness_files", lambda: paths)
+    # Replace the module ATTRIBUTES (never mutate the real dicts) and
+    # no-op load_all so the real registry order is untouched — nothing
+    # to restore beyond what monkeypatch already does.
+    monkeypatch.setattr(
+        registry, "RAW_QUERIES", {n: (lambda s, d: None) for n in raw_names}
+    )
+    monkeypatch.setattr(registry, "_WINDOW_PRIORITY", list(pinned))
+    monkeypatch.setattr(registry, "load_all", lambda: None)
+    monkeypatch.setattr(
+        sys, "argv", ["window_rotate.py", "--check-if-fresh"]
+    )
+    return wr
 
-        # well-formed state: pinned slots = rule output minus the addition
-        assert wr.main() == 0
-        out = capsys.readouterr().out
-        assert "non-addition slots match" in out
-        assert fake in out
 
-        # an unexcused swap of two existing slots must now FAIL the gate
-        swapped = list(registry._WINDOW_PRIORITY)
-        swapped[0], swapped[1] = swapped[1], swapped[0]
-        with monkeypatch.context() as m:
-            m.setattr(registry, "_WINDOW_PRIORITY", swapped)
-            assert wr.main() == 1
-            assert "MISMATCH" in capsys.readouterr().out
-    finally:
-        # wr.main() -> registry.load_all() reordered the QUERIES dict
-        # under the patched window/addition. The monkeypatch fixture
-        # restores the attributes it touched, but dict ORDER is process
-        # state it cannot see — rebuild the canonical driver order so
-        # the first-50 pin test (which runs later in the suite) sees
-        # the honest state.
-        registry._canonicalize_raw_order()
-        registry._reorder_for_driver_window()
+def test_check_if_fresh_enforces_non_addition_slots(
+    monkeypatch, tmp_path, capsys
+):
+    """The r14 ADVICE gap: with a mid-round addition registered but
+    not yet inserted, --check-if-fresh used to skip enforcement
+    entirely, so an unexcused reordering of EXISTING slots passed the
+    gate. It must diff the non-addition slots against the window
+    recomputed without the additions. Synthetic state: qg is a
+    registered-but-never-graded addition; the newest round half-grades
+    the universe, so the fully-graded SKIP branch cannot swallow the
+    check regardless of real repo artifacts."""
+    import sys
+
+    universe = ["qa", "qb", "qc", "qd", "qe", "qf"]
+    # r1 grades everything; r2 re-grades only qa..qc, so qd..qf are
+    # staler and lead the mechanical window. qg (the addition) would
+    # take the never-checked head.
+    pinned = ["qd", "qe", "qf", "qa", "qb", "qc"]
+    wr = _pin_synthetic_rotation_state(
+        monkeypatch,
+        tmp_path,
+        files={1: universe, 2: ["qa", "qb", "qc"]},
+        raw_names=universe + ["qg"],
+        pinned=pinned,
+    )
+
+    # well-formed state: pinned slots = rule output minus the addition
+    assert wr.main() == 0
+    out = capsys.readouterr().out
+    assert "non-addition slots match" in out
+    assert "qg" in out
+
+    # an unexcused swap of two existing slots must FAIL the gate
+    swapped = list(pinned)
+    swapped[0], swapped[1] = swapped[1], swapped[0]
+    monkeypatch.setattr(registry, "_WINDOW_PRIORITY", swapped)
+    assert wr.main() == 1
+    assert "MISMATCH" in capsys.readouterr().out
+
+
+def test_check_if_fresh_fully_graded_still_pins_slot_order(
+    monkeypatch, tmp_path, capsys
+):
+    """The r15 verdict's demonstrated residue of the same gap: once
+    the newest CORRECTNESS file grades every pinned slot, the old
+    SKIP branch bypassed enforcement entirely, so a post-grading
+    reordering of pinned slots passed until the next rotation commit.
+    The SKIP branch must now verify the pinned order against the
+    graded artifact's own row order."""
+    universe = ["qa", "qb", "qc", "qd", "qe", "qf"]
+    pinned = ["qd", "qe", "qf", "qa", "qb", "qc"]
+    # r2 grades ALL pinned slots, rows written in the pinned order —
+    # exactly what the driver does to the window it was handed.
+    wr = _pin_synthetic_rotation_state(
+        monkeypatch,
+        tmp_path,
+        files={1: universe, 2: list(pinned)},
+        raw_names=universe,
+        pinned=pinned,
+    )
+
+    assert wr.main() == 0
+    out = capsys.readouterr().out
+    assert "SKIP" in out and "order verified" in out
+
+    # reorder two pinned slots in the fully-graded state → exit 1
+    swapped = list(pinned)
+    swapped[2], swapped[4] = swapped[4], swapped[2]
+    monkeypatch.setattr(registry, "_WINDOW_PRIORITY", swapped)
+    assert wr.main() == 1
+    assert "slot order diverges" in capsys.readouterr().out
 
 
 def test_bench_compare_adjudicates_without_ratcheting_baseline(
