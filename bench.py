@@ -17,6 +17,13 @@ from sparrow_spark import registry
 from sparrow_spark.session import get_spark
 
 # Headline set: the relational spine + scale-path pipeline operators.
+# Materiality threshold for --remeasure's burst adjudication: the
+# fresh reading replaces the persisted full-run value only when the
+# gap is at regression scale. Keep in sync with
+# scripts/bench_compare.REGRESSION_X (that module is not importable
+# from here without sys.path games; the r16 unit test pins equality).
+_BURST_X = 1.5
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -408,6 +415,12 @@ class _DrainListener(StreamingQueryListener):
         pass
 
 
+def _burst_replaces(old: float, fresh: float) -> bool:
+    """Whether a fresh remeasure reading should replace the persisted
+    full-run value: only when the gap is burst-scale (see _BURST_X)."""
+    return fresh < old / _BURST_X
+
+
 def _remeasure(names: list[str], sf_dir: str) -> None:
     """Re-time ONLY the named queries and record the fresh best-of-3
     in bench_detail.json's `remeasured` side-channel, leaving the
@@ -465,19 +478,22 @@ def _remeasure(names: list[str], sf_dir: str) -> None:
             "full_run": old,
             "fresh": fresh,
         }
-        # When the fresh reading comes back FASTER, the full-run
-        # number is adjudicated burst-inflated — keeping it in the
-        # persisted detail (which becomes the committed round
-        # baseline) would let next round's real regressions hide
-        # under it (anything below burst x 1.5 passes the gate). The
-        # faster fresh reading replaces it; the burst value stays on
-        # record in the side-channel above. This is NOT the r14
-        # ratchet: `old` is THIS round's reading (never a prior
-        # baseline), replacement happens only in the burst-clearing
-        # direction, and the cold-session fresh reading is biased
-        # SLOWER than a warm full run (the caveat above), so an
-        # anomalously-fast replacement is the unlikely direction.
-        if fresh < old:
+        # When the fresh reading comes back faster by a BURST-SCALE
+        # margin, the full-run number is adjudicated burst-inflated —
+        # keeping it in the persisted detail (which becomes the
+        # committed round baseline) would let next round's real
+        # regressions hide under it (anything below burst x 1.5
+        # passes the gate). The faster fresh reading replaces it; the
+        # burst value stays on record in the side-channel above.
+        # The margin gate (r16, closing the r15 ADVICE's one-way
+        # ratchet residue): replacing on ANY fresh < old would let a
+        # single anomalously fast reading permanently tighten the
+        # committed baseline and raise false regression flags next
+        # round — small jitter stays with the full-run reading; only
+        # a gap at the same scale the flag machinery calls a
+        # regression (>= _BURST_X, kept in sync with
+        # scripts/bench_compare.REGRESSION_X) proves a burst.
+        if _burst_replaces(old, fresh):
             detail["queries"][name] = fresh
         updated[name] = {"was": old, "fresh": fresh}
     with open("bench_detail.json", "w") as f:

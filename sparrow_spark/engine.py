@@ -1697,9 +1697,14 @@ class Engine:
     # real holder from an unrelated process that recycled its pid (or
     # a same-numbered pid on another host sharing the warehouse), and
     # without an age backstop that collision wedges the table forever.
-    # Set far above any legitimate operation (30x the stale window) so
-    # the r14 long-OPTIMIZE protection still holds.
+    # Age = time since the last HEARTBEAT (r16): the holder refreshes
+    # its lock's mtime every _LOCK_HEARTBEAT_S while the statement
+    # runs, so a legitimate operation of ANY duration never trips the
+    # ceiling (the r15 ADVICE gap: a >1h OPTIMIZE used to lose its
+    # lock mid-write at the ceiling) — only a holder that stopped
+    # heartbeating (crashed, frozen, or pre-heartbeat) ages past it.
     _LOCK_HARD_STALE_S = 3600.0
+    _LOCK_HEARTBEAT_S = 20.0
 
     _DML_TARGET_RE = re.compile(
         r"^(?:INSERT\s+(?:IGNORE\s+)?INTO|REPLACE\s+INTO|MERGE\s+INTO"
@@ -1780,7 +1785,7 @@ class Engine:
                         (not alive) if isinstance(pid, int) else stale
                     )
                     if dead_or_unprobeable or age > self._LOCK_HARD_STALE_S:
-                        os.remove(lock_path)
+                        self._break_lock(lock_path, st)
                         continue
                 except FileNotFoundError:
                     continue  # holder released mid-probe; retry acquire
@@ -1793,11 +1798,12 @@ class Engine:
                     # this waiter at 100% CPU forever on a permanently
                     # corrupt lock.
                     try:
+                        st = os.stat(lock_path)
                         if (
-                            time.time() - os.stat(lock_path).st_mtime
+                            time.time() - st.st_mtime
                             > self._LOCK_STALE_S
                         ):
-                            os.remove(lock_path)
+                            self._break_lock(lock_path, st)
                             continue
                     except FileNotFoundError:
                         continue  # released mid-probe; retry acquire
@@ -1811,13 +1817,112 @@ class Engine:
                         f"write-locked by pid {pid})",
                     )
                 time.sleep(0.05)
+        import threading
+
+        stop_hb = threading.Event()
+        hb = threading.Thread(
+            target=self._lock_heartbeat,
+            args=(lock_path, stop_hb),
+            daemon=True,
+        )
+        hb.start()
         try:
             yield
         finally:
+            stop_hb.set()
+            hb.join(timeout=1.0)
+            self._release_own_lock(lock_path)
+
+    def _break_lock(self, lock_path: str, observed) -> bool:
+        """Break a probed-breakable lock WITHOUT the probe->remove race
+        (r15 ADVICE): between a slow waiter's probe and its remove,
+        another waiter can break the same lock and a NEW holder can
+        re-create it — an unconditional remove then deletes the new
+        holder's LIVE lock and admits two writers. Instead the lock is
+        atomically RENAMED aside (only one waiter can win the rename)
+        and the renamed file's identity is compared against the stat
+        the probe decided on: same (inode, mtime) -> it really was the
+        stale/dead lock, discard it; different -> a live successor was
+        stolen, restore it with link() (atomic — fails rather than
+        clobbering if a third writer acquired meanwhile). Returns True
+        iff the probed lock was broken."""
+        breaking = (
+            f"{lock_path}.breaking.{os.getpid()}.{self._engine_id[:8]}"
+        )
+        try:
+            os.rename(lock_path, breaking)
+        except FileNotFoundError:
+            return False  # another waiter won the break / holder released
+        except OSError:
+            return False
+        try:
+            st = os.stat(breaking)
+            if (st.st_ino, st.st_mtime_ns) == (
+                observed.st_ino,
+                observed.st_mtime_ns,
+            ):
+                os.remove(breaking)
+                return True
+            # Stole a live successor's lock (created between our probe
+            # and the rename). Put it back atomically.
             try:
-                os.remove(lock_path)
-            except FileNotFoundError:
+                os.link(breaking, lock_path)
+            except FileExistsError:
+                # Doubly raced within microseconds: a third writer
+                # already holds a new lock, so the stolen holder's
+                # cannot be restored without clobbering it. The stolen
+                # holder finishes unserialized (its identity-checked
+                # release is a no-op) — a bounded residual vs. the
+                # unconditional-remove bug this replaces.
                 pass
+            except OSError:
+                # link() unsupported on this filesystem: best-effort
+                # restore only if no new lock appeared.
+                if not os.path.exists(lock_path):
+                    try:
+                        os.rename(breaking, lock_path)
+                        return False
+                    except OSError:
+                        pass
+            try:
+                os.remove(breaking)
+            except OSError:
+                pass
+            return False
+        except OSError:
+            return False
+
+    def _lock_heartbeat(self, lock_path: str, stop) -> None:
+        """Refresh our lock's mtime every _LOCK_HEARTBEAT_S while the
+        statement runs, so the staleness windows measure time since
+        the holder was last ALIVE, not statement duration — the hard
+        ceiling then only ever breaks genuinely abandoned locks (r15
+        ADVICE). Refreshes only while the file still records OUR
+        engine id: never extends a successor's lock after ours was
+        broken."""
+        while not stop.wait(self._LOCK_HEARTBEAT_S):
+            try:
+                with open(lock_path) as f:
+                    if json.load(f).get("eid") != self._engine_id:
+                        return
+                os.utime(lock_path)
+            except (OSError, ValueError):
+                return
+
+    def _release_own_lock(self, lock_path: str) -> None:
+        """Remove the lock only if it is still OURS (r15 ADVICE: an
+        unconditional remove-by-path deletes a successor's live lock
+        whenever ours was broken mid-statement — the release-side twin
+        of the probe->remove race)."""
+        try:
+            with open(lock_path) as f:
+                if json.load(f).get("eid") != self._engine_id:
+                    return
+            os.remove(lock_path)
+        except (FileNotFoundError, ValueError):
+            pass
+        except OSError:
+            pass
 
     # ------------------------------------------------------------------
     # physical helpers

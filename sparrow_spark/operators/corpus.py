@@ -1035,8 +1035,10 @@ def _sinkhorn_oracle_sql() -> str:
     parts = [
         f"""
     WITH tk AS (
-      SELECT source, unnest(string_split(lower(text), ' ')) AS tok
-      FROM documents
+      SELECT source, tok FROM (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
     ), g AS (
       SELECT tok, count(*) AS c FROM tk GROUP BY tok
     ), vocab AS (
@@ -1121,8 +1123,16 @@ def q_sinkhorn_ot(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline (localCheckpoint pins each scaling vector — multi-
     consumer tables, bounded lineage). |V| is a constant: corpus
     growth changes the counts, never the iteration cost."""
-    tk = load_table(spark, sf_dir, "documents").select(
-        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    # Empty tokens (consecutive/leading spaces) are filtered in BOTH
+    # engines (r16, per the r15 ADVICE): an empty token in the top-16
+    # vocab would put len 0 on the ground-cost diagonal — DuckDB
+    # yields NaN, Spark null, and query and oracle silently diverge.
+    tk = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
     )
     vocab = (
         tk.groupBy("tok")

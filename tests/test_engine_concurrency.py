@@ -391,3 +391,93 @@ def test_rename_removes_pre_eid_format_own_lock(shared_warehouse):
     assert not os.path.exists(carried), "pre-eid own lock wedged destination"
     e1.sql("INSERT INTO newfmt VALUES (1)")  # destination usable at once
     e1.sql("DROP TABLE newfmt")
+
+
+def test_break_lock_restores_stolen_live_successor(shared_warehouse):
+    """r16 ADVICE fix: a waiter that probed a breakable lock must NOT
+    remove whatever file sits at the path by the time it acts — if a
+    new holder re-created the lock in between, the break must detect
+    the identity mismatch (inode/mtime differ from the probed stat)
+    and restore the stolen live lock instead of discarding it."""
+    import time as _time
+
+    e1, _e2 = shared_warehouse
+    lock = os.path.join(e1.catalog.table_path("s", "t"), ".write.lock")
+    with open(lock, "w") as f:
+        json.dump({"pid": 2 ** 22 + 1, "eid": "dead", "ts": 0}, f)
+    probed = os.stat(lock)
+    # successor replaces the lock between probe and break (new inode)
+    os.remove(lock)
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "eid": "live-successor",
+                   "ts": _time.time()}, f)
+    assert e1._break_lock(lock, probed) is False
+    assert os.path.exists(lock), "live successor's lock was discarded"
+    with open(lock) as f:
+        assert json.load(f)["eid"] == "live-successor"
+    os.remove(lock)
+
+
+def test_break_lock_breaks_only_the_probed_identity(shared_warehouse):
+    """The matching-identity path: same inode + mtime as probed ->
+    broken (returns True, file gone)."""
+    e1, _e2 = shared_warehouse
+    lock = os.path.join(e1.catalog.table_path("s", "t"), ".write.lock")
+    with open(lock, "w") as f:
+        json.dump({"pid": 2 ** 22 + 1, "eid": "dead", "ts": 0}, f)
+    probed = os.stat(lock)
+    assert e1._break_lock(lock, probed) is True
+    assert not os.path.exists(lock)
+
+
+def test_release_own_lock_spares_foreign_lock(shared_warehouse):
+    """r16 ADVICE fix (release-side twin): releasing must remove the
+    lock only when it still records OUR engine id — after our lock was
+    broken and a successor acquired, our release must be a no-op."""
+    e1, _e2 = shared_warehouse
+    lock = os.path.join(e1.catalog.table_path("s", "t"), ".write.lock")
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "eid": "not-ours", "ts": 0}, f)
+    e1._release_own_lock(lock)
+    assert os.path.exists(lock), "foreign lock removed at release"
+    os.remove(lock)
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "eid": e1._engine_id, "ts": 0}, f)
+    e1._release_own_lock(lock)
+    assert not os.path.exists(lock)
+
+
+def test_lock_heartbeat_keeps_mtime_fresh_for_own_lock(
+    shared_warehouse, monkeypatch
+):
+    """r16 ADVICE fix: the heartbeat refreshes OUR lock's mtime while
+    a statement runs (so the hard-stale ceiling measures abandonment,
+    not statement duration) and stops the moment the file records a
+    different engine id."""
+    import threading
+    import time as _time
+
+    e1, _e2 = shared_warehouse
+    monkeypatch.setattr(Engine, "_LOCK_HEARTBEAT_S", 0.05)
+    lock = os.path.join(e1.catalog.table_path("s", "t"), ".write.lock")
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "eid": e1._engine_id, "ts": 0}, f)
+    old = _time.time() - 500
+    os.utime(lock, (old, old))
+    stop = threading.Event()
+    t = threading.Thread(
+        target=e1._lock_heartbeat, args=(lock, stop), daemon=True
+    )
+    t.start()
+    _time.sleep(0.3)
+    assert _time.time() - os.stat(lock).st_mtime < 5, "no heartbeat"
+    # foreign takeover: heartbeat must stop refreshing
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "eid": "successor", "ts": 0}, f)
+    os.utime(lock, (old, old))
+    _time.sleep(0.3)
+    assert _time.time() - os.stat(lock).st_mtime > 400, (
+        "heartbeat refreshed a successor's lock"
+    )
+    stop.set()
+    t.join(timeout=2)
