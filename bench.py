@@ -501,8 +501,69 @@ def _remeasure(names: list[str], sf_dir: str) -> None:
     print(json.dumps({"remeasured": updated}))
 
 
+def _remeasure_aux(names: list[str], sf_dir: str) -> None:
+    """Aux-drain twin of _remeasure (r16): re-run ONLY the named
+    streaming drains at a different moment, record both readings in a
+    `remeasured_aux` side-channel, and replace the persisted
+    aux_queries entry only when the fresh total is burst-scale faster
+    (_burst_replaces — the same materiality rule as the headline
+    fold). A drain is side-effecting and its own steady state, so one
+    fresh run (not best-of-3) is the reading."""
+    detail = json.load(open("bench_detail.json"))
+    registry.load_all()
+    spark = get_spark("sparrow-bench")
+    registry.QUERIES["q6_forecast_revenue"](spark, sf_dir).collect()
+    listener = _DrainListener()
+    spark.streams.addListener(listener)
+    updated = {}
+    for name in names:
+        if name not in AUX_QUERIES:
+            print(f"remeasure-aux: unknown drain {name}", file=sys.stderr)
+            continue
+        listener.reset()
+        t0 = time.time()
+        df = registry.RAW_QUERIES[name](spark, sf_dir)
+        _ = len(df.toPandas())
+        fresh_total = round(time.time() - t0, 3)
+        seen, waited = -1, 0.0
+        while listener.batches != seen and waited < 3.0:
+            seen = listener.batches
+            time.sleep(0.2)
+            waited += 0.2
+        fresh = {
+            "total_sec": fresh_total,
+            "batches": listener.batches,
+            "busy_sec": round(listener.busy_ms / 1000.0, 3),
+        }
+        old = detail.get("aux_queries", {}).get(name, fresh)
+        detail.setdefault("remeasured_aux", {})[name] = {
+            "full_run": old,
+            "fresh": fresh,
+        }
+        if _burst_replaces(old["total_sec"], fresh["total_sec"]):
+            detail["aux_queries"][name] = fresh
+        updated[name] = {
+            "was": old["total_sec"], "fresh": fresh["total_sec"]
+        }
+    spark.streams.removeListener(listener)
+    with open("bench_detail.json", "w") as f:
+        json.dump(detail, f)
+    print(json.dumps({"remeasured_aux": updated}))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--remeasure-aux" in sys.argv:
+        idx = sys.argv.index("--remeasure-aux")
+        if idx + 1 >= len(sys.argv):
+            print(
+                "usage: bench.py --remeasure-aux s1[,s2,...]",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
+        arg = sys.argv[idx + 1]
+        _remeasure_aux([n for n in arg.split(",") if n], sf_dir)
+        return
     if "--remeasure" in sys.argv:
         idx = sys.argv.index("--remeasure")
         if idx + 1 >= len(sys.argv):

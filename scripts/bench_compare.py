@@ -22,6 +22,12 @@ import sys
 
 REGRESSION_X = 1.5
 MIN_ABS_SEC = 0.05  # ignore sub-50ms noise
+# Aux streaming drains are wall-clock dominated by fixed trigger
+# cadence and carry seconds of inherent jitter on a co-tenant box —
+# a larger absolute floor keeps the gate on real regressions (r16,
+# after the r15 aux drift went unadjudicated because nothing watched
+# this family).
+MIN_ABS_AUX_SEC = 1.0
 
 
 def _calib(doc: dict) -> float | None:
@@ -109,8 +115,57 @@ def main() -> int:
         print(f"  REGRESSION {q}: {a:.3f}s -> {b:.3f}s ({b / a:.1f}x){note}")
     if not regressions:
         print("no per-query regressions >", REGRESSION_X, "x")
+    # Aux streaming drains (r16): the same flag rule over the drains'
+    # total wall time, which used to sit outside the machinery
+    # entirely (the r15 +37% busy-time drift was never adjudicated).
+    # busy_sec is printed for attribution but flags key on total_sec:
+    # busy is a listener-derived subset that undercounts short final
+    # batches.
+    old_aux = old_doc.get("aux_queries", {})
+    new_aux = new_doc.get("aux_queries", {})
+    aux_common = sorted(set(old_aux) & set(new_aux))
+    remeasured_aux = new_doc.get("remeasured_aux", {})
+
+    def adjudicated_aux(q: str) -> float:
+        r = remeasured_aux.get(q, {}).get("fresh", {})
+        fresh = r.get("total_sec") if isinstance(r, dict) else None
+        if isinstance(fresh, (int, float)):
+            return min(new_aux[q]["total_sec"], fresh)
+        return new_aux[q]["total_sec"]
+
+    aux_regressions = []
+    aux_cleared = []
+    for q in aux_common:
+        a, b = old_aux[q]["total_sec"], adjudicated_aux(q)
+        if b > REGRESSION_X * a and b - a > MIN_ABS_AUX_SEC:
+            aux_regressions.append((q, a, b))
+        elif (
+            q in remeasured_aux
+            and new_aux[q]["total_sec"] > REGRESSION_X * a
+            and new_aux[q]["total_sec"] - a > MIN_ABS_AUX_SEC
+        ):
+            aux_cleared.append(q)
+    if aux_cleared:
+        print(
+            "remeasure-adjudicated aux (full-run flag cleared by fresh "
+            "drain): " + ", ".join(aux_cleared)
+        )
+    if aux_common:
+        at_old = sum(old_aux[q]["total_sec"] for q in aux_common)
+        at_new = sum(new_aux[q]["total_sec"] for q in aux_common)
+        print(
+            f"aux drains: {len(aux_common)}  old={at_old:.3f}s  "
+            f"new={at_new:.3f}s  ratio={at_new / max(at_old, 1e-9):.2f}x"
+        )
+    for q, a, b in aux_regressions:
+        busy_a = old_aux[q].get("busy_sec")
+        busy_b = new_aux[q].get("busy_sec")
+        print(
+            f"  AUX REGRESSION {q}: {a:.3f}s -> {b:.3f}s ({b / a:.1f}x)"
+            f"  [busy {busy_a} -> {busy_b}]"
+        )
     print(f"new-only queries: {len(set(new) - set(old))}")
-    return 1 if regressions else 0
+    return 1 if regressions or aux_regressions else 0
 
 
 if __name__ == "__main__":

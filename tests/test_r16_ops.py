@@ -92,3 +92,101 @@ def test_sinkhorn_ot_ignores_empty_tokens(spark, doublespace_dir):
         for s, o in zip(srows[c], drows[c]):
             assert not (math.isnan(s) or math.isnan(o))
             assert s == pytest.approx(o, abs=2e-6)
+
+
+def test_bench_compare_flags_aux_drain_regressions(
+    tmp_path, monkeypatch, capsys
+):
+    """r16: the aux streaming drains are inside the flag machinery —
+    a drain whose total wall time regresses past REGRESSION_X (and
+    the aux absolute floor) fails the compare; jitter under the floor
+    passes."""
+    import json as _json
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    import bench_compare as bc
+
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(
+        _json.dumps(
+            {
+                "queries": {"qa": 0.1},
+                "aux_queries": {
+                    "s1": {"total_sec": 5.0, "busy_sec": 3.0},
+                    "s2": {"total_sec": 2.0, "busy_sec": 1.0},
+                },
+            }
+        )
+    )
+    doc = {
+        "queries": {"qa": 0.1},
+        "aux_queries": {
+            "s1": {"total_sec": 5.4, "busy_sec": 3.2},  # jitter: passes
+            "s2": {"total_sec": 2.2, "busy_sec": 1.1},
+        },
+    }
+    new.write_text(_json.dumps(doc))
+    monkeypatch.setattr(
+        sys, "argv", ["bench_compare.py", str(old), str(new)]
+    )
+    assert bc.main() == 0
+    assert "AUX REGRESSION" not in capsys.readouterr().out
+
+    doc["aux_queries"]["s2"] = {"total_sec": 3.5, "busy_sec": 2.9}
+    new.write_text(_json.dumps(doc))
+    assert bc.main() == 1
+    assert "AUX REGRESSION s2" in capsys.readouterr().out
+
+
+def test_bench_compare_aux_remeasure_adjudicates(
+    tmp_path, monkeypatch, capsys
+):
+    """r16: a flagged aux drain clears when the remeasured_aux
+    side-channel's fresh reading is inside the gate, and a reproduced
+    drain regression still fails — the drain twin of the headline
+    adjudication."""
+    import json as _json
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    import bench_compare as bc
+
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(
+        _json.dumps(
+            {
+                "queries": {"qa": 0.1},
+                "aux_queries": {"s1": {"total_sec": 5.0, "busy_sec": 3.0}},
+            }
+        )
+    )
+    doc = {
+        "queries": {"qa": 0.1},
+        "aux_queries": {"s1": {"total_sec": 9.0, "busy_sec": 7.0}},
+        "remeasured_aux": {
+            "s1": {
+                "full_run": {"total_sec": 9.0, "busy_sec": 7.0},
+                "fresh": {"total_sec": 5.3, "busy_sec": 3.1},
+            }
+        },
+    }
+    new.write_text(_json.dumps(doc))
+    monkeypatch.setattr(
+        sys, "argv", ["bench_compare.py", str(old), str(new)]
+    )
+    assert bc.main() == 0
+    assert "remeasure-adjudicated aux" in capsys.readouterr().out
+
+    doc["remeasured_aux"]["s1"]["fresh"]["total_sec"] = 8.7
+    new.write_text(_json.dumps(doc))
+    assert bc.main() == 1
+    assert "AUX REGRESSION s1" in capsys.readouterr().out
