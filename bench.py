@@ -341,6 +341,11 @@ BENCH_QUERIES = [
     "q_geometric_median",
     "q_sinkhorn_ot",
     "q_greedy_maxcover",
+    # r16 additions
+    "q_dup_span_merge",
+    "q_minhash_index_merge",
+    "q_rerank_interaction_topk",
+    "q_ppr_seeded",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -4448,3 +4448,504 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+SPAN_MERGE_MAX_DF = 16
+
+
+@query(
+    "q_dup_span_merge",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= {SPAN_TOKENS}
+    ), pos AS (
+      SELECT doc_id, w,
+             unnest(range(1, len(w) - {SPAN_TOKENS} + 2)) AS i
+      FROM tok
+    ), spans AS (
+      SELECT doc_id, i,
+             md5(array_to_string(w[i : i + {SPAN_TOKENS} - 1], ' ')) AS sh
+      FROM pos
+    ), eligible AS (
+      SELECT sh FROM (
+        SELECT sh, count(DISTINCT doc_id) AS nd FROM spans GROUP BY sh
+      ) WHERE nd >= 2 AND nd <= {SPAN_MERGE_MAX_DF}
+    ), m AS (
+      SELECT s.doc_id, s.i, s.sh FROM spans s JOIN eligible e ON s.sh = e.sh
+    ), hits AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                      a.i AS ia, b.i AS ib
+      FROM m a JOIN m b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT a_id, b_id, count(*) AS run_len
+      FROM (
+        SELECT a_id, b_id, ia - ib AS d, ia,
+               ia - row_number() OVER (PARTITION BY a_id, b_id, ia - ib
+                                       ORDER BY ia) AS grp
+        FROM hits
+      ) GROUP BY a_id, b_id, d, grp
+    ), run_agg AS (
+      SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS n_runs,
+             CAST(max(run_len) + {SPAN_TOKENS} - 1 AS BIGINT)
+               AS longest_run_tokens
+      FROM runs GROUP BY a_id, b_id
+    ), cov AS (
+      SELECT DISTINCT a_id, b_id, ia FROM hits
+    ), isl AS (
+      SELECT a_id, b_id, ia,
+             sum(CASE WHEN prev_ia IS NULL
+                        OR ia - prev_ia > {SPAN_TOKENS} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY a_id, b_id ORDER BY ia
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM (
+        SELECT a_id, b_id, ia,
+               lag(ia) OVER (PARTITION BY a_id, b_id ORDER BY ia) AS prev_ia
+        FROM cov
+      )
+    ), cov_agg AS (
+      SELECT a_id, b_id,
+             CAST(sum(mx - mn + {SPAN_TOKENS}) AS BIGINT) AS merged_tokens_a
+      FROM (
+        SELECT a_id, b_id, island, min(ia) AS mn, max(ia) AS mx
+        FROM isl GROUP BY a_id, b_id, island
+      ) GROUP BY a_id, b_id
+    ), nsp AS (
+      SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS n_shared_spans
+      FROM hits GROUP BY a_id, b_id
+    )
+    SELECT n.a_id, n.b_id, n.n_shared_spans, r.n_runs,
+           r.longest_run_tokens, c.merged_tokens_a,
+           r.longest_run_tokens >= {RUN_FLAG_TOKENS} AS exceeds_flag
+    FROM nsp n JOIN run_agg r ON n.a_id = r.a_id AND n.b_id = r.b_id
+    JOIN cov_agg c ON n.a_id = c.a_id AND n.b_id = c.b_id
+    """,
+)
+def q_dup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicate-run MERGING per doc pair — the
+    Lee et al. 2022 (arXiv:2107.06499) ExactSubstr end state that
+    q_dup_span_runs stops short of: q_dup_span_runs says how long a
+    doc's longest duplicated run is against ANYONE; this query says,
+    for each colliding PAIR, how the shared {SPAN_TOKENS}-token spans
+    collapse into maximal verbatim runs. Two spans at positions
+    (ia, ib) and (ia+1, ib+1) lie on one diagonal d = ia - ib and
+    merge into a single run; a maximal diagonal run of R spans
+    certifies R + {SPAN_TOKENS} - 1 consecutively shared tokens —
+    exactly the paper's merge of overlapping 50-token matches into one
+    removable substring. merged_tokens_a is the a-side union coverage
+    (interval union of [ia, ia + {SPAN_TOKENS} - 1] over all shared
+    spans, any diagonal): the total duplicated token mass doc a shares
+    with doc b, the quantity a pair-level dedup cut actually removes.
+
+    Scale: pair generation is the span-hash EQUI-join (never
+    all-pairs), with a posting-list bound: spans shared by more than
+    {SPAN_MERGE_MAX_DF} docs are boilerplate (handled by
+    q_boilerplate_interdoc) and excluded, so a hot span cannot explode
+    the join quadratically — the same discipline as
+    q_containment_join's probe-side prefix filter. Run/island
+    detection is per-pair windows (pair-bounded state, corpus-
+    independent); gaps-and-islands via the diagonal row_number trick
+    and the island-break running sum, both whole-stage-codegen'd."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = materialize(
+        docs.select("doc_id", "text"), w=F.split(F.lower("text"), " ")
+    ).filter(F.size("w") >= SPAN_TOKENS)
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - SPAN_TOKENS + 1),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice("w", i, SPAN_TOKENS))
+                    ).alias("sh"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.sh").alias("sh"))
+    eligible = (
+        spans.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= SPAN_MERGE_MAX_DF))
+        .select("sh")
+    )
+    # Pin the eligible span positions ONCE (localCheckpoint): both
+    # sides of the pair join and nothing else consume the corpus, so
+    # leaving this lazy re-runs the tokenize+explode+df-filter chain
+    # per reference (first cut audited scans=12). The pinned table is
+    # the Lee et al. span index a production run materializes anyway.
+    m = spans.join(eligible, "sh").localCheckpoint(eager=True)
+    a = m.select(
+        "sh", F.col("doc_id").alias("a_id"), F.col("i").alias("ia")
+    )
+    b = m.select(
+        "sh", F.col("doc_id").alias("b_id"), F.col("i").alias("ib")
+    )
+    # hits feeds three aggregates (runs / coverage / shared-span
+    # counts) — pin it too; it is candidate-pair-sized, bounded by the
+    # df cap, never corpus-sized.
+    hits = (
+        a.join(b, "sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "ia", "ib")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    w_diag = Window.partitionBy("a_id", "b_id", "d").orderBy("ia")
+    runs = (
+        hits.withColumn("d", F.col("ia") - F.col("ib"))
+        .withColumn("grp", F.col("ia") - F.row_number().over(w_diag))
+        .groupBy("a_id", "b_id", "d", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    run_agg = runs.groupBy("a_id", "b_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        (F.max("run_len") + SPAN_TOKENS - 1)
+        .cast("bigint")
+        .alias("longest_run_tokens"),
+    )
+    w_pair = Window.partitionBy("a_id", "b_id").orderBy("ia")
+    cov = hits.select("a_id", "b_id", "ia").distinct()
+    isl = cov.withColumn("prev_ia", F.lag("ia").over(w_pair)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_ia").isNull()
+                | (F.col("ia") - F.col("prev_ia") > SPAN_TOKENS),
+                1,
+            ).otherwise(0)
+        ).over(w_pair.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    cov_agg = (
+        isl.groupBy("a_id", "b_id", "island")
+        .agg((F.max("ia") - F.min("ia") + SPAN_TOKENS).alias("itok"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum("itok").cast("bigint").alias("merged_tokens_a"))
+    )
+    nsp = hits.groupBy("a_id", "b_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_spans")
+    )
+    return (
+        nsp.join(run_agg, ["a_id", "b_id"])
+        .join(cov_agg, ["a_id", "b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared_spans",
+            "n_runs",
+            "longest_run_tokens",
+            "merged_tokens_a",
+            (F.col("longest_run_tokens") >= RUN_FLAG_TOKENS).alias(
+                "exceeds_flag"
+            ),
+        )
+    )
+
+
+INDEX_DELTA_MOD = 5  # doc_id % 5 == 0 -> the delta batch (~20%)
+
+
+@query(
+    "q_minhash_index_merge",
+    oracle=_MINHASH_BANDS_CTE
+    + f"""
+    , base AS (
+      SELECT doc_id, band, band_sig FROM bands
+      WHERE doc_id % {INDEX_DELTA_MOD} <> 0
+    ), delta AS (
+      SELECT doc_id, band, band_sig FROM bands
+      WHERE doc_id % {INDEX_DELTA_MOD} = 0
+    ), base_pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM base a JOIN base b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ), delta_pairs AS (
+      SELECT DISTINCT least(d.doc_id, x.doc_id) AS a_id,
+                      greatest(d.doc_id, x.doc_id) AS b_id
+      FROM delta d JOIN bands x
+        ON d.band = x.band AND d.band_sig = x.band_sig
+       AND d.doc_id <> x.doc_id
+    ), full_pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ), nd AS (
+      SELECT count(DISTINCT CASE WHEN doc_id % {INDEX_DELTA_MOD} <> 0
+                                 THEN doc_id END) AS n_base,
+             count(DISTINCT CASE WHEN doc_id % {INDEX_DELTA_MOD} = 0
+                                 THEN doc_id END) AS n_delta
+      FROM bands
+    )
+    SELECT CAST(nd.n_base AS BIGINT) AS n_base_docs,
+           CAST(nd.n_delta AS BIGINT) AS n_delta_docs,
+           CAST((SELECT count(*) FROM base_pairs) AS BIGINT)
+             AS base_pairs,
+           CAST((SELECT count(*) FROM delta_pairs) AS BIGINT)
+             AS delta_new_pairs,
+           CAST((SELECT count(*) FROM base_pairs)
+              + (SELECT count(*) FROM delta_pairs) AS BIGINT)
+             AS incremental_pairs,
+           CAST((SELECT count(*) FROM full_pairs) AS BIGINT) AS full_pairs,
+           (SELECT count(*) FROM base_pairs)
+             + (SELECT count(*) FROM delta_pairs)
+             = (SELECT count(*) FROM full_pairs) AS consistent
+    FROM nd
+    """,
+)
+def q_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch maintenance of the MinHash-LSH band index —
+    the batch twin of streaming/incremental_dedup.py's band index
+    (reference has no incremental path at all; its KV scans recompute
+    everything, src/store/reader/sled.rs). A production corpus is
+    ingested in batches: recomputing the full O(corpus) shingle pass
+    per delta is the naive cost this op avoids. Because a MinHash
+    signature depends only on its OWN document, the stored band index
+    of the base corpus stays valid when a delta batch arrives; merging
+    is (1) band-key equi-join of delta bands against base ∪ delta —
+    candidate pairs touching at least one delta doc — and (2) a plain
+    append of delta bands into the index. The audit proves
+    exactness: base-only pairs + delta-touching pairs must equal the
+    from-scratch index's pairs (the two sets partition full_pairs by
+    'does the pair touch a delta doc').
+
+    Scale: the delta probe joins |delta bands| against the index on
+    (band, band_sig) — work proportional to the DELTA, not the corpus
+    (the base self-join here exists only to audit; production keeps
+    base_pairs from the previous run). Signature computation runs once
+    per doc (base and delta partitions of one corpus-wide pass)."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    bands = minhash_bands(docs).localCheckpoint(eager=True)
+    is_delta = F.col("doc_id") % INDEX_DELTA_MOD == 0
+    base = bands.filter(~is_delta)
+    delta = bands.filter(is_delta)
+
+    def pair_count(left: DataFrame, right: DataFrame, sym: bool) -> DataFrame:
+        a = left.select(
+            F.col("doc_id").alias("a"), "band", "band_sig"
+        )
+        b = right.select(
+            F.col("doc_id").alias("b"), "band", "band_sig"
+        )
+        j = a.join(b, ["band", "band_sig"])
+        if sym:
+            pairs = j.filter(F.col("a") < F.col("b")).select("a", "b")
+        else:
+            pairs = j.filter(F.col("a") != F.col("b")).select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+        return pairs.distinct().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+
+    base_pairs = pair_count(base, base, sym=True)
+    delta_pairs = pair_count(delta, bands, sym=False)
+    full_pairs = pair_count(bands, bands, sym=True)
+    nd = bands.agg(
+        F.countDistinct(
+            F.when(~is_delta, F.col("doc_id"))
+        ).cast("bigint").alias("n_base_docs"),
+        F.countDistinct(
+            F.when(is_delta, F.col("doc_id"))
+        ).cast("bigint").alias("n_delta_docs"),
+    )
+    return (
+        nd.crossJoin(F.broadcast(base_pairs.select(F.col("n").alias("base_pairs"))))
+        .crossJoin(F.broadcast(delta_pairs.select(F.col("n").alias("delta_new_pairs"))))
+        .crossJoin(F.broadcast(full_pairs.select(F.col("n").alias("full_pairs"))))
+        .select(
+            "n_base_docs",
+            "n_delta_docs",
+            "base_pairs",
+            "delta_new_pairs",
+            (F.col("base_pairs") + F.col("delta_new_pairs")).alias(
+                "incremental_pairs"
+            ),
+            "full_pairs",
+            (
+                F.col("base_pairs") + F.col("delta_new_pairs")
+                == F.col("full_pairs")
+            ).alias("consistent"),
+        )
+    )
+
+
+PPR_SEEDS = 3  # restart mass spreads uniformly over the 3 lowest node ids
+PPR_ITERS = 4
+PPR_DAMP = 0.85
+
+
+def _ppr_oracle_sql(
+    iters: int = PPR_ITERS, damping: float = PPR_DAMP
+) -> str:
+    lsh = """
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ), sh AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)]) AS shingle
+      FROM tok
+    ), hashed AS (
+      SELECT doc_id, md5('a:' || shingle) AS da, md5('b:' || shingle) AS db
+      FROM sh
+    ), sigs AS (
+      SELECT doc_id,
+             min(substr(da, 1, 8)) AS h0, min(substr(da, 9, 8)) AS h1,
+             min(substr(da, 17, 8)) AS h2, min(substr(da, 25, 8)) AS h3,
+             min(substr(db, 1, 8)) AS h4, min(substr(db, 9, 8)) AS h5,
+             min(substr(db, 17, 8)) AS h6, min(substr(db, 25, 8)) AS h7
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id,
+             unnest([struct_pack(band := 0, band_sig := h0 || '|' || h1),
+                     struct_pack(band := 1, band_sig := h2 || '|' || h3),
+                     struct_pack(band := 2, band_sig := h4 || '|' || h5),
+                     struct_pack(band := 3, band_sig := h6 || '|' || h7)],
+                    recursive := true)
+      FROM sigs
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM cands
+      UNION
+      SELECT b_id, a_id FROM cands
+    ), deg AS (
+      SELECT src, count(*) AS d FROM edges GROUP BY src
+    ), nodes AS (SELECT DISTINCT src AS node FROM edges),
+    seeds AS (
+      SELECT node FROM nodes ORDER BY node LIMIT {seeds}
+    ), pr0 AS (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN 1.0 / {seeds} ELSE 0.0 END AS pr
+      FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+    )""".replace("{seeds}", str(PPR_SEEDS))
+    stages = []
+    for i in range(1, iters + 1):
+        stages.append(
+            f""", pr{i} AS (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN {1.0 - damping!r} / {PPR_SEEDS} ELSE 0.0 END
+               + {damping!r} * coalesce(c.c, 0.0) AS pr
+      FROM nodes n
+      LEFT JOIN seeds s ON s.node = n.node
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr / d.d) AS c
+        FROM edges e
+        JOIN pr{i - 1} p ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) c ON c.node = n.node
+    )"""
+        )
+    return (
+        lsh
+        + "".join(stages)
+        + f"""
+    SELECT n.node AS doc_id, round(p.pr, 6) AS ppr,
+           s.node IS NOT NULL AS is_seed
+    FROM nodes n JOIN pr{iters} p ON p.node = n.node
+    LEFT JOIN seeds s ON s.node = n.node"""
+    )
+
+
+@query("q_ppr_seeded", oracle=_ppr_oracle_sql())
+def q_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (random walk with restart; Jeh & Widom
+    2003) over the LSH duplicate graph, seeded on the {PPR_SEEDS}
+    lowest node ids — contamination-neighborhood tracing: if the
+    seeds are eval-set documents, the PPR mass ranks every corpus
+    document by how reachable it is from the eval set through chains
+    of near-duplicates, which is exactly the transitive leakage a
+    direct n-gram contamination check (q_contamination) cannot see
+    (A overlaps B, B overlaps C => C is contaminated at one remove).
+    Restart mass (1 - d) returns to the uniform seed distribution
+    each step, so scores decay with graph distance from the seeds —
+    the global q_pagerank has no such locality.
+
+    Scale: identical shape to pagerank() — the walk runs on the
+    pair-list-sized rank table (the corpus is never touched after
+    candidate generation); each of the {PPR_ITERS} fixed lazy
+    iterations is one dst-keyed shuffle with map-side combine plus a
+    broadcast of the seed set; unlike the global rank the restart
+    vector is a {PPR_SEEDS}-row broadcast, not a 1/n scalar.
+    Non-seed zero-restart rows keep PPR a proper probability
+    diffusion (mass sums to <= 1, leaking only via dangling-free
+    symmetric edges)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    # Pin the graph tables ONCE (localCheckpoint — the sinkhorn /
+    # maxcover multi-consumer discipline): edges/deg/nodes are
+    # pair-list-sized and every one of the 4 unrolled iterations
+    # consumes them, so leaving them lazy re-derives the corpus-wide
+    # LSH candidate join per reference (first cut audited scans=76,
+    # exchanges=183; pinned: scans=0 on the iteration path). At
+    # production scale the pinned edge list is the stored dup-graph
+    # artifact the walk would read anyway.
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("d")
+    ).localCheckpoint(eager=True)
+    nodes = edges.select(
+        F.col("src").alias("node")
+    ).distinct().localCheckpoint(eager=True)
+    seeds = (
+        nodes.orderBy("node")
+        .limit(PPR_SEEDS)
+        .select("node", F.lit(True).alias("is_seed"))
+        .localCheckpoint(eager=True)
+    )
+    restart = F.when(
+        F.col("is_seed").isNotNull(), F.lit(1.0) / PPR_SEEDS
+    ).otherwise(F.lit(0.0))
+    pr = nodes.join(F.broadcast(seeds), "node", "left").select(
+        "node", restart.alias("pr")
+    )
+    for _ in range(PPR_ITERS):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("d")).alias("c"))
+            .withColumnRenamed("dst", "node")
+        )
+        pr = (
+            nodes.join(F.broadcast(seeds), "node", "left")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(
+                        F.col("is_seed").isNotNull(),
+                        F.lit(1.0 - PPR_DAMP) / PPR_SEEDS,
+                    ).otherwise(F.lit(0.0))
+                    + PPR_DAMP * F.coalesce("c", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.join(F.broadcast(seeds), "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            rnd("pr", 6).alias("ppr"),
+            F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
+        )
+    )

@@ -3503,3 +3503,102 @@ def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_RERANK_QUERIES = [1, 2, 3]  # query vec_ids, the retrieval-ladder pins
+_RERANK_K1 = 20  # stage-1 candidates per query
+_RERANK_K2 = 5   # final results per query
+
+_L1_SQL = """
+  list_sum([abs(a.v[i] - b.v[i]) for i in range(1, len(a.v) + 1)])
+    / len(a.v)
+"""
+
+
+def _rerank_oracle() -> str:
+    qids = ", ".join(str(q) for q in _RERANK_QUERIES)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    stage1 AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COS_SQL} AS cos, {_L1_SQL} AS l1,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COS_SQL} DESC, b.vec_id)
+               AS rank_initial
+      FROM e a JOIN e b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id IN ({qids})
+      QUALIFY rank_initial <= {_RERANK_K1}
+    )
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos + 0.25 * exp(-l1) DESC,
+                                       neighbor_id) AS rank_ce,
+           round(cos + 0.25 * exp(-l1), 6) AS ce_score,
+           CAST(rank_initial AS BIGINT) AS rank_initial,
+           round(cos, 6) AS cos
+    FROM stage1
+    QUALIFY rank_ce <= {_RERANK_K2}
+    """
+
+
+@query("q_rerank_interaction_topk", oracle=_rerank_oracle())
+def q_rerank_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank, the ladder stage after q_hybrid_rrf: a
+    cheap stage-1 retriever takes top-{_RERANK_K1} per query by
+    cosine, then an expensive-per-pair stage-2 scorer re-ranks ONLY
+    those candidates and keeps top-{_RERANK_K2}. The stage-2 score
+    cos + 0.25 * exp(-L1mean) is a deterministic stand-in for a
+    cross-encoder: unlike the bi-encoder cosine it is a nonlinear
+    interaction of the raw vector PAIR (mean absolute elementwise
+    difference), not a function of two independently-compressed
+    scores — the real thing would be a model forward pass per pair,
+    which is exactly why it must only ever see k candidates.
+
+    Scale: the economics of reranking are the plan: stage 1 is a
+    broadcast of |Q| query vectors against the corpus with a per-query
+    top-k window (WindowGroupLimit prunes before shuffle); stage 2
+    touches |Q| x {_RERANK_K1} rows total, so its per-pair cost is
+    corpus-independent. Swap stage 1 for q_similarity_ivf's probe at
+    100 TB; stage 2 is unchanged — that independence is the point."""
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    q = vecs.filter(F.col("vec_id").isin(_RERANK_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    l1 = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: F.abs(x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size("v")
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    stage1 = (
+        vecs.join(
+            F.broadcast(q), F.col("query_id") != F.col("vec_id")
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+            l1.alias("l1"),
+        )
+        .withColumn("rank_initial", F.row_number().over(w1))
+        .filter(F.col("rank_initial") <= _RERANK_K1)
+    )
+    ce = F.col("cos") + 0.25 * F.exp(-F.col("l1"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("ce_score_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        stage1.withColumn("ce_score_raw", ce)
+        .withColumn("rank_ce", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank_ce") <= _RERANK_K2)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank_ce",
+            rnd("ce_score_raw", 6).alias("ce_score"),
+            F.col("rank_initial").cast("bigint").alias("rank_initial"),
+            rnd("cos", 6).alias("cos"),
+        )
+    )

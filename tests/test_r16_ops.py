@@ -6,8 +6,11 @@ Python — pandas / numpy / hashlib, independent of the DuckDB oracle,
 so a shared misunderstanding between query and oracle is still
 caught) for the r16 additions."""
 
+import hashlib
 import math
+from collections import Counter
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -18,6 +21,16 @@ registry.load_all()
 
 def _run(spark, sf_dir, name):
     return registry.RAW_QUERIES[name](spark, sf_dir).toPandas()
+
+
+@pytest.fixture(scope="module")
+def docs(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -190,3 +203,170 @@ def test_bench_compare_aux_remeasure_adjudicates(
     new.write_text(_json.dumps(doc))
     assert bc.main() == 1
     assert "AUX REGRESSION s1" in capsys.readouterr().out
+
+# ---------------------------------------------------------------------------
+# q_dup_span_merge
+# ---------------------------------------------------------------------------
+
+
+def _span_hashes(text, k=8):
+    w = text.lower().split(" ")
+    if len(w) < k:
+        return []
+    return [
+        (i + 1, hashlib.md5(" ".join(w[i : i + k]).encode()).hexdigest())
+        for i in range(len(w) - k + 1)
+    ]
+
+
+def test_dup_span_merge_brute(spark, sf_dir, docs):
+    K, MAXDF = 8, 16
+    spans = {
+        r.doc_id: _span_hashes(r.text, K) for r in docs.itertuples()
+    }
+    df_count = Counter()
+    for d, sp in spans.items():
+        for sh in {h for _, h in sp}:
+            df_count[sh] += 1
+    eligible = {h for h, c in df_count.items() if 2 <= c <= MAXDF}
+    got = _run(spark, sf_dir, "q_dup_span_merge")
+    got = got.set_index(["a_id", "b_id"]).sort_index()
+    # brute pairs
+    by_hash = {}
+    for d, sp in spans.items():
+        for i, h in sp:
+            if h in eligible:
+                by_hash.setdefault(h, []).append((d, i))
+    pair_hits = {}
+    for h, occ in by_hash.items():
+        for da, ia in occ:
+            for db, ib in occ:
+                if da < db:
+                    pair_hits.setdefault((da, db), set()).add((ia, ib))
+    assert set(got.index) == set(pair_hits)
+    for (a, b), hits in pair_hits.items():
+        row = got.loc[(a, b)]
+        assert row["n_shared_spans"] == len(hits)
+        # diagonal runs
+        runs = []
+        by_diag = {}
+        for ia, ib in hits:
+            by_diag.setdefault(ia - ib, []).append(ia)
+        for d, ias in by_diag.items():
+            ias = sorted(ias)
+            run = 1
+            for x, y in zip(ias, ias[1:]):
+                if y == x + 1:
+                    run += 1
+                else:
+                    runs.append(run)
+                    run = 1
+            runs.append(run)
+        assert row["n_runs"] == len(runs)
+        assert row["longest_run_tokens"] == max(runs) + K - 1
+        # a-side interval union coverage
+        cover = set()
+        for ia, _ in hits:
+            cover.update(range(ia, ia + K))
+        assert row["merged_tokens_a"] == len(cover)
+        assert row["exceeds_flag"] == (max(runs) + K - 1 >= 24)
+
+
+# ---------------------------------------------------------------------------
+# q_minhash_index_merge
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_index_merge_partitions_full_pairs(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_minhash_index_merge")
+    assert len(got) == 1
+    r = got.iloc[0]
+    # the audit must HOLD (incremental == from-scratch), by construction
+    assert bool(r["consistent"])
+    assert r["incremental_pairs"] == r["base_pairs"] + r["delta_new_pairs"]
+    assert r["incremental_pairs"] == r["full_pairs"]
+    # cross-check full_pairs against the registry's own LSH pair op
+    from sparrow_spark.operators.dedup import minhash_lsh_pairs
+    from sparrow_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert r["full_pairs"] == minhash_lsh_pairs(docs).count()
+
+
+# ---------------------------------------------------------------------------
+# q_rerank_interaction_topk
+# ---------------------------------------------------------------------------
+
+
+def test_rerank_interaction_brute(spark, sf_dir, embs):
+    got = _run(spark, sf_dir, "q_rerank_interaction_topk")
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+         for r in embs.itertuples()}
+    for qid in (1, 2, 3):
+        qv = V[qid]
+        rows = []
+        for nid, v in V.items():
+            if nid == qid:
+                continue
+            cos = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            l1 = float(np.abs(qv - v).mean())
+            rows.append((nid, cos, l1))
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        cands = rows[:20]
+        reranked = sorted(
+            cands, key=lambda t: (-(t[1] + 0.25 * math.exp(-t[2])), t[0])
+        )[:5]
+        sub = got[got["query_id"] == qid].sort_values("rank_ce")
+        assert list(sub["neighbor_id"]) == [t[0] for t in reranked]
+        for (nid, cos, l1), (_, r) in zip(reranked, sub.iterrows()):
+            assert r["ce_score"] == pytest.approx(
+                cos + 0.25 * math.exp(-l1), abs=2e-6
+            )
+            assert r["cos"] == pytest.approx(cos, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# q_ppr_seeded
+# ---------------------------------------------------------------------------
+
+
+def test_ppr_seeded_brute(spark, sf_dir):
+    """Re-derive personalized PageRank with plain Python over the SAME
+    candidate graph (taken from the registry's LSH pair helper, which
+    q_minhash_index_merge independently cross-checks)."""
+    from sparrow_spark.operators.dedup import (
+        PPR_DAMP,
+        PPR_ITERS,
+        PPR_SEEDS,
+        minhash_lsh_pairs,
+    )
+    from sparrow_spark.sources import load_table
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents")
+    ).toPandas()
+    adj = {}
+    for a, b in zip(pairs["a_id"], pairs["b_id"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    seeds = nodes[:PPR_SEEDS]
+    pr = {n: (1.0 / PPR_SEEDS if n in seeds else 0.0) for n in nodes}
+    for _ in range(PPR_ITERS):
+        nxt = {}
+        for n in nodes:
+            c = sum(pr[m] / len(adj[m]) for m in adj[n])
+            restart = (1 - PPR_DAMP) / PPR_SEEDS if n in seeds else 0.0
+            nxt[n] = restart + PPR_DAMP * c
+        pr = nxt
+    got = _run(spark, sf_dir, "q_ppr_seeded").set_index("doc_id")
+    assert set(got.index) == set(nodes)
+    for n in nodes:
+        assert got.loc[n, "ppr"] == pytest.approx(pr[n], abs=2e-6)
+        assert bool(got.loc[n, "is_seed"]) == (n in seeds)
+    # mass conservation: with symmetric (dangling-free) edges the
+    # diffusion preserves total mass exactly; the reported values are
+    # rounded to 6 decimals, so the sum carries up to n*5e-7 slack
+    assert got["ppr"].sum() == pytest.approx(1.0, abs=1e-4)
+    for s in seeds:
+        assert got.loc[s, "ppr"] >= (1 - PPR_DAMP) / PPR_SEEDS - 1e-9
