@@ -346,6 +346,7 @@ BENCH_QUERIES = [
     "q_minhash_index_merge",
     "q_rerank_interaction_topk",
     "q_ppr_seeded",
+    "q_lof_outliers",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

@@ -3602,3 +3602,121 @@ def q_rerank_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("cos", 6).alias("cos"),
         )
     )
+
+
+_LOF_K = 5
+_LOF_FLAG = 1.5
+_COSD_SQL = """
+  (1.0 - list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) /
+   (sqrt(list_sum([x * x for x in a.v])) * sqrt(list_sum([x * x for x in b.v]))))
+"""
+
+
+def _lof_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    dists AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, a.label,
+             {_COSD_SQL} AS d
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), knn AS (
+      SELECT src, dst, label, d,
+             row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rk
+      FROM dists
+      QUALIFY rk <= {_LOF_K}
+    ), kdist AS (
+      SELECT src, max(d) AS kd FROM knn GROUP BY src
+    ), reach AS (
+      SELECT k.src, k.dst, k.label,
+             greatest(k.d, kb.kd, 1e-12) AS rd
+      FROM knn k JOIN kdist kb ON kb.src = k.dst
+    ), lrd AS (
+      SELECT src, label, count(*) / sum(rd) AS lrd FROM reach
+      GROUP BY src, label
+    )
+    SELECT k.src AS vec_id, CAST(l.label AS INT) AS label,
+           round(kd.kd, 6) AS k_distance,
+           round(l.lrd, 6) AS lrd,
+           round(avg(ln.lrd) / l.lrd, 6) AS lof,
+           avg(ln.lrd) / l.lrd >= {_LOF_FLAG} AS is_outlier
+    FROM knn k
+    JOIN lrd l ON l.src = k.src
+    JOIN lrd ln ON ln.src = k.dst
+    JOIN kdist kd ON kd.src = k.src
+    GROUP BY k.src, l.label, l.lrd, kd.kd
+    """
+
+
+@query("q_lof_outliers", oracle=_lof_oracle())
+def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (Breunig et al., SIGMOD 2000) over the
+    embedding cloud, blocked by coarse cluster label — the
+    MULTIVARIATE density outlier detector the curation pipeline's
+    univariate trio (q_zscore/q_mad/q_esd_outliers) cannot replace:
+    a point can be unremarkable on every axis yet sit in a density
+    valley of the embedding space (mislabeled / off-distribution
+    samples before training). lof ~ 1 means the point's local density
+    matches its {_LOF_K} neighbors'; lof >= {_LOF_FLAG} flags it.
+    Cosine distance (1 - cos), reachability distance
+    max(d(a,b), kdist(b)) clamped at 1e-12 identically in both
+    engines so duplicate-heavy neighborhoods cannot divide by zero.
+
+    Scale: the distance join is equi-keyed on the cluster label (the
+    q_mutual_knn IVF-blocking discipline — cost sum over clusters of
+    |c|^2, never n^2, and at 100 TB the label comes from the stored
+    IVF assignment q_kmeans_assign maintains); everything after the
+    per-src top-k window (WindowGroupLimit, map-side) is n x k
+    bounded: kdist one keyed agg, reachability one join against the
+    neighbor's kdist, lrd one keyed agg, and the final LOF a join of
+    the n-row lrd table onto the n x k neighbor list."""
+    vecs = _vecs(spark, sf_dir)
+    a = vecs.select(
+        "label", F.col("vec_id").alias("src"), F.col("v").alias("av")
+    )
+    b = vecs.select(
+        F.col("label").alias("b_label"),
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("bv"),
+    )
+    dists = a.join(
+        b, (a.label == b.b_label) & (F.col("src") != F.col("dst"))
+    ).select(
+        "src", "dst", "label",
+        (F.lit(1.0) - cosine(F.col("av"), F.col("bv"))).alias("d"),
+    )
+    w = Window.partitionBy("src").orderBy("d", "dst")
+    knn = (
+        dists.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _LOF_K)
+        .localCheckpoint(eager=True)
+    )
+    kdist = knn.groupBy("src").agg(F.max("d").alias("kd"))
+    reach = knn.join(
+        kdist.select(F.col("src").alias("dst"), F.col("kd").alias("kd_b")),
+        "dst",
+    ).select(
+        "src", "dst", "label",
+        F.greatest("d", "kd_b", F.lit(1e-12)).alias("rd"),
+    )
+    lrd = reach.groupBy("src", "label").agg(
+        (F.count(F.lit(1)) / F.sum("rd")).alias("lrd")
+    )
+    lrd_n = lrd.select(
+        F.col("src").alias("dst"), F.col("lrd").alias("lrd_b")
+    )
+    lof = (
+        knn.join(lrd.select("src", "lrd"), "src")
+        .join(lrd_n, "dst")
+        .join(kdist, "src")
+        .groupBy("src", "label", "lrd", "kd")
+        .agg((F.avg("lrd_b") / F.first("lrd")).alias("lof_raw"))
+    )
+    return lof.select(
+        F.col("src").alias("vec_id"),
+        F.col("label").cast("int").alias("label"),
+        rnd("kd", 6).alias("k_distance"),
+        rnd("lrd", 6).alias("lrd"),
+        rnd("lof_raw", 6).alias("lof"),
+        (F.col("lof_raw") >= _LOF_FLAG).alias("is_outlier"),
+    )

@@ -87,12 +87,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # --next` output recomputed at r16 start — IDENTICAL to the r15
 # ledger's pre-commitment; `--check` green at the rotation commit.
 # After this round the oldest driver row moves from r4 to r5.
-# The FOUR r16 additions then entered at the never-checked head
+# The FIVE r16 additions then entered at the never-checked head
 # per rule 1 in the same session that registered them (--check
-# re-run green after the re-emit), displacing the four stalest
+# re-run green after each re-emit), displacing the five stalest
 # tail entries to the r17 recomputation.
 _WINDOW_PRIORITY: list[str] = [
     "q_rerank_interaction_topk",
+    "q_lof_outliers",
     "q_dup_span_merge",
     "q_minhash_index_merge",
     "q_ppr_seeded",
@@ -141,7 +142,6 @@ _WINDOW_PRIORITY: list[str] = [
     "q_stratified_sample",
     "q_train_test_split",
     "q_dsir_selection",
-    "q_ann_recall",
 ]
 
 

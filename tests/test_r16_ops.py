@@ -370,3 +370,47 @@ def test_ppr_seeded_brute(spark, sf_dir):
     assert got["ppr"].sum() == pytest.approx(1.0, abs=1e-4)
     for s in seeds:
         assert got.loc[s, "ppr"] >= (1 - PPR_DAMP) / PPR_SEEDS - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q_lof_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_lof_outliers_brute(spark, sf_dir, embs):
+    """Textbook LOF re-derived with numpy inside each label block:
+    cosine distance, k=5 row_number neighbors (ties by dst id),
+    reach-dist max(d, kdist(b)) clamped at 1e-12, lrd, lof."""
+    K = 5
+    got = _run(spark, sf_dir, "q_lof_outliers").set_index("vec_id")
+    by_label = {}
+    for r in embs.itertuples():
+        by_label.setdefault(r.label, []).append(
+            (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        )
+
+    def cosd(a, b):
+        return 1.0 - float(
+            a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+
+    knn, kdist = {}, {}
+    for label, pts in by_label.items():
+        for vid, v in pts:
+            ds = sorted(
+                (cosd(v, w), wid) for wid, w in pts if wid != vid
+            )[:K]
+            knn[vid] = ds
+            kdist[vid] = max(d for d, _ in ds)
+    lrd = {}
+    for vid, ds in knn.items():
+        rds = [max(d, kdist[wid], 1e-12) for d, wid in ds]
+        lrd[vid] = len(rds) / sum(rds)
+    for vid, ds in knn.items():
+        lof = sum(lrd[wid] for _, wid in ds) / len(ds) / lrd[vid]
+        row = got.loc[vid]
+        assert row["k_distance"] == pytest.approx(kdist[vid], abs=2e-6)
+        assert row["lrd"] == pytest.approx(lrd[vid], rel=1e-4)
+        assert row["lof"] == pytest.approx(lof, rel=1e-4)
+        assert bool(row["is_outlier"]) == (lof >= 1.5)
+    assert set(got.index) == set(knn)
