@@ -347,6 +347,8 @@ BENCH_QUERIES = [
     "q_rerank_interaction_topk",
     "q_ppr_seeded",
     "q_lof_outliers",
+    "q_doremi_weights",
+    "q_fd_discovery",
 ]
 
 # Tracked round-over-round but reported OUTSIDE the headline total:

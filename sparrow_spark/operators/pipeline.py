@@ -4089,3 +4089,136 @@ def q_greedy_maxcover(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_w",
         rnd("coverage_frac", 6).alias("coverage_frac"),
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (r16)
+# ---------------------------------------------------------------------------
+
+_DOREMI_ETA = 1.0
+_DOREMI_ROUNDS = 3
+
+
+def _doremi_oracle_sql(
+    rounds: int = _DOREMI_ROUNDS, eta: float = _DOREMI_ETA
+) -> str:
+    parts = [
+        """
+    WITH tk AS (
+      SELECT source, tok FROM (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ), pd AS (
+      SELECT source, tok, CAST(count(*) AS DOUBLE) AS c
+      FROM tk GROUP BY source, tok
+    ), pdn AS (
+      SELECT source, tok,
+             c / sum(c) OVER (PARTITION BY source) AS p
+      FROM pd
+    ), w0 AS (
+      SELECT source,
+             1.0 / (SELECT count(DISTINCT source) FROM pdn) AS w
+      FROM (SELECT DISTINCT source FROM pdn)
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", mix{i} AS (
+      SELECT p.tok, sum(w.w * p.p) AS pm
+      FROM pdn p JOIN w{i - 1} w USING (source) GROUP BY p.tok
+    ), kl{i} AS (
+      SELECT p.source, sum(p.p * ln(p.p / m.pm)) AS kl
+      FROM pdn p JOIN mix{i} m USING (tok) GROUP BY p.source
+    ), u{i} AS (
+      SELECT w.source, w.w * exp({eta!r} * k.kl) AS uw, k.kl
+      FROM w{i - 1} w JOIN kl{i} k USING (source)
+    ), w{i} AS (
+      SELECT source, uw / (SELECT sum(uw) FROM u{i}) AS w FROM u{i}
+    )"""
+        )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS round, u{i}.source, round(u{i}.kl, 6) AS kl_excess,"
+        f" round(w{i}.w, 6) AS weight"
+        f" FROM u{i} JOIN w{i} USING (source)"
+        for i in range(1, rounds + 1)
+    )
+    parts.append(f"\n    {unions}\n    ORDER BY round, source")
+    return "".join(parts)
+
+
+@query("q_doremi_weights", oracle=_doremi_oracle_sql())
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al., NeurIPS 2023):
+    multiplicative-weights updates over the per-source EXCESS LOSS,
+    here the closed-form no-training analogue — excess loss of domain
+    d under the current mixture alpha is KL(P_d || P_alpha), the gap
+    between d's cross-entropy under the alpha-weighted mixture
+    unigram LM and d's own entropy (real DoReMi measures the same gap
+    between a proxy model trained on the mixture and per-domain
+    reference models; the unigram twin keeps both engines exact).
+    Per round: alpha_d <- alpha_d * exp(eta * KL_d), renormalized —
+    domains the mixture underfits gain weight, the data-mixture
+    counterpart to q_dsir_selection's per-example importance
+    weighting (q_data_mixture applies a GIVEN mixture; this LEARNS
+    one). KL(P_d || P_alpha) is finite without smoothing because
+    P_alpha >= alpha_d * P_d > 0 on d's support.
+
+    Scale: the corpus is touched once for the (source, tok) counts,
+    then pinned; every round is joins/aggs over the
+    |domains| x |vocab| table (vocab-bounded, corpus-independent)
+    with weight vectors pinned per round (the sinkhorn matrix-scaling
+    discipline) — mixture: one tok-keyed agg; KL: one source-keyed
+    agg; normalizer: a 1-row broadcast."""
+    tk = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    pd_c = tk.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    w_src = Window.partitionBy("source")
+    pdn = pd_c.select(
+        "source", "tok", (F.col("c") / F.sum("c").over(w_src)).alias("p")
+    ).localCheckpoint(eager=True)
+    srcs = pdn.select("source").distinct()
+    n_src = srcs.agg(F.count(F.lit(1)).alias("n"))
+    weights = srcs.crossJoin(F.broadcast(n_src)).select(
+        "source", (F.lit(1.0) / F.col("n")).alias("w")
+    ).localCheckpoint(eager=True)
+    out_rows = []
+    for i in range(1, _DOREMI_ROUNDS + 1):
+        mix = (
+            pdn.join(F.broadcast(weights), "source")
+            .groupBy("tok")
+            .agg(F.sum(F.col("w") * F.col("p")).alias("pm"))
+        )
+        kl = (
+            pdn.join(mix, "tok")
+            .groupBy("source")
+            .agg(F.sum(F.col("p") * F.log(F.col("p") / F.col("pm"))).alias("kl"))
+        )
+        u = weights.join(kl, "source").select(
+            "source",
+            "kl",
+            (F.col("w") * F.exp(_DOREMI_ETA * F.col("kl"))).alias("uw"),
+        ).localCheckpoint(eager=True)
+        z = u.agg(F.sum("uw").alias("z"))
+        weights = u.crossJoin(F.broadcast(z)).select(
+            "source", (F.col("uw") / F.col("z")).alias("w")
+        ).localCheckpoint(eager=True)
+        out_rows.append(
+            u.join(weights, "source").select(
+                F.lit(i).cast("int").alias("round"),
+                "source",
+                rnd("kl", 6).alias("kl_excess"),
+                rnd("w", 6).alias("weight"),
+            )
+        )
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("round", "source")

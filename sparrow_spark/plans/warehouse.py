@@ -2002,3 +2002,101 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency discovery (r16)
+# ---------------------------------------------------------------------------
+
+_FD_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _fd_oracle_sql() -> str:
+    pair_selects = []
+    for a in _FD_COLS:
+        for b in _FD_COLS:
+            if a == b:
+                continue
+            pair_selects.append(
+                f"""SELECT '{a}' AS a_col, '{b}' AS b_col,
+             CAST({a} AS VARCHAR) AS a_val,
+             CAST({b} AS VARCHAR) AS b_val FROM orders"""
+            )
+    melted = "\n      UNION ALL\n      ".join(pair_selects)
+    return f"""
+    WITH melted AS (
+      {melted}
+    ), agg AS (
+      SELECT a_col, b_col,
+             count(DISTINCT a_val) AS n_a,
+             count(DISTINCT concat_ws(chr(1), a_val, b_val)) AS n_ab
+      FROM melted GROUP BY a_col, b_col
+    )
+    SELECT a_col, b_col,
+           CAST(n_a AS BIGINT) AS n_distinct_a,
+           CAST(n_ab AS BIGINT) AS n_distinct_ab,
+           n_a = n_ab AS holds,
+           round(n_a / CAST(n_ab AS DOUBLE), 6) AS strength
+    FROM agg
+    """
+
+
+@query("q_fd_discovery", oracle=_fd_oracle_sql())
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise functional-dependency discovery over the orders table
+    (the single-attribute level of TANE, Huhtala et al. 1999): for
+    every ordered column pair (A, B), A -> B holds iff
+    |distinct A| = |distinct (A, B)| — each A-value maps to exactly
+    one B-value. strength = n_a / n_ab in (0, 1] is the approximate-
+    FD measure (1.0 exact; 0.99 = 'holds except for a few violating
+    groups' — a data-quality smell a warehouse audit chases). The
+    profiling pass a schema-inference / constraint-mining pipeline
+    runs before trusting join keys, complementing q_fk_integrity
+    (which checks a DECLARED constraint; this DISCOVERS candidates).
+
+    Scale: ONE corpus pass — each row map-side explodes into its
+    |cols|x(|cols|-1) (pair, a_val, b_val) entries, then a single
+    (pair)-keyed aggregate computes both distinct counts (map-side
+    partial distinct, pair-count-bounded output). Values are
+    canonicalized to strings with a chr(1) separator (no legitimate
+    value contains it) identically in both engines; at 100 TB swap
+    exact count(DISTINCT) for HLL sketches per pair — same plan, one
+    pass, bounded memory."""
+    orders = load_table(spark, sf_dir, "orders")
+    pair_structs = [
+        F.struct(
+            F.lit(a).alias("a_col"),
+            F.lit(b).alias("b_col"),
+            F.col(a).cast("string").alias("a_val"),
+            F.col(b).cast("string").alias("b_val"),
+        )
+        for a in _FD_COLS
+        for b in _FD_COLS
+        if a != b
+    ]
+    melted = orders.select(
+        F.explode(F.array(*pair_structs)).alias("m")
+    ).select("m.a_col", "m.b_col", "m.a_val", "m.b_val")
+    agg = melted.groupBy("a_col", "b_col").agg(
+        F.countDistinct("a_val").alias("n_a"),
+        F.countDistinct(
+            F.concat_ws("\x01", "a_val", "b_val")
+        ).alias("n_ab"),
+    )
+    return agg.select(
+        "a_col",
+        "b_col",
+        F.col("n_a").cast("bigint").alias("n_distinct_a"),
+        F.col("n_ab").cast("bigint").alias("n_distinct_ab"),
+        (F.col("n_a") == F.col("n_ab")).alias("holds"),
+        rnd(F.col("n_a") / F.col("n_ab").cast("double"), 6).alias(
+            "strength"
+        ),
+    )

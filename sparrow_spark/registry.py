@@ -87,16 +87,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # --next` output recomputed at r16 start — IDENTICAL to the r15
 # ledger's pre-commitment; `--check` green at the rotation commit.
 # After this round the oldest driver row moves from r4 to r5.
-# The FIVE r16 additions then entered at the never-checked head
+# The SEVEN r16 additions then entered at the never-checked head
 # per rule 1 in the same session that registered them (--check
-# re-run green after each re-emit), displacing the five stalest
+# re-run green after each re-emit), displacing the seven stalest
 # tail entries to the r17 recomputation.
 _WINDOW_PRIORITY: list[str] = [
+    "q_fd_discovery",
     "q_rerank_interaction_topk",
     "q_lof_outliers",
     "q_dup_span_merge",
     "q_minhash_index_merge",
     "q_ppr_seeded",
+    "q_doremi_weights",
     "q_dedup_keeper",
     "q_countmin_sketch",
     "q_bloom_filter_semi",
@@ -140,8 +142,6 @@ _WINDOW_PRIORITY: list[str] = [
     "q_rolling_hash",
     "q_corpus_stats_by_lang",
     "q_stratified_sample",
-    "q_train_test_split",
-    "q_dsir_selection",
 ]
 
 

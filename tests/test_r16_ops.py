@@ -414,3 +414,85 @@ def test_lof_outliers_brute(spark, sf_dir, embs):
         assert row["lof"] == pytest.approx(lof, rel=1e-4)
         assert bool(row["is_outlier"]) == (lof >= 1.5)
     assert set(got.index) == set(knn)
+
+
+# ---------------------------------------------------------------------------
+# q_doremi_weights
+# ---------------------------------------------------------------------------
+
+
+def test_doremi_weights_brute(spark, sf_dir, docs):
+    """Re-derive the multiplicative-weights rounds with Counters:
+    per-source unigram distributions, KL against the alpha-mixture,
+    alpha <- alpha * exp(eta * KL) renormalized, 3 rounds."""
+    dist = {}
+    for src, sub in docs.groupby("source"):
+        c = Counter(
+            w for t in sub["text"] for w in t.lower().split(" ") if w
+        )
+        total = sum(c.values())
+        dist[src] = {w: n / total for w, n in c.items()}
+    k = len(dist)
+    alpha = {s: 1.0 / k for s in dist}
+    expected = []
+    for rnd_i in range(1, 4):
+        mix = Counter()
+        for s, pd_ in dist.items():
+            for w, p in pd_.items():
+                mix[w] += alpha[s] * p
+        kl = {
+            s: sum(p * math.log(p / mix[w]) for w, p in pd_.items())
+            for s, pd_ in dist.items()
+        }
+        un = {s: alpha[s] * math.exp(1.0 * kl[s]) for s in dist}
+        z = sum(un.values())
+        alpha = {s: u / z for s, u in un.items()}
+        for s in dist:
+            expected.append((rnd_i, s, kl[s], alpha[s]))
+    got = _run(spark, sf_dir, "q_doremi_weights").set_index(
+        ["round", "source"]
+    )
+    assert len(got) == len(expected)
+    for rnd_i, s, kl_v, w_v in expected:
+        row = got.loc[(rnd_i, s)]
+        assert row["kl_excess"] == pytest.approx(kl_v, abs=2e-6)
+        assert row["weight"] == pytest.approx(w_v, abs=2e-6)
+    # weights stay a distribution each round
+    for rnd_i in (1, 2, 3):
+        assert got.loc[rnd_i]["weight"].sum() == pytest.approx(
+            1.0, abs=1e-4
+        )
+
+
+# ---------------------------------------------------------------------------
+# q_fd_discovery
+# ---------------------------------------------------------------------------
+
+
+def test_fd_discovery_brute(spark, sf_dir):
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    got = _run(spark, sf_dir, "q_fd_discovery").set_index(
+        ["a_col", "b_col"]
+    )
+    assert len(got) == len(cols) * (len(cols) - 1)
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            n_a = orders[a].nunique()
+            n_ab = orders[[a, b]].drop_duplicates().shape[0]
+            row = got.loc[(a, b)]
+            assert row["n_distinct_a"] == n_a
+            assert row["n_distinct_ab"] == n_ab
+            assert bool(row["holds"]) == (n_a == n_ab)
+            assert row["strength"] == pytest.approx(
+                n_a / n_ab, abs=2e-6
+            )
+    # the primary key determines everything
+    for b in cols:
+        if b != "o_orderkey":
+            assert bool(got.loc[("o_orderkey", b)]["holds"])
