@@ -831,8 +831,6 @@ def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality on doc_id (one keyed shuffle of the pair-list-sized label
     table against the corpus projection) and the keeper window runs per
     cluster — no corpus-wide sort."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs)
     labels = minlabel_clusters(pairs)
@@ -846,16 +844,32 @@ def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q"),
     )
     joined = labels.join(quality, labels.id == quality.doc_id)
-    w = Window.partitionBy("label").orderBy(F.col("q").desc(), "id")
+    # r16 (guide SS2.3/SS2.4): keeper election as ONE min-of-struct
+    # aggregate instead of rank-1 + count windows — partial aggregation
+    # reduces map-side and one struct per cluster shuffles, where the
+    # windows sorted every cluster's members and shipped whole rows.
+    # min(struct(-q, q, id)) == ORDER BY q DESC, id ASC rank 1 (q is
+    # rounded to 4 decimals on both engines before ranking, so the
+    # negation is exact; q rides along in the struct so the output
+    # quality is the keeper's own untouched value).
+    sel = F.min(
+        F.struct(
+            (-F.col("q")).alias("ord"),
+            F.col("q").alias("q"),
+            F.col("id").alias("id"),
+        )
+    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("label")))
-        .filter(F.col("rn") == 1)
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            sel.alias("_k"),
+        )
         .select(
             F.col("label").cast("bigint").alias("cluster_id"),
-            F.col("id").cast("bigint").alias("keeper_id"),
-            F.col("n_members").cast("bigint").alias("n_members"),
-            F.col("q").alias("keeper_quality"),
+            F.col("_k.id").cast("bigint").alias("keeper_id"),
+            F.col("n_members"),
+            F.col("_k.q").alias("keeper_quality"),
         )
     )
 
@@ -1392,7 +1406,14 @@ def setsim_prefix_tokens(
     excluder, which is what keeps bucket join fan-out bounded)."""
     from pyspark.sql import Window
 
-    tok = tsets.select(id_col, F.explode("tset").alias("token"))
+    # r16 (guide SS2.3): |x| is known BEFORE the explode — tset is
+    # already distinct, so size(tset) == the exploded per-doc row
+    # count. Stamping it here removes the second window function (the
+    # per-doc count over the exploded rows) from the ranked stage; the
+    # row_number window and its single doc-keyed shuffle remain.
+    tok = tsets.select(
+        id_col, F.size("tset").alias("n"), F.explode("tset").alias("token")
+    )
     # Rarity statistics come from df_source (default: the joined sets
     # themselves). An asymmetric caller — e.g. the containment join,
     # which prunes only its probe side — passes the CORPUS here so the
@@ -1415,7 +1436,6 @@ def setsim_prefix_tokens(
         tok.join(df_tab, "token", "left")
         .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
         .withColumn("rk", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     )
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     return ranked.filter(F.col("rk") <= prefix_len).select(
@@ -1469,9 +1489,21 @@ def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = materialize(widen(docs), w=tokens(F.col("text"))).filter(
         F.size("w") >= 3
     )
+    # r16 (guide SS1.2/SS5): this plan consumes the shingle-set table
+    # FOUR times (df statistics, prefix ranking, and both sides of the
+    # exact verify join). Left lazy, each consumer re-tokenizes and
+    # re-shingles the whole corpus — four full scan-side passes per
+    # execution (measured: the verify join's streamed side re-derived
+    # the corpus every run). Materialize it once (same localCheckpoint
+    # discipline as global_sort_ranks / alternating_cc): one
+    # tokenize+shingle pass, every consumer reads the materialized
+    # partitions. At cluster scale the tset table is one column of
+    # shingles per doc — far smaller than four recomputes of the
+    # tokenizer over the raw corpus; swap for reliable checkpointing
+    # there for executor-loss tolerance.
     tsets = toks.select(
         "doc_id", F.array_distinct(_shingles_of(F.col("w"), 3)).alias("tset")
-    )
+    ).localCheckpoint(eager=True)
     prefixes = setsim_prefix_tokens(tsets, SETSIM_T)
     probe = (
         prefixes.filter(F.col("doc_id") % SETSIM_PROBE_MOD == 0)
@@ -1504,8 +1536,19 @@ def q_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.size(F.array_intersect("a_set", "b_set")) / F.size(
         F.array_union("a_set", "b_set")
     ).cast("double")
+    # r16 (guide SS3.1/SS2.3): BROADCAST the candidate pair list into
+    # the verify joins. Planned as shuffle joins, both sides of the
+    # verify shuffled the corpus-side SHINGLE ARRAYS by pair key —
+    # candidate-count x ~2 KB of array payload through two exchanges
+    # (measured: the verify dominated the query). The pair list is two
+    # ids per row — orders of magnitude lighter than the arrays — so
+    # broadcasting it keeps every array in place: the verify becomes
+    # two map-side hash joins over the materialized tset table (same
+    # broadcast-the-pairs shape as q_dedup_edit_distance). At a scale
+    # where the pair list outgrows a broadcast, segment it and verify
+    # the slices as independent jobs (guide SS2.6).
     return (
-        cands.join(a, "probe_id")
+        F.broadcast(cands).join(a, "probe_id")
         .join(b, "match_id")
         .withColumn("jac_raw", jac)
         .filter(F.col("jac_raw") >= SETSIM_T)
@@ -1734,9 +1777,14 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = materialize(widen(docs), w=tokens(F.col("text"))).filter(
         F.size("w") >= 3
     )
+    # r16: same single-materialization discipline as
+    # q_setsim_join_prefix (see the comment there) — this plan reads
+    # the shingle-set table four times (probe prefix, df statistics,
+    # posting lists, and both verify sides); one localCheckpoint
+    # replaces four full corpus re-shingle passes per execution.
     tsets = toks.select(
         "doc_id", F.array_distinct(_shingles_of(F.col("w"), 3)).alias("tset")
-    )
+    ).localCheckpoint(eager=True)
     probe_prefix = (
         setsim_prefix_tokens(
             tsets.filter(F.col("doc_id") % SETSIM_PROBE_MOD == 0),
@@ -1772,8 +1820,11 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = F.size(F.array_intersect("a_set", "b_set")) / F.size("a_set").cast(
         "double"
     )
+    # r16: broadcast the candidate pair list into the verify joins so
+    # the corpus-side shingle arrays never shuffle — same rationale
+    # and scale note as q_setsim_join_prefix above.
     return (
-        cands.join(a, "probe_id")
+        F.broadcast(cands).join(a, "probe_id")
         .join(b, "host_id")
         .withColumn("c_raw", cont)
         .filter(F.col("c_raw") >= CONTAIN_T)
@@ -2353,12 +2404,11 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers the whole corpus.
 
     Scale: clustering state is pair-list-sized (min-label propagation);
-    survivorship is two windows partitioned BY CLUSTER (bounded groups,
-    one keyed shuffle each) plus one group-sized aggregation — no
-    corpus-wide sort, nothing pairwise. Ties are broken inside window
-    ORDER BY so both engines elect identical representatives."""
-    from pyspark.sql import Window
-
+    survivorship is two cluster-keyed struct AGGREGATES (partial
+    aggregation map-side, one struct per cluster shuffles) — no
+    corpus-wide sort, nothing pairwise. Tie-breaks live inside the
+    struct comparisons so both engines elect identical
+    representatives."""
     docs = load_table(spark, sf_dir, "documents")
     labels = minlabel_clusters(minhash_lsh_pairs(docs))
     members = (
@@ -2372,36 +2422,40 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster_id"),
         )
     )
-    rep_w = Window.partitionBy("cluster_id").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").desc()
-    )
-    rep = (
-        members.withColumn("rk", F.row_number().over(rep_w))
-        .filter("rk = 1")
-        .select(
-            "cluster_id",
-            F.col("doc_id").alias("rep_doc_id"),
-            F.col("n_chars").cast("bigint").alias("rep_n_chars"),
-        )
-    )
-    lang_w = Window.partitionBy("cluster_id").orderBy(
-        F.col("cnt").desc(), F.col("lang")
+    # r16 (guide SS2.3/SS2.4): survivorship via MAX-OF-STRUCT aggregates
+    # instead of row_number windows. A rank-1 window sorts every
+    # cluster's members per partition and ships whole rows; the struct
+    # aggregate reduces map-side (partial agg) and shuffles one struct
+    # per cluster. Identical election: max(struct(n_chars, doc_id)) ==
+    # ORDER BY n_chars DESC, doc_id DESC rank 1 (struct comparison is
+    # field-lexicographic, both fields exact integers), and
+    # min(struct(-cnt, lang)) == ORDER BY cnt DESC, lang ASC rank 1
+    # (binary string order both paths). Folding the size count into the
+    # same aggregate also drops the 3-way join to a 2-way.
+    rep_sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max(
+            F.struct(
+                F.col("n_chars").cast("bigint").alias("n_chars"),
+                F.col("doc_id").alias("doc_id"),
+            )
+        ).alias("_rep"),
     )
     modal = (
         members.groupBy("cluster_id", "lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("lrk", F.row_number().over(lang_w))
-        .filter("lrk = 1")
-        .select("cluster_id", F.col("lang").alias("modal_lang"))
-    )
-    sizes = members.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_members")
+        .groupBy("cluster_id")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("lang"))).alias("_m"))
+        .select("cluster_id", F.col("_m.lang").alias("modal_lang"))
     )
     return (
-        sizes.join(rep, "cluster_id")
-        .join(modal, "cluster_id")
+        rep_sizes.join(modal, "cluster_id")
         .select(
-            "cluster_id", "n_members", "rep_doc_id", "rep_n_chars", "modal_lang"
+            "cluster_id",
+            "n_members",
+            F.col("_rep.doc_id").alias("rep_doc_id"),
+            F.col("_rep.n_chars").alias("rep_n_chars"),
+            "modal_lang",
         )
     )
 

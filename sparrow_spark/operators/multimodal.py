@@ -501,18 +501,32 @@ def decode_image_batches():
     """,
 )
 def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end REAL decode: encode a genuine PPM/BMP blob per doc
-    (Arrow batch out), then a second mapInPandas stage parses the file
-    bytes back — header, padding, row order, channel order — and
-    checksums the pixels. The oracle predicts every output in closed
-    form, so any decoder slip (row flip, BGR, padding) hash-fails.
-    Scale: both stages are map-side Arrow batches; blobs never leave
-    their partition and nothing shuffles until a consumer aggregates."""
+    """End-to-end REAL decode: encode a genuine PPM/BMP blob per doc,
+    then parse the file bytes back — header, padding, row order,
+    channel order — and checksum the pixels. The oracle predicts every
+    output in closed form, so any decoder slip (row flip, BGR,
+    padding) hash-fails.
+
+    r16 (guide SS4.1/SS8): the encode and decode workers are COMPOSED
+    inside ONE mapInPandas stage (both are Iterator[pd.DataFrame] ->
+    Iterator[pd.DataFrame], so the decode worker consumes the encode
+    worker's output directly). Two chained stages serialized every
+    blob across the JVM<->Python Arrow boundary twice for nothing —
+    the JVM never looks at the bytes between the stages. Now the blob
+    exists only inside the Python worker: zero payload bytes cross the
+    boundary (only doc_id/n_chars in, six scalar columns out), and the
+    plan drops from two Python eval nodes to one. Both operator
+    workers run unchanged; the decode still parses real file bytes.
+    Scale: map-side Arrow batches; blobs never leave their task."""
     docs = widen(load_table(spark, sf_dir, "documents"))
-    blobs = docs.select("doc_id", "n_chars").mapInPandas(
-        encode_image_batches(), schema="doc_id bigint, blob binary"
+    enc, dec = encode_image_batches(), decode_image_batches()
+
+    def encode_then_decode(batches):
+        return dec(enc(batches))
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        encode_then_decode, schema=DECODED_IMAGE_SCHEMA
     )
-    return blobs.mapInPandas(decode_image_batches(), schema=DECODED_IMAGE_SCHEMA)
 
 
 def phash_batches():
@@ -626,11 +640,17 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup buckets feed a hamming-band verify exactly like
     q_dedup_simhash_hamming."""
     docs = widen(load_table(spark, sf_dir, "documents"))
-    blobs = docs.select("doc_id", "n_chars").mapInPandas(
-        encode_image_batches(), schema="doc_id bigint, blob binary"
-    )
-    hashed = blobs.mapInPandas(
-        phash_batches(),
+    # r16: encode and phash workers composed inside ONE Python stage —
+    # same rationale and mechanics as q_multimodal_decode_real (the
+    # blob bytes never cross the Arrow boundary; one Python eval node
+    # instead of two; both workers run unchanged).
+    enc, ph = encode_image_batches(), phash_batches()
+
+    def encode_then_phash(batches):
+        return ph(enc(batches))
+
+    hashed = docs.select("doc_id", "n_chars").mapInPandas(
+        encode_then_phash,
         schema="doc_id bigint, fmt string, width bigint, height bigint, "
         "phash bigint, content_key string",
     )

@@ -20,7 +20,7 @@ from sparrow_spark.operators.dedup import _shingles_of
 from sparrow_spark.operators.text import tokens
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
-from sparrow_spark.sources import load_table, materialize, widen
+from sparrow_spark.sources import load_table, local_df, materialize, widen
 
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
@@ -4077,7 +4077,8 @@ def q_greedy_maxcover(spark: SparkSession, sf_dir: str) -> DataFrame:
             if covered is None
             else covered.union(new_cov).distinct()
         ).localCheckpoint(eager=True)
-    out = spark.createDataFrame(
+    out = local_df(
+        spark,
         sel_rows,
         "step int, doc_id bigint, gain_w bigint, cum_w bigint,"
         " coverage_frac double",

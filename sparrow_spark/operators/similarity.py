@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
-from sparrow_spark.sources import load_table, materialize, widen
+from sparrow_spark.sources import load_table, local_df, materialize, widen
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -2175,7 +2175,7 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         [StructField("j", LongType()), StructField("x", DoubleType())]
     )
     x0 = 1.0 / math.sqrt(d)
-    cur = spark.createDataFrame([(i + 1, x0) for i in range(d)], schema)
+    cur = local_df(spark, [(i + 1, x0) for i in range(d)], schema)
     for _ in range(_PCA_ITERS):
         y = (
             gram.join(F.broadcast(cur), gram.j == cur.j)
@@ -2637,7 +2637,7 @@ def q_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties break on the neighbor id, never on partitioning."""
     vecs = _vecs(spark, sf_dir).select("vec_id", "v")
     n = vecs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    js = spark.createDataFrame([(1,), (2,), (3,), (4,)], "j int")
+    js = local_df(spark, [(1,), (2,), (3,), (4,)], "j int")
     init = (
         vecs.select("vec_id")
         .crossJoin(F.broadcast(js))

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
-from sparrow_spark.sources import load_table, materialize, widen
+from sparrow_spark.sources import load_table, local_df, materialize, widen
 
 # Tiny stopword sets for the n-gram/stopword language heuristic. On real
 # corpora these would be per-language top-k lists; the fixture corpus
@@ -770,7 +770,8 @@ def bm25_scored(spark: SparkSession, docs: DataFrame) -> DataFrame:
     `docs` — shared by the pure-lexical top-k and the hybrid RRF
     fusion. See q_bm25_topk for the scale shape."""
     all_terms = [t for _, ts in _BM25_QUERIES for t in ts]
-    terms = spark.createDataFrame(
+    terms = local_df(
+        spark,
         [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
         "query_id string, tok string",
     )
@@ -1077,7 +1078,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_lex") <= 20)
         .select("query_id", "doc_id", "rank_lex")
     )
-    vq = spark.createDataFrame(_RRF_VEC_QUERIES, "query_id string, vid bigint")
+    vq = local_df(spark, _RRF_VEC_QUERIES, "query_id string, vid bigint")
     vecs = _vecs(spark, sf_dir).select("vec_id", "v")
     qv = vq.join(vecs, vq.vid == vecs.vec_id).select(
         "query_id", F.col("v").alias("qv")
@@ -2707,7 +2708,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.rk").alias("rk"))
         .agg(F.sum("b.f").alias("cum_f"))
     )
-    ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k bigint")
+    ks = local_df(spark, [(k,) for k in _COVERAGE_KS], "k bigint")
     return (
         cum.crossJoin(F.broadcast(total))
         .join(F.broadcast(ks))
@@ -2823,7 +2824,8 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = bm25_scored(spark, docs)
     all_terms = [t for _, ts in _BM25_QUERIES for t in ts]
-    terms = spark.createDataFrame(
+    terms = local_df(
+        spark,
         [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
         "query_id string, tok string",
     )

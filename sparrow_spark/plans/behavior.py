@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
-from sparrow_spark.sources import load_table
+from sparrow_spark.sources import load_table, local_df
 from sparrow_spark.streaming.constants import SESSION_GAP_SECONDS
 
 
@@ -445,8 +445,8 @@ def q_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_l",
         "frontier",
     ).select((F.col("frontier") - F.col("ts_l")).alias("late_s"))
-    wm = spark.createDataFrame(
-        [(60,), (600,), (1800,), (3600,), (21600,)], "watermark_s bigint"
+    wm = local_df(
+        spark, [(60,), (600,), (1800,), (3600,), (21600,)], "watermark_s bigint"
     )
     dropped = F.sum(
         F.when(F.col("late_s") > F.col("watermark_s"), 1).otherwise(0)
@@ -1778,9 +1778,7 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s")
         .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("v"))
     )
-    ch = spark.createDataFrame(
-        _SHAPLEY_CHANNELS, "channel string, bit long"
-    )
+    ch = local_df(spark, _SHAPLEY_CHANNELS, "channel string, bit long")
     v0 = v.select(F.col("s").alias("s0"), F.col("v").alias("va"))
     v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("vb"))
     popcnt = sum(
@@ -2268,9 +2266,7 @@ def q_attribution_window_sensitivity(
         F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
         F.sum("value").alias("revenue"),
     )
-    wdf = spark.createDataFrame(
-        [(h,) for h in _ATTR_WINDOWS_H], "h int"
-    )
+    wdf = local_df(spark, [(h,) for h in _ATTR_WINDOWS_H], "h int")
     hit = F.col("lag_us") <= F.col("h").cast("bigint") * 3600000000
     return (
         wdf.crossJoin(F.broadcast(tot))

@@ -25,6 +25,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from sparrow_spark.registry import query
+from sparrow_spark.sources import local_df
 
 
 def _fresh_engine(spark: SparkSession):
@@ -51,7 +52,7 @@ def _freeze_and_cleanup(
     multiply it). The returned DataFrame no longer references the
     warehouse, so the registry's plan cache stays valid after cleanup."""
     rows = df.collect()
-    out = spark.createDataFrame(rows, df.schema)
+    out = local_df(spark, rows, df.schema)
     spark.sql(f"DROP DATABASE IF EXISTS `{schema}` CASCADE")
     shutil.rmtree(wh, ignore_errors=True)
     return out
@@ -382,7 +383,8 @@ def q_engine_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     zs = [z(x, y) for x, y in zip(xs, ys)]
-    out = spark.createDataFrame(
+    out = local_df(
+        spark,
         [
             (
                 len(ids),

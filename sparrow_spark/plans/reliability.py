@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
-from sparrow_spark.sources import load_table
+from sparrow_spark.sources import load_table, local_df
 
 # Exact revenue in integer micro-dollars*100 ("per-cent of a cent"):
 # price has 2 decimals, discount has 2 decimals, so
@@ -398,7 +398,7 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ncal = cal.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
     ntest = tst.agg(F.count(F.lit(1)).cast("bigint").alias("n_test"))
-    alphas = spark.createDataFrame([(50,), (90,)], "target_pct int")
+    alphas = local_df(spark, [(50,), (90,)], "target_pct int")
     ks = alphas.crossJoin(ncal).withColumn(
         "k",
         F.expr("CAST(((n_cal + 1) * target_pct + 99) DIV 100 AS BIGINT)"),
@@ -1007,9 +1007,7 @@ def q_ridge_cv_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sxx").cast("bigint").alias("tsxx"),
         F.sum("sxy").cast("bigint").alias("tsxy"),
     )
-    lams = spark.createDataFrame(
-        [(v,) for v in _RIDGE_LAMBDAS], "lam bigint"
-    )
+    lams = local_df(spark, [(v,) for v in _RIDGE_LAMBDAS], "lam bigint")
     c = F.col
     det = (
         ((c("n") - c("n_f")) + c("lam"))
@@ -1459,7 +1457,7 @@ def q_cascade_filter_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("flags")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_g"))
     ).localCheckpoint()
-    masks = spark.createDataFrame([(m,) for m in range(16)], "m int")
+    masks = local_df(spark, [(m,) for m in range(16)], "m int")
     subset = (
         masks.crossJoin(groups)
         .groupBy("m")
@@ -1473,7 +1471,8 @@ def q_cascade_filter_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cnt")
         )
     )
-    orders = spark.createDataFrame(
+    orders = local_df(
+        spark,
         _cascade_orders(),
         "order_str string, c1 int, c2 int, c3 int, c4 int,"
         " m1 int, m12 int, m123 int",
@@ -1780,8 +1779,8 @@ def q_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk-forward affordable at 100 TB where refitting per origin
     over raw data would not be."""
     daily = _daily_kusd(spark, sf_dir).localCheckpoint()
-    origins = spark.createDataFrame(
-        [(o,) for o in _BACKTEST_ORIGINS], "origin_s string"
+    origins = local_df(
+        spark, [(o,) for o in _BACKTEST_ORIGINS], "origin_s string"
     ).select(F.col("origin_s").cast("date").alias("origin"))
     d = daily.select("day", "y")
     hist = (
@@ -2056,8 +2055,8 @@ def q_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         (kpos % _RING_SHARDS).alias("m8"),
         (kpos % (_RING_SHARDS + 1)).alias("m9"),
     ).localCheckpoint()
-    shards = spark.createDataFrame(
-        [(i,) for i in range(_RING_SHARDS + 1)], "shard int"
+    shards = local_df(
+        spark, [(i,) for i in range(_RING_SHARDS + 1)], "shard int"
     )
 
     def agg(col: str, flt=None, name: str = "n") -> DataFrame:

@@ -23,7 +23,7 @@ from sparrow_spark.operators.dedup import _MINHASH_BANDS_CTE, minhash_lsh_pairs
 from sparrow_spark.operators.text import tokens
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
-from sparrow_spark.sources import load_table, widen
+from sparrow_spark.sources import load_table, local_df, widen
 
 # ---------------------------------------------------------------------------
 # Exact distributed quantiles by histogram refinement (no global sort)
@@ -121,7 +121,7 @@ def q_exact_quantile_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out.append((q, sliver["cents"]))
 
-    res = spark.createDataFrame(out, "q double, cents bigint")
+    res = local_df(spark, out, "q double, cents bigint")
     return res.select("q", (F.col("cents") / 100.0).alias("value")).orderBy(
         "q"
     )
@@ -585,7 +585,7 @@ def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = daily.withColumn(
         "arr", F.sort_array(F.collect_list("rev").over(w))
     ).filter(F.size("arr") == 7)
-    taus = spark.createDataFrame([(50,), (90,)], "tau100 int")
+    taus = local_df(spark, [(50,), (90,)], "tau100 int")
     fc_idx = ((F.col("tau100") * F.size("arr") + 99) / 100).cast("int")
     evald = hist.join(F.broadcast(taus)).select(
         "tau100",
@@ -1043,7 +1043,7 @@ def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             measured("plain", orders, customer, "o_custkey", "c_custkey")
         )
         rows = out.collect()
-        frozen = spark.createDataFrame(rows, out.schema)
+        frozen = local_df(spark, rows, out.schema)
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
         shutil.rmtree(wh, ignore_errors=True)
@@ -1142,7 +1142,8 @@ def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         (F.col("cx") + _GRID_OFF) * _GRID_M + (F.col("cy") + _GRID_OFF),
     )
-    offsets = spark.createDataFrame(
+    offsets = local_df(
+        spark,
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
         "dx int, dy int",
     )
@@ -1694,7 +1695,8 @@ def q_grid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cy"),
     ).localCheckpoint(eager=True)
-    offsets = spark.createDataFrame(
+    offsets = local_df(
+        spark,
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
         "dx int, dy int",
     )
@@ -2355,7 +2357,8 @@ def q_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(row.n_rows, row.weighted_cents, split)],
         "n_rows bigint, weighted_cents bigint, skew_split_applied boolean",
     )
@@ -2402,7 +2405,8 @@ def q_aqe_coalesce_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesced = "coalesced" in (
         agg._jdf.queryExecution().executedPlan().toString()
     )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(r.lang, r.n_docs, r.chars, coalesced) for r in rows],
         "lang string, n_docs bigint, chars bigint, shuffle_coalesced boolean",
     ).orderBy("lang")

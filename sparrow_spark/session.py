@@ -37,6 +37,21 @@ def get_spark(
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r16 note: coalescePartitions.parallelismFirst=false (byte-
+        # sized post-shuffle partitions, the Spark docs' own
+        # recommendation) was A/B-measured this round and REJECTED:
+        # at bench scale it serializes exactly the stages whose cost
+        # is per-row compute or result serialization rather than bytes
+        # (q_interval_overlap_join 3-4x, q_asof_join 3x,
+        # q_sorted_neighborhood 2x slower) while saving only ~tens of
+        # ms on tiny aggregations. The default (parallelism-first,
+        # 1 MB min partitions) is already scale-adaptive: at cluster
+        # volumes bytes/cores exceeds the advisory target and the two
+        # settings converge. Measurements in OPTIMIZATION_r16.md.
+        # Likewise preferSortMergeJoin=false (guide SS3.1: shuffled-
+        # hash skips two per-partition sorts) A/B-measured within
+        # noise on 14 join-heavy queries — not adopted; the default
+        # keeps sort-merge's graceful spill behavior at scale.
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -2,6 +2,7 @@ from sparrow_spark.sources.tables import (
     TABLES,
     load_table,
     load_tables,
+    local_df,
     materialize,
     register_views,
     widen,
@@ -11,6 +12,7 @@ __all__ = [
     "TABLES",
     "load_table",
     "load_tables",
+    "local_df",
     "materialize",
     "register_views",
     "widen",

@@ -358,7 +358,10 @@ def _register_agg_pushdown() -> None:
             spark.conf.set(
                 "spark.sql.parquet.aggregatePushdown", prev_push
             )
-        return spark.createDataFrame(
+        from sparrow_spark.sources.tables import local_df
+
+        return local_df(
+            spark,
             [(row.n_rows, float(row.min_qty), float(row.max_qty), pushed)],
             "n_rows bigint, min_qty double, max_qty double, agg_pushed boolean",
         )
@@ -530,8 +533,12 @@ def _register_dpp_prune() -> None:
         pruned = "dynamicpruning" in (
             agg._jdf.queryExecution().executedPlan().toString().lower()
         )
-        return spark.createDataFrame(
-            [(r.event_type, r.n_events, float(r.total_value), pruned) for r in rows],
+        from sparrow_spark.sources.tables import local_df
+
+        return local_df(
+            spark,
+            [(r.event_type, r.n_events, float(r.total_value), pruned)
+             for r in rows],
             "event_type string, n_events bigint, total_value double, "
             "dpp_applied boolean",
         ).orderBy("event_type")

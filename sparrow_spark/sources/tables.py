@@ -146,6 +146,39 @@ def materialize(df: DataFrame, **cols) -> DataFrame:
     )
 
 
+def local_df(spark: SparkSession, data, schema) -> DataFrame:
+    """JVM LocalRelation from small Python literal rows.
+
+    r16 (guide SS4): ``spark.createDataFrame(list_of_tuples, schema)``
+    builds a PICKLED Python RDD — every execution of any plan that
+    references it launches a Python worker to unpickle the rows
+    (measured 0.3-0.9 s per execution on this box, paid by EVERY query
+    that joins a tiny literal dimension table, every run). Routing the
+    same literals through a pandas DataFrame takes the Arrow
+    conversion path instead, which lands as a JVM LocalRelation:
+    re-executions never touch Python, Catalyst can constant-fold /
+    broadcast it without a job, and the values are identical (the
+    explicit schema pins exact Spark types; measured LocalRelation vs
+    LogicalRDD in the optimized plan, ~10x per-execution cost).
+
+    ``schema`` is a DDL string (simple column types — names are parsed
+    from it for pandas) or a StructType."""
+    import pandas as pd
+
+    if hasattr(schema, "names"):
+        names = list(schema.names)
+    else:
+        names = [c.strip().split()[0] for c in schema.split(",")]
+    rows = [tuple(r) for r in data]
+    pdf = pd.DataFrame.from_records(rows, columns=names)
+    if len(rows) == 0:
+        # from_records on an empty list loses the columns; rebuild with
+        # explicit (empty, object-dtyped) columns so the Arrow path
+        # still sees the declared shape.
+        pdf = pd.DataFrame({n: pd.Series(dtype="object") for n in names})
+    return spark.createDataFrame(pdf, schema)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:

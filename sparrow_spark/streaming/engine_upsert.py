@@ -37,6 +37,7 @@ from sparrow_spark.engine import Engine, SparrowError
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
 from sparrow_spark.sources import load_table
+from sparrow_spark.streaming.constants import drain_shuffle, stream_scratch_dir
 
 _MERGE_SQL = """MERGE INTO profiles t USING
   (SELECT user_id, n, s FROM global_temp.{view}) s
@@ -100,7 +101,7 @@ def q_stream_engine_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(event_id, 0.33)"),
         F.expr("percentile(event_id, 0.66)"),
     ).first()
-    root = tempfile.mkdtemp(prefix=f"engup_{uuid.uuid4().hex[:8]}_")
+    root = stream_scratch_dir(f"engup_{uuid.uuid4().hex[:8]}_")
     src = os.path.join(root, "src")
     chunks = [
         events.filter(F.col("event_id") <= lo),
@@ -124,15 +125,16 @@ def q_stream_engine_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda batch, bid: apply_batch(eng, batch, bid)
+    with drain_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, bid: apply_batch(eng, batch, bid)
+            )
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(180)
+        finished = q.awaitTermination(180)
     if not finished:
         q.stop()
         raise RuntimeError(

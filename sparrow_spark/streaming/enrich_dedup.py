@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
 from sparrow_spark.sources import load_table
+from sparrow_spark.streaming.constants import drain_shuffle, stream_scratch_dir
 
 _EV_SCHEMA = "event_id bigint, event_type string, value double, user_id bigint"
 
@@ -63,17 +64,19 @@ def _drain_to_memory(stream_df: DataFrame, root: str, mode: str) -> DataFrame:
     returning a half-drained result."""
     spark = stream_df.sparkSession
     name = f"drain_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(180):
-        q.stop()
-        raise RuntimeError("streaming drain did not finish within 180s")
+    # r16: drain-scoped state partition count (see streaming/constants).
+    with drain_shuffle(spark):
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise RuntimeError("streaming drain did not finish within 180s")
     return spark.table(name)
 
 
@@ -106,7 +109,7 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value", "user_id"
     )
-    root = tempfile.mkdtemp(prefix=f"sdedup_{uuid.uuid4().hex[:8]}_")
+    root = stream_scratch_dir(f"sdedup_{uuid.uuid4().hex[:8]}_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     src = _write_chunks_with_replay(events, root)
     stream = (
@@ -166,7 +169,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("c_custkey").alias("user_id"), "n_name")
     )
-    root = tempfile.mkdtemp(prefix=f"senrich_{uuid.uuid4().hex[:8]}_")
+    root = stream_scratch_dir(f"senrich_{uuid.uuid4().hex[:8]}_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     src = os.path.join(root, "src")
     events.coalesce(1).write.parquet(os.path.join(src, "chunk-000"))

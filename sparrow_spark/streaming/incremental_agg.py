@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
 from sparrow_spark.sources import load_table
+from sparrow_spark.streaming.constants import drain_shuffle, stream_scratch_dir
 
 _PARTIAL_SCHEMA = "event_type string, n double, s double, m2 double"
 
@@ -132,7 +133,7 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = events.agg(
         F.expr("percentile(event_id, 0.33)"), F.expr("percentile(event_id, 0.66)")
     ).first()
-    root = tempfile.mkdtemp(prefix=f"incagg_{uuid.uuid4().hex[:8]}_")
+    root = stream_scratch_dir(f"incagg_{uuid.uuid4().hex[:8]}_")
     src = os.path.join(root, "src")
     chunks = [
         events.filter(F.col("event_id") <= lo),
@@ -142,8 +143,9 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, c in enumerate(chunks):
         d = os.path.join(src, f"chunk-{i:03d}")
         c.coalesce(1).write.parquet(d)
-    q, partial_dir = incremental_agg_stream(spark, src, root)
-    finished = q.awaitTermination(180)
+    with drain_shuffle(spark):
+        q, partial_dir = incremental_agg_stream(spark, src, root)
+        finished = q.awaitTermination(180)
     if not finished:
         q.stop()
         raise RuntimeError(

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from sparrow_spark.operators.dedup import _MINHASH_BANDS_CTE, minhash_bands
 from sparrow_spark.registry import query
 from sparrow_spark.sources import load_table
+from sparrow_spark.streaming.constants import drain_shuffle, stream_scratch_dir
 
 _BANDS_SCHEMA = "doc_id bigint, band int, band_sig string"
 
@@ -239,7 +240,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = docs.agg(
         F.expr("percentile(doc_id, 0.33)"), F.expr("percentile(doc_id, 0.66)")
     ).first()
-    root = tempfile.mkdtemp(prefix=f"incdedup_{uuid.uuid4().hex[:8]}_")
+    root = stream_scratch_dir(f"incdedup_{uuid.uuid4().hex[:8]}_")
     src = os.path.join(root, "src")
     chunks = [
         docs.filter(F.col("doc_id") <= lo),
@@ -254,8 +255,9 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # all writes land within one filesystem timestamp tick.
         for f in os.listdir(d):
             os.utime(os.path.join(d, f), (1_700_000_000 + i, 1_700_000_000 + i))
-    q, verdict_dir = incremental_lsh_dedup_stream(spark, src, root)
-    finished = q.awaitTermination(180)
+    with drain_shuffle(spark):
+        q, verdict_dir = incremental_lsh_dedup_stream(spark, src, root)
+        finished = q.awaitTermination(180)
     if not finished:
         q.stop()
         raise RuntimeError(

@@ -15,8 +15,10 @@ state is per key and evicted on window close.
 
 from __future__ import annotations
 
+import atexit
 import glob
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,6 +30,8 @@ from sparrow_spark.streaming.constants import (
     SESSION_GAP_US,
     WATERMARK_INTERVAL,
     WATERMARK_MS,
+    drain_shuffle,
+    stream_scratch_dir,
 )
 
 EVENTS_SCHEMA_NANOS = (
@@ -132,17 +136,29 @@ def sessionized_counts(
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drain a bounded stream into an in-memory table (availableNow
     trigger) and return the finished query. Used by tests; production
-    sinks are parquet/Delta/Kafka via the same writeStream API."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError(f"stream '{name}' did not finish within 120s")
+    sinks are parquet/Delta/Kafka via the same writeStream API.
+
+    r16: the drain runs at DRAIN_SHUFFLE_PARTITIONS (state partition
+    count sized to drain state volume, not the batch session default)
+    and checkpoints into the RAM-backed scratch root — without an
+    explicit location the memory sink checkpoints under java.io.tmpdir
+    on the fsync-slow root volume. See streaming/constants.py for the
+    profiling evidence and the production knobs."""
+    spark = stream_df.sparkSession
+    ckpt = stream_scratch_dir(f"ckpt_{name}_")
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+    with drain_shuffle(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(f"stream '{name}' did not finish within 120s")
     return q
 
 

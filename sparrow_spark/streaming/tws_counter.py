@@ -41,6 +41,7 @@ from pyspark.sql.streaming.stateful_processor import (
 from sparrow_spark.registry import query
 from sparrow_spark.rounding import rnd
 from sparrow_spark.sources import load_table
+from sparrow_spark.streaming.constants import drain_shuffle, stream_scratch_dir
 
 _OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 
@@ -84,20 +85,36 @@ class RunningTotalsProcessor(StatefulProcessor):
         pass
 
 
-def _running_totals_group_state(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state
-) -> Iterator[pd.DataFrame]:
+def _running_totals_group_state_fn():
     """applyInPandasWithState twin of RunningTotalsProcessor: the same
     fold over the same emissions, with the running (n, s) pair in a
-    GroupState tuple."""
-    n, s = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        s += float(pdf["value"].sum())
-    state.update((n, s))
-    yield pd.DataFrame(
-        {"user_id": [int(key[0])], "n_events": [n], "total_value": [s]}
-    )
+    GroupState tuple.
+
+    FACTORY returning a closure, not a module-level function (r16): a
+    module-level callable is cloudpickled BY REFERENCE, so the Python
+    workers must `import sparrow_spark` — which only resolves when the
+    driver process happens to run with cwd=/root/repo (the worker
+    daemon's sys.path picks the module up via its inherited cwd). The
+    cold-process driver simulation run from /tmp exposed the failure
+    (ModuleNotFoundError in the worker). A closure is pickled by
+    value, like every other Python-tier worker in this repo (see
+    operators/multimodal.py, plans/timeseries._ewma_worker)."""
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [int(key[0])], "n_events": [n], "total_value": [s]}
+        )
+
+    return fn
 
 
 @query(
@@ -133,7 +150,7 @@ def q_stream_tws_running_totals(
         F.expr("percentile(event_id, 0.33)"),
         F.expr("percentile(event_id, 0.66)"),
     ).first()
-    root = tempfile.mkdtemp(prefix=f"tws_{uuid.uuid4().hex[:8]}_")
+    root = stream_scratch_dir(f"tws_{uuid.uuid4().hex[:8]}_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     src = os.path.join(root, "src")
     chunks = [
@@ -167,24 +184,27 @@ def q_stream_tws_running_totals(
         from pyspark.sql.streaming.state import GroupStateTimeout
 
         counted = stream.groupBy("user_id").applyInPandasWithState(
-            _running_totals_group_state,
+            _running_totals_group_state_fn(),
             outputStructType=_OUT_SCHEMA,
             stateStructType="n bigint, s double",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     name = f"tws_{uuid.uuid4().hex[:12]}"
-    q = (
-        counted.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(180):
-        q.stop()
-        raise RuntimeError("transformWithState drain did not finish in 180s")
+    with drain_shuffle(spark):
+        q = (
+            counted.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise RuntimeError(
+                "transformWithState drain did not finish in 180s"
+            )
     emitted = spark.table(name)
     # Final state per user = the monotone counter's max emission
     # (rank, not a memory-table self-join — the memory sink's plan
