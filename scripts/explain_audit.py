@@ -157,6 +157,7 @@ def audit_windows(sf_dir: str, names: list[str]) -> int:
     sites). Returns a process exit code."""
     registry.load_all()
     spark = get_spark("sparrow-window-audit")
+    spark.conf.set("spark.sql.maxPlanStringLength", "2147483632b")  # full plans for capture
     spark.sparkContext.setLogLevel("ERROR")
     offenders: dict[str, list[str]] = {}
     cartesians: dict[str, int] = {}
@@ -210,6 +211,7 @@ def main() -> None:
         names = args or AUDIT
     registry.load_all()
     spark = get_spark("sparrow-audit")
+    spark.conf.set("spark.sql.maxPlanStringLength", "2147483632b")  # full plans for capture
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
         df = registry.QUERIES[name](spark, sf_dir)

@@ -37,9 +37,18 @@ RUNS = 3
 
 
 def formatted_plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    # Capture at FULL length (the session default caps plan strings at
+    # 128 KiB for steady-state cost — see session.py), then restore the
+    # default so the timed runs below measure the production session.
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.maxPlanStringLength")
+    spark.conf.set("spark.sql.maxPlanStringLength", "2147483632b")
+    try:
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.maxPlanStringLength", prev)
 
 
 def plan_shape(plan: str) -> dict:

@@ -36,6 +36,7 @@ def main() -> None:
 
     registry.load_all()
     spark = get_spark("sparrow-r16-plansweep")
+    spark.conf.set("spark.sql.maxPlanStringLength", "2147483632b")  # full plans for capture
     out: dict[str, dict] = {}
     for name in bench.BENCH_QUERIES:
         fn = registry.RAW_QUERIES[name]

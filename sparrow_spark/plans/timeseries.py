@@ -717,8 +717,16 @@ def q_group_ewma_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1: 2.9 s -> 0.73 s steady-state). At production scale the
     byte-based estimate and the compute-based ideal converge and the
     explicit count is simply defaultParallelism."""
+    # r16 continuation (guide §4.1 "pass only the columns the function
+    # needs" — in cheap types): the worker uses ts ONLY as a sort key,
+    # and Arrow->pandas conversion of a tz-aware timestamp column costs
+    # ~2x the whole grouped-map machinery at 1500 tiny groups (measured:
+    # trivial worker 0.538 s with the timestamp column vs 0.273 s with
+    # int64). unix_micros is strictly monotonic and the source column
+    # is micros-precision, so sort order AND ties are preserved exactly;
+    # the fold's inputs (value order) are bitwise unchanged.
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value"
+        "user_id", "event_id", F.unix_micros("ts").alias("ts"), "value"
     )
     par = spark.sparkContext.defaultParallelism
     out = ev.repartition(par, "user_id").groupBy("user_id").applyInPandas(

@@ -32,6 +32,17 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
+    # The worker daemon wrapper (spark.python.daemon.module below) is
+    # imported by `python -m` in a fresh process whose PYTHONPATH is the
+    # Spark-provided zips plus the driver's: make sure this package's
+    # root is on it BEFORE the context starts, whatever cwd the driver
+    # was launched from.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pythonpath = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pythonpath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pythonpath if pythonpath else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -58,6 +69,31 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # r16 (guide §4): stock pyspark workers call
+        # importlib.invalidate_caches() at the top of EVERY task, and on
+        # Python 3.11 each cached zipimporter re-reads its whole zip
+        # central directory — measured ~117 ms per task on this box
+        # (pyspark.zip + spark-core jar finders), dominating every
+        # Python-tier stage. The wrapper module patches
+        # zipimporter.invalidate_caches with an mtime stat-guard
+        # (CPython 3.12's semantics) in the daemon parent, inherited by
+        # every forked worker. See sparrow_spark/worker_daemon.py.
+        .config("spark.python.daemon.module", "sparrow_spark.worker_daemon")
+        # r16 (guide §7.3 "very large query plans are driver-side
+        # work"): EVERY action generates the full formatted plan string
+        # (plus a redaction-regex pass over it) for the
+        # SQLExecutionStart listener event — even with the UI disabled.
+        # The iterative-convergence queries carry 0.5-1.3 MB plan TEXTS
+        # (their executed work is checkpoint-pinned and tiny), so this
+        # string build was 40-60% of their steady per-run cost:
+        # q_golden_record 0.40->0.19 s, q_cluster_size_dist 0.26->0.16,
+        # q_dedup_clusters/savings 0.18->0.115 (same-session A/B/A).
+        # 128 KiB keeps every human-sized plan intact (the audit
+        # queries' plan-shape assertions read 2-40 KB plans); tools
+        # that capture full plans (scripts/explain_audit.py,
+        # scripts/r16/measure.py, plan_sweep.py) raise this conf at
+        # runtime — it is session-dynamic.
+        .config("spark.sql.maxPlanStringLength", "131072")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -200,3 +200,78 @@ def test_stream_scratch_dir_honors_env(tmp_path, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_STREAM_SCRATCH")
     d2 = stream_scratch_dir("unit_")
     assert os.path.isdir(d2)
+
+
+def test_zipimport_mtime_guard_semantics(tmp_path):
+    """The worker-daemon patch must (a) skip the zip-directory re-read
+    when the archive is unchanged, (b) still pick up a genuinely
+    replaced archive (fresh mtime -> re-read), preserving stock
+    invalidate_caches semantics for the only case that matters."""
+    import time
+    import zipfile
+    import zipimport
+
+    from sparrow_spark.worker_daemon import install_zipimport_mtime_guard
+
+    install_zipimport_mtime_guard()
+    # idempotent: double install keeps a single guard layer
+    install_zipimport_mtime_guard()
+    assert getattr(
+        zipimport.zipimporter.invalidate_caches, "_sparrow_mtime_guard", False
+    )
+
+    zpath = tmp_path / "mod.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.writestr("m_one.py", "X = 1\n")
+    zi = zipimport.zipimporter(str(zpath))
+    assert zi.find_spec("m_one") is not None
+    assert zi.find_spec("m_two") is None
+
+    # Replace the archive with new content but an UNCHANGED mtime:
+    # the guard must skip the re-read (this is the per-task fast path).
+    st = os.stat(zpath)
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.writestr("m_one.py", "X = 1\n")
+        z.writestr("m_two.py", "Y = 2\n")
+    os.utime(zpath, ns=(st.st_atime_ns, st.st_mtime_ns))
+    zi.invalidate_caches()  # records the mtime on first call
+    zi.invalidate_caches()  # short-circuits: no re-read
+    # Now bump the mtime: the next invalidation must re-read and see
+    # the new member.
+    os.utime(zpath, ns=(st.st_atime_ns, st.st_mtime_ns + 10**9))
+    zi.invalidate_caches()
+    assert zi.find_spec("m_two") is not None
+
+
+def test_worker_daemon_patch_reaches_spark_workers(spark):
+    """Every forked Python worker must inherit the daemon's patched
+    zipimporter.invalidate_caches — the ~117 ms/task zip-directory
+    re-read is the single largest Python-boundary cost this round."""
+
+    def probe(batches):
+        import zipimport
+
+        import pandas as pd
+
+        for _ in batches:
+            pass
+        yield pd.DataFrame(
+            {
+                "patched": [
+                    bool(
+                        getattr(
+                            zipimport.zipimporter.invalidate_caches,
+                            "_sparrow_mtime_guard",
+                            False,
+                        )
+                    )
+                ]
+            }
+        )
+
+    out = (
+        spark.range(0, 100, 1, 2)
+        .mapInPandas(probe, schema="patched boolean")
+        .toPandas()
+    )
+    assert out["patched"].all()
