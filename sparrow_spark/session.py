@@ -94,6 +94,21 @@ def get_spark(
         # scripts/r16/measure.py, plan_sweep.py) raise this conf at
         # runtime — it is session-dynamic.
         .config("spark.sql.maxPlanStringLength", "131072")
+        # r16 (guide §2.2): AQE's coalescing floor
+        # (minPartitionSize, default 1 MiB) serializes small-but-
+        # compute-bound final stages at interactive scale — a 0.5-3 MB
+        # post-shuffle stage lands on 1-3 tasks regardless of per-row
+        # cost (measured: q_rake_keywords 0.081->0.029 s,
+        # q_association_rules 0.086->0.035, q_window_topk_per_group
+        # 0.100->0.062 at 256 KiB; the <50 ms tail unchanged, A/B/A).
+        # At production volumes post-shuffle bytes/cores far exceeds
+        # any floor, so this knob only affects small interactive
+        # stages; env-overridable for clusters that want the 1 MiB
+        # default back.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "262144"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
